@@ -1,0 +1,25 @@
+"""Scalar function pack (SURVEY.md §2.7) — Catalyst Column expressions."""
+
+from datalake_toolkit_spark.functions.scalar import (
+    escape_special_chars,
+    fill_none_with_empty_array,
+    fill_none_with_empty_string,
+    millis_str_to_seconds,
+    normalize_s3_uri,
+    parse_date,
+    partition_name,
+    unix_seconds_to_gson,
+    with_prefix,
+)
+
+__all__ = [
+    "escape_special_chars",
+    "fill_none_with_empty_array",
+    "fill_none_with_empty_string",
+    "millis_str_to_seconds",
+    "normalize_s3_uri",
+    "parse_date",
+    "partition_name",
+    "unix_seconds_to_gson",
+    "with_prefix",
+]

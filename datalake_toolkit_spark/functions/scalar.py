@@ -1,0 +1,112 @@
+"""Scalar functions (SURVEY.md §2.7) as native Column expressions.
+
+The reference implemented all of these as row-at-a-time Python 2 UDFs
+(hive_metastore_migration.py, spark_submit_*.py). Every one is
+re-expressed here as a built-in Catalyst expression: JVM-side,
+whole-stage-codegen'd, NULL-propagating — the 100 TB-safe path. No
+function in this module crosses the Python boundary at execution time.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def parse_date(col: Column | str, fmt: str) -> Column:
+    """Parse a string to timestamp with a Java datetime pattern,
+    yielding NULL on failure.
+
+    Parity: F1 ``parse_date`` UDFs — strptime with a bare except
+    returning None (spark_submit_tb_iba_laminacao_parquet.py:123-129,
+    spark_submit_gametrics.py:45-52). ``try_to_timestamp`` reproduces
+    the NULL-on-garbage contract exactly.
+
+    Python->Java format translation is the caller's job; the formats the
+    reference uses map as:
+      '%d.%m.%Y %H:%M:%S.%f' -> 'dd.MM.yyyy HH:mm:ss.SSSSSS'
+      '%Y.%m.%d'             -> 'yyyy.MM.dd'
+      '%Y/%m/%d'             -> 'yyyy/MM/dd'
+      '%d/%m/%Y %H:%M:%S'    -> 'dd/MM/yyyy HH:mm:ss'
+    """
+    return F.try_to_timestamp(F.col(col) if isinstance(col, str) else col, F.lit(fmt))
+
+
+def escape_special_chars(col: Column | str) -> Column:
+    r"""Backslash-escape ``\ | " { : }`` for the reference's downstream
+    partition-name parser.
+
+    Parity: F4 (hive_metastore_migration.py:456-465). Implemented as a
+    single regexp_replace with a character class + capture-group
+    backreference.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(c, r'([\\|"{:}])', r'\\$1')
+
+
+def skewed_values_to_str(array_col: Column | str) -> Column:
+    """Fold a string array into the reference's ``'<len>%<v1>,<v2>'``
+    encoding — parity: F5 (hive_metastore_migration.py:467-471)."""
+    c = F.col(array_col) if isinstance(array_col, str) else array_col
+    return F.concat(
+        F.size(c).cast("string"), F.lit("%"), F.concat_ws(",", c)
+    )
+
+
+def normalize_s3_uri(col: Column | str) -> Column:
+    """``s3a://`` / ``s3n://`` -> ``s3://`` (null-safe).
+
+    Parity: F6 (hive_metastore_migration.py:489-501)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(c, r"^s3[an]://", "s3://")
+
+
+def with_prefix(prefix: str, col: Column | str) -> Column:
+    """Constant-prefix concat — parity: F7
+    (hive_metastore_migration.py:503-508)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.concat(F.lit(prefix), c)
+
+
+def unix_seconds_to_gson(col: Column | str) -> Column:
+    """Unix seconds -> ``'MMM dd, yyyy hh:mm:ss a'`` string (Gson
+    default format), null-safe.
+
+    Parity: F8 (hive_metastore_migration.py:510-530)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.date_format(F.from_unixtime(c), "MMM dd, yyyy hh:mm:ss a")
+
+
+def millis_str_to_seconds(col: Column | str) -> Column:
+    """Millisecond-string -> seconds (long), NULL -> 0.
+
+    Parity: F9 (hive_metastore_migration.py:825-827,872-879) —
+    ``long(s)/1000`` truncating division, None -> 0."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.coalesce(
+        (c.cast("long") / 1000).cast("long"), F.lit(0).cast("long")
+    )
+
+
+def fill_none_with_empty_array(col: Column | str) -> Column:
+    """NULL array -> empty array — parity: F10
+    (hive_metastore_migration.py:545-562; na.fill can't target arrays)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.coalesce(c, F.array())
+
+
+def fill_none_with_empty_string(col: Column | str) -> Column:
+    """NULL string -> '' — parity: F11
+    (hive_metastore_migration.py:848-852)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.coalesce(c, F.lit(""))
+
+
+def partition_name(keys_col: Column | str, types_col: Column | str, vals_col: Column | str) -> Column:
+    """Build ``'k1(t1),k2(t2)=v1,v2'`` partition names from parallel
+    arrays — parity: F13 (hive_metastore_migration.py:809-823)."""
+    k = F.col(keys_col) if isinstance(keys_col, str) else keys_col
+    t = F.col(types_col) if isinstance(types_col, str) else types_col
+    v = F.col(vals_col) if isinstance(vals_col, str) else vals_col
+    kt = F.zip_with(k, t, lambda a, b: F.concat(a, F.lit("("), b, F.lit(")")))
+    return F.concat(F.concat_ws(",", kt), F.lit("="), F.concat_ws(",", v))

@@ -1,0 +1,31 @@
+"""Relational operator library (SURVEY.md §2)."""
+
+from datalake_toolkit_spark.operators.relational import (
+    collect_sorted_array,
+    dedup_latest,
+    drop_columns,
+    explode_map_params,
+    join_other_to_single_column,
+    join_with_params,
+    kv_pairs_to_map,
+    pack_struct,
+    posexplode_with_idx,
+    rename_columns,
+    unpack_struct,
+    with_consecutive_id,
+)
+
+__all__ = [
+    "collect_sorted_array",
+    "dedup_latest",
+    "drop_columns",
+    "explode_map_params",
+    "join_other_to_single_column",
+    "join_with_params",
+    "kv_pairs_to_map",
+    "pack_struct",
+    "posexplode_with_idx",
+    "rename_columns",
+    "unpack_struct",
+    "with_consecutive_id",
+]

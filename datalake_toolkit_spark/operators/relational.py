@@ -1,0 +1,267 @@
+"""Relational operators re-expressed as native DataFrame transforms.
+
+Each function re-creates one inventory row from SURVEY.md §2 using
+built-in Catalyst expressions — no RDDs, no Python row UDFs. The
+reference implemented these with RDD map/reduceByKey/aggregateByKey
+(hive_metastore_migration.py); here they are single shuffles with
+map-side partial aggregation, whole-stage codegen, and AQE-managed
+partitioning — the shape that survives a 100 TB input.
+
+Citations are ``path:line`` in /root/reference (behavioral parity
+anchors, not code provenance).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# Aggregations (§2.4)
+# ---------------------------------------------------------------------------
+
+
+def kv_pairs_to_map(
+    df: DataFrame,
+    id_col: str,
+    key_col: str,
+    value_col: str,
+    map_col: str = "params",
+) -> DataFrame:
+    """(id, k, v) rows -> (id, map{k: v}), dropping NULL keys.
+
+    Parity: A1 ``kv_pair_to_map`` (hive_metastore_migration.py:320-337).
+    Duplicate-key semantics: the reference merges dicts with
+    ``dict.update`` in reduceByKey order — i.e. *some* value wins,
+    nondeterministically. We make it deterministic: the *max* value per
+    key wins (documented divergence; any single-winner policy satisfies
+    the reference's contract since its winner was partition-order luck).
+
+    One shuffle (groupBy id+key with partial agg) + one shuffle
+    (groupBy id); both combine map-side, so skewed ids degrade
+    gracefully under AQE skew handling.
+    """
+    deduped = (
+        df.where(F.col(key_col).isNotNull())
+        .groupBy(id_col, key_col)
+        .agg(F.max(value_col).alias(value_col))
+    )
+    return deduped.groupBy(id_col).agg(
+        F.map_from_entries(F.collect_list(F.struct(key_col, value_col))).alias(map_col)
+    )
+
+
+def collect_sorted_array(
+    df: DataFrame,
+    id_col: str,
+    idx_col: str | Column,
+    payload_col: str | Column,
+    out_col: str = "items",
+) -> DataFrame:
+    """Group by id, collect payloads sorted by an integer index.
+
+    Parity: A2 ``transform_df_with_idx``
+    (hive_metastore_migration.py:344-388) — the reference used RDD
+    aggregateByKey + a Python sort per group; here:
+    ``array_sort(collect_list(struct(idx, payload)))`` sorts on the
+    struct's leading field JVM-side, then drops the index.
+
+    Single shuffle; the per-group sort happens post-aggregation on
+    arrays already local to their reducer — no second shuffle and no
+    Python boundary.
+    """
+    payload = F.col(payload_col) if isinstance(payload_col, str) else payload_col
+    idx = F.col(idx_col) if isinstance(idx_col, str) else idx_col
+    pair = F.struct(idx.alias("_idx"), payload.alias("_payload"))
+    return df.groupBy(id_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(pair)), lambda s: s.getField("_payload")
+        ).alias(out_col)
+    )
+
+
+def max_id(df: DataFrame, id_col: str) -> int:
+    """Current max id (0 when empty) — parity A5
+    (hive_metastore_migration.py:1219-1225) without the RDD round-trip."""
+    row = df.agg(F.max(id_col).alias("m")).first()
+    return int(row["m"]) if row and row["m"] is not None else 0
+
+
+# ---------------------------------------------------------------------------
+# Explode family (§2.8)
+# ---------------------------------------------------------------------------
+
+
+def posexplode_with_idx(
+    df: DataFrame,
+    array_col: str,
+    idx_name: str = "INTEGER_IDX",
+    elem_name: str = "col",
+    keep: Sequence[str] | None = None,
+) -> DataFrame:
+    """Array column -> one row per element with its 0-based index.
+
+    Parity: X1 ``generate_idx_for_df``
+    (hive_metastore_migration.py:854-870) — the reference built a
+    Map[idx, elem] with a Python UDF then exploded the map;
+    ``posexplode`` is the exact native operator (narrow, no shuffle).
+    """
+    keep_cols = [F.col(c) for c in (keep or [c for c in df.columns if c != array_col])]
+    return df.select(*keep_cols, F.posexplode(array_col).alias(idx_name, elem_name))
+
+
+def explode_map_params(
+    df: DataFrame,
+    id_col: str,
+    map_col: str,
+    key_name: str = "PARAM_KEY",
+    value_name: str = "PARAM_VALUE",
+) -> DataFrame:
+    """Map column -> (id, key, value) rows.
+
+    Parity: X2 ``params_to_df`` (hive_metastore_migration.py:881-884).
+    Narrow transform (no shuffle).
+    """
+    return df.select(id_col, F.explode(map_col).alias(key_name, value_name))
+
+
+def with_consecutive_id(
+    df: DataFrame,
+    order_cols: Sequence[str],
+    id_col: str = "id",
+    start: int = 1,
+) -> DataFrame:
+    """Assign *consecutive* ids ``start, start+1, ...`` in a
+    deterministic total order.
+
+    Parity: X5 ``generate_id_df`` (hive_metastore_migration.py:886-911)
+    — the reference used ``rdd.zipWithIndex`` + max-id offset and noted
+    (comment :898-901) that ``monotonically_increasing_id`` is unusable
+    because ids must be consecutive (they become metastore FK values).
+
+    Scale shape: a global ``row_number`` over a single unbounded window
+    would serialize through ONE partition. Instead we range-partition by
+    the order keys, number rows *within* each partition, then add
+    per-partition offsets computed from partition counts (tiny driver
+    collect of <= #partitions rows) — the classic scalable zipWithIndex,
+    expressed on DataFrames.
+    """
+    order_exprs = [F.col(c) for c in order_cols]
+    ranged = df.repartitionByRange(*order_exprs).sortWithinPartitions(*order_exprs)
+    with_pid = ranged.withColumn("_pid", F.spark_partition_id())
+    w = Window.partitionBy("_pid").orderBy(*order_exprs)
+    numbered = with_pid.withColumn("_rn", F.row_number().over(w))
+    # partition sizes -> cumulative offsets; #partitions rows only
+    sizes = {
+        r["_pid"]: r["cnt"]
+        for r in numbered.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
+    }
+    offsets, acc = {}, start - 1
+    for pid in sorted(sizes):
+        offsets[pid] = acc
+        acc += sizes[pid]
+    offset_col = F.element_at(
+        F.create_map(
+            *[x for pid, off in sorted(offsets.items()) for x in (F.lit(pid), F.lit(off))]
+        ),
+        F.col("_pid"),
+    )
+    return numbered.withColumn(id_col, (F.col("_rn") + offset_col).cast("long")).drop(
+        "_pid", "_rn"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Projection helpers (§2.2)
+# ---------------------------------------------------------------------------
+
+
+def drop_columns(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """Parity: P2 ``drop_columns`` (hive_metastore_migration.py:189-192)."""
+    return df.drop(*cols)
+
+
+def rename_columns(df: DataFrame, mapping: Sequence[tuple[str, str]]) -> DataFrame:
+    """Parity: P3 ``rename_columns`` (hive_metastore_migration.py:195-204),
+    via the single-pass ``withColumnsRenamed``."""
+    return df.withColumnsRenamed(dict(mapping))
+
+
+def pack_struct(
+    df: DataFrame, key_cols: Sequence[str], struct_col: str = "item"
+) -> DataFrame:
+    """Nest all non-key columns into one struct column.
+
+    Parity: P6 (hive_metastore_migration.py:704-706,733-737)."""
+    others = [c for c in df.columns if c not in key_cols]
+    return df.select(*key_cols, F.struct(*others).alias(struct_col))
+
+
+def unpack_struct(df: DataFrame, struct_col: str) -> DataFrame:
+    """Inverse of :func:`pack_struct` — parity: P7 ``select('item.*')``
+    (hive_metastore_migration.py:914,941,987)."""
+    others = [c for c in df.columns if c != struct_col]
+    return df.select(*others, f"{struct_col}.*")
+
+
+# ---------------------------------------------------------------------------
+# Join assemblers (§2.3)
+# ---------------------------------------------------------------------------
+
+
+def join_with_params(
+    entity: DataFrame, params_map: DataFrame, id_col: str
+) -> DataFrame:
+    """Entity ⟕ params-map on id — parity: J1
+    (hive_metastore_migration.py:339-342)."""
+    return entity.join(params_map, on=id_col, how="left_outer")
+
+
+def join_other_to_single_column(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    struct_col: str,
+    how: str = "left_outer",
+    broadcast_right: bool = False,
+) -> DataFrame:
+    """Join, collapsing every non-key column of ``right`` into one
+    struct column.
+
+    Parity: J2 (hive_metastore_migration.py:211-225) — used for
+    serdeInfo / skewedInfo / storageDescriptor assembly.
+
+    ``broadcast_right=True`` hints a broadcast join for dimension-sized
+    right sides (the catalog-entity case) — no shuffle of the big side.
+    """
+    packed = pack_struct(right, [on], struct_col)
+    if broadcast_right:
+        packed = F.broadcast(packed)
+    return left.join(packed, on=on, how=how)
+
+
+# ---------------------------------------------------------------------------
+# Window / dedup (§2.5, Y5)
+# ---------------------------------------------------------------------------
+
+
+def dedup_latest(
+    df: DataFrame,
+    partition_cols: Sequence[str],
+    order_cols: Sequence[Column],
+) -> DataFrame:
+    """Keep the first row per group under the given ordering.
+
+    Parity: Y5 — newest Redshift snapshot per cluster
+    (odl_snapshot_redshift.py:67-92, a driver-side Python sort there);
+    here a window ``row_number() == 1``, one shuffle on the partition
+    keys. Pass explicit tiebreakers in ``order_cols`` for determinism.
+    """
+    w = Window.partitionBy(*partition_cols).orderBy(*order_cols)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )

@@ -1,0 +1,9 @@
+"""Query plans: the engine's verifiable query surface.
+
+``QUERIES`` maps name -> (spark, sf_dir) -> DataFrame; ``ORACLE`` maps
+the same names to DuckDB-runnable ANSI SQL producing identical columns.
+"""
+
+from datalake_toolkit_spark.plans.queries import ORACLE, QUERIES
+
+__all__ = ["ORACLE", "QUERIES"]

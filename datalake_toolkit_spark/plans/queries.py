@@ -1,0 +1,667 @@
+"""Verifiable query surface: every operator family from SURVEY.md §2
+expressed as a (Spark plan, DuckDB oracle SQL) pair.
+
+Conventions that make the driver's order-insensitive value-hash match:
+
+- every computed column is aliased identically on both sides;
+- floating aggregates are ``round(x, 2)`` (or 4 for small ratios) —
+  double summation order differs between engines, raw sums never hash
+  equal;
+- doubles destined for string concatenation go through
+  ``DECIMAL(18,2)`` so both engines render '87.50';
+- top-k queries carry a unique tiebreaker column in the ORDER BY.
+
+Scale notes are inline per query: which side is broadcast, where the
+shuffles are, what AQE is expected to do at 100 TB.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from datalake_toolkit_spark.operators import (
+    collect_sorted_array,
+    dedup_latest,
+    kv_pairs_to_map,
+    pack_struct,
+    posexplode_with_idx,
+    unpack_struct,
+    with_consecutive_id,
+)
+from datalake_toolkit_spark.functions import (
+    escape_special_chars,
+    millis_str_to_seconds,
+    normalize_s3_uri,
+    unix_seconds_to_gson,
+    with_prefix,
+)
+from datalake_toolkit_spark.sources import load_table
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE[name] = oracle
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+def _dec(c: str, p: int = 12, sc: int = 2):
+    return F.col(c).cast(f"decimal({p},{sc})")
+
+
+def _rev():
+    """Exact-decimal revenue term: decimal arithmetic is associative,
+    so the sum is independent of partition/reduction order — unlike
+    doubles, whose summation order differs run-to-run and
+    engine-to-engine (this is what the DuckDB correctness gate hashes
+    against)."""
+    return _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount", 4, 2))
+
+
+REV_SQL = "CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))"
+
+
+# ---------------------------------------------------------------------------
+# Aggregation core (TPC-H-shaped; SURVEY §2.4, data-plane parity)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)      AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE)                        AS sum_disc_price,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) * (1 + CAST(l_tax AS DECIMAL(4,2)))), 2) AS DOUBLE)
+                                                                       AS sum_charge,
+           CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(*)      AS avg_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_price,
+           CAST(sum(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / count(*)       AS avg_disc,
+           count(*)                                                     AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship scan->filter->agg. Filter + the 3 used columns push down
+    to the parquet reader; one shuffle on (returnflag, linestatus) with
+    map-side partial agg — the minimal plan at any scale."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.round(F.sum(_rev()), 2).cast("double").alias("sum_disc_price"),
+            F.round(
+                F.sum(_rev() * (F.lit(1) + _dec("l_tax", 4, 2))), 2
+            ).cast("double").alias("sum_charge"),
+            (F.sum(_dec("l_quantity")).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
+            (
+                F.sum(_dec("l_extendedprice")).cast("double") / F.count(F.lit(1))
+            ).alias("avg_price"),
+            (
+                F.sum(_dec("l_discount", 4, 2)).cast("double") / F.count(F.lit(1))
+            ).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "q3_shipping_priority",
+    """
+    SELECT l_orderkey,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join + agg + top-k. customer is dimension-sized next to lineitem
+    -> broadcast it; orders⋈lineitem stays a shuffle join on orderkey
+    (both huge at 100 TB; AQE picks SMJ/SHJ). Top-k is a global sort of
+    the *aggregated* (small) side only."""
+    cust = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-03-15 00:00:00").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1998-03-15 00:00:00").cast("timestamp")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(_rev()), 2).cast("double").alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "q5_region_revenue",
+    """
+    SELECT n_name, CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue
+    FROM customer, orders, lineitem, supplier, nation, region
+    WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      AND r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n_name
+    """,
+)
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Six-way join. region/nation/supplier/customer are dims ->
+    broadcast; only orders⋈lineitem shuffles. Catalyst reorders the
+    broadcasts; the c_nationkey = s_nationkey residual rides on the
+    join output."""
+    cust, orders, li, supp, nat, reg = (
+        _t(spark, sf_dir, n)
+        for n in ("customer", "orders", "lineitem", "supplier", "nation", "region")
+    )
+    orders = orders.where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .join(
+            F.broadcast(reg.where(F.col("r_name") == "ASIA")),
+            nat.n_regionkey == reg.r_regionkey,
+        )
+        .groupBy("n_name")
+        .agg(F.round(F.sum(_rev()), 2).cast("double").alias("revenue"))
+    )
+
+
+@query(
+    "q10_returned_items",
+    """
+    SELECT c_custkey, c_name,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue,
+           n_name
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust, orders, li, nat = (
+        _t(spark, sf_dir, n) for n in ("customer", "orders", "lineitem", "nation")
+    )
+    orders = orders.where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    )
+    li = li.where(F.col("l_returnflag") == "R")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.round(F.sum(_rev()), 2).cast("double").alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "n_name")
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@query(
+    "q_year_orders",
+    """
+    SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,
+           count(*) AS n_orders,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS total
+    FROM orders GROUP BY 1
+    """,
+)
+def q_year_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3 year() extraction + agg."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.year("o_orderdate").cast("int").alias("order_year"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum(_dec("o_totalprice")), 2).cast("double").alias("total"),
+        )
+    )
+
+
+@query(
+    "q_rollup_supplier_balance",
+    """
+    SELECT r_name, n_name,
+           CAST(round(sum(CAST(s_acctbal AS DECIMAL(12,2))), 2) AS DOUBLE) AS total_bal,
+           count(*) AS n_suppliers
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP(r_name, n_name)
+    """,
+)
+def q_rollup_supplier_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical ROLLUP aggregation (engine capability beyond the
+    reference's flat aggs — SURVEY §2.4 'absent' row)."""
+    supp, nat, reg = (
+        _t(spark, sf_dir, n) for n in ("supplier", "nation", "region")
+    )
+    return (
+        supp.join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(
+            F.round(F.sum(_dec("s_acctbal")), 2).cast("double").alias("total_bal"),
+            F.count(F.lit(1)).alias("n_suppliers"),
+        )
+    )
+
+
+@query(
+    "q_pivot_order_priority",
+    """
+    SELECT o_orderstatus,
+           count(*) FILTER (WHERE o_orderpriority = '1-URGENT')        AS urgent,
+           count(*) FILTER (WHERE o_orderpriority = '2-HIGH')          AS high,
+           count(*) FILTER (WHERE o_orderpriority = '3-MEDIUM')        AS medium,
+           count(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS not_specified,
+           count(*) FILTER (WHERE o_orderpriority = '5-LOW')           AS low
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def q_pivot_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with an explicit value list — explicit values keep the
+    plan a single pass (no extra distinct-values job at scale)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .pivot(
+            "o_orderpriority",
+            ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"],
+        )
+        .count()
+        .withColumnsRenamed(
+            {
+                "1-URGENT": "urgent",
+                "2-HIGH": "high",
+                "3-MEDIUM": "medium",
+                "4-NOT SPECIFIED": "not_specified",
+                "5-LOW": "low",
+            }
+        )
+        .na.fill(0, ["urgent", "high", "medium", "not_specified", "low"])
+    )
+
+
+# ---------------------------------------------------------------------------
+# Map / ordered-array aggregation (A1 / A2)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_user_event_map",
+    """
+    WITH kv AS (
+      SELECT user_id, event_type,
+             CAST(CAST(max(value) AS DECIMAL(18,2)) AS VARCHAR) AS v
+      FROM events GROUP BY user_id, event_type
+    )
+    SELECT user_id,
+           string_agg(event_type || '=' || v, ';' ORDER BY event_type) AS event_map
+    FROM kv GROUP BY user_id
+    """,
+)
+def q_user_event_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 kv_pair_to_map: (id, k, v) -> map, rendered as a sorted
+    'k=v;k=v' string for engine-neutral comparison."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.col("value").alias("value")
+    )
+    mapped = kv_pairs_to_map(ev, "user_id", "event_type", "value", "m")
+    entries = F.transform(
+        F.array_sort(F.map_entries(F.col("m"))),
+        lambda e: F.concat(
+            e.getField("key"),
+            F.lit("="),
+            e.getField("value").cast("decimal(18,2)").cast("string"),
+        ),
+    )
+    return mapped.select("user_id", F.concat_ws(";", entries).alias("event_map"))
+
+
+@query(
+    "q_order_parts_sorted",
+    """
+    SELECT l_orderkey,
+           string_agg(CAST(l_partkey AS VARCHAR), ',' ORDER BY l_linenumber, l_partkey)
+             AS parts_in_order
+    FROM lineitem GROUP BY l_orderkey
+    """,
+)
+def q_order_parts_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 transform_df_with_idx: per-group collect ordered by an integer
+    index. Single shuffle; sort happens on reducer-local arrays."""
+    li = _t(spark, sf_dir, "lineitem")
+    collected = collect_sorted_array(
+        li,
+        "l_orderkey",
+        F.struct("l_linenumber", "l_partkey"),
+        F.col("l_partkey").cast("string"),
+        "parts",
+    )
+    return collected.select(
+        "l_orderkey", F.concat_ws(",", "parts").alias("parts_in_order")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window / dedup / ids (W2, Y5, X5)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_latest_event_per_user",
+    """
+    SELECT user_id, event_id, event_type, value FROM (
+      SELECT user_id, event_id, event_type, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events) t
+    WHERE rn = 1
+    """,
+)
+def q_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Y5 newest-per-key dedup as a window; one shuffle on user_id."""
+    ev = _t(spark, sf_dir, "events")
+    return dedup_latest(
+        ev, ["user_id"], [F.desc("ts"), F.desc("event_id")]
+    ).select("user_id", "event_id", "event_type", "value")
+
+
+@query(
+    "q_consecutive_part_ids",
+    """
+    SELECT CAST(row_number() OVER (ORDER BY p_partkey) + 1000 AS BIGINT) AS new_id,
+           p_partkey
+    FROM part
+    """,
+)
+def q_consecutive_part_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 generate_id_df: consecutive, seeded ids in a deterministic
+    total order — range-partitioned two-phase numbering, not a global
+    single-partition window (see operators.relational)."""
+    return with_consecutive_id(
+        _t(spark, sf_dir, "part"), ["p_partkey"], "new_id", start=1001
+    ).select("new_id", "p_partkey")
+
+
+# ---------------------------------------------------------------------------
+# Joins beyond the assembled chains (semi / anti / broadcast dims)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_customers_without_orders",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (NOT EXISTS)."""
+    cust, orders = (_t(spark, sf_dir, n) for n in ("customer", "orders"))
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@query(
+    "q_big_spenders",
+    """
+    SELECT c_custkey, c_name, c_mktsegment FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+    """,
+)
+def q_big_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS) with a pushed-down filter on the probe side."""
+    cust, orders = (_t(spark, sf_dir, n) for n in ("customer", "orders"))
+    return cust.join(
+        orders.where(F.col("o_totalprice") > 400000),
+        cust.c_custkey == orders.o_custkey,
+        "left_semi",
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+@query(
+    "q_nation_region",
+    """
+    SELECT n_nationkey, n_name, r_name
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    """,
+)
+def q_nation_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast dim⋈dim join."""
+    nat, reg = (_t(spark, sf_dir, n) for n in ("nation", "region"))
+    return nat.join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey).select(
+        "n_nationkey", "n_name", "r_name"
+    )
+
+
+@query(
+    "q_all_parties",
+    """
+    SELECT 'customer' AS party_type, c_name AS name, CAST(c_nationkey AS INTEGER) AS nationkey
+    FROM customer
+    UNION ALL
+    SELECT 'supplier' AS party_type, s_name AS name, CAST(s_nationkey AS INTEGER) AS nationkey
+    FROM supplier
+    """,
+)
+def q_all_parties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1/U2 union-by-name across heterogeneous sources."""
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .select(
+            F.lit("customer").alias("party_type"),
+            F.col("c_name").alias("name"),
+            F.col("c_nationkey").cast("int").alias("nationkey"),
+        )
+    )
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .select(
+            F.lit("supplier").alias("party_type"),
+            F.col("s_name").alias("name"),
+            F.col("s_nationkey").cast("int").alias("nationkey"),
+        )
+    )
+    return cust.unionByName(supp)
+
+
+@query(
+    "q_top_parts_by_revenue",
+    """
+    SELECT p_partkey, p_name,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_partkey, p_name
+    ORDER BY revenue DESC, p_partkey
+    LIMIT 10
+    """,
+)
+def q_top_parts_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-aggregate the fact side on the join key BEFORE the broadcast
+    join — at 100 TB this collapses the join input from |lineitem| to
+    |part| rows and keeps the dim broadcast."""
+    li, part = (_t(spark, sf_dir, n) for n in ("lineitem", "part"))
+    per_part = li.groupBy("l_partkey").agg(F.sum(_rev()).alias("_rev"))
+    return (
+        per_part.join(F.broadcast(part), per_part.l_partkey == part.p_partkey)
+        .select(
+            "p_partkey", "p_name", F.round(F.col("_rev"), 2).cast("double").alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("p_partkey"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Structural operators: explode / struct pack-unpack (X1, P6/P7)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_doc_words_indexed",
+    """
+    SELECT doc_id, u['idx'] AS idx, u['word'] AS word FROM (
+      SELECT doc_id,
+             unnest(list_transform(string_split(text, ' '),
+                    (x, i) -> {'idx': CAST(i - 1 AS INTEGER), 'word': x})) AS u
+      FROM documents) t
+    """,
+)
+def q_doc_words_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1 generate_idx_for_df -> posexplode: one row per array element
+    with its 0-based index. Narrow (no shuffle)."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("words")
+    )
+    return posexplode_with_idx(docs, "words", "idx", "word", keep=["doc_id"])
+
+
+@query(
+    "q_customer_struct_roundtrip",
+    """
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer
+    """,
+)
+def q_customer_struct_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6/P7 struct pack -> unpack is lossless (Catalyst collapses the
+    pair into a plain projection — zero runtime cost)."""
+    packed = pack_struct(_t(spark, sf_dir, "customer"), ["c_custkey"], "item")
+    return unpack_struct(packed, "item")
+
+
+# ---------------------------------------------------------------------------
+# Scalar-function surface (F-series) and regex routing (P9)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_source_route",
+    """
+    SELECT doc_id, source,
+           CASE WHEN regexp_matches(source, '^src1[0-9]$') THEN 'plugin_teens'
+                WHEN regexp_matches(source, '^src[0-9]$')  THEN 'plugin_single'
+                ELSE 'default_plugin' END AS plugin
+    FROM documents
+    """,
+)
+def q_source_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P9 first-match-wins regex plugin router
+    (odl_datalake_ingestion.py:63-87) as when/otherwise dispatch."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        "source",
+        F.when(F.col("source").rlike("^src1[0-9]$"), "plugin_teens")
+        .when(F.col("source").rlike("^src[0-9]$"), "plugin_single")
+        .otherwise("default_plugin")
+        .alias("plugin"),
+    )
+
+
+@query(
+    "q_uri_normalize",
+    """
+    SELECT doc_id,
+           regexp_replace('s3a://datalake-raw/' || source, '^s3[an]://', 's3://') AS uri
+    FROM documents
+    """,
+)
+def q_uri_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6 s3a/s3n->s3 normalization + F7 prefixing."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        normalize_s3_uri(with_prefix("s3a://datalake-raw/", F.col("source"))).alias(
+            "uri"
+        ),
+    )
+
+
+@query(
+    "q_escape_props",
+    r"""
+    SELECT event_id, regexp_replace(props, '([\\|"{:}])', '\\\1', 'g') AS esc
+    FROM events
+    """,
+)
+def q_escape_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4 special-char escaping for the downstream parser."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select("event_id", escape_special_chars("props").alias("esc"))
+
+
+@query(
+    "q_time_functions",
+    """
+    SELECT event_id,
+           strftime(make_timestamp(CAST(floor(epoch(ts)) AS BIGINT) * 1000000),
+                    '%b %d, %Y %I:%M:%S %p') AS gson_ts,
+           CAST(CAST(CAST(floor(epoch(ts)) AS BIGINT) * 1000 AS VARCHAR) AS BIGINT)
+             // 1000 AS ts_seconds
+    FROM events
+    """,
+)
+def q_time_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8 unix-seconds -> Gson-format string; F9 millis-string ->
+    seconds."""
+    ev = _t(spark, sf_dir, "events")
+    secs = F.col("ts").cast("long")
+    return ev.select(
+        "event_id",
+        unix_seconds_to_gson(secs).alias("gson_ts"),
+        millis_str_to_seconds((secs * 1000).cast("string")).alias("ts_seconds"),
+    )

@@ -1,0 +1,78 @@
+"""SparkSession factory.
+
+Translates the reference's performance envelope (see BASELINE.md) into
+modern Spark conf:
+
+- 512 MB input splits (reference: ``mapreduce.input.fileinputformat.
+  split.{min,max}size=536870912`` in every ETL job, e.g.
+  artifacts/spark_programs/spark_submit_tb_call_req_parquet.py:89-91)
+  -> ``spark.sql.files.maxPartitionBytes=512m``.
+- dynamic-partition insert, nonstrict (same file :84-85).
+- output-committer v2 / no speculation (same file :83-84) -> speculation
+  off is the default; committer settings kept for Hadoop FS sinks.
+- AQE on (runtime re-plan, skew-join handling, partition coalescing) —
+  the modern replacement for the reference's hand-tuned split sizes.
+
+Scale notes (100 TB / 1000 executors): every knob here is cluster-size
+independent. ``spark.sql.shuffle.partitions`` is only a *default* —
+AQE coalesces small post-shuffle partitions and splits skewed ones, so
+a large static value (cluster: 2000+) plus AQE is the intended setup;
+locally we default to the core count.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_APP_NAME = "datalake-toolkit-spark"
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+
+def get_spark(
+    app_name: str = DEFAULT_APP_NAME,
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine's SparkSession.
+
+    Parameters mirror the reference's per-job session construction
+    (SparkSession.builder + conf tuning in every spark_submit_*.py run()),
+    centralized once.
+    """
+    cpus = default_parallelism()
+    master = master or os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
+    shuffle_partitions = shuffle_partitions or int(
+        os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
+    )
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.files.maxPartitionBytes", "536870912")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.compression.codec", "snappy")
+        # dynamic-partition insert semantics (reference S12)
+        .config("hive.exec.dynamic.partition", "true")
+        .config("hive.exec.dynamic.partition.mode", "nonstrict")
+        .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        # S3-era committer tuning; harmless on local FS
+        .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
+        .config("spark.speculation", "false")
+        .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
