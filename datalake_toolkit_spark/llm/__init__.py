@@ -1,0 +1,47 @@
+"""Large-scale training-data pipeline operators (SURVEY.md §7 M5).
+
+Beyond the reference's surface: deduplication (exact / MinHash-LSH /
+SimHash / n-gram Jaccard / embedding cosine), similarity search over
+embedding columns, text analysis (language-ID, quality, tokens,
+fingerprints), and multimodal binary-column plumbing.
+"""
+
+from datalake_toolkit_spark.llm.text import (
+    with_fingerprints,
+    with_language_id,
+    with_text_stats,
+    word_shingles,
+)
+from datalake_toolkit_spark.llm.dedup import (
+    exact_dedup,
+    exact_dedup_groups,
+    jaccard_pairs,
+    minhash_band_keys,
+    minhash_near_dup_pairs,
+    minhash_signature,
+    simhash,
+)
+from datalake_toolkit_spark.llm.similarity import (
+    cosine_similarity_col,
+    cosine_topk,
+    embedding_norms,
+    lsh_bucketed_topk,
+)
+
+__all__ = [
+    "cosine_similarity_col",
+    "cosine_topk",
+    "embedding_norms",
+    "exact_dedup",
+    "exact_dedup_groups",
+    "jaccard_pairs",
+    "lsh_bucketed_topk",
+    "minhash_band_keys",
+    "minhash_near_dup_pairs",
+    "minhash_signature",
+    "simhash",
+    "with_fingerprints",
+    "with_language_id",
+    "with_text_stats",
+    "word_shingles",
+]

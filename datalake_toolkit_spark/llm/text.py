@@ -1,0 +1,121 @@
+"""Text analysis operators: tokenization, quality scoring, language
+identification, fingerprinting.
+
+All pure Catalyst expressions (split / regexp / higher-order array
+functions) — no Python in the hot path, so these run inside
+whole-stage codegen over arbitrarily many documents. Engine-neutral
+determinism: every float is derived from integer counts through a
+fixed expression tree, and every hash is md5 (identical hex in any
+engine), so results verify bit-for-bit against the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# A BPE-ish lexer: words | numbers | any single non-space symbol.
+TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+# Tiny per-language stopword lists for the n-gram/stopword heuristic.
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "to", "and", "in", "is", "that"),
+    "de": ("der", "die", "und", "das", "nicht", "ist", "ein"),
+    "es": ("el", "la", "de", "los", "que", "es", "un"),
+    "fr": ("le", "la", "les", "et", "est", "une", "que"),
+}
+
+_PUNCT_CLASS = r"[^\.,;:!\?]"
+
+
+def words(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(c, r"\s+")
+
+
+def word_shingles(col: Column | str, k: int = 3) -> Column:
+    """k-word shingles of a text column, as an array of strings.
+
+    ``transform`` with the element index builds each window via
+    ``slice``; short tails yield NULL and are filtered. Narrow op."""
+    w = words(col)
+    return F.filter(
+        F.transform(
+            w,
+            lambda x, i: F.when(
+                i + F.lit(k) <= F.size(w), F.concat_ws(" ", F.slice(w, i + 1, k))
+            ),
+        ),
+        lambda s: s.isNotNull(),
+    )
+
+
+def _stopword_hits(words_col: Column, stopwords: tuple[str, ...]) -> Column:
+    return F.size(F.filter(words_col, lambda w: w.isin(*stopwords)))
+
+
+def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append n_words / n_tokens / n_punct / stopword_ratio /
+    quality_score columns.
+
+    quality_score is a fixed blend of length, punctuation, and
+    stopword signals in [0, 1] — the cheap heuristic a pretraining
+    pipeline uses to pre-filter before expensive model scoring."""
+    w = words(text_col)
+    n_words = F.size(w)
+    n_tokens = F.size(F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_PATTERN), F.lit(0)))
+    n_punct = F.length(F.regexp_replace(F.col(text_col), _PUNCT_CLASS, ""))
+    hits = _stopword_hits(w, LANG_STOPWORDS["en"])
+    n_chars = F.length(F.col(text_col))
+    stop_ratio = hits.cast("double") / F.greatest(n_words, F.lit(1))
+    punct_ratio = n_punct.cast("double") / F.greatest(n_chars, F.lit(1))
+    quality = (
+        F.lit(0.4) * F.least(F.lit(1.0), n_words.cast("double") / F.lit(50.0))
+        + F.lit(0.3) * (F.lit(1.0) - punct_ratio)
+        + F.lit(0.3) * stop_ratio
+    )
+    return (
+        df.withColumn("n_words", n_words)
+        .withColumn("n_tokens", n_tokens)
+        .withColumn("n_punct", n_punct)
+        .withColumn("stopword_ratio", stop_ratio)
+        .withColumn("quality_score", quality)
+    )
+
+
+def with_language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append ``lang_pred``: argmax of per-language stopword hit
+    counts, ties broken in fixed language order, 'unknown' when no
+    list matches. A deterministic heuristic language-ID — the shape
+    (not the quality) of a fastText-style classifier, kept
+    SQL-expressible so the oracle can verify it."""
+    w = words(text_col)
+    scores = {lang: _stopword_hits(w, sw) for lang, sw in LANG_STOPWORDS.items()}
+    order = list(LANG_STOPWORDS)
+    pred = F.lit("unknown")
+    # build when-chain in reverse so earlier languages win ties
+    for lang in reversed(order):
+        others_max = F.greatest(
+            *[scores[o] for o in order if o != lang], F.lit(0)
+        )
+        cond = (scores[lang] > 0) & (scores[lang] >= others_max)
+        pred = F.when(cond, F.lit(lang)).otherwise(pred)
+    out = df
+    for lang in order:
+        out = out.withColumn(f"score_{lang}", scores[lang])
+    return out.withColumn("lang_pred", pred)
+
+
+def with_fingerprints(df: DataFrame, text_col: str = "text", k: int = 5) -> DataFrame:
+    """Append document fingerprints:
+
+    - ``md5_fp``: full-text md5 (exact-dup key);
+    - ``winnow_fp``: min md5 over k-word shingles — a winnowing-style
+      selection that is stable under small edits outside the minimal
+      window (near-dup blocking key).
+    """
+    sh = word_shingles(text_col, k)
+    return df.withColumn("md5_fp", F.md5(F.col(text_col))).withColumn(
+        "winnow_fp",
+        F.coalesce(F.array_min(F.transform(sh, F.md5)), F.md5(F.col(text_col))),
+    )

@@ -1,0 +1,373 @@
+"""LLM-pipeline queries: dedup, similarity search, text analysis,
+multimodal — each a (Spark plan, DuckDB oracle) pair over the
+``documents`` / ``embeddings`` tables.
+
+Engine-neutral determinism rules here: md5 for every hash, doubles
+only as results of identical expression trees over exact ints (or
+bit-identical parquet values), DECIMAL where strings are rendered.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datalake_toolkit_spark.llm import (
+    cosine_topk,
+    embedding_norms,
+    exact_dedup_groups,
+    jaccard_pairs,
+    lsh_bucketed_topk,
+    minhash_near_dup_pairs,
+    simhash,
+    with_fingerprints,
+    with_language_id,
+    with_text_stats,
+)
+from datalake_toolkit_spark.llm.multimodal import (
+    attach_fake_media,
+    extract_media_features,
+)
+from datalake_toolkit_spark.plans.queries import query, _t
+
+# DuckDB-side shingle CTE shared by the dedup oracles (k=3 word
+# shingles, distinct, non-empty docs). DuckDB's indexed lambda i is
+# 1-based; Spark's is 0-based — both build windows [i, i+k).
+_SHINGLES_CTE = """
+docs AS (
+  SELECT doc_id, list_distinct(list_filter(
+           list_transform(w, (x, i) -> CASE WHEN i + 2 <= len(w)
+               THEN x || ' ' || w[i+1] || ' ' || w[i+2] END),
+           s -> s IS NOT NULL)) AS sh
+  FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS w FROM documents)
+  WHERE len(w) > 0
+)
+"""
+
+_JACCARD_TAIL = """
+sizes AS (SELECT doc_id, len(sh) AS n FROM docs),
+ex AS (SELECT doc_id, unnest(sh) AS shingle FROM docs),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+  FROM cand c
+  JOIN ex a ON a.doc_id = c.doc_a
+  JOIN ex b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT i.doc_a, i.doc_b,
+       CAST(i.n_inter AS DOUBLE) / (x.n + y.n - i.n_inter) AS jaccard
+FROM inter i
+JOIN sizes x ON x.doc_id = i.doc_a
+JOIN sizes y ON y.doc_id = i.doc_b
+WHERE CAST(i.n_inter AS DOUBLE) / (x.n + y.n - i.n_inter) >= 0.8
+"""
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_text_stats",
+    r"""
+    WITH base AS (
+      SELECT doc_id, text,
+             string_split_regex(text, '\s+') AS w,
+             length(text) AS n_chars_t
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(w) AS INTEGER) AS n_words,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INTEGER) AS n_tokens,
+           CAST(length(regexp_replace(text, '[^\.,;:!\?]', '', 'g')) AS INTEGER) AS n_punct,
+           CAST(len(list_filter(w, x -> x IN ('the','a','of','to','and','in','is','that'))) AS DOUBLE)
+             / greatest(len(w), 1) AS stopword_ratio,
+           0.4 * least(1.0, CAST(len(w) AS DOUBLE) / 50.0)
+             + 0.3 * (1.0 - CAST(length(regexp_replace(text, '[^\.,;:!\?]', '', 'g')) AS DOUBLE)
+                            / greatest(n_chars_t, 1))
+             + 0.3 * (CAST(len(list_filter(w, x -> x IN ('the','a','of','to','and','in','is','that'))) AS DOUBLE)
+                      / greatest(len(w), 1)) AS quality_score
+    FROM base
+    """,
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + quality scoring (narrow, codegen'd — scales
+    linearly with corpus size, no shuffle)."""
+    docs = _t(spark, sf_dir, "documents")
+    return with_text_stats(docs).select(
+        "doc_id", "n_words", "n_tokens", "n_punct", "stopword_ratio", "quality_score"
+    )
+
+
+def _lang_case_sql() -> str:
+    from datalake_toolkit_spark.llm.text import LANG_STOPWORDS
+
+    scores = {
+        lang: f"len(list_filter(w, x -> x IN ({', '.join(repr(s) for s in sw)})))"
+        for lang, sw in LANG_STOPWORDS.items()
+    }
+    order = list(LANG_STOPWORDS)
+    branches = []
+    for lang in order:
+        others = ", ".join(scores[o] for o in order if o != lang)
+        branches.append(
+            f"WHEN {scores[lang]} > 0 AND {scores[lang]} >= greatest({others}, 0) THEN '{lang}'"
+        )
+    case = "CASE " + " ".join(branches) + " ELSE 'unknown' END"
+    score_cols = ",\n".join(
+        f"CAST({expr} AS INTEGER) AS score_{lang}" for lang, expr in scores.items()
+    )
+    return f"""
+    SELECT doc_id, {score_cols}, {case} AS lang_pred
+    FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS w FROM documents)
+    """
+
+
+@query("q_lang_id", None)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-hit language ID; fixed-order tie-breaking."""
+    docs = _t(spark, sf_dir, "documents")
+    return with_language_id(docs).select(
+        "doc_id", "score_en", "score_de", "score_es", "score_fr", "lang_pred"
+    )
+
+
+# register the generated oracle for q_lang_id
+from datalake_toolkit_spark.plans.queries import ORACLE  # noqa: E402
+
+ORACLE["q_lang_id"] = _lang_case_sql()
+
+
+@query(
+    "q_fingerprints",
+    """
+    WITH base AS (
+      SELECT doc_id, text, string_split_regex(text, '\\s+') AS w FROM documents
+    )
+    SELECT doc_id, md5(text) AS md5_fp,
+           coalesce(
+             list_min(list_transform(
+               list_filter(
+                 list_transform(w, (x, i) -> CASE WHEN i + 4 <= len(w)
+                     THEN x || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] END),
+                 s -> s IS NOT NULL),
+               s -> md5(s))),
+             md5(text)) AS winnow_fp
+    FROM base
+    """,
+)
+def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact (md5) + winnowing-style (min shingle hash) fingerprints."""
+    docs = _t(spark, sf_dir, "documents")
+    return with_fingerprints(docs, k=5).select("doc_id", "md5_fp", "winnow_fp")
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_dedup_exact",
+    """
+    SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup ledger — hash groupBy, uniform key distribution."""
+    return exact_dedup_groups(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@query(
+    "q_jaccard_near_dups",
+    f"""
+    WITH {_SHINGLES_CTE},
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM (SELECT doc_id, unnest(sh) AS shingle FROM docs) a
+      JOIN (SELECT doc_id, unnest(sh) AS shingle FROM docs) b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    ),
+    {_JACCARD_TAIL}
+    """,
+)
+def q_jaccard_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs (inverted-index join)."""
+    return jaccard_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", k=3, threshold=0.8
+    )
+
+
+@query(
+    "q_minhash_near_dups",
+    f"""
+    WITH {_SHINGLES_CTE},
+    sigs AS (
+      SELECT doc_id, sh,
+             list_transform(generate_series(0, 11),
+               i -> list_min(list_transform(sh, s -> md5(s || '#' || CAST(i AS VARCHAR))))) AS sig
+      FROM docs
+    ),
+    bands AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(0, 3),
+               b -> md5(CAST(b AS VARCHAR) || '|' || array_to_string(sig[b*3+1 : b*3+3], '|')))) AS bkey
+      FROM sigs
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b ON a.bkey = b.bkey AND a.doc_id < b.doc_id
+    ),
+    {_JACCARD_TAIL}
+    """,
+)
+def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH blocked near-dup pairs, exact-Jaccard verified —
+    the 100 TB-scale dedup path."""
+    return minhash_near_dup_pairs(
+        _t(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        k=3,
+        num_hashes=12,
+        bands=4,
+        threshold=0.8,
+    )
+
+
+@query(
+    "q_simhash",
+    """
+    WITH base AS (
+      SELECT doc_id,
+             list_transform(string_split_regex(text, '\\s+'),
+               w -> CAST('0x' || substr(md5(w), 1, 8) AS BIGINT)) AS hs
+      FROM documents
+    ),
+    votes AS (
+      SELECT doc_id,
+             list_transform(generate_series(0, 15),
+               b -> CAST(list_sum(list_transform(hs,
+                      h -> CASE WHEN (h & (1 << b)) > 0 THEN 1 ELSE -1 END)) AS BIGINT)) AS v
+      FROM base
+    )
+    SELECT doc_id,
+           CAST(list_sum(list_transform(v, (x, i) ->
+             CASE WHEN x > 0 THEN 1 << (i - 1) ELSE 0 END)) AS BIGINT) AS simhash
+    FROM votes
+    """,
+)
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash fingerprints (bit-majority of word hashes)."""
+    return simhash(_t(spark, sf_dir, "documents"), "doc_id", "text", bits=16)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_ann_cosine_topk",
+    """
+    WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id < 5),
+    c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+    scored AS (
+      SELECT qid, cid, list_cosine_similarity(qv, cv) AS cosine
+      FROM q, c WHERE qid <> cid
+    ),
+    ranked AS (
+      SELECT qid, cid, cosine,
+             CAST(row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS INTEGER) AS rank
+      FROM scored
+    )
+    SELECT qid, cid, cosine, rank FROM ranked WHERE rank <= 10
+    """,
+)
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact cosine top-k (broadcast query batch, one
+    corpus scan) — the similarity-search baseline."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return cosine_topk(emb, emb.where(F.col("vec_id") < 5), k=10)
+
+
+@query(
+    "q_embedding_norms",
+    """
+    SELECT vec_id, CAST(len(embedding) AS INTEGER) AS dim,
+           sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) AS l2_norm
+    FROM embeddings
+    """,
+)
+def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return embedding_norms(_t(spark, sf_dir, "embeddings"))
+
+
+@query("q_lsh_ann_topk")  # rows-only: hyperplane SQL mirror is impractical
+def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH bucketed ANN — the scale path (candidates ~
+    n/2^planes per query). No SQL oracle; recall is asserted against
+    exact top-k in tests."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return lsh_bucketed_topk(emb, emb.where(F.col("vec_id") < 5), k=10, n_planes=4)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_multimodal_features",
+    """
+    SELECT doc_id,
+           CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image'
+                WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+           octet_length(encode(text)) AS byte_len,
+           md5(text) AS content_md5,
+           CAST(CAST('0x' || substr(md5(text), 1, 4) AS INTEGER) % 1024 + 1 AS INTEGER) AS fake_width,
+           CAST(CAST('0x' || substr(md5(text), 5, 4) AS INTEGER) % 1024 + 1 AS INTEGER) AS fake_height
+    FROM documents
+    """,
+)
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media column + Arrow-batched mapInPandas feature
+    extraction (the real multimodal plumbing; decode itself is
+    stubbed — see llm.multimodal)."""
+    media = attach_fake_media(_t(spark, sf_dir, "documents"))
+    return extract_media_features(media)
+
+
+@query(
+    "q_quality_filter_pipeline",
+    r"""
+    WITH stats AS (
+      SELECT doc_id, text,
+             string_split_regex(text, '\s+') AS w,
+             length(text) AS n_chars_t
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id,
+             0.4 * least(1.0, CAST(len(w) AS DOUBLE) / 50.0)
+               + 0.3 * (1.0 - CAST(length(regexp_replace(text, '[^\.,;:!\?]', '', 'g')) AS DOUBLE)
+                              / greatest(n_chars_t, 1))
+               + 0.3 * (CAST(len(list_filter(w, x -> x IN ('the','a','of','to','and','in','is','that'))) AS DOUBLE)
+                        / greatest(len(w), 1)) AS quality_score
+      FROM stats
+    )
+    SELECT doc_id, quality_score FROM scored WHERE quality_score >= 0.7
+    """,
+)
+def q_quality_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed pipeline stage: quality-score then filter — the
+    pre-filter step of a pretraining data pipeline."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        with_text_stats(docs)
+        .where(F.col("quality_score") >= 0.7)
+        .select("doc_id", "quality_score")
+    )
