@@ -665,3 +665,52 @@ def q_time_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         unix_seconds_to_gson(secs).alias("gson_ts"),
         millis_str_to_seconds((secs * 1000).cast("string")).alias("ts_seconds"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Event-time windowing (streaming/batch-symmetric; SURVEY §2.10)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_windowed_event_counts",
+    """
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           count(*) AS n_events
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_windowed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time window counts. Same expression runs
+    incrementally on a stream with a watermark (see streaming.windows);
+    here the batch execution is oracle-verified."""
+    from datalake_toolkit_spark.streaming.windows import windowed_counts
+
+    return windowed_counts(_t(spark, sf_dir, "events"), window="1 hour")
+
+
+@query(
+    "q_sessionized_users",
+    """
+    WITH x AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events),
+    y AS (
+      SELECT user_id, ts,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM x)
+    SELECT user_id, min(ts) AS session_start, count(*) AS n_events
+    FROM y GROUP BY user_id, sid
+    """,
+)
+def q_sessionized_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-min gap) per user — `session_window` in
+    Spark, verified against a gaps-and-islands SQL oracle."""
+    from datalake_toolkit_spark.streaming.windows import sessionized
+
+    return sessionized(_t(spark, sf_dir, "events"), gap="30 minutes")

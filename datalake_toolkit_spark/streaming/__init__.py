@@ -1,0 +1,20 @@
+"""Structured-Streaming plane: file-ingestion state machine and
+event-time windowing (SURVEY.md §2.10, §3.1)."""
+
+from datalake_toolkit_spark.streaming.ingestion import (
+    IngestionPipeline,
+    RoutePlugin,
+    read_ledger,
+)
+from datalake_toolkit_spark.streaming.windows import (
+    sessionized,
+    windowed_counts,
+)
+
+__all__ = [
+    "IngestionPipeline",
+    "RoutePlugin",
+    "read_ledger",
+    "sessionized",
+    "windowed_counts",
+]

@@ -1,0 +1,220 @@
+"""The reference's event-driven ingestion state machine, Spark-native.
+
+Reference (SURVEY.md §3.1): S3 ObjectCreated -> Lambda regex plugin
+dispatch -> DynamoDB ledger (INITIAL_LOAD) -> stage -> EMR
+spark-submit per file -> ledger LOADED/FAILED, with six Lambdas, a
+DDB stream, SNS and CloudWatch glueing it together
+(lambda/odl_datalake_ingestion/odl_datalake_ingestion.py:55-96,
+lambda/odl_spark_submit/odl_spark_submit.py:310-326,
+lambda/odl_validate_job_submit/odl_validate_job_submit.py:164-254).
+
+Here the whole chain is ONE Structured Streaming job:
+
+- the file source with a checkpoint replaces S3 events + the
+  delete-after-processing dedup guard (exactly-once file discovery);
+- the regex plugin table (plugins/default.py:38 etc.) becomes
+  first-match-wins routing on ``_metadata.file_path``;
+- the DynamoDB control table becomes a Parquet ledger with the same
+  status machine INITIAL_LOAD -> PROCESSING -> LOADED/FAILED, written
+  idempotently per micro-batch in ``foreachBatch`` (batch_id recorded;
+  replayed batches are skipped on restart);
+- CloudWatch-scheduled draining becomes ``Trigger.AvailableNow`` (or
+  a processingTime trigger for continuous tailing);
+- EMR-queue backpressure (256-step limit) becomes
+  ``maxFilesPerTrigger``.
+
+Scale: discovery is O(new files) per trigger; the transform/write is
+ordinary partitioned-parquet ETL parallelized by file splits; ledger
+appends are tiny (rows = files per batch).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from collections.abc import Callable, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+STATUS_INITIAL = "INITIAL_LOAD"
+STATUS_PROCESSING = "PROCESSING"
+STATUS_LOADED = "LOADED"
+STATUS_FAILED = "FAILED"
+STATUS_SKIPPED = "SKIPPED"
+
+LEDGER_SCHEMA = T.StructType(
+    [
+        T.StructField("s3_object_name", T.StringType()),
+        T.StructField("plugin", T.StringType()),
+        T.StructField("file_status", T.StringType()),
+        T.StructField("n_rows", T.LongType()),
+        T.StructField("batch_id", T.LongType()),
+        T.StructField("updated_at", T.DoubleType()),
+    ]
+)
+
+
+@dataclass
+class RoutePlugin:
+    """One row of the reference's plugin table: first regex match on
+    the file path wins (odl_datalake_ingestion.py:63-87). ``skip=True``
+    mirrors the skip_file plugin; ``transform`` is the per-plugin
+    DataFrame transform applied before the sink."""
+
+    name: str
+    pattern: str
+    skip: bool = False
+    transform: Callable[[DataFrame], DataFrame] | None = None
+
+
+@dataclass
+class IngestionPipeline:
+    spark: SparkSession
+    source_dir: str
+    schema: T.StructType | str
+    output_path: str
+    ledger_path: str
+    checkpoint_dir: str
+    plugins: Sequence[RoutePlugin] = field(default_factory=list)
+    partition_by: Sequence[str] = ()
+    sep: str = ","
+    header: bool = False
+    max_files_per_trigger: int | None = None
+
+    def _route_expr(self):
+        expr = F.lit("__unmatched__")
+        for plugin in reversed(list(self.plugins)):
+            expr = F.when(
+                F.col("_ingest_path").rlike(plugin.pattern), F.lit(plugin.name)
+            ).otherwise(expr)
+        return expr
+
+    def _source(self) -> DataFrame:
+        reader = (
+            self.spark.readStream.format("csv")
+            .schema(self.schema)
+            .option("sep", self.sep)
+            .option("header", str(self.header).lower())
+        )
+        if self.max_files_per_trigger:
+            reader = reader.option("maxFilesPerTrigger", self.max_files_per_trigger)
+        return (
+            reader.load(self.source_dir)
+            .withColumn("_ingest_path", F.col("_metadata.file_path"))
+            .withColumn("_plugin", self._route_expr())
+        )
+
+    # -- ledger -----------------------------------------------------------
+
+    def _append_ledger(self, rows: list[tuple]) -> None:
+        if not rows:
+            return
+        self.spark.createDataFrame(rows, LEDGER_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(self.ledger_path)
+
+    def _seen_batch_ids(self) -> set[int]:
+        try:
+            return {
+                r.batch_id
+                for r in self.spark.read.parquet(self.ledger_path)
+                .select("batch_id")
+                .distinct()
+                .collect()
+            }
+        except Exception:
+            return set()
+
+    # -- the micro-batch body --------------------------------------------
+
+    def _process_batch(self, batch: DataFrame, batch_id: int) -> None:
+        if batch_id in self._seen_batch_ids():
+            return  # replayed after restart: output+ledger already written
+        now = time.time()
+        per_file = {
+            (r["_ingest_path"], r["_plugin"]): r["n"]
+            for r in batch.groupBy("_ingest_path", "_plugin")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        skip_names = {p.name for p in self.plugins if p.skip}
+        ledger_rows = [
+            (path, plugin, STATUS_PROCESSING, int(n), batch_id, now)
+            for (path, plugin), n in per_file.items()
+        ]
+        try:
+            routed = (
+                batch.where(~F.col("_plugin").isin(*skip_names))
+                if skip_names
+                else batch
+            )
+            transformed = [
+                p.name for p in self.plugins if not p.skip and p.transform is not None
+            ]
+            pieces = [
+                p.transform(routed.where(F.col("_plugin") == p.name))
+                for p in self.plugins
+                if not p.skip and p.transform is not None
+            ]
+            rest = (
+                routed.where(~F.col("_plugin").isin(*transformed))
+                if transformed
+                else routed
+            )
+            from functools import reduce
+
+            out = reduce(
+                lambda a, b: a.unionByName(b, allowMissingColumns=True),
+                pieces + [rest],
+            ).drop("_ingest_path", "_plugin")
+            writer = out.write.mode("append")
+            if self.partition_by:
+                writer = writer.partitionBy(*self.partition_by)
+            writer.parquet(self.output_path)
+            status = {
+                (p, pl): (STATUS_SKIPPED if pl in skip_names else STATUS_LOADED)
+                for (p, pl) in per_file
+            }
+        except Exception:
+            status = {key: STATUS_FAILED for key in per_file}
+            raise
+        finally:
+            ledger_rows += [
+                (path, plugin, status.get((path, plugin), STATUS_FAILED), int(n), batch_id, time.time())
+                for (path, plugin), n in per_file.items()
+            ]
+            self._append_ledger(ledger_rows)
+
+    # -- run --------------------------------------------------------------
+
+    def run_available_now(self, timeout_sec: int = 300) -> None:
+        """Drain everything currently in the source dir, then stop —
+        the CloudWatch-schedule replacement."""
+        query = (
+            self._source()
+            .writeStream.foreachBatch(self._process_batch)
+            .option("checkpointLocation", self.checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination(timeout_sec)
+        if query.isActive:
+            query.stop()
+
+
+def read_ledger(spark: SparkSession, ledger_path: str) -> DataFrame:
+    """Current per-file status: last status row wins (the DDB
+    get_item equivalent)."""
+    from pyspark.sql import Window
+
+    ledger = spark.read.parquet(ledger_path)
+    w = Window.partitionBy("s3_object_name").orderBy(
+        F.desc("updated_at"), F.desc("batch_id")
+    )
+    return (
+        ledger.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )

@@ -1,0 +1,176 @@
+"""End-to-end tests for the M1 batch ingest pipeline and the M4
+Structured-Streaming ingestion state machine."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from datalake_toolkit_spark.sources import load_table
+from datalake_toolkit_spark.sources.ingest import (
+    compact,
+    ingest_delimited,
+)
+from datalake_toolkit_spark.streaming import (
+    IngestionPipeline,
+    RoutePlugin,
+    read_ledger,
+)
+from datalake_toolkit_spark.streaming.ingestion import (
+    STATUS_LOADED,
+    STATUS_SKIPPED,
+)
+
+LINEITEM_DDL = (
+    "l_orderkey bigint, l_partkey bigint, l_suppkey bigint, l_linenumber int, "
+    "l_quantity double, l_extendedprice double, l_discount double, l_tax double, "
+    "l_returnflag string, l_linestatus string, l_shipdate string"
+)
+
+EVENTS_DDL = "event_id bigint, user_id bigint, event_type string, value double"
+
+
+def test_batch_ingest_roundtrip(spark, sf_dir, tmp_path):
+    """Flagship data-plane slice: parquet -> CSV (raw zone stand-in)
+    -> schema-applied ingest with date parse + year partitioning ->
+    partitioned parquet -> query."""
+    li = load_table(spark, sf_dir, "lineitem")
+    raw_dir = str(tmp_path / "raw")
+    (
+        li.withColumn("l_shipdate", F.date_format("l_shipdate", "dd.MM.yyyy HH:mm:ss"))
+        .write.option("sep", ";")
+        .option("header", "false")
+        .mode("overwrite")
+        .csv(raw_dir)
+    )
+    out_dir = str(tmp_path / "analytics")
+    result = ingest_delimited(
+        spark,
+        raw_dir,
+        out_dir,
+        schema=LINEITEM_DDL,
+        sep=";",
+        date_formats={"l_shipdate": "dd.MM.yyyy HH:mm:ss"},
+        partition_source="l_shipdate",
+        partition_col="ship_year",
+        partition_kind="year",
+        target_file_partitions=4,
+    )
+    assert result.count() == li.count()
+    # partition pruning surface exists
+    years = [d for d in os.listdir(out_dir) if d.startswith("ship_year=")]
+    assert len(years) >= 2
+    # values survived the round trip (spot-check an aggregate)
+    src = li.agg(F.sum(F.col("l_quantity").cast("decimal(18,2)"))).first()[0]
+    dst = result.agg(F.sum(F.col("l_quantity").cast("decimal(18,2)"))).first()[0]
+    assert src == dst
+    # bad date strings -> NULL, not crash (F1 parity)
+    assert result.where(F.col("l_shipdate").isNull()).count() == 0
+
+
+def test_compact(spark, sf_dir, tmp_path):
+    li = load_table(spark, sf_dir, "lineitem").limit(1000)
+    frag = str(tmp_path / "frag")
+    li.repartition(16).write.mode("overwrite").parquet(frag)
+    compact(spark, frag, 2)
+    files = [f for f in os.listdir(frag + "_compacted") if f.endswith(".parquet")]
+    assert len(files) == 2
+
+
+@pytest.fixture()
+def events_csv_writer(spark, sf_dir):
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "user_id", "event_type", "value")
+        .orderBy("event_id")
+    )
+    rows = ev.limit(300).collect()
+
+    def write(path: str, rows_slice):
+        with open(path, "w") as fh:
+            for r in rows_slice:
+                fh.write(f"{r.event_id},{r.user_id},{r.event_type},{r.value}\n")
+
+    return rows, write
+
+
+def test_streaming_ingestion_state_machine(spark, tmp_path, events_csv_writer):
+    rows, write = events_csv_writer
+    src = tmp_path / "incoming"
+    src.mkdir()
+    write(str(src / "events_a.csv"), rows[:100])
+    write(str(src / "ignore_b.csv"), rows[100:200])
+
+    pipeline = IngestionPipeline(
+        spark=spark,
+        source_dir=str(src),
+        schema=EVENTS_DDL,
+        output_path=str(tmp_path / "out"),
+        ledger_path=str(tmp_path / "ledger"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        plugins=[
+            RoutePlugin("skip_file", r"ignore_.*\.csv$", skip=True),
+            RoutePlugin(
+                "events",
+                r"events_.*\.csv$",
+                transform=lambda df: df.withColumn(
+                    "value_rounded", F.round("value", 0)
+                ),
+            ),
+        ],
+    )
+    pipeline.run_available_now()
+
+    out = spark.read.parquet(str(tmp_path / "out"))
+    assert out.count() == 100  # skipped file never lands
+    assert "value_rounded" in out.columns  # plugin transform applied
+
+    ledger = read_ledger(spark, str(tmp_path / "ledger"))
+    statuses = {
+        os.path.basename(r.s3_object_name): r.file_status for r in ledger.collect()
+    }
+    assert statuses["events_a.csv"] == STATUS_LOADED
+    assert statuses["ignore_b.csv"] == STATUS_SKIPPED
+
+    # drain again with no new files: nothing duplicates (checkpoint)
+    pipeline.run_available_now()
+    assert spark.read.parquet(str(tmp_path / "out")).count() == 100
+
+    # incremental: a third file arrives, only it is processed
+    write(str(src / "events_c.csv"), rows[200:300])
+    pipeline.run_available_now()
+    assert spark.read.parquet(str(tmp_path / "out")).count() == 200
+
+
+def test_stream_batch_symmetric_windows(spark, sf_dir, tmp_path):
+    """The windowing operators produce identical results on a stream
+    (file source, availableNow, memory sink) and in batch."""
+    from datalake_toolkit_spark.streaming.windows import windowed_counts
+
+    ev = load_table(spark, sf_dir, "events").select("ts", "event_type")
+    src = str(tmp_path / "stream_src")
+    ev.write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema("ts timestamp, event_type string")
+        .parquet(src)
+    )
+    q = (
+        windowed_counts(stream, window="1 hour", watermark="1 day")
+        .writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {
+        (r.window_start, r.event_type): r.n_events
+        for r in spark.table("win_counts").collect()
+    }
+    batch = {
+        (r.window_start, r.event_type): r.n_events
+        for r in windowed_counts(ev, window="1 hour").collect()
+    }
+    assert streamed == batch
