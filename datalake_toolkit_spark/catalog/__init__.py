@@ -1,0 +1,25 @@
+"""Catalog subsystem (SURVEY.md §3.3, M3): Hive-metastore-shaped
+relational tables <-> nested catalog documents, plus the engine's own
+catalog/search surface."""
+
+from datalake_toolkit_spark.catalog.metastore import (
+    assemble_catalog_databases,
+    assemble_catalog_tables,
+    explode_catalog_tables,
+    flatten_catalog_tables,
+)
+from datalake_toolkit_spark.catalog.search import (
+    catalog_columns,
+    catalog_search_documents,
+    register_star_schema,
+)
+
+__all__ = [
+    "assemble_catalog_databases",
+    "assemble_catalog_tables",
+    "catalog_columns",
+    "catalog_search_documents",
+    "explode_catalog_tables",
+    "flatten_catalog_tables",
+    "register_star_schema",
+]

@@ -1,0 +1,60 @@
+"""Catalog/search surface (SURVEY.md S18, §2.1).
+
+The reference walks Athena with SHOW DATABASES / SHOW TABLES /
+DESCRIBE via REST polling and indexes the results into Elasticsearch
+(lambda/odl_catalog_hive_metadata_es/odl_catalog_hive_metadata_es.py:
+63-237). Here the same surface is ``spark.catalog`` turned into
+DataFrames — no service hops, one line per listing — plus the
+flattened search-document table the ES index held.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datalake_toolkit_spark.sources.tables import TABLES, load_table
+
+
+def register_star_schema(spark: SparkSession, sf_dir: str) -> list[str]:
+    """Register the test star schema as temp views (the engine's
+    'database')."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+    return list(TABLES)
+
+
+def catalog_columns(spark: SparkSession, tables: list[str]) -> DataFrame:
+    """(table_name, column_name, ordinal) for every registered table —
+    the DESCRIBE walk as one DataFrame. Metadata-only: no data scan."""
+    rows = [
+        (t, c, i + 1)
+        for t in tables
+        for i, c in enumerate(spark.table(t).columns)
+    ]
+    return spark.createDataFrame(
+        rows, "table_name string, column_name string, ordinal int"
+    )
+
+
+def catalog_search_documents(spark: SparkSession, tables: list[str]) -> DataFrame:
+    """The ES search-document shape
+    (odl_catalog_hive_metadata_es.py:211-224): one row per table with
+    searchable column/comment tags and a column->type map."""
+    rows = []
+    for t in tables:
+        fields = spark.table(t).schema.fields
+        rows.append(
+            (
+                "default",
+                t,
+                [f.name for f in fields],
+                [f"{t}.{f.name}" for f in fields],
+                {f.name: f.dataType.simpleString() for f in fields},
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "database string, `table` string, column_tags array<string>, "
+        "comment_tags array<string>, columns map<string,string>",
+    )

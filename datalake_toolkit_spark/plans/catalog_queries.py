@@ -1,0 +1,232 @@
+"""Catalog-subsystem queries: the metastore->catalog-document
+assembly (and its reverse) exercised end-to-end, oracle-verified.
+
+The metastore relational inputs are derived deterministically from
+the star-schema tables (region->DBS, nation->TBLS/SDS,
+supplier->params, part->columns/partition keys, customer->bucket
+cols) so the DuckDB oracle can rebuild the same documents with plain
+SQL — no side-channel fixtures.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datalake_toolkit_spark.catalog import (
+    assemble_catalog_tables,
+    catalog_columns,
+    explode_catalog_tables,
+    flatten_catalog_tables,
+    register_star_schema,
+)
+from datalake_toolkit_spark.plans.queries import query, _t
+
+
+def _metastore_from_star(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    region = _t(spark, sf_dir, "region")
+    nation = _t(spark, sf_dir, "nation")
+    supplier = _t(spark, sf_dir, "supplier")
+    part = _t(spark, sf_dir, "part")
+    customer = _t(spark, sf_dir, "customer")
+
+    dbs = region.select(
+        F.col("r_regionkey").cast("long").alias("DB_ID"),
+        F.col("r_name").alias("NAME"),
+        F.lit("synthetic db").alias("DESC"),
+        F.concat(F.lit("s3a://warehouse/"), F.lower("r_name")).alias(
+            "DB_LOCATION_URI"
+        ),
+        F.lit("hadoop").alias("OWNER_NAME"),
+        F.lit("USER").alias("OWNER_TYPE"),
+    )
+    tbls = nation.select(
+        F.col("n_nationkey").cast("long").alias("TBL_ID"),
+        F.col("n_regionkey").cast("long").alias("DB_ID"),
+        F.col("n_nationkey").cast("long").alias("SD_ID"),
+        F.col("n_name").alias("TBL_NAME"),
+        F.lit("EXTERNAL_TABLE").alias("TBL_TYPE"),
+        (F.col("n_nationkey") * 86400).cast("int").alias("CREATE_TIME"),
+        F.lit(None).cast("int").alias("LAST_ACCESS_TIME"),
+        F.lit("hadoop").alias("OWNER"),
+        F.lit(0).alias("RETENTION"),
+        F.lit(None).cast("string").alias("VIEW_EXPANDED_TEXT"),
+        F.lit(None).cast("string").alias("VIEW_ORIGINAL_TEXT"),
+        F.lit(None).cast("long").alias("LINK_TARGET_ID"),
+    )
+    table_params = supplier.select(
+        (F.col("s_suppkey") % 25).cast("long").alias("TBL_ID"),
+        F.concat(F.lit("p"), F.col("s_suppkey").cast("string")).alias("PARAM_KEY"),
+        F.col("s_name").alias("PARAM_VALUE"),
+    )
+    partition_keys = part.where(F.col("p_partkey") < 250).select(
+        (F.col("p_partkey") % 25).cast("long").alias("TBL_ID"),
+        F.col("p_name").alias("PKEY_NAME"),
+        F.col("p_type").alias("PKEY_TYPE"),
+        F.lit(None).cast("string").alias("PKEY_COMMENT"),
+        (F.col("p_partkey") / 25).cast("int").alias("INTEGER_IDX"),
+    )
+    columns_v2 = part.where(F.col("p_partkey") < 500).select(
+        (F.col("p_partkey") % 25).cast("long").alias("CD_ID"),
+        F.col("p_name").alias("COLUMN_NAME"),
+        F.col("p_type").alias("TYPE_NAME"),
+        F.lit(None).cast("string").alias("COMMENT"),
+        (F.col("p_partkey") / 25).cast("int").alias("INTEGER_IDX"),
+    )
+    sds = nation.select(
+        F.col("n_nationkey").cast("long").alias("SD_ID"),
+        F.col("n_nationkey").cast("long").alias("CD_ID"),
+        (F.col("n_nationkey") % 5).cast("long").alias("SERDE_ID"),
+        F.lit("org.apache.hadoop.mapred.TextInputFormat").alias("INPUT_FORMAT"),
+        F.lit("org.apache.hadoop.hive.ql.io.HiveIgnoreKeyTextOutputFormat").alias(
+            "OUTPUT_FORMAT"
+        ),
+        F.concat(
+            F.lit("s3"),
+            F.when(F.col("n_nationkey") % 3 == 0, "a")
+            .when(F.col("n_nationkey") % 3 == 1, "n")
+            .otherwise(""),
+            F.lit("://wh/"),
+            F.col("n_name"),
+        ).alias("LOCATION"),
+        F.lit(0).alias("NUM_BUCKETS"),
+        F.lit(False).alias("IS_COMPRESSED"),
+        F.lit(False).alias("IS_STOREDASSUBDIRECTORIES"),
+    )
+    sd_params = supplier.select(
+        (F.col("s_suppkey") % 25).cast("long").alias("SD_ID"),
+        F.concat(F.lit("sd"), F.col("s_suppkey").cast("string")).alias("PARAM_KEY"),
+        F.col("s_name").alias("PARAM_VALUE"),
+    )
+    serdes = region.select(
+        F.col("r_regionkey").cast("long").alias("SERDE_ID"),
+        F.concat(F.lit("serde_"), F.col("r_name")).alias("NAME"),
+        F.lit("org.openx.data.jsonserde.JsonSerDe").alias("SLIB"),
+    )
+    serde_params = spark.createDataFrame(
+        [], "SERDE_ID long, PARAM_KEY string, PARAM_VALUE string"
+    )
+    bucketing_cols = customer.where(F.col("c_custkey") < 100).select(
+        (F.col("c_custkey") % 25).cast("long").alias("SD_ID"),
+        F.col("c_mktsegment").alias("BUCKET_COL_NAME"),
+        (F.col("c_custkey") / 25).cast("int").alias("INTEGER_IDX"),
+    )
+    sort_cols = spark.createDataFrame(
+        [], "SD_ID long, COLUMN_NAME string, `ORDER` int, INTEGER_IDX int"
+    )
+    return {
+        "DBS": dbs,
+        "TBLS": tbls,
+        "TABLE_PARAMS": table_params,
+        "PARTITION_KEYS": partition_keys,
+        "COLUMNS_V2": columns_v2,
+        "SDS": sds,
+        "SD_PARAMS": sd_params,
+        "SERDES": serdes,
+        "SERDE_PARAMS": serde_params,
+        "BUCKETING_COLS": bucketing_cols,
+        "SORT_COLS": sort_cols,
+    }
+
+
+@query(
+    "q_catalog_table_docs",
+    """
+    WITH tbls AS (
+      SELECT n_nationkey AS tbl_id, n_regionkey AS db_id, n_name AS tname,
+             n_nationkey AS sd_id
+      FROM nation),
+    dbs AS (SELECT r_regionkey AS db_id, r_name AS dbname FROM region),
+    p_str AS (
+      SELECT CAST(s_suppkey % 25 AS BIGINT) AS tbl_id,
+             string_agg('p' || CAST(s_suppkey AS VARCHAR) || '=' || s_name, ';'
+                        ORDER BY 'p' || CAST(s_suppkey AS VARCHAR) || '=' || s_name) AS params_str
+      FROM supplier GROUP BY 1),
+    pk_str AS (
+      SELECT CAST(p_partkey % 25 AS BIGINT) AS tbl_id,
+             string_agg(p_name || '(' || p_type || ')', ',' ORDER BY p_partkey // 25) AS pkeys_str
+      FROM part WHERE p_partkey < 250 GROUP BY 1),
+    col_str AS (
+      SELECT CAST(p_partkey % 25 AS BIGINT) AS cd_id,
+             string_agg(p_name || ':' || p_type, ',' ORDER BY p_partkey // 25) AS columns_str,
+             CAST(count(*) AS INTEGER) AS n_columns
+      FROM part WHERE p_partkey < 500 GROUP BY 1),
+    locs AS (
+      SELECT n_nationkey AS sd_id,
+             regexp_replace('s3' ||
+               CASE WHEN n_nationkey % 3 = 0 THEN 'a'
+                    WHEN n_nationkey % 3 = 1 THEN 'n' ELSE '' END ||
+               '://wh/' || n_name, '^s3[an]://', 's3://') AS location
+      FROM nation)
+    SELECT d.dbname AS database, t.tname AS name,
+           'hadoop' AS owner, 'EXTERNAL_TABLE' AS tableType,
+           coalesce(p.params_str, '') AS params_str,
+           coalesce(pk.pkeys_str, '') AS pkeys_str,
+           l.location AS location,
+           coalesce(c.columns_str, '') AS columns_str,
+           coalesce(c.n_columns, 0) AS n_columns
+    FROM tbls t
+    JOIN dbs d ON d.db_id = t.db_id
+    LEFT JOIN p_str p ON p.tbl_id = t.tbl_id
+    LEFT JOIN pk_str pk ON pk.tbl_id = t.tbl_id
+    LEFT JOIN col_str c ON c.cd_id = t.sd_id
+    LEFT JOIN locs l ON l.sd_id = t.sd_id
+    """,
+)
+def q_catalog_table_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full metastore->catalog table-document assembly (J6/J7 join
+    chains, A1 param maps, A2 idx-sorted arrays, F6 URI
+    normalization), rendered to canonical flat strings for the
+    cross-engine hash."""
+    ms = _metastore_from_star(spark, sf_dir)
+    docs = assemble_catalog_tables(ms)
+    flat = flatten_catalog_tables(docs)
+    return flat.select(
+        "database",
+        "name",
+        "owner",
+        F.col("tableType"),
+        "params_str",
+        "pkeys_str",
+        "location",
+        "columns_str",
+        "n_columns",
+    )
+
+
+@query(
+    "q_catalog_roundtrip_ids",
+    """
+    WITH docs AS (
+      SELECT r_name AS database, n_name AS name
+      FROM nation JOIN region ON n_regionkey = r_regionkey)
+    SELECT CAST(row_number() OVER (ORDER BY database, name) + 999 AS BIGINT) AS TBL_ID,
+           CAST(row_number() OVER (ORDER BY database, name) + 999 AS BIGINT) AS SD_ID,
+           database AS DB_NAME, name AS TBL_NAME
+    FROM docs
+    """,
+)
+def q_catalog_roundtrip_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reverse direction: documents -> relational rows with fresh
+    consecutive seeded ids (X5 semantics) — the to-metastore id
+    seeding (hive_metastore_migration.py:1205-1225)."""
+    ms = _metastore_from_star(spark, sf_dir)
+    docs = assemble_catalog_tables(ms)
+    tables = explode_catalog_tables(docs, start_tbl_id=1000, start_sd_id=1000)
+    return tables["TBLS"].select("TBL_ID", "SD_ID", "DB_NAME", "TBL_NAME")
+
+
+@query(
+    "q_catalog_columns",
+    """
+    SELECT table_name, column_name, CAST(ordinal_position AS INTEGER) AS ordinal
+    FROM information_schema.columns
+    WHERE table_name IN ('region','nation','customer','supplier','part',
+                         'orders','lineitem','events','documents','embeddings')
+    """,
+)
+def q_catalog_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S18 catalog walk: SHOW TABLES + DESCRIBE as one metadata-only
+    DataFrame (replaces the Athena REST/poll/ES chain)."""
+    tables = register_star_schema(spark, sf_dir)
+    return catalog_columns(spark, tables)

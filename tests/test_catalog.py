@@ -1,0 +1,77 @@
+"""Catalog subsystem: nested-document assembly shapes and the
+forward->reverse round trip."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from datalake_toolkit_spark.catalog import (
+    assemble_catalog_databases,
+    assemble_catalog_tables,
+    catalog_search_documents,
+    explode_catalog_tables,
+    register_star_schema,
+)
+from datalake_toolkit_spark.plans.catalog_queries import _metastore_from_star
+
+
+def test_assemble_databases_normalizes_uris(spark, sf_dir):
+    ms = _metastore_from_star(spark, sf_dir)
+    dbs = assemble_catalog_databases(ms["DBS"], spark.createDataFrame([], "DB_ID long, PARAM_KEY string, PARAM_VALUE string"))
+    rows = dbs.collect()
+    assert len(rows) == 5
+    assert all(r.locationUri.startswith("s3://warehouse/") for r in rows)
+    assert all(r.parameters == {} for r in rows)
+
+
+def test_assemble_tables_nested_shapes(spark, sf_dir):
+    ms = _metastore_from_star(spark, sf_dir)
+    docs = assemble_catalog_tables(ms)
+    row = docs.where(F.col("name").isNotNull()).orderBy("database", "name").first()
+    # nested 3 levels: doc.storageDescriptor.serdeInfo.parameters
+    assert row.storageDescriptor.serdeInfo.serializationLibrary.startswith("org.")
+    # idx-sorted arrays survived assembly: fixture spreads parts with
+    # p_partkey < 500 round-robin over 25 CD_IDs
+    n_parts = ms["COLUMNS_V2"].count()
+    assert len(row.storageDescriptor.columns) == n_parts // 25
+    assert row.storageDescriptor.location.startswith("s3://")
+    # createTime rendered in Gson format (F8)
+    assert "," in row.createTime
+
+
+def test_round_trip_preserves_relational_content(spark, sf_dir):
+    ms = _metastore_from_star(spark, sf_dir)
+    docs = assemble_catalog_tables(ms)
+    back = explode_catalog_tables(docs, start_tbl_id=1, start_sd_id=1)
+    # same table count, consecutive ids
+    n = docs.count()
+    ids = sorted(r.TBL_ID for r in back["TBLS"].collect())
+    assert ids == list(range(1, n + 1))
+    # columns survive with idx order restored
+    orig_cols = ms["COLUMNS_V2"].count()
+    assert back["COLUMNS_V2"].count() == orig_cols
+    # params round-trip exactly (set equality on (db, tbl, key, value))
+    orig = {
+        (r.TBL_NAME, r.PARAM_KEY, r.PARAM_VALUE)
+        for r in ms["TBLS"]
+        .join(ms["TABLE_PARAMS"], "TBL_ID")
+        .select("TBL_NAME", "PARAM_KEY", "PARAM_VALUE")
+        .collect()
+    }
+    new = {
+        (r.TBL_NAME, r.PARAM_KEY, r.PARAM_VALUE)
+        for r in back["TBLS"]
+        .join(back["TABLE_PARAMS"], "TBL_ID")
+        .select("TBL_NAME", "PARAM_KEY", "PARAM_VALUE")
+        .collect()
+    }
+    assert orig == new
+
+
+def test_catalog_search_documents(spark, sf_dir):
+    tables = register_star_schema(spark, sf_dir)
+    docs = catalog_search_documents(spark, tables)
+    by_table = {r["table"]: r for r in docs.collect()}
+    assert set(by_table) == set(tables)
+    assert by_table["lineitem"].columns["l_orderkey"] == "bigint"
+    assert "lineitem.l_shipdate" in by_table["lineitem"].comment_tags
