@@ -25,7 +25,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from datalake_toolkit_spark.llm.text import word_shingles
+from datalake_toolkit_spark.llm.text import shingles_from_words, words
+from datalake_toolkit_spark.operators import ensure_min_partitions
 
 
 # ---------------------------------------------------------------------------
@@ -97,9 +98,22 @@ def minhash_band_keys(
 
 
 def _doc_shingles(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
-    return df.select(
-        F.col(id_col), F.array_distinct(word_shingles(text_col, k)).alias("sh")
-    ).where(F.size("sh") > 0)
+    # Two projections on purpose: the words array must be a real
+    # attribute before the shingle lambda reads it, else Catalyst
+    # re-evaluates the split per element (~10x slower). The non-empty
+    # guard is on word count (>= 1 shingle iff >= k words), NOT on
+    # size(sh): a size(sh) predicate is pushed below the projection
+    # with the whole shingle expression inlined, re-paying the
+    # quadratic evaluation on every input row.
+    return (
+        ensure_min_partitions(df.select(F.col(id_col), F.col(text_col)))
+        .select(F.col(id_col), words(text_col).alias("__w"))
+        .where(F.size("__w") >= k)
+        .select(
+            F.col(id_col),
+            F.array_distinct(shingles_from_words("__w", k)).alias("sh"),
+        )
+    )
 
 
 def minhash_near_dup_pairs(
@@ -124,11 +138,36 @@ def minhash_near_dup_pairs(
     """
     rows_per_band = num_hashes // bands
     docs = _doc_shingles(df, id_col, text_col, k)
-    banded = docs.select(
+    # Signatures as a codegen'd hash-aggregate over the exploded
+    # shingles — one min() per hash function — rather than nested
+    # array lambdas (array_min over transform), which evaluate
+    # interpreted and cost ~2x the whole pipeline. Map-side partial
+    # min means the shuffle carries one signature row per doc per
+    # partition.
+    ex = docs.select(F.col(id_col), F.explode_outer("sh").alias("shingle"))
+    sig = ex.groupBy(id_col).agg(
+        *[
+            F.min(F.md5(F.concat(F.col("shingle"), F.lit(f"#{i}")))).alias(f"__s{i}")
+            for i in range(num_hashes)
+        ]
+    )
+    band_keys = [
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.lit(str(b)),
+                *[F.col(f"__s{i}") for i in range(b * rows_per_band, (b + 1) * rows_per_band)],
+            )
+        )
+        for b in range(bands)
+    ]
+    banded = sig.select(
         F.col(id_col),
-        F.explode(
-            minhash_band_keys(minhash_signature("sh", num_hashes), bands, rows_per_band)
-        ).alias("bkey"),
+        # explode_outer on purpose: the band-key array is never empty
+        # (fixed length = bands), and inner explode triggers
+        # InferFiltersFromGenerate, which pushes a size()>0 filter
+        # down with the whole signature aggregate inlined.
+        F.explode_outer(F.array(*band_keys)).alias("bkey"),
     )
     a = banded.select(F.col(id_col).alias("doc_a"), "bkey")
     b = banded.select(F.col(id_col).alias("doc_b"), "bkey")
@@ -146,8 +185,15 @@ def _verify_jaccard(
 ) -> DataFrame:
     """Exact Jaccard on candidate pairs only: explode each side's
     shingle set, count matches, |A∪B| = |A| + |B| - |A∩B|."""
-    ex = docs.select(F.col(id_col), F.explode("sh").alias("shingle"))
-    sizes = docs.select(F.col(id_col), F.size("sh").alias("n"))
+    # explode_outer: sh is non-empty by the >= k words pre-filter;
+    # inner explode would re-inline the shingle expression into a
+    # pushed-down size()>0 scan filter (quadratic re-evaluation).
+    ex = docs.select(F.col(id_col), F.explode_outer("sh").alias("shingle"))
+    # Set sizes from the exploded rows (sh is distinct already), not
+    # F.size("sh"): a size() projection feeding the final jaccard
+    # filter gets a null-check inferred and pushed to the scan with
+    # the whole shingle expression inlined.
+    sizes = ex.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
     ex_a = ex.select(F.col(id_col).alias("doc_a"), F.col("shingle"))
     ex_b = ex.select(F.col(id_col).alias("doc_b"), F.col("shingle"))
     inter = (
@@ -185,7 +231,10 @@ def jaccard_pairs(
     sharing zero shingles never materialize; still quadratic in the
     worst case, so prefer :func:`minhash_near_dup_pairs` at scale."""
     docs = _doc_shingles(df, id_col, text_col, k)
-    ex = docs.select(F.col(id_col), F.explode("sh").alias("shingle"))
+    # explode_outer: sh is non-empty by the >= k words pre-filter;
+    # inner explode would re-inline the shingle expression into a
+    # pushed-down size()>0 scan filter (quadratic re-evaluation).
+    ex = docs.select(F.col(id_col), F.explode_outer("sh").alias("shingle"))
     inter = (
         ex.select(F.col(id_col).alias("doc_a"), "shingle")
         .join(ex.select(F.col(id_col).alias("doc_b"), "shingle"), "shingle")
@@ -193,7 +242,9 @@ def jaccard_pairs(
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
-    sizes = docs.select(F.col(id_col), F.size("sh").alias("n"))
+    # Set sizes from the exploded rows (sh is distinct already) — see
+    # _verify_jaccard for why not F.size("sh").
+    sizes = ex.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
     na = sizes.select(F.col(id_col).alias("doc_a"), F.col("n").alias("n_a"))
     nb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n").alias("n_b"))
     return (
@@ -223,28 +274,38 @@ def simhash(
     integer (md5-prefix, engine-portable); bit b of the output is the
     majority vote of bit b across the document's words.
 
-    Narrow, pure-expression computation (sequence x aggregate) — no
-    shuffle, no UDF. Near-dup docs differ in few bits; pair search is
-    a Hamming-ball join on the fingerprint (block on bit-slices the
-    same way minhash bands work)."""
-    w = F.split(F.col(text_col), r"\s+")
-    hexw = F.transform(w, lambda x: F.conv(F.substring(F.md5(x), 1, 8), 16, 10).cast("long"))
-    bit_votes = F.transform(
-        F.sequence(F.lit(0), F.lit(bits - 1)),
-        lambda b: F.aggregate(
-            hexw,
-            F.lit(0),
-            lambda acc, h: acc
-            + F.when(h.bitwiseAND(F.pow(F.lit(2.0), b).cast("long")) > 0, 1).otherwise(-1),
-        ),
+    Implemented as explode(word hashes) -> hash-aggregate with one
+    vote sum per bit -> bit reassembly. The all-expression
+    alternative (16 nested ``aggregate`` lambdas over the word-hash
+    array) is ~8x slower: deeply nested higher-order functions
+    evaluate interpreted, while explode + groupBy runs inside
+    whole-stage codegen with map-side partial aggregation — the
+    shuffle carries one 17-column row per doc per input partition,
+    not the exploded words."""
+    hashes = ensure_min_partitions(
+        df.select(F.col(id_col), F.col(text_col))
+    ).select(
+        F.col(id_col),
+        # explode_outer so Catalyst doesn't infer a size()>0 filter
+        # that re-inlines the per-word md5 transform into the scan.
+        F.explode_outer(
+            F.transform(
+                F.split(F.col(text_col), r"\s+"),
+                lambda x: F.conv(F.substring(F.md5(x), 1, 8), 16, 10).cast("long"),
+            )
+        ).alias("h"),
     )
-    fp = F.aggregate(
-        F.zip_with(
-            bit_votes,
-            F.sequence(F.lit(0), F.lit(bits - 1)),
-            lambda v, b: F.when(v > 0, F.pow(F.lit(2.0), b).cast("long")).otherwise(F.lit(0).cast("long")),
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
+    votes = hashes.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), b).bitwiseAND(1) == 1, 1).otherwise(-1)
+            ).alias(f"__v{b}")
+            for b in range(bits)
+        ]
     )
-    return df.select(F.col(id_col), fp.alias("simhash"))
+    fp = F.lit(0).cast("long")
+    for b in range(bits):
+        fp = fp + F.when(F.col(f"__v{b}") > 0, F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return votes.select(F.col(id_col), fp.alias("simhash"))

@@ -21,8 +21,12 @@ produce bit-identical cosines (verified empirically).
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+from datalake_toolkit_spark.operators import ensure_min_partitions
 
 
 def _as_double(col: Column | str) -> Column:
@@ -69,8 +73,8 @@ def cosine_topk(
     q = queries.select(
         F.col(id_col).alias("qid"), _as_double(vec_col).alias("qv")
     )
-    c = corpus.select(
-        F.col(id_col).alias("cid"), _as_double(vec_col).alias("cv")
+    c = ensure_min_partitions(
+        corpus.select(F.col(id_col).alias("cid"), _as_double(vec_col).alias("cv"))
     )
     scored = (
         c.join(F.broadcast(q), F.col("qid") != F.col("cid"))
@@ -88,37 +92,33 @@ def cosine_topk(
     )
 
 
-def hyperplane_bucket(vec_col: Column | str, n_planes: int = 8, dim: int = 64) -> Column:
-    """Sign-bit LSH bucket id in [0, 2^n_planes).
-
-    Pseudo-hyperplane component (p, d) = (md5-prefix(p:d) % 2001 -
+def _plane_component(p: int, d: int) -> float:
+    """Pseudo-hyperplane component (p, d) = (md5-prefix(p:d) % 2001 -
     1000) / 1000 — deterministic, engine-portable, approximately
-    uniform in [-1, 1]. bit p = [dot(vec, plane_p) > 0]."""
-    v = _as_double(vec_col)
-    def plane_component(p: Column, d: Column) -> Column:
-        h = F.conv(
-            F.substring(F.md5(F.concat(p.cast("string"), F.lit(":"), d.cast("string"))), 1, 8),
-            16,
-            10,
-        ).cast("long")
-        return (h % 2001 - 1000).cast("double") / 1000.0
+    uniform in [-1, 1]. Same derivation as the SQL oracle's md5
+    expression, but evaluated once on the driver."""
+    h = int(hashlib.md5(f"{p}:{d}".encode()).hexdigest()[:8], 16)
+    return (h % 2001 - 1000) / 1000.0
 
-    def plane_dot(p: Column) -> Column:
-        return _fold_sum(
-            F.zip_with(
-                v,
-                F.transform(F.sequence(F.lit(0), F.lit(dim - 1)), lambda d: plane_component(p, d)),
-                lambda x, w: x * w,
-            )
-        )
 
-    bits = F.transform(
-        F.sequence(F.lit(0), F.lit(n_planes - 1)),
-        lambda p: F.when(plane_dot(p) > 0, F.pow(F.lit(2.0), p).cast("long")).otherwise(
+def hyperplane_bucket(vec_col: Column | str, n_planes: int = 8, dim: int = 64) -> Column:
+    """Sign-bit LSH bucket id in [0, 2^n_planes):
+    bit p = [dot(vec, plane_p) > 0].
+
+    The plane matrix is row-invariant, so it is folded into array
+    literals on the driver instead of md5-hashed per row (the naive
+    in-expression derivation costs n_planes * dim md5 calls per
+    vector). Pass a materialized double-array column to avoid
+    re-casting per plane."""
+    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    bucket = F.lit(0).cast("long")
+    for p in range(n_planes):
+        plane = F.array(*[F.lit(_plane_component(p, d)) for d in range(dim)])
+        dot = _fold_sum(F.zip_with(v, plane, lambda x, w: x * w))
+        bucket = bucket + F.when(dot > 0, F.lit(1 << p).cast("long")).otherwise(
             F.lit(0).cast("long")
-        ),
-    )
-    return F.aggregate(bits, F.lit(0).cast("long"), lambda acc, x: acc + x)
+        )
+    return bucket
 
 
 def lsh_bucketed_topk(
@@ -135,15 +135,17 @@ def lsh_bucketed_topk(
     join is an equi-join on bucket (shuffle on bucket id, ~n/2^planes
     candidates per query). Recall is tunable via n_planes (fewer
     planes = bigger buckets = higher recall, more work)."""
+    # Double-cast vectors materialize as attributes before the
+    # n_planes dot-product lambdas read them (avoids per-plane
+    # re-evaluation of the cast).
     q = queries.select(
-        F.col(id_col).alias("qid"),
-        _as_double(vec_col).alias("qv"),
-        hyperplane_bucket(vec_col, n_planes, dim).alias("bucket"),
-    )
-    c = corpus.select(
-        F.col(id_col).alias("cid"),
-        _as_double(vec_col).alias("cv"),
-        hyperplane_bucket(vec_col, n_planes, dim).alias("bucket"),
+        F.col(id_col).alias("qid"), _as_double(vec_col).alias("qv")
+    ).select("qid", "qv", hyperplane_bucket("qv", n_planes, dim).alias("bucket"))
+    c = (
+        ensure_min_partitions(
+            corpus.select(F.col(id_col).alias("cid"), _as_double(vec_col).alias("cv"))
+        )
+        .select("cid", "cv", hyperplane_bucket("cv", n_planes, dim).alias("bucket"))
     )
     scored = (
         c.join(F.broadcast(q), "bucket")

@@ -37,8 +37,21 @@ def word_shingles(col: Column | str, k: int = 3) -> Column:
     """k-word shingles of a text column, as an array of strings.
 
     ``transform`` with the element index builds each window via
-    ``slice``; short tails yield NULL and are filtered. Narrow op."""
-    w = words(col)
+    ``slice``; short tails yield NULL and are filtered. Narrow op.
+
+    PERF: if the words array is already materialized as a column,
+    call :func:`shingles_from_words` on it instead — referencing the
+    ``split`` expression inside the lambda makes Catalyst re-evaluate
+    it per array element (O(n_words^2) per row, ~10x slower)."""
+    return shingles_from_words(words(col), k)
+
+
+def shingles_from_words(wcol: Column | str, k: int = 3) -> Column:
+    """k-word shingles from an already-materialized words-array
+    column. Keep the words array in its own projection (a plain
+    attribute reference) so each lambda element reads it, not
+    re-evaluates it."""
+    w = F.col(wcol) if isinstance(wcol, str) else wcol
     return F.filter(
         F.transform(
             w,
@@ -61,7 +74,8 @@ def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     quality_score is a fixed blend of length, punctuation, and
     stopword signals in [0, 1] — the cheap heuristic a pretraining
     pipeline uses to pre-filter before expensive model scoring."""
-    w = words(text_col)
+    df = df.withColumn("__w", words(text_col))
+    w = F.col("__w")
     n_words = F.size(w)
     n_tokens = F.size(F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_PATTERN), F.lit(0)))
     n_punct = F.length(F.regexp_replace(F.col(text_col), _PUNCT_CLASS, ""))
@@ -80,6 +94,7 @@ def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn("n_punct", n_punct)
         .withColumn("stopword_ratio", stop_ratio)
         .withColumn("quality_score", quality)
+        .drop("__w")
     )
 
 
@@ -89,7 +104,8 @@ def with_language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     list matches. A deterministic heuristic language-ID — the shape
     (not the quality) of a fastText-style classifier, kept
     SQL-expressible so the oracle can verify it."""
-    w = words(text_col)
+    df = df.withColumn("__w", words(text_col))
+    w = F.col("__w")
     scores = {lang: _stopword_hits(w, sw) for lang, sw in LANG_STOPWORDS.items()}
     order = list(LANG_STOPWORDS)
     pred = F.lit("unknown")
@@ -103,7 +119,7 @@ def with_language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     out = df
     for lang in order:
         out = out.withColumn(f"score_{lang}", scores[lang])
-    return out.withColumn("lang_pred", pred)
+    return out.withColumn("lang_pred", pred).drop("__w")
 
 
 def with_fingerprints(df: DataFrame, text_col: str = "text", k: int = 5) -> DataFrame:
@@ -114,8 +130,13 @@ def with_fingerprints(df: DataFrame, text_col: str = "text", k: int = 5) -> Data
       selection that is stable under small edits outside the minimal
       window (near-dup blocking key).
     """
-    sh = word_shingles(text_col, k)
-    return df.withColumn("md5_fp", F.md5(F.col(text_col))).withColumn(
-        "winnow_fp",
-        F.coalesce(F.array_min(F.transform(sh, F.md5)), F.md5(F.col(text_col))),
+    sh = shingles_from_words("__w", k)
+    return (
+        df.withColumn("__w", words(text_col))
+        .withColumn("md5_fp", F.md5(F.col(text_col)))
+        .withColumn(
+            "winnow_fp",
+            F.coalesce(F.array_min(F.transform(sh, F.md5)), F.md5(F.col(text_col))),
+        )
+        .drop("__w")
     )

@@ -3,6 +3,7 @@
 from datalake_toolkit_spark.operators.relational import (
     collect_sorted_array,
     dedup_latest,
+    ensure_min_partitions,
     drop_columns,
     explode_map_params,
     join_other_to_single_column,
@@ -18,6 +19,7 @@ from datalake_toolkit_spark.operators.relational import (
 __all__ = [
     "collect_sorted_array",
     "dedup_latest",
+    "ensure_min_partitions",
     "drop_columns",
     "explode_map_params",
     "join_other_to_single_column",

@@ -265,3 +265,27 @@ def dedup_latest(
         .where(F.col("_rn") == 1)
         .drop("_rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# Physical utilities (§2.9)
+# ---------------------------------------------------------------------------
+
+
+def ensure_min_partitions(df: DataFrame, n: int | None = None) -> DataFrame:
+    """Round-robin repartition iff the plan has fewer partitions than
+    ``n`` (default: the cluster's default parallelism).
+
+    Compute-heavy narrow pipelines (shingling, signatures, vector
+    scoring) inherit the scan's partitioning; a small file count —
+    one file at test scale, or a few giant row groups at 100 TB with
+    512 MB splits — serializes them on a handful of cores. The
+    repartition shuffles only the raw input rows, which is far
+    cheaper than losing the parallelism downstream. No-op (no
+    shuffle) when the scan is already wide enough.
+    """
+    spark = df.sparkSession
+    target = n or spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
