@@ -169,8 +169,11 @@ def minhash_near_dup_pairs(
         # down with the whole signature aggregate inlined.
         F.explode_outer(F.array(*band_keys)).alias("bkey"),
     )
-    a = banded.select(F.col(id_col).alias("doc_a"), "bkey")
-    b = banded.select(F.col(id_col).alias("doc_b"), "bkey")
+    # shuffle_hash: both sides of the bucket self-join are
+    # corpus-sized (bands rows per doc) — never broadcast-able at
+    # scale.
+    a = banded.select(F.col(id_col).alias("doc_a"), "bkey").hint("shuffle_hash")
+    b = banded.select(F.col(id_col).alias("doc_b"), "bkey").hint("shuffle_hash")
     cand = (
         a.join(b, "bkey")
         .where(F.col("doc_a") < F.col("doc_b"))
@@ -194,8 +197,17 @@ def _verify_jaccard(
     # filter gets a null-check inferred and pushed to the scan with
     # the whole shingle expression inlined.
     sizes = ex.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
-    ex_a = ex.select(F.col(id_col).alias("doc_a"), F.col("shingle"))
-    ex_b = ex.select(F.col(id_col).alias("doc_b"), F.col("shingle"))
+    # shuffle_hash hints: the inverted index and the per-doc size
+    # table are both corpus-sized, so broadcast is wrong at scale
+    # (and in local mode repeated corpus broadcasts accumulate until
+    # GC pressure doubles run time). Shuffled hash join partitions
+    # both sides by key with no sort.
+    ex_a = ex.select(F.col(id_col).alias("doc_a"), F.col("shingle")).hint(
+        "shuffle_hash"
+    )
+    ex_b = ex.select(F.col(id_col).alias("doc_b"), F.col("shingle")).hint(
+        "shuffle_hash"
+    )
     inter = (
         cand.join(ex_a, "doc_a")
         .join(ex_b, ["doc_b", "shingle"])
@@ -205,8 +217,8 @@ def _verify_jaccard(
     na = sizes.select(F.col(id_col).alias("doc_a"), F.col("n").alias("n_a"))
     nb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n").alias("n_b"))
     return (
-        inter.join(na, "doc_a")
-        .join(nb, "doc_b")
+        inter.join(na.hint("shuffle_hash"), "doc_a")
+        .join(nb.hint("shuffle_hash"), "doc_b")
         .select(
             "doc_a",
             "doc_b",
@@ -235,9 +247,16 @@ def jaccard_pairs(
     # inner explode would re-inline the shingle expression into a
     # pushed-down size()>0 scan filter (quadratic re-evaluation).
     ex = docs.select(F.col(id_col), F.explode_outer("sh").alias("shingle"))
+    # shuffle_hash: both self-join sides are the corpus-sized
+    # inverted index — broadcast would OOM at scale (see
+    # _verify_jaccard).
     inter = (
         ex.select(F.col(id_col).alias("doc_a"), "shingle")
-        .join(ex.select(F.col(id_col).alias("doc_b"), "shingle"), "shingle")
+        .hint("shuffle_hash")
+        .join(
+            ex.select(F.col(id_col).alias("doc_b"), "shingle").hint("shuffle_hash"),
+            "shingle",
+        )
         .where(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
@@ -248,8 +267,8 @@ def jaccard_pairs(
     na = sizes.select(F.col(id_col).alias("doc_a"), F.col("n").alias("n_a"))
     nb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n").alias("n_b"))
     return (
-        inter.join(na, "doc_a")
-        .join(nb, "doc_b")
+        inter.join(na.hint("shuffle_hash"), "doc_a")
+        .join(nb.hint("shuffle_hash"), "doc_b")
         .select(
             "doc_a",
             "doc_b",
