@@ -8,8 +8,13 @@ from datalake_toolkit_spark.catalog.metastore import (
     explode_catalog_tables,
     flatten_catalog_tables,
 )
+from datalake_toolkit_spark.catalog.json_io import (
+    read_catalog_json,
+    write_catalog_json,
+)
 from datalake_toolkit_spark.catalog.search import (
     catalog_columns,
+    catalog_sql,
     catalog_search_documents,
     register_star_schema,
 )
@@ -18,8 +23,11 @@ __all__ = [
     "assemble_catalog_databases",
     "assemble_catalog_tables",
     "catalog_columns",
+    "catalog_sql",
     "catalog_search_documents",
     "explode_catalog_tables",
     "flatten_catalog_tables",
+    "read_catalog_json",
     "register_star_schema",
+    "write_catalog_json",
 ]

@@ -58,3 +58,46 @@ def catalog_search_documents(spark: SparkSession, tables: list[str]) -> DataFram
         "database string, `table` string, column_tags array<string>, "
         "comment_tags array<string>, columns map<string,string>",
     )
+
+
+def catalog_sql(spark: SparkSession, statement: str) -> DataFrame:
+    """S18: the Athena SQL-passthrough surface as direct catalog
+    DataFrames. The reference routes exactly three statement shapes
+    through Athena REST + polling waiter
+    (odl_catalog_hive_metadata_es.py:75-94, athena_query.py:22-56):
+
+    - ``SHOW DATABASES``            -> (database_name)
+    - ``SHOW TABLES [IN db]``       -> (table_name)
+    - ``DESCRIBE [db.]table``       -> (col_name, data_type, comment)
+
+    Anything else passes through to ``spark.sql`` untouched, which is
+    strictly more capable than the Athena path (no 5-query throttle,
+    no 60 s poll timeout).
+    """
+    stmt = statement.strip().rstrip(";")
+    lowered = stmt.lower()
+    if lowered == "show databases":
+        return spark.createDataFrame(
+            [(d.name,) for d in spark.catalog.listDatabases()],
+            "database_name string",
+        )
+    if lowered.startswith("show tables"):
+        parts = stmt.split()
+        tables = (
+            spark.catalog.listTables(parts[-1])
+            if len(parts) == 4
+            else spark.catalog.listTables()
+        )
+        return spark.createDataFrame(
+            [(t.name,) for t in tables], "table_name string"
+        )
+    if lowered.startswith("describe ") or lowered.startswith("desc "):
+        target = stmt.split()[-1]
+        return spark.createDataFrame(
+            [
+                (c.name, c.dataType, c.description)
+                for c in spark.catalog.listColumns(target)
+            ],
+            "col_name string, data_type string, comment string",
+        )
+    return spark.sql(stmt)

@@ -1,6 +1,7 @@
 """Scalar function pack (SURVEY.md §2.7) — Catalyst Column expressions."""
 
 from datalake_toolkit_spark.functions.scalar import (
+    ddb_json_to_plain_map,
     escape_special_chars,
     fill_none_with_empty_array,
     fill_none_with_empty_string,
@@ -8,11 +9,14 @@ from datalake_toolkit_spark.functions.scalar import (
     normalize_s3_uri,
     parse_date,
     partition_name,
+    plain_map_to_ddb_json,
+    sanitize_csv_header,
     unix_seconds_to_gson,
     with_prefix,
 )
 
 __all__ = [
+    "ddb_json_to_plain_map",
     "escape_special_chars",
     "fill_none_with_empty_array",
     "fill_none_with_empty_string",
@@ -20,6 +24,8 @@ __all__ = [
     "normalize_s3_uri",
     "parse_date",
     "partition_name",
+    "plain_map_to_ddb_json",
+    "sanitize_csv_header",
     "unix_seconds_to_gson",
     "with_prefix",
 ]

@@ -110,3 +110,56 @@ def partition_name(keys_col: Column | str, types_col: Column | str, vals_col: Co
     v = F.col(vals_col) if isinstance(vals_col, str) else vals_col
     kt = F.zip_with(k, t, lambda a, b: F.concat(a, F.lit("("), b, F.lit(")")))
     return F.concat(F.concat_ws(",", kt), F.lit("="), F.concat_ws(",", v))
+
+
+def sanitize_csv_header(col: Column | str) -> Column:
+    """Strip every character outside ``[-_ .&',$a-zA-Z0-9]`` from a
+    CSV header line.
+
+    Parity: F16 — the reference downloads the first line of each raw
+    file and filters it char-by-char in driver Python
+    (lambda/common.py:238-247); here one JVM-side regexp_replace so it
+    can run over millions of header rows."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(c, r"[^-_ .&',$a-zA-Z0-9]", "")
+
+
+def plain_map_to_ddb_json(map_col: Column | str, numeric_keys: Column | str) -> Column:
+    """Render a string->string map as a DynamoDB-typed JSON document:
+    values whose key is in ``numeric_keys`` become ``{"N": v}``,
+    others ``{"S": v}``.
+
+    Parity: F17 — the reference converts between DynamoDB's typed
+    item JSON and plain JSON with a recursive Python codec
+    (lambda/odl_ddb_update_es/json_util.py:11-45). The engine's
+    ledger is a Spark table, so only the serialization shape is kept:
+    a deterministic JSON string (keys sorted) built with expressions.
+    """
+    m = F.col(map_col) if isinstance(map_col, str) else map_col
+    nk = F.col(numeric_keys) if isinstance(numeric_keys, str) else numeric_keys
+    entries = F.array_sort(
+        F.transform(
+            F.map_entries(m),
+            lambda e: F.concat(
+                F.lit('"'),
+                e.getField("key"),
+                F.lit('":{"'),
+                F.when(F.array_contains(nk, e.getField("key")), "N").otherwise("S"),
+                F.lit('":"'),
+                e.getField("value"),
+                F.lit('"}'),
+            ),
+        )
+    )
+    return F.concat(F.lit("{"), F.concat_ws(",", entries), F.lit("}"))
+
+
+def ddb_json_to_plain_map(col: Column | str) -> Column:
+    """Parse a flat DynamoDB-typed JSON document (string/number
+    attributes) back to a string->string map — the inverse of
+    :func:`plain_map_to_ddb_json` for flat documents (F17)."""
+    c = F.col(col) if isinstance(col, str) else col
+    typed = F.from_json(c, "map<string, struct<S string, N string>>")
+    return F.transform_values(
+        typed, lambda k, v: F.coalesce(v.getField("S"), v.getField("N"))
+    )

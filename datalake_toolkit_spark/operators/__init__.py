@@ -6,6 +6,7 @@ from datalake_toolkit_spark.operators.relational import (
     ensure_min_partitions,
     drop_columns,
     explode_map_params,
+    group_within_partitions,
     join_other_to_single_column,
     join_with_params,
     kv_pairs_to_map,
@@ -22,6 +23,7 @@ __all__ = [
     "ensure_min_partitions",
     "drop_columns",
     "explode_map_params",
+    "group_within_partitions",
     "join_other_to_single_column",
     "join_with_params",
     "kv_pairs_to_map",

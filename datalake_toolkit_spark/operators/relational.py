@@ -289,3 +289,31 @@ def ensure_min_partitions(df: DataFrame, n: int | None = None) -> DataFrame:
     if df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target)
+
+
+def group_within_partitions(
+    df: DataFrame, key_col: str, value_col: str, out_col: str = "items"
+) -> DataFrame:
+    """A4: partition-local grouping — (key, value) rows collapse to
+    (key, array-of-values) *within each input partition only*, so the
+    same key can appear once per partition in the output. The
+    reference used this to batch catalog writes without a global
+    shuffle (hive_metastore_migration.py:228-275,
+    import_into_datacatalog.py:30-57).
+
+    Implemented as groupBy(spark_partition_id(), key): map-side
+    partial collect_list builds each partition's lists locally, and
+    the shuffle moves only the one finished row per (partition, key)
+    — the distributed cost profile of the reference's
+    ``rdd.mapPartitions(group_by_key)``, but codegen'd and
+    AQE-planned. Deliberately NOT globally grouped; no SQL oracle
+    exists (output depends on physical partitioning), so the driver
+    records a rows-only check.
+    """
+    return (
+        df.groupBy(
+            F.spark_partition_id().alias("__pid"), F.col(key_col)
+        )
+        .agg(F.collect_list(value_col).alias(out_col))
+        .drop("__pid")
+    )

@@ -1,0 +1,128 @@
+"""Endpoint queries: JDBC round trip, SQL passthrough, F16/F17
+scalar functions, A4 partition-local grouping — each oracle-checked
+where SQL-expressible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datalake_toolkit_spark.catalog import catalog_sql, register_star_schema
+from datalake_toolkit_spark.functions import (
+    ddb_json_to_plain_map,
+    plain_map_to_ddb_json,
+    sanitize_csv_header,
+)
+from datalake_toolkit_spark.operators import group_within_partitions
+from datalake_toolkit_spark.plans.queries import query, _t
+from datalake_toolkit_spark.sources.jdbc import read_jdbc, write_jdbc
+from datalake_toolkit_spark.sources.tables import TABLES
+
+
+@query(
+    "q_jdbc_roundtrip",
+    """
+    SELECT p_brand, count(*) AS n_parts,
+           CAST(sum(p_retailprice) AS DECIMAL(18,2)) AS sum_price
+    FROM part GROUP BY p_brand
+    """,
+)
+def q_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8+S15: part -> Derby-embedded JDBC table -> read back ->
+    aggregate. The same url/driver pair swaps for MySQL/Postgres in
+    production; Derby lives in Spark's own classpath so the round
+    trip is testable anywhere."""
+    url = "jdbc:derby:memory:q_jdbc;create=true"
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_retailprice")
+    write_jdbc(part, url, "PART_Q", mode="overwrite")
+    back = read_jdbc(spark, url, "PART_Q")
+    return back.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.sum(F.col("p_retailprice").cast("decimal(12,2)"))
+        .cast("decimal(18,2)")
+        .alias("sum_price"),
+    )
+
+
+@query(
+    "q_show_tables",
+    """
+    SELECT table_name FROM information_schema.tables
+    WHERE table_name IN ('region','nation','customer','supplier','part',
+                         'orders','lineitem','events','documents','embeddings')
+    """,
+)
+def q_show_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S18: SHOW TABLES through the SQL passthrough, restricted to
+    the star schema (the driver session may hold other temp views)."""
+    register_star_schema(spark, sf_dir)
+    return catalog_sql(spark, "SHOW TABLES").where(F.col("table_name").isin(*TABLES))
+
+
+@query(
+    "q_sanitize_headers",
+    """
+    SELECT doc_id,
+           regexp_replace(substring(text, 1, 40),
+                          '[^-_ .&'',$a-zA-Z0-9]', '', 'g') AS clean_header
+    FROM documents
+    """,
+)
+def q_sanitize_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F16: header sanitization (lambda/common.py:238-247) as a
+    JVM-side regexp over the first 40 chars of every document."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        sanitize_csv_header(F.substring("text", 1, 40)).alias("clean_header"),
+    )
+
+
+@query(
+    "q_ddb_json_roundtrip",
+    """
+    WITH entries AS (
+      SELECT o_orderkey,
+             '"priority":{"S":"' || o_orderpriority || '"}' AS e1,
+             '"cust":{"N":"' || CAST(o_custkey AS VARCHAR) || '"}' AS e2
+      FROM orders WHERE o_orderkey < 1000
+    )
+    SELECT o_orderkey,
+           '{' || CASE WHEN e1 < e2 THEN e1 || ',' || e2
+                       ELSE e2 || ',' || e1 END || '}' AS ddb_doc,
+           o_orderpriority AS priority_back,
+           CAST(o_custkey AS VARCHAR) AS cust_back
+    FROM entries JOIN orders USING (o_orderkey)
+    """,
+)
+def q_ddb_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F17: plain map -> DynamoDB-typed JSON -> plain map round trip
+    (lambda/odl_ddb_update_es/json_util.py:11-45), all expression-side."""
+    orders = _t(spark, sf_dir, "orders").where(F.col("o_orderkey") < 1000)
+    ddb = orders.select(
+        "o_orderkey",
+        plain_map_to_ddb_json(
+            F.create_map(
+                F.lit("priority"), F.col("o_orderpriority"),
+                F.lit("cust"), F.col("o_custkey").cast("string"),
+            ),
+            F.array(F.lit("cust")),
+        ).alias("ddb_doc"),
+    )
+    back = ddb.withColumn("attrs", ddb_json_to_plain_map("ddb_doc"))
+    return back.select(
+        "o_orderkey",
+        "ddb_doc",
+        F.element_at("attrs", "priority").alias("priority_back"),
+        F.element_at("attrs", "cust").alias("cust_back"),
+    )
+
+
+@query("q_partition_local_groups", None)
+def q_partition_local_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: partition-local grouping (rows-only check — output shape
+    depends on physical partitioning by design)."""
+    lineitem = _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_orderkey")
+    out = group_within_partitions(lineitem, "l_returnflag", "l_orderkey")
+    return out.select("l_returnflag", F.size("items").alias("batch_size"))
