@@ -3,8 +3,11 @@ relational tables <-> nested catalog documents, plus the engine's own
 catalog/search surface."""
 
 from datalake_toolkit_spark.catalog.metastore import (
+    assemble_catalog_partitions,
     assemble_catalog_databases,
     assemble_catalog_tables,
+    assemble_skewed_info,
+    explode_catalog_partitions,
     explode_catalog_tables,
     flatten_catalog_tables,
 )
@@ -20,6 +23,9 @@ from datalake_toolkit_spark.catalog.search import (
 )
 
 __all__ = [
+    "assemble_catalog_partitions",
+    "assemble_skewed_info",
+    "explode_catalog_partitions",
     "assemble_catalog_databases",
     "assemble_catalog_tables",
     "catalog_columns",

@@ -29,7 +29,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from datalake_toolkit_spark.functions import normalize_s3_uri
+from pyspark.sql import SparkSession
+
+from datalake_toolkit_spark.catalog.schemas import METASTORE_DDL
+from datalake_toolkit_spark.functions import (
+    normalize_s3_uri,
+    partition_name,
+    skewed_values_to_str,
+)
 from datalake_toolkit_spark.operators import (
     collect_sorted_array,
     explode_map_params,
@@ -42,6 +49,61 @@ from datalake_toolkit_spark.operators import (
 
 def _params_map(params: DataFrame, id_col: str, out: str = "parameters") -> DataFrame:
     return kv_pairs_to_map(params, id_col, "PARAM_KEY", "PARAM_VALUE", out)
+
+
+def _empty(spark: SparkSession, table: str) -> DataFrame:
+    return spark.createDataFrame([], METASTORE_DDL[table])
+
+
+def assemble_skewed_info(
+    skewed_col_names: DataFrame,
+    skewed_string_list_values: DataFrame,
+    skewed_col_value_loc_map: DataFrame,
+) -> DataFrame:
+    """SKEWED_* satellites -> one row per SD_ID with skewedColumnNames
+    / skewedColumnValues / skewedColumnValueLocationMaps
+    (hive_metastore_migration.py:568-615 parity: A2 idx-sorted names,
+    F5 value-list encoding, J4 expression join on STRING_LIST_ID_KID,
+    A1 value-str -> location map, J5 full-outer assembly).
+
+    skewedColumnValues is sorted for determinism; the reference's
+    aggregateByKey order was partition-dependent (undefined), so any
+    fixed order is parity-compliant."""
+    names = collect_sorted_array(
+        skewed_col_names,
+        "SD_ID",
+        F.struct("INTEGER_IDX", "SKEWED_COL_NAME"),
+        F.col("SKEWED_COL_NAME"),
+        "skewedColumnNames",
+    )
+    vals_list = collect_sorted_array(
+        skewed_string_list_values,
+        "STRING_LIST_ID",
+        F.struct("INTEGER_IDX", "STRING_LIST_VALUE"),
+        F.col("STRING_LIST_VALUE"),
+        "vals",
+    )
+    vals_str = vals_list.select(
+        "STRING_LIST_ID", skewed_values_to_str("vals").alias("skewedColumnValuesStr")
+    )
+    with_loc = skewed_col_value_loc_map.join(
+        vals_str,
+        skewed_col_value_loc_map["STRING_LIST_ID_KID"] == vals_str["STRING_LIST_ID"],
+        "inner",
+    ).select("SD_ID", "skewedColumnValuesStr", "LOCATION")
+    loc_maps = kv_pairs_to_map(
+        with_loc,
+        "SD_ID",
+        "skewedColumnValuesStr",
+        "LOCATION",
+        "skewedColumnValueLocationMaps",
+    )
+    values = with_loc.groupBy("SD_ID").agg(
+        F.array_sort(F.collect_list("skewedColumnValuesStr")).alias(
+            "skewedColumnValues"
+        )
+    )
+    return names.join(loc_maps, "SD_ID", "outer").join(values, "SD_ID", "outer")
 
 
 def assemble_catalog_databases(dbs: DataFrame, db_params: DataFrame) -> DataFrame:
@@ -69,10 +131,25 @@ def assemble_storage_descriptors(
     serde_params: DataFrame,
     bucketing_cols: DataFrame,
     sort_cols: DataFrame,
+    skewed_col_names: DataFrame | None = None,
+    skewed_string_list_values: DataFrame | None = None,
+    skewed_col_value_loc_map: DataFrame | None = None,
 ) -> DataFrame:
-    """SDS + 6 satellites -> one row per SD_ID with nested columns /
-    serdeInfo / parameters / bucketColumns / sortColumns
+    """SDS + satellites -> one row per SD_ID with nested columns /
+    serdeInfo / parameters / bucketColumns / sortColumns / skewedInfo
     (hive_metastore_migration.py:636-672 parity, J6)."""
+    spark = sds.sparkSession
+    skew = assemble_skewed_info(
+        skewed_col_names
+        if skewed_col_names is not None
+        else _empty(spark, "SKEWED_COL_NAMES"),
+        skewed_string_list_values
+        if skewed_string_list_values is not None
+        else _empty(spark, "SKEWED_STRING_LIST_VALUES"),
+        skewed_col_value_loc_map
+        if skewed_col_value_loc_map is not None
+        else _empty(spark, "SKEWED_COL_VALUE_LOC_MAP"),
+    )
     cols_arr = collect_sorted_array(
         columns,
         "CD_ID",
@@ -111,6 +188,7 @@ def assemble_storage_descriptors(
         .join(_params_map(sd_params, "SD_ID"), "SD_ID", "left_outer")
         .join(buckets_arr, "SD_ID", "left_outer")
         .join(sorts_arr, "SD_ID", "left_outer")
+        .join(skew, "SD_ID", "left_outer")
     )
     out = join_other_to_single_column(
         out, serde_full, "SERDE_ID", "serdeInfo", broadcast_right=True
@@ -128,6 +206,15 @@ def assemble_storage_descriptors(
             F.col("serdeInfo"),
             F.coalesce("bucketColumns", F.array()).alias("bucketColumns"),
             F.coalesce("sortColumns", F.array()).alias("sortColumns"),
+            F.struct(
+                F.coalesce("skewedColumnNames", F.array()).alias("skewedColumnNames"),
+                F.coalesce("skewedColumnValues", F.array()).alias(
+                    "skewedColumnValues"
+                ),
+                F.coalesce(
+                    "skewedColumnValueLocationMaps", F.create_map()
+                ).alias("skewedColumnValueLocationMaps"),
+            ).alias("skewedInfo"),
             F.col("IS_STOREDASSUBDIRECTORIES").alias("storedAsSubDirectories"),
         ).alias("storageDescriptor"),
     )
@@ -156,6 +243,9 @@ def assemble_catalog_tables(ms: dict[str, DataFrame]) -> DataFrame:
         ms["SERDE_PARAMS"],
         ms["BUCKETING_COLS"],
         ms["SORT_COLS"],
+        ms.get("SKEWED_COL_NAMES"),
+        ms.get("SKEWED_STRING_LIST_VALUES"),
+        ms.get("SKEWED_COL_VALUE_LOC_MAP"),
     )
     return (
         ms["TBLS"]
@@ -284,4 +374,106 @@ def explode_catalog_tables(
         "PARTITION_KEYS": partition_keys,
         "COLUMNS_V2": columns,
         "SDS": sds,
+    }
+
+
+def assemble_catalog_partitions(ms: dict[str, DataFrame]) -> DataFrame:
+    """PARTITIONS + params + key vals + storage descriptors ->
+    partition documents (hive_metastore_migration.py:709-738 parity,
+    J8: inner join to db/table names, left joins for the satellites;
+    rows with null values/database/table dropped like the
+    reference's na.drop)."""
+    dbs = ms["DBS"].select("DB_ID", F.col("NAME").alias("database"))
+    db_tbl = (
+        ms["TBLS"]
+        .select("TBL_ID", "DB_ID", F.col("TBL_NAME").alias("table"))
+        .join(F.broadcast(dbs), "DB_ID")
+        .select("TBL_ID", "database", "table")
+    )
+    vals = collect_sorted_array(
+        ms["PARTITION_KEY_VALS"],
+        "PART_ID",
+        F.struct("INTEGER_IDX", "PART_KEY_VAL"),
+        F.col("PART_KEY_VAL"),
+        "values",
+    )
+    sds = assemble_storage_descriptors(
+        ms["SDS"],
+        ms["COLUMNS_V2"],
+        ms["SD_PARAMS"],
+        ms["SERDES"],
+        ms["SERDE_PARAMS"],
+        ms["BUCKETING_COLS"],
+        ms["SORT_COLS"],
+        ms.get("SKEWED_COL_NAMES"),
+        ms.get("SKEWED_STRING_LIST_VALUES"),
+        ms.get("SKEWED_COL_VALUE_LOC_MAP"),
+    )
+    return (
+        ms["PARTITIONS"]
+        .join(db_tbl, "TBL_ID")
+        .join(_params_map(ms["PARTITION_PARAMS"], "PART_ID"), "PART_ID", "left_outer")
+        .join(vals, "PART_ID", "left_outer")
+        .join(sds, "SD_ID", "left_outer")
+        .na.drop(how="any", subset=["values", "database", "table"])
+        .select(
+            "database",
+            "table",
+            "values",
+            F.date_format(
+                F.from_unixtime("CREATE_TIME"), "MMM dd, yyyy hh:mm:ss a"
+            ).alias("createTime"),
+            F.coalesce("parameters", F.create_map()).alias("parameters"),
+            "storageDescriptor",
+        )
+    )
+
+
+def explode_catalog_partitions(
+    partition_docs: DataFrame,
+    table_docs: DataFrame,
+    start_part_id: int = 1,
+) -> dict[str, DataFrame]:
+    """Reverse direction for partitions
+    (hive_metastore_migration.py:965-1105 parity): documents ->
+    PARTITIONS / PARTITION_PARAMS / PARTITION_KEY_VALS rows with
+    fresh consecutive PART_IDs and the reconstructed PART_NAME
+    ('k1(t1),k2(t2)=v1,v2', F13) from the owning table's
+    partitionKeys (J11)."""
+    keys = table_docs.select(
+        F.col("database"),
+        F.col("name").alias("table"),
+        F.col("partitionKeys"),
+    )
+    seeded = with_consecutive_id(
+        partition_docs.withColumn("__vstr", F.concat_ws("", "values")),
+        ["database", "table", "__vstr"],
+        "PART_ID",
+        start=start_part_id,
+    ).drop("__vstr")
+    named = seeded.join(F.broadcast(keys), ["database", "table"], "left_outer")
+    partitions = named.select(
+        "PART_ID",
+        F.col("database").alias("DB_NAME"),
+        F.col("table").alias("TBL_NAME"),
+        partition_name(
+            F.transform("partitionKeys", lambda k: k.getField("name")),
+            F.transform("partitionKeys", lambda k: k.getField("type")),
+            F.col("values"),
+        ).alias("PART_NAME"),
+    )
+    partition_params = explode_map_params(
+        seeded.select("PART_ID", "parameters"), "PART_ID", "parameters"
+    )
+    key_vals = posexplode_with_idx(
+        seeded.select("PART_ID", "values"),
+        "values",
+        "INTEGER_IDX",
+        "v",
+        keep=["PART_ID"],
+    ).select("PART_ID", F.col("v").alias("PART_KEY_VAL"), "INTEGER_IDX")
+    return {
+        "PARTITIONS": partitions,
+        "PARTITION_PARAMS": partition_params,
+        "PARTITION_KEY_VALS": key_vals,
     }

@@ -67,6 +67,17 @@ ORDER_SCHEMA = T.StructType(
     [T.StructField("column", T.StringType()), T.StructField("order", T.IntegerType())]
 )
 
+SKEWED_INFO_SCHEMA = T.StructType(
+    [
+        T.StructField("skewedColumnNames", T.ArrayType(T.StringType())),
+        T.StructField("skewedColumnValues", T.ArrayType(T.StringType())),
+        T.StructField(
+            "skewedColumnValueLocationMaps",
+            T.MapType(T.StringType(), T.StringType()),
+        ),
+    ]
+)
+
 STORAGE_DESCRIPTOR_SCHEMA = T.StructType(
     [
         T.StructField("location", T.StringType()),
@@ -79,7 +90,19 @@ STORAGE_DESCRIPTOR_SCHEMA = T.StructType(
         T.StructField("serdeInfo", SERDE_INFO_SCHEMA),
         T.StructField("bucketColumns", T.ArrayType(T.StringType())),
         T.StructField("sortColumns", T.ArrayType(ORDER_SCHEMA)),
+        T.StructField("skewedInfo", SKEWED_INFO_SCHEMA),
         T.StructField("storedAsSubDirectories", T.BooleanType()),
+    ]
+)
+
+PARTITION_DOC_SCHEMA = T.StructType(
+    [
+        T.StructField("database", T.StringType()),
+        T.StructField("table", T.StringType()),
+        T.StructField("values", T.ArrayType(T.StringType())),
+        T.StructField("createTime", T.StringType()),
+        T.StructField("parameters", T.MapType(T.StringType(), T.StringType())),
+        T.StructField("storageDescriptor", STORAGE_DESCRIPTOR_SCHEMA),
     ]
 )
 

@@ -11,6 +11,7 @@ from datalake_toolkit_spark.functions.scalar import (
     partition_name,
     plain_map_to_ddb_json,
     sanitize_csv_header,
+    skewed_values_to_str,
     unix_seconds_to_gson,
     with_prefix,
 )
@@ -26,6 +27,7 @@ __all__ = [
     "partition_name",
     "plain_map_to_ddb_json",
     "sanitize_csv_header",
+    "skewed_values_to_str",
     "unix_seconds_to_gson",
     "with_prefix",
 ]

@@ -14,7 +14,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from datalake_toolkit_spark.catalog import (
+    assemble_catalog_partitions,
     assemble_catalog_tables,
+    assemble_skewed_info,
     catalog_columns,
     explode_catalog_tables,
     flatten_catalog_tables,
@@ -114,7 +116,68 @@ def _metastore_from_star(spark: SparkSession, sf_dir: str) -> dict[str, DataFram
     sort_cols = spark.createDataFrame(
         [], "SD_ID long, COLUMN_NAME string, `ORDER` int, INTEGER_IDX int"
     )
+    partitions = part.where(
+        (F.col("p_partkey") >= 100) & (F.col("p_partkey") < 200)
+    ).select(
+        F.col("p_partkey").cast("long").alias("PART_ID"),
+        (F.col("p_partkey") % 25).cast("long").alias("TBL_ID"),
+        (F.col("p_partkey") % 25).cast("long").alias("SD_ID"),
+        F.lit(None).cast("string").alias("PART_NAME"),
+        (F.col("p_partkey") * 3600).cast("int").alias("CREATE_TIME"),
+        F.lit(None).cast("int").alias("LAST_ACCESS_TIME"),
+        F.lit(None).cast("long").alias("LINK_TARGET_ID"),
+    )
+    partition_key_vals = (
+        partitions.select(
+            "PART_ID",
+            F.concat(F.lit("b"), (F.col("PART_ID") % 7).cast("string")).alias(
+                "PART_KEY_VAL"
+            ),
+            F.lit(0).alias("INTEGER_IDX"),
+        )
+        .unionByName(
+            partitions.select(
+                "PART_ID",
+                F.concat(F.lit("c"), (F.col("PART_ID") % 3).cast("string")).alias(
+                    "PART_KEY_VAL"
+                ),
+                F.lit(1).alias("INTEGER_IDX"),
+            )
+        )
+    )
+    partition_params = spark.createDataFrame(
+        [], "PART_ID long, PARAM_KEY string, PARAM_VALUE string"
+    )
+    skewed_col_names = customer.where(
+        (F.col("c_custkey") >= 100) & (F.col("c_custkey") < 200)
+    ).select(
+        (F.col("c_custkey") % 25).cast("long").alias("SD_ID"),
+        F.col("c_mktsegment").alias("SKEWED_COL_NAME"),
+        ((F.col("c_custkey") - 100) / 25).cast("int").alias("INTEGER_IDX"),
+    )
+    skewed_string_list_values = nation.select(
+        F.col("n_nationkey").cast("long").alias("STRING_LIST_ID"),
+        F.col("n_name").alias("STRING_LIST_VALUE"),
+        F.lit(0).alias("INTEGER_IDX"),
+    ).unionByName(
+        nation.select(
+            F.col("n_nationkey").cast("long").alias("STRING_LIST_ID"),
+            F.concat(F.col("n_name"), F.lit("_v1")).alias("STRING_LIST_VALUE"),
+            F.lit(1).alias("INTEGER_IDX"),
+        )
+    )
+    skewed_col_value_loc_map = nation.select(
+        F.col("n_nationkey").cast("long").alias("SD_ID"),
+        F.col("n_nationkey").cast("long").alias("STRING_LIST_ID_KID"),
+        F.concat(F.lit("s3://skew/"), F.col("n_name")).alias("LOCATION"),
+    )
     return {
+        "PARTITIONS": partitions,
+        "PARTITION_PARAMS": partition_params,
+        "PARTITION_KEY_VALS": partition_key_vals,
+        "SKEWED_COL_NAMES": skewed_col_names,
+        "SKEWED_STRING_LIST_VALUES": skewed_string_list_values,
+        "SKEWED_COL_VALUE_LOC_MAP": skewed_col_value_loc_map,
         "DBS": dbs,
         "TBLS": tbls,
         "TABLE_PARAMS": table_params,
@@ -230,3 +293,125 @@ def q_catalog_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     DataFrame (replaces the Athena REST/poll/ES chain)."""
     tables = register_star_schema(spark, sf_dir)
     return catalog_columns(spark, tables)
+
+
+@query(
+    "q_catalog_partition_docs",
+    """
+    WITH parts AS (
+      SELECT p_partkey AS part_id, p_partkey % 25 AS tbl_id,
+             p_partkey * 3600 AS create_epoch,
+             'b' || CAST(p_partkey % 7 AS VARCHAR) || ',' ||
+             'c' || CAST(p_partkey % 3 AS VARCHAR) AS values_str
+      FROM part WHERE p_partkey >= 100 AND p_partkey < 200),
+    tbls AS (
+      SELECT n_nationkey AS tbl_id, n_regionkey AS db_id, n_name AS tname
+      FROM nation),
+    dbs AS (SELECT r_regionkey AS db_id, r_name AS dbname FROM region),
+    locs AS (
+      SELECT n_nationkey AS sd_id,
+             regexp_replace('s3' ||
+               CASE WHEN n_nationkey % 3 = 0 THEN 'a'
+                    WHEN n_nationkey % 3 = 1 THEN 'n' ELSE '' END ||
+               '://wh/' || n_name, '^s3[an]://', 's3://') AS location
+      FROM nation),
+    skew AS (
+      SELECT n_nationkey AS sd_id,
+             '2%' || n_name || ',' || n_name || '_v1=s3://skew/' || n_name
+               AS locmap_str
+      FROM nation)
+    SELECT d.dbname AS database, t.tname AS "table",
+           p.values_str,
+           strftime(to_timestamp(p.create_epoch),
+                    '%b %d, %Y %I:%M:%S %p') AS createTime,
+           l.location, s.locmap_str
+    FROM parts p
+    JOIN tbls t ON t.tbl_id = p.tbl_id
+    JOIN dbs d ON d.db_id = t.db_id
+    LEFT JOIN locs l ON l.sd_id = p.tbl_id
+    LEFT JOIN skew s ON s.sd_id = p.tbl_id
+    """,
+)
+def q_catalog_partition_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metastore->catalog partition-document assembly (J8 join chain,
+    A2 idx-sorted values, gson time rendering F8) with the
+    storageDescriptor's skewedInfo (J4/J5/F5/A1) rendered flat."""
+    ms = _metastore_from_star(spark, sf_dir)
+    docs = assemble_catalog_partitions(ms)
+    return docs.select(
+        "database",
+        "table",
+        F.concat_ws(",", "values").alias("values_str"),
+        F.col("createTime"),
+        F.col("storageDescriptor.location").alias("location"),
+        F.concat_ws(
+            ";",
+            F.array_sort(
+                F.transform(
+                    F.map_entries(
+                        F.col("storageDescriptor.skewedInfo.skewedColumnValueLocationMaps")
+                    ),
+                    lambda e: F.concat(
+                        e.getField("key"), F.lit("="), e.getField("value")
+                    ),
+                )
+            ),
+        ).alias("locmap_str"),
+    )
+
+
+@query(
+    "q_catalog_skewed_info",
+    """
+    WITH names AS (
+      SELECT CAST(c_custkey % 25 AS BIGINT) AS sd_id,
+             string_agg(c_mktsegment, ',' ORDER BY (c_custkey - 100) // 25)
+               AS names_str
+      FROM customer WHERE c_custkey >= 100 AND c_custkey < 200 GROUP BY 1),
+    vals AS (
+      SELECT CAST(n_nationkey AS BIGINT) AS sd_id,
+             '2%' || n_name || ',' || n_name || '_v1' AS values_str,
+             '2%' || n_name || ',' || n_name || '_v1=s3://skew/' || n_name
+               AS locmap_str
+      FROM nation)
+    SELECT coalesce(n.sd_id, v.sd_id) AS SD_ID,
+           coalesce(n.names_str, '') AS names_str,
+           coalesce(v.values_str, '') AS values_str,
+           coalesce(v.locmap_str, '') AS locmap_str
+    FROM names n FULL OUTER JOIN vals v ON n.sd_id = v.sd_id
+    """,
+)
+def q_catalog_skewed_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skewed-info assembly in isolation: A2 idx-sorted names, F5
+    '<len>%<values>' encoding, J4 expression join, A1 value->location
+    map, J5 full-outer merge."""
+    ms = _metastore_from_star(spark, sf_dir)
+    skew = assemble_skewed_info(
+        ms["SKEWED_COL_NAMES"],
+        ms["SKEWED_STRING_LIST_VALUES"],
+        ms["SKEWED_COL_VALUE_LOC_MAP"],
+    )
+    return skew.select(
+        "SD_ID",
+        F.concat_ws(",", F.coalesce("skewedColumnNames", F.array())).alias(
+            "names_str"
+        ),
+        F.concat_ws(";", F.coalesce("skewedColumnValues", F.array())).alias(
+            "values_str"
+        ),
+        F.concat_ws(
+            ";",
+            F.array_sort(
+                F.transform(
+                    F.map_entries(
+                        F.coalesce(
+                            "skewedColumnValueLocationMaps", F.create_map()
+                        )
+                    ),
+                    lambda e: F.concat(
+                        e.getField("key"), F.lit("="), e.getField("value")
+                    ),
+                )
+            ),
+        ).alias("locmap_str"),
+    )

@@ -75,3 +75,33 @@ def test_catalog_search_documents(spark, sf_dir):
     assert set(by_table) == set(tables)
     assert by_table["lineitem"].columns["l_orderkey"] == "bigint"
     assert "lineitem.l_shipdate" in by_table["lineitem"].comment_tags
+
+
+def test_partition_docs_and_roundtrip(spark, sf_dir):
+    from datalake_toolkit_spark.catalog import (
+        assemble_catalog_partitions,
+        explode_catalog_partitions,
+    )
+
+    ms = _metastore_from_star(spark, sf_dir)
+    docs = assemble_catalog_partitions(ms)
+    n = docs.count()
+    assert n == ms["PARTITIONS"].count()
+    row = docs.orderBy("database", "table", "values").first()
+    assert len(row.values) == 2
+    # skewedInfo landed inside the partition's storage descriptor
+    assert row.storageDescriptor.skewedInfo.skewedColumnValueLocationMaps
+
+    tables = assemble_catalog_tables(ms)
+    back = explode_catalog_partitions(docs, tables, start_part_id=500)
+    ids = sorted(r.PART_ID for r in back["PARTITIONS"].collect())
+    assert ids == list(range(500, 500 + n))
+    # F13 name: 'k1(t1),k2(t2),...=v1,v2'
+    name = back["PARTITIONS"].where(F.col("PART_NAME").isNotNull()).first().PART_NAME
+    assert "=" in name and "(" in name
+    keys_part, vals_part = name.split("=", 1)
+    assert len(vals_part.split(",")) == 2
+    # key vals survive with idx order
+    kv = back["PARTITION_KEY_VALS"]
+    assert kv.count() == 2 * n
+    assert {r.INTEGER_IDX for r in kv.collect()} == {0, 1}
