@@ -119,6 +119,54 @@ def q_ddb_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("q_stateful_running_status", None)
+def q_stateful_running_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState):
+    per-user running event count / latest type over the events table
+    replayed as a 2-file stream. Rows-only check — state-store
+    output is genuinely non-SQL-expressible."""
+    import tempfile
+    import uuid
+
+    from datalake_toolkit_spark.streaming import running_status
+
+    events = _t(spark, sf_dir, "events").select(
+        F.col("user_id"),
+        F.col("event_type"),
+        F.unix_timestamp("ts").cast("double").alias("ts_sec"),
+    ).where(F.col("user_id") < 50)
+    work = tempfile.mkdtemp(prefix="dts_stateful_")
+    src = f"{work}/src"
+    # two json files -> two micro-batches (maxFilesPerTrigger=1)
+    events.where(F.col("user_id") % 2 == 0).coalesce(1).write.mode(
+        "overwrite"
+    ).json(f"{src}/even")
+    events.where(F.col("user_id") % 2 == 1).coalesce(1).write.mode(
+        "overwrite"
+    ).json(f"{src}/odd")
+    stream = (
+        spark.readStream.schema("user_id bigint, event_type string, ts_sec double")
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .json(src)
+    )
+    sink = f"sink_{uuid.uuid4().hex[:8]}"
+    q = (
+        running_status(stream, "user_id", "event_type", "ts_sec")
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("update")
+        .option("checkpointLocation", f"{work}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(sink).groupBy("key").agg(
+        F.max("n_events").alias("n_events"),
+        F.max_by("latest_status", "n_events").alias("latest_status"),
+    )
+
+
 @query("q_partition_local_groups", None)
 def q_partition_local_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A4: partition-local grouping (rows-only check — output shape

@@ -6,6 +6,9 @@ from datalake_toolkit_spark.streaming.ingestion import (
     RoutePlugin,
     read_ledger,
 )
+from datalake_toolkit_spark.streaming.stateful import (
+    running_status,
+)
 from datalake_toolkit_spark.streaming.windows import (
     sessionized,
     windowed_counts,
@@ -15,6 +18,7 @@ __all__ = [
     "IngestionPipeline",
     "RoutePlugin",
     "read_ledger",
+    "running_status",
     "sessionized",
     "windowed_counts",
 ]

@@ -174,3 +174,52 @@ def test_stream_batch_symmetric_windows(spark, sf_dir, tmp_path):
         for r in windowed_counts(ev, window="1 hour").collect()
     }
     assert streamed == batch
+
+
+def test_stateful_running_status(spark, tmp_path):
+    """applyInPandasWithState carries per-key state across
+    micro-batches: two files drained one per trigger must produce
+    cumulative counts, not per-batch counts."""
+    import json as _json
+
+    from datalake_toolkit_spark.streaming import running_status
+
+    src = tmp_path / "status_stream"
+    src.mkdir()
+    f1 = [
+        {"file": "a.csv", "status": "INITIAL_LOAD", "ts": 1.0},
+        {"file": "b.csv", "status": "INITIAL_LOAD", "ts": 2.0},
+        {"file": "a.csv", "status": "PROCESSING", "ts": 3.0},
+    ]
+    f2 = [
+        {"file": "a.csv", "status": "LOADED", "ts": 4.0},
+        {"file": "c.csv", "status": "INITIAL_LOAD", "ts": 5.0},
+    ]
+    for name, rows in [("batch1.json", f1), ("batch2.json", f2)]:
+        (src / name).write_text("\n".join(_json.dumps(r) for r in rows))
+
+    stream = (
+        spark.readStream.schema("file string, status string, ts double")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    out = running_status(stream, key_col="file", status_col="status", ts_col="ts")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("running_status_sink")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM running_status_sink").collect()
+    # last emitted row per key wins (update mode re-emits touched keys)
+    latest = {}
+    for r in rows:
+        latest[r.key] = r
+    assert latest["a.csv"].n_events == 3          # state carried across batches
+    assert latest["a.csv"].latest_status == "LOADED"
+    assert latest["a.csv"].first_seen == 1.0
+    assert latest["a.csv"].last_seen == 4.0
+    assert latest["b.csv"].n_events == 1
+    assert latest["c.csv"].latest_status == "INITIAL_LOAD"
