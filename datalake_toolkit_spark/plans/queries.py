@@ -714,3 +714,124 @@ def q_sessionized_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datalake_toolkit_spark.streaming.windows import sessionized
 
     return sessionized(_t(spark, sf_dir, "events"), gap="30 minutes")
+
+
+@query(
+    "q6_forecast_revenue",
+    """
+    SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                    CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(18,4)) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure filter + agg — the predicate-pushdown
+    showcase (all three predicates reach the parquet scan; only four
+    columns read)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & (F.col("l_discount").between(0.05, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(_dec("l_extendedprice") * _dec("l_discount", 4, 2))
+            .cast("decimal(18,4)")
+            .alias("revenue")
+        )
+    )
+
+
+@query(
+    "q18_large_orders",
+    """
+    WITH big AS (
+      SELECT l_orderkey, CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING sum(CAST(l_quantity AS DECIMAL(12,2))) >= 300)
+    SELECT c.c_name, o.o_orderkey,
+           CAST(o.o_totalprice AS DECIMAL(12,2)) AS total_price, b.sum_qty
+    FROM big b
+    JOIN orders o ON o.o_orderkey = b.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 100
+    """,
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: agg -> having -> join fact-to-dim -> global
+    top-k. The HAVING side shrinks to O(big orders) before the joins,
+    so both joins broadcast the small side; top-k is a TakeOrdered,
+    not a full sort."""
+    li, orders, cust = (
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "customer"),
+    )
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(_dec("l_quantity")).cast("decimal(18,2)").alias("sum_qty"))
+        .where(F.col("sum_qty") >= 300)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name",
+            "o_orderkey",
+            _dec("o_totalprice").alias("total_price"),
+            "sum_qty",
+        )
+        .orderBy(F.desc("total_price"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+@query(
+    "q14_promo_share",
+    """
+    WITH m AS (
+      SELECT CAST(month(l_shipdate) AS INTEGER) AS ship_month,
+             CAST(sum(CASE WHEN p_type = 'PROMO'
+                  THEN CAST(l_extendedprice AS DECIMAL(12,2)) *
+                       (1 - CAST(l_discount AS DECIMAL(4,2))) ELSE 0 END)
+                  AS DECIMAL(18,4)) AS promo_rev,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                  (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(18,4)) AS total_rev
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+      GROUP BY 1)
+    SELECT ship_month, promo_rev, total_rev,
+           100.0 * CAST(promo_rev AS DOUBLE) / CAST(total_rev AS DOUBLE) AS promo_pct
+    FROM m
+    """,
+)
+def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional aggregation over a broadcast
+    fact-dim join, monthly promo revenue share."""
+    li, part = _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "part")
+    rev = _rev()
+    joined = li.where(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    ).join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    m = joined.groupBy(
+        F.month("l_shipdate").cast("int").alias("ship_month")
+    ).agg(
+        F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0)))
+        .cast("decimal(18,4)")
+        .alias("promo_rev"),
+        F.sum(rev).cast("decimal(18,4)").alias("total_rev"),
+    )
+    return m.select(
+        "ship_month",
+        "promo_rev",
+        "total_rev",
+        (
+            F.lit(100.0)
+            * F.col("promo_rev").cast("double")
+            / F.col("total_rev").cast("double")
+        ).alias("promo_pct"),
+    )

@@ -145,3 +145,26 @@ def compact(
     df = spark.read.parquet(path)
     out = output_path or path + "_compacted"
     df.coalesce(target_partitions).write.mode("overwrite").parquet(out)
+
+
+def insert_into_table(df: DataFrame, table: str, overwrite: bool = False) -> None:
+    """S12: dynamic-partition table insert with the Hive
+    ``insertInto`` contract the reference's ETL jobs rely on
+    (spark_submit_tb_impressions_parquet.py:98,
+    spark_submit_tb_iba_laminacao_parquet.py:141; session conf
+    ``hive.exec.dynamic.partition[.mode]``):
+
+    - columns match the target table BY POSITION, not by name — the
+      last column(s) feed the partition column(s);
+    - every insert is a dynamic-partition insert: partition values
+      come from the data;
+    - with ``overwrite=True`` and
+      ``spark.sql.sources.partitionOverwriteMode=dynamic`` (set by
+      the engine session factory), only the partitions present in
+      ``df`` are replaced — the reference's nonstrict overwrite.
+
+    The position contract silently mis-maps reordered columns
+    (SURVEY.md §7 risk 1) — locked by tests, and callers should
+    ``select`` columns in table order first.
+    """
+    df.write.insertInto(table, overwrite=overwrite)

@@ -223,3 +223,35 @@ def test_stateful_running_status(spark, tmp_path):
     assert latest["a.csv"].last_seen == 4.0
     assert latest["b.csv"].n_events == 1
     assert latest["c.csv"].latest_status == "INITIAL_LOAD"
+
+
+def test_insert_into_position_based(spark, tmp_path):
+    """S12 contract: insertInto matches columns by POSITION (names
+    ignored, partition column last), and dynamic overwrite replaces
+    only the partitions present in the inserted frame."""
+    from datalake_toolkit_spark.sources.ingest import insert_into_table
+
+    spark.sql("DROP TABLE IF EXISTS ins_t")
+    base = spark.createDataFrame(
+        [(1, "a", "2024-01-01"), (2, "b", "2024-01-02")],
+        "id int, payload string, dt string",
+    )
+    base.write.partitionBy("dt").option("path", str(tmp_path / "ins_t")).mode(
+        "overwrite"
+    ).saveAsTable("ins_t")
+
+    # deliberately wrong NAMES, correct positions -> must still land
+    more = spark.createDataFrame([(3, "c", "2024-01-02")], "x int, y string, z string")
+    insert_into_table(more, "ins_t")
+    got = spark.table("ins_t")
+    assert got.count() == 3
+    assert got.where("dt = '2024-01-02'").count() == 2
+    assert {r.payload for r in got.collect()} == {"a", "b", "c"}
+
+    # dynamic partition overwrite: only the touched partition replaced
+    repl = spark.createDataFrame([(9, "r", "2024-01-02")], "a int, b string, c string")
+    insert_into_table(repl, "ins_t", overwrite=True)
+    got = spark.table("ins_t")
+    assert got.where("dt = '2024-01-02'").count() == 1
+    assert got.where("dt = '2024-01-01'").count() == 1  # untouched survives
+    spark.sql("DROP TABLE ins_t")
