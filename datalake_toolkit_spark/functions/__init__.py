@@ -12,6 +12,7 @@ from datalake_toolkit_spark.functions.scalar import (
     plain_map_to_ddb_json,
     sanitize_csv_header,
     skewed_values_to_str,
+    string_list_str_to_array,
     unix_seconds_to_gson,
     with_prefix,
 )
@@ -28,6 +29,7 @@ __all__ = [
     "plain_map_to_ddb_json",
     "sanitize_csv_header",
     "skewed_values_to_str",
+    "string_list_str_to_array",
     "unix_seconds_to_gson",
     "with_prefix",
 ]

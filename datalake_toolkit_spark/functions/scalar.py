@@ -163,3 +163,24 @@ def ddb_json_to_plain_map(col: Column | str) -> Column:
     return F.transform_values(
         typed, lambda k, v: F.coalesce(v.getField("S"), v.getField("N"))
     )
+
+
+def string_list_str_to_array(col: Column | str) -> Column:
+    """Parse the reference's skewed-string-list rendering
+    ``"<n>%['a', 'b']"`` back into an array — parity: F14
+    ``udf_string_list_str_to_list``
+    (hive_metastore_migration.py:829-842), including its quirks:
+
+    - the guard regex is a *prefix* match of ``\\d%\\[('\\w+',?\\s?)+\\]``
+      — a single leading digit only (multi-digit lengths fail the
+      guard and yield ``[]``), trailing junk tolerated;
+    - each comma token is trimmed then stripped of its first and last
+      character (the quotes), with no validation beyond the guard.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    guard = c.rlike(r"^\d%\[('\w+',?\s?)+\]")
+    after_pct = F.split(c, "%")[1]
+    body = after_pct.substr(F.lit(2), F.length(after_pct) - 2)
+    toks = F.transform(F.split(body, ","), lambda t: F.trim(t))
+    parsed = F.transform(toks, lambda t: t.substr(F.lit(2), F.length(t) - 2))
+    return F.when(guard, parsed).otherwise(F.array())

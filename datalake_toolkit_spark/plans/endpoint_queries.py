@@ -119,6 +119,42 @@ def q_ddb_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_skewed_list_parse",
+    r"""
+    WITH src AS (
+      SELECT n_nationkey, '1%[''' || n_name || ''']' AS s FROM nation
+    )
+    SELECT n_nationkey, s,
+           CASE WHEN regexp_matches(s, '^\d%\[(''\w+'',?\s?)+\]')
+                THEN array_to_string(
+                  list_transform(
+                    string_split(substring(split_part(s, '%', 2), 2,
+                                           length(split_part(s, '%', 2)) - 2), ','),
+                    t -> trim(t)[2:-2]),
+                  '|')
+                ELSE '' END AS vals
+    FROM src
+    """,
+)
+def q_skewed_list_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F14: parse the '<n>%[values]' skewed-list rendering back to an
+    array, reference quirks included (single-digit guard; names with
+    non-word chars fail the guard and yield empty)."""
+    from datalake_toolkit_spark.functions import string_list_str_to_array
+
+    nation = _t(spark, sf_dir, "nation")
+    src = nation.select(
+        "n_nationkey",
+        F.concat(F.lit("1%['"), F.col("n_name"), F.lit("']")).alias("s"),
+    )
+    return src.select(
+        "n_nationkey",
+        "s",
+        F.concat_ws("|", string_list_str_to_array("s")).alias("vals"),
+    )
+
+
 @query("q_stateful_running_status", None)
 def q_stateful_running_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator (applyInPandasWithState):
