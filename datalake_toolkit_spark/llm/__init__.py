@@ -45,3 +45,5 @@ __all__ = [
     "with_text_stats",
     "word_shingles",
 ]
+
+from datalake_toolkit_spark.llm.multimodal import sample_frames  # noqa: E402,F401

@@ -88,3 +88,53 @@ def extract_media_features(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(batches, FEATURE_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_ts_ms", T.LongType()),
+        T.StructField("frame_bytes", T.BinaryType()),
+        T.StructField("frame_md5", T.StringType()),
+    ]
+)
+
+
+def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
+    """Frame sampling for video rows: one output row per sampled
+    frame (doc_id, frame_idx, synthetic timestamp, frame payload,
+    md5). The 1->N row fan-out, schema contract, and Arrow batch
+    shape are the production plumbing; the decoder is the
+    deterministic stand-in (frame i = the i-th of n_frames byte
+    slices of the payload — a real implementation puts ffmpeg
+    keyframe extraction in its place, same signature).
+
+    Scale: mapInPandas keeps the fan-out executor-local (no shuffle);
+    output size is bounded by n_frames x input partition size, and
+    ``spark.sql.execution.arrow.maxRecordsPerBatch`` bounds peak
+    memory per Arrow batch.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows: dict[str, list] = {
+                "doc_id": [], "frame_idx": [], "frame_ts_ms": [],
+                "frame_bytes": [], "frame_md5": [],
+            }
+            for doc_id, mtype, content in zip(
+                pdf["doc_id"], pdf["media_type"], pdf["content"]
+            ):
+                if mtype != "video" or len(content) == 0:
+                    continue
+                step = max(len(content) // n_frames, 1)
+                for i in range(min(n_frames, len(content))):
+                    frame = bytes(content[i * step : (i + 1) * step])
+                    rows["doc_id"].append(int(doc_id))
+                    rows["frame_idx"].append(i)
+                    rows["frame_ts_ms"].append(i * 1000)
+                    rows["frame_bytes"].append(frame)
+                    rows["frame_md5"].append(hashlib.md5(frame).hexdigest())
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(batches, FRAME_SCHEMA)

@@ -371,3 +371,33 @@ def q_quality_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("quality_score") >= 0.7)
         .select("doc_id", "quality_score")
     )
+
+
+@query(
+    "q_video_frames",
+    """
+    WITH v AS (
+      SELECT doc_id, text, octet_length(encode(text)) AS n
+      FROM documents WHERE doc_id % 3 = 2 AND length(text) > 0),
+    f AS (
+      SELECT v.doc_id, v.text, t.i,
+             greatest(v.n // 4, 1) AS step
+      FROM v, generate_series(0, 3) AS t(i)
+      WHERE t.i < least(4, v.n))
+    SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,
+           CAST(i * 1000 AS BIGINT) AS frame_ts_ms,
+           md5(substring(text, i * step + 1, step)) AS frame_md5
+    FROM f
+    """,
+)
+def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal frame sampling: video rows fan out to 4 frame rows
+    each inside mapInPandas (Arrow-batched, executor-local — no
+    shuffle). Frame payloads are deterministic byte slices so the
+    oracle can recompute the md5s."""
+    from datalake_toolkit_spark.llm.multimodal import attach_fake_media, sample_frames
+
+    media = attach_fake_media(_t(spark, sf_dir, "documents"))
+    return sample_frames(media, n_frames=4).select(
+        "doc_id", "frame_idx", "frame_ts_ms", "frame_md5"
+    )
