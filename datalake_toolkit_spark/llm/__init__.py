@@ -23,6 +23,7 @@ from datalake_toolkit_spark.llm.dedup import (
 )
 from datalake_toolkit_spark.llm.similarity import (
     cosine_similarity_col,
+    cosine_near_dup_pairs,
     cosine_topk,
     embedding_norms,
     lsh_bucketed_topk,

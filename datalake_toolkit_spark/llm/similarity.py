@@ -121,6 +121,52 @@ def hyperplane_bucket(vec_col: Column | str, n_planes: int = 8, dim: int = 64) -
     return bucket
 
 
+def cosine_near_dup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int | None = None,
+    dim: int = 64,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a, id_b, cosine)
+    with id_a < id_b and cosine >= threshold.
+
+    Two modes:
+
+    - ``n_planes=None`` — exact all-pairs (nested-loop on id_a <
+      id_b). Quadratic: the ground-truth/validation path, also the
+      oracle's formulation.
+    - ``n_planes=k`` — LSH-blocked: only pairs sharing a
+      hyperplane-sign bucket are scored (equi-join on bucket, then
+      the id ordering). The scale path: candidate count is
+      O(collisions), recall is tunable via k exactly like
+      :func:`lsh_bucketed_topk`.
+    """
+    c = ensure_min_partitions(
+        corpus.select(F.col(id_col).alias("id_a"), _as_double(vec_col).alias("va"))
+    )
+    if n_planes is not None:
+        c = c.select("id_a", "va", hyperplane_bucket("va", n_planes, dim).alias("bucket"))
+        other = c.select(
+            F.col("id_a").alias("id_b"), F.col("va").alias("vb"), "bucket"
+        ).hint("shuffle_hash")
+        paired = c.hint("shuffle_hash").join(other, "bucket").where(
+            F.col("id_a") < F.col("id_b")
+        )
+    else:
+        other = c.select(F.col("id_a").alias("id_b"), F.col("va").alias("vb"))
+        paired = c.join(other, F.col("id_a") < F.col("id_b"))
+    return (
+        paired.select(
+            "id_a",
+            "id_b",
+            cosine_similarity_col(F.col("va"), F.col("vb")).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )
+
+
 def lsh_bucketed_topk(
     corpus: DataFrame,
     queries: DataFrame,

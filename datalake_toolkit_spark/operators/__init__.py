@@ -13,6 +13,7 @@ from datalake_toolkit_spark.operators.relational import (
     pack_struct,
     posexplode_with_idx,
     rename_columns,
+    salted_join,
     unpack_struct,
     with_consecutive_id,
 )
@@ -30,6 +31,7 @@ __all__ = [
     "pack_struct",
     "posexplode_with_idx",
     "rename_columns",
+    "salted_join",
     "unpack_struct",
     "with_consecutive_id",
 ]

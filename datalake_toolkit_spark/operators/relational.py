@@ -272,6 +272,40 @@ def dedup_latest(
 # ---------------------------------------------------------------------------
 
 
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    salt: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-mitigating equi-join: identical results to
+    ``left.join(right, on, how)``, but a hot key's rows spread over
+    ``salt`` reducers instead of one.
+
+    The left side gets a deterministic salt in [0, salt) hashed from
+    its whole row; the right side is replicated ``salt`` times
+    (explode of a sequence — a narrow fan-out, no shuffle of its
+    own); the join key becomes (key, salt). Use when a handful of
+    keys dominate the distribution and AQE's skew-join splitting
+    isn't available or isn't enough; the cost is ``salt``x the
+    right-side shuffle volume, so keep the smaller side right.
+
+    Supported ``how``: inner / left / left_outer (right-side
+    replication breaks right/full-outer semantics — rejected).
+    """
+    if how not in ("inner", "left", "left_outer"):
+        raise ValueError(f"salted_join supports inner/left joins, got {how!r}")
+    lsalt = left.withColumn(
+        "__salt",
+        F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), salt).cast("int"),
+    )
+    rsalt = right.select(
+        "*", F.explode(F.sequence(F.lit(0), F.lit(salt - 1))).alias("__salt")
+    )
+    return lsalt.join(rsalt, [on, "__salt"], how).drop("__salt")
+
+
 def ensure_min_partitions(df: DataFrame, n: int | None = None) -> DataFrame:
     """Round-robin repartition iff the plan has fewer partitions than
     ``n`` (default: the cluster's default parallelism).

@@ -210,3 +210,36 @@ def q_partition_local_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem = _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_orderkey")
     out = group_within_partitions(lineitem, "l_returnflag", "l_orderkey")
     return out.select("l_returnflag", F.size("items").alias("batch_size"))
+
+
+@query(
+    "q_salted_join",
+    """
+    SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,
+           count(*) AS n,
+           CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_qty
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY 1
+    """,
+)
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted equi-join: result-identical to the plain join (the
+    oracle IS the plain join), with hot keys spread over salt
+    reducers. The manual fallback when AQE skew splitting isn't
+    available."""
+    from datalake_toolkit_spark.operators import salted_join
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderdate"
+    )
+    return (
+        salted_join(li, orders, "l_orderkey", salt=8)
+        .groupBy(F.year("o_orderdate").cast("int").alias("order_year"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_quantity").cast("decimal(12,2)"))
+            .cast("decimal(18,2)")
+            .alias("sum_qty"),
+        )
+    )

@@ -401,3 +401,25 @@ def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_frames(media, n_frames=4).select(
         "doc_id", "frame_idx", "frame_ts_ms", "frame_md5"
     )
+
+
+@query(
+    "q_cosine_near_dups",
+    """
+    WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           list_cosine_similarity(a.v, b.v) AS cosine
+    FROM c a JOIN c b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.v, b.v) >= 0.4
+    """,
+)
+def q_cosine_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, exact all-pairs mode (the
+    validation/oracle path; production uses the LSH-blocked mode).
+    Threshold 0.4 is calibrated to the synthetic corpus — vectors are
+    random, so true near-dups don't exist and the tail of the cosine
+    distribution stands in."""
+    from datalake_toolkit_spark.llm import cosine_near_dup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return cosine_near_dup_pairs(emb, threshold=0.4)

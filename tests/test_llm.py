@@ -77,3 +77,22 @@ def test_decode_media_is_stubbed(spark, sf_dir):
     row = feats.orderBy("doc_id").first()
     assert row.byte_len > 0 and len(row.content_md5) == 32
     assert 1 <= row.fake_width <= 1024
+
+
+def test_cosine_near_dup_lsh_subset_of_exact(spark, sf_dir):
+    """LSH-blocked near-dup pairs must be a subset of the exact
+    all-pairs result at the same threshold (blocking only prunes)."""
+    from datalake_toolkit_spark.llm import cosine_near_dup_pairs
+    from datalake_toolkit_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = {
+        (r.id_a, r.id_b)
+        for r in cosine_near_dup_pairs(emb, threshold=0.35).collect()
+    }
+    blocked = {
+        (r.id_a, r.id_b)
+        for r in cosine_near_dup_pairs(emb, threshold=0.35, n_planes=4).collect()
+    }
+    assert blocked <= exact
+    assert len(exact) > 0
