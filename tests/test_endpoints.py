@@ -205,3 +205,24 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
     assert joined.count() == li.count()
     spark.sql("DROP TABLE b_li")
     spark.sql("DROP TABLE b_orders")
+
+
+def test_resolve_params_precedence(tmp_path, monkeypatch):
+    """M0 config loader: CLI > JSON file > env > defaults, None CLI
+    entries treated as absent (the reference's click-option chain)."""
+    from datalake_toolkit_spark.config import resolve_params
+
+    cfg = tmp_path / "job.json"
+    cfg.write_text('{"table": "from_file", "sep": ";"}')
+    monkeypatch.setenv("DTS_TABLE", "from_env")
+    monkeypatch.setenv("DTS_ENCODING", "utf-8")
+    params = resolve_params(
+        cli={"table": "from_cli", "header": None},
+        config_file=str(cfg),
+        defaults={"table": "from_default", "mode": "append"},
+    )
+    assert params["table"] == "from_cli"      # CLI wins
+    assert params["sep"] == ";"               # file beats env/defaults
+    assert params["encoding"] == "utf-8"      # env visible
+    assert params["mode"] == "append"         # defaults fill gaps
+    assert "header" not in params             # None CLI = absent
