@@ -24,6 +24,7 @@ from datalake_toolkit_spark.llm.dedup import (
 from datalake_toolkit_spark.llm.similarity import (
     cosine_similarity_col,
     cosine_near_dup_pairs,
+    ivf_topk,
     cosine_topk,
     embedding_norms,
     lsh_bucketed_topk,
@@ -36,6 +37,7 @@ __all__ = [
     "exact_dedup",
     "exact_dedup_groups",
     "jaccard_pairs",
+    "ivf_topk",
     "lsh_bucketed_topk",
     "minhash_band_keys",
     "minhash_near_dup_pairs",

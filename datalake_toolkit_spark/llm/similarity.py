@@ -121,6 +121,139 @@ def hyperplane_bucket(vec_col: Column | str, n_planes: int = 8, dim: int = 64) -
     return bucket
 
 
+def ivf_assignments(
+    corpus: DataFrame,
+    n_lists: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    lloyd_iters: int = 2,
+) -> tuple[DataFrame, list[list[float]]]:
+    """IVF coarse quantization: assign every vector to its nearest
+    centroid (inverted list).
+
+    Centroids start as deterministic pseudo-random unit directions
+    (same md5 derivation as the LSH planes, so runs are reproducible
+    with no RNG state) and are refined with ``lloyd_iters`` Lloyd
+    iterations — each iteration is one narrow assignment pass plus
+    one groupBy(list).avg() shuffle of centroid-sized rows; centroids
+    come back to the driver (n_lists x dim floats, tiny) and re-enter
+    the plan as literals.
+
+    Returns (assignments DataFrame: id, list_id, vector; centroids).
+    This is the k-means-style iterative-algorithm shape: driver-side
+    loop over DataFrame jobs, nothing collected but the centroids.
+    """
+    staged = ensure_min_partitions(
+        corpus.select(F.col(id_col).alias("vid"), _as_double(vec_col).alias("v"))
+    )
+    centroids = [
+        [_plane_component(p, d) for d in range(dim)] for p in range(n_lists)
+    ]
+
+    def assign(cents: list[list[float]]) -> Column:
+        best_id = F.lit(0)
+        best_dot = F.lit(float("-inf"))
+        # unrolled argmax over literal centroids: one pass per list,
+        # all inside a single projection
+        for i, c in enumerate(cents):
+            arr = F.array(*[F.lit(x) for x in c])
+            dot = _fold_sum(F.zip_with(F.col("v"), arr, lambda x, w: x * w))
+            better = dot > best_dot
+            best_id = F.when(better, F.lit(i)).otherwise(best_id)
+            best_dot = F.when(better, dot).otherwise(best_dot)
+        return best_id
+
+    for _ in range(lloyd_iters):
+        assigned = staged.select("vid", "v", assign(centroids).alias("list_id"))
+        means = (
+            assigned.select(
+                "list_id", F.posexplode("v").alias("d", "x")
+            )
+            .groupBy("list_id", "d")
+            .agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        by_list: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_list.setdefault(r.list_id, {})[r.d] = r.m
+        centroids = [
+            [by_list.get(i, {}).get(d, centroids[i][d]) for d in range(dim)]
+            for i in range(len(centroids))
+        ]
+    return (
+        staged.select("vid", "v", assign(centroids).alias("list_id")),
+        centroids,
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    lloyd_iters: int = 2,
+) -> DataFrame:
+    """IVF approximate top-k: score only corpus vectors whose
+    inverted list is among the query's ``n_probe`` nearest centroids.
+
+    The corpus is quantized once (see :func:`ivf_assignments`);
+    queries explode to n_probe (qid, list_id) rows and equi-join the
+    inverted lists — candidate volume ~ corpus * n_probe / n_lists.
+    Raising n_probe trades work for recall; n_probe = n_lists is
+    exact. The standard middle ground between brute force and LSH
+    when the corpus has cluster structure.
+    """
+    assigned, centroids = ivf_assignments(
+        corpus, n_lists, id_col, vec_col, dim, lloyd_iters
+    )
+
+    def probe_lists(cents: list[list[float]]) -> Column:
+        dots = F.array(
+            *[
+                F.struct(
+                    _fold_sum(
+                        F.zip_with(
+                            F.col("qv"),
+                            F.array(*[F.lit(x) for x in c]),
+                            lambda x, w: x * w,
+                        )
+                    ).alias("dot"),
+                    F.lit(i).alias("list_id"),
+                )
+                for i, c in enumerate(cents)
+            ]
+        )
+        ranked = F.reverse(F.array_sort(dots))
+        return F.transform(
+            F.slice(ranked, 1, n_probe), lambda s: s.getField("list_id")
+        )
+
+    q = queries.select(
+        F.col(id_col).alias("qid"), _as_double(vec_col).alias("qv")
+    ).select("qid", "qv", F.explode_outer(probe_lists(centroids)).alias("list_id"))
+    scored = (
+        assigned.hint("shuffle_hash")
+        .join(F.broadcast(q), "list_id")
+        .where(F.col("qid") != F.col("vid"))
+        .select(
+            "qid",
+            F.col("vid").alias("cid"),
+            cosine_similarity_col(F.col("qv"), F.col("v")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("cid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("qid", "cid", "cosine", "rank")
+    )
+
+
 def cosine_near_dup_pairs(
     corpus: DataFrame,
     threshold: float = 0.9,

@@ -423,3 +423,15 @@ def q_cosine_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     return cosine_near_dup_pairs(emb, threshold=0.4)
+
+
+@query("q_ivf_ann_topk", None)
+def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k (coarse quantization + Lloyd-refined
+    centroids + n_probe inverted lists). Rows-only: approximate by
+    construction; the pytest suite pins full-probe == brute force."""
+    from datalake_toolkit_spark.llm import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    return ivf_topk(emb, queries, k=10, n_lists=8, n_probe=2)

