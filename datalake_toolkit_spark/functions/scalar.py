@@ -181,6 +181,11 @@ def string_list_str_to_array(col: Column | str) -> Column:
     guard = c.rlike(r"^\d%\[('\w+',?\s?)+\]")
     after_pct = F.split(c, "%")[1]
     body = after_pct.substr(F.lit(2), F.length(after_pct) - 2)
-    toks = F.transform(F.split(body, ","), lambda t: F.trim(t))
+    # regexp strip, not F.trim: Python's str.strip() removes all
+    # whitespace (tabs, newlines), Spark's trim only spaces
+    toks = F.transform(
+        F.split(body, ","),
+        lambda t: F.regexp_replace(t, r"^\s+|\s+$", ""),
+    )
     parsed = F.transform(toks, lambda t: t.substr(F.lit(2), F.length(t) - 2))
     return F.when(guard, parsed).otherwise(F.array())

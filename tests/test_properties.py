@@ -1,0 +1,120 @@
+"""Property-based checks (hypothesis): expression-side operators must
+agree with their reference Python semantics on arbitrary inputs, not
+just the fixture corpus. One Spark job per example batch."""
+
+from __future__ import annotations
+
+import re
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from datalake_toolkit_spark.functions import (
+    sanitize_csv_header,
+    string_list_str_to_array,
+)
+
+
+_PY2_WHITESPACE = " \t\n\x0b\x0c\r"
+
+
+def _ref_string_list_parse(s: str) -> list[str]:
+    """Verbatim reference semantics
+    (hive_metastore_migration.py:829-842). The reference is Python 2:
+    ``str.strip()`` there strips exactly string.whitespace
+    (= Java's \\s), not Python 3's wider Unicode set (\\x1c-\\x1f
+    etc.), so the strip set is pinned explicitly."""
+    try:
+        r = re.compile(r"\d%\[('\w+',?\s?)+\]")
+        if r.match(s) is None:
+            return []
+        return [
+            t.strip(_PY2_WHITESPACE)[1:-1]
+            for t in s.split("%")[1][1:-1].split(",")
+        ]
+    except (IndexError, AssertionError):
+        return []
+
+
+def _ref_sanitize(line: str) -> str:
+    """Verbatim reference semantics (lambda/common.py:238-247)."""
+    return "".join(
+        c
+        for c in line
+        if c in "-_ .&',$" or c.isdigit() or ("a" <= c <= "z") or ("A" <= c <= "Z")
+    )
+
+
+_WORD = st.from_regex(r"[A-Za-z0-9_]{1,8}", fullmatch=True)
+_VALID_LIST = st.builds(
+    lambda n, words, sep: f"{n}%[" + sep.join(f"'{w}'" for w in words) + "]",
+    st.integers(0, 9),
+    st.lists(_WORD, min_size=1, max_size=4),
+    st.sampled_from([",", ", "]),
+)
+_JUNK = st.text(
+    alphabet=st.characters(codec="ascii", exclude_characters="\x00"),
+    max_size=20,
+)
+_LIST_INPUT = st.one_of(_VALID_LIST, _JUNK, st.builds(lambda a, b: a + b, _VALID_LIST, _JUNK))
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(_LIST_INPUT, min_size=1, max_size=40))
+def test_string_list_parse_matches_reference(spark, cases):
+    df = spark.createDataFrame([(s,) for s in cases], "s string")
+    got = [
+        r.v
+        for r in df.select(string_list_str_to_array("s").alias("v"))
+        .collect()
+    ]
+    expected = [_ref_string_list_parse(s) for s in cases]
+    assert got == expected
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(codec="ascii", exclude_characters="\x00"),
+            max_size=30,
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_sanitize_header_matches_reference(spark, cases):
+    df = spark.createDataFrame([(s,) for s in cases], "s string")
+    got = [r.v for r in df.select(sanitize_csv_header("s").alias("v")).collect()]
+    expected = [_ref_sanitize(s) for s in cases]
+    assert got == expected
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 5), _WORD, st.integers(0, 99)),
+        min_size=1,
+        max_size=50,
+    )
+)
+def test_kv_pairs_to_map_last_wins(spark, rows):
+    """A1 duplicate-key policy: for each (id, key), SOME value from
+    that key's rows wins and every key is present — the dict.update
+    merge of the reference, which had no cross-partition order
+    guarantee either."""
+    from datalake_toolkit_spark.operators import kv_pairs_to_map
+
+    df = spark.createDataFrame(rows, "id int, k string, v int")
+    out = {
+        r.id: r.m
+        for r in kv_pairs_to_map(df, "id", "k", "v", "m").collect()
+    }
+    by_id: dict[int, dict[str, set[int]]] = {}
+    for i, k, v in rows:
+        by_id.setdefault(i, {}).setdefault(k, set()).add(v)
+    assert set(out) == set(by_id)
+    for i, keys in by_id.items():
+        assert set(out[i]) == set(keys)
+        for k, candidates in keys.items():
+            assert out[i][k] in candidates
