@@ -356,9 +356,15 @@ def explode_catalog_tables(
         F.col("c.comment").alias("COMMENT"),
         "INTEGER_IDX",
     )
+    # SERDE_ID / CD_ID / STRING_LIST_ID are 1:1 with SD_ID on the way
+    # back: the forward direction nested each satellite inside its
+    # descriptor, so sharing structure (many SDs -> one serde row) is
+    # not recoverable and the reference's to-metastore re-seeds fresh
+    # ids the same way (hive_metastore_migration.py:1205-1225).
     sds = seeded.select(
         "SD_ID",
         F.col("SD_ID").alias("CD_ID"),
+        F.col("SD_ID").alias("SERDE_ID"),
         F.col("storageDescriptor.location").alias("LOCATION"),
         F.col("storageDescriptor.inputFormat").alias("INPUT_FORMAT"),
         F.col("storageDescriptor.outputFormat").alias("OUTPUT_FORMAT"),
@@ -368,12 +374,112 @@ def explode_catalog_tables(
             "IS_STOREDASSUBDIRECTORIES"
         ),
     )
+    sd_params = explode_map_params(
+        seeded.select(
+            "SD_ID", F.col("storageDescriptor.parameters").alias("parameters")
+        ),
+        "SD_ID",
+        "parameters",
+    )
+    serdes = seeded.select(
+        F.col("SD_ID").alias("SERDE_ID"),
+        F.col("storageDescriptor.serdeInfo.name").alias("NAME"),
+        F.col("storageDescriptor.serdeInfo.serializationLibrary").alias("SLIB"),
+    ).where(F.col("SLIB").isNotNull())
+    serde_params = explode_map_params(
+        seeded.select(
+            F.col("SD_ID").alias("SERDE_ID"),
+            F.col("storageDescriptor.serdeInfo.parameters").alias("parameters"),
+        ),
+        "SERDE_ID",
+        "parameters",
+    )
+    bucketing_cols = posexplode_with_idx(
+        seeded.select(
+            "SD_ID", F.col("storageDescriptor.bucketColumns").alias("bc")
+        ),
+        "bc",
+        "INTEGER_IDX",
+        "b",
+        keep=["SD_ID"],
+    ).select("SD_ID", F.col("b").alias("BUCKET_COL_NAME"), "INTEGER_IDX")
+    sort_cols = posexplode_with_idx(
+        seeded.select("SD_ID", F.col("storageDescriptor.sortColumns").alias("sc")),
+        "sc",
+        "INTEGER_IDX",
+        "s",
+        keep=["SD_ID"],
+    ).select(
+        "SD_ID",
+        F.col("s.column").alias("COLUMN_NAME"),
+        F.col("s.order").alias("ORDER"),
+        "INTEGER_IDX",
+    )
+    skewed_col_names = posexplode_with_idx(
+        seeded.select(
+            "SD_ID",
+            F.col("storageDescriptor.skewedInfo.skewedColumnNames").alias("sk"),
+        ),
+        "sk",
+        "INTEGER_IDX",
+        "n",
+        keep=["SD_ID"],
+    ).select("SD_ID", F.col("n").alias("SKEWED_COL_NAME"), "INTEGER_IDX")
+    # Skew value lists come back from the '<n>%v1,v2' map keys. One
+    # string list per map entry, STRING_LIST_ID 1:1 derived from
+    # (SD_ID, entry rank). NOTE: the reference's own reverse parser
+    # (F14) expects "<n>%['a', 'b']" — a format its forward encoder
+    # (F5) never produces, so the original pipeline silently loses
+    # skew values on the round trip; we parse our actual F5 encoding
+    # and keep them.
+    loc_entries = seeded.select(
+        "SD_ID",
+        F.posexplode_outer(
+            F.map_from_entries(
+                F.array_sort(
+                    F.map_entries(
+                        F.col(
+                            "storageDescriptor.skewedInfo.skewedColumnValueLocationMaps"
+                        )
+                    )
+                )
+            )
+        ).alias("__rank", "vstr", "LOCATION"),
+    ).where(F.col("vstr").isNotNull())
+    loc_entries = loc_entries.withColumn(
+        "STRING_LIST_ID", F.col("SD_ID") * 1000 + F.col("__rank")
+    )
+    skewed_loc_map = loc_entries.select(
+        "SD_ID",
+        F.col("STRING_LIST_ID").alias("STRING_LIST_ID_KID"),
+        "LOCATION",
+    )
+    skewed_string_list = loc_entries.select("STRING_LIST_ID")
+    skewed_string_list_values = posexplode_with_idx(
+        loc_entries.select(
+            "STRING_LIST_ID",
+            F.split(F.substring_index("vstr", "%", -1), ",").alias("vals"),
+        ),
+        "vals",
+        "INTEGER_IDX",
+        "v",
+        keep=["STRING_LIST_ID"],
+    ).select("STRING_LIST_ID", F.col("v").alias("STRING_LIST_VALUE"), "INTEGER_IDX")
     return {
         "TBLS": tbls,
         "TABLE_PARAMS": table_params,
         "PARTITION_KEYS": partition_keys,
         "COLUMNS_V2": columns,
         "SDS": sds,
+        "SD_PARAMS": sd_params,
+        "SERDES": serdes,
+        "SERDE_PARAMS": serde_params,
+        "BUCKETING_COLS": bucketing_cols,
+        "SORT_COLS": sort_cols,
+        "SKEWED_COL_NAMES": skewed_col_names,
+        "SKEWED_STRING_LIST": skewed_string_list,
+        "SKEWED_STRING_LIST_VALUES": skewed_string_list_values,
+        "SKEWED_COL_VALUE_LOC_MAP": skewed_loc_map,
     }
 
 

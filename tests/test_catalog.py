@@ -68,6 +68,89 @@ def test_round_trip_preserves_relational_content(spark, sf_dir):
     assert orig == new
 
 
+def _by_table(back, sat, id_col, *cols):
+    return {
+        tuple(r[c] for c in ("TBL_NAME", *cols))
+        for r in back["TBLS"]
+        .withColumnRenamed("SD_ID", id_col)
+        .join(back[sat], id_col)
+        .collect()
+    }
+
+
+def test_round_trip_recovers_sd_satellites(spark, sf_dir):
+    """Reverse migration emits the full SD satellite set (SD_PARAMS,
+    SERDES, BUCKETING_COLS, SORT_COLS, SKEWED_*), matching the
+    reference's 19-table to-metastore write set
+    (hive_metastore_migration.py:1313-1336)."""
+    ms = _metastore_from_star(spark, sf_dir)
+    docs = assemble_catalog_tables(ms)
+    back = explode_catalog_tables(docs, start_tbl_id=1, start_sd_id=1)
+
+    # storage-descriptor params survive keyed to the right table
+    orig = {
+        (r.TBL_NAME, r.PARAM_KEY, r.PARAM_VALUE)
+        for r in ms["TBLS"]
+        .select("TBL_NAME", "SD_ID")
+        .join(ms["SD_PARAMS"], "SD_ID")
+        .collect()
+    }
+    assert _by_table(back, "SD_PARAMS", "SD_ID", "PARAM_KEY", "PARAM_VALUE") == orig
+
+    # serdes re-seeded 1:1 per SD (sharing not recoverable, by design);
+    # the serialization library string round-trips
+    serdes = back["SERDES"].collect()
+    assert len(serdes) == back["TBLS"].count()
+    assert all(r.SLIB == "org.openx.data.jsonserde.JsonSerDe" for r in serdes)
+
+    # bucket columns keep their INTEGER_IDX ordering per descriptor
+    orig_buckets = {
+        (r.TBL_NAME, r.BUCKET_COL_NAME, r.INTEGER_IDX)
+        for r in ms["TBLS"]
+        .select("TBL_NAME", "SD_ID")
+        .join(ms["BUCKETING_COLS"], "SD_ID")
+        .collect()
+    }
+    assert (
+        _by_table(back, "BUCKETING_COLS", "SD_ID", "BUCKET_COL_NAME", "INTEGER_IDX")
+        == orig_buckets
+    )
+
+    # empty inputs stay empty (schema present, no phantom rows)
+    assert back["SORT_COLS"].count() == 0
+
+    # skew string-list values parse back out of the F5 '<n>%v1,v2' keys
+    orig_skew = {
+        (r.TBL_NAME, r.STRING_LIST_VALUE, r.INTEGER_IDX)
+        for r in ms["TBLS"]
+        .select("TBL_NAME", F.col("SD_ID").alias("X"))
+        .join(
+            ms["SKEWED_COL_VALUE_LOC_MAP"].withColumnRenamed("SD_ID", "X"), "X"
+        )
+        .join(
+            ms["SKEWED_STRING_LIST_VALUES"],
+            F.col("STRING_LIST_ID_KID") == F.col("STRING_LIST_ID"),
+        )
+        .collect()
+    }
+    got_skew = {
+        (r.TBL_NAME, r.STRING_LIST_VALUE, r.INTEGER_IDX)
+        for r in back["TBLS"]
+        .join(back["SKEWED_COL_VALUE_LOC_MAP"], "SD_ID")
+        .join(
+            back["SKEWED_STRING_LIST_VALUES"],
+            F.col("STRING_LIST_ID_KID") == F.col("STRING_LIST_ID"),
+        )
+        .collect()
+    }
+    assert got_skew == orig_skew
+    # every emitted string-list id exists in SKEWED_STRING_LIST
+    ids = {r.STRING_LIST_ID for r in back["SKEWED_STRING_LIST"].collect()}
+    assert {
+        r.STRING_LIST_ID for r in back["SKEWED_STRING_LIST_VALUES"].collect()
+    } <= ids
+
+
 def test_catalog_search_documents(spark, sf_dir):
     tables = register_star_schema(spark, sf_dir)
     docs = catalog_search_documents(spark, tables)
