@@ -101,24 +101,38 @@ def _plane_component(p: int, d: int) -> float:
     return (h % 2001 - 1000) / 1000.0
 
 
+def _matrix_lit(m: list[list[float]]) -> Column:
+    """2-D double-array literal rendered as ONE SQL expression string:
+    a single py4j round trip and one Catalyst literal node, vs
+    rows*cols F.lit calls (a 16x64 centroid matrix is 1024 round
+    trips per plan otherwise)."""
+    body = ",".join(
+        "array(" + ",".join(f"{x!r}D" for x in row) + ")" for row in m
+    )
+    return F.expr(f"array({body})")
+
+
 def hyperplane_bucket(vec_col: Column | str, n_planes: int = 8, dim: int = 64) -> Column:
     """Sign-bit LSH bucket id in [0, 2^n_planes):
     bit p = [dot(vec, plane_p) > 0].
 
-    The plane matrix is row-invariant, so it is folded into array
-    literals on the driver instead of md5-hashed per row (the naive
-    in-expression derivation costs n_planes * dim md5 calls per
+    The plane matrix is row-invariant, so it is folded into a single
+    array literal on the driver instead of md5-hashed per row (the
+    naive in-expression derivation costs n_planes * dim md5 calls per
     vector). Pass a materialized double-array column to avoid
     re-casting per plane."""
     v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
-    bucket = F.lit(0).cast("long")
-    for p in range(n_planes):
-        plane = F.array(*[F.lit(_plane_component(p, d)) for d in range(dim)])
-        dot = _fold_sum(F.zip_with(v, plane, lambda x, w: x * w))
-        bucket = bucket + F.when(dot > 0, F.lit(1 << p).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-    return bucket
+    planes = _matrix_lit(
+        [[_plane_component(p, d) for d in range(dim)] for p in range(n_planes)]
+    )
+    bits = F.transform(
+        planes,
+        lambda plane, p: F.when(
+            _fold_sum(F.zip_with(v, plane, lambda x, w: x * w)) > 0,
+            F.pow(F.lit(2.0), p).cast("long"),
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    return F.aggregate(bits, F.lit(0).cast("long"), lambda acc, b: acc + b)
 
 
 def ivf_assignments(
@@ -147,22 +161,34 @@ def ivf_assignments(
     staged = ensure_min_partitions(
         corpus.select(F.col(id_col).alias("vid"), _as_double(vec_col).alias("v"))
     )
+    if lloyd_iters > 0:
+        # iterative refinement re-scans the vectors once per pass;
+        # persist the cast working set for the duration (the MLlib
+        # KMeans pattern — spills to disk if it doesn't fit executor
+        # memory, evicted LRU afterwards)
+        staged = staged.persist()
     centroids = [
         [_plane_component(p, d) for d in range(dim)] for p in range(n_lists)
     ]
 
     def assign(cents: list[list[float]]) -> Column:
-        best_id = F.lit(0)
-        best_dot = F.lit(float("-inf"))
-        # unrolled argmax over literal centroids: one pass per list,
-        # all inside a single projection
-        for i, c in enumerate(cents):
-            arr = F.array(*[F.lit(x) for x in c])
-            dot = _fold_sum(F.zip_with(F.col("v"), arr, lambda x, w: x * w))
-            better = dot > best_dot
-            best_id = F.when(better, F.lit(i)).otherwise(best_id)
-            best_dot = F.when(better, dot).otherwise(best_dot)
-        return best_id
+        # argmax as array_max over (dot, -list_id) structs: one
+        # transform over the literal centroid matrix, expression size
+        # linear in n_lists. A chained when(dot > best) argmax embeds
+        # the running best twice per step and the tree grows
+        # O(2^n_lists) — at 16 lists that alone costs seconds of
+        # analysis/codegen per pass. Negated id keeps the smallest
+        # list id on ties.
+        dots = F.transform(
+            _matrix_lit(cents),
+            lambda c, i: F.struct(
+                _fold_sum(F.zip_with(F.col("v"), c, lambda x, w: x * w)).alias(
+                    "dot"
+                ),
+                (-i).alias("neg_id"),
+            ),
+        )
+        return -F.array_max(dots).getField("neg_id")
 
     for _ in range(lloyd_iters):
         assigned = staged.select("vid", "v", assign(centroids).alias("list_id"))
@@ -213,20 +239,14 @@ def ivf_topk(
     )
 
     def probe_lists(cents: list[list[float]]) -> Column:
-        dots = F.array(
-            *[
-                F.struct(
-                    _fold_sum(
-                        F.zip_with(
-                            F.col("qv"),
-                            F.array(*[F.lit(x) for x in c]),
-                            lambda x, w: x * w,
-                        )
-                    ).alias("dot"),
-                    F.lit(i).alias("list_id"),
-                )
-                for i, c in enumerate(cents)
-            ]
+        dots = F.transform(
+            _matrix_lit(cents),
+            lambda c, i: F.struct(
+                _fold_sum(F.zip_with(F.col("qv"), c, lambda x, w: x * w)).alias(
+                    "dot"
+                ),
+                i.alias("list_id"),
+            ),
         )
         ranked = F.reverse(F.array_sort(dots))
         return F.transform(
