@@ -89,10 +89,24 @@ def write_partitioned(
     mode: str = "overwrite",
     target_file_partitions: int | None = None,
 ) -> None:
-    """S11-S13 partitioned Parquet sink with optional file-count
-    control (Y1 ``repartition(n, cols)``)."""
-    if target_file_partitions is not None and partition_by:
-        df = df.repartition(target_file_partitions, *[F.col(c) for c in partition_by])
+    """S11-S13 partitioned Parquet sink with file-count control.
+
+    Explicit ``target_file_partitions`` reproduces Y1
+    ``repartition(n, cols)``. Otherwise a REBALANCE hint on the
+    partition columns is applied by default: without it a partitioned
+    write emits (input tasks x partition values) files — at 1000
+    executors that is the small-file explosion the reference's
+    compaction job exists to clean up. With AQE the rebalance yields
+    ~one right-sized file per partition value and splits skewed
+    (hot-date) partitions across tasks instead of bottlenecking on
+    one."""
+    if partition_by:
+        if target_file_partitions is not None:
+            df = df.repartition(
+                target_file_partitions, *[F.col(c) for c in partition_by]
+            )
+        else:
+            df = df.hint("rebalance", *partition_by)
     writer = df.write.mode(mode)
     if partition_by:
         writer = writer.partitionBy(*partition_by)
