@@ -90,6 +90,56 @@ def extract_media_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(batches, FEATURE_SCHEMA)
 
 
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("resized_bytes", T.BinaryType()),
+        T.StructField("resized_md5", T.StringType()),
+        T.StructField("resized_len", T.IntegerType()),
+    ]
+)
+
+
+def resize_media(media: DataFrame, width: int = 64, height: int = 64) -> DataFrame:
+    """Image resize plumbing: image rows -> (doc_id, width, height,
+    resized payload, md5, length). The Arrow batch shape, row filter,
+    and binary-out schema are the production contract; the resampler
+    is a deterministic stand-in (payload = md5(content:WxH) hex chain
+    tiled to width*height/256 bytes — a real implementation puts
+    PIL/libvips resampling in its place, same signature).
+
+    Scale: executor-local mapInPandas (no shuffle); output bytes per
+    row are bounded by the target dims regardless of source size, so
+    a resize stage *shrinks* the data in flight — run it before any
+    shuffle of media rows, never after."""
+    target_len = width * height // 256 + 1
+    suffix = f":{width}x{height}".encode()
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            keep = pdf[pdf["media_type"] == "image"]
+            chains = [
+                hashlib.md5(bytes(c) + suffix).hexdigest() for c in keep["content"]
+            ]
+            payloads = [
+                (ch * (target_len // 32 + 1))[:target_len].encode() for ch in chains
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": keep["doc_id"].astype("int64"),
+                    "width": width,
+                    "height": height,
+                    "resized_bytes": payloads,
+                    "resized_md5": [hashlib.md5(p).hexdigest() for p in payloads],
+                    "resized_len": [len(p) for p in payloads],
+                }
+            )
+
+    return media.mapInPandas(batches, RESIZE_SCHEMA)
+
+
 FRAME_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),

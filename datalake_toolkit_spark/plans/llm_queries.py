@@ -374,6 +374,33 @@ def q_quality_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_media_resize",
+    """
+    WITH img AS (
+      SELECT doc_id, md5(text || ':64x64') AS chain
+      FROM documents WHERE doc_id % 3 = 0),
+    r AS (
+      SELECT doc_id, substring(repeat(chain, 17 // 32 + 1), 1, 17) AS payload
+      FROM img)
+    SELECT doc_id, CAST(64 AS INTEGER) AS width, CAST(64 AS INTEGER) AS height,
+           md5(payload) AS resized_md5,
+           CAST(length(payload) AS INTEGER) AS resized_len
+    FROM r
+    """,
+)
+def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal resize stage: image rows through the Arrow-batched
+    resize contract (llm.multimodal.resize_media; resampler is the
+    deterministic stand-in, plumbing is production-shaped)."""
+    from datalake_toolkit_spark.llm.multimodal import attach_fake_media, resize_media
+
+    media = attach_fake_media(_t(spark, sf_dir, "documents"))
+    return resize_media(media, width=64, height=64).select(
+        "doc_id", "width", "height", "resized_md5", "resized_len"
+    )
+
+
+@query(
     "q_video_frames",
     """
     WITH v AS (

@@ -79,6 +79,24 @@ def test_decode_media_is_stubbed(spark, sf_dir):
     assert 1 <= row.fake_width <= 1024
 
 
+def test_resize_media_payload_contract(spark, sf_dir):
+    """resize_media keeps only image rows, bounds the payload by the
+    target dims, and the emitted md5/len describe the actual bytes."""
+    import hashlib
+
+    from datalake_toolkit_spark.llm.multimodal import resize_media
+
+    media = attach_fake_media(load_table(spark, sf_dir, "documents").limit(30))
+    out = resize_media(media, width=32, height=32).collect()
+    n_images = media.where("media_type = 'image'").count()
+    assert len(out) == n_images > 0
+    target_len = 32 * 32 // 256 + 1
+    for r in out:
+        assert r.resized_len == len(r.resized_bytes) == target_len
+        assert hashlib.md5(bytes(r.resized_bytes)).hexdigest() == r.resized_md5
+        assert (r.width, r.height) == (32, 32)
+
+
 def test_cosine_near_dup_lsh_subset_of_exact(spark, sf_dir):
     """LSH-blocked near-dup pairs must be a subset of the exact
     all-pairs result at the same threshold (blocking only prunes)."""
