@@ -143,33 +143,27 @@ def with_consecutive_id(
 
     Scale shape: a global ``row_number`` over a single unbounded window
     would serialize through ONE partition. Instead we range-partition by
-    the order keys, number rows *within* each partition, then add
-    per-partition offsets computed from partition counts (tiny driver
-    collect of <= #partitions rows) — the classic scalable zipWithIndex,
-    expressed on DataFrames.
-    """
+    the order keys, number rows *within* each partition, and add
+    per-partition cumulative offsets — the classic scalable
+    zipWithIndex, expressed on DataFrames. The offsets stay in the
+    plan: a window over the <= #partitions count rows plus a broadcast
+    join back on partition id, so the range exchange is computed once
+    and reused (a driver-side collect of the counts would execute the
+    whole upstream plan an extra time per call)."""
     order_exprs = [F.col(c) for c in order_cols]
     ranged = df.repartitionByRange(*order_exprs).sortWithinPartitions(*order_exprs)
     with_pid = ranged.withColumn("_pid", F.spark_partition_id())
     w = Window.partitionBy("_pid").orderBy(*order_exprs)
     numbered = with_pid.withColumn("_rn", F.row_number().over(w))
-    # partition sizes -> cumulative offsets; #partitions rows only
-    sizes = {
-        r["_pid"]: r["cnt"]
-        for r in numbered.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
-    }
-    offsets, acc = {}, start - 1
-    for pid in sorted(sizes):
-        offsets[pid] = acc
-        acc += sizes[pid]
-    offset_col = F.element_at(
-        F.create_map(
-            *[x for pid, off in sorted(offsets.items()) for x in (F.lit(pid), F.lit(off))]
-        ),
-        F.col("_pid"),
+    counts = numbered.groupBy("_pid").agg(F.count("*").alias("_cnt"))
+    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "_pid", F.coalesce(F.sum("_cnt").over(w_off), F.lit(0)).alias("_off")
     )
-    return numbered.withColumn(id_col, (F.col("_rn") + offset_col).cast("long")).drop(
-        "_pid", "_rn"
+    return (
+        numbered.join(F.broadcast(offsets), "_pid")
+        .withColumn(id_col, (F.col("_rn") + F.col("_off") + F.lit(start - 1)).cast("long"))
+        .drop("_pid", "_rn", "_off")
     )
 
 
