@@ -1,6 +1,7 @@
 """Relational operator library (SURVEY.md §2)."""
 
 from datalake_toolkit_spark.operators.relational import (
+    asof_join,
     collect_sorted_array,
     dedup_latest,
     ensure_min_partitions,
@@ -19,6 +20,7 @@ from datalake_toolkit_spark.operators.relational import (
 )
 
 __all__ = [
+    "asof_join",
     "collect_sorted_array",
     "dedup_latest",
     "ensure_min_partitions",

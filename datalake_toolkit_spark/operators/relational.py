@@ -261,6 +261,80 @@ def dedup_latest(
     )
 
 
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | Sequence[str],
+    left_ts: str = "ts",
+    right_ts: str | None = None,
+    direction: str = "backward",
+    tolerance_seconds: float | None = None,
+    suffix: str = "_r",
+) -> DataFrame:
+    """Point-in-time (as-of) left join: for each left row attach the
+    payload of the single right row in the same key group with the
+    largest ``right_ts <= left_ts`` (backward, inclusive) or smallest
+    ``right_ts >= left_ts`` (forward), optionally only when within
+    ``tolerance_seconds``. Unmatched left rows keep nulls. Right
+    columns come back suffixed; the matched right timestamp is
+    ``{right_ts}{suffix}``.
+
+    Beyond-reference operator (the reference has no temporal joins);
+    the semantics follow the common as-of contract of pandas
+    merge_asof / DuckDB ASOF JOIN, which is also the oracle.
+
+    Scale: NOT a range join (quadratic in events per key) — the two
+    sides are unioned and the match is a running last-non-null window
+    over (key, time): ONE shuffle of left+right rows on the key, one
+    ordered pass per partition, linear in rows. Ties on the timestamp
+    admit the right row (right sorts before left at equal time).
+    Duplicate (key, right_ts) rows: the last under the union's sort is
+    kept — pre-deduplicate the right side (dedup_latest) for
+    determinism.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    key_cols = [on] if isinstance(on, str) else list(on)
+    right_ts = right_ts or left_ts
+    payload_cols = [c for c in right.columns if c not in key_cols and c != right_ts]
+    reserved = {"_t", "_side", "_rrec"}
+    if reserved & set(left.columns):
+        raise ValueError(f"left columns collide with reserved names {reserved}")
+
+    rrec = F.struct(
+        F.col(right_ts).alias("_rts"), *[F.col(c) for c in payload_cols]
+    )
+    r2 = right.select(
+        *key_cols,
+        F.col(right_ts).alias("_t"),
+        F.lit(0).alias("_side"),
+        rrec.alias("_rrec"),
+    )
+    l2 = left.withColumn("_t", F.col(left_ts)).withColumn("_side", F.lit(1))
+    u = l2.unionByName(r2, allowMissingColumns=True)
+
+    t_order = F.col("_t").asc() if direction == "backward" else F.col("_t").desc()
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(t_order, F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    matched = u.withColumn("_rrec", F.last("_rrec", ignorenulls=True).over(w)).where(
+        F.col("_side") == 1
+    )
+    if tolerance_seconds is not None:
+        lag = F.col("_t").cast("double") - F.col("_rrec._rts").cast("double")
+        if direction == "forward":
+            lag = -lag
+        matched = matched.withColumn(
+            "_rrec", F.when(lag <= tolerance_seconds, F.col("_rrec"))
+        )
+    out_cols = [F.col(c) for c in left.columns]
+    out_cols.append(F.col("_rrec._rts").alias(f"{right_ts}{suffix}"))
+    out_cols.extend(F.col(f"_rrec.{c}").alias(f"{c}{suffix}") for c in payload_cols)
+    return matched.select(*out_cols)
+
+
 # ---------------------------------------------------------------------------
 # Physical utilities (§2.9)
 # ---------------------------------------------------------------------------

@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from datalake_toolkit_spark.operators import (
+    asof_join,
     collect_sorted_array,
     dedup_latest,
     kv_pairs_to_map,
@@ -416,6 +417,43 @@ def q_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_latest(
         ev, ["user_id"], [F.desc("ts"), F.desc("event_id")]
     ).select("user_id", "event_id", "event_type", "value")
+
+
+@query(
+    "q_asof_join",
+    """
+    WITH l AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+    r0 AS (
+      SELECT user_id, ts, max(event_id) AS view_event_id
+      FROM events WHERE event_type = 'view' GROUP BY user_id, ts)
+    SELECT l.event_id, l.user_id,
+           r0.view_event_id AS view_event_id_r,
+           epoch_us(l.ts) - epoch_us(r0.ts) AS lag_us
+    FROM l ASOF LEFT JOIN r0 ON l.user_id = r0.user_id AND l.ts >= r0.ts
+    """,
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join: each purchase matched to the user's latest
+    view at-or-before it (operators.relational.asof_join — union +
+    running last-known-value window, one key shuffle, linear; the
+    oracle is DuckDB's native ASOF JOIN)."""
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("view_event_id"))
+    )
+    joined = asof_join(purchases, views, on="user_id", left_ts="ts", right_ts="ts")
+    return joined.select(
+        "event_id",
+        "user_id",
+        "view_event_id_r",
+        (F.unix_micros("ts") - F.unix_micros("ts_r")).alias("lag_us"),
+    )
 
 
 @query(

@@ -1,0 +1,65 @@
+"""Operator unit tests for semantics the SQL oracle can't cover
+(as-of join directions/tolerance; the backward path is oracle-checked
+by q_asof_join against DuckDB's native ASOF JOIN)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from datalake_toolkit_spark.operators import asof_join
+
+
+def _frames(spark):
+    left = spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "b"), (1, 35, "c"), (2, 5, "d"), (3, 9, "e")],
+        "k int, sec int, tag string",
+    ).withColumn("ts", F.timestamp_seconds("sec"))
+    right = spark.createDataFrame(
+        [(1, 10, 100.0), (1, 18, 200.0), (1, 40, 300.0), (2, 50, 400.0)],
+        "k int, sec int, val double",
+    ).withColumn("ts", F.timestamp_seconds("sec")).drop("sec")
+    return left, right
+
+
+def test_asof_backward_inclusive_ties(spark):
+    left, right = _frames(spark)
+    out = {
+        r.tag: (r.val_r, r.ts_r)
+        for r in asof_join(left, right, on="k").collect()
+    }
+    # equal timestamp matches (inclusive): left@10 takes right@10
+    assert out["a"][0] == 100.0
+    # latest at-or-before: left@20 -> right@18, left@35 -> right@18
+    assert out["b"][0] == 200.0
+    assert out["c"][0] == 200.0
+    # right rows only in the future (k=2: right@50 > left@5) -> null
+    assert out["d"] == (None, None)
+    # key with no right rows at all -> null
+    assert out["e"] == (None, None)
+
+
+def test_asof_forward(spark):
+    left, right = _frames(spark)
+    out = {
+        r.tag: r.val_r
+        for r in asof_join(left, right, on="k", direction="forward").collect()
+    }
+    # earliest at-or-after: left@10 -> right@10 (inclusive tie)
+    assert out["a"] == 100.0
+    assert out["b"] == 300.0  # left@20 -> right@40
+    assert out["c"] == 300.0  # left@35 -> right@40
+    assert out["d"] == 400.0  # left@5  -> right@50
+    assert out["e"] is None
+
+
+def test_asof_tolerance(spark):
+    left, right = _frames(spark)
+    out = {
+        r.tag: r.val_r
+        for r in asof_join(left, right, on="k", tolerance_seconds=5).collect()
+    }
+    # lag 0 and 2 pass the 5s tolerance; lag 17 does not
+    assert out["a"] == 100.0
+    assert out["b"] == 200.0
+    assert out["c"] is None
+    assert out["d"] is None
