@@ -420,6 +420,81 @@ def q_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_approx_aggregates",
+    """
+    SELECT l_returnflag,
+           count(DISTINCT l_orderkey) AS exact_distinct,
+           true AS approx_distinct_within_5pct,
+           true AS approx_median_within_1
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based aggregates (HLL++ approx_count_distinct, KLL-style
+    percentile_approx): the scale path for distinct counts and
+    quantiles — no exact-distinct shuffle of the full key set, fixed
+    sketch memory per group, mergeable across partitions (map-side
+    partial aggregation). Cross-engine check: the exact figures
+    hash-match the oracle and the approximations are asserted inside
+    their published error bounds, which the oracle states as
+    literals."""
+    li = _t(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        F.count_distinct("l_orderkey").alias("exact_distinct"),
+        F.approx_count_distinct("l_orderkey", 0.02).alias("approx_distinct"),
+        F.percentile_approx("l_quantity", 0.5, 10000).alias("approx_median"),
+        F.expr("percentile(l_quantity, 0.5)").alias("exact_median"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "exact_distinct",
+        (
+            F.abs(F.col("approx_distinct") - F.col("exact_distinct"))
+            / F.col("exact_distinct")
+            <= 0.05
+        ).alias("approx_distinct_within_5pct"),
+        (F.abs(F.col("approx_median") - F.col("exact_median")) <= 1.0).alias(
+            "approx_median_within_1"
+        ),
+    )
+
+
+@query(
+    "q_retained_customers",
+    """
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1994
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+    """,
+)
+def q_retained_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set op INTERSECT (U-family; absent in the reference, free from
+    Spark): customers ordering in both 1994 and 1995. Catalyst plans
+    it as a left-semi aggregate join — one shuffle per side."""
+    o = _t(spark, sf_dir, "orders")
+    y94 = o.where(F.year("o_orderdate") == 1994).select("o_custkey")
+    y95 = o.where(F.year("o_orderdate") == 1995).select("o_custkey")
+    return y94.intersect(y95)
+
+
+@query(
+    "q_churned_customers",
+    """
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1994
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+    """,
+)
+def q_churned_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set op EXCEPT: customers ordering in 1994 but not 1995 —
+    planned as a left-anti aggregate join."""
+    o = _t(spark, sf_dir, "orders")
+    y94 = o.where(F.year("o_orderdate") == 1994).select("o_custkey")
+    y95 = o.where(F.year("o_orderdate") == 1995).select("o_custkey")
+    return y94.subtract(y95)
+
+
+@query(
     "q_asof_join",
     """
     WITH l AS (
