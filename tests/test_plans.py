@@ -1,0 +1,82 @@
+"""Physical-plan assertions: the scale properties the engine claims
+(scan pushdown, column pruning, broadcast dimension joins, whole-stage
+codegen, single-shuffle operators) pinned against the actual Catalyst
+output so a regression shows up as a test failure, not a slow cluster.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from pyspark.sql import functions as F
+
+from datalake_toolkit_spark.operators import asof_join
+from datalake_toolkit_spark.plans import QUERIES
+
+
+def _plan(df, mode: str = "simple") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def test_q6_filter_pushdown_and_column_pruning(spark, sf_dir):
+    """Filters must reach the parquet reader (PushedFilters) and the
+    scan must read only the four referenced columns (ReadSchema)."""
+    plan = _plan(QUERIES["q6_forecast_revenue"](spark, sf_dir), "formatted")
+    pushed = next(l for l in plan.splitlines() if "PushedFilters" in l)
+    assert "GreaterThanOrEqual(l_shipdate" in pushed
+    assert "l_discount" in pushed and "l_quantity" in pushed
+    schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    for col in ("l_quantity", "l_extendedprice", "l_discount", "l_shipdate"):
+        assert col in schema
+    assert schema.split("struct<")[1].count(":") == 4  # exactly 4 columns scanned
+    assert "l_comment" not in schema
+
+
+def test_q5_dimension_joins_broadcast(spark, sf_dir):
+    """The 6-table q5 join tree must broadcast every dimension side —
+    no sort-merge or shuffled-hash join of lineitem against dims."""
+    plan = _plan(QUERIES["q5_region_revenue"](spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in plan
+
+
+def test_q1_wholestage_codegen(spark, sf_dir):
+    """The q1 aggregate pipeline must run inside whole-stage codegen.
+    AQE materializes codegen subtrees per query stage at runtime, so
+    explain('codegen') only surfaces them with AQE off — toggled here
+    purely for plan inspection."""
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        plan = _plan(QUERIES["q1_pricing_summary"](spark, sf_dir), "codegen")
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert "Found 0 WholeStageCodegen" not in plan
+    assert "WholeStageCodegen subtrees" in plan
+
+
+def test_asof_join_single_shuffle(spark):
+    """asof_join adds exactly ONE hash-partitioning exchange (the key
+    shuffle for the window) — the union and projections stay narrow."""
+    left = spark.range(100).select(
+        (F.col("id") % 5).alias("k"), F.timestamp_seconds(F.col("id")).alias("ts")
+    )
+    right = spark.range(50).select(
+        (F.col("id") % 5).alias("k"),
+        F.timestamp_seconds(F.col("id") * 2).alias("ts"),
+        (F.col("id") * 1.0).alias("val"),
+    )
+    plan = _plan(asof_join(left, right, on="k"))
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_exact_dedup_partial_aggregation(spark, sf_dir):
+    """Exact dedup's groupBy must show map-side partial aggregation
+    (two HashAggregate levels around one exchange), not a raw-row
+    shuffle of the full corpus."""
+    plan = _plan(QUERIES["q_dedup_exact"](spark, sf_dir))
+    assert plan.count("HashAggregate") >= 2
+    assert plan.count("Exchange hashpartitioning") >= 1
