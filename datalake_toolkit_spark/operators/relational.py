@@ -335,6 +335,55 @@ def asof_join(
     return matched.select(*out_cols)
 
 
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    lo_col: str,
+    hi_col: str,
+    band_width: float,
+    extra_keys: Sequence[str] = (),
+) -> DataFrame:
+    """Point-in-interval range join: rows of ``points`` matched to
+    every ``intervals`` row with ``lo_col <= point < = hi_col``
+    (inclusive both ends), optionally also equi-matched on
+    ``extra_keys``.
+
+    Beyond-reference operator. Spark plans a raw non-equi join as a
+    broadcast nested loop — quadratic work and a broadcast of one
+    whole side. Here both sides get integer band keys
+    (``floor(x / band_width)``): each interval replicates to the bands
+    it spans (narrow explode), each point lands in exactly one band,
+    and the join becomes an equi-join on band (+ extra keys) with a
+    residual BETWEEN filter. Every matching pair appears exactly once
+    (via the band containing the point), so no dedup pass is needed.
+
+    Scale: candidate volume ~ |points| + |intervals| * span/W, one
+    hash shuffle on the band key; pick ``band_width`` near the median
+    interval span so replication stays O(1) per interval. Skewed
+    bands (many points in one value range) ride on AQE skew-join
+    splitting.
+    """
+    if band_width <= 0:
+        raise ValueError("band_width must be positive")
+    pts = points.withColumn("_band", F.floor(F.col(point_col) / band_width))
+    iv = intervals.withColumn(
+        "_band",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo_col) / band_width),
+                F.floor(F.col(hi_col) / band_width),
+            )
+        ),
+    )
+    on = ["_band", *extra_keys]
+    return (
+        pts.join(iv, on)
+        .where(F.col(point_col).between(F.col(lo_col), F.col(hi_col)))
+        .drop("_band")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Physical utilities (§2.9)
 # ---------------------------------------------------------------------------

@@ -495,6 +495,41 @@ def q_churned_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_range_join",
+    """
+    WITH tiers AS (
+      SELECT n_nationkey AS tier_id,
+             n_nationkey * 8000.0 AS lo,
+             n_nationkey * 8000.0 + 20000.0 AS hi
+      FROM nation)
+    SELECT tier_id, count(*) AS n_orders,
+           sum(CAST(o_totalprice AS DECIMAL(18,2))) AS sum_price
+    FROM orders JOIN tiers ON o_totalprice BETWEEN lo AND hi
+    GROUP BY tier_id
+    """,
+)
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval range join (operators.relational.range_join):
+    orders priced into overlapping tier intervals via band-bucketed
+    equi-join + residual filter — not the broadcast nested loop Spark
+    would plan for the raw non-equi condition."""
+    from datalake_toolkit_spark.operators import range_join
+
+    nation = _t(spark, sf_dir, "nation")
+    tiers = nation.select(
+        F.col("n_nationkey").alias("tier_id"),
+        (F.col("n_nationkey") * 8000.0).alias("lo"),
+        (F.col("n_nationkey") * 8000.0 + 20000.0).alias("hi"),
+    )
+    pts = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    joined = range_join(pts, tiers, "o_totalprice", "lo", "hi", band_width=10000.0)
+    return joined.groupBy("tier_id").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("sum_price"),
+    )
+
+
+@query(
     "q_asof_join",
     """
     WITH l AS (

@@ -52,6 +52,37 @@ def test_asof_forward(spark):
     assert out["e"] is None
 
 
+def test_range_join_matches_naive_and_avoids_nested_loop(spark):
+    """Band-bucketed range join must equal the naive non-equi join
+    exactly (inclusive bounds, overlapping intervals, multi-band
+    spans) and must not plan a broadcast nested loop."""
+    import contextlib
+    import io
+
+    from datalake_toolkit_spark.operators import range_join
+
+    points = spark.range(200).select(
+        F.col("id").alias("pid"), (F.col("id") * 1.7).alias("v")
+    )
+    intervals = spark.range(20).select(
+        F.col("id").alias("iid"),
+        (F.col("id") * 15.0).alias("lo"),
+        (F.col("id") * 15.0 + 40.0).alias("hi"),
+    )
+    banded = range_join(points, intervals, "v", "lo", "hi", band_width=10.0)
+    naive = points.join(
+        intervals, (F.col("v") >= F.col("lo")) & (F.col("v") <= F.col("hi"))
+    )
+    got = {(r.pid, r.iid) for r in banded.collect()}
+    want = {(r.pid, r.iid) for r in naive.collect()}
+    assert got == want and len(want) > 200
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        banded.explain()
+    assert "BroadcastNestedLoopJoin" not in buf.getvalue()
+
+
 def test_asof_tolerance(spark):
     left, right = _frames(spark)
     out = {
