@@ -865,6 +865,30 @@ def q_sessionized_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_stream_dedup",
+    """
+    WITH doubled AS (
+      SELECT * FROM events UNION ALL SELECT * FROM events),
+    d AS (
+      SELECT *, row_number() OVER (PARTITION BY event_id ORDER BY event_id) AS rn
+      FROM doubled)
+    SELECT event_type, count(*) AS n_events
+    FROM d WHERE rn = 1 GROUP BY event_type
+    """,
+)
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once-per-key dedup (streaming.windows.streaming_dedup):
+    the batch-symmetric path over a deliberately doubled event feed.
+    The streaming path (dropDuplicatesWithinWatermark, bounded state)
+    is exercised by the runtime test in tests/test_ingestion.py."""
+    from datalake_toolkit_spark.streaming.windows import streaming_dedup
+
+    ev = _t(spark, sf_dir, "events")
+    deduped = streaming_dedup(ev.unionByName(ev), keys=("event_id",))
+    return deduped.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_events"))
+
+
+@query(
     "q6_forecast_revenue",
     """
     SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *

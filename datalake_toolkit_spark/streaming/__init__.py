@@ -11,6 +11,7 @@ from datalake_toolkit_spark.streaming.stateful import (
 )
 from datalake_toolkit_spark.streaming.windows import (
     sessionized,
+    streaming_dedup,
     windowed_counts,
 )
 
@@ -20,5 +21,6 @@ __all__ = [
     "read_ledger",
     "running_status",
     "sessionized",
+    "streaming_dedup",
     "windowed_counts",
 ]

@@ -45,6 +45,29 @@ def windowed_counts(
     )
 
 
+def streaming_dedup(
+    events: DataFrame,
+    keys: tuple[str, ...] = ("event_id",),
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Exactly-once-per-key dedup, stream/batch symmetric.
+
+    Streaming: ``dropDuplicatesWithinWatermark`` — the first row per
+    key is emitted, later duplicates are dropped, and key state older
+    than the watermark is evicted, so state stays bounded by the
+    duplicate-arrival horizon rather than growing with the whole
+    stream (plain ``dropDuplicates`` on an unbounded stream retains
+    every key forever — the 100 TB failure mode). Batch: plain
+    ``dropDuplicates`` on the keys, which is also the oracle path.
+    """
+    if events.isStreaming:
+        return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+            list(keys)
+        )
+    return events.dropDuplicates(list(keys))
+
+
 def sessionized(
     events: DataFrame,
     ts_col: str = "ts",

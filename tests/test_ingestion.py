@@ -176,6 +176,31 @@ def test_stream_batch_symmetric_windows(spark, sf_dir, tmp_path):
     assert streamed == batch
 
 
+def test_streaming_dedup_bounded_state(spark, sf_dir, tmp_path):
+    """dropDuplicatesWithinWatermark drops re-arrivals of a key on a
+    live stream: two source files with fully overlapping event_ids
+    yield each id exactly once at the sink."""
+    from datalake_toolkit_spark.streaming import streaming_dedup
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts").limit(200)
+    src = str(tmp_path / "dedup_src")
+    ev.coalesce(1).write.mode("overwrite").parquet(src)
+    ev.coalesce(1).write.mode("append").parquet(src)  # second copy of every id
+
+    stream = spark.readStream.schema("event_id bigint, ts timestamp").parquet(src)
+    q = (
+        streaming_dedup(stream, keys=("event_id",), watermark="2 days")
+        .writeStream.format("memory")
+        .queryName("dedup_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    ids = [r.event_id for r in spark.table("dedup_sink").collect()]
+    assert len(ids) == len(set(ids)) == 200
+
+
 def test_stateful_running_status(spark, tmp_path):
     """applyInPandasWithState carries per-key state across
     micro-batches: two files drained one per trigger must produce
