@@ -420,6 +420,91 @@ def q_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q4_priority_with_returns",
+    """
+    SELECT o_orderpriority, count(*) AS n_orders
+    FROM orders
+    WHERE EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+    GROUP BY o_orderpriority
+    """,
+)
+def q4_priority_with_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (EXISTS -> left-semi join): orders having at
+    least one returned lineitem, counted by priority. The semi join
+    never materializes lineitem columns and short-circuits per key."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    return (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"], "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+@query(
+    "q19_disjunctive_revenue",
+    """
+    SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                    (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(18,4))
+             AS revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
+           AND l_quantity BETWEEN 1 AND 20)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 11 AND 25
+           AND l_quantity BETWEEN 10 AND 35)
+    """,
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-ANDs predicate spanning both join
+    sides. Catalyst extracts the common l_quantity/p_size bounds as
+    scan-level filters before the broadcast join evaluates the full
+    disjunction."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    joined = li.join(
+        F.broadcast(part), F.col("l_partkey") == F.col("p_partkey")
+    ).where(
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(1, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(11, 25)
+            & F.col("l_quantity").between(10, 35)
+        )
+    )
+    return joined.agg(F.sum(_rev()).cast("decimal(18,4)").alias("revenue"))
+
+
+@query(
+    "q2_cheapest_per_type",
+    """
+    SELECT p.p_type, p.p_partkey, p.p_retailprice
+    FROM part p
+    WHERE p.p_retailprice = (SELECT min(p2.p_retailprice)
+                             FROM part p2 WHERE p2.p_type = p.p_type)
+    """,
+)
+def q2_cheapest_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (correlated scalar subquery): cheapest part(s)
+    per type, written as the correlated SQL itself — Catalyst
+    decorrelates it into an aggregate + join rather than a per-row
+    subplan."""
+    _t(spark, sf_dir, "part").createOrReplaceTempView("part")
+    return spark.sql(
+        """
+        SELECT p.p_type, p.p_partkey, p.p_retailprice
+        FROM part p
+        WHERE p.p_retailprice = (SELECT min(p2.p_retailprice)
+                                 FROM part p2 WHERE p2.p_type = p.p_type)
+        """
+    )
+
+
+@query(
     "q_approx_aggregates",
     """
     SELECT l_returnflag,
