@@ -335,6 +335,45 @@ def asof_join(
     return matched.select(*out_cols)
 
 
+def with_running_total(
+    df: DataFrame,
+    order_cols: Sequence[Column | str],
+    value_col: str,
+    out_col: str = "running_total",
+) -> DataFrame:
+    """Global running total of ``value_col`` under a deterministic
+    total order — without the single-partition window a naive
+    ``Window.orderBy(...)`` cumulative sum serializes through.
+
+    Same scale shape as :func:`with_consecutive_id`: range-partition
+    by the order keys, running-sum within each partition, then add
+    per-partition offsets that stay in the plan (a window over the
+    <= #partitions totals plus a broadcast join), so the range
+    exchange is computed once and reused. Use for budgeted selection
+    ("take documents by descending quality until N tokens"): filter
+    on the output column afterwards.
+    """
+    order_exprs = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    ranged = df.repartitionByRange(*order_exprs).sortWithinPartitions(*order_exprs)
+    with_pid = ranged.withColumn("_pid", F.spark_partition_id())
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(*order_exprs)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    run = with_pid.withColumn("_run", F.sum(value_col).over(w))
+    totals = with_pid.groupBy("_pid").agg(F.sum(value_col).alias("_tot"))
+    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "_pid", F.coalesce(F.sum("_tot").over(w_off), F.lit(0)).alias("_off")
+    )
+    return (
+        run.join(F.broadcast(offsets), "_pid")
+        .withColumn(out_col, F.col("_run") + F.col("_off"))
+        .drop("_pid", "_run", "_off")
+    )
+
+
 def range_join(
     points: DataFrame,
     intervals: DataFrame,

@@ -342,6 +342,64 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_corpus_curation",
+    r"""
+    WITH keep AS (
+      SELECT min(doc_id) AS keep_id FROM documents GROUP BY md5(text)),
+    docs AS (
+      SELECT d.doc_id, d.text FROM documents d
+      JOIN keep ON d.doc_id = keep.keep_id),
+    base AS (
+      SELECT doc_id, text,
+             string_split_regex(text, '\s+') AS w,
+             length(text) AS n_chars_t
+      FROM docs),
+    scored AS (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INTEGER) AS n_tokens,
+             0.4 * least(1.0, CAST(len(w) AS DOUBLE) / 50.0)
+               + 0.3 * (1.0 - CAST(length(regexp_replace(text, '[^\.,;:!\?]', '', 'g')) AS DOUBLE)
+                              / greatest(n_chars_t, 1))
+               + 0.3 * (CAST(len(list_filter(w, x -> x IN ('the','a','of','to','and','in','is','that'))) AS DOUBLE)
+                        / greatest(len(w), 1)) AS quality_score
+      FROM base),
+    sel AS (
+      SELECT doc_id, n_tokens, quality_score,
+             sum(n_tokens) OVER (ORDER BY quality_score DESC, doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum_tokens
+      FROM scored WHERE quality_score >= 0.5)
+    SELECT doc_id, n_tokens, quality_score,
+           CAST(cum_tokens AS BIGINT) AS cum_tokens
+    FROM sel WHERE cum_tokens <= 20000
+    """,
+)
+def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-corpus curation as ONE declarative plan:
+    exact dedup (keep min id per distinct text) -> quality scoring ->
+    token-budget selection (take by descending quality until 20k
+    tokens). Budgeting uses with_running_total — range-partitioned
+    cumulative sum, not a single-partition global window — so the
+    whole pipeline scales: dedup and scoring are one shuffle + narrow
+    codegen, selection adds one range exchange."""
+    from datalake_toolkit_spark.llm.dedup import exact_dedup
+    from datalake_toolkit_spark.llm.text import with_text_stats
+    from datalake_toolkit_spark.operators import with_running_total
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    deduped = exact_dedup(docs, "doc_id")
+    scored = with_text_stats(deduped).where(F.col("quality_score") >= 0.5)
+    sel = with_running_total(
+        scored,
+        [F.desc("quality_score"), F.asc("doc_id")],
+        "n_tokens",
+        "cum_tokens",
+    )
+    return sel.where(F.col("cum_tokens") <= 20000).select(
+        "doc_id", "n_tokens", "quality_score", F.col("cum_tokens").cast("long").alias("cum_tokens")
+    )
+
+
+@query(
     "q_quality_filter_pipeline",
     r"""
     WITH stats AS (

@@ -524,12 +524,25 @@ def q_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     their published error bounds, which the oracle states as
     literals."""
     li = _t(spark, sf_dir, "lineitem")
-    agg = li.groupBy("l_returnflag").agg(
-        F.count_distinct("l_orderkey").alias("exact_distinct"),
+    # Two aggregations joined on the 3-row group key, NOT one agg with
+    # all four functions: mixing count_distinct's expand rewrite with
+    # the TypedImperativeAggregate percentiles forces a sort-aggregate
+    # fallback over the expanded rows (measured 19s -> 1.8s at sf0.1).
+    # The exact distinct is the manual two-phase form (group on
+    # (key, value), then count) — pure hash aggregates, map-side
+    # partials at both levels.
+    exact = (
+        li.groupBy("l_returnflag", "l_orderkey")
+        .agg(F.lit(1))
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("exact_distinct"))
+    )
+    approx = li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_orderkey", 0.02).alias("approx_distinct"),
         F.percentile_approx("l_quantity", 0.5, 10000).alias("approx_median"),
         F.expr("percentile(l_quantity, 0.5)").alias("exact_median"),
     )
+    agg = exact.join(approx, "l_returnflag")
     return agg.select(
         "l_returnflag",
         "exact_distinct",

@@ -83,6 +83,33 @@ def test_range_join_matches_naive_and_avoids_nested_loop(spark):
     assert "BroadcastNestedLoopJoin" not in buf.getvalue()
 
 
+def test_with_running_total_matches_global_window(spark):
+    """Range-partitioned running total must equal the naive
+    single-partition global-window cumulative sum, including under a
+    descending order with duplicate sort keys broken by a second
+    column."""
+    from pyspark.sql import Window
+
+    from datalake_toolkit_spark.operators import with_running_total
+
+    df = spark.range(500).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 7).cast("double").alias("score"),
+        (F.col("id") % 13 + 1).alias("tokens"),
+    )
+    order = [F.desc("score"), F.asc("doc_id")]
+    got = {
+        r.doc_id: r.cum
+        for r in with_running_total(df, order, "tokens", "cum").collect()
+    }
+    w = Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
+    want = {
+        r.doc_id: r.cum
+        for r in df.withColumn("cum", F.sum("tokens").over(w)).collect()
+    }
+    assert got == want
+
+
 def test_asof_tolerance(spark):
     left, right = _frames(spark)
     out = {
