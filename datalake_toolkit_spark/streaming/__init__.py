@@ -6,6 +6,9 @@ from datalake_toolkit_spark.streaming.ingestion import (
     RoutePlugin,
     read_ledger,
 )
+from datalake_toolkit_spark.streaming.rollup import (
+    maintain_rollup,
+)
 from datalake_toolkit_spark.streaming.stateful import (
     running_status,
 )
@@ -18,6 +21,7 @@ from datalake_toolkit_spark.streaming.windows import (
 __all__ = [
     "IngestionPipeline",
     "RoutePlugin",
+    "maintain_rollup",
     "read_ledger",
     "running_status",
     "sessionized",

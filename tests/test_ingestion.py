@@ -201,6 +201,68 @@ def test_streaming_dedup_bounded_state(spark, sf_dir, tmp_path):
     assert len(ids) == len(set(ids)) == 200
 
 
+def test_rollup_maintainer_incremental_equals_batch(spark, sf_dir, tmp_path):
+    """The continuously-maintained rollup, fed one file per
+    micro-batch, must equal the one-shot batch aggregation of all
+    data; re-draining with no new input must change nothing; and a
+    late-arriving file must fold into already-written windows."""
+    from datalake_toolkit_spark.streaming import maintain_rollup
+
+    ev_all = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    first = ev_all.where("event_id % 2 = 0").drop("event_id")
+    second = ev_all.where("event_id % 2 = 1").drop("event_id")
+    ev = ev_all.drop("event_id")
+    src = str(tmp_path / "roll_src")
+    first.coalesce(1).write.mode("overwrite").parquet(src)
+
+    def drain():
+        stream = (
+            spark.readStream.schema("ts timestamp, event_type string, value double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        maintain_rollup(
+            stream,
+            rollup_path=str(tmp_path / "rollup"),
+            checkpoint_dir=str(tmp_path / "roll_ckpt"),
+            watermark="90 days",
+        )
+
+    drain()
+    r1 = spark.read.parquet(str(tmp_path / "rollup"))
+    n_windows_first = r1.count()
+    drain()  # no new files: checkpoint makes this a no-op
+    assert spark.read.parquet(str(tmp_path / "rollup")).count() == n_windows_first
+
+    # late file arrives (same time range -> updates existing windows)
+    second.coalesce(1).write.mode("append").parquet(src)
+    drain()
+    rolled = {
+        (r.window_start, r.event_type): (r.n_events, r.sum_value)
+        for r in spark.read.parquet(str(tmp_path / "rollup")).collect()
+    }
+    batch = {
+        (r.window_start, r.event_type): (r.n_events, r.sum_value)
+        for r in ev.groupBy(
+            F.window("ts", "1 hour").alias("w"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+        .collect()
+    }
+    assert set(rolled) == set(batch)
+    for k in batch:
+        assert rolled[k][0] == batch[k][0]
+        assert abs(rolled[k][1] - batch[k][1]) < 1e-6
+
+
 def test_stateful_running_status(spark, tmp_path):
     """applyInPandasWithState carries per-key state across
     micro-batches: two files drained one per trigger must produce
