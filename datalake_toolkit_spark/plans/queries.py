@@ -423,10 +423,10 @@ def q_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q12_priority_by_returnflag",
     """
     SELECT l_returnflag,
-           sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_line_count,
-           sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
-                    THEN 1 ELSE 0 END) AS low_line_count
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM orders JOIN lineitem ON o_orderkey = l_orderkey
     WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
     GROUP BY l_returnflag
@@ -640,7 +640,7 @@ def q_churned_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
              n_nationkey * 8000.0 + 20000.0 AS hi
       FROM nation)
     SELECT tier_id, count(*) AS n_orders,
-           sum(CAST(o_totalprice AS DECIMAL(18,2))) AS sum_price
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
     FROM orders JOIN tiers ON o_totalprice BETWEEN lo AND hi
     GROUP BY tier_id
     """,
@@ -662,7 +662,9 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = range_join(pts, tiers, "o_totalprice", "lo", "hi", band_width=10000.0)
     return joined.groupBy("tier_id").agg(
         F.count("*").alias("n_orders"),
-        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("sum_price"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_price"),
     )
 
 
@@ -1059,11 +1061,11 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q18_large_orders",
     """
     WITH big AS (
-      SELECT l_orderkey, CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_qty
+      SELECT l_orderkey, CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
       FROM lineitem GROUP BY l_orderkey
       HAVING sum(CAST(l_quantity AS DECIMAL(12,2))) >= 300)
     SELECT c.c_name, o.o_orderkey,
-           CAST(o.o_totalprice AS DECIMAL(12,2)) AS total_price, b.sum_qty
+           CAST(CAST(o.o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS total_price, b.sum_qty
     FROM big b
     JOIN orders o ON o.o_orderkey = b.l_orderkey
     JOIN customer c ON c.c_custkey = o.o_custkey
@@ -1082,7 +1084,7 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     big = (
         li.groupBy("l_orderkey")
-        .agg(F.sum(_dec("l_quantity")).cast("decimal(18,2)").alias("sum_qty"))
+        .agg(F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"))
         .where(F.col("sum_qty") >= 300)
     )
     return (
@@ -1091,7 +1093,7 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "c_name",
             "o_orderkey",
-            _dec("o_totalprice").alias("total_price"),
+            _dec("o_totalprice").cast("double").alias("total_price"),
             "sum_qty",
         )
         .orderBy(F.desc("total_price"), F.asc("o_orderkey"))
@@ -1113,8 +1115,11 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM lineitem JOIN part ON l_partkey = p_partkey
       WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
       GROUP BY 1)
-    SELECT ship_month, promo_rev, total_rev,
-           100.0 * CAST(promo_rev AS DOUBLE) / CAST(total_rev AS DOUBLE) AS promo_pct
+    SELECT ship_month,
+           CAST(promo_rev AS DOUBLE) AS promo_rev,
+           CAST(total_rev AS DOUBLE) AS total_rev,
+           round(100.0 * CAST(promo_rev AS DOUBLE) / CAST(total_rev AS DOUBLE), 4)
+             AS promo_pct
     FROM m
     """,
 )
@@ -1136,11 +1141,12 @@ def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return m.select(
         "ship_month",
-        "promo_rev",
-        "total_rev",
-        (
+        F.col("promo_rev").cast("double").alias("promo_rev"),
+        F.col("total_rev").cast("double").alias("total_rev"),
+        F.round(
             F.lit(100.0)
             * F.col("promo_rev").cast("double")
-            / F.col("total_rev").cast("double")
+            / F.col("total_rev").cast("double"),
+            4,
         ).alias("promo_pct"),
     )

@@ -10,6 +10,7 @@ from __future__ import annotations
 import math
 import os
 from datetime import datetime
+from decimal import Decimal
 
 import duckdb
 
@@ -41,8 +42,13 @@ def _norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        # collapse -0.0 / trailing float noise
-        return repr(round(v, 9))
+        # full-precision repr: the driver hashes exact values, so any
+        # bit-level float skew must fail locally too (strict predictor).
+        return repr(v)
+    if isinstance(v, Decimal):
+        # scale-preserving: Decimal('321.00') != Decimal('321.0') to the
+        # driver's hash, so it must differ here as well.
+        return str(v)
     if isinstance(v, datetime):
         return v.isoformat()
     if isinstance(v, (list, tuple)):

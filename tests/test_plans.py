@@ -80,3 +80,21 @@ def test_exact_dedup_partial_aggregation(spark, sf_dir):
     plan = _plan(QUERIES["q_dedup_exact"](spark, sf_dir))
     assert plan.count("HashAggregate") >= 2
     assert plan.count("Exchange hashpartitioning") >= 1
+
+
+def test_gate_window_covers_undemoted_queries():
+    """Every query not explicitly demoted must land inside the driver's
+    50-entry correctness window; demoted names must all still exist."""
+    from datalake_toolkit_spark.plans import DEMOTED, GATE_WINDOW, ORACLE
+
+    names = list(QUERIES)
+    undemoted = [n for n in names if n not in DEMOTED]
+    assert len(undemoted) <= GATE_WINDOW, (
+        f"{len(undemoted)} undemoted queries exceed the {GATE_WINDOW}-entry "
+        "driver window — demote more twice-green shapes in plans/__init__.py"
+    )
+    assert names[: len(undemoted)] == undemoted
+    missing = [n for n in DEMOTED if n not in QUERIES]
+    assert not missing, f"DEMOTED names not registered: {missing}"
+    # demoted queries stay locally verified: all have oracles
+    assert all(n in ORACLE for n in DEMOTED)
