@@ -16,8 +16,13 @@ Here the whole chain is ONE Structured Streaming job:
   first-match-wins routing on ``_metadata.file_path``;
 - the DynamoDB control table becomes a Parquet ledger with the same
   status machine INITIAL_LOAD -> PROCESSING -> LOADED/FAILED, written
-  idempotently per micro-batch in ``foreachBatch`` (batch_id recorded;
-  replayed batches are skipped on restart);
+  idempotently per micro-batch in ``foreachBatch``. A replayed batch
+  is skipped only if its ledger rows reached a terminal SUCCESS state
+  (LOADED/SKIPPED) — a batch that died mid-write leaves PROCESSING or
+  FAILED rows and is reprocessed on restart. The data write itself is
+  idempotent: each batch lands under an ``ingest_batch=<id>`` leaf
+  partition via dynamic partition overwrite, so a replay overwrites
+  exactly its own partitions and never duplicates earlier batches;
 - CloudWatch-scheduled draining becomes ``Trigger.AvailableNow`` (or
   a processingTime trigger for continuous tailing);
 - EMR-queue backpressure (256-step limit) becomes
@@ -115,23 +120,29 @@ class IngestionPipeline:
             "append"
         ).parquet(self.ledger_path)
 
-    def _seen_batch_ids(self) -> set[int]:
+    def _batch_committed(self, batch_id: int) -> bool:
+        """True iff this batch reached a terminal SUCCESS state. A
+        mere ledger *presence* check would also skip batches whose
+        attempt died after writing PROCESSING/FAILED rows — dropping
+        their files forever on restart."""
         try:
-            return {
-                r.batch_id
-                for r in self.spark.read.parquet(self.ledger_path)
-                .select("batch_id")
-                .distinct()
-                .collect()
-            }
+            ledger = self.spark.read.parquet(self.ledger_path)
         except Exception:
-            return set()
+            return False
+        return bool(
+            ledger.where(
+                (F.col("batch_id") == batch_id)
+                & F.col("file_status").isin(STATUS_LOADED, STATUS_SKIPPED)
+            )
+            .limit(1)
+            .count()
+        )
 
     # -- the micro-batch body --------------------------------------------
 
     def _process_batch(self, batch: DataFrame, batch_id: int) -> None:
-        if batch_id in self._seen_batch_ids():
-            return  # replayed after restart: output+ledger already written
+        if self._batch_committed(batch_id):
+            return  # replayed after restart: output+ledger already committed
         now = time.time()
         per_file = {
             (r["_ingest_path"], r["_plugin"]): r["n"]
@@ -165,13 +176,25 @@ class IngestionPipeline:
             )
             from functools import reduce
 
-            out = reduce(
-                lambda a, b: a.unionByName(b, allowMissingColumns=True),
-                pieces + [rest],
-            ).drop("_ingest_path", "_plugin")
-            writer = out.write.mode("append")
-            if self.partition_by:
-                writer = writer.partitionBy(*self.partition_by)
+            out = (
+                reduce(
+                    lambda a, b: a.unionByName(b, allowMissingColumns=True),
+                    pieces + [rest],
+                )
+                .drop("_ingest_path", "_plugin")
+                .withColumn("ingest_batch", F.lit(batch_id))
+            )
+            # Idempotent batch commit: every batch owns the
+            # (partition_by..., ingest_batch=<id>) leaf partitions, and
+            # dynamic partition overwrite replaces exactly those on a
+            # replay — no cross-batch append, no duplicate files. The
+            # ingest_batch column doubles as the generation key for
+            # snapshot retention.
+            writer = (
+                out.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy(*self.partition_by, "ingest_batch")
+            )
             writer.parquet(self.output_path)
             status = {
                 (p, pl): (STATUS_SKIPPED if pl in skip_names else STATUS_LOADED)

@@ -21,8 +21,9 @@ rewrites the same partitions to the same content.
 
 Scale: per-batch work is proportional to touched windows + affected
 partitions, not table size; state is bounded by the watermark
-horizon; the rollup table stays one file per date partition per
-rewrite (coalesced merge output).
+horizon; the merge output is rebalanced by ``dt`` so each affected
+date partition is written by its own task(s) — a multi-date batch
+never serializes through one writer task.
 """
 
 from __future__ import annotations
@@ -81,10 +82,13 @@ def maintain_rollup(
                 out = kept.unionByName(batch)
             else:
                 out = batch
-            # dynamic overwrite touches only the affected dt partitions
-            out.coalesce(1).write.mode("overwrite").partitionBy("dt").parquet(
-                rollup_path
-            )
+            # dynamic overwrite touches only the affected dt partitions;
+            # rebalance by dt (AQE coalesces tiny outputs) instead of
+            # coalesce(1), which would funnel every affected partition
+            # through a single writer task at scale
+            out.hint("rebalance", "dt").write.mode("overwrite").partitionBy(
+                "dt"
+            ).parquet(rollup_path)
         finally:
             batch.unpersist()
 

@@ -144,6 +144,73 @@ def test_streaming_ingestion_state_machine(spark, tmp_path, events_csv_writer):
     assert spark.read.parquet(str(tmp_path / "out")).count() == 200
 
 
+def test_ingestion_replay_after_failure_no_data_loss(
+    spark, tmp_path, events_csv_writer
+):
+    """A batch whose write job dies mid-flight must be REPROCESSED on
+    restart (the ledger has only PROCESSING/FAILED rows for it), and
+    the replay must not duplicate rows (dynamic partition overwrite of
+    the batch's own ingest_batch partition)."""
+    rows, write = events_csv_writer
+    src = tmp_path / "incoming"
+    src.mkdir()
+    write(str(src / "events_a.csv"), rows[:100])
+    write(str(src / "events_b.csv"), rows[100:200])
+    flag = str(tmp_path / "ok.flag")
+
+    @F.udf("double")
+    def guarded(v):
+        if not os.path.exists(flag):
+            raise RuntimeError("injected mid-write failure")
+        return v
+
+    def make_pipeline():
+        return IngestionPipeline(
+            spark=spark,
+            source_dir=str(src),
+            schema=EVENTS_DDL,
+            output_path=str(tmp_path / "out"),
+            ledger_path=str(tmp_path / "ledger"),
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            plugins=[
+                RoutePlugin(
+                    "events",
+                    r"events_.*\.csv$",
+                    transform=lambda df: df.withColumn("value", guarded("value")),
+                )
+            ],
+        )
+
+    with pytest.raises(Exception):
+        make_pipeline().run_available_now()
+
+    # no terminal success recorded: every file is PROCESSING/FAILED
+    ledger = read_ledger(spark, str(tmp_path / "ledger"))
+    assert not {
+        r.file_status for r in ledger.collect()
+    } & {STATUS_LOADED, STATUS_SKIPPED}
+
+    # "fix the environment" and restart from the same checkpoint
+    open(flag, "w").close()
+    make_pipeline().run_available_now()
+
+    out = spark.read.parquet(str(tmp_path / "out"))
+    assert out.count() == 200  # nothing dropped
+    assert out.select("event_id").distinct().count() == 200  # nothing duplicated
+    ledger = read_ledger(spark, str(tmp_path / "ledger"))
+    statuses = {
+        os.path.basename(r.s3_object_name): r.file_status for r in ledger.collect()
+    }
+    assert statuses == {
+        "events_a.csv": STATUS_LOADED,
+        "events_b.csv": STATUS_LOADED,
+    }
+
+    # a second restart with nothing new is a no-op
+    make_pipeline().run_available_now()
+    assert spark.read.parquet(str(tmp_path / "out")).count() == 200
+
+
 def test_stream_batch_symmetric_windows(spark, sf_dir, tmp_path):
     """The windowing operators produce identical results on a stream
     (file source, availableNow, memory sink) and in batch."""
@@ -233,6 +300,9 @@ def test_rollup_maintainer_incremental_equals_batch(spark, sf_dir, tmp_path):
     drain()
     r1 = spark.read.parquet(str(tmp_path / "rollup"))
     n_windows_first = r1.count()
+    # the batch spans many dates: the merge must fan out per-dt (the
+    # rebalance-by-dt write), not serialize through one coalesced task
+    assert r1.select("dt").distinct().count() > 1
     drain()  # no new files: checkpoint makes this a no-op
     assert spark.read.parquet(str(tmp_path / "rollup")).count() == n_windows_first
 
