@@ -1,0 +1,361 @@
+"""Versioned Parquet table with Delta/Iceberg-style semantics.
+
+The reference's ingestion ledger and snapshot lambdas hand-roll table
+maintenance against DynamoDB + Redshift
+(lambda/odl_snapshot_redshift/odl_snapshot_redshift.py:104-141 keeps
+snapshots by age with a look-back floor; the DDB control table is a
+last-writer-wins upsert store). ``delta-spark`` is not installable in
+this environment, so the same contract is provided engine-side:
+
+- **Commit log**: ``<path>/_dtk_log/v{n}.json`` manifests, one per
+  table version, created with ``O_EXCL`` so two concurrent writers
+  cannot claim the same version (optimistic concurrency, the Delta
+  protocol's txn semantics at file granularity).
+- **Copy-on-write MERGE**: ``upsert()`` rewrites only the partitions
+  that contain matched keys or source rows; untouched partitions are
+  carried forward by pointer, never rewritten. Cost is proportional
+  to affected partitions, not table size — the property that matters
+  at 100 TB.
+- **Time travel**: ``read(version=n)`` resolves any retained
+  manifest; each manifest maps partition -> owning data version, so a
+  snapshot is a set of directory pointers, never a data copy.
+- **OPTIMIZE**: ``optimize()`` compacts the current snapshot into a
+  single new version with rebalanced file sizes.
+- **Retention**: ``vacuum()`` mirrors the reference lambda's
+  semantics — drop manifests older than the retention horizon but
+  NEVER those past the look-back floor — plus a keep-latest-N mode;
+  data versions no longer referenced by any retained manifest are
+  deleted.
+
+Scale notes: all data movement is ordinary partitioned-parquet jobs
+(rebalanced by partition key before write). The only driver-side
+materialization is the distinct partition-value list (bounded by
+partition count — the same planning collect Delta itself performs).
+Reads list only the directories a manifest owns, so partition pruning
+is structural rather than filter-dependent.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+from collections.abc import Sequence
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+class ConcurrentWriteError(RuntimeError):
+    """Another writer committed this version first; re-read and retry."""
+
+
+def _fmt_key(partition_by: Sequence[str], row) -> str:
+    return "/".join(f"{c}={row[c]}" for c in partition_by)
+
+
+class LakeTable:
+    """A versioned Parquet table rooted at ``path``.
+
+    Layout::
+
+        path/
+          _dtk_log/v00000000.json ...   # manifests (commit log)
+          data/v00000000/               # one immutable dir per version
+            [dt=2024-01-01/]part-*.parquet
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        partition_by: Sequence[str] = (),
+    ) -> None:
+        self.spark = spark
+        self.path = path
+        self.partition_by = tuple(partition_by)
+        self.log_dir = os.path.join(path, "_dtk_log")
+        self.data_dir = os.path.join(path, "data")
+
+    # -- log ---------------------------------------------------------------
+
+    def _versions(self) -> list[int]:
+        if not os.path.isdir(self.log_dir):
+            return []
+        return sorted(
+            int(f[1:9])
+            for f in os.listdir(self.log_dir)
+            if f.startswith("v") and f.endswith(".json")
+        )
+
+    def current_version(self) -> int | None:
+        vs = self._versions()
+        return vs[-1] if vs else None
+
+    def _manifest_path(self, version: int) -> str:
+        return os.path.join(self.log_dir, f"v{version:08d}.json")
+
+    def _manifest(self, version: int | None = None) -> dict:
+        if version is None:
+            version = self.current_version()
+        if version is None or not os.path.exists(self._manifest_path(version)):
+            raise FileNotFoundError(
+                f"no manifest for version {version} at {self.log_dir} "
+                "(never written, or vacuumed past the retention horizon)"
+            )
+        with open(self._manifest_path(version)) as fh:
+            return json.load(fh)
+
+    def _vdir(self, data_version: int) -> str:
+        return os.path.join(self.data_dir, f"v{data_version:08d}")
+
+    def _next_version(self) -> int:
+        cur = self.current_version()
+        return 0 if cur is None else cur + 1
+
+    def _commit(
+        self, version: int, owners: dict[str, int], op: str, schema_json: str
+    ) -> int:
+        os.makedirs(self.log_dir, exist_ok=True)
+        manifest = {
+            "version": version,
+            "op": op,
+            "ts": time.time(),
+            "partition_by": list(self.partition_by),
+            "owners": owners,
+            "schema": schema_json,
+        }
+        try:
+            fd = os.open(
+                self._manifest_path(version),
+                os.O_CREAT | os.O_EXCL | os.O_WRONLY,
+            )
+        except FileExistsError as exc:  # pragma: no cover - race window
+            raise ConcurrentWriteError(
+                f"version {version} was committed concurrently"
+            ) from exc
+        with os.fdopen(fd, "w") as fh:
+            json.dump(manifest, fh)
+        return version
+
+    # -- data io -----------------------------------------------------------
+
+    def _partition_keys(self, df: DataFrame) -> list[str]:
+        """Distinct partition tuples, driver-side (bounded by partition
+        count — this is commit planning, not data movement)."""
+        rows = df.select(*self.partition_by).distinct().collect()
+        return [_fmt_key(self.partition_by, r) for r in rows]
+
+    def _write_data(self, df: DataFrame, data_version: int) -> list[str]:
+        vdir = self._vdir(data_version)
+        if self.partition_by:
+            keys = self._partition_keys(df)
+            (
+                df.hint("rebalance", *self.partition_by)
+                .write.mode("overwrite")
+                .partitionBy(*self.partition_by)
+                .parquet(vdir)
+            )
+            return keys
+        df.write.mode("overwrite").parquet(vdir)
+        return [""]
+
+    def _read_owned(self, manifest: dict, keys: Sequence[str] | None = None) -> DataFrame:
+        """Assemble a snapshot (optionally restricted to ``keys``) by
+        listing exactly the directories each owning version holds for
+        it — structural partition pruning, no filter needed."""
+        owners: dict[str, int] = manifest["owners"]
+        if keys is not None:
+            owners = {k: v for k, v in owners.items() if k in set(keys)}
+        if not owners:
+            schema = T.StructType.fromJson(json.loads(manifest["schema"]))
+            return self.spark.createDataFrame([], schema)
+        if not manifest["partition_by"]:
+            return self.spark.read.parquet(self._vdir(owners[""]))
+        by_version: dict[int, list[str]] = {}
+        for key, v in owners.items():
+            by_version.setdefault(v, []).append(key)
+        pieces = [
+            self.spark.read.option("basePath", self._vdir(v)).parquet(
+                *[os.path.join(self._vdir(v), k) for k in ks]
+            )
+            for v, ks in by_version.items()
+        ]
+        return reduce(lambda a, b: a.unionByName(b), pieces)
+
+    # -- public surface ----------------------------------------------------
+
+    def write(self, df: DataFrame, op: str = "write") -> int:
+        """Full-snapshot write: the new version owns every partition."""
+        version = self._next_version()
+        keys = self._write_data(df, version)
+        return self._commit(
+            version, {k: version for k in keys}, op, df.schema.json()
+        )
+
+    def read(self, version: int | None = None) -> DataFrame:
+        return self._read_owned(self._manifest(version))
+
+    def upsert(
+        self,
+        source: DataFrame,
+        keys: Sequence[str],
+        when_matched: str = "update",
+    ) -> int:
+        """MERGE: match target rows to ``source`` on ``keys``; matched
+        rows are replaced by their source row (``update``) or removed
+        (``delete``); unmatched source rows are inserted (ignored for
+        ``delete``). Only affected partitions are rewritten."""
+        if when_matched not in ("update", "delete"):
+            raise ValueError(f"when_matched must be update|delete: {when_matched}")
+        man = self._manifest()
+        keys = list(keys)
+        if not self.partition_by:
+            target = self._read_owned(man)
+            survivors = target.join(
+                source.select(*keys).distinct(), keys, "left_anti"
+            )
+            new = (
+                survivors
+                if when_matched == "delete"
+                else survivors.unionByName(source)
+            )
+            version = self._next_version()
+            written = self._write_data(new, version)
+            return self._commit(
+                version,
+                {k: version for k in written},
+                f"merge_{when_matched}",
+                new.schema.json(),
+            )
+
+        src_keys = source.select(*keys).distinct()
+        target_all = self._read_owned(man)
+        # partitions holding matched rows (an update may move a key
+        # across partitions, so this is NOT just the source's partitions)
+        matched_parts = (
+            target_all.join(src_keys, keys, "leftsemi")
+            .select(*self.partition_by)
+            .distinct()
+        )
+        src_parts = source.select(*self.partition_by).distinct()
+        affected = {
+            _fmt_key(self.partition_by, r)
+            for r in matched_parts.unionByName(src_parts).distinct().collect()
+        }
+        affected_existing = [k for k in affected if k in man["owners"]]
+        target_affected = self._read_owned(man, affected_existing)
+        survivors = target_affected.join(src_keys, keys, "left_anti")
+        new = (
+            survivors
+            if when_matched == "delete"
+            else survivors.unionByName(source)
+        )
+        version = self._next_version()
+        written = set(self._write_data(new, version))
+        owners = {
+            k: v for k, v in man["owners"].items() if k not in affected
+        }
+        owners.update({k: version for k in written})
+        return self._commit(
+            version, owners, f"merge_{when_matched}", new.schema.json()
+        )
+
+    def delete_where(self, condition) -> int:
+        """Partition-scoped row delete (condition must be null-safe)."""
+        man = self._manifest()
+        target_all = self._read_owned(man)
+        if not self.partition_by:
+            new = target_all.where(~F.coalesce(condition, F.lit(False)))
+            version = self._next_version()
+            written = self._write_data(new, version)
+            return self._commit(
+                version, {k: version for k in written}, "delete", new.schema.json()
+            )
+        affected = {
+            _fmt_key(self.partition_by, r)
+            for r in target_all.where(condition)
+            .select(*self.partition_by)
+            .distinct()
+            .collect()
+        }
+        affected_existing = [k for k in affected if k in man["owners"]]
+        new = self._read_owned(man, affected_existing).where(
+            ~F.coalesce(condition, F.lit(False))
+        )
+        version = self._next_version()
+        written = set(self._write_data(new, version))
+        owners = {k: v for k, v in man["owners"].items() if k not in affected}
+        owners.update({k: version for k in written})
+        return self._commit(version, owners, "delete", new.schema.json())
+
+    def optimize(self) -> int:
+        """Compact the current snapshot into one fresh version (file
+        sizing via the rebalance hint; stale versions become vacuum
+        candidates)."""
+        return self.write(self.read(), op="optimize")
+
+    def history(self) -> list[dict]:
+        out = []
+        for v in self._versions():
+            m = self._manifest(v)
+            out.append(
+                {
+                    "version": m["version"],
+                    "op": m["op"],
+                    "ts": m["ts"],
+                    "n_partitions": len(m["owners"]),
+                }
+            )
+        return out
+
+    def vacuum(
+        self,
+        keep_last: int | None = None,
+        max_age_sec: float | None = None,
+        look_back_sec: float | None = None,
+        now: float | None = None,
+    ) -> list[int]:
+        """Drop old manifests and any data version no retained
+        manifest references; returns the dropped manifest versions.
+
+        Age mode mirrors the reference snapshot remover
+        (odl_snapshot_redshift.py:119-135): a manifest is dropped iff
+        it is older than ``max_age_sec`` AND (when ``look_back_sec``
+        is given) younger than the look-back floor — manifests past
+        the floor are never touched. ``keep_last`` retains the N
+        newest manifests regardless; the current version is always
+        kept."""
+        versions = self._versions()
+        if not versions:
+            return []
+        now = time.time() if now is None else now
+        keep: set[int] = {versions[-1]}
+        if keep_last is not None:
+            keep.update(versions[-keep_last:])
+        for v in versions:
+            ts = self._manifest(v)["ts"]
+            age = now - ts
+            if max_age_sec is not None:
+                old_enough = age > max_age_sec
+                within_look_back = (
+                    look_back_sec is None or age < look_back_sec
+                )
+                if not (old_enough and within_look_back):
+                    keep.add(v)
+            elif keep_last is None:
+                keep.add(v)  # no criteria: vacuum nothing
+        dropped = [v for v in versions if v not in keep]
+        referenced = set()
+        for v in keep:
+            referenced.update(self._manifest(v)["owners"].values())
+        for v in dropped:
+            os.remove(self._manifest_path(v))
+        if os.path.isdir(self.data_dir):
+            for d in os.listdir(self.data_dir):
+                if d.startswith("v") and int(d[1:]) not in referenced:
+                    shutil.rmtree(os.path.join(self.data_dir, d))
+        return dropped

@@ -8,6 +8,7 @@ from datalake_toolkit_spark.plans.queries import ORACLE, QUERIES
 from datalake_toolkit_spark.plans import llm_queries  # noqa: F401  (registers)
 from datalake_toolkit_spark.plans import catalog_queries  # noqa: F401  (registers)
 from datalake_toolkit_spark.plans import endpoint_queries  # noqa: F401  (registers)
+from datalake_toolkit_spark.plans import lakehouse_queries  # noqa: F401  (registers)
 
 # The round driver hash-checks only the first 50 ``queries()`` entries.
 # Names below were driver-verified green in BOTH CORRECTNESS_r01 and

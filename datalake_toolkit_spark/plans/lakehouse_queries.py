@@ -1,0 +1,173 @@
+"""Gate queries for the lakehouse layer: MERGE/upsert, time travel,
+snapshot retention. Each builds a throwaway LakeTable from the star
+schema, applies the table op, and returns a deterministic aggregate
+the DuckDB oracle reproduces with plain anti-join + union SQL."""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datalake_toolkit_spark.lakehouse import LakeTable
+from datalake_toolkit_spark.plans.queries import _t, query
+
+_SRC_SQL = """
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 21 = 0 THEN 'MACHINERY'
+              ELSE c_mktsegment END AS c_mktsegment,
+         c_acctbal + 1000 AS c_acctbal
+  FROM customer WHERE c_custkey % 7 = 0
+  UNION ALL
+  SELECT c_custkey + 10000000 AS c_custkey,
+         'SYNTH' AS c_mktsegment,
+         0.0 AS c_acctbal
+  FROM customer WHERE c_custkey % 500 = 0
+"""
+
+_MERGED_SQL = f"""
+  WITH src AS ({_SRC_SQL}),
+  merged AS (
+    SELECT c.c_custkey, c.c_mktsegment, c.c_acctbal
+    FROM customer c
+    WHERE c.c_custkey NOT IN (SELECT c_custkey FROM src)
+    UNION ALL
+    SELECT c_custkey, c_mktsegment, c_acctbal FROM src
+  )
+"""
+
+
+def _customer_source(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    updates = cust.where(F.col("c_custkey") % 7 == 0).select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 21 == 0, F.lit("MACHINERY"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("c_mktsegment"),
+        (F.col("c_acctbal") + 1000).alias("c_acctbal"),
+    )
+    inserts = cust.where(F.col("c_custkey") % 500 == 0).select(
+        (F.col("c_custkey") + 10_000_000).alias("c_custkey"),
+        F.lit("SYNTH").alias("c_mktsegment"),
+        F.lit(0.0).alias("c_acctbal"),
+    )
+    return cust, updates.unionByName(inserts)
+
+
+@query(
+    "q_merge_upsert",
+    _MERGED_SQL
+    + """
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+    FROM merged GROUP BY c_mktsegment
+    """,
+)
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copy-on-write MERGE (lakehouse.LakeTable.upsert): updates that
+    bump balances and move keys across the partition column, plus
+    inserts into existing and brand-new partitions; only affected
+    partitions are rewritten. Oracle is the equivalent
+    anti-join ∪ source SQL over ``customer``."""
+    cust, src = _customer_source(spark, sf_dir)
+    t = LakeTable(
+        spark,
+        tempfile.mkdtemp(prefix="q_merge_upsert_"),
+        partition_by=("c_mktsegment",),
+    )
+    t.write(cust)
+    t.upsert(src, keys=["c_custkey"])
+    return (
+        t.read()
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_bal"),
+        )
+    )
+
+
+@query(
+    "q_time_travel",
+    f"""
+    {_MERGED_SQL}
+    SELECT CAST(0 AS INT) AS version,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+    FROM customer
+    UNION ALL
+    SELECT CAST(1 AS INT) AS version,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+    FROM merged
+    """,
+)
+def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel: version 0 must still read the pre-merge snapshot
+    after the merge commits (manifests are immutable pointer sets)."""
+    cust, src = _customer_source(spark, sf_dir)
+    t = LakeTable(
+        spark,
+        tempfile.mkdtemp(prefix="q_time_travel_"),
+        partition_by=("c_mktsegment",),
+    )
+    t.write(cust)
+    t.upsert(src, keys=["c_custkey"])
+
+    def _summary(df: DataFrame, version: int) -> DataFrame:
+        return df.agg(
+            F.lit(version).cast("int").alias("version"),
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_bal"),
+        )
+
+    return _summary(t.read(version=0), 0).unionByName(_summary(t.read(), 1))
+
+
+@query(
+    "q_snapshot_retention",
+    """
+    WITH src AS (
+      SELECT n_nationkey, n_name, n_regionkey + 100 AS n_regionkey
+      FROM nation WHERE n_nationkey < 5),
+    merged AS (
+      SELECT n_nationkey, n_name, n_regionkey FROM nation
+      WHERE n_nationkey NOT IN (SELECT n_nationkey FROM src)
+      UNION ALL
+      SELECT n_nationkey, n_name, n_regionkey FROM src)
+    SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+           CAST(n_regionkey AS BIGINT) AS n_regionkey,
+           CAST(2 AS INT) AS n_versions_retained
+    FROM merged
+    """,
+)
+def q_snapshot_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot retention (lakehouse.LakeTable.vacuum, the Spark-side
+    port of odl_snapshot_redshift.py:104-141): after write → optimize
+    → merge, keep-latest-2 drops the oldest manifest and its
+    unreferenced data files while the surviving snapshots stay
+    readable and correct."""
+    nation = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("bigint").alias("n_nationkey"),
+        "n_name",
+        F.col("n_regionkey").cast("bigint").alias("n_regionkey"),
+    )
+    t = LakeTable(spark, tempfile.mkdtemp(prefix="q_snapshot_retention_"))
+    t.write(nation)  # v0
+    t.optimize()  # v1: rewrites everything; v0's data becomes garbage
+    src = nation.where(F.col("n_nationkey") < 5).withColumn(
+        "n_regionkey", F.col("n_regionkey") + 100
+    )
+    t.upsert(src, keys=["n_nationkey"])  # v2
+    t.vacuum(keep_last=2)
+    return t.read().withColumn(
+        "n_versions_retained", F.lit(len(t.history())).cast("int")
+    )

@@ -1,0 +1,183 @@
+"""LakeTable: MERGE/upsert, time travel, OPTIMIZE, snapshot retention."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from datalake_toolkit_spark.lakehouse import ConcurrentWriteError, LakeTable
+
+
+@pytest.fixture()
+def base_df(spark):
+    return spark.createDataFrame(
+        [(i, f"seg{i % 3}", float(i * 10)) for i in range(30)],
+        "id bigint, seg string, val double",
+    )
+
+
+def _as_dict(df):
+    return {r.id: (r.seg, r.val) for r in df.collect()}
+
+
+def test_write_read_roundtrip_partitioned(spark, tmp_path, base_df):
+    t = LakeTable(spark, str(tmp_path / "t"), partition_by=("seg",))
+    v = t.write(base_df)
+    assert v == 0
+    assert _as_dict(t.read()) == _as_dict(base_df)
+
+
+def test_upsert_updates_inserts_and_moves_partitions(spark, tmp_path, base_df):
+    t = LakeTable(spark, str(tmp_path / "t"), partition_by=("seg",))
+    t.write(base_df)
+    # update id 0-4 (id 3 moves from seg0 to seg2), insert 100/101
+    src = spark.createDataFrame(
+        [
+            (0, "seg0", 999.0),
+            (1, "seg1", 999.0),
+            (2, "seg2", 999.0),
+            (3, "seg2", 999.0),  # partition move: was seg0
+            (4, "seg1", 999.0),
+            (100, "seg0", 1.0),
+            (101, "seg9", 2.0),  # brand-new partition
+        ],
+        "id bigint, seg string, val double",
+    )
+    v = t.upsert(src, keys=["id"])
+    assert v == 1
+    got = _as_dict(t.read())
+    assert len(got) == 32  # 30 - 0 deleted + 2 inserted
+    assert got[3] == ("seg2", 999.0)  # moved, not duplicated
+    assert got[101] == ("seg9", 2.0)
+    assert got[5] == ("seg2", 50.0)  # untouched row intact
+    # untouched partitions carried forward by pointer, not rewritten:
+    # seg0/seg1/seg2 all touched here, so check via a second narrow merge
+    man_before = t._manifest()
+    t.upsert(
+        spark.createDataFrame([(0, "seg0", 5.0)], "id bigint, seg string, val double"),
+        keys=["id"],
+    )
+    man_after = t._manifest()
+    assert man_after["owners"]["seg=seg9"] == man_before["owners"]["seg=seg9"]
+    assert man_after["owners"]["seg=seg0"] != man_before["owners"]["seg=seg0"]
+
+
+def test_upsert_delete_mode_and_empty_partition_drop(spark, tmp_path):
+    t = LakeTable(spark, str(tmp_path / "t"), partition_by=("seg",))
+    t.write(
+        spark.createDataFrame(
+            [(1, "a", 1.0), (2, "a", 2.0), (3, "b", 3.0)],
+            "id bigint, seg string, val double",
+        )
+    )
+    t.upsert(
+        spark.createDataFrame([(3, "b", 0.0)], "id bigint, seg string, val double"),
+        keys=["id"],
+        when_matched="delete",
+    )
+    got = _as_dict(t.read())
+    assert set(got) == {1, 2}
+    assert "seg=b" not in t._manifest()["owners"]  # emptied partition dropped
+
+
+def test_time_travel_and_history(spark, tmp_path, base_df):
+    t = LakeTable(spark, str(tmp_path / "t"), partition_by=("seg",))
+    t.write(base_df)
+    t.upsert(
+        spark.createDataFrame([(0, "seg0", -1.0)], "id bigint, seg string, val double"),
+        keys=["id"],
+    )
+    assert _as_dict(t.read(version=0)) == _as_dict(base_df)
+    assert _as_dict(t.read())[0] == ("seg0", -1.0)
+    ops = [h["op"] for h in t.history()]
+    assert ops == ["write", "merge_update"]
+
+
+def test_delete_where(spark, tmp_path, base_df):
+    t = LakeTable(spark, str(tmp_path / "t"), partition_by=("seg",))
+    t.write(base_df)
+    t.delete_where(F.col("val") >= 200.0)
+    assert set(_as_dict(t.read())) == set(range(20))
+
+
+def test_unpartitioned_merge(spark, tmp_path):
+    t = LakeTable(spark, str(tmp_path / "t"))
+    t.write(spark.createDataFrame([(1, 1.0), (2, 2.0)], "id bigint, val double"))
+    t.upsert(
+        spark.createDataFrame([(2, 20.0), (3, 30.0)], "id bigint, val double"),
+        keys=["id"],
+    )
+    assert {r.id: r.val for r in t.read().collect()} == {1: 1.0, 2: 20.0, 3: 30.0}
+
+
+def test_optimize_preserves_content(spark, tmp_path, base_df):
+    t = LakeTable(spark, str(tmp_path / "t"), partition_by=("seg",))
+    t.write(base_df)
+    t.upsert(
+        spark.createDataFrame([(7, "seg1", 0.5)], "id bigint, seg string, val double"),
+        keys=["id"],
+    )
+    before = _as_dict(t.read())
+    v = t.optimize()
+    assert _as_dict(t.read()) == before
+    # post-optimize the snapshot is wholly owned by the new version
+    assert set(t._manifest()["owners"].values()) == {v}
+
+
+def test_vacuum_keep_last(spark, tmp_path, base_df):
+    t = LakeTable(spark, str(tmp_path / "t"), partition_by=("seg",))
+    t.write(base_df)  # v0
+    t.optimize()  # v1 (rewrites all -> v0 data unreferenced by v1+)
+    t.upsert(
+        spark.createDataFrame([(0, "seg0", 0.0)], "id bigint, seg string, val double"),
+        keys=["id"],
+    )  # v2
+    before = _as_dict(t.read())
+    dropped = t.vacuum(keep_last=2)
+    assert dropped == [0]
+    assert _as_dict(t.read()) == before  # current snapshot intact
+    assert _as_dict(t.read(version=1)) is not None  # retained snapshot readable
+    with pytest.raises(FileNotFoundError):
+        t.read(version=0)
+    # v0 data dir is unreferenced by v1/v2 and physically gone
+    assert not os.path.isdir(t._vdir(0))
+
+
+def test_vacuum_age_mode_with_look_back_floor(spark, tmp_path, base_df):
+    """Reference semantics (odl_snapshot_redshift.py:119-135): drop iff
+    older than retention AND younger than the look-back floor."""
+    t = LakeTable(spark, str(tmp_path / "t"), partition_by=("seg",))
+    t.write(base_df)  # v0: will be PAST the look-back floor -> kept
+    t.optimize()  # v1: older than retention, within look-back -> dropped
+    t.optimize()  # v2: fresh -> kept
+    import json
+
+    def age_manifest(v, age):
+        p = t._manifest_path(v)
+        m = json.load(open(p))
+        m["ts"] = 1_000_000.0 - age
+        json.dump(m, open(p, "w"))
+
+    age_manifest(0, 50 * 86400)  # 50 days old
+    age_manifest(1, 10 * 86400)  # 10 days old
+    age_manifest(2, 0)
+    dropped = t.vacuum(
+        max_age_sec=7 * 86400, look_back_sec=30 * 86400, now=1_000_000.0
+    )
+    assert dropped == [1]
+    assert t.read(version=0) is not None  # past the floor: never deleted
+    assert _as_dict(t.read()) == _as_dict(t.read(version=2))
+
+
+def test_concurrent_commit_detected(spark, tmp_path, base_df):
+    t = LakeTable(spark, str(tmp_path / "t"), partition_by=("seg",))
+    t.write(base_df)
+    # a second writer claims version 1 out-of-band
+    other = LakeTable(spark, str(tmp_path / "t"), partition_by=("seg",))
+    other.write(base_df.limit(1))
+    os.rename(other._manifest_path(1), other._manifest_path(1) + ".bak")
+    os.rename(other._manifest_path(1) + ".bak", other._manifest_path(1))
+    with pytest.raises(ConcurrentWriteError):
+        t._commit(1, {"seg=seg0": 1}, "write", base_df.schema.json())
