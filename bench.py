@@ -38,12 +38,18 @@ def run() -> None:
 
     timings: dict[str, float] = {}
     for name, fn in sorted(QUERIES.items()):
-        best = float("inf")
+        runs: list[float] = []
         for _ in range(2):
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            runs.append(time.perf_counter() - t0)
+        # the build VM has bursty load: when the two runs disagree by
+        # >50% neither is trustworthy — take a third and keep the best
+        if abs(runs[0] - runs[1]) / min(runs) > 0.5:
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            runs.append(time.perf_counter() - t0)
+        timings[name] = round(min(runs), 3)
 
     ingest_mb_s = _ingest_throughput(spark, sf_dir)
 
@@ -64,29 +70,42 @@ def run() -> None:
 
 def _ingest_throughput(spark, sf_dir: str) -> float:
     """End-to-end CSV -> partitioned-Parquet throughput of the M1
-    ingest pipeline (BASELINE.md metric). CSV is staged once from the
-    events table; timing covers scan + date-derive + partitioned
-    write. At sf0.1 the staged CSV is ~6 MB, so fixed per-job
-    overhead (~1-2 s across the pipeline's actions) dominates and the
-    MB/s is a floor, not a ceiling — it scales up, not down, with
-    input size."""
+    ingest pipeline (BASELINE.md metric). The events table is
+    replicated at stage time until the CSV input reaches
+    $SPARK_GRAFT_INGEST_MB (default 500 MB), so the measurement is
+    dominated by scan + date-derive + partitioned write, not by fixed
+    per-job startup (~6 MB of source at sf0.1 measured only
+    overhead)."""
+    import math
     import shutil
     import tempfile
+
+    from pyspark.sql import functions as F
 
     from datalake_toolkit_spark.sources.ingest import ingest_delimited
     from datalake_toolkit_spark.sources.tables import load_table
 
+    target_mb = float(os.environ.get("SPARK_GRAFT_INGEST_MB", "500"))
     work = tempfile.mkdtemp(prefix="dts_bench_ingest_")
     try:
-        csv_dir = os.path.join(work, "csv")
-        load_table(spark, sf_dir, "events").write.option("header", "false").csv(
-            csv_dir
-        )
-        n_bytes = sum(
-            os.path.getsize(os.path.join(csv_dir, f))
-            for f in os.listdir(csv_dir)
-            if f.endswith(".csv")
-        )
+        ev = load_table(spark, sf_dir, "events")
+
+        def _stage(df, sub: str) -> tuple[str, int]:
+            d = os.path.join(work, sub)
+            df.write.option("header", "false").csv(d)
+            return d, sum(
+                os.path.getsize(os.path.join(d, f))
+                for f in os.listdir(d)
+                if f.endswith(".csv")
+            )
+
+        csv_dir, n_bytes = _stage(ev, "csv_probe")
+        k = math.ceil(target_mb * 1e6 / max(n_bytes, 1))
+        if k > 1:
+            replicated = ev.withColumn(
+                "__r", F.explode(F.expr(f"sequence(1, {k})"))
+            ).drop("__r")
+            csv_dir, n_bytes = _stage(replicated, "csv")
         t0 = time.perf_counter()
         ingest_delimited(
             spark,

@@ -446,8 +446,23 @@ def explode_catalog_tables(
             )
         ).alias("__rank", "vstr", "LOCATION"),
     ).where(F.col("vstr").isNotNull())
+    # 1e6 stride: synthetic FK namespace per SD. The in-plan guard
+    # turns an overflow (an SD with >= 1e6 skew map entries, which
+    # would silently collide into the next SD's id range) into a hard
+    # execution error instead of corrupt keys.
+    _STRIDE = 1_000_000
     loc_entries = loc_entries.withColumn(
-        "STRING_LIST_ID", F.col("SD_ID") * 1000 + F.col("__rank")
+        "STRING_LIST_ID",
+        F.when(
+            F.col("__rank") < _STRIDE, F.col("SD_ID") * _STRIDE + F.col("__rank")
+        ).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("skewed-map entries per SD exceed id stride: SD_ID="),
+                    F.col("SD_ID").cast("string"),
+                )
+            )
+        ),
     )
     skewed_loc_map = loc_entries.select(
         "SD_ID",

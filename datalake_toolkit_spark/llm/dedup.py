@@ -136,6 +136,12 @@ def minhash_near_dup_pairs(
     surface, bounded by bucket collisions) -> distinct candidate
     pairs -> shingle-join verify restricted to candidates.
     """
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must divide evenly into bands "
+            f"({bands}); {num_hashes % bands} trailing hash functions "
+            "would be silently ignored"
+        )
     rows_per_band = num_hashes // bands
     docs = _doc_shingles(df, id_col, text_col, k)
     # Signatures as a codegen'd hash-aggregate over the exploded

@@ -149,12 +149,22 @@ def with_consecutive_id(
     plan: a window over the <= #partitions count rows plus a broadcast
     join back on partition id, so the range exchange is computed once
     and reused (a driver-side collect of the counts would execute the
-    whole upstream plan an extra time per call)."""
+    whole upstream plan an extra time per call).
+
+    The numbered frame feeds BOTH the offset aggregate and the final
+    join, and ``spark_partition_id()`` is only consistent between the
+    two if they read the same materialized partitioning — relying on
+    Catalyst emitting a ReusedExchange is not a correctness guarantee
+    (AQE may re-plan either branch independently). A local checkpoint
+    pins one materialization that both branches read; it is cleaned
+    up by the ContextCleaner when the frame is released."""
     order_exprs = [F.col(c) for c in order_cols]
     ranged = df.repartitionByRange(*order_exprs).sortWithinPartitions(*order_exprs)
     with_pid = ranged.withColumn("_pid", F.spark_partition_id())
     w = Window.partitionBy("_pid").orderBy(*order_exprs)
-    numbered = with_pid.withColumn("_rn", F.row_number().over(w))
+    numbered = with_pid.withColumn("_rn", F.row_number().over(w)).localCheckpoint(
+        eager=False
+    )
     counts = numbered.groupBy("_pid").agg(F.count("*").alias("_cnt"))
     w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
     offsets = counts.select(

@@ -510,6 +510,47 @@ def q_cosine_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_near_dup_pairs(emb, threshold=0.4)
 
 
+def _lsh_bucket_sql(n_planes: int, dim: int) -> str:
+    """DuckDB mirror of llm.similarity.hyperplane_bucket: the plane
+    matrix is deterministic (md5-derived, driver-computable), so the
+    oracle reproduces the exact bucket ids with literal plane arrays
+    — making the LSH-blocked scale path fully hash-checkable, not
+    just recall-bounded."""
+    from datalake_toolkit_spark.llm.similarity import _plane_component
+
+    terms = []
+    for p in range(n_planes):
+        arr = ",".join(repr(_plane_component(p, d)) for d in range(dim))
+        terms.append(
+            f"(CASE WHEN list_inner_product(v, [{arr}]) > 0 "
+            f"THEN {2 ** p} ELSE 0 END)"
+        )
+    return " + ".join(terms)
+
+
+@query(
+    "q_lsh_cosine_near_dups",
+    f"""
+    WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    b AS (SELECT vec_id, v, {_lsh_bucket_sql(4, 64)} AS bucket FROM c)
+    SELECT a.vec_id AS id_a, bb.vec_id AS id_b,
+           list_cosine_similarity(a.v, bb.v) AS cosine
+    FROM b a JOIN b bb ON a.bucket = bb.bucket AND a.vec_id < bb.vec_id
+    WHERE list_cosine_similarity(a.v, bb.v) >= 0.4
+    """,
+)
+def q_lsh_cosine_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, LSH-blocked mode — the 100 TB
+    path: only pairs sharing a hyperplane-sign bucket are scored, so
+    candidate count is O(collisions) instead of O(n^2). The oracle
+    recomputes the identical buckets in DuckDB from the same literal
+    plane matrix, so this is an exact hash check of the scale path."""
+    from datalake_toolkit_spark.llm import cosine_near_dup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return cosine_near_dup_pairs(emb, threshold=0.4, n_planes=4)
+
+
 @query("q_ivf_ann_topk", None)
 def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-k (coarse quantization + Lloyd-refined

@@ -57,8 +57,13 @@ def _update(
     for pdf in pdfs:
         ordered = pdf.sort_values("ts")
         n += len(ordered)
-        latest = str(ordered["status"].iloc[-1])
         ts_min, ts_max = float(ordered["ts"].min()), float(ordered["ts"].max())
+        # late-arrival guard: only a batch whose max event time reaches
+        # the stored last_seen may advance latest_status — an all-late
+        # batch updates counts/first_seen but must not clobber the
+        # newest status already recorded
+        if last is None or ts_max >= last:
+            latest = str(ordered["status"].iloc[-1])
         first = ts_min if first is None else min(first, ts_min)
         last = ts_max if last is None else max(last, ts_max)
     state.update((n, latest, first, last))

@@ -382,6 +382,57 @@ def test_stateful_running_status(spark, tmp_path):
     assert latest["c.csv"].latest_status == "INITIAL_LOAD"
 
 
+def test_stateful_late_batch_does_not_clobber_latest_status(spark, tmp_path):
+    """An all-late micro-batch (every event older than the stored
+    last_seen) must fold into counts and first_seen but must NOT
+    overwrite latest_status with stale data."""
+    import json as _json
+
+    from datalake_toolkit_spark.streaming import running_status
+
+    src = tmp_path / "late_stream"
+    src.mkdir()
+
+    (src / "fresh.json").write_text(
+        _json.dumps({"file": "a.csv", "status": "LOADED", "ts": 10.0})
+    )
+    # late replay lands in a LATER micro-batch (file source orders by
+    # modification time; maxFilesPerTrigger=1 gives one batch per file)
+    (src / "late.json").write_text(
+        "\n".join(
+            _json.dumps(r)
+            for r in [
+                {"file": "a.csv", "status": "INITIAL_LOAD", "ts": 1.0},
+                {"file": "a.csv", "status": "PROCESSING", "ts": 2.0},
+            ]
+        )
+    )
+    os.utime(src / "fresh.json", (1_000_000, 1_000_000))
+    os.utime(src / "late.json", (2_000_000, 2_000_000))
+
+    stream = (
+        spark.readStream.schema("file string, status string, ts double")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    out = running_status(stream, key_col="file", status_col="status", ts_col="ts")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("late_sink")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    rows = spark.sql("SELECT * FROM late_sink").collect()
+    latest = {r.key: r for r in rows}
+    assert latest["a.csv"].n_events == 3
+    assert latest["a.csv"].latest_status == "LOADED"  # not clobbered by late data
+    assert latest["a.csv"].first_seen == 1.0  # late data folded in
+    assert latest["a.csv"].last_seen == 10.0
+
+
 def test_insert_into_position_based(spark, tmp_path):
     """S12 contract: insertInto matches columns by POSITION (names
     ignored, partition column last), and dynamic overwrite replaces

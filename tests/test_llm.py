@@ -47,6 +47,12 @@ def test_minhash_recall_vs_exact(spark, sf_dir):
         assert len(lsh) / len(exact) >= 0.9  # banding theory: ~0.94+ at j=0.8
 
 
+def test_minhash_rejects_uneven_banding(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    with pytest.raises(ValueError, match="divide evenly"):
+        minhash_near_dup_pairs(docs, "doc_id", "text", num_hashes=10, bands=4)
+
+
 def test_lsh_ann_is_subset_of_corpus_scoring(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 3)
