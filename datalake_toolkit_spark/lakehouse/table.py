@@ -211,6 +211,11 @@ class LakeTable:
         ``delete``). Only affected partitions are rewritten."""
         if when_matched not in ("update", "delete"):
             raise ValueError(f"when_matched must be update|delete: {when_matched}")
+        if self.current_version() is None:
+            # first merge into an empty table: everything is an insert
+            if when_matched == "delete":
+                raise FileNotFoundError(f"no table to delete from at {self.path}")
+            return self.write(source, op="merge_update")
         man = self._manifest()
         keys = list(keys)
         if not self.partition_by:

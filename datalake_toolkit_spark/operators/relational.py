@@ -486,6 +486,17 @@ def ensure_min_partitions(df: DataFrame, n: int | None = None) -> DataFrame:
     """
     spark = df.sparkSession
     target = n or spark.sparkContext.defaultParallelism
+    # Estimate scan width from file metadata instead of df.rdd, which
+    # compiles the physical plan a second time (and, under AQE, a
+    # different one than the real action will run). The file count is
+    # a lower bound on splits: >= target files is provably wide
+    # enough; fewer, possibly-large files fall through to the rdd
+    # check, which these narrow scan-projections compile cheaply.
+    try:
+        if len(df.inputFiles()) >= target:
+            return df
+    except Exception:
+        pass  # non-file source: fall through
     if df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target)

@@ -7,6 +7,10 @@ Conventions that make the driver's order-insensitive value-hash match:
 - floating aggregates are ``round(x, 2)`` (or 4 for small ratios) —
   double summation order differs between engines, raw sums never hash
   equal;
+- money sums aggregate in DECIMAL (exact, order-independent) and the
+  FINAL output column is cast to DOUBLE on both sides — raw DECIMAL
+  outputs hash-fail on rendering skew ('321.00' vs '321.0'), and
+  DuckDB's integer sums are HUGEINT, so count-like sums cast BIGINT;
 - doubles destined for string concatenation go through
   ``DECIMAL(18,2)`` so both engines render '87.50';
 - top-k queries carry a unique tiebreaker column in the ORDER BY.

@@ -14,15 +14,19 @@ Here the whole chain is ONE Structured Streaming job:
   delete-after-processing dedup guard (exactly-once file discovery);
 - the regex plugin table (plugins/default.py:38 etc.) becomes
   first-match-wins routing on ``_metadata.file_path``;
-- the DynamoDB control table becomes a Parquet ledger with the same
-  status machine INITIAL_LOAD -> PROCESSING -> LOADED/FAILED, written
-  idempotently per micro-batch in ``foreachBatch``. A replayed batch
-  is skipped only if its ledger rows reached a terminal SUCCESS state
-  (LOADED/SKIPPED) — a batch that died mid-write leaves PROCESSING or
-  FAILED rows and is reprocessed on restart. The data write itself is
-  idempotent: each batch lands under an ``ingest_batch=<id>`` leaf
-  partition via dynamic partition overwrite, so a replay overwrites
-  exactly its own partitions and never duplicates earlier batches;
+- the DynamoDB control table becomes a MERGE-maintained LakeTable
+  ledger with the same status machine INITIAL_LOAD -> PROCESSING ->
+  LOADED/FAILED: each transition is an upsert keyed on
+  s3_object_name (the put_item equivalent), partitioned by batch_id
+  so a transition rewrites only its own batch's partition. A replayed
+  batch is skipped only if its ledger rows reached a terminal SUCCESS
+  state (LOADED/SKIPPED) — a batch that died mid-write leaves
+  PROCESSING or FAILED rows and is reprocessed on restart, and the
+  replayed upsert is idempotent by key. The data write itself is
+  idempotent too: each batch lands under an ``ingest_batch=<id>``
+  leaf partition via dynamic partition overwrite, so a replay
+  overwrites exactly its own partitions and never duplicates earlier
+  batches;
 - CloudWatch-scheduled draining becomes ``Trigger.AvailableNow`` (or
   a processingTime trigger for continuous tailing);
 - EMR-queue backpressure (256-step limit) becomes
@@ -112,25 +116,37 @@ class IngestionPipeline:
         )
 
     # -- ledger -----------------------------------------------------------
+    #
+    # The ledger is a LakeTable MERGE-maintained on s3_object_name (the
+    # DynamoDB put_item equivalent): one current row per file, status
+    # transitions PROCESSING -> LOADED/SKIPPED/FAILED applied as
+    # upserts. Partitioned by batch_id, so each transition rewrites
+    # only its own batch's partition — O(batch files), not O(ledger).
 
-    def _append_ledger(self, rows: list[tuple]) -> None:
+    def _ledger_table(self):
+        from datalake_toolkit_spark.lakehouse import LakeTable
+
+        return LakeTable(self.spark, self.ledger_path, partition_by=("batch_id",))
+
+    def _upsert_ledger(self, rows: list[tuple]) -> None:
         if not rows:
             return
-        self.spark.createDataFrame(rows, LEDGER_SCHEMA).coalesce(1).write.mode(
-            "append"
-        ).parquet(self.ledger_path)
+        self._ledger_table().upsert(
+            self.spark.createDataFrame(rows, LEDGER_SCHEMA),
+            keys=["s3_object_name"],
+        )
 
     def _batch_committed(self, batch_id: int) -> bool:
         """True iff this batch reached a terminal SUCCESS state. A
         mere ledger *presence* check would also skip batches whose
         attempt died after writing PROCESSING/FAILED rows — dropping
         their files forever on restart."""
-        try:
-            ledger = self.spark.read.parquet(self.ledger_path)
-        except Exception:
+        t = self._ledger_table()
+        if t.current_version() is None:
             return False
         return bool(
-            ledger.where(
+            t.read()
+            .where(
                 (F.col("batch_id") == batch_id)
                 & F.col("file_status").isin(STATUS_LOADED, STATUS_SKIPPED)
             )
@@ -151,10 +167,15 @@ class IngestionPipeline:
             .collect()
         }
         skip_names = {p.name for p in self.plugins if p.skip}
-        ledger_rows = [
-            (path, plugin, STATUS_PROCESSING, int(n), batch_id, now)
-            for (path, plugin), n in per_file.items()
-        ]
+        # in-flight visibility, like the reference's DDB status writes:
+        # files show PROCESSING while the batch job runs
+        self._upsert_ledger(
+            [
+                (path, plugin, STATUS_PROCESSING, int(n), batch_id, now)
+                for (path, plugin), n in per_file.items()
+            ]
+        )
+        status: dict[tuple[str, str], str] = {}
         try:
             routed = (
                 batch.where(~F.col("_plugin").isin(*skip_names))
@@ -204,11 +225,19 @@ class IngestionPipeline:
             status = {key: STATUS_FAILED for key in per_file}
             raise
         finally:
-            ledger_rows += [
-                (path, plugin, status.get((path, plugin), STATUS_FAILED), int(n), batch_id, time.time())
-                for (path, plugin), n in per_file.items()
-            ]
-            self._append_ledger(ledger_rows)
+            self._upsert_ledger(
+                [
+                    (
+                        path,
+                        plugin,
+                        status.get((path, plugin), STATUS_FAILED),
+                        int(n),
+                        batch_id,
+                        time.time(),
+                    )
+                    for (path, plugin), n in per_file.items()
+                ]
+            )
 
     # -- run --------------------------------------------------------------
 
@@ -228,16 +257,9 @@ class IngestionPipeline:
 
 
 def read_ledger(spark: SparkSession, ledger_path: str) -> DataFrame:
-    """Current per-file status: last status row wins (the DDB
-    get_item equivalent)."""
-    from pyspark.sql import Window
+    """Current per-file status (the DDB get_item equivalent). The
+    ledger is MERGE-maintained, so the table's current snapshot IS
+    the latest status per file — no dedup window needed."""
+    from datalake_toolkit_spark.lakehouse import LakeTable
 
-    ledger = spark.read.parquet(ledger_path)
-    w = Window.partitionBy("s3_object_name").orderBy(
-        F.desc("updated_at"), F.desc("batch_id")
-    )
-    return (
-        ledger.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") == 1)
-        .drop("_rn")
-    )
+    return LakeTable(spark, ledger_path, partition_by=("batch_id",)).read()

@@ -463,3 +463,54 @@ def test_insert_into_position_based(spark, tmp_path):
     assert got.where("dt = '2024-01-02'").count() == 1
     assert got.where("dt = '2024-01-01'").count() == 1  # untouched survives
     spark.sql("DROP TABLE ins_t")
+
+
+def test_dynamicframe_catalog_roundtrip(spark, tmp_path):
+    """S10/S16: the reference Glue scripts' exact call shape —
+    fromDF -> write_dynamic_frame(catalog) -> create_dynamic_frame
+    (catalog) -> toDF -> filter by entity type — over the JSON
+    document catalog, no AWS context."""
+    import json as _json
+
+    from datalake_toolkit_spark.sources import (
+        DynamicFrame,
+        create_dynamic_frame_from_options,
+        write_dynamic_frame_from_options,
+    )
+
+    cat_dir = str(tmp_path / "catalog_docs")
+    dbs = spark.createDataFrame(
+        [("database", "sales", None), ("database", "ops", None)],
+        "type string, name string, tbl string",
+    )
+    tbls = spark.createDataFrame(
+        [("table", "sales", "orders"), ("table", "ops", "jobs")],
+        "type string, name string, tbl string",
+    )
+    for frame_name, df in [("dyf_databases", dbs), ("dyf_tables", tbls)]:
+        dyf = DynamicFrame.fromDF(df, glue_ctx=None, name=frame_name)
+        write_dynamic_frame_from_options(
+            dyf, connection_type="catalog",
+            connection_options={"catalog.path": cat_dir},
+        )
+
+    back = create_dynamic_frame_from_options(
+        spark, connection_type="catalog",
+        connection_options={"catalog.path": cat_dir},
+    ).toDF()
+    assert back.count() == 4
+    assert back.where('type = "database"').count() == 2  # reference filter shape
+    assert {r.tbl for r in back.where('type = "table"').collect()} == {
+        "orders",
+        "jobs",
+    }
+
+    # apply_mapping / resolve_choice compile to one projection
+    mapped = (
+        DynamicFrame.fromDF(back, name="m")
+        .apply_mapping([("type", "string", "entity_type", "string"),
+                        ("name", "string", "db_name", "string")])
+        .resolve_choice([("db_name", "cast:string")])
+        .toDF()
+    )
+    assert mapped.columns == ["entity_type", "db_name"]
