@@ -149,13 +149,27 @@ class LakeTable:
         rows = df.select(*self.partition_by).distinct().collect()
         return [_fmt_key(self.partition_by, r) for r in rows]
 
-    def _write_data(self, df: DataFrame, data_version: int) -> list[str]:
+    def _write_data(
+        self,
+        df: DataFrame,
+        data_version: int,
+        cluster_by: Sequence[str] = (),
+    ) -> list[str]:
         vdir = self._vdir(data_version)
+        if cluster_by:
+            # Range-cluster on (partition cols, sort cols): each task
+            # holds a contiguous key range, so files land under few
+            # partition dirs and parquet row-group min/max stats are
+            # tight on the sort key — the data-skipping property
+            # OPTIMIZE ZORDER buys. Skip the rebalance hint: it would
+            # re-shuffle away the clustering.
+            cluster = [*self.partition_by, *cluster_by]
+            df = df.repartitionByRange(*cluster).sortWithinPartitions(*cluster)
         if self.partition_by:
             keys = self._partition_keys(df)
+            out = df if cluster_by else df.hint("rebalance", *self.partition_by)
             (
-                df.hint("rebalance", *self.partition_by)
-                .write.mode("overwrite")
+                out.write.mode("overwrite")
                 .partitionBy(*self.partition_by)
                 .parquet(vdir)
             )
@@ -184,7 +198,32 @@ class LakeTable:
             )
             for v, ks in by_version.items()
         ]
-        return reduce(lambda a, b: a.unionByName(b), pieces)
+        # allowMissingColumns: partitions written before a schema
+        # evolution lack the later columns — they read as NULL, same
+        # as Delta's mergeSchema reads
+        out = reduce(
+            lambda a, b: a.unionByName(b, allowMissingColumns=True), pieces
+        )
+        names = [f.name for f in T.StructType.fromJson(json.loads(manifest["schema"]))]
+        if set(names) == set(out.columns):
+            out = out.select(*names)  # pin manifest column order
+        return out
+
+    def _check_merge_schema(
+        self, manifest: dict, source: DataFrame, schema_evolution: bool
+    ) -> None:
+        if schema_evolution:
+            return
+        target_cols = {
+            f.name for f in T.StructType.fromJson(json.loads(manifest["schema"]))
+        }
+        if set(source.columns) != target_cols:
+            extra = sorted(set(source.columns) - target_cols)
+            missing = sorted(target_cols - set(source.columns))
+            raise ValueError(
+                f"merge source schema differs from table (extra={extra}, "
+                f"missing={missing}); pass schema_evolution=True to widen"
+            )
 
     # -- public surface ----------------------------------------------------
 
@@ -204,11 +243,18 @@ class LakeTable:
         source: DataFrame,
         keys: Sequence[str],
         when_matched: str = "update",
+        schema_evolution: bool = False,
     ) -> int:
-        """MERGE: match target rows to ``source`` on ``keys``; matched
+        """MERGE: match target rows to ``target`` on ``keys``; matched
         rows are replaced by their source row (``update``) or removed
         (``delete``); unmatched source rows are inserted (ignored for
-        ``delete``). Only affected partitions are rewritten."""
+        ``delete``). Only affected partitions are rewritten.
+
+        ``schema_evolution=True`` is Delta's ``mergeSchema``: source
+        columns absent from the target are added (NULL for carried
+        rows), target columns absent from the source survive (NULL for
+        inserted rows). Off by default so a malformed source fails
+        loudly instead of silently widening the table."""
         if when_matched not in ("update", "delete"):
             raise ValueError(f"when_matched must be update|delete: {when_matched}")
         if self.current_version() is None:
@@ -218,6 +264,7 @@ class LakeTable:
             return self.write(source, op="merge_update")
         man = self._manifest()
         keys = list(keys)
+        self._check_merge_schema(man, source, schema_evolution)
         if not self.partition_by:
             target = self._read_owned(man)
             survivors = target.join(
@@ -226,7 +273,9 @@ class LakeTable:
             new = (
                 survivors
                 if when_matched == "delete"
-                else survivors.unionByName(source)
+                else survivors.unionByName(
+                    source, allowMissingColumns=schema_evolution
+                )
             )
             version = self._next_version()
             written = self._write_data(new, version)
@@ -257,7 +306,9 @@ class LakeTable:
         new = (
             survivors
             if when_matched == "delete"
-            else survivors.unionByName(source)
+            else survivors.unionByName(
+                source, allowMissingColumns=schema_evolution
+            )
         )
         version = self._next_version()
         written = set(self._write_data(new, version))
@@ -297,11 +348,19 @@ class LakeTable:
         owners.update({k: version for k in written})
         return self._commit(version, owners, "delete", new.schema.json())
 
-    def optimize(self) -> int:
+    def optimize(self, sort_by: Sequence[str] = ()) -> int:
         """Compact the current snapshot into one fresh version (file
         sizing via the rebalance hint; stale versions become vacuum
-        candidates)."""
-        return self.write(self.read(), op="optimize")
+        candidates). With ``sort_by``, files are range-clustered on
+        those columns within each table partition — the OPTIMIZE
+        ZORDER intent: tight parquet row-group min/max stats let the
+        scan skip files on sort-key predicates."""
+        df = self.read()
+        version = self._next_version()
+        keys = self._write_data(df, version, cluster_by=sort_by)
+        return self._commit(
+            version, {k: version for k in keys}, "optimize", df.schema.json()
+        )
 
     def history(self) -> list[dict]:
         out = []

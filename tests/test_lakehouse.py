@@ -181,3 +181,55 @@ def test_concurrent_commit_detected(spark, tmp_path, base_df):
     os.rename(other._manifest_path(1) + ".bak", other._manifest_path(1))
     with pytest.raises(ConcurrentWriteError):
         t._commit(1, {"seg=seg0": 1}, "write", base_df.schema.json())
+
+
+def test_upsert_schema_evolution(spark, tmp_path, base_df):
+    """mergeSchema semantics: evolved source widens the table; rows
+    written before the evolution read NULL for the new column; a
+    mismatched source without the flag fails loudly."""
+    t = LakeTable(spark, str(tmp_path / "t"), partition_by=("seg",))
+    t.write(base_df)
+    src = spark.createDataFrame(
+        [(0, "seg0", 999.0, "gold"), (100, "seg1", 1.0, "new")],
+        "id bigint, seg string, val double, tier string",
+    )
+    with pytest.raises(ValueError, match="schema_evolution"):
+        t.upsert(src, keys=["id"])
+    t.upsert(src, keys=["id"], schema_evolution=True)
+    got = {r.id: r.tier for r in t.read().collect()}
+    assert got[0] == "gold" and got[100] == "new"
+    assert got[1] is None  # pre-evolution row in an untouched partition
+    assert t.read().columns == ["id", "seg", "val", "tier"]  # manifest order
+    # and the pre-evolution snapshot still reads with its own schema
+    assert "tier" not in t.read(version=0).columns
+
+
+def test_optimize_clustered(spark, tmp_path, base_df):
+    """optimize(sort_by=...) range-clusters files on the sort key so
+    parquet min/max stats are tight (the OPTIMIZE ZORDER intent)."""
+    t = LakeTable(spark, str(tmp_path / "t"), partition_by=("seg",))
+    t.write(base_df.repartition(8))  # fragment: many small files
+    before = _as_dict(t.read())
+    v = t.optimize(sort_by=["val"])
+    assert _as_dict(t.read()) == before
+    # every surviving file holds a contiguous val range: file-level
+    # [min,max] intervals within a partition must not overlap
+    import pyarrow.parquet as pq
+
+    vdir = t._vdir(v)
+    for seg in os.listdir(vdir):
+        if not seg.startswith("seg="):
+            continue
+        spans = []
+        for f in os.listdir(os.path.join(vdir, seg)):
+            if not f.endswith(".parquet"):
+                continue
+            md = pq.read_metadata(os.path.join(vdir, seg, f))
+            vals = [
+                md.row_group(i).column(1).statistics
+                for i in range(md.num_row_groups)
+            ]
+            spans.append((min(s.min for s in vals), max(s.max for s in vals)))
+        spans.sort()
+        for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+            assert hi1 <= lo2, f"overlapping val ranges in {seg}: {spans}"
