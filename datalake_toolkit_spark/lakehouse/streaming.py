@@ -1,0 +1,90 @@
+"""Streaming MERGE sink: maintain a LakeTable from a stream.
+
+The reference keeps its control/state tables current with per-event
+DynamoDB ``put_item`` calls from Lambda handlers
+(lambda/odl_register_raw/odl_register_raw.py ingestion status writes).
+The Spark-native shape is Delta's streaming-merge pattern: a
+``foreachBatch`` sink that MERGEs each micro-batch into the table, so
+any stream — CDC feed, file tail, rollup delta — continuously
+maintains a versioned table.
+
+Semantics per micro-batch:
+
+- rows are first collapsed to one per key (newest wins under
+  ``order_by``, with the key itself as the final tiebreaker) — a
+  micro-batch can carry several updates for one key and MERGE needs a
+  deterministic winner;
+- the collapsed batch is upserted copy-on-write: only partitions
+  holding matched keys or new rows are rewritten;
+- replays are safe twice over: the upsert is idempotent by key, and
+  Structured Streaming replays whole micro-batches, so a batch that
+  died mid-merge re-applies to the same end state.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from datalake_toolkit_spark.lakehouse.table import LakeTable
+from datalake_toolkit_spark.operators.relational import dedup_latest
+
+
+def merge_batch(
+    batch: DataFrame,
+    path: str,
+    keys: Sequence[str],
+    partition_by: Sequence[str] = (),
+    order_by: Sequence[Column] = (),
+    schema_evolution: bool = False,
+) -> None:
+    """MERGE one (micro-)batch into the LakeTable at ``path``.
+
+    Usable directly for batch upserts or via ``stream_upsert`` as the
+    ``foreachBatch`` body."""
+    if batch.isEmpty():
+        return
+    collapsed = dedup_latest(
+        batch,
+        partition_cols=list(keys),
+        order_cols=[*order_by, *[F.col(k) for k in keys]],
+    )
+    LakeTable(batch.sparkSession, path, partition_by=partition_by).upsert(
+        collapsed, keys=list(keys), schema_evolution=schema_evolution
+    )
+
+
+def stream_upsert(
+    stream_df: DataFrame,
+    path: str,
+    keys: Sequence[str],
+    checkpoint: str,
+    partition_by: Sequence[str] = (),
+    order_by: Sequence[Column] = (),
+    schema_evolution: bool = False,
+    available_now: bool = True,
+):
+    """Run a stream into a MERGE-maintained LakeTable; returns the
+    started ``StreamingQuery`` (``availableNow`` drains and stops by
+    default, processing-time tailing with ``available_now=False``)."""
+
+    def _apply(batch: DataFrame, _batch_id: int) -> None:
+        merge_batch(
+            batch,
+            path,
+            keys=keys,
+            partition_by=partition_by,
+            order_by=order_by,
+            schema_evolution=schema_evolution,
+        )
+
+    writer = (
+        stream_df.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -233,3 +233,54 @@ def test_optimize_clustered(spark, tmp_path, base_df):
         spans.sort()
         for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
             assert hi1 <= lo2, f"overlapping val ranges in {seg}: {spans}"
+
+
+def test_stream_upsert_maintains_table(spark, tmp_path):
+    """Streaming MERGE sink: micro-batches continuously maintain the
+    table; in-batch duplicates collapse newest-wins; a re-drain with
+    the same checkpoint is a no-op (exactly-once effect)."""
+    import json as _json
+
+    from datalake_toolkit_spark.lakehouse import LakeTable, stream_upsert
+
+    src = tmp_path / "src"
+    src.mkdir()
+    table = str(tmp_path / "t")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drop(name, rows):
+        (src / name).write_text("\n".join(_json.dumps(r) for r in rows))
+
+    def drain():
+        q = stream_upsert(
+            spark.readStream.schema(
+                "id bigint, seg string, val double, ts double"
+            ).json(str(src)),
+            table,
+            keys=["id"],
+            checkpoint=ckpt,
+            partition_by=("seg",),
+            order_by=[F.desc("ts")],
+        )
+        q.awaitTermination(120)
+
+    drop("b1.json", [
+        {"id": 1, "seg": "a", "val": 1.0, "ts": 1.0},
+        {"id": 2, "seg": "a", "val": 2.0, "ts": 1.0},
+    ])
+    drain()
+    # update id 1 (twice in one batch — newest wins), move id 2 to
+    # seg b, insert id 3
+    drop("b2.json", [
+        {"id": 1, "seg": "a", "val": 10.0, "ts": 2.0},
+        {"id": 1, "seg": "a", "val": 99.0, "ts": 3.0},
+        {"id": 2, "seg": "b", "val": 2.0, "ts": 2.0},
+        {"id": 3, "seg": "b", "val": 3.0, "ts": 2.0},
+    ])
+    drain()
+    t = LakeTable(spark, table, partition_by=("seg",))
+    got = {r.id: (r.seg, r.val) for r in t.read().collect()}
+    assert got == {1: ("a", 99.0), 2: ("b", 2.0), 3: ("b", 3.0)}
+    v = t.current_version()
+    drain()  # no new files
+    assert t.current_version() == v  # empty drain commits nothing
