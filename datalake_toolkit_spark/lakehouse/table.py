@@ -362,6 +362,43 @@ class LakeTable:
             version, {k: version for k in keys}, "optimize", df.schema.json()
         )
 
+    def changes(self, from_version: int, to_version: int | None = None) -> DataFrame:
+        """Change data feed between two versions: each changed row
+        tagged ``_change_type`` ('insert' | 'delete'; an update is a
+        delete+insert pair, Delta CDF's minimal encoding).
+
+        Scale: the owners maps tell exactly which partitions changed
+        hands between the manifests — only those are read and diffed.
+        Untouched partitions (same owning data version) contribute
+        nothing and are never scanned, so cost is O(changed
+        partitions), not two snapshot scans."""
+        m_from = self._manifest(from_version)
+        m_to = self._manifest(to_version)
+        own_f, own_t = m_from["owners"], m_to["owners"]
+        changed = [
+            k
+            for k in set(own_f) | set(own_t)
+            if own_f.get(k) != own_t.get(k)
+        ]
+        before = self._read_owned(m_from, [k for k in changed if k in own_f])
+        after = self._read_owned(m_to, [k for k in changed if k in own_t])
+        # conform both sides to the union of columns so evolved
+        # schemas diff cleanly (missing columns read as NULL)
+        empty = self.spark.createDataFrame(
+            [], T.StructType.fromJson(json.loads(m_to["schema"]))
+        )
+        before = before.unionByName(empty, allowMissingColumns=True)
+        after = after.unionByName(empty, allowMissingColumns=True)
+        cols = after.columns
+        before = before.select(*cols)
+        deletes = before.exceptAll(after).withColumn(
+            "_change_type", F.lit("delete")
+        )
+        inserts = after.exceptAll(before).withColumn(
+            "_change_type", F.lit("insert")
+        )
+        return deletes.unionByName(inserts)
+
     def history(self) -> list[dict]:
         out = []
         for v in self._versions():

@@ -284,3 +284,27 @@ def test_stream_upsert_maintains_table(spark, tmp_path):
     v = t.current_version()
     drain()  # no new files
     assert t.current_version() == v  # empty drain commits nothing
+
+
+def test_changes_between_versions(spark, tmp_path, base_df):
+    """CDF: diff of two versions as insert/delete rows, reading only
+    partitions whose owner changed between the manifests."""
+    t = LakeTable(spark, str(tmp_path / "t"), partition_by=("seg",))
+    t.write(base_df)  # v0
+    src = spark.createDataFrame(
+        [(0, "seg0", 999.0), (100, "seg1", 5.0)],
+        "id bigint, seg string, val double",
+    )
+    t.upsert(src, keys=["id"])  # v1: update id 0, insert id 100
+    ch = t.changes(0, 1)
+    got = {(r.id, r._change_type): r.val for r in ch.collect()}
+    assert got == {
+        (0, "delete"): 0.0,
+        (0, "insert"): 999.0,
+        (100, "insert"): 5.0,
+    }
+    # seg2 never changed hands: its rows appear in neither side of the
+    # diff (structural pruning also keeps them out of the scan)
+    assert ch.where("seg = 'seg2'").count() == 0
+    # identical versions diff to nothing
+    assert t.changes(1, 1).count() == 0
