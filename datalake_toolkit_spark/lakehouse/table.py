@@ -39,6 +39,7 @@ from __future__ import annotations
 
 import json
 import os
+import uuid
 import shutil
 import time
 from collections.abc import Sequence
@@ -64,8 +65,17 @@ class LakeTable:
 
         path/
           _dtk_log/v00000000.json ...   # manifests (commit log)
-          data/v00000000/               # one immutable dir per version
+          data/d-3fa09c.../             # immutable dir per write attempt
             [dt=2024-01-01/]part-*.parquet
+
+    Data dirs are uniquely-named staging tokens, never version
+    numbers: data lands BEFORE the manifest commit claims a version,
+    so concurrent writers must never share a dir. A manifest's owners
+    map points each partition at the token that holds it. Mutations
+    commit at exactly ``read_version + 1``; losing that O_EXCL race
+    means another writer committed first — the operation recomputes
+    from the fresh manifest and the orphaned token dir is reaped by
+    ``vacuum`` after a grace period.
     """
 
     def __init__(
@@ -109,8 +119,17 @@ class LakeTable:
         with open(self._manifest_path(version)) as fh:
             return json.load(fh)
 
-    def _vdir(self, data_version: int) -> str:
-        return os.path.join(self.data_dir, f"v{data_version:08d}")
+    def _vdir(self, token: int | str) -> str:
+        # int: legacy version-numbered dirs; str: unique staging tokens
+        name = f"v{token:08d}" if isinstance(token, int) else token
+        return os.path.join(self.data_dir, name)
+
+    def _new_token(self) -> str:
+        """Unique data-dir name, minted per write attempt. Data lands
+        here BEFORE the manifest commit claims a version, so the name
+        must never collide across concurrent writers — a
+        version-numbered dir would let two writers interleave files."""
+        return f"d-{uuid.uuid4().hex[:12]}"
 
     def _next_version(self) -> int:
         cur = self.current_version()
@@ -227,12 +246,27 @@ class LakeTable:
 
     # -- public surface ----------------------------------------------------
 
+    _MAX_COMMIT_RETRIES = 10
+
     def write(self, df: DataFrame, op: str = "write") -> int:
-        """Full-snapshot write: the new version owns every partition."""
-        version = self._next_version()
-        keys = self._write_data(df, version)
-        return self._commit(
-            version, {k: version for k in keys}, op, df.schema.json()
+        """Full-snapshot write: the new version owns every partition.
+        Data lands once under a fresh token; a commit conflict only
+        re-claims the next version number (replace-table semantics
+        don't depend on the manifest we lost to)."""
+        token = self._new_token()
+        keys = self._write_data(df, token)
+        for _ in range(self._MAX_COMMIT_RETRIES):
+            try:
+                return self._commit(
+                    self._next_version(),
+                    {k: token for k in keys},
+                    op,
+                    df.schema.json(),
+                )
+            except ConcurrentWriteError:
+                continue
+        raise ConcurrentWriteError(
+            f"write lost {self._MAX_COMMIT_RETRIES} version races at {self.path}"
         )
 
     def read(self, version: int | None = None) -> DataFrame:
@@ -254,99 +288,144 @@ class LakeTable:
         columns absent from the target are added (NULL for carried
         rows), target columns absent from the source survive (NULL for
         inserted rows). Off by default so a malformed source fails
-        loudly instead of silently widening the table."""
+        loudly instead of silently widening the table.
+
+        Concurrency: the merge is computed against a manifest read,
+        and the commit targets exactly ``read_version + 1`` — if any
+        writer committed in between, the O_EXCL claim fails and the
+        WHOLE merge recomputes from the fresh manifest (optimistic
+        concurrency; the orphaned attempt dir is reaped by vacuum)."""
         if when_matched not in ("update", "delete"):
             raise ValueError(f"when_matched must be update|delete: {when_matched}")
-        if self.current_version() is None:
-            # first merge into an empty table: everything is an insert
-            if when_matched == "delete":
-                raise FileNotFoundError(f"no table to delete from at {self.path}")
-            return self.write(source, op="merge_update")
-        man = self._manifest()
         keys = list(keys)
-        self._check_merge_schema(man, source, schema_evolution)
-        if not self.partition_by:
-            target = self._read_owned(man)
-            survivors = target.join(
-                source.select(*keys).distinct(), keys, "left_anti"
-            )
-            new = (
-                survivors
-                if when_matched == "delete"
-                else survivors.unionByName(
-                    source, allowMissingColumns=schema_evolution
+        for _ in range(self._MAX_COMMIT_RETRIES):
+            if self.current_version() is None:
+                # first merge into an empty table: everything inserts
+                if when_matched == "delete":
+                    raise FileNotFoundError(
+                        f"no table to delete from at {self.path}"
+                    )
+                token = self._new_token()
+                written = self._write_data(source, token)
+                try:
+                    return self._commit(
+                        0,
+                        {k: token for k in written},
+                        "merge_update",
+                        source.schema.json(),
+                    )
+                except ConcurrentWriteError:
+                    continue  # table appeared: re-enter as a real merge
+            man = self._manifest()
+            self._check_merge_schema(man, source, schema_evolution)
+            if not self.partition_by:
+                target = self._read_owned(man)
+                survivors = target.join(
+                    source.select(*keys).distinct(), keys, "left_anti"
                 )
-            )
-            version = self._next_version()
-            written = self._write_data(new, version)
-            return self._commit(
-                version,
-                {k: version for k in written},
-                f"merge_{when_matched}",
-                new.schema.json(),
-            )
-
-        src_keys = source.select(*keys).distinct()
-        target_all = self._read_owned(man)
-        # partitions holding matched rows (an update may move a key
-        # across partitions, so this is NOT just the source's partitions)
-        matched_parts = (
-            target_all.join(src_keys, keys, "leftsemi")
-            .select(*self.partition_by)
-            .distinct()
-        )
-        src_parts = source.select(*self.partition_by).distinct()
-        affected = {
-            _fmt_key(self.partition_by, r)
-            for r in matched_parts.unionByName(src_parts).distinct().collect()
-        }
-        affected_existing = [k for k in affected if k in man["owners"]]
-        target_affected = self._read_owned(man, affected_existing)
-        survivors = target_affected.join(src_keys, keys, "left_anti")
-        new = (
-            survivors
-            if when_matched == "delete"
-            else survivors.unionByName(
-                source, allowMissingColumns=schema_evolution
-            )
-        )
-        version = self._next_version()
-        written = set(self._write_data(new, version))
-        owners = {
-            k: v for k, v in man["owners"].items() if k not in affected
-        }
-        owners.update({k: version for k in written})
-        return self._commit(
-            version, owners, f"merge_{when_matched}", new.schema.json()
+                new = (
+                    survivors
+                    if when_matched == "delete"
+                    else survivors.unionByName(
+                        source, allowMissingColumns=schema_evolution
+                    )
+                )
+                token = self._new_token()
+                written = self._write_data(new, token)
+                try:
+                    return self._commit(
+                        man["version"] + 1,
+                        {k: token for k in written},
+                        f"merge_{when_matched}",
+                        new.schema.json(),
+                    )
+                except ConcurrentWriteError:
+                    continue
+            else:
+                src_keys = source.select(*keys).distinct()
+                target_all = self._read_owned(man)
+                # partitions holding matched rows (an update may move
+                # a key across partitions, so this is NOT just the
+                # source's partitions)
+                matched_parts = (
+                    target_all.join(src_keys, keys, "leftsemi")
+                    .select(*self.partition_by)
+                    .distinct()
+                )
+                src_parts = source.select(*self.partition_by).distinct()
+                affected = {
+                    _fmt_key(self.partition_by, r)
+                    for r in matched_parts.unionByName(src_parts)
+                    .distinct()
+                    .collect()
+                }
+                affected_existing = [k for k in affected if k in man["owners"]]
+                target_affected = self._read_owned(man, affected_existing)
+                survivors = target_affected.join(src_keys, keys, "left_anti")
+                new = (
+                    survivors
+                    if when_matched == "delete"
+                    else survivors.unionByName(
+                        source, allowMissingColumns=schema_evolution
+                    )
+                )
+                token = self._new_token()
+                written = set(self._write_data(new, token))
+                owners = {
+                    k: v for k, v in man["owners"].items() if k not in affected
+                }
+                owners.update({k: token for k in written})
+                try:
+                    return self._commit(
+                        man["version"] + 1,
+                        owners,
+                        f"merge_{when_matched}",
+                        new.schema.json(),
+                    )
+                except ConcurrentWriteError:
+                    continue
+        raise ConcurrentWriteError(
+            f"merge lost {self._MAX_COMMIT_RETRIES} version races at {self.path}"
         )
 
     def delete_where(self, condition) -> int:
-        """Partition-scoped row delete (condition must be null-safe)."""
-        man = self._manifest()
-        target_all = self._read_owned(man)
-        if not self.partition_by:
-            new = target_all.where(~F.coalesce(condition, F.lit(False)))
-            version = self._next_version()
-            written = self._write_data(new, version)
-            return self._commit(
-                version, {k: version for k in written}, "delete", new.schema.json()
-            )
-        affected = {
-            _fmt_key(self.partition_by, r)
-            for r in target_all.where(condition)
-            .select(*self.partition_by)
-            .distinct()
-            .collect()
-        }
-        affected_existing = [k for k in affected if k in man["owners"]]
-        new = self._read_owned(man, affected_existing).where(
-            ~F.coalesce(condition, F.lit(False))
+        """Partition-scoped row delete (condition must be null-safe);
+        same optimistic-retry contract as ``upsert``."""
+        for _ in range(self._MAX_COMMIT_RETRIES):
+            man = self._manifest()
+            target_all = self._read_owned(man)
+            if not self.partition_by:
+                new = target_all.where(~F.coalesce(condition, F.lit(False)))
+                token = self._new_token()
+                written = self._write_data(new, token)
+                owners = {k: token for k in written}
+            else:
+                affected = {
+                    _fmt_key(self.partition_by, r)
+                    for r in target_all.where(condition)
+                    .select(*self.partition_by)
+                    .distinct()
+                    .collect()
+                }
+                affected_existing = [k for k in affected if k in man["owners"]]
+                new = self._read_owned(man, affected_existing).where(
+                    ~F.coalesce(condition, F.lit(False))
+                )
+                token = self._new_token()
+                written = set(self._write_data(new, token))
+                owners = {
+                    k: v for k, v in man["owners"].items() if k not in affected
+                }
+                owners.update({k: token for k in written})
+            try:
+                return self._commit(
+                    man["version"] + 1, owners, "delete", new.schema.json()
+                )
+            except ConcurrentWriteError:
+                continue
+        raise ConcurrentWriteError(
+            f"delete lost {self._MAX_COMMIT_RETRIES} version races at {self.path}"
         )
-        version = self._next_version()
-        written = set(self._write_data(new, version))
-        owners = {k: v for k, v in man["owners"].items() if k not in affected}
-        owners.update({k: version for k in written})
-        return self._commit(version, owners, "delete", new.schema.json())
 
     def optimize(self, sort_by: Sequence[str] = ()) -> int:
         """Compact the current snapshot into one fresh version (file
@@ -355,11 +434,22 @@ class LakeTable:
         those columns within each table partition — the OPTIMIZE
         ZORDER intent: tight parquet row-group min/max stats let the
         scan skip files on sort-key predicates."""
-        df = self.read()
-        version = self._next_version()
-        keys = self._write_data(df, version, cluster_by=sort_by)
-        return self._commit(
-            version, {k: version for k in keys}, "optimize", df.schema.json()
+        for _ in range(self._MAX_COMMIT_RETRIES):
+            man = self._manifest()
+            df = self._read_owned(man)
+            token = self._new_token()
+            keys = self._write_data(df, token, cluster_by=sort_by)
+            try:
+                return self._commit(
+                    man["version"] + 1,
+                    {k: token for k in keys},
+                    "optimize",
+                    df.schema.json(),
+                )
+            except ConcurrentWriteError:
+                continue
+        raise ConcurrentWriteError(
+            f"optimize lost {self._MAX_COMMIT_RETRIES} version races at {self.path}"
         )
 
     def changes(self, from_version: int, to_version: int | None = None) -> DataFrame:
@@ -419,6 +509,7 @@ class LakeTable:
         max_age_sec: float | None = None,
         look_back_sec: float | None = None,
         now: float | None = None,
+        staging_grace_sec: float = 3600.0,
     ) -> list[int]:
         """Drop old manifests and any data version no retained
         manifest references; returns the dropped manifest versions.
@@ -429,7 +520,12 @@ class LakeTable:
         is given) younger than the look-back floor — manifests past
         the floor are never touched. ``keep_last`` retains the N
         newest manifests regardless; the current version is always
-        kept."""
+        kept.
+
+        Unreferenced staging dirs (orphans from lost commit races)
+        are reaped only once older than ``staging_grace_sec`` — a
+        concurrent writer's not-yet-committed data must survive its
+        own vacuum (Delta's retention-window rule)."""
         versions = self._versions()
         if not versions:
             return []
@@ -450,13 +546,31 @@ class LakeTable:
             elif keep_last is None:
                 keep.add(v)  # no criteria: vacuum nothing
         dropped = [v for v in versions if v not in keep]
-        referenced = set()
-        for v in keep:
-            referenced.update(self._manifest(v)["owners"].values())
+
+        def owned_dirs(vs) -> set[str]:
+            return {
+                os.path.basename(self._vdir(owner))
+                for v in vs
+                for owner in self._manifest(v)["owners"].values()
+            }
+
+        referenced = owned_dirs(keep)
+        # dirs only dropped manifests referenced were committed once —
+        # definitely not an in-flight writer's staging; reap eagerly
+        retired = owned_dirs(dropped) - referenced
         for v in dropped:
             os.remove(self._manifest_path(v))
         if os.path.isdir(self.data_dir):
             for d in os.listdir(self.data_dir):
-                if d.startswith("v") and int(d[1:]) not in referenced:
-                    shutil.rmtree(os.path.join(self.data_dir, d))
+                if d in referenced:
+                    continue
+                full = os.path.join(self.data_dir, d)
+                if d not in retired:
+                    # never committed: possibly a concurrent writer's
+                    # in-flight staging — only reap past the grace age
+                    if not d.startswith(("d-", "v")):
+                        continue
+                    if now - os.path.getmtime(full) < staging_grace_sec:
+                        continue
+                shutil.rmtree(full)
         return dropped
