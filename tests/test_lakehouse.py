@@ -358,3 +358,52 @@ def test_merge_retries_on_concurrent_commit(spark, tmp_path, base_df):
         for o in t._manifest(v)["owners"].values()
     }
     assert set(os.listdir(t.data_dir)) == live
+
+
+def test_random_walk_matches_dict_model(spark, tmp_path):
+    """Model-based check: a seeded random sequence of merge-update /
+    merge-delete / delete_where / optimize ops must leave the table
+    equal to a plain dict applying the same semantics, at every step
+    and at every time-travel point."""
+    import random
+
+    rng = random.Random(42)
+    t = LakeTable(spark, str(tmp_path / "t"), partition_by=("seg",))
+    model: dict[int, tuple[str, float]] = {}
+    snapshots: list[dict] = []
+
+    def mk_df(rows):
+        return spark.createDataFrame(
+            [(i, s, v) for i, (s, v) in rows], "id bigint, seg string, val double"
+        )
+
+    def rand_rows(n):
+        return [
+            (rng.randrange(25), (f"seg{rng.randrange(4)}", float(rng.randrange(100))))
+            for _ in range(n)
+        ]
+
+    t.write(mk_df(rand_rows(0)))  # empty start exercises first-merge path
+    snapshots.append(dict(model))
+    for _ in range(8):
+        op = rng.choice(["upsert", "upsert", "delete_keys", "delete_where", "optimize"])
+        if op == "upsert":
+            rows = {i: sv for i, sv in rand_rows(rng.randrange(1, 6))}
+            t.upsert(mk_df(sorted(rows.items())), keys=["id"])
+            model.update(rows)
+        elif op == "delete_keys":
+            rows = {i: sv for i, sv in rand_rows(rng.randrange(1, 4))}
+            t.upsert(mk_df(sorted(rows.items())), keys=["id"], when_matched="delete")
+            for i in rows:
+                model.pop(i, None)
+        elif op == "delete_where":
+            cut = float(rng.randrange(100))
+            t.delete_where(F.col("val") >= cut)
+            model = {i: sv for i, sv in model.items() if sv[1] < cut}
+        else:
+            t.optimize()
+        snapshots.append(dict(model))
+        assert _as_dict(t.read()) == model
+    # every historical version still reproduces its model snapshot
+    for v, snap in enumerate(snapshots):
+        assert _as_dict(t.read(version=v)) == snap
