@@ -12,6 +12,11 @@ from datalake_toolkit_spark.llm.text import (
     with_text_stats,
     word_shingles,
 )
+from datalake_toolkit_spark.llm.cluster import (
+    connected_components,
+    dedup_clusters,
+    dedup_keep_canonical,
+)
 from datalake_toolkit_spark.llm.dedup import (
     exact_dedup,
     exact_dedup_groups,
@@ -31,9 +36,12 @@ from datalake_toolkit_spark.llm.similarity import (
 )
 
 __all__ = [
+    "connected_components",
     "cosine_similarity_col",
     "cosine_topk",
     "embedding_norms",
+    "dedup_clusters",
+    "dedup_keep_canonical",
     "exact_dedup",
     "exact_dedup_groups",
     "jaccard_pairs",

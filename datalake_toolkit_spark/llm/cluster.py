@@ -1,0 +1,118 @@
+"""Duplicate clustering: near-dup PAIRS -> duplicate CLUSTERS.
+
+The dedup operators (``llm.dedup``) emit candidate pairs; a training
+pipeline then needs the transitive closure — if A~B and B~C, all
+three are one duplicate cluster and exactly one survives. This is
+connected components over the pair graph.
+
+Spark-first implementation: iterative min-label propagation (the
+standard large-graph CC — each node repeatedly adopts the smallest
+component id among itself and its neighbors). Each iteration is one
+shuffle-join on node id; convergence takes O(diameter) rounds, and
+near-dup graphs are overwhelmingly star/clique-shaped (diameter 2-3),
+so 3-4 rounds cover 100 TB corpora. ``localCheckpoint`` truncates the
+growing lineage each round — without it the plan doubles per
+iteration and Catalyst analysis time explodes long before data does.
+
+No GraphFrames/GraphX dependency: plain DataFrame joins only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """(node, component) for every node in ``pairs``; component is the
+    smallest node id reachable through the pair graph. Deterministic.
+
+    Scale: each round shuffles (node, comp) by node id — edges are
+    re-used as-is (one symmetrized distinct, computed once). Rounds
+    needed = graph diameter in log-halving steps; the loop stops as
+    soon as a round changes nothing."""
+    edges = pairs.select(
+        F.col(src).alias("a"), F.col(dst).alias("b")
+    ).where(F.col(src) != F.col(dst))
+    edges = (
+        edges.unionByName(
+            edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("comp", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges["b"] == labels["node"])
+            .groupBy(F.col("a").alias("node"))
+            .agg(F.min("comp").alias("n_comp"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("comp"), F.coalesce(F.col("n_comp"), F.col("comp"))
+                ).alias("comp"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("node", "comp")
+
+
+def dedup_clusters(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src: str = "doc_a",
+    dst: str = "doc_b",
+) -> DataFrame:
+    """Docs annotated with their duplicate cluster: ``cluster_id`` is
+    the smallest member id (singletons are their own cluster) and
+    ``is_canonical`` marks the one survivor per cluster."""
+    comps = connected_components(pairs, src=src, dst=dst)
+    return docs.join(
+        comps, docs[id_col] == comps["node"], "left"
+    ).select(
+        docs["*"],
+        F.coalesce(F.col("comp"), docs[id_col]).alias("cluster_id"),
+    ).withColumn(
+        "is_canonical", F.col("cluster_id") == F.col(id_col)
+    )
+
+
+def dedup_keep_canonical(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src: str = "doc_a",
+    dst: str = "doc_b",
+) -> DataFrame:
+    """The deduplicated corpus: one canonical doc (smallest id) per
+    duplicate cluster, all other members dropped."""
+    return (
+        dedup_clusters(docs, pairs, id_col=id_col, src=src, dst=dst)
+        .where(F.col("is_canonical"))
+        .drop("cluster_id", "is_canonical")
+    )

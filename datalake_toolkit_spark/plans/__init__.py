@@ -18,6 +18,7 @@ from datalake_toolkit_spark.plans import lakehouse_queries  # noqa: F401  (regis
 # for operators added this round. They still run in the local parity
 # suite (tests/test_oracle_parity.py) every round.
 DEMOTED: tuple[str, ...] = (
+    "q4_priority_with_returns",  # r3: semi-join shape kept in-window via q18
     "q3_shipping_priority",
     "q5_region_revenue",
     "q10_returned_items",

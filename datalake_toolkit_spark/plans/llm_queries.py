@@ -561,3 +561,46 @@ def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 5)
     return ivf_topk(emb, queries, k=10, n_lists=8, n_probe=2)
+
+
+@query(
+    "q_dup_clusters",
+    """
+    WITH RECURSIVE e0 AS (
+      SELECT p_partkey AS a, p_partkey + 1 AS b
+      FROM part
+      WHERE p_partkey <= 2000 AND p_partkey % 10 <> 0
+        AND p_partkey + 1 <= 2000
+    ),
+    edges AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+    nodes AS (SELECT DISTINCT a AS n FROM edges),
+    reach(n, m) AS (
+      SELECT n, n FROM nodes
+      UNION
+      SELECT e.a, r.m FROM edges e JOIN reach r ON e.b = r.n
+    )
+    SELECT CAST(n AS BIGINT) AS node, CAST(MIN(m) AS BIGINT) AS cluster_id
+    FROM reach GROUP BY n
+    """,
+)
+def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clustering: connected components over near-dup pairs
+    via iterative min-label propagation (llm/cluster.py). The edge set
+    here is chain-shaped (p_partkey -> p_partkey+1 in runs of 10) so
+    the oracle's recursive-CTE transitive closure checks true
+    multi-hop propagation, the part naive per-pair dedup gets wrong."""
+    from datalake_toolkit_spark.llm import connected_components
+
+    part = _t(spark, sf_dir, "part").where(F.col("p_partkey") <= 2000)
+    edges = (
+        part.where((F.col("p_partkey") % 10) != 0)
+        .select(
+            F.col("p_partkey").alias("doc_a"),
+            (F.col("p_partkey") + 1).alias("doc_b"),
+        )
+        .where(F.col("doc_b") <= 2000)
+    )
+    return connected_components(edges).select(
+        F.col("node").cast("long").alias("node"),
+        F.col("comp").cast("long").alias("cluster_id"),
+    )

@@ -141,3 +141,66 @@ def test_ivf_topk_subset_and_recall(spark, sf_dir):
     assert {(r.qid, r.cid, r.rank) for r in full} == {
         (q, c, rk) for (q, c), rk in exact.items()
     }
+
+
+def test_connected_components_chain_star_and_singleton(spark):
+    """Multi-hop chain, star, and an isolated pairless doc: components
+    are min-reachable-id, exactly transitive closure."""
+    from datalake_toolkit_spark.llm import connected_components, dedup_clusters
+
+    pairs = spark.createDataFrame(
+        # chain 1-2-3-4-5 (min label must propagate 4 hops), star 10<-{11,12,13}
+        [(1, 2), (2, 3), (3, 4), (4, 5), (11, 10), (12, 10), (13, 10)],
+        "doc_a bigint, doc_b bigint",
+    )
+    comps = {r.node: r.comp for r in connected_components(pairs).collect()}
+    assert comps == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 12: 10, 13: 10}
+
+    docs = spark.createDataFrame(
+        [(i, f"d{i}") for i in [1, 2, 3, 4, 5, 10, 11, 12, 13, 99]],
+        "doc_id bigint, text string",
+    )
+    clustered = dedup_clusters(docs, pairs)
+    got = {r.doc_id: (r.cluster_id, r.is_canonical) for r in clustered.collect()}
+    assert got[99] == (99, True)  # pairless doc is its own canonical cluster
+    assert got[5] == (1, False) and got[1] == (1, True)
+    assert got[10] == (10, True) and got[13] == (10, False)
+
+
+def test_dedup_keep_canonical_composes_with_minhash(spark, sf_dir):
+    """End-to-end dedup: minhash pairs -> clusters -> canonical-only
+    corpus. Survivor count = docs - (cluster members - clusters), and
+    no surviving doc pairs with another survivor."""
+    from datalake_toolkit_spark.llm import (
+        dedup_keep_canonical,
+        minhash_near_dup_pairs,
+    )
+    from datalake_toolkit_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_near_dup_pairs(
+        docs, "doc_id", "text", num_hashes=32, bands=8, threshold=0.7
+    ).select("doc_a", "doc_b")
+    kept = dedup_keep_canonical(docs, pairs)
+    n_docs, n_kept = docs.count(), kept.count()
+    members = (
+        pairs.select(F.col("doc_a").alias("d"))
+        .union(pairs.select("doc_b"))
+        .distinct()
+        .count()
+    )
+    from datalake_toolkit_spark.llm import connected_components
+
+    n_clusters = (
+        connected_components(pairs).select("comp").distinct().count()
+    )
+    assert n_kept == n_docs - (members - n_clusters)
+    # survivors are pairwise non-duplicate: no pair has both ends kept
+    kept_ids = kept.select(F.col("doc_id").alias("k"))
+    both = (
+        pairs.join(kept_ids, pairs.doc_a == F.col("k"))
+        .drop("k")
+        .join(kept_ids, pairs.doc_b == F.col("k"))
+        .count()
+    )
+    assert both == 0
