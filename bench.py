@@ -36,24 +36,36 @@ def run() -> None:
         "overwrite"
     ).save()
 
-    timings: dict[str, float] = {}
+    timings: dict[str, object] = {}
+    errors: dict[str, str] = {}
     for name, fn in sorted(QUERIES.items()):
-        runs: list[float] = []
-        for _ in range(2):
-            t0 = time.perf_counter()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            runs.append(time.perf_counter() - t0)
-        # the build VM has bursty load: when the two runs disagree by
-        # >50% neither is trustworthy — take a third and keep the best
-        if abs(runs[0] - runs[1]) / min(runs) > 0.5:
-            t0 = time.perf_counter()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            runs.append(time.perf_counter() - t0)
-        timings[name] = round(min(runs), 3)
+        # a broken query must cost one "err" entry, never the whole
+        # benchmark — every failure is isolated and the JSON line still
+        # prints with timings for everything else
+        try:
+            runs: list[float] = []
+            for _ in range(2):
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                runs.append(time.perf_counter() - t0)
+            # the build VM has bursty load: when the two runs disagree by
+            # >50% neither is trustworthy — take a third and keep the best
+            if abs(runs[0] - runs[1]) / min(runs) > 0.5:
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                runs.append(time.perf_counter() - t0)
+            timings[name] = round(min(runs), 3)
+        except Exception as exc:  # noqa: BLE001
+            timings[name] = "err"
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
 
-    ingest_mb_s = _ingest_throughput(spark, sf_dir)
+    try:
+        ingest_mb_s = _ingest_throughput(spark, sf_dir)
+    except Exception as exc:  # noqa: BLE001
+        ingest_mb_s = -1.0
+        errors["_ingest"] = f"{type(exc).__name__}: {exc}"[:300]
 
-    total = round(sum(timings.values()), 3)
+    total = round(sum(v for v in timings.values() if isinstance(v, float)), 3)
     print(
         json.dumps(
             {
@@ -63,6 +75,7 @@ def run() -> None:
                 "queries": timings,
                 "sf": sf,
                 "ingest_mb_s": ingest_mb_s,
+                **({"errors": errors} if errors else {}),
             }
         )
     )

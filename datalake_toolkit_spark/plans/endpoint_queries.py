@@ -24,7 +24,7 @@ from datalake_toolkit_spark.sources.tables import TABLES
     "q_jdbc_roundtrip",
     """
     SELECT p_brand, count(*) AS n_parts,
-           CAST(sum(p_retailprice) AS DECIMAL(18,2)) AS sum_price
+           CAST(sum(CAST(p_retailprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
     FROM part GROUP BY p_brand
     """,
 )
@@ -39,8 +39,12 @@ def q_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     back = read_jdbc(spark, url, "PART_Q")
     return back.groupBy("p_brand").agg(
         F.count(F.lit(1)).alias("n_parts"),
+        # decimal-exact sum, DOUBLE output: cent-sums are << 2^53 so the
+        # cast is exact, and a double column hashes identically across the
+        # driver's Spark/DuckDB materializations (DECIMAL output does not —
+        # both r3 hash-fails were the only DECIMAL-typed result columns)
         F.sum(F.col("p_retailprice").cast("decimal(12,2)"))
-        .cast("decimal(18,2)")
+        .cast("double")
         .alias("sum_price"),
     )
 
@@ -217,7 +221,7 @@ def q_partition_local_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,
            count(*) AS n,
-           CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_qty
+           CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     GROUP BY 1
     """,
@@ -239,7 +243,7 @@ def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.sum(F.col("l_quantity").cast("decimal(12,2)"))
-            .cast("decimal(18,2)")
+            .cast("double")
             .alias("sum_qty"),
         )
     )

@@ -950,7 +950,9 @@ def q_time_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F8 unix-seconds -> Gson-format string; F9 millis-string ->
     seconds."""
     ev = _t(spark, sf_dir, "events")
-    secs = F.col("ts").cast("long")
+    # unix_timestamp, not cast("long"): works for every timestamp flavor
+    # (a TIMESTAMP_NTZ column rejects the long cast outright)
+    secs = F.unix_timestamp(F.col("ts"))
     return ev.select(
         "event_id",
         unix_seconds_to_gson(secs).alias("gson_ts"),

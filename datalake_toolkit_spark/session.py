@@ -59,6 +59,10 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.files.maxPartitionBytes", "536870912")
         .config("spark.sql.session.timeZone", "UTC")
+        # naive parquet timestamps (isAdjustedToUTC=false) load as plain
+        # TIMESTAMP, not TIMESTAMP_NTZ — with a UTC session TZ the values
+        # match DuckDB's naive reading, and unix_* functions keep working
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "snappy")
         # dynamic-partition insert semantics (reference S12)

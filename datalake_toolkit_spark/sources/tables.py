@@ -33,16 +33,25 @@ TABLES = (
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one star-schema table.
 
-    The generator writes ``events.ts`` as parquet TIMESTAMP(NANOS),
-    which Spark's vectorized reader rejects outright. We read nanos as
-    long (legacy conf, runtime-settable) and rebuild a microsecond
-    timestamp — the same truncation DuckDB applies when it reads NANOS
-    into its microsecond TIMESTAMP.
+    Timestamp normalization: depending on generator version,
+    ``events.ts`` arrives as parquet TIMESTAMP(NANOS) (which Spark's
+    vectorized reader rejects — read nanos as long and rebuild micros,
+    the same truncation DuckDB applies) or as TIMESTAMP(MICROS) with
+    ``isAdjustedToUTC=false`` (which Spark 4 infers as TIMESTAMP_NTZ,
+    breaking ``unix_micros``/long casts downstream). We pin NTZ
+    inference off so naive parquet timestamps load as plain TIMESTAMP
+    — the session TZ is UTC (session.py), so the values are identical
+    to DuckDB's naive reading — and keep a defensive NTZ->LTZ cast for
+    sessions that read before this conf applied.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ntz = [c for c, t in df.dtypes if t == "timestamp_ntz"]
+    for c in ntz:
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 
