@@ -24,22 +24,30 @@ DEMOTED: tuple[str, ...] = (
     "q10_returned_items",
     "q19_disjunctive_revenue",
     "q6_forecast_revenue",
-    "q_year_orders",
     "q_retained_customers",
     "q_churned_customers",
     "q_customers_without_orders",
     "q_big_spenders",
     "q_nation_region",
     "q_all_parties",
-    "q_uri_normalize",
-    "q_escape_props",
+    # r4 rotation: q_year_orders / q_escape_props / q_uri_normalize /
+    # q_user_event_map return to the window (their shared helpers —
+    # events.ts loading, scalar functions — changed in r3/r4); in
+    # exchange, four r3-green queries whose plan shapes stay covered
+    # move out: q_sanitize_headers (regexp projection ~ q_escape_props),
+    # q_skewed_list_parse (string parse ~ q_ddb_json_roundtrip),
+    # q_fingerprints + q_lang_id (expression-only text scalars ~
+    # q_text_stats).
+    "q_sanitize_headers",
+    "q_skewed_list_parse",
+    "q_fingerprints",
+    "q_lang_id",
     "q_embedding_norms",
     "q_approx_aggregates",
     "q_pivot_order_priority",
     "q_rollup_supplier_balance",
     "q_doc_words_indexed",
     "q_source_route",
-    "q_user_event_map",
 )
 
 GATE_WINDOW = 50

@@ -306,11 +306,54 @@ def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_norms(_t(spark, sf_dir, "embeddings"))
 
 
-@query("q_lsh_ann_topk")  # rows-only: hyperplane SQL mirror is impractical
+def _lsh_bucket_sql(n_planes: int, dim: int) -> str:
+    """DuckDB mirror of llm.similarity.hyperplane_bucket: the plane
+    matrix is deterministic (md5-derived, driver-computable), so the
+    oracle reproduces the exact bucket ids with literal plane arrays
+    — making the LSH-blocked scale path fully hash-checkable, not
+    just recall-bounded."""
+    from datalake_toolkit_spark.llm.similarity import _plane_component
+
+    terms = []
+    for p in range(n_planes):
+        arr = ",".join(repr(_plane_component(p, d)) for d in range(dim))
+        terms.append(
+            f"(CASE WHEN list_inner_product(v, [{arr}]) > 0 "
+            f"THEN {2 ** p} ELSE 0 END)"
+        )
+    return " + ".join(terms)
+
+
+def _lsh_ann_oracle() -> str:
+    """DuckDB mirror of lsh_bucketed_topk: identical md5-derived plane
+    matrix -> identical bucket ids -> identical candidate sets, so the
+    approximate scale path is exactly hash-checkable (same technique
+    as q_lsh_cosine_near_dups)."""
+    bucket = _lsh_bucket_sql(4, 64)
+    return f"""
+    WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    b AS (SELECT vec_id, v, {bucket} AS bucket FROM c),
+    q AS (SELECT vec_id AS qid, v AS qv, bucket FROM b WHERE vec_id < 5),
+    scored AS (
+      SELECT q.qid, b.vec_id AS cid, list_cosine_similarity(q.qv, b.v) AS cosine
+      FROM q JOIN b ON q.bucket = b.bucket AND q.qid <> b.vec_id
+    ),
+    ranked AS (
+      SELECT qid, cid, cosine,
+             CAST(row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS INTEGER) AS rank
+      FROM scored
+    )
+    SELECT qid, cid, cosine, rank FROM ranked WHERE rank <= 10
+    """
+
+
+@query("q_lsh_ann_topk", _lsh_ann_oracle())
 def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH bucketed ANN — the scale path (candidates ~
-    n/2^planes per query). No SQL oracle; recall is asserted against
-    exact top-k in tests."""
+    n/2^planes per query). The oracle reproduces the identical
+    deterministic buckets in SQL, so despite being approximate the
+    result is exactly hash-checked; recall vs exact top-k is
+    additionally bounded in tests."""
     emb = _t(spark, sf_dir, "embeddings")
     return lsh_bucketed_topk(emb, emb.where(F.col("vec_id") < 5), k=10, n_planes=4)
 
@@ -510,24 +553,6 @@ def q_cosine_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_near_dup_pairs(emb, threshold=0.4)
 
 
-def _lsh_bucket_sql(n_planes: int, dim: int) -> str:
-    """DuckDB mirror of llm.similarity.hyperplane_bucket: the plane
-    matrix is deterministic (md5-derived, driver-computable), so the
-    oracle reproduces the exact bucket ids with literal plane arrays
-    — making the LSH-blocked scale path fully hash-checkable, not
-    just recall-bounded."""
-    from datalake_toolkit_spark.llm.similarity import _plane_component
-
-    terms = []
-    for p in range(n_planes):
-        arr = ",".join(repr(_plane_component(p, d)) for d in range(dim))
-        terms.append(
-            f"(CASE WHEN list_inner_product(v, [{arr}]) > 0 "
-            f"THEN {2 ** p} ELSE 0 END)"
-        )
-    return " + ".join(terms)
-
-
 @query(
     "q_lsh_cosine_near_dups",
     f"""
@@ -551,11 +576,76 @@ def q_lsh_cosine_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_near_dup_pairs(emb, threshold=0.4, n_planes=4)
 
 
-@query("q_ivf_ann_topk", None)
+def _ivf_oracle(n_lists: int = 8, n_probe: int = 2, dim: int = 64, k: int = 10) -> str:
+    """DuckDB mirror of llm.similarity.ivf_topk with lloyd_iters=2:
+    the initial centroids are md5-derived literals (same derivation as
+    the Spark side), and each Lloyd pass is expressed relationally —
+    argmax assignment via row_number over a cross join with the
+    centroid rows, refinement via avg per (list, dim). Tie-breaks
+    replicate Spark exactly: assignment picks the smallest list id,
+    probe ranking the largest (reverse(array_sort) on (dot, list_id)
+    structs). Final cosines come from the exact vectors, so engine
+    ULP drift in the avg can only matter if it flips a discrete
+    assignment — ~1e-16 likelihood, verified stable at sf0.01."""
+    from datalake_toolkit_spark.llm.similarity import _plane_component
+
+    rows = ",".join(
+        "({}, [{}])".format(
+            p, ",".join(repr(_plane_component(p, d)) for d in range(dim))
+        )
+        for p in range(n_lists)
+    )
+
+    def lloyd(src_cent: str, out: str, i: int) -> str:
+        return f"""
+    x{i} AS (SELECT c.vec_id, c.v, kk.list_id,
+             row_number() OVER (PARTITION BY c.vec_id
+               ORDER BY list_inner_product(c.v, kk.cv) DESC, kk.list_id) AS rn
+             FROM c CROSS JOIN {src_cent} kk),
+    a{i} AS (SELECT vec_id, v, list_id FROM x{i} WHERE rn = 1),
+    m{i} AS (SELECT list_id, unnest(generate_series(1, len(v))) AS d,
+                    unnest(v) AS x FROM a{i}),
+    g{i} AS (SELECT list_id, d, avg(x) AS m FROM m{i} GROUP BY 1, 2),
+    cc{i} AS (SELECT list_id, list(m ORDER BY d) AS cv FROM g{i} GROUP BY list_id),
+    {out} AS (SELECT * FROM cc{i} UNION ALL
+              SELECT kk.list_id, kk.cv FROM {src_cent} kk
+              WHERE kk.list_id NOT IN (SELECT list_id FROM cc{i}))"""
+
+    return f"""
+    WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cent0(list_id, cv) AS (VALUES {rows}),
+    {lloyd('cent0', 'cent1', 0)},
+    {lloyd('cent1', 'cent2', 1)},
+    xf AS (SELECT c.vec_id, c.v, kk.list_id,
+           row_number() OVER (PARTITION BY c.vec_id
+             ORDER BY list_inner_product(c.v, kk.cv) DESC, kk.list_id) AS rn
+           FROM c CROSS JOIN cent2 kk),
+    af AS (SELECT vec_id, v, list_id FROM xf WHERE rn = 1),
+    q AS (SELECT vec_id AS qid, v AS qv FROM c WHERE vec_id < 5),
+    probe AS (SELECT q.qid, q.qv, kk.list_id,
+              row_number() OVER (PARTITION BY q.qid
+                ORDER BY list_inner_product(q.qv, kk.cv) DESC, kk.list_id DESC) AS prn
+              FROM q CROSS JOIN cent2 kk),
+    qp AS (SELECT qid, qv, list_id FROM probe WHERE prn <= {n_probe}),
+    scored AS (SELECT qp.qid, af.vec_id AS cid,
+                      list_cosine_similarity(qp.qv, af.v) AS cosine
+               FROM qp JOIN af ON qp.list_id = af.list_id
+               WHERE qp.qid <> af.vec_id),
+    ranked AS (SELECT qid, cid, cosine,
+               CAST(row_number() OVER (PARTITION BY qid
+                 ORDER BY cosine DESC, cid) AS INTEGER) AS rank FROM scored)
+    SELECT qid, cid, cosine, rank FROM ranked WHERE rank <= {k}
+    """
+
+
+@query("q_ivf_ann_topk", _ivf_oracle())
 def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-k (coarse quantization + Lloyd-refined
-    centroids + n_probe inverted lists). Rows-only: approximate by
-    construction; the pytest suite pins full-probe == brute force."""
+    centroids + n_probe inverted lists). The oracle re-runs the whole
+    deterministic pipeline — literal seed centroids, two relational
+    Lloyd passes, probe + rank — so even this iterative approximate
+    operator is exactly hash-checked; the pytest suite additionally
+    pins full-probe == brute force and a recall floor."""
     from datalake_toolkit_spark.llm import ivf_topk
 
     emb = _t(spark, sf_dir, "embeddings")

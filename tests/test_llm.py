@@ -137,6 +137,13 @@ def test_ivf_topk_subset_and_recall(spark, sf_dir):
     }
     approx = ivf_topk(emb, queries, k=10, n_lists=8, n_probe=2).collect()
     assert len(approx) > 0
+    # recall floor vs brute-force ground truth: centroids are
+    # deterministic (md5-derived + Lloyd on fixed data), measured
+    # recall@10 is 0.54 at sf0.001 / 0.46 at sf0.01 for n_probe=2 of 8
+    # on this synthetic (unclustered) corpus — 0.3 catches any
+    # assignment/probe regression without flaking on data regeneration
+    recall = len({(r.qid, r.cid) for r in approx} & set(exact)) / len(exact)
+    assert recall >= 0.3
     full = ivf_topk(emb, queries, k=10, n_lists=8, n_probe=8).collect()
     assert {(r.qid, r.cid, r.rank) for r in full} == {
         (q, c, rk) for (q, c), rk in exact.items()
