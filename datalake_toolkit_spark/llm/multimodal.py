@@ -54,15 +54,83 @@ def attach_fake_media(docs: DataFrame, id_col: str = "doc_id", text_col: str = "
     )
 
 
-def decode_media(df: DataFrame) -> DataFrame:
-    """Real media decode — NOT IMPLEMENTED in this container (no
-    PIL/ffmpeg). The production implementation decodes per Arrow
-    batch inside mapInPandas with the same schema contract as
-    :func:`extract_media_features`."""
-    raise NotImplementedError(
-        "media decode requires image/audio libs not present in this "
-        "container; use extract_media_features for the plumbing path"
-    )
+DECODE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("decoded", T.BooleanType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("decode_err", T.StringType()),
+    ]
+)
+
+
+def decode_media(media: DataFrame) -> DataFrame:
+    """Real media decode, degrading per-row instead of failing the job.
+
+    Decoders are soft-imported inside the Arrow batch function (so the
+    plan builds on any executor): WAV audio decodes via the stdlib
+    ``wave`` module (channels / sample rate / frame count), images via
+    PIL when installed (dimensions / bands). A payload whose decoder
+    is absent or whose bytes don't parse yields ``decoded=false`` with
+    ``decode_err`` — at 100 TB a fraction of corrupt blobs is a
+    certainty, and one bad byte string must cost one row, not a stage
+    retry storm. Same mapInPandas contract as
+    :func:`extract_media_features`: Python crosses the boundary once
+    per Arrow batch, never per row."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import wave as wave_mod
+
+        try:
+            from PIL import Image as pil_image  # soft dep
+        except ImportError:
+            pil_image = None
+
+        def one(mtype: str, raw: bytes) -> dict:
+            out = dict(
+                decoded=False, width=None, height=None, n_channels=None,
+                sample_rate=None, n_samples=None, decode_err=None,
+            )
+            try:
+                if mtype == "audio":
+                    with wave_mod.open(io.BytesIO(raw)) as w:
+                        out.update(
+                            decoded=True,
+                            n_channels=w.getnchannels(),
+                            sample_rate=w.getframerate(),
+                            n_samples=w.getnframes(),
+                        )
+                elif mtype == "image":
+                    if pil_image is None:
+                        out["decode_err"] = "decoder_unavailable: PIL"
+                    else:
+                        with pil_image.open(io.BytesIO(raw)) as im:
+                            out.update(
+                                decoded=True,
+                                width=im.width,
+                                height=im.height,
+                                n_channels=len(im.getbands()),
+                            )
+                else:
+                    out["decode_err"] = "decoder_unavailable: ffmpeg"
+            except Exception as exc:  # corrupt payload -> one bad row
+                out["decode_err"] = f"{type(exc).__name__}: {exc}"[:200]
+            return out
+
+        for pdf in it:
+            recs = [
+                {"doc_id": int(d), "media_type": m, **one(m, bytes(c))}
+                for d, m, c in zip(pdf["doc_id"], pdf["media_type"], pdf["content"])
+            ]
+            yield pd.DataFrame.from_records(recs, columns=[f.name for f in DECODE_SCHEMA])
+
+    return media.mapInPandas(batches, DECODE_SCHEMA)
 
 
 def extract_media_features(media: DataFrame) -> DataFrame:
