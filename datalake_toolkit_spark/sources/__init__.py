@@ -5,6 +5,7 @@ from datalake_toolkit_spark.sources.dynamicframe import (
     create_dynamic_frame_from_options,
     write_dynamic_frame_from_options,
 )
+from datalake_toolkit_spark.sources.formats import read_files, write_files
 from datalake_toolkit_spark.sources.tables import load_table, load_tables
 
 __all__ = [
@@ -12,5 +13,7 @@ __all__ = [
     "create_dynamic_frame_from_options",
     "load_table",
     "load_tables",
+    "read_files",
     "write_dynamic_frame_from_options",
+    "write_files",
 ]

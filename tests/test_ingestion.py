@@ -514,3 +514,39 @@ def test_dynamicframe_catalog_roundtrip(spark, tmp_path):
         .toDF()
     )
     assert mapped.columns == ["entity_type", "db_name"]
+
+
+def test_format_generic_roundtrip_all_formats(spark, sf_dir, tmp_path):
+    """read_files/write_files: every natively-supported format round
+    trips values exactly (ORC/JSON/CSV alongside parquet), including a
+    partitioned ORC write with the shared file-count control."""
+    from datalake_toolkit_spark.sources import read_files, write_files
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
+    )
+    expected = sorted(orders.collect())
+    ddl = (
+        "o_orderkey bigint, o_custkey bigint, o_totalprice double, "
+        "o_orderpriority string"
+    )
+    for fmt in ("parquet", "orc", "json", "csv"):
+        d = str(tmp_path / fmt)
+        write_files(orders, d, fmt=fmt, options=(
+            {"header": "true"} if fmt == "csv" else None
+        ))
+        back = read_files(spark, d, fmt=fmt, schema=ddl, options=(
+            {"header": "true"} if fmt == "csv" else None
+        )).select(*orders.columns)
+        assert sorted(back.collect()) == expected, fmt
+
+    part_dir = str(tmp_path / "orc_part")
+    write_files(orders, part_dir, fmt="orc", partition_by=["o_orderpriority"])
+    back = read_files(spark, part_dir, fmt="orc")
+    assert back.count() == len(expected)
+    # partition pruning works on the directory layout
+    one = back.where(F.col("o_orderpriority") == expected[0].o_orderpriority)
+    assert one.count() > 0
+
+    with pytest.raises(ValueError):
+        write_files(orders, str(tmp_path / "x"), fmt="avro")
