@@ -5,14 +5,16 @@ pipeline then needs the transitive closure — if A~B and B~C, all
 three are one duplicate cluster and exactly one survives. This is
 connected components over the pair graph.
 
-Spark-first implementation: iterative min-label propagation (the
-standard large-graph CC — each node repeatedly adopts the smallest
-component id among itself and its neighbors). Each iteration is one
-shuffle-join on node id; convergence takes O(diameter) rounds, and
-near-dup graphs are overwhelmingly star/clique-shaped (diameter 2-3),
-so 3-4 rounds cover 100 TB corpora. ``localCheckpoint`` truncates the
-growing lineage each round — without it the plan doubles per
-iteration and Catalyst analysis time explodes long before data does.
+Spark-first implementation: iterative min-label propagation with a
+pointer-doubling shortcut — each round a node adopts the smallest
+component id among its neighbors, then additionally the label OF its
+label (path halving). Reach roughly doubles per round, so convergence
+is O(log diameter) shuffle rounds, not O(diameter): near-dup graphs
+are overwhelmingly star/clique-shaped (2 rounds either way), but the
+log bound is what makes adversarial chain-shaped corpora safe at
+100 TB. ``localCheckpoint`` truncates the growing lineage each round —
+without it the plan doubles per iteration and Catalyst analysis time
+explodes long before data does.
 
 No GraphFrames/GraphX dependency: plain DataFrame joins only.
 """
@@ -32,9 +34,10 @@ def connected_components(
     """(node, component) for every node in ``pairs``; component is the
     smallest node id reachable through the pair graph. Deterministic.
 
-    Scale: each round shuffles (node, comp) by node id — edges are
-    re-used as-is (one symmetrized distinct, computed once). Rounds
-    needed = graph diameter in log-halving steps; the loop stops as
+    Scale: each round is two id-keyed shuffle joins — neighbor-min
+    propagation, then pointer doubling (comp := min(comp, comp[comp]))
+    which contracts label chains exponentially. Edges are re-used
+    as-is (one symmetrized distinct, computed once). The loop stops as
     soon as a round changes nothing."""
     edges = pairs.select(
         F.col(src).alias("a"), F.col(dst).alias("b")
@@ -58,12 +61,24 @@ def connected_components(
             .groupBy(F.col("a").alias("node"))
             .agg(F.min("comp").alias("n_comp"))
         )
+        cand = labels.join(neighbor_min, "node", "left").select(
+            "node",
+            F.least(
+                F.col("comp"), F.coalesce(F.col("n_comp"), F.col("comp"))
+            ).alias("comp"),
+        )
+        # pointer doubling: comp values are themselves node ids, so one
+        # self-join pulls each node's label's label — label chains
+        # contract by half every round (a->b->c->d becomes a->c->d->d)
+        relabel = cand.select(
+            F.col("node").alias("c_node"), F.col("comp").alias("c_comp")
+        )
         new_labels = (
-            labels.join(neighbor_min, "node", "left")
+            cand.join(relabel, cand["comp"] == relabel["c_node"], "left")
             .select(
                 "node",
                 F.least(
-                    F.col("comp"), F.coalesce(F.col("n_comp"), F.col("comp"))
+                    F.col("comp"), F.coalesce(F.col("c_comp"), F.col("comp"))
                 ).alias("comp"),
             )
             .localCheckpoint(eager=True)

@@ -241,3 +241,16 @@ def test_dedup_keep_canonical_composes_with_minhash(spark, sf_dir):
         .count()
     )
     assert both == 0
+
+
+def test_connected_components_log_rounds_on_long_chain(spark):
+    """Pointer doubling contracts label chains exponentially: a
+    41-node path graph (diameter 40) must fully converge within 8
+    rounds — plain 1-hop propagation would need 40."""
+    from datalake_toolkit_spark.llm import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 41)], "doc_a bigint, doc_b bigint"
+    )
+    comps = {r.node: r.comp for r in connected_components(pairs, max_iter=8).collect()}
+    assert len(comps) == 41 and set(comps.values()) == {1}
