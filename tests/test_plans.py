@@ -98,3 +98,38 @@ def test_gate_window_covers_undemoted_queries():
     assert not missing, f"DEMOTED names not registered: {missing}"
     # demoted queries stay locally verified: all have oracles
     assert all(n in ORACLE for n in DEMOTED)
+
+
+# Queries where a nested-loop/cartesian shape IS the documented design:
+# exact all-pairs validation baselines (quadratic by construction) and
+# the brute-force ANN ground truth whose only join predicate is !=.
+_NESTED_LOOP_BY_DESIGN = {
+    "q_cosine_near_dups",   # exact all-pairs validation mode
+    "q_ann_cosine_topk",    # brute-force baseline: join on qid != cid
+    "q_jaccard_near_dups",  # exact-Jaccard baseline (inverted-index pruned)
+}
+
+# Streaming-harness queries execute eagerly (start a stream) inside the
+# builder; plan inspection would re-run the stream for no signal.
+_SKIP_PLAN_SWEEP = {"q_stateful_running_status"}
+
+
+def test_no_unplanned_nested_loop_or_cartesian_anywhere(spark, sf_dir):
+    """Scale guard across the ENTIRE query surface: no query may plan a
+    CartesianProduct or BroadcastNestedLoopJoin unless its docstring
+    owns that shape as an explicit validation baseline. Catching a
+    stray cross join here costs one test; catching it at 100 TB costs
+    a cluster."""
+    offenders = {}
+    for name, fn in QUERIES.items():
+        if name in _NESTED_LOOP_BY_DESIGN or name in _SKIP_PLAN_SWEEP:
+            continue
+        plan = _plan(fn(spark, sf_dir))
+        hits = [
+            tok
+            for tok in ("CartesianProduct", "BroadcastNestedLoopJoin")
+            if tok in plan
+        ]
+        if hits:
+            offenders[name] = hits
+    assert not offenders, f"unplanned quadratic joins: {offenders}"
