@@ -118,3 +118,68 @@ def test_kv_pairs_to_map_last_wins(spark, rows):
         assert set(out[i]) == set(keys)
         for k, candidates in keys.items():
             assert out[i][k] in candidates
+
+
+_KEYS = st.integers(0, 5)
+_PAIR_ROWS = st.lists(
+    st.tuples(_KEYS, st.integers(-1000, 1000)), min_size=0, max_size=30
+)
+
+
+@settings(max_examples=6, deadline=None)
+@given(left=_PAIR_ROWS, right=_PAIR_ROWS, salt=st.sampled_from([2, 4, 8]))
+def test_salted_join_equals_plain_join(spark, left, right, salt):
+    """salted_join must be result-identical to the plain inner
+    equi-join for ANY key distribution and salt factor — skew handling
+    is a physical rewrite, never a semantic one."""
+    from datalake_toolkit_spark.operators import salted_join
+
+    ldf = spark.createDataFrame(
+        [(k, v) for k, v in left] or [(None, None)], "k bigint, lv bigint"
+    ).where(F.col("k").isNotNull())
+    rdf = spark.createDataFrame(
+        [(k, v) for k, v in right] or [(None, None)], "k bigint, rv bigint"
+    ).where(F.col("k").isNotNull())
+    plain = sorted(
+        (r.k, r.lv, r.rv) for r in ldf.join(rdf, "k").collect()
+    )
+    salted = sorted(
+        (r.k, r.lv, r.rv) for r in salted_join(ldf, rdf, "k", salt=salt).collect()
+    )
+    assert salted == plain
+
+
+_TS_ROWS = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 50)), min_size=1, max_size=20
+)
+
+
+@settings(max_examples=6, deadline=None)
+@given(left=_TS_ROWS, right=_TS_ROWS)
+def test_asof_join_matches_bruteforce(spark, left, right):
+    """asof_join (backward, inclusive) must pick, per left row, the
+    right row with the greatest ts <= left ts for the same key —
+    checked against a direct per-row scan on arbitrary inputs."""
+    from datalake_toolkit_spark.operators import asof_join
+
+    ldf = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(left)],
+        "k bigint, ts bigint, lid bigint",
+    ).withColumn("ts", F.timestamp_seconds("ts"))
+    # dedupe right on (k, ts): keep max marker (asof emits one match)
+    rbest: dict[tuple[int, int], int] = {}
+    for k, t in right:
+        rbest[(k, t)] = max(rbest.get((k, t), -1), t)
+    rrows = [(k, t, k * 1000 + t) for (k, t) in rbest]
+    rdf = spark.createDataFrame(
+        rrows, "k bigint, ts bigint, rval bigint"
+    ).withColumn("ts", F.timestamp_seconds("ts"))
+
+    got = {
+        r.lid: r.rval_r
+        for r in asof_join(ldf, rdf, on="k", left_ts="ts", right_ts="ts").collect()
+    }
+    for i, (k, t) in enumerate(left):
+        candidates = [(rt, rv) for (rk, rt, rv) in rrows if rk == k and rt <= t]
+        expected = max(candidates)[1] if candidates else None
+        assert got.get(i) == expected, (i, k, t)
