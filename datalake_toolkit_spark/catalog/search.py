@@ -69,6 +69,10 @@ def catalog_sql(spark: SparkSession, statement: str) -> DataFrame:
     - ``SHOW DATABASES``            -> (database_name)
     - ``SHOW TABLES [IN db]``       -> (table_name)
     - ``DESCRIBE [db.]table``       -> (col_name, data_type, comment)
+    - ``SHOW PARTITIONS t``         -> (partition) — the shape the
+      reference's ES index exposes implicitly through partition docs
+      (odl_catalog_hive_metadata_es.py:95-137); here it is a first-
+      class statement (delegates to Spark's native SHOW PARTITIONS).
 
     Anything else passes through to ``spark.sql`` untouched, which is
     strictly more capable than the Athena path (no 5-query throttle,

@@ -116,6 +116,28 @@ def test_catalog_sql_passthrough(spark, sf_dir):
     assert n == 5
 
 
+def test_catalog_sql_show_partitions(spark, sf_dir, tmp_path):
+    """SHOW PARTITIONS rides the spark.sql fall-through: the partition
+    listing the reference's ES index exposes via partition docs is a
+    first-class statement here."""
+    from datalake_toolkit_spark.sources import load_table
+
+    spark.sql("DROP TABLE IF EXISTS sp_orders")
+    (
+        load_table(spark, sf_dir, "orders")
+        .withColumn("o_year", F.year("o_orderdate"))
+        .write.partitionBy("o_year")
+        .option("path", str(tmp_path / "sp_orders"))
+        .mode("overwrite")
+        .saveAsTable("sp_orders")
+    )
+    try:
+        parts = {r.partition for r in catalog_sql(spark, "SHOW PARTITIONS sp_orders").collect()}
+        assert parts and all(p.startswith("o_year=") for p in parts)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS sp_orders")
+
+
 def test_group_within_partitions_is_partition_local(spark):
     df = spark.range(0, 100, 1, 4).select(
         (F.col("id") % 5).alias("k"), F.col("id").alias("v")
