@@ -58,3 +58,7 @@ __all__ = [
 ]
 
 from datalake_toolkit_spark.llm.multimodal import sample_frames  # noqa: E402,F401
+from datalake_toolkit_spark.llm.sample import (  # noqa: E402,F401
+    split_train_eval,
+    stratified_sample,
+)

@@ -1,0 +1,69 @@
+"""Deterministic corpus sampling for training-data pipelines.
+
+A 100 TB corpus is never trained on whole: pipelines draw fixed-size
+per-stratum samples (N docs per language/source/quality bucket) for
+mixture tuning, eval splits, and ablations. Random sampling is
+irreproducible across runs and engines; here the sample order is
+md5(id) — a deterministic, uniformly-distributed permutation both
+Spark and DuckDB compute identically, so the exact sample is
+hash-checkable and stable across re-runs, engines, and cluster sizes.
+
+Scale: one hash-partition shuffle on the strata columns; the window
+ranks within each stratum only (never a global sort). Skewed strata
+are bounded by the rank filter — each reducer emits at most
+``n_per_stratum`` rows regardless of stratum size.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_cols: Sequence[str],
+    n_per_stratum: int,
+    id_col: str,
+    salt: str = "",
+) -> DataFrame:
+    """Exactly ``n_per_stratum`` rows per stratum (fewer if the
+    stratum is smaller), chosen by the md5(salt || id) order.
+
+    ``salt`` yields independent samples from the same corpus (eval
+    vs train draws) while keeping each draw fully deterministic."""
+    order = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    w = (
+        Window.partitionBy(*[F.col(c) for c in strata_cols])
+        .orderBy(order.asc(), F.col(id_col).asc())
+    )
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= n_per_stratum)
+        .drop("_rk")
+    )
+
+
+def split_train_eval(
+    df: DataFrame,
+    id_col: str,
+    eval_fraction: float = 0.01,
+    salt: str = "split",
+) -> DataFrame:
+    """Deterministic train/eval assignment: a doc's split never changes
+    across runs or data growth (hash-bucketed, not positional). Adds
+    a ``split`` column ('train' | 'eval').
+
+    The md5 prefix is uniform on [0, 16^8); the eval cut is the
+    fraction of that space — no shuffle, no count, pure projection."""
+    bucket = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    cut = F.lit(int(eval_fraction * 16**8))
+    return df.withColumn(
+        "split", F.when(bucket < cut, F.lit("eval")).otherwise(F.lit("train"))
+    )

@@ -42,6 +42,7 @@ DEMOTED: tuple[str, ...] = (
     "q_skewed_list_parse",
     "q_fingerprints",
     "q_lang_id",
+    "q_simhash",  # r4: makes room for q_stratified_sample; explode+hash-agg shape stays covered by q_minhash_near_dups
     "q_embedding_norms",
     "q_approx_aggregates",
     "q_pivot_order_priority",

@@ -694,3 +694,32 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").cast("long").alias("node"),
         F.col("comp").cast("long").alias("cluster_id"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic sampling (llm.sample)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_stratified_sample",
+    """
+    WITH ranked AS (
+      SELECT doc_id, lang, source,
+             row_number() OVER (
+               PARTITION BY lang, source
+               ORDER BY md5('s1' || CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      FROM documents
+    )
+    SELECT doc_id, lang, source FROM ranked WHERE rk <= 7
+    """,
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sample: exactly 7 docs per
+    (lang, source) stratum in md5-permutation order — reproducible
+    across runs/engines/cluster sizes, so the exact draw is
+    hash-checked, not just its per-stratum counts."""
+    from datalake_toolkit_spark.llm import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    return stratified_sample(docs, ["lang", "source"], 7, "doc_id", salt="s1")

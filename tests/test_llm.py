@@ -254,3 +254,36 @@ def test_connected_components_log_rounds_on_long_chain(spark):
     )
     comps = {r.node: r.comp for r in connected_components(pairs, max_iter=8).collect()}
     assert len(comps) == 41 and set(comps.values()) == {1}
+
+
+def test_stratified_sample_counts_and_determinism(spark, sf_dir):
+    """Per-stratum cap respected, repeated draws identical, different
+    salts give different (still deterministic) draws."""
+    from datalake_toolkit_spark.llm import stratified_sample
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    s1 = stratified_sample(docs, ["lang"], 5, "doc_id", salt="a")
+    per = s1.groupBy("lang").count().collect()
+    assert per and all(r["count"] <= 5 for r in per)
+    assert sorted(r.doc_id for r in s1.collect()) == sorted(
+        r.doc_id for r in stratified_sample(docs, ["lang"], 5, "doc_id", salt="a").collect()
+    )
+    s2 = {r.doc_id for r in stratified_sample(docs, ["lang"], 5, "doc_id", salt="b").collect()}
+    assert s2 != {r.doc_id for r in s1.collect()}
+
+
+def test_split_train_eval_deterministic_and_bounded(spark, sf_dir):
+    """Split assignment is a pure hash of the id: stable across calls,
+    unaffected by corpus growth, eval fraction in the right ballpark."""
+    from datalake_toolkit_spark.llm import split_train_eval
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    a = {r.doc_id: r.split for r in split_train_eval(docs, "doc_id", 0.1).collect()}
+    b = {r.doc_id: r.split for r in split_train_eval(docs, "doc_id", 0.1).collect()}
+    assert a == b
+    # growing the corpus must not move existing docs between splits
+    grown = docs.unionByName(docs.select((F.col("doc_id") + 1_000_000).alias("doc_id")))
+    g = {r.doc_id: r.split for r in split_train_eval(grown, "doc_id", 0.1).collect()}
+    assert all(g[k] == v for k, v in a.items())
+    frac = sum(1 for v in a.values() if v == "eval") / len(a)
+    assert 0.02 < frac < 0.25  # 10% target, small-corpus variance allowed
