@@ -334,3 +334,46 @@ def simhash(
             F.lit(0).cast("long")
         )
     return votes.select(F.col(id_col), fp.alias("simhash"))
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup (continuous ingestion against a persistent ledger)
+# ---------------------------------------------------------------------------
+
+
+def incremental_dedup(
+    new_docs: DataFrame,
+    ledger,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Production exact dedup under continuous ingestion: drop rows of
+    ``new_docs`` whose text hash was already committed to ``ledger``
+    (a ``lakehouse.LakeTable`` of fingerprints), dedup the batch
+    internally (min-id survivor), and commit the survivors'
+    fingerprints so the next batch sees them.
+
+    Returns the surviving rows of this batch. The ledger schema is
+    (text_hash, keep_id, n_copies); ``upsert`` keyed on text_hash makes
+    re-running a failed batch idempotent — replayed fingerprints merge
+    instead of duplicating, so at-least-once delivery upstream is safe.
+
+    Scale: one hash shuffle for the batch-internal dedup, one
+    shuffle-hash anti-join of the (small) batch against the ledger
+    scan — never the reverse (the batch side is the one that
+    broadcasts/probes), and the ledger rewrite via LakeTable.upsert
+    touches only affected partitions. Ledger keys are uniform md5 —
+    no skew by construction.
+    """
+    hashed = new_docs.withColumn("_th", F.md5(F.col(text_col)))
+    try:
+        seen = ledger.read().select(F.col("text_hash").alias("_th"))
+        # shuffle_hash: the ledger side can be 100 TB-scale — never let
+        # Spark mis-estimate it into a broadcast
+        fresh = hashed.hint("shuffle_hash").join(seen, "_th", "left_anti")
+    except FileNotFoundError:  # first batch: empty ledger
+        fresh = hashed
+    survivors = exact_dedup(fresh.drop("_th"), id_col, text_col)
+    new_fps = exact_dedup_groups(fresh.drop("_th"), id_col, text_col)
+    ledger.upsert(new_fps, keys=["text_hash"])
+    return survivors

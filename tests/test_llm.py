@@ -287,3 +287,30 @@ def test_split_train_eval_deterministic_and_bounded(spark, sf_dir):
     assert all(g[k] == v for k, v in a.items())
     frac = sum(1 for v in a.values() if v == "eval") / len(a)
     assert 0.02 < frac < 0.25  # 10% target, small-corpus variance allowed
+
+
+def test_incremental_dedup_across_batches(spark, sf_dir, tmp_path):
+    """Batch 2 drops docs whose text was committed by batch 1, keeps
+    genuinely new ones, and a replayed batch is a no-op (idempotent
+    ledger upsert keyed on text_hash)."""
+    from datalake_toolkit_spark.lakehouse import LakeTable
+    from datalake_toolkit_spark.llm.dedup import incremental_dedup
+
+    ledger = LakeTable(spark, str(tmp_path / "fp_ledger"))
+    b1 = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, "alpha")], "doc_id bigint, text string"
+    )
+    s1 = incremental_dedup(b1, ledger)
+    assert {(r.doc_id, r.text) for r in s1.collect()} == {(1, "alpha"), (2, "beta")}
+
+    b2 = spark.createDataFrame(
+        [(10, "alpha"), (11, "gamma"), (12, "gamma")], "doc_id bigint, text string"
+    )
+    s2 = incremental_dedup(b2, ledger)
+    assert {(r.doc_id, r.text) for r in s2.collect()} == {(11, "gamma")}
+
+    # replay of batch 2: everything already in the ledger
+    s2r = incremental_dedup(b2, ledger)
+    assert s2r.count() == 0
+    n_fps = ledger.read().count()
+    assert n_fps == 3  # alpha, beta, gamma — replay added nothing
