@@ -528,3 +528,54 @@ def group_within_partitions(
         .agg(F.collect_list(value_col).alias(out_col))
         .drop("__pid")
     )
+
+
+def auto_skew_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    how: str = "inner",
+    hot_key_threshold: int = 100_000,
+    max_hot_keys: int = 1000,
+    salt: int = 8,
+) -> DataFrame:
+    """Skew join that salts ONLY the hot keys: result-identical to
+    ``left.join(right, on, how)``.
+
+    One narrow pre-pass counts left-side keys (single-column shuffle
+    with map-side partial aggregation — tiny next to the join itself)
+    and collects at most ``max_hot_keys`` keys whose row count exceeds
+    ``hot_key_threshold`` (driver payload bounded by max_hot_keys, not
+    data). Hot rows take the salted path (right-side rows for those
+    keys replicate ``salt``×); everything else joins plainly — so the
+    replication cost scales with the skew, not the table.
+
+    Compared with blanket :func:`salted_join`, the right-side shuffle
+    inflates by ``salt × hot_fraction`` instead of ``salt``×. Prefer
+    AQE's runtime skew splitting when it fires; this is the explicit
+    fallback for distributions AQE can't fix (e.g. one key > a whole
+    executor's memory in a single post-split partition).
+
+    Supported ``how``: inner / left / left_outer (same contract as
+    :func:`salted_join`).
+    """
+    if how not in ("inner", "left", "left_outer"):
+        raise ValueError(f"auto_skew_join supports inner/left joins, got {how!r}")
+    hot_rows = (
+        left.groupBy(on)
+        .count()
+        .where(F.col("count") >= hot_key_threshold)
+        .orderBy(F.desc("count"))
+        .limit(max_hot_keys)
+        .select(on)
+        .collect()
+    )
+    if not hot_rows:
+        return left.join(right, on, how)
+    hot_keys = [r[0] for r in hot_rows]
+    l_hot = left.where(F.col(on).isin(hot_keys))
+    l_cold = left.where(~F.col(on).isin(hot_keys) | F.col(on).isNull())
+    r_hot = right.where(F.col(on).isin(hot_keys))
+    cold = l_cold.join(right, on, how)
+    hot = salted_join(l_hot, r_hot, on, salt=salt, how=how)
+    return cold.unionByName(hot)

@@ -121,3 +121,35 @@ def test_asof_tolerance(spark):
     assert out["b"] == 200.0
     assert out["c"] is None
     assert out["d"] is None
+
+
+def test_auto_skew_join_equals_plain_join(spark):
+    """Hot keys take the salted path, cold keys the plain path; the
+    union must equal the plain inner join exactly — including a key
+    appearing only on one side and null-key rows."""
+    from datalake_toolkit_spark.operators import auto_skew_join
+
+    left = spark.createDataFrame(
+        [(1, i) for i in range(500)]  # hot key
+        + [(2, 1), (3, 5), (None, 9)],
+        "k bigint, lv bigint",
+    )
+    right = spark.createDataFrame(
+        [(1, 100), (1, 200), (2, 300), (4, 400)], "k bigint, rv bigint"
+    )
+    plain = sorted((r.k, r.lv, r.rv) for r in left.join(right, "k").collect())
+    auto = sorted(
+        (r.k, r.lv, r.rv)
+        for r in auto_skew_join(
+            left, right, "k", hot_key_threshold=100, salt=4
+        ).collect()
+    )
+    assert auto == plain and len(plain) == 1001
+    # below threshold: pure passthrough, still identical
+    no_hot = sorted(
+        (r.k, r.lv, r.rv)
+        for r in auto_skew_join(
+            left, right, "k", hot_key_threshold=10_000
+        ).collect()
+    )
+    assert no_hot == plain
