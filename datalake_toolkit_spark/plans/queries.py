@@ -983,6 +983,41 @@ def q_windowed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_interval_join",
+    """
+    SELECT p.event_id, p.user_id, v.event_id AS event_id_r,
+           CAST(date_diff('second', v.ts, p.ts) AS BIGINT) AS lag_s
+    FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+    JOIN (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view') v
+      ON v.user_id = p.user_id
+     AND v.ts >= p.ts - INTERVAL 1 HOUR AND v.ts <= p.ts
+    """,
+)
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time interval join (view->purchase attribution within
+    1 hour). The SAME streaming.windows.interval_join expression runs
+    as a watermarked stream-stream join with bounded state (runtime
+    test); here the batch execution is oracle-verified."""
+    from datalake_toolkit_spark.streaming.windows import interval_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.where(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts"
+    )
+    return interval_join(
+        purchases, views, on="user_id", within="1 hour"
+    ).select(
+        "event_id",
+        "user_id",
+        "event_id_r",
+        (F.unix_timestamp("ts") - F.unix_timestamp("ts_r")).alias("lag_s"),
+    )
+
+
+@query(
     "q_sessionized_users",
     """
     WITH x AS (

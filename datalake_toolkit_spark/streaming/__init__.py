@@ -14,6 +14,7 @@ from datalake_toolkit_spark.streaming.stateful import (
 )
 from datalake_toolkit_spark.streaming.windows import (
     sessionized,
+    interval_join,
     streaming_dedup,
     windowed_counts,
 )
@@ -25,6 +26,7 @@ __all__ = [
     "read_ledger",
     "running_status",
     "sessionized",
+    "interval_join",
     "streaming_dedup",
     "windowed_counts",
 ]

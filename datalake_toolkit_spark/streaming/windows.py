@@ -94,3 +94,48 @@ def sessionized(
             "n_events",
         )
     )
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    within: str = "1 hour",
+    watermark: str = "1 hour",
+    how: str = "inner",
+) -> DataFrame:
+    """Stream-stream event-time interval join: pair each left row with
+    right rows for the same key whose timestamp falls in
+    ``[left_ts - within, left_ts]`` — the view→purchase attribution
+    shape.
+
+    Streaming: BOTH sides carry a watermark and the join condition
+    bounds the time skew, so Spark can size and evict join state —
+    an unbounded-condition stream-stream join would buffer both
+    streams forever. State per side ~ watermark + within horizon.
+    Batch: the same expression runs as an ordinary range-predicate
+    join, which is how it is oracle-verified.
+
+    Right columns are suffixed ``_r`` (the asof_join convention).
+    ``how`` supports inner and leftOuter (outer results emit only
+    once the watermark passes, per Spark semantics).
+    """
+    is_streaming = left.isStreaming or right.isStreaming
+    l = left.withWatermark(left_ts, watermark) if is_streaming else left
+    r = right.withWatermark(right_ts, watermark) if is_streaming else right
+    # explicit aliases: both sides often derive from the same scan
+    # (self-attribution), and lineage-ambiguous l[on] == r[on] would
+    # resolve trivially true
+    l = l.alias("_ij_l")
+    r = r.select(
+        F.col(on), *[F.col(c).alias(f"{c}_r") for c in right.columns if c != on]
+    ).alias("_ij_r")
+    rts = f"{right_ts}_r"
+    cond = (
+        (F.col(f"_ij_l.{on}") == F.col(f"_ij_r.{on}"))
+        & (F.col(rts) >= F.col(left_ts) - F.expr(f"INTERVAL {within}"))
+        & (F.col(rts) <= F.col(left_ts))
+    )
+    return l.join(r, cond, how).drop(F.col(f"_ij_r.{on}"))

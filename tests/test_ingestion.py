@@ -550,3 +550,39 @@ def test_format_generic_roundtrip_all_formats(spark, sf_dir, tmp_path):
 
     with pytest.raises(ValueError):
         write_files(orders, str(tmp_path / "x"), fmt="avro")
+
+
+def test_interval_join_stream_matches_batch(spark, sf_dir, tmp_path):
+    """The watermarked stream-stream interval join over a live stream
+    must emit exactly the batch execution's inner-join pairs."""
+    from datalake_toolkit_spark.streaming import interval_join
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "user_id", "ts", "event_type")
+        .where(F.col("user_id") < 40)
+    )
+    purchases = ev.where("event_type = 'purchase'").drop("event_type")
+    views = ev.where("event_type = 'view'").drop("event_type")
+    expected = {
+        (r.event_id, r.event_id_r)
+        for r in interval_join(purchases, views, on="user_id", within="2 hours").collect()
+    }
+
+    psrc, vsrc = str(tmp_path / "p"), str(tmp_path / "v")
+    purchases.coalesce(1).write.mode("overwrite").parquet(psrc)
+    views.coalesce(1).write.mode("overwrite").parquet(vsrc)
+    ddl = "event_id bigint, user_id bigint, ts timestamp"
+    ps = spark.readStream.schema(ddl).parquet(psrc)
+    vs = spark.readStream.schema(ddl).parquet(vsrc)
+    q = (
+        interval_join(ps, vs, on="user_id", within="2 hours", watermark="1 day")
+        .writeStream.format("memory")
+        .queryName("ij_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {(r.event_id, r.event_id_r) for r in spark.table("ij_sink").collect()}
+    assert got == expected and len(expected) > 0
