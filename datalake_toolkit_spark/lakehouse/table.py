@@ -168,13 +168,48 @@ class LakeTable:
         rows = df.select(*self.partition_by).distinct().collect()
         return [_fmt_key(self.partition_by, r) for r in rows]
 
+    def _zvalue(self, df: DataFrame, cols: Sequence[str], bits: int = 4):
+        """Z-order curve value: per column an equi-depth bucket id in
+        [0, 2^bits) from approxQuantile boundaries (driver payload =
+        (2^bits - 1) doubles per column), bit-interleaved across
+        columns so EVERY z-ordered column gets tight per-file min/max
+        spans — lexicographic sort only tightens the leading one."""
+        n = len(cols)
+        probs = [i / (1 << bits) for i in range(1, 1 << bits)]
+        z = F.lit(0).cast("long")
+        for i, c in enumerate(cols):
+            bnds = df.approxQuantile(c, probs, 0.001)
+            arr = F.lit(bnds) if bnds else F.array().cast("array<double>")
+            bucket = F.aggregate(
+                arr,
+                F.lit(0),
+                lambda acc, b: acc + F.when(F.col(c).cast("double") >= b, 1).otherwise(0),
+            )
+            for b in range(bits):
+                z = z + F.shiftleft(
+                    F.shiftright(bucket, b).bitwiseAND(F.lit(1)).cast("long"),
+                    b * n + i,
+                )
+        return z
+
     def _write_data(
         self,
         df: DataFrame,
         data_version: int,
         cluster_by: Sequence[str] = (),
+        zorder_by: Sequence[str] = (),
     ) -> list[str]:
         vdir = self._vdir(data_version)
+        clustered = bool(cluster_by or zorder_by)
+        if zorder_by:
+            # interleaved-bit clustering: range-partition + sort on the
+            # z-value, then drop it (projection keeps the ordering)
+            df = (
+                df.withColumn("_z", self._zvalue(df, zorder_by))
+                .repartitionByRange(*[F.col(c) for c in self.partition_by], F.col("_z"))
+                .sortWithinPartitions(*self.partition_by, "_z")
+                .drop("_z")
+            )
         if cluster_by:
             # Range-cluster on (partition cols, sort cols): each task
             # holds a contiguous key range, so files land under few
@@ -186,7 +221,7 @@ class LakeTable:
             df = df.repartitionByRange(*cluster).sortWithinPartitions(*cluster)
         if self.partition_by:
             keys = self._partition_keys(df)
-            out = df if cluster_by else df.hint("rebalance", *self.partition_by)
+            out = df if clustered else df.hint("rebalance", *self.partition_by)
             (
                 out.write.mode("overwrite")
                 .partitionBy(*self.partition_by)
@@ -427,18 +462,26 @@ class LakeTable:
             f"delete lost {self._MAX_COMMIT_RETRIES} version races at {self.path}"
         )
 
-    def optimize(self, sort_by: Sequence[str] = ()) -> int:
+    def optimize(
+        self, sort_by: Sequence[str] = (), zorder_by: Sequence[str] = ()
+    ) -> int:
         """Compact the current snapshot into one fresh version (file
         sizing via the rebalance hint; stale versions become vacuum
-        candidates). With ``sort_by``, files are range-clustered on
-        those columns within each table partition — the OPTIMIZE
-        ZORDER intent: tight parquet row-group min/max stats let the
-        scan skip files on sort-key predicates."""
+        candidates).
+
+        With ``sort_by``, files are range-clustered lexicographically —
+        tight min/max on the LEADING column. With ``zorder_by`` (2+
+        numeric columns), files cluster on an interleaved-bit Z-value
+        so every listed column gets bounded per-file spans — Delta's
+        OPTIMIZE ZORDER: scans with predicates on ANY z-column skip
+        files on parquet min/max stats. Mutually exclusive."""
+        if sort_by and zorder_by:
+            raise ValueError("sort_by and zorder_by are mutually exclusive")
         for _ in range(self._MAX_COMMIT_RETRIES):
             man = self._manifest()
             df = self._read_owned(man)
             token = self._new_token()
-            keys = self._write_data(df, token, cluster_by=sort_by)
+            keys = self._write_data(df, token, cluster_by=sort_by, zorder_by=zorder_by)
             try:
                 return self._commit(
                     man["version"] + 1,

@@ -407,3 +407,58 @@ def test_random_walk_matches_dict_model(spark, tmp_path):
     # every historical version still reproduces its model snapshot
     for v, snap in enumerate(snapshots):
         assert _as_dict(t.read(version=v)) == snap
+
+
+def test_optimize_zorder_bounds_both_columns(spark, tmp_path):
+    """Z-order clustering must bound per-file spans on BOTH columns;
+    lexicographic sort leaves the trailing column's spans at ~full
+    range (each leading-key run covers every y). Verified from parquet
+    footer min/max stats."""
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    df = (
+        spark.range(4096)
+        .select(
+            (F.col("id") % 64).cast("double").alias("x"),
+            (F.col("id") / 64).cast("int").cast("double").alias("y"),
+            F.col("id").alias("payload"),
+        )
+    )
+
+    def spans(table, col_idx):
+        v = table.current_version()
+        vdir = table._vdir(next(iter(table._manifest(v)["owners"].values())))
+        out = []
+        for f in os.listdir(vdir):
+            if not f.endswith(".parquet"):
+                continue
+            md = pq.read_metadata(os.path.join(vdir, f))
+            st = [md.row_group(i).column(col_idx).statistics for i in range(md.num_row_groups)]
+            out.append(max(s.max for s in st) - min(s.min for s in st))
+        return out
+
+    # AQE would coalesce this tiny dataset into one file; disable it so
+    # the range partitioning yields enough files to measure spans (at
+    # real scale the coalescing produces right-SIZED files, same layout)
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try:
+        zt = LakeTable(spark, str(tmp_path / "zt"))
+        zt.write(df.repartition(8))
+        zt.optimize(zorder_by=["x", "y"])
+        lex = LakeTable(spark, str(tmp_path / "lex"))
+        lex.write(df.repartition(8))
+        lex.optimize(sort_by=["x", "y"])
+    finally:
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+
+    zx, zy = spans(zt, 0), spans(zt, 1)
+    ly = spans(lex, 1)
+    assert len(zx) >= 4  # enough files for spans to mean anything
+    # z-order: average span bounded well under the full range on BOTH dims
+    assert sum(zx) / len(zx) < 40 and sum(zy) / len(zy) < 40, (zx, zy)
+    # lexicographic: y-spans are near-full-range (the contrast z-order buys)
+    assert sum(ly) / len(ly) > 40, ly
+
+    with pytest.raises(ValueError):
+        zt.optimize(sort_by=["x"], zorder_by=["y", "x"])
