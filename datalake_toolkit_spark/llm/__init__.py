@@ -9,6 +9,7 @@ fingerprints), and multimodal binary-column plumbing.
 from datalake_toolkit_spark.llm.text import (
     with_fingerprints,
     with_language_id,
+    chunk_documents,
     with_text_stats,
     word_shingles,
 )
@@ -53,6 +54,7 @@ __all__ = [
     "simhash",
     "with_fingerprints",
     "with_language_id",
+    "chunk_documents",
     "with_text_stats",
     "word_shingles",
 ]

@@ -145,3 +145,36 @@ def with_fingerprints(df: DataFrame, text_col: str = "text", k: int = 5) -> Data
         )
         .drop("__w")
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_words: int = 64,
+    overlap: int = 8,
+) -> DataFrame:
+    """Split documents into word-bounded training chunks with overlap:
+    one output row per chunk — (id, chunk_idx, chunk_text, n_words).
+
+    Pure expression tree (split -> sequence of window starts ->
+    slice + join, posexploded), so chunking a 100 TB corpus is a
+    narrow codegen'd pass with zero shuffles and the result is
+    bit-identical in any engine (oracle-verified). Empty documents
+    yield no rows; the final short tail is kept (training pipelines
+    pad, they don't drop).
+    """
+    if not 0 <= overlap < chunk_words:
+        raise ValueError(f"need 0 <= overlap < chunk_words, got {overlap}/{chunk_words}")
+    step = chunk_words - overlap
+    w = F.col("_w")
+    starts = F.sequence(F.lit(0), F.size(w) - 1, F.lit(step))
+    chunks = F.transform(starts, lambda s: F.concat_ws(" ", F.slice(w, s + 1, chunk_words)))
+    return (
+        # trim filter, not size: split('') gives [''] in Spark and
+        # DuckDB alike, which would emit one empty chunk
+        df.where(F.trim(F.col(text_col)) != "")
+        .select(F.col(id_col), words(text_col).alias("_w"))
+        .select(F.col(id_col), F.posexplode(chunks).alias("chunk_idx", "chunk_text"))
+        .withColumn("n_words", F.size(F.split("chunk_text", r"\s+")))
+    )

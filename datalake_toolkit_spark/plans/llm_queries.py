@@ -723,3 +723,30 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "source")
     return stratified_sample(docs, ["lang", "source"], 7, "doc_id", salt="s1")
+
+
+@query(
+    "q_doc_chunks",
+    r"""
+    WITH d AS (SELECT doc_id, string_split_regex(text, '\s+') AS w
+               FROM documents WHERE trim(text) <> ''),
+    dd AS (SELECT doc_id, w, generate_series(0, len(w) - 1, 56) AS ss FROM d),
+    e AS (SELECT doc_id, w,
+                 unnest(ss) AS st,
+                 unnest(generate_series(0, len(ss) - 1)) AS ci
+          FROM dd)
+    SELECT doc_id, CAST(ci AS INTEGER) AS chunk_idx,
+           array_to_string(w[st+1 : st+64], ' ') AS chunk_text,
+           CAST(len(string_split_regex(array_to_string(w[st+1 : st+64], ' '), '\s+'))
+                AS INTEGER) AS n_words
+    FROM e
+    """,
+)
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-bounded training chunks (64 words, 8 overlap): narrow
+    expression-only fan-out, zero shuffles, engine-identical output."""
+    from datalake_toolkit_spark.llm import chunk_documents
+
+    return chunk_documents(
+        _t(spark, sf_dir, "documents"), chunk_words=64, overlap=8
+    )

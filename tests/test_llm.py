@@ -314,3 +314,29 @@ def test_incremental_dedup_across_batches(spark, sf_dir, tmp_path):
     assert s2r.count() == 0
     n_fps = ledger.read().count()
     assert n_fps == 3  # alpha, beta, gamma — replay added nothing
+
+
+def test_chunk_documents_window_arithmetic(spark):
+    """Chunk boundaries: full windows step by chunk-overlap, the tail
+    is kept, empty docs vanish, bad params rejected."""
+    from datalake_toolkit_spark.llm import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(10))), (2, "solo"), (3, "")],
+        "doc_id bigint, text string",
+    )
+    rows = sorted(
+        (r.doc_id, r.chunk_idx, r.chunk_text)
+        for r in chunk_documents(docs, chunk_words=4, overlap=1).collect()
+    )
+    # doc 1: starts 0,3,6,9 -> [w0..w3], [w3..w6], [w6..w9], [w9]
+    assert [r for r in rows if r[0] == 1] == [
+        (1, 0, "w0 w1 w2 w3"),
+        (1, 1, "w3 w4 w5 w6"),
+        (1, 2, "w6 w7 w8 w9"),
+        (1, 3, "w9"),
+    ]
+    assert [r for r in rows if r[0] == 2] == [(2, 0, "solo")]
+    assert not [r for r in rows if r[0] == 3]
+    with pytest.raises(ValueError):
+        chunk_documents(docs, chunk_words=4, overlap=4)
