@@ -61,6 +61,7 @@ __all__ = [
 
 from datalake_toolkit_spark.llm.multimodal import sample_frames  # noqa: E402,F401
 from datalake_toolkit_spark.llm.sample import (  # noqa: E402,F401
+    shard_by_token_budget,
     split_train_eval,
     stratified_sample,
 )

@@ -67,3 +67,30 @@ def split_train_eval(
     return df.withColumn(
         "split", F.when(bucket < cut, F.lit("eval")).otherwise(F.lit("train"))
     )
+
+
+def shard_by_token_budget(
+    df: DataFrame,
+    tokens_col: str,
+    order_cols: Sequence[str],
+    shard_tokens: int,
+    shard_col: str = "shard_id",
+) -> DataFrame:
+    """Pack rows into consecutive training shards of ~``shard_tokens``
+    tokens each under a deterministic total order:
+    ``shard_id = floor((running_total - tokens) / shard_tokens)`` —
+    i.e. a row belongs to the shard its FIRST token lands in, so every
+    shard except the last holds at least ``shard_tokens`` tokens'
+    worth of starts and assignment never depends on partition count.
+
+    Built on the range-partitioned running total (no single-partition
+    global window — see operators.with_running_total); the follow-up
+    ``write.partitionBy(shard_col)`` gives one output dir per shard.
+    """
+    from datalake_toolkit_spark.operators import with_running_total
+
+    run = with_running_total(df, list(order_cols), tokens_col, out_col="_cum")
+    return run.withColumn(
+        shard_col,
+        F.floor((F.col("_cum") - F.col(tokens_col)) / F.lit(shard_tokens)).cast("long"),
+    ).drop("_cum")

@@ -45,6 +45,7 @@ DEMOTED: tuple[str, ...] = (
     "q_simhash",  # r4: makes room for q_stratified_sample; explode+hash-agg shape stays covered by q_minhash_near_dups
     "q_ddb_json_roundtrip",  # r4: makes room for q_interval_join; string-codec shape green in r3, stays in local parity
     "q_doc_chunks",  # r4: new op registered straight into the locally-verified tail (window full)
+    "q_token_shards",  # r4: same
     "q_embedding_norms",
     "q_approx_aggregates",
     "q_pivot_order_priority",

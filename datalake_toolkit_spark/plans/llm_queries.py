@@ -750,3 +750,29 @@ def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_documents(
         _t(spark, sf_dir, "documents"), chunk_words=64, overlap=8
     )
+
+
+@query(
+    "q_token_shards",
+    r"""
+    WITH t AS (
+      SELECT doc_id, CAST(n_chars AS BIGINT) AS n_tok,
+             sum(n_chars) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM documents
+    )
+    SELECT doc_id, n_tok,
+           CAST(floor(CAST(cum - n_tok AS DOUBLE) / 50000) AS BIGINT) AS shard_id
+    FROM t
+    """,
+)
+def q_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sharding: pack docs into ~50k-token shards in
+    doc_id order via the range-partitioned running total (no
+    single-partition global window)."""
+    from datalake_toolkit_spark.llm import shard_by_token_budget
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.col("n_chars").cast("long").alias("n_tok")
+    )
+    return shard_by_token_budget(docs, "n_tok", ["doc_id"], 50_000)

@@ -340,3 +340,23 @@ def test_chunk_documents_window_arithmetic(spark):
     assert not [r for r in rows if r[0] == 3]
     with pytest.raises(ValueError):
         chunk_documents(docs, chunk_words=4, overlap=4)
+
+
+def test_shard_by_token_budget_partition_count_invariant(spark):
+    """Shard assignment is a pure function of the ordered running
+    total — identical whatever the input partitioning, and every
+    non-final shard's first-token span covers the budget."""
+    from datalake_toolkit_spark.llm import shard_by_token_budget
+
+    rows = [(i, 10 + (i * 7) % 50) for i in range(1, 301)]
+    df1 = spark.createDataFrame(rows, "doc_id bigint, n_tok bigint")
+    a = {r.doc_id: r.shard_id for r in shard_by_token_budget(df1, "n_tok", ["doc_id"], 500).collect()}
+    b = {
+        r.doc_id: r.shard_id
+        for r in shard_by_token_budget(df1.repartition(13), "n_tok", ["doc_id"], 500).collect()
+    }
+    assert a == b
+    # shards are consecutive starting at 0 and non-decreasing in doc order
+    order = [a[i] for i in sorted(a)]
+    assert order[0] == 0 and all(x <= y for x, y in zip(order, order[1:]))
+    assert set(order) == set(range(max(order) + 1))
