@@ -32,6 +32,7 @@ from datalake_toolkit_spark.llm.similarity import (
     cosine_near_dup_pairs,
     ivf_topk,
     cosine_topk,
+    pool_embeddings,
     embedding_norms,
     lsh_bucketed_topk,
 )
@@ -51,6 +52,7 @@ __all__ = [
     "minhash_band_keys",
     "minhash_near_dup_pairs",
     "minhash_signature",
+    "pool_embeddings",
     "simhash",
     "with_fingerprints",
     "with_language_id",

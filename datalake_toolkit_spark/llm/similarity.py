@@ -359,3 +359,43 @@ def lsh_bucketed_topk(
         .where(F.col("rank") <= k)
         .select("qid", "cid", "cosine", "rank")
     )
+
+
+def pool_embeddings(
+    df: DataFrame,
+    group_col: str,
+    vec_col: str = "embedding",
+    out_col: str = "pooled",
+) -> DataFrame:
+    """Mean-pool vectors per group — the chunk->document embedding
+    aggregation (average of chunk embeddings as the doc embedding).
+
+    posexplode -> groupBy(group, dim) -> mean -> re-assemble via the
+    ordered-collect operator: two shuffles, both with map-side partial
+    aggregation, rows never wider than (group, dim, value).
+
+    Determinism: the mean is a strict left fold over the VALUE-SORTED
+    per-group values (collect -> array_sort -> fold), one IEEE
+    operation sequence any engine reproduces bit-for-bit. A plain
+    ``avg(double)`` is summation-order-dependent, and the
+    decimal-quantization trick fails on exact ties — float32 values
+    are dyadic rationals, so double->DECIMAL(.,10) ties DO occur and
+    Spark (HALF_UP) and DuckDB round them differently.
+    """
+    from datalake_toolkit_spark.operators import collect_sorted_array
+
+    exploded = df.select(
+        F.col(group_col), F.posexplode(vec_col).alias("_d", "_x")
+    )
+    lists = exploded.groupBy(group_col, "_d").agg(
+        F.array_sort(F.collect_list(F.col("_x").cast("double"))).alias("_xs")
+    )
+    means = lists.select(
+        group_col,
+        "_d",
+        (
+            F.aggregate("_xs", F.lit(0.0), lambda acc, x: acc + x)
+            / F.size("_xs")
+        ).alias("_m"),
+    )
+    return collect_sorted_array(means, group_col, "_d", "_m", out_col=out_col)

@@ -46,6 +46,7 @@ DEMOTED: tuple[str, ...] = (
     "q_ddb_json_roundtrip",  # r4: makes room for q_interval_join; string-codec shape green in r3, stays in local parity
     "q_doc_chunks",  # r4: new op registered straight into the locally-verified tail (window full)
     "q_token_shards",  # r4: same
+    "q_embedding_pool",  # r4: same
     "q_embedding_norms",
     "q_approx_aggregates",
     "q_pivot_order_priority",

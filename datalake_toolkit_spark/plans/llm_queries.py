@@ -776,3 +776,37 @@ def q_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.col("n_chars").cast("long").alias("n_tok")
     )
     return shard_by_token_budget(docs, "n_tok", ["doc_id"], 50_000)
+
+
+@query(
+    "q_embedding_pool",
+    """
+    WITH e AS (
+      SELECT vec_id % 50 AS group_id,
+             unnest(generate_series(0, len(embedding) - 1)) AS d,
+             unnest(CAST(embedding AS DOUBLE[])) AS x
+      FROM embeddings
+    ),
+    l AS (
+      SELECT group_id, d, list(x ORDER BY x) AS xs
+      FROM e GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT group_id, d,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE), xs),
+                         (a, b) -> a + b) / len(xs) AS mv
+      FROM l
+    )
+    SELECT group_id, list(mv ORDER BY d) AS pooled
+    FROM m GROUP BY group_id
+    """,
+)
+def q_embedding_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk->doc embedding pooling: decimal-exact elementwise mean per
+    group, re-assembled in dimension order (collect_sorted_array)."""
+    from datalake_toolkit_spark.llm import pool_embeddings
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        (F.col("vec_id") % 50).alias("group_id"), "embedding"
+    )
+    return pool_embeddings(emb, "group_id")

@@ -360,3 +360,25 @@ def test_shard_by_token_budget_partition_count_invariant(spark):
     order = [a[i] for i in sorted(a)]
     assert order[0] == 0 and all(x <= y for x, y in zip(order, order[1:]))
     assert set(order) == set(range(max(order) + 1))
+
+
+def test_pool_embeddings_matches_numpy_mean(spark, sf_dir):
+    """Pooled vector ~= numpy mean of the group's embeddings (1e-9
+    tolerance: numpy pairwise summation vs our sorted fold), exact
+    dimension alignment."""
+    import numpy as np
+
+    from datalake_toolkit_spark.llm import pool_embeddings
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        (F.col("vec_id") % 10).alias("g"), "embedding"
+    )
+    pooled = {r.g: r.pooled for r in pool_embeddings(emb, "g").collect()}
+    raw = {}
+    for r in emb.collect():
+        raw.setdefault(r.g, []).append(np.array(r.embedding, dtype=np.float64))
+    for g, vecs in raw.items():
+        expect = np.mean(vecs, axis=0)
+        got = np.array(pooled[g])
+        assert got.shape == expect.shape
+        assert float(np.abs(got - expect).max()) < 1e-9
