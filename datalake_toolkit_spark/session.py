@@ -64,6 +64,10 @@ def get_spark(
         # match DuckDB's naive reading, and unix_* functions keep working
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # bound Arrow batch rows so mapInPandas over MB-sized binary
+        # payloads (multimodal decode/resize) can't blow executor
+        # memory; narrow-row throughput impact is negligible
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
         .config("spark.sql.parquet.compression.codec", "snappy")
         # dynamic-partition insert semantics (reference S12)
         .config("hive.exec.dynamic.partition", "true")

@@ -39,14 +39,31 @@ def read_delimited(
     null_value: str | None = "null",
     quote: str | None = None,
     infer_schema: bool = False,
+    corrupt_record_col: str | None = None,
 ) -> DataFrame:
     """S1-S4: delimited scan with declared schema (or S4-style
-    inference when explicitly requested)."""
+    inference when explicitly requested).
+
+    ``corrupt_record_col`` opts into PERMISSIVE salvage: rows that
+    fail the schema land whole in that column (other columns NULL)
+    instead of failing the job — at 100 TB some malformed lines are a
+    certainty, and the reference's ingest marks such files SKIPPED
+    rather than dying (odl_datalake_ingestion plugins). Filter
+    ``col IS NOT NULL`` to quarantine them."""
     reader = (
         spark.read.option("sep", sep)
         .option("header", str(header).lower())
         .option("encoding", encoding)
     )
+    if corrupt_record_col is not None:
+        if schema is None:
+            raise ValueError("corrupt_record_col requires a declared schema")
+        if isinstance(schema, str):
+            schema = T.StructType.fromDDL(schema)
+        schema = schema.add(corrupt_record_col, T.StringType())
+        reader = reader.option("mode", "PERMISSIVE").option(
+            "columnNameOfCorruptRecord", corrupt_record_col
+        )
     if null_value is not None:
         reader = reader.option("nullValue", null_value)
     if quote is not None:

@@ -586,3 +586,25 @@ def test_interval_join_stream_matches_batch(spark, sf_dir, tmp_path):
     q.awaitTermination(180)
     got = {(r.event_id, r.event_id_r) for r in spark.table("ij_sink").collect()}
     assert got == expected and len(expected) > 0
+
+
+def test_read_delimited_permissive_corrupt_records(spark, tmp_path):
+    """A malformed line costs one quarantined row, never the job: good
+    rows parse, bad rows land whole in the corrupt-record column."""
+    from datalake_toolkit_spark.sources.ingest import read_delimited
+
+    raw = tmp_path / "raw.csv"
+    raw.write_text("1,alpha,2.5\nnot-a-number,beta,oops\n3,gamma,9.0\n")
+    df = read_delimited(
+        spark,
+        str(raw),
+        schema="id bigint, name string, score double",
+        null_value=None,
+        corrupt_record_col="_bad",
+    ).cache()
+    good = df.where("_bad IS NULL").orderBy("id").collect()
+    bad = df.where("_bad IS NOT NULL").collect()
+    assert [(r.id, r.name, r.score) for r in good] == [(1, "alpha", 2.5), (3, "gamma", 9.0)]
+    assert len(bad) == 1 and bad[0]._bad == "not-a-number,beta,oops"
+    with pytest.raises(ValueError):
+        read_delimited(spark, str(raw), corrupt_record_col="_bad")
