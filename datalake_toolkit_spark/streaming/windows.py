@@ -122,6 +122,10 @@ def interval_join(
     ``how`` supports inner and leftOuter (outer results emit only
     once the watermark passes, per Spark semantics).
     """
+    if how not in ("inner", "left", "leftOuter", "left_outer"):
+        # right/full outer would need the right key kept post-join;
+        # reject rather than silently dropping it
+        raise ValueError(f"interval_join supports inner/left joins, got {how!r}")
     is_streaming = left.isStreaming or right.isStreaming
     l = left.withWatermark(left_ts, watermark) if is_streaming else left
     r = right.withWatermark(right_ts, watermark) if is_streaming else right
