@@ -1,10 +1,10 @@
 """Delta/Iceberg-style table layer: versioned Parquet with MERGE,
 time travel, OPTIMIZE, snapshot retention, and a streaming MERGE sink."""
 
-from datalake_toolkit_spark.lakehouse.streaming import merge_batch, stream_upsert
+from datalake_toolkit_spark.lakehouse.streaming import merge_batch, stream_dedup_ingest, stream_upsert
 from datalake_toolkit_spark.lakehouse.table import (
     ConcurrentWriteError,
     LakeTable,
 )
 
-__all__ = ["ConcurrentWriteError", "LakeTable", "merge_batch", "stream_upsert"]
+__all__ = ["ConcurrentWriteError", "LakeTable", "merge_batch", "stream_dedup_ingest", "stream_upsert"]

@@ -88,3 +88,46 @@ def stream_upsert(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_dedup_ingest(
+    stream_df: DataFrame,
+    corpus_path: str,
+    ledger_path: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    available_now: bool = True,
+):
+    """The full continuous-ingestion dedup pipeline: a document stream
+    is exact-deduped ACROSS micro-batches (fingerprint ledger
+    LakeTable) and the surviving rows are merged into a corpus
+    LakeTable. Returns the started ``StreamingQuery``.
+
+    Per micro-batch: anti-join the batch against the ledger, dedup it
+    internally (min-id survivor), upsert the new fingerprints keyed on
+    text_hash, upsert survivors into the corpus keyed on ``id_col``.
+    Both upserts are idempotent by key, so Structured Streaming's
+    whole-batch replay after a mid-merge failure re-applies to the
+    same end state — exactly-once corpus contents over at-least-once
+    delivery."""
+    from datalake_toolkit_spark.llm.dedup import incremental_dedup
+
+    def _apply(batch: DataFrame, _batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        ledger = LakeTable(batch.sparkSession, ledger_path)
+        survivors = incremental_dedup(batch, ledger, id_col=id_col, text_col=text_col)
+        if not survivors.isEmpty():
+            LakeTable(batch.sparkSession, corpus_path).upsert(
+                survivors, keys=[id_col]
+            )
+
+    writer = (
+        stream_df.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

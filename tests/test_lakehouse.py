@@ -462,3 +462,40 @@ def test_optimize_zorder_bounds_both_columns(spark, tmp_path):
 
     with pytest.raises(ValueError):
         zt.optimize(sort_by=["x"], zorder_by=["y", "x"])
+
+
+def test_stream_dedup_ingest_across_batches(spark, tmp_path):
+    """Two micro-batches with overlapping texts: the corpus ends with
+    exactly one row per distinct text (cross-batch dedup via the
+    fingerprint ledger), and re-draining with no new input is a no-op."""
+    from datalake_toolkit_spark.lakehouse import stream_dedup_ingest
+
+    src = str(tmp_path / "src")
+    b1 = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, "alpha")], "doc_id bigint, text string"
+    )
+    b2 = spark.createDataFrame(
+        [(10, "alpha"), (11, "gamma")], "doc_id bigint, text string"
+    )
+    b1.coalesce(1).write.mode("overwrite").parquet(src)
+
+    corpus, ledger = str(tmp_path / "corpus"), str(tmp_path / "ledger")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        stream = (
+            spark.readStream.schema("doc_id bigint, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = stream_dedup_ingest(stream, corpus, ledger, ckpt)
+        q.awaitTermination(180)
+
+    drain()
+    b2.coalesce(1).write.mode("append").parquet(src)
+    drain()
+    rows = {r.text: r.doc_id for r in LakeTable(spark, corpus).read().collect()}
+    assert rows == {"alpha": 1, "beta": 2, "gamma": 11}
+    v = LakeTable(spark, corpus).current_version()
+    drain()  # no new files -> no new commits
+    assert LakeTable(spark, corpus).current_version() == v
