@@ -135,6 +135,52 @@ def hyperplane_bucket(vec_col: Column | str, n_planes: int = 8, dim: int = 64) -
     return F.aggregate(bits, F.lit(0).cast("long"), lambda acc, b: acc + b)
 
 
+def hyperplane_probe_buckets(
+    vec_col: Column | str,
+    n_planes: int = 8,
+    dim: int = 64,
+    n_flip: int = 0,
+) -> Column:
+    """Multi-probe bucket list: the base sign-bit bucket plus the
+    ``n_flip`` buckets reached by flipping the planes with the
+    smallest |dot| margin — the planes the vector most narrowly
+    sided with, i.e. where its true neighbors most likely landed on
+    the other side. Classic multi-probe LSH: recall rises toward the
+    fewer-planes level without shrinking the planes (bucket
+    selectivity for the corpus side is unchanged).
+
+    Returns array<long> of 1 + n_flip bucket ids (pure expression)."""
+    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    planes = _matrix_lit(
+        [[_plane_component(p, d) for d in range(dim)] for p in range(n_planes)]
+    )
+    dots = F.transform(
+        planes, lambda plane: _fold_sum(F.zip_with(v, plane, lambda x, w: x * w))
+    )
+    base = F.aggregate(
+        F.transform(
+            dots,
+            lambda d, p: F.when(d > 0, F.pow(F.lit(2.0), p).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            ),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, b: acc + b,
+    )
+    if n_flip <= 0:
+        return F.array(base)
+    margins = F.array_sort(
+        F.transform(dots, lambda d, p: F.struct(F.abs(d).alias("m"), p.alias("p")))
+    )
+    flips = F.transform(
+        F.slice(margins, 1, n_flip),
+        lambda s: base.bitwiseXOR(
+            F.pow(F.lit(2.0), s.getField("p")).cast("long")
+        ),
+    )
+    return F.concat(F.array(base), flips)
+
+
 def ivf_assignments(
     corpus: DataFrame,
     n_lists: int = 16,
@@ -328,18 +374,29 @@ def lsh_bucketed_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
+    n_flip: int = 0,
 ) -> DataFrame:
     """Approximate top-k: score only corpus vectors in the query's
-    hyperplane bucket. Bucket assignment is a narrow projection; the
-    join is an equi-join on bucket (shuffle on bucket id, ~n/2^planes
-    candidates per query). Recall is tunable via n_planes (fewer
-    planes = bigger buckets = higher recall, more work)."""
+    hyperplane bucket(s). Bucket assignment is a narrow projection;
+    the join is an equi-join on bucket (shuffle on bucket id,
+    ~n/2^planes candidates per query). Recall is tunable via n_planes
+    (fewer planes = bigger buckets = higher recall, more work) and —
+    without touching corpus-side selectivity — via ``n_flip``
+    multi-probe: each query additionally probes the buckets reached
+    by flipping its lowest-|margin| planes, multiplying candidates by
+    ~(1 + n_flip)/1 for the query side only."""
     # Double-cast vectors materialize as attributes before the
     # n_planes dot-product lambdas read them (avoids per-plane
     # re-evaluation of the cast).
     q = queries.select(
         F.col(id_col).alias("qid"), _as_double(vec_col).alias("qv")
-    ).select("qid", "qv", hyperplane_bucket("qv", n_planes, dim).alias("bucket"))
+    ).select(
+        "qid",
+        "qv",
+        F.explode(
+            hyperplane_probe_buckets("qv", n_planes, dim, n_flip)
+        ).alias("bucket"),
+    )
     c = (
         ensure_min_partitions(
             corpus.select(F.col(id_col).alias("cid"), _as_double(vec_col).alias("cv"))

@@ -382,3 +382,23 @@ def test_pool_embeddings_matches_numpy_mean(spark, sf_dir):
         got = np.array(pooled[g])
         assert got.shape == expect.shape
         assert float(np.abs(got - expect).max()) < 1e-9
+
+
+def test_lsh_multi_probe_recall_monotone(spark, sf_dir):
+    """Multi-probe flips only ADD probe buckets, so the candidate pool
+    grows and recall vs exact top-k is monotone non-decreasing."""
+    from datalake_toolkit_spark.llm import cosine_topk, lsh_bucketed_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    exact = {(r.qid, r.cid) for r in cosine_topk(emb, queries, k=5).collect()}
+    recalls = []
+    for nf in (0, 3):
+        appr = {
+            (r.qid, r.cid)
+            for r in lsh_bucketed_topk(
+                emb, queries, k=5, n_planes=6, n_flip=nf
+            ).collect()
+        }
+        recalls.append(len(exact & appr) / len(exact))
+    assert recalls[1] >= recalls[0]
