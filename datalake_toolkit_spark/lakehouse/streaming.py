@@ -97,6 +97,7 @@ def stream_dedup_ingest(
     checkpoint: str,
     id_col: str = "doc_id",
     text_col: str = "text",
+    corpus_partition_by: Sequence[str] = (),
     available_now: bool = True,
 ):
     """The full continuous-ingestion dedup pipeline: a document stream
@@ -105,23 +106,41 @@ def stream_dedup_ingest(
     LakeTable. Returns the started ``StreamingQuery``.
 
     Per micro-batch: anti-join the batch against the ledger, dedup it
-    internally (min-id survivor), upsert the new fingerprints keyed on
-    text_hash, upsert survivors into the corpus keyed on ``id_col``.
-    Both upserts are idempotent by key, so Structured Streaming's
-    whole-batch replay after a mid-merge failure re-applies to the
-    same end state — exactly-once corpus contents over at-least-once
-    delivery."""
+    internally (min-id survivor), upsert survivors into the corpus
+    keyed on ``id_col``, and ONLY THEN commit the new fingerprints —
+    corpus-first ordering is what makes a crash between the two writes
+    recoverable: the replayed batch still anti-joins to the same
+    survivors and re-applies the (idempotent-by-key) corpus merge.
+    Fingerprints-first would make the replay see its own hashes and
+    silently drop the documents.
+
+    The ledger is partitioned by ``hash_prefix`` (256 uniform md5
+    buckets) so a micro-batch rewrites only the buckets it touches;
+    pass ``corpus_partition_by`` so corpus merges rewrite only
+    affected partitions rather than the whole table per batch."""
     from datalake_toolkit_spark.llm.dedup import incremental_dedup
 
     def _apply(batch: DataFrame, _batch_id: int) -> None:
         if batch.isEmpty():
             return
-        ledger = LakeTable(batch.sparkSession, ledger_path)
-        survivors = incremental_dedup(batch, ledger, id_col=id_col, text_col=text_col)
-        if not survivors.isEmpty():
-            LakeTable(batch.sparkSession, corpus_path).upsert(
-                survivors, keys=[id_col]
-            )
+        ledger = LakeTable(
+            batch.sparkSession, ledger_path, partition_by=("hash_prefix",)
+        )
+        corpus = LakeTable(
+            batch.sparkSession, corpus_path, partition_by=corpus_partition_by
+        )
+
+        def _commit_corpus(survivors: DataFrame) -> None:
+            if not survivors.isEmpty():
+                corpus.upsert(survivors, keys=[id_col])
+
+        incremental_dedup(
+            batch,
+            ledger,
+            id_col=id_col,
+            text_col=text_col,
+            before_commit=_commit_corpus,
+        )
 
     writer = (
         stream_df.writeStream.foreachBatch(_apply)

@@ -176,9 +176,12 @@ class LakeTable:
         spans — lexicographic sort only tightens the leading one."""
         n = len(cols)
         probs = [i / (1 << bits) for i in range(1, 1 << bits)]
+        # ONE multi-column approxQuantile pass: the per-column form
+        # would scan the whole snapshot len(cols) times per attempt
+        all_bnds = df.approxQuantile(list(cols), probs, 0.001)
         z = F.lit(0).cast("long")
         for i, c in enumerate(cols):
-            bnds = df.approxQuantile(c, probs, 0.001)
+            bnds = all_bnds[i]
             arr = F.lit(bnds) if bnds else F.array().cast("array<double>")
             bucket = F.aggregate(
                 arr,

@@ -346,6 +346,7 @@ def incremental_dedup(
     ledger,
     id_col: str = "doc_id",
     text_col: str = "text",
+    before_commit=None,
 ) -> DataFrame:
     """Production exact dedup under continuous ingestion: drop rows of
     ``new_docs`` whose text hash was already committed to ``ledger``
@@ -354,26 +355,41 @@ def incremental_dedup(
     fingerprints so the next batch sees them.
 
     Returns the surviving rows of this batch. The ledger schema is
-    (text_hash, keep_id, n_copies); ``upsert`` keyed on text_hash makes
-    re-running a failed batch idempotent — replayed fingerprints merge
-    instead of duplicating, so at-least-once delivery upstream is safe.
+    (text_hash, keep_id, n_copies, hash_prefix); ``upsert`` keyed on
+    text_hash makes re-running a failed batch idempotent — replayed
+    fingerprints merge instead of duplicating. ``hash_prefix`` (first
+    2 hex chars, 256 uniform buckets) is the intended ledger partition
+    key: construct the LakeTable with ``partition_by=("hash_prefix",)``
+    so a batch rewrites only the buckets it touches, not the ledger.
 
-    Scale: one hash shuffle for the batch-internal dedup, one
-    shuffle-hash anti-join of the (small) batch against the ledger
-    scan — never the reverse (the batch side is the one that
-    broadcasts/probes), and the ledger rewrite via LakeTable.upsert
-    touches only affected partitions. Ledger keys are uniform md5 —
-    no skew by construction.
+    ``before_commit(survivors)`` runs BETWEEN computing survivors and
+    committing their fingerprints: downstream writes (e.g. appending
+    survivors to a corpus table) must happen there, because once the
+    fingerprints commit, a replay of the same batch anti-joins to
+    empty — fingerprints-last is what makes a crash between the two
+    writes recoverable instead of silently dropping documents.
+
+    Scale: one hash shuffle for the batch-internal dedup, one anti-join
+    of the batch against the ledger scan with the ledger side pinned to
+    shuffle (never let Spark mis-estimate a 100 TB ledger into a
+    broadcast; for left_anti only the RIGHT side can build, so the hint
+    must sit on the ledger). Ledger keys are uniform md5 — no skew.
     """
     hashed = new_docs.withColumn("_th", F.md5(F.col(text_col)))
     try:
         seen = ledger.read().select(F.col("text_hash").alias("_th"))
-        # shuffle_hash: the ledger side can be 100 TB-scale — never let
-        # Spark mis-estimate it into a broadcast
-        fresh = hashed.hint("shuffle_hash").join(seen, "_th", "left_anti")
+        fresh = hashed.join(seen.hint("shuffle_hash"), "_th", "left_anti")
     except FileNotFoundError:  # first batch: empty ledger
         fresh = hashed
     survivors = exact_dedup(fresh.drop("_th"), id_col, text_col)
-    new_fps = exact_dedup_groups(fresh.drop("_th"), id_col, text_col)
+    if before_commit is not None:
+        # materialize once: the callback and the fingerprint commit
+        # both consume this plan (anti-join + dedup), and the callback
+        # typically runs its own multi-action write
+        survivors = survivors.localCheckpoint(eager=True)
+        before_commit(survivors)
+    new_fps = exact_dedup_groups(fresh.drop("_th"), id_col, text_col).withColumn(
+        "hash_prefix", F.substring("text_hash", 1, 2)
+    )
     ledger.upsert(new_fps, keys=["text_hash"])
     return survivors

@@ -92,12 +92,16 @@ def decode_media(media: DataFrame) -> DataFrame:
         except ImportError:
             pil_image = None
 
-        def one(mtype: str, raw: bytes) -> dict:
+        def one(mtype: str, raw) -> dict:
             out = dict(
                 decoded=False, width=None, height=None, n_channels=None,
                 sample_rate=None, n_samples=None, decode_err=None,
             )
             try:
+                if raw is None:
+                    out["decode_err"] = "null_payload"
+                    return out
+                raw = bytes(raw)
                 if mtype == "audio":
                     with wave_mod.open(io.BytesIO(raw)) as w:
                         out.update(
@@ -124,8 +128,14 @@ def decode_media(media: DataFrame) -> DataFrame:
             return out
 
         for pdf in it:
+            # id/bytes coercion stays inside the per-row guard path:
+            # a NULL content or NULL id must cost one row, not the batch
             recs = [
-                {"doc_id": int(d), "media_type": m, **one(m, bytes(c))}
+                {
+                    "doc_id": None if pd.isna(d) else int(d),
+                    "media_type": m,
+                    **one(m, c),
+                }
                 for d, m, c in zip(pdf["doc_id"], pdf["media_type"], pdf["content"])
             ]
             yield pd.DataFrame.from_records(recs, columns=[f.name for f in DECODE_SCHEMA])

@@ -168,7 +168,13 @@ def chunk_documents(
         raise ValueError(f"need 0 <= overlap < chunk_words, got {overlap}/{chunk_words}")
     step = chunk_words - overlap
     w = F.col("_w")
-    starts = F.sequence(F.lit(0), F.size(w) - 1, F.lit(step))
+    # stop starts at size - overlap - 1: a window starting inside the
+    # final overlap region would be entirely contained in the previous
+    # chunk (100% duplicated text — poison for a training corpus);
+    # greatest(.., 0) keeps the mandatory start-0 window for short docs
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.size(w) - 1 - overlap, F.lit(0)), F.lit(step)
+    )
     chunks = F.transform(starts, lambda s: F.concat_ws(" ", F.slice(w, s + 1, chunk_words)))
     return (
         # trim filter, not size: split('') gives [''] in Spark and

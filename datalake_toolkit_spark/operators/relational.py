@@ -561,8 +561,12 @@ def auto_skew_join(
     """
     if how not in ("inner", "left", "left_outer"):
         raise ValueError(f"auto_skew_join supports inner/left joins, got {how!r}")
+    # null keys never join anyway, and a None inside isin() poisons the
+    # cold-side filter (three-valued IN: NULL, not false) — exclude them
+    # from hot detection so they always ride the plain-join path
     hot_rows = (
-        left.groupBy(on)
+        left.where(F.col(on).isNotNull())
+        .groupBy(on)
         .count()
         .where(F.col("count") >= hot_key_threshold)
         .orderBy(F.desc("count"))

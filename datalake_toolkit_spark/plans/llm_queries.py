@@ -730,7 +730,9 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     r"""
     WITH d AS (SELECT doc_id, string_split_regex(text, '\s+') AS w
                FROM documents WHERE trim(text) <> ''),
-    dd AS (SELECT doc_id, w, generate_series(0, len(w) - 1, 56) AS ss FROM d),
+    dd AS (SELECT doc_id, w,
+                  generate_series(0, greatest(len(w) - 1 - 8, 0), 56) AS ss
+           FROM d),
     e AS (SELECT doc_id, w,
                  unnest(ss) AS st,
                  unnest(generate_series(0, len(ss) - 1)) AS ci

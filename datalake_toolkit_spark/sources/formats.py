@@ -58,7 +58,7 @@ def write_files(
     file-count control with the parquet path."""
     from datalake_toolkit_spark.sources.ingest import write_partitioned
 
-    if _check(fmt) == "parquet":
+    if _check(fmt) == "parquet" and not options:
         write_partitioned(df, path, partition_by, mode=mode)
         return
     if partition_by:

@@ -60,7 +60,11 @@ def read_delimited(
             raise ValueError("corrupt_record_col requires a declared schema")
         if isinstance(schema, str):
             schema = T.StructType.fromDDL(schema)
-        schema = schema.add(corrupt_record_col, T.StringType())
+        # copy before add(): StructType.add mutates in place and would
+        # corrupt the caller's schema object for reuse
+        schema = T.StructType(list(schema.fields)).add(
+            corrupt_record_col, T.StringType()
+        )
         reader = reader.option("mode", "PERMISSIVE").option(
             "columnNameOfCorruptRecord", corrupt_record_col
         )

@@ -329,12 +329,12 @@ def test_chunk_documents_window_arithmetic(spark):
         (r.doc_id, r.chunk_idx, r.chunk_text)
         for r in chunk_documents(docs, chunk_words=4, overlap=1).collect()
     )
-    # doc 1: starts 0,3,6,9 -> [w0..w3], [w3..w6], [w6..w9], [w9]
+    # doc 1: starts stop at size-overlap-1=8 -> 0,3,6; a start-9 window
+    # ([w9]) would be fully contained in [w6..w9] (pure duplicate text)
     assert [r for r in rows if r[0] == 1] == [
         (1, 0, "w0 w1 w2 w3"),
         (1, 1, "w3 w4 w5 w6"),
         (1, 2, "w6 w7 w8 w9"),
-        (1, 3, "w9"),
     ]
     assert [r for r in rows if r[0] == 2] == [(2, 0, "solo")]
     assert not [r for r in rows if r[0] == 3]
