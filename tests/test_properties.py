@@ -183,3 +183,34 @@ def test_asof_join_matches_bruteforce(spark, left, right):
         candidates = [(rt, rv) for (rk, rt, rv) in rrows if rk == k and rt <= t]
         expected = max(candidates)[1] if candidates else None
         assert got.get(i) == expected, (i, k, t)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    n_words=st.integers(1, 120),
+    chunk=st.integers(2, 40),
+    overlap=st.integers(0, 10),
+)
+def test_chunk_documents_covers_every_word_exactly(spark, n_words, chunk, overlap):
+    """Every word appears in >= 1 chunk, consecutive chunks share
+    exactly `overlap` words (when both are full-length), and no chunk
+    is fully contained in its predecessor."""
+    from hypothesis import assume
+
+    from datalake_toolkit_spark.llm import chunk_documents
+
+    assume(overlap < chunk)
+    text = " ".join(f"w{i}" for i in range(n_words))
+    docs = spark.createDataFrame([(1, text)], "doc_id bigint, text string")
+    rows = sorted(
+        (r.chunk_idx, r.chunk_text.split(" "))
+        for r in chunk_documents(docs, chunk_words=chunk, overlap=overlap).collect()
+    )
+    covered = [w for _, ws in rows for w in ws]
+    assert set(covered) == {f"w{i}" for i in range(n_words)}
+    step = chunk - overlap
+    for (i1, ws1), (i2, ws2) in zip(rows, rows[1:]):
+        assert i2 == i1 + 1
+        assert not set(ws2) <= set(ws1)  # no fully-duplicated chunk
+        if len(ws1) == chunk and len(ws2) == chunk:
+            assert ws1[step:] == ws2[:overlap]
