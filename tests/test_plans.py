@@ -133,3 +133,23 @@ def test_no_unplanned_nested_loop_or_cartesian_anywhere(spark, sf_dir):
         if hits:
             offenders[name] = hits
     assert not offenders, f"unplanned quadratic joins: {offenders}"
+
+
+def test_every_query_survives_empty_tables(spark, sf_dir, tmp_path):
+    """At 100 TB, empty partitions / fresh tables are routine: every
+    registered query must execute (0 rows is fine, a crash is not)
+    against schema-only empty inputs."""
+    from datalake_toolkit_spark.sources.tables import TABLES, load_table
+
+    empty_dir = str(tmp_path / "empty_sf")
+    for t in TABLES:
+        load_table(spark, sf_dir, t).limit(0).write.mode("overwrite").parquet(
+            f"{empty_dir}/{t}.parquet"
+        )
+    failures = {}
+    for name, fn in QUERIES.items():
+        try:
+            fn(spark, empty_dir).count()
+        except Exception as exc:  # noqa: BLE001
+            failures[name] = f"{type(exc).__name__}: {exc}"
+    assert not failures, f"queries crashing on empty inputs: {failures}"
