@@ -55,7 +55,13 @@ class ConcurrentWriteError(RuntimeError):
 
 
 def _fmt_key(partition_by: Sequence[str], row) -> str:
-    return "/".join(f"{c}={row[c]}" for c in partition_by)
+    # null partition values: Spark writes <col>=__HIVE_DEFAULT_PARTITION__,
+    # so the commit-planning key must render the same or the owners map
+    # points at a directory that doesn't exist
+    return "/".join(
+        f"{c}={'__HIVE_DEFAULT_PARTITION__' if row[c] is None else row[c]}"
+        for c in partition_by
+    )
 
 
 class LakeTable:

@@ -153,15 +153,29 @@ def extract_media_features(media: DataFrame) -> DataFrame:
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            digests = [hashlib.md5(b).hexdigest() for b in pdf["content"]]
+            # NULL payload -> NULL features (one row, not a task crash);
+            # mirrors SQL semantics where md5(NULL)/octet_length(NULL)
+            # are NULL
+            digests = [
+                None if b is None else hashlib.md5(b).hexdigest()
+                for b in pdf["content"]
+            ]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].astype("int64"),
                     "media_type": pdf["media_type"],
-                    "byte_len": [len(b) for b in pdf["content"]],
+                    "byte_len": [
+                        None if b is None else len(b) for b in pdf["content"]
+                    ],
                     "content_md5": digests,
-                    "fake_width": [int(d[:4], 16) % 1024 + 1 for d in digests],
-                    "fake_height": [int(d[4:8], 16) % 1024 + 1 for d in digests],
+                    "fake_width": [
+                        None if d is None else int(d[:4], 16) % 1024 + 1
+                        for d in digests
+                    ],
+                    "fake_height": [
+                        None if d is None else int(d[4:8], 16) % 1024 + 1
+                        for d in digests
+                    ],
                 }
             )
 
@@ -197,7 +211,8 @@ def resize_media(media: DataFrame, width: int = 64, height: int = 64) -> DataFra
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            keep = pdf[pdf["media_type"] == "image"]
+            # nothing to resize for a NULL payload: skip the row
+            keep = pdf[(pdf["media_type"] == "image") & pdf["content"].notna()]
             chains = [
                 hashlib.md5(bytes(c) + suffix).hexdigest() for c in keep["content"]
             ]
@@ -253,7 +268,7 @@ def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
             for doc_id, mtype, content in zip(
                 pdf["doc_id"], pdf["media_type"], pdf["content"]
             ):
-                if mtype != "video" or len(content) == 0:
+                if mtype != "video" or content is None or len(content) == 0:
                     continue
                 step = max(len(content) // n_frames, 1)
                 for i in range(min(n_frames, len(content))):

@@ -153,3 +153,33 @@ def test_every_query_survives_empty_tables(spark, sf_dir, tmp_path):
         except Exception as exc:  # noqa: BLE001
             failures[name] = f"{type(exc).__name__}: {exc}"
     assert not failures, f"queries crashing on empty inputs: {failures}"
+
+
+def test_every_query_survives_null_payloads(spark, sf_dir, tmp_path):
+    """All-NULL payload columns (keys intact) must not crash any query:
+    NULL text/content/props are routine in real corpora. Catches
+    mapInPandas None-handling and null-partition-value bugs."""
+    from pyspark.sql import functions as F
+
+    from datalake_toolkit_spark.sources.tables import TABLES, load_table
+
+    keys = {
+        "r_regionkey", "n_nationkey", "n_regionkey", "c_custkey",
+        "c_nationkey", "s_suppkey", "s_nationkey", "p_partkey",
+        "o_orderkey", "o_custkey", "l_orderkey", "l_partkey", "l_suppkey",
+        "l_linenumber", "event_id", "user_id", "doc_id", "vec_id",
+    }
+    null_dir = str(tmp_path / "null_sf")
+    for t in TABLES:
+        df = load_table(spark, sf_dir, t).limit(50)
+        for c, ty in df.dtypes:
+            if c not in keys:
+                df = df.withColumn(c, F.lit(None).cast(ty))
+        df.write.mode("overwrite").parquet(f"{null_dir}/{t}.parquet")
+    failures = {}
+    for name, fn in QUERIES.items():
+        try:
+            fn(spark, null_dir).count()
+        except Exception as exc:  # noqa: BLE001
+            failures[name] = f"{type(exc).__name__}: {exc}"
+    assert not failures, f"queries crashing on null payloads: {failures}"
