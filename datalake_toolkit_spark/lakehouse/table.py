@@ -54,14 +54,28 @@ class ConcurrentWriteError(RuntimeError):
     """Another writer committed this version first; re-read and retry."""
 
 
-def _fmt_key(partition_by: Sequence[str], row) -> str:
-    # null partition values: Spark writes <col>=__HIVE_DEFAULT_PARTITION__,
-    # so the commit-planning key must render the same or the owners map
-    # points at a directory that doesn't exist
-    return "/".join(
-        f"{c}={'__HIVE_DEFAULT_PARTITION__' if row[c] is None else row[c]}"
-        for c in partition_by
+# Characters Hive/Spark escape in partition directory names
+# (ExternalCatalogUtils.escapePathName): anything path- or shell-hostile
+# becomes %XX uppercase hex.
+_HIVE_ESCAPE = set('"#%\'*/:=?\\\x7f{[]^') | {chr(i) for i in range(0x20)}
+
+
+def _escape_partition_value(v) -> str:
+    """Render one partition value exactly as Spark names the directory:
+    NULL and '' -> __HIVE_DEFAULT_PARTITION__, booleans lowercase, and
+    Hive path escaping for special characters — the owners map keys
+    MUST match the directories Spark writes or reads hit PATH_NOT_FOUND."""
+    if v is None or v == "":
+        return "__HIVE_DEFAULT_PARTITION__"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    return "".join(
+        f"%{ord(ch):02X}" if ch in _HIVE_ESCAPE else ch for ch in str(v)
     )
+
+
+def _fmt_key(partition_by: Sequence[str], row) -> str:
+    return "/".join(f"{c}={_escape_partition_value(row[c])}" for c in partition_by)
 
 
 class LakeTable:
@@ -267,7 +281,15 @@ class LakeTable:
         out = reduce(
             lambda a, b: a.unionByName(b, allowMissingColumns=True), pieces
         )
-        names = [f.name for f in T.StructType.fromJson(json.loads(manifest["schema"]))]
+        schema = T.StructType.fromJson(json.loads(manifest["schema"]))
+        # directory-derived partition values come back through Spark's
+        # partition-type inference, which covers numerics/dates but NOT
+        # booleans ('true' stays a string) — pin every partition column
+        # back to its manifest type
+        for f in schema.fields:
+            if f.name in manifest["partition_by"] and f.name in out.columns:
+                out = out.withColumn(f.name, F.col(f.name).cast(f.dataType))
+        names = [f.name for f in schema.fields]
         if set(names) == set(out.columns):
             out = out.select(*names)  # pin manifest column order
         return out

@@ -162,7 +162,11 @@ def extract_media_features(media: DataFrame) -> DataFrame:
             ]
             yield pd.DataFrame(
                 {
-                    "doc_id": pdf["doc_id"].astype("int64"),
+                    # per-row id guard: astype('int64') on a column
+                    # containing None crashes the whole task
+                    "doc_id": [
+                        None if pd.isna(d) else int(d) for d in pdf["doc_id"]
+                    ],
                     "media_type": pdf["media_type"],
                     "byte_len": [
                         None if b is None else len(b) for b in pdf["content"]
@@ -221,7 +225,9 @@ def resize_media(media: DataFrame, width: int = 64, height: int = 64) -> DataFra
             ]
             yield pd.DataFrame(
                 {
-                    "doc_id": keep["doc_id"].astype("int64"),
+                    "doc_id": [
+                        None if pd.isna(d) else int(d) for d in keep["doc_id"]
+                    ],
                     "width": width,
                     "height": height,
                     "resized_bytes": payloads,

@@ -479,7 +479,7 @@ def q_quality_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH img AS (
       SELECT doc_id, md5(text || ':64x64') AS chain
-      FROM documents WHERE doc_id % 3 = 0),
+      FROM documents WHERE doc_id % 3 = 0 AND text IS NOT NULL),
     r AS (
       SELECT doc_id, substring(repeat(chain, 17 // 32 + 1), 1, 17) AS payload
       FROM img)

@@ -499,3 +499,29 @@ def test_stream_dedup_ingest_across_batches(spark, tmp_path):
     v = LakeTable(spark, corpus).current_version()
     drain()  # no new files -> no new commits
     assert LakeTable(spark, corpus).current_version() == v
+
+
+def test_partition_values_match_spark_directory_rendering(spark, tmp_path):
+    """Owners-map keys must match the directories Spark actually
+    writes: empty string and NULL -> __HIVE_DEFAULT_PARTITION__,
+    booleans lowercase, Hive path escaping for '/', '=', ':'."""
+    t = LakeTable(spark, str(tmp_path / "t"), partition_by=("p",))
+    t.write(
+        spark.createDataFrame(
+            [(1, None), (2, ""), (3, "a/b"), (4, "x=y"), (5, "h:m"), (6, "plain")],
+            "id bigint, p string",
+        )
+    )
+    got = {r.id: r.p for r in t.read().collect()}
+    # Spark reads the default-partition dir back as NULL for both
+    assert got[1] is None and got[2] is None
+    assert got[3] == "a/b" and got[4] == "x=y" and got[5] == "h:m"
+    # escaped keys round-trip through a merge (affected-partition match)
+    t.upsert(
+        spark.createDataFrame([(3, "a/b")], "id bigint, p string"), keys=["id"]
+    )
+    assert {r.id: r.p for r in t.read().collect()} == got
+
+    tb = LakeTable(spark, str(tmp_path / "tb"), partition_by=("flag",))
+    tb.write(spark.createDataFrame([(1, True), (2, False)], "id bigint, flag boolean"))
+    assert {r.id: r.flag for r in tb.read().collect()} == {1: True, 2: False}

@@ -135,23 +135,31 @@ def test_no_unplanned_nested_loop_or_cartesian_anywhere(spark, sf_dir):
     assert not offenders, f"unplanned quadratic joins: {offenders}"
 
 
-def test_every_query_survives_empty_tables(spark, sf_dir, tmp_path):
-    """At 100 TB, empty partitions / fresh tables are routine: every
-    registered query must execute (0 rows is fine, a crash is not)
-    against schema-only empty inputs."""
+def _sweep_all_queries(spark, sf_dir, out_dir, transform):
+    """Write each star-schema table through ``transform`` to out_dir,
+    then execute EVERY registered query against it, collecting crashes."""
     from datalake_toolkit_spark.sources.tables import TABLES, load_table
 
-    empty_dir = str(tmp_path / "empty_sf")
     for t in TABLES:
-        load_table(spark, sf_dir, t).limit(0).write.mode("overwrite").parquet(
-            f"{empty_dir}/{t}.parquet"
+        transform(load_table(spark, sf_dir, t)).write.mode("overwrite").parquet(
+            f"{out_dir}/{t}.parquet"
         )
     failures = {}
     for name, fn in QUERIES.items():
         try:
-            fn(spark, empty_dir).count()
+            fn(spark, out_dir).count()
         except Exception as exc:  # noqa: BLE001
             failures[name] = f"{type(exc).__name__}: {exc}"
+    return failures
+
+
+def test_every_query_survives_empty_tables(spark, sf_dir, tmp_path):
+    """At 100 TB, empty partitions / fresh tables are routine: every
+    registered query must execute (0 rows is fine, a crash is not)
+    against schema-only empty inputs."""
+    failures = _sweep_all_queries(
+        spark, sf_dir, str(tmp_path / "empty_sf"), lambda df: df.limit(0)
+    )
     assert not failures, f"queries crashing on empty inputs: {failures}"
 
 
@@ -161,25 +169,18 @@ def test_every_query_survives_null_payloads(spark, sf_dir, tmp_path):
     mapInPandas None-handling and null-partition-value bugs."""
     from pyspark.sql import functions as F
 
-    from datalake_toolkit_spark.sources.tables import TABLES, load_table
-
     keys = {
         "r_regionkey", "n_nationkey", "n_regionkey", "c_custkey",
         "c_nationkey", "s_suppkey", "s_nationkey", "p_partkey",
         "o_orderkey", "o_custkey", "l_orderkey", "l_partkey", "l_suppkey",
         "l_linenumber", "event_id", "user_id", "doc_id", "vec_id",
     }
-    null_dir = str(tmp_path / "null_sf")
-    for t in TABLES:
-        df = load_table(spark, sf_dir, t).limit(50)
-        for c, ty in df.dtypes:
+    def nullify(df):
+        out = df.limit(50)
+        for c, ty in out.dtypes:
             if c not in keys:
-                df = df.withColumn(c, F.lit(None).cast(ty))
-        df.write.mode("overwrite").parquet(f"{null_dir}/{t}.parquet")
-    failures = {}
-    for name, fn in QUERIES.items():
-        try:
-            fn(spark, null_dir).count()
-        except Exception as exc:  # noqa: BLE001
-            failures[name] = f"{type(exc).__name__}: {exc}"
+                out = out.withColumn(c, F.lit(None).cast(ty))
+        return out
+
+    failures = _sweep_all_queries(spark, sf_dir, str(tmp_path / "null_sf"), nullify)
     assert not failures, f"queries crashing on null payloads: {failures}"
