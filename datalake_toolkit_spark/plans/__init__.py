@@ -47,6 +47,7 @@ DEMOTED: tuple[str, ...] = (
     "q_doc_chunks",  # r4: new op registered straight into the locally-verified tail (window full)
     "q_token_shards",  # r4: same
     "q_embedding_pool",  # r4: same
+    "q_profile_orders",  # r4: same
     "q_embedding_norms",
     "q_approx_aggregates",
     "q_pivot_order_priority",

@@ -247,3 +247,38 @@ def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sum_qty"),
         )
     )
+
+
+@query(
+    "q_profile_orders",
+    """
+    WITH base AS (SELECT count(*) AS n FROM orders)
+    SELECT * FROM (
+      SELECT 'o_orderkey' AS "column", (SELECT n FROM base) AS n_rows,
+             CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+             CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+             CAST(min(o_orderkey) AS VARCHAR) AS min_str,
+             CAST(max(o_orderkey) AS VARCHAR) AS max_str,
+             CAST(NULL AS DOUBLE) AS avg_len
+      FROM orders
+      UNION ALL
+      SELECT 'o_orderpriority', (SELECT n FROM base),
+             CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(count(DISTINCT o_orderpriority) AS BIGINT),
+             CAST(min(o_orderpriority) AS VARCHAR),
+             CAST(max(o_orderpriority) AS VARCHAR),
+             avg(CAST(length(o_orderpriority) AS DOUBLE))
+      FROM orders
+    )
+    """,
+)
+def q_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass column profiling (quality.profile_table,
+    exact-distinct mode for the oracle; production uses HLL++)."""
+    from datalake_toolkit_spark.quality import profile_table
+
+    return profile_table(
+        _t(spark, sf_dir, "orders"),
+        columns=["o_orderkey", "o_orderpriority"],
+        exact_distinct=True,
+    )

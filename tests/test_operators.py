@@ -153,3 +153,39 @@ def test_auto_skew_join_equals_plain_join(spark):
         ).collect()
     )
     assert no_hot == plain
+
+
+def test_quality_constraints_and_unique_key(spark):
+    from datalake_toolkit_spark.quality import (
+        assert_unique_key,
+        check_constraints,
+        profile_table,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a", 5.0), (2, "b", -1.0), (2, None, 3.0), (4, "d", None)],
+        "id bigint, name string, score double",
+    )
+    report = {
+        r.rule: (r.n_violations, r.passed)
+        for r in check_constraints(
+            df,
+            {
+                "id_positive": "id > 0",
+                "name_not_null": "name IS NOT NULL",
+                "score_non_negative": "score >= 0",  # NULL counts as violation
+            },
+        ).collect()
+    }
+    assert report == {
+        "id_positive": (0, True),
+        "name_not_null": (1, False),
+        "score_non_negative": (2, False),
+    }
+    dups = assert_unique_key(df, ["id"]).collect()
+    assert [(r.id, r.n_copies) for r in dups] == [(2, 2)]
+
+    prof = {r.column: r for r in profile_table(df, exact_distinct=True).collect()}
+    assert prof["id"].n_rows == 4 and prof["id"].n_distinct == 3
+    assert prof["name"].n_null == 1 and prof["name"].avg_len == 1.0
+    assert prof["score"].min_str == "-1.0" and prof["id"].avg_len is None
