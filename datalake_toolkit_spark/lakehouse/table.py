@@ -194,6 +194,27 @@ class LakeTable:
         (2^bits - 1) doubles per column), bit-interleaved across
         columns so EVERY z-ordered column gets tight per-file min/max
         spans — lexicographic sort only tightens the leading one."""
+        if not cols:
+            raise ValueError("zorder_by needs at least one column")
+        # approxQuantile only accepts numeric columns; fail fast with a
+        # clear message instead of its opaque analysis error. (Date /
+        # timestamp columns: cast to long/epoch first, or use cluster_by.)
+        numeric = (
+            T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+            T.FloatType, T.DoubleType, T.DecimalType,
+        )
+        schema = {f.name: f.dataType for f in df.schema.fields}
+        for c in cols:
+            if c not in schema:
+                raise ValueError(f"zorder_by column {c!r} not in table schema")
+            if not isinstance(schema[c], numeric):
+                raise ValueError(
+                    f"zorder_by column {c!r} has type {schema[c].simpleString()};"
+                    " z-ordering needs numeric columns (approxQuantile"
+                    " bucketing). Cast dates/timestamps to epoch numbers, or"
+                    " use cluster_by for lexicographic clustering. NULLs in a"
+                    " z-column collapse into bucket 0 (documented behavior)."
+                )
         n = len(cols)
         probs = [i / (1 << bits) for i in range(1, 1 << bits)]
         # ONE multi-column approxQuantile pass: the per-column form

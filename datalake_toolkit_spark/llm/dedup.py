@@ -369,13 +369,23 @@ def incremental_dedup(
     empty — fingerprints-last is what makes a crash between the two
     writes recoverable instead of silently dropping documents.
 
+    NULL-text rows are DROPPED, not deduped: ``md5(NULL)`` is NULL, so
+    a null-text row can never match the ledger's equi-keyed anti-join
+    (NULL != NULL) — it would re-survive every micro-batch and insert a
+    fresh NULL-keyed ledger row each time, breaking both the
+    one-row-per-distinct-text invariant and replay idempotency. A
+    content-keyed dedup has no meaningful identity for contentless
+    rows; filter them upstream if they must be kept.
+
     Scale: one hash shuffle for the batch-internal dedup, one anti-join
     of the batch against the ledger scan with the ledger side pinned to
     shuffle (never let Spark mis-estimate a 100 TB ledger into a
     broadcast; for left_anti only the RIGHT side can build, so the hint
     must sit on the ledger). Ledger keys are uniform md5 — no skew.
     """
-    hashed = new_docs.withColumn("_th", F.md5(F.col(text_col)))
+    hashed = new_docs.where(F.col(text_col).isNotNull()).withColumn(
+        "_th", F.md5(F.col(text_col))
+    )
     try:
         seen = ledger.read().select(F.col("text_hash").alias("_th"))
         fresh = hashed.join(seen.hint("shuffle_hash"), "_th", "left_anti")

@@ -3,11 +3,15 @@ columns with typed metadata.
 
 The Spark-side machinery — schema, partition-friendly batch shapes,
 Arrow-batched ``mapInPandas`` feature extraction — is real and
-tested. The actual media decode is STUBBED (``decode_media`` raises
-NotImplementedError): image/audio libraries are not in this
-container. ``extract_media_features`` instead derives deterministic
-fake features from the bytes (md5-based), which keeps the whole
-pipeline executable and oracle-verifiable end-to-end.
+tested. ``decode_media`` decodes for real where a decoder exists in
+this container (stdlib ``wave`` for WAV audio; PIL for images when
+installed, soft-imported) and degrades per-row (``decoded=false`` +
+``decode_err``) where one doesn't (video: no ffmpeg here).
+``extract_media_features`` derives deterministic md5-based features
+from the bytes, which keeps the whole pipeline executable and
+oracle-verifiable end-to-end; ``resize_media`` / ``sample_frames``
+carry the production Arrow contract with deterministic stand-in
+resamplers (documented per-function).
 
 At 100 TB: binary payloads ride in parquet alongside metadata; decode
 runs as ``mapInPandas`` so each Arrow batch crosses the Python
@@ -276,10 +280,13 @@ def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
             ):
                 if mtype != "video" or content is None or len(content) == 0:
                     continue
+                # null-id guard matches decode_media/extract_media_features:
+                # int(NaN) would kill the task, not the row
+                did = None if pd.isna(doc_id) else int(doc_id)
                 step = max(len(content) // n_frames, 1)
                 for i in range(min(n_frames, len(content))):
                     frame = bytes(content[i * step : (i + 1) * step])
-                    rows["doc_id"].append(int(doc_id))
+                    rows["doc_id"].append(did)
                     rows["frame_idx"].append(i)
                     rows["frame_ts_ms"].append(i * 1000)
                     rows["frame_bytes"].append(frame)

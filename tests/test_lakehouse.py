@@ -464,6 +464,23 @@ def test_optimize_zorder_bounds_both_columns(spark, tmp_path):
         zt.optimize(sort_by=["x"], zorder_by=["y", "x"])
 
 
+def test_zorder_validates_columns_up_front(spark, tmp_path):
+    """Non-numeric or unknown zorder_by columns fail with a clear
+    ValueError, not approxQuantile's opaque analysis error."""
+    t = LakeTable(spark, str(tmp_path / "zv"))
+    t.write(
+        spark.createDataFrame(
+            [(1, "a", 1.5), (2, "b", 2.5)], "id bigint, name string, val double"
+        )
+    )
+    with pytest.raises(ValueError, match="numeric"):
+        t.optimize(zorder_by=["name", "val"])
+    with pytest.raises(ValueError, match="not in table schema"):
+        t.optimize(zorder_by=["nope"])
+    with pytest.raises(ValueError, match="at least one column"):
+        t._zvalue(t.read(), [])
+
+
 def test_stream_dedup_ingest_across_batches(spark, tmp_path):
     """Two micro-batches with overlapping texts: the corpus ends with
     exactly one row per distinct text (cross-batch dedup via the

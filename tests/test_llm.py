@@ -107,6 +107,31 @@ def test_decode_media_real_wav_and_degraded_rows(spark, sf_dir):
     assert not rows[4].decoded and rows[4].decode_err  # no PIL here / bad bytes
 
 
+def test_sample_frames_null_id_video_row(spark):
+    """A video row with non-null content but NULL doc_id must emit
+    frames with NULL id — not int(NaN)-crash the whole task."""
+    from datalake_toolkit_spark.llm.multimodal import sample_frames
+
+    media = spark.createDataFrame(
+        [
+            (None, "video", bytearray(b"\x01\x02\x03\x04" * 8)),
+            (7, "video", bytearray(b"\x05\x06\x07\x08" * 8)),
+            (8, "image", bytearray(b"skip-me")),
+        ],
+        "doc_id bigint, media_type string, content binary",
+    )
+    out = sample_frames(media, n_frames=2).collect()
+    by_id: dict = {}
+    for r in out:
+        by_id.setdefault(r.doc_id, []).append(r)
+    assert set(by_id) == {None, 7}  # image row filtered, null-id survives
+    assert len(by_id[None]) == 2 and len(by_id[7]) == 2
+    for r in out:
+        import hashlib as _h
+
+        assert _h.md5(bytes(r.frame_bytes)).hexdigest() == r.frame_md5
+
+
 def test_extract_media_features_contract(spark, sf_dir):
     media = attach_fake_media(load_table(spark, sf_dir, "documents"))
     feats = extract_media_features(media)
@@ -314,6 +339,27 @@ def test_incremental_dedup_across_batches(spark, sf_dir, tmp_path):
     assert s2r.count() == 0
     n_fps = ledger.read().count()
     assert n_fps == 3  # alpha, beta, gamma — replay added nothing
+
+
+def test_incremental_dedup_drops_null_text(spark, tmp_path):
+    """NULL-text rows must not leak through the ledger anti-join
+    (md5(NULL) is NULL, which never equi-matches): they are dropped,
+    never committed, and replays stay idempotent."""
+    from datalake_toolkit_spark.lakehouse import LakeTable
+    from datalake_toolkit_spark.llm.dedup import incremental_dedup
+
+    ledger = LakeTable(spark, str(tmp_path / "fp_null"))
+    batch = spark.createDataFrame(
+        [(1, "alpha"), (2, None), (3, None)], "doc_id bigint, text string"
+    )
+    s1 = incremental_dedup(batch, ledger)
+    assert {(r.doc_id, r.text) for r in s1.collect()} == {(1, "alpha")}
+    assert ledger.read().where("text_hash IS NULL").count() == 0
+    assert ledger.read().count() == 1
+    # replay: null rows don't re-survive, ledger doesn't grow
+    s2 = incremental_dedup(batch, ledger)
+    assert s2.count() == 0
+    assert ledger.read().count() == 1
 
 
 def test_chunk_documents_window_arithmetic(spark):
