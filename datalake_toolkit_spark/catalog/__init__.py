@@ -20,6 +20,7 @@ from datalake_toolkit_spark.catalog.search import (
     catalog_sql,
     catalog_search_documents,
     register_star_schema,
+    search_catalog,
 )
 
 __all__ = [
@@ -35,5 +36,6 @@ __all__ = [
     "flatten_catalog_tables",
     "read_catalog_json",
     "register_star_schema",
+    "search_catalog",
     "write_catalog_json",
 ]

@@ -60,6 +60,44 @@ def catalog_search_documents(spark: SparkSession, tables: list[str]) -> DataFram
     )
 
 
+def search_catalog(docs: DataFrame, pattern: str) -> DataFrame:
+    """The ES fuzzy-lookup plane over the search documents
+    (odl_catalog_hive_metadata_es.py:211-224): case-insensitive
+    substring match of ``pattern`` against table names and column
+    tags, returning one row per matching table ranked by hit count.
+
+    Output: (database, table_name, matched_columns csv, n_hits, rank).
+    ``rank`` is deterministic (hits desc, then name). The ranking
+    window is a global sort over *catalog metadata* — bounded by table
+    count, not data size, so the single-partition window is fine at
+    any scale (same class as the reference's ES index, which is also
+    metadata-sized)."""
+    p = pattern.lower()
+    matched = F.array_sort(
+        F.filter("column_tags", lambda c: F.lower(c).contains(F.lit(p)))
+    )
+    from pyspark.sql.window import Window
+
+    hits = (
+        docs.select(
+            "database",
+            F.col("table").alias("table_name"),
+            F.concat_ws(",", matched).alias("matched_columns"),
+            (
+                F.size(matched)
+                + F.when(F.lower(F.col("table")).contains(F.lit(p)), 1).otherwise(0)
+            ).alias("n_hits"),
+        )
+        .where(F.col("n_hits") > 0)
+    )
+    return hits.withColumn(
+        "rank",
+        F.row_number().over(
+            Window.orderBy(F.col("n_hits").desc(), F.col("table_name"))
+        ),
+    )
+
+
 def catalog_sql(spark: SparkSession, statement: str) -> DataFrame:
     """S18: the Athena SQL-passthrough surface as direct catalog
     DataFrames. The reference routes exactly three statement shapes

@@ -44,10 +44,19 @@ DEMOTED: tuple[str, ...] = (
     "q_lang_id",
     "q_simhash",  # r4: makes room for q_stratified_sample; explode+hash-agg shape stays covered by q_minhash_near_dups
     "q_ddb_json_roundtrip",  # r4: makes room for q_interval_join; string-codec shape green in r3, stays in local parity
-    "q_doc_chunks",  # r4: new op registered straight into the locally-verified tail (window full)
-    "q_token_shards",  # r4: same
-    "q_embedding_pool",  # r4: same
-    "q_profile_orders",  # r4: same
+    # r5 rotation: the four r4 queries parked here before ever seeing a
+    # driver window (q_doc_chunks, q_token_shards, q_embedding_pool,
+    # q_profile_orders) are PROMOTED, plus three new queries enter
+    # (q_catalog_search, q_interval_join_left, q_asof_forward_tolerance).
+    # Seven twice-green (r3+r4) shapes rotate out in exchange, each with
+    # its plan shape still covered in-window:
+    "q14_promo_share",  # agg-share ~ q1/q12
+    "q2_cheapest_per_type",  # per-group min ~ q_top_parts_by_revenue (W2)
+    "q_consecutive_part_ids",  # X5 ids ~ q_catalog_roundtrip_ids
+    "q_catalog_columns",  # schema walk ~ q_catalog_search (same machinery)
+    "q_media_resize",  # binary mapInPandas ~ q_multimodal_features/q_video_frames
+    "q_cosine_near_dups",  # exact baseline; LSH-blocked variant stays in-window
+    "q_jaccard_near_dups",  # exact baseline; q_minhash_near_dups stays in-window
     "q_embedding_norms",
     "q_approx_aggregates",
     "q_pivot_order_priority",

@@ -296,6 +296,42 @@ def q_catalog_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_catalog_search",
+    """
+    WITH hits AS (
+      SELECT table_name,
+             CAST(COUNT(*) AS INTEGER) AS n_hits,
+             string_agg(column_name, ',' ORDER BY column_name)
+               AS matched_columns
+      FROM information_schema.columns
+      WHERE table_name IN ('region','nation','customer','supplier','part',
+                           'orders','lineitem','events','documents',
+                           'embeddings')
+        AND column_name LIKE '%key%'
+      GROUP BY table_name
+    )
+    SELECT 'default' AS database, table_name, matched_columns, n_hits,
+           CAST(row_number() OVER (ORDER BY n_hits DESC, table_name)
+                AS INTEGER) AS rank
+    FROM hits
+    """,
+)
+def q_catalog_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ES fuzzy-lookup plane
+    (odl_catalog_hive_metadata_es.py:211-224): substring search over
+    the flattened search documents, tables ranked by column-tag hit
+    count."""
+    from datalake_toolkit_spark.catalog import (
+        catalog_search_documents,
+        search_catalog,
+    )
+
+    tables = register_star_schema(spark, sf_dir)
+    docs = catalog_search_documents(spark, tables)
+    return search_catalog(docs, "key")
+
+
+@query(
     "q_catalog_partition_docs",
     """
     WITH parts AS (

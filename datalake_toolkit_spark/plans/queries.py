@@ -710,6 +710,56 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_asof_forward_tolerance",
+    """
+    WITH l AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+    r0 AS (
+      SELECT user_id, ts, max(event_id) AS next_view_id
+      FROM events WHERE event_type = 'view' GROUP BY user_id, ts),
+    m AS (
+      SELECT l.event_id, l.user_id, l.ts, r0.ts AS rts, r0.next_view_id
+      FROM l ASOF LEFT JOIN r0 ON l.user_id = r0.user_id AND l.ts <= r0.ts)
+    SELECT event_id, user_id,
+           CASE WHEN epoch_us(rts) - epoch_us(ts) <= 1800 * 1000000
+                THEN next_view_id END AS next_view_id_r,
+           CASE WHEN epoch_us(rts) - epoch_us(ts) <= 1800 * 1000000
+                THEN epoch_us(rts) - epoch_us(ts) END AS lead_us
+    FROM m
+    """,
+)
+def q_asof_forward_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The forward + tolerance path of asof_join: each purchase takes
+    the user's NEXT view at-or-after it, but only within 30 minutes —
+    matches beyond tolerance null out (row survives; DuckDB oracle =
+    forward ASOF LEFT JOIN + CASE on the tolerance)."""
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("next_view_id"))
+    )
+    joined = asof_join(
+        purchases,
+        views,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        direction="forward",
+        tolerance_seconds=1800,
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "next_view_id_r",
+        (F.unix_micros("ts_r") - F.unix_micros("ts")).alias("lead_us"),
+    )
+
+
+@query(
     "q_consecutive_part_ids",
     """
     SELECT CAST(row_number() OVER (ORDER BY p_partkey) + 1000 AS BIGINT) AS new_id,
@@ -1009,6 +1059,41 @@ def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return interval_join(
         purchases, views, on="user_id", within="1 hour"
+    ).select(
+        "event_id",
+        "user_id",
+        "event_id_r",
+        (F.unix_timestamp("ts") - F.unix_timestamp("ts_r")).alias("lag_s"),
+    )
+
+
+@query(
+    "q_interval_join_left",
+    """
+    SELECT p.event_id, p.user_id, v.event_id AS event_id_r,
+           CAST(date_diff('second', v.ts, p.ts) AS BIGINT) AS lag_s
+    FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view') v
+      ON v.user_id = p.user_id
+     AND v.ts >= p.ts - INTERVAL 1 HOUR AND v.ts <= p.ts
+    """,
+)
+def q_interval_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-outer interval join: purchases with no view in the hour
+    window survive with NULL attribution (the how='left' path of
+    streaming.windows.interval_join; in streaming the outer rows emit
+    once the watermark passes)."""
+    from datalake_toolkit_spark.streaming.windows import interval_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.where(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts"
+    )
+    return interval_join(
+        purchases, views, on="user_id", within="1 hour", how="left"
     ).select(
         "event_id",
         "user_id",

@@ -52,6 +52,14 @@ STATUS_PROCESSING = "PROCESSING"
 STATUS_LOADED = "LOADED"
 STATUS_FAILED = "FAILED"
 STATUS_SKIPPED = "SKIPPED"
+STATUS_UNMATCHED = "UNMATCHED"
+
+# Route label for files no plugin regex matches. The reference raises
+# an SNS-alerted error for these (odl_datalake_ingestion.py:87-96);
+# here they are quarantined: ledger status UNMATCHED, rows never reach
+# the output table. Terminal like SKIPPED — a replay re-upserts the
+# same quarantine rows, it does not retry them.
+UNMATCHED_PLUGIN = "__unmatched__"
 
 LEDGER_SCHEMA = T.StructType(
     [
@@ -93,7 +101,7 @@ class IngestionPipeline:
     max_files_per_trigger: int | None = None
 
     def _route_expr(self):
-        expr = F.lit("__unmatched__")
+        expr = F.lit(UNMATCHED_PLUGIN)
         for plugin in reversed(list(self.plugins)):
             expr = F.when(
                 F.col("_ingest_path").rlike(plugin.pattern), F.lit(plugin.name)
@@ -148,7 +156,9 @@ class IngestionPipeline:
             t.read()
             .where(
                 (F.col("batch_id") == batch_id)
-                & F.col("file_status").isin(STATUS_LOADED, STATUS_SKIPPED)
+                & F.col("file_status").isin(
+                    STATUS_LOADED, STATUS_SKIPPED, STATUS_UNMATCHED
+                )
             )
             .limit(1)
             .count()
@@ -177,11 +187,11 @@ class IngestionPipeline:
         )
         status: dict[tuple[str, str], str] = {}
         try:
-            routed = (
-                batch.where(~F.col("_plugin").isin(*skip_names))
-                if skip_names
-                else batch
-            )
+            # skip-plugin rows and unmatched files never reach the sink;
+            # unmatched quarantine mirrors the reference's no-plugin-match
+            # error path (odl_datalake_ingestion.py:87-96)
+            excluded = set(skip_names) | {UNMATCHED_PLUGIN}
+            routed = batch.where(~F.col("_plugin").isin(*excluded))
             transformed = [
                 p.name for p in self.plugins if not p.skip and p.transform is not None
             ]
@@ -218,7 +228,13 @@ class IngestionPipeline:
             )
             writer.parquet(self.output_path)
             status = {
-                (p, pl): (STATUS_SKIPPED if pl in skip_names else STATUS_LOADED)
+                (p, pl): (
+                    STATUS_SKIPPED
+                    if pl in skip_names
+                    else STATUS_UNMATCHED
+                    if pl == UNMATCHED_PLUGIN
+                    else STATUS_LOADED
+                )
                 for (p, pl) in per_file
             }
         except Exception:

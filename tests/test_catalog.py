@@ -160,6 +160,27 @@ def test_catalog_search_documents(spark, sf_dir):
     assert "lineitem.l_shipdate" in by_table["lineitem"].comment_tags
 
 
+def test_search_catalog_ranks_and_table_hits(spark, sf_dir):
+    """search_catalog: substring hits over column tags AND the table
+    name, ranked by hit count with deterministic ties."""
+    from datalake_toolkit_spark.catalog import search_catalog
+
+    tables = register_star_schema(spark, sf_dir)
+    docs = catalog_search_documents(spark, tables)
+
+    res = {r.table_name: r for r in search_catalog(docs, "orderkey").collect()}
+    assert set(res) == {"orders", "lineitem"}
+    assert res["orders"].matched_columns == "o_orderkey"
+
+    # table-name match counts as a hit even with zero matching columns
+    res = {r.table_name: r for r in search_catalog(docs, "region").collect()}
+    assert res["region"].n_hits == 2  # table name + r_regionkey
+    assert res["nation"].n_hits == 1  # n_regionkey only
+    assert res["region"].rank < res["nation"].rank
+
+    assert search_catalog(docs, "zzz_no_such").count() == 0
+
+
 def test_partition_docs_and_roundtrip(spark, sf_dir):
     from datalake_toolkit_spark.catalog import (
         assemble_catalog_partitions,

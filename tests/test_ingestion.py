@@ -21,6 +21,7 @@ from datalake_toolkit_spark.streaming import (
 from datalake_toolkit_spark.streaming.ingestion import (
     STATUS_LOADED,
     STATUS_SKIPPED,
+    STATUS_UNMATCHED,
 )
 
 LINEITEM_DDL = (
@@ -102,6 +103,7 @@ def test_streaming_ingestion_state_machine(spark, tmp_path, events_csv_writer):
     src.mkdir()
     write(str(src / "events_a.csv"), rows[:100])
     write(str(src / "ignore_b.csv"), rows[100:200])
+    write(str(src / "mystery_d.dat"), rows[250:300])  # no plugin matches
 
     pipeline = IngestionPipeline(
         spark=spark,
@@ -124,7 +126,7 @@ def test_streaming_ingestion_state_machine(spark, tmp_path, events_csv_writer):
     pipeline.run_available_now()
 
     out = spark.read.parquet(str(tmp_path / "out"))
-    assert out.count() == 100  # skipped file never lands
+    assert out.count() == 100  # skipped + unmatched files never land
     assert "value_rounded" in out.columns  # plugin transform applied
 
     ledger = read_ledger(spark, str(tmp_path / "ledger"))
@@ -133,6 +135,9 @@ def test_streaming_ingestion_state_machine(spark, tmp_path, events_csv_writer):
     }
     assert statuses["events_a.csv"] == STATUS_LOADED
     assert statuses["ignore_b.csv"] == STATUS_SKIPPED
+    # no-plugin-match quarantine (the reference's SNS-error path):
+    # ledger row, no output rows
+    assert statuses["mystery_d.dat"] == STATUS_UNMATCHED
 
     # drain again with no new files: nothing duplicates (checkpoint)
     pipeline.run_available_now()
