@@ -195,10 +195,11 @@ def ivf_assignments(
     Centroids start as deterministic pseudo-random unit directions
     (same md5 derivation as the LSH planes, so runs are reproducible
     with no RNG state) and are refined with ``lloyd_iters`` Lloyd
-    iterations — each iteration is one narrow assignment pass plus
-    one groupBy(list).avg() shuffle of centroid-sized rows; centroids
-    come back to the driver (n_lists x dim floats, tiny) and re-enter
-    the plan as literals.
+    iterations — each iteration is one narrow assignment pass plus a
+    two-level deterministic-mean shuffle (value-sorted folds inside
+    id-keyed sub-buckets, then over the subtotals — bit-reproducible,
+    unlike avg()); centroids come back to the driver (n_lists x dim
+    floats, tiny) and re-enter the plan as literals.
 
     Returns (assignments DataFrame: id, list_id, vector; centroids).
     This is the k-means-style iterative-algorithm shape: driver-side
@@ -236,14 +237,35 @@ def ivf_assignments(
         )
         return -F.array_max(dots).getField("neg_id")
 
+    # Lloyd means MUST be bit-deterministic: a plain avg() sums floats
+    # in shuffle-fetch order, and a ULP of run-to-run (or Spark-vs-
+    # oracle) drift feeds a discrete argmax that can flip a list
+    # assignment. Same rule as pool_embeddings: strict left fold over
+    # VALUE-SORTED elements — but corpus-sized lists can't collect into
+    # one array, so fold at two levels: deterministic id-keyed
+    # sub-buckets (vid % _MEAN_BUCKETS, bounded arrays), then a sorted
+    # fold over the <= _MEAN_BUCKETS subtotals. Both levels are one
+    # IEEE sequence either engine reproduces exactly.
+    _MEAN_BUCKETS = 256
     for _ in range(lloyd_iters):
         assigned = staged.select("vid", "v", assign(centroids).alias("list_id"))
         means = (
             assigned.select(
-                "list_id", F.posexplode("v").alias("d", "x")
+                "list_id",
+                F.pmod("vid", F.lit(_MEAN_BUCKETS)).alias("b"),
+                F.posexplode("v").alias("d", "x"),
+            )
+            .groupBy("list_id", "d", "b")
+            .agg(
+                _fold_sum(F.array_sort(F.collect_list("x"))).alias("s"),
+                F.count(F.lit(1)).alias("n"),
             )
             .groupBy("list_id", "d")
-            .agg(F.avg("x").alias("m"))
+            .agg(
+                (
+                    _fold_sum(F.array_sort(F.collect_list("s"))) / F.sum("n")
+                ).alias("m")
+            )
             .collect()
         )
         by_list: dict[int, dict[int, float]] = {}

@@ -581,12 +581,14 @@ def _ivf_oracle(n_lists: int = 8, n_probe: int = 2, dim: int = 64, k: int = 10) 
     the initial centroids are md5-derived literals (same derivation as
     the Spark side), and each Lloyd pass is expressed relationally —
     argmax assignment via row_number over a cross join with the
-    centroid rows, refinement via avg per (list, dim). Tie-breaks
-    replicate Spark exactly: assignment picks the smallest list id,
-    probe ranking the largest (reverse(array_sort) on (dot, list_id)
-    structs). Final cosines come from the exact vectors, so engine
-    ULP drift in the avg can only matter if it flips a discrete
-    assignment — ~1e-16 likelihood, verified stable at sf0.01."""
+    centroid rows. Centroid means replicate Spark's two-level
+    deterministic fold exactly: a strict left fold over VALUE-SORTED
+    elements inside vec_id%256 sub-buckets, then a sorted fold over
+    the subtotals — one IEEE summation sequence on both engines, so
+    the discrete assignments can never drift (the avg()-based variant
+    risked a ULP flipping an argmax). Tie-breaks replicate Spark too:
+    assignment picks the smallest list id, probe ranking the largest
+    (reverse(array_sort) on (dot, list_id) structs)."""
     from datalake_toolkit_spark.llm.similarity import _plane_component
 
     rows = ",".join(
@@ -603,9 +605,17 @@ def _ivf_oracle(n_lists: int = 8, n_probe: int = 2, dim: int = 64, k: int = 10) 
                ORDER BY list_inner_product(c.v, kk.cv) DESC, kk.list_id) AS rn
              FROM c CROSS JOIN {src_cent} kk),
     a{i} AS (SELECT vec_id, v, list_id FROM x{i} WHERE rn = 1),
-    m{i} AS (SELECT list_id, unnest(generate_series(1, len(v))) AS d,
+    m{i} AS (SELECT vec_id, list_id, unnest(generate_series(1, len(v))) AS d,
                     unnest(v) AS x FROM a{i}),
-    g{i} AS (SELECT list_id, d, avg(x) AS m FROM m{i} GROUP BY 1, 2),
+    s{i} AS (SELECT list_id, d, vec_id % 256 AS b,
+                    list_reduce(list_prepend(0.0, list(x ORDER BY x)),
+                                (acc, e) -> acc + e) AS s,
+                    count(*) AS n
+             FROM m{i} GROUP BY 1, 2, 3),
+    g{i} AS (SELECT list_id, d,
+                    list_reduce(list_prepend(0.0, list(s ORDER BY s)),
+                                (acc, e) -> acc + e) / sum(n) AS m
+             FROM s{i} GROUP BY 1, 2),
     cc{i} AS (SELECT list_id, list(m ORDER BY d) AS cv FROM g{i} GROUP BY list_id),
     {out} AS (SELECT * FROM cc{i} UNION ALL
               SELECT kk.list_id, kk.cv FROM {src_cent} kk
