@@ -67,3 +67,10 @@ from datalake_toolkit_spark.llm.sample import (  # noqa: E402,F401
     split_train_eval,
     stratified_sample,
 )
+from datalake_toolkit_spark.llm.sample import pack_training_windows  # noqa: E402,F401
+from datalake_toolkit_spark.llm.curation import (  # noqa: E402,F401
+    decontaminate,
+    mixture_sample,
+    redact_pii,
+    with_repetition_stats,
+)

@@ -1,0 +1,253 @@
+"""Corpus-curation operators beyond dedup: benchmark decontamination,
+repetition-based quality stats (Gopher-style), PII redaction, and
+domain-weighted mixture sampling.
+
+All hot paths are pure Catalyst expressions or equi-joins — no Python
+UDFs. Scale notes inline per function; the common theme is that the
+corpus side is touched exactly once per operator and every join
+against it is either broadcast (eval sets, weight tables) or
+collision-bounded (matched n-grams only).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from datalake_toolkit_spark.llm.text import shingles_from_words, words
+
+__all__ = [
+    "decontaminate",
+    "with_repetition_stats",
+    "redact_pii",
+    "mixture_sample",
+    "PII_PATTERNS",
+]
+
+
+def decontaminate(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+) -> DataFrame:
+    """Flag corpus documents sharing any word ``n``-gram with an
+    evaluation/benchmark set (train-test contamination check).
+
+    Returns one row per corpus document: ``(id_col,
+    eval_ngram_hits, contaminated)`` where ``eval_ngram_hits`` counts
+    DISTINCT eval n-grams found in the document.
+
+    Scale: the eval set is benchmark-sized (thousands of docs), so its
+    distinct n-gram table is broadcast — the 100 TB corpus is scanned
+    once, never shuffled on text. Only MATCHED (corpus gram ∩ eval
+    gram) rows reach the aggregation, so the groupBy is bounded by
+    collision count, not corpus size. NULL/short texts produce zero
+    grams and survive with ``eval_ngram_hits = 0``.
+    """
+
+    def grams(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(id_col), words(text_col).alias("__w")
+        ).select(
+            F.col(id_col),
+            F.explode(shingles_from_words("__w", n)).alias("gram"),
+        )
+
+    eval_grams = grams(eval_df).select("gram").distinct()
+    hits = (
+        grams(corpus)
+        .join(F.broadcast(eval_grams), "gram")
+        .groupBy(id_col)
+        .agg(F.countDistinct("gram").alias("eval_ngram_hits"))
+    )
+    return (
+        corpus.select(id_col)
+        .join(hits, [id_col], "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("eval_ngram_hits", F.lit(0)).alias("eval_ngram_hits"),
+            (F.coalesce("eval_ngram_hits", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+def with_repetition_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_bigram_threshold: float = 0.18,
+    dup_trigram_threshold: float = 0.30,
+) -> DataFrame:
+    """Gopher-style repetition quality signals per document:
+
+    - ``top_bigram_char_frac``: max over word-2-grams of
+      (count * gram chars) / total 2-gram char mass — high when one
+      phrase dominates;
+    - ``dup_trigram_char_frac``: char mass of word-3-grams occurring
+      more than once / total 3-gram char mass — high for boilerplate
+      and looped text;
+    - ``is_repetitive``: either fraction above its threshold.
+
+    Both fractions are defined over integer char masses (count × gram
+    length) so they are order-independent and oracle-exact; the
+    max-of-products formulation avoids an argmax tie-break entirely.
+
+    Scale: one explode of (n, gram) rows and ONE shuffle on
+    (id, n, gram) — partial aggregation (map-side combine) collapses
+    within-document repeats before the exchange, so shuffle volume is
+    bounded by distinct grams per doc. Output is one row per input
+    row; NULL/short texts get 0.0 fractions.
+    """
+    wdf = df.select(F.col(id_col), words(text_col).alias("__w"))
+    pairs = wdf.select(
+        F.col(id_col),
+        F.explode(
+            F.concat(
+                F.transform(
+                    shingles_from_words("__w", 2),
+                    lambda g: F.struct(F.lit(2).alias("n"), g.alias("gram")),
+                ),
+                F.transform(
+                    shingles_from_words("__w", 3),
+                    lambda g: F.struct(F.lit(3).alias("n"), g.alias("gram")),
+                ),
+            )
+        ).alias("p"),
+    ).select(id_col, F.col("p.n").alias("n"), F.col("p.gram").alias("gram"))
+    counted = pairs.groupBy(id_col, "n", "gram").agg(F.count(F.lit(1)).alias("cnt"))
+    mass = F.col("cnt") * F.length("gram")
+    per_doc = counted.groupBy(id_col).agg(
+        F.max(F.when(F.col("n") == 2, mass).otherwise(F.lit(0))).alias("_top2"),
+        F.sum(F.when(F.col("n") == 2, mass).otherwise(F.lit(0))).alias("_tot2"),
+        F.sum(
+            F.when((F.col("n") == 3) & (F.col("cnt") > 1), mass).otherwise(F.lit(0))
+        ).alias("_dup3"),
+        F.sum(F.when(F.col("n") == 3, mass).otherwise(F.lit(0))).alias("_tot3"),
+    )
+    top_frac = F.round(
+        F.col("_top2").cast("double") / F.greatest(F.col("_tot2"), F.lit(1)), 4
+    )
+    dup_frac = F.round(
+        F.col("_dup3").cast("double") / F.greatest(F.col("_tot3"), F.lit(1)), 4
+    )
+    stats = per_doc.select(
+        F.col(id_col),
+        top_frac.alias("top_bigram_char_frac"),
+        dup_frac.alias("dup_trigram_char_frac"),
+    )
+    return (
+        df.select(id_col)
+        .join(stats, [id_col], "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("top_bigram_char_frac", F.lit(0.0)).alias(
+                "top_bigram_char_frac"
+            ),
+            F.coalesce("dup_trigram_char_frac", F.lit(0.0)).alias(
+                "dup_trigram_char_frac"
+            ),
+            (
+                (F.coalesce("top_bigram_char_frac", F.lit(0.0))
+                 > F.lit(top_bigram_threshold))
+                | (F.coalesce("dup_trigram_char_frac", F.lit(0.0))
+                   > F.lit(dup_trigram_threshold))
+            ).alias("is_repetitive"),
+        )
+    )
+
+
+# Ordered: EMAIL before URL is irrelevant here (disjoint shapes), but the
+# tuple order IS the replacement order and both engines apply it
+# identically. Patterns restricted to the Java∩RE2 common dialect —
+# character classes, bounded repeats, \b — so the DuckDB oracle runs the
+# very same strings.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("url", r"https?://[^\s]+", "[URL]"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "[IP]"),
+    ("phone", r"\+\d{1,2} \d{3}-\d{4}", "[PHONE]"),
+)
+
+
+def redact_pii(
+    df: DataFrame, text_col: str = "text", out_col: str = "redacted"
+) -> DataFrame:
+    """Replace emails / URLs / IPv4s / phone numbers with typed
+    placeholder tokens and append per-category match counts
+    (``n_email``, ``n_url``, ``n_ip``, ``n_phone``).
+
+    Pure ``regexp_replace`` / ``regexp_extract_all`` projection —
+    narrow, codegen'd, zero shuffles; counts are taken against the
+    text state each pattern actually sees (replacements apply in
+    ``PII_PATTERNS`` order). NULL text passes through as NULL with
+    NULL counts, mirroring SQL semantics.
+    """
+    cur = F.col(text_col)
+    out = df
+    for name, pat, tok in PII_PATTERNS:
+        out = out.withColumn(
+            f"n_{name}", F.size(F.regexp_extract_all(cur, F.lit(pat), F.lit(0)))
+        )
+        cur = F.regexp_replace(cur, pat, tok)
+    return out.withColumn(out_col, cur)
+
+
+def mixture_sample(
+    df: DataFrame,
+    weights: Mapping[str, float],
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    default_weight: float = 1.0,
+    seed: str = "mix",
+) -> DataFrame:
+    """Domain-weighted mixture sampling: each row appears
+    ``floor(w)`` times plus one more with probability ``frac(w)``,
+    where ``w`` is its source's target weight — the standard
+    up/down-sampling step that turns raw domain counts into a
+    training mixture (w < 1 downsamples, w > 1 upsamples / extra
+    epochs).
+
+    Deterministic: the fractional coin is the first 8 md5 hex digits
+    of ``seed|source|id`` over 16^8 — reproducible across engines and
+    runs, and independent per (source, id). Pick weights whose
+    fractional parts are binary-exact (x.0 / x.25 / x.5 / x.75) so
+    the ``frac < w - floor(w)`` comparison can never straddle an ULP.
+
+    Scale: pure projection + explode, no shuffle; the weight table is
+    a literal when-chain (domains are few). Output carries ``copy``
+    (1-based replica index) so downstream global shuffles can keep
+    replicas apart.
+    """
+    w = F.lit(float(default_weight))
+    for src, wt in sorted(weights.items()):
+        w = F.when(F.col(source_col) == src, F.lit(float(wt))).otherwise(w)
+    frac = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|", F.lit(seed), F.col(source_col), F.col(id_col).cast("string")
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        / F.lit(float(16**8))
+    )
+    repeats = (
+        F.floor(w).cast("long")
+        + F.when(frac < (w - F.floor(w)), F.lit(1)).otherwise(F.lit(0))
+    )
+    return (
+        df.withColumn("_rep", repeats)
+        .where(F.col("_rep") >= 1)
+        .withColumn("copy", F.explode(F.sequence(F.lit(1), F.col("_rep"))))
+        .drop("_rep")
+    )

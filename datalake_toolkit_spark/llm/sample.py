@@ -94,3 +94,53 @@ def shard_by_token_budget(
         shard_col,
         F.floor((F.col("_cum") - F.col(tokens_col)) / F.lit(shard_tokens)).cast("long"),
     ).drop("_cum")
+
+
+def pack_training_windows(
+    df: DataFrame,
+    tokens_col: str,
+    order_cols: Sequence[str],
+    window_tokens: int,
+) -> DataFrame:
+    """Concat-and-chunk sequence packing: documents are laid end to
+    end under a deterministic total order and cut into fixed
+    ``window_tokens`` training windows; a document may straddle a cut
+    (GPT-style packing — no padding waste). Appends per document:
+
+    - ``tok_offset``: the document's first-token position in the
+      global concatenated stream (0-based);
+    - ``window_start`` / ``window_end``: first / last training window
+      the document's tokens land in;
+    - ``n_windows``: how many windows it spans (straddle degree).
+
+    Differs from :func:`shard_by_token_budget` (whole-doc shard
+    assignment for output files): this maps docs onto FIXED-length
+    model sequences, the layout a trainer's data loader consumes.
+
+    Scale shape: identical to the running total it is built on —
+    range partition + in-plan offsets, no single-partition window.
+    Zero-token docs occupy no window: they get ``window_start =
+    window_end`` at their offset and ``n_windows = 0``.
+    """
+    from datalake_toolkit_spark.operators import with_running_total
+
+    run = with_running_total(df, list(order_cols), tokens_col, out_col="_cum")
+    off = (F.col("_cum") - F.col(tokens_col)).cast("long")
+    toks = F.col(tokens_col).cast("long")
+    last = off + F.greatest(toks, F.lit(1)) - F.lit(1)
+    return (
+        run.withColumn("tok_offset", off)
+        .withColumn(
+            "window_start", F.floor(off / F.lit(window_tokens)).cast("long")
+        )
+        .withColumn(
+            "window_end", F.floor(last / F.lit(window_tokens)).cast("long")
+        )
+        .withColumn(
+            "n_windows",
+            F.when(toks <= 0, F.lit(0)).otherwise(
+                F.col("window_end") - F.col("window_start") + F.lit(1)
+            ).cast("long"),
+        )
+        .drop("_cum")
+    )

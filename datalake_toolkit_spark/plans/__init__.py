@@ -63,6 +63,15 @@ DEMOTED: tuple[str, ...] = (
     "q_rollup_supplier_balance",
     "q_doc_words_indexed",
     "q_source_route",
+    # r5 second wave: five curation queries enter the window
+    # (q_decontaminate, q_repetition_stats, q_pii_redact,
+    # q_domain_mixture, q_pack_windows); five 4x-green (r1-r4) shapes
+    # rotate out, each still covered in-window:
+    "q1_pricing_summary",  # agg-core ~ q12_priority_by_returnflag + q18
+    "q_latest_event_per_user",  # W3 rank-dedup ~ q_top_parts_by_revenue
+    "q_customer_struct_roundtrip",  # P2/P3/P6/P7 struct ops, 4x green
+    "q_windowed_event_counts",  # streaming windows ~ q_sessionized_users
+    "q_quality_filter_pipeline",  # quality filter ~ q_text_stats + q_repetition_stats
 )
 
 GATE_WINDOW = 50

@@ -822,3 +822,248 @@ def q_embedding_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("vec_id") % 50).alias("group_id"), "embedding"
     )
     return pool_embeddings(emb, "group_id")
+
+
+# ---------------------------------------------------------------------------
+# Corpus curation: decontamination, repetition quality, PII, mixtures
+# ---------------------------------------------------------------------------
+
+# Word 5-gram CTE shared by the decontamination oracle. DuckDB lambda
+# index i is 1-based; window [i, i+4] == Spark's slice(w, i+1, 5).
+_GRAM5_CTE = r"""
+w5 AS (
+  SELECT doc_id, string_split_regex(text, '\s+') AS w
+  FROM documents WHERE text IS NOT NULL
+),
+g5 AS (
+  SELECT doc_id, unnest(list_filter(
+           list_transform(w, (x, i) -> CASE WHEN i + 4 <= len(w)
+               THEN array_to_string(w[i:i+4], ' ') END),
+           s -> s IS NOT NULL)) AS gram
+  FROM w5
+)
+"""
+
+
+@query(
+    "q_decontaminate",
+    f"""
+    WITH {_GRAM5_CTE},
+    ev AS (SELECT DISTINCT gram FROM g5 WHERE doc_id % 97 = 0),
+    hits AS (
+      SELECT g5.doc_id, count(DISTINCT g5.gram) AS eval_ngram_hits
+      FROM g5 JOIN ev USING (gram)
+      WHERE g5.doc_id % 97 <> 0
+      GROUP BY 1
+    )
+    SELECT d.doc_id,
+           COALESCE(h.eval_ngram_hits, 0) AS eval_ngram_hits,
+           COALESCE(h.eval_ngram_hits, 0) > 0 AS contaminated
+    FROM documents d LEFT JOIN hits h USING (doc_id)
+    WHERE d.doc_id % 97 <> 0
+    """,
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag corpus docs sharing any word
+    5-gram with the held-out eval slice (doc_id % 97 == 0). Eval
+    n-grams broadcast; corpus scanned once; groupBy bounded by
+    matched grams only."""
+    from datalake_toolkit_spark.llm import decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    eval_df = docs.where(F.col("doc_id") % 97 == 0)
+    corpus = docs.where(F.col("doc_id") % 97 != 0)
+    return decontaminate(corpus, eval_df, "doc_id", "text", n=5)
+
+
+@query(
+    "q_repetition_stats",
+    r"""
+    WITH w AS (
+      SELECT doc_id, string_split_regex(text, '\s+') AS w
+      FROM documents WHERE text IS NOT NULL
+    ),
+    g AS (
+      SELECT doc_id, 2 AS n, unnest(list_filter(
+               list_transform(w, (x, i) -> CASE WHEN i + 1 <= len(w)
+                   THEN array_to_string(w[i:i+1], ' ') END),
+               s -> s IS NOT NULL)) AS gram
+      FROM w
+      UNION ALL
+      SELECT doc_id, 3 AS n, unnest(list_filter(
+               list_transform(w, (x, i) -> CASE WHEN i + 2 <= len(w)
+                   THEN array_to_string(w[i:i+2], ' ') END),
+               s -> s IS NOT NULL)) AS gram
+      FROM w
+    ),
+    c AS (SELECT doc_id, n, gram, count(*) AS cnt FROM g GROUP BY 1, 2, 3),
+    p AS (
+      SELECT doc_id,
+             max(CASE WHEN n = 2 THEN cnt * length(gram) ELSE 0 END) AS t2,
+             sum(CASE WHEN n = 2 THEN cnt * length(gram) ELSE 0 END) AS s2,
+             sum(CASE WHEN n = 3 AND cnt > 1 THEN cnt * length(gram) ELSE 0 END) AS d3,
+             sum(CASE WHEN n = 3 THEN cnt * length(gram) ELSE 0 END) AS s3
+      FROM c GROUP BY 1
+    ),
+    f AS (
+      SELECT d.doc_id,
+             COALESCE(round(CAST(t2 AS DOUBLE) / greatest(CAST(s2 AS DOUBLE), 1), 4),
+                      0.0) AS top_bigram_char_frac,
+             COALESCE(round(CAST(d3 AS DOUBLE) / greatest(CAST(s3 AS DOUBLE), 1), 4),
+                      0.0) AS dup_trigram_char_frac
+      FROM documents d LEFT JOIN p USING (doc_id)
+    )
+    SELECT doc_id, top_bigram_char_frac, dup_trigram_char_frac,
+           (top_bigram_char_frac > 0.1875 OR dup_trigram_char_frac > 0.3125)
+             AS is_repetitive
+    FROM f
+    """,
+)
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality: dominant-bigram and
+    duplicated-trigram char-mass fractions + flag. One shuffle on
+    (doc, n, gram) with map-side combine; thresholds are binary-exact
+    (0.1875 / 0.3125) so the flag can never straddle a ULP."""
+    from datalake_toolkit_spark.llm import with_repetition_stats
+
+    return with_repetition_stats(
+        _t(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        top_bigram_threshold=0.1875,
+        dup_trigram_threshold=0.3125,
+    )
+
+
+@query(
+    "q_pii_redact",
+    r"""
+    WITH aug AS (
+      SELECT doc_id,
+             concat_ws(' ', text,
+               source || '@example.com',
+               'http://data.example.org/' || CAST(doc_id AS VARCHAR),
+               '10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7',
+               '+1 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')) AS t0
+      FROM documents
+    ),
+    s1 AS (SELECT doc_id, t0,
+             regexp_replace(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                            '[EMAIL]', 'g') AS t1 FROM aug),
+    s2 AS (SELECT *, regexp_replace(t1, 'https?://[^\s]+', '[URL]', 'g') AS t2 FROM s1),
+    s3 AS (SELECT *, regexp_replace(t2, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b',
+                                    '[IP]', 'g') AS t3 FROM s2),
+    s4 AS (SELECT *, regexp_replace(t3, '\+\d{1,2} \d{3}-\d{4}', '[PHONE]', 'g') AS t4 FROM s3)
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER) AS n_email,
+           CAST(len(regexp_extract_all(t1, 'https?://[^\s]+')) AS INTEGER) AS n_url,
+           CAST(len(regexp_extract_all(t2, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INTEGER) AS n_ip,
+           CAST(len(regexp_extract_all(t3, '\+\d{1,2} \d{3}-\d{4}')) AS INTEGER) AS n_phone,
+           t4 AS redacted
+    FROM s4
+    """,
+)
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction over documents augmented with a deterministic
+    contact line (email/URL/IP/phone synthesized from doc_id+source —
+    the synthetic corpus has no organic PII). Pure regexp projection,
+    zero shuffles; patterns live in the Java∩RE2 common dialect so
+    the oracle runs the identical strings."""
+    from datalake_toolkit_spark.llm import redact_pii
+
+    docs = _t(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.concat_ws(
+            " ",
+            F.col("text"),
+            F.concat(F.col("source"), F.lit("@example.com")),
+            F.concat(F.lit("http://data.example.org/"), F.col("doc_id").cast("string")),
+            F.concat(
+                F.lit("10.0."), (F.col("doc_id") % 256).cast("string"), F.lit(".7")
+            ),
+            F.concat(
+                F.lit("+1 555-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            ),
+        ).alias("text"),
+    )
+    out = redact_pii(aug, "text", out_col="redacted")
+    return out.select("doc_id", "n_email", "n_url", "n_ip", "n_phone", "redacted")
+
+
+@query(
+    "q_domain_mixture",
+    """
+    WITH wtd AS (
+      SELECT doc_id, source,
+             CASE WHEN source = 'src0' THEN CAST(2.5 AS DOUBLE)
+                  WHEN source = 'src1' THEN CAST(0.25 AS DOUBLE)
+                  WHEN source = 'src2' THEN CAST(0.0 AS DOUBLE)
+                  WHEN source = 'src3' THEN CAST(1.75 AS DOUBLE)
+                  ELSE CAST(1.0 AS DOUBLE) END AS w
+      FROM documents
+    ),
+    reps AS (
+      SELECT doc_id, source,
+             CAST(floor(w) AS BIGINT) +
+             CASE WHEN CAST('0x' || substr(md5('mix|' || source || '|' ||
+                      CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) / 4294967296.0
+                  < w - floor(w) THEN 1 ELSE 0 END AS n_rep
+      FROM wtd
+    )
+    SELECT doc_id, source, unnest(generate_series(1, n_rep)) AS copy
+    FROM reps WHERE n_rep >= 1
+    """,
+)
+def q_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-weighted mixture sampling: src0 upsampled 2.5x, src1
+    kept 25%, src2 dropped, src3 1.75x, everything else 1x — the
+    deterministic md5-coin replica expansion a training mixture uses.
+    Pure projection + explode, no shuffle."""
+    from datalake_toolkit_spark.llm import mixture_sample
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    out = mixture_sample(
+        docs,
+        {"src0": 2.5, "src1": 0.25, "src2": 0.0, "src3": 1.75},
+        source_col="source",
+        id_col="doc_id",
+        default_weight=1.0,
+        seed="mix",
+    )
+    return out.select("doc_id", "source", F.col("copy").cast("long").alias("copy"))
+
+
+@query(
+    "q_pack_windows",
+    """
+    WITH t AS (
+      SELECT doc_id, CAST(n_chars AS BIGINT) AS n_tok,
+             sum(n_chars) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM documents
+    )
+    SELECT doc_id, n_tok,
+           CAST(cum - n_tok AS BIGINT) AS tok_offset,
+           CAST(floor(CAST(cum - n_tok AS DOUBLE) / 2048) AS BIGINT) AS window_start,
+           CAST(floor(CAST(cum - n_tok + greatest(n_tok, 1) - 1 AS DOUBLE) / 2048)
+                AS BIGINT) AS window_end,
+           CAST(CASE WHEN n_tok <= 0 THEN 0
+                ELSE floor(CAST(cum - n_tok + greatest(n_tok, 1) - 1 AS DOUBLE) / 2048)
+                     - floor(CAST(cum - n_tok AS DOUBLE) / 2048) + 1 END AS BIGINT)
+             AS n_windows
+    FROM t
+    """,
+)
+def q_pack_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing: map each doc onto the fixed
+    2048-token training windows its tokens land in (straddling
+    allowed). Range-partitioned running total — no single-partition
+    global window."""
+    from datalake_toolkit_spark.llm import pack_training_windows
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.col("n_chars").cast("long").alias("n_tok")
+    )
+    return pack_training_windows(docs, "n_tok", ["doc_id"], 2048)

@@ -448,3 +448,127 @@ def test_lsh_multi_probe_recall_monotone(spark, sf_dir):
         }
         recalls.append(len(exact & appr) / len(exact))
     assert recalls[1] >= recalls[0]
+
+
+def test_decontaminate_flags_shared_ngrams(spark):
+    from datalake_toolkit_spark.llm import decontaminate
+
+    eval_df = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "intro text then the quick brown fox jumps over everything"),
+            (2, "completely unrelated words about spark shuffles and joins"),
+            (3, None),
+            (4, "short doc"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["eval_ngram_hits"], r["contaminated"])
+        for r in decontaminate(corpus, eval_df, n=5).collect()
+    }
+    assert out[1][1] is True and out[1][0] >= 1  # shares a 5-gram
+    assert out[2] == (0, False)
+    assert out[3] == (0, False)  # NULL text survives, unflagged
+    assert out[4] == (0, False)  # too short for any 5-gram
+
+
+def test_repetition_stats_separates_looped_from_diverse(spark):
+    from datalake_toolkit_spark.llm import with_repetition_stats
+
+    looped = "spam ham " * 30
+    diverse = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    df = spark.createDataFrame(
+        [(1, looped.strip()), (2, diverse), (3, None), (4, "one")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r.asDict() for r in with_repetition_stats(df).collect()}
+    assert out[1]["is_repetitive"] is True
+    assert out[1]["top_bigram_char_frac"] > 0.4
+    assert out[1]["dup_trigram_char_frac"] > 0.9
+    assert out[2]["is_repetitive"] is False
+    assert out[2]["dup_trigram_char_frac"] == 0.0
+    assert out[3]["top_bigram_char_frac"] == 0.0  # NULL text -> zeros
+    assert out[4]["is_repetitive"] is False  # single word: no grams
+
+
+def test_redact_pii_counts_and_tokens(spark):
+    from datalake_toolkit_spark.llm import redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail bob@corp.io or see https://x.io/a?b=1 at 192.168.0.1 call +1 555-0199"),
+            (2, "no pii here"),
+            (3, None),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r.asDict() for r in redact_pii(df).collect()}
+    assert out[1]["n_email"] == 1 and out[1]["n_url"] == 1
+    assert out[1]["n_ip"] == 1 and out[1]["n_phone"] == 1
+    assert out[1]["redacted"] == "mail [EMAIL] or see [URL] at [IP] call [PHONE]"
+    assert out[2]["redacted"] == "no pii here"
+    assert out[3]["redacted"] is None
+
+
+def test_mixture_sample_weights_and_determinism(spark):
+    from datalake_toolkit_spark.llm import mixture_sample
+
+    rows = [(i, f"s{i % 4}") for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    weights = {"s0": 2.0, "s1": 0.5, "s2": 0.0}
+    out = mixture_sample(df, weights, default_weight=1.0)
+    counts = {
+        r["source"]: r["n"]
+        for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert counts["s0"] == 200  # integer weight: exactly 2 copies each
+    assert "s2" not in counts  # weight 0 drops the domain
+    assert 20 <= counts["s1"] <= 80  # ~50% of 100, deterministic coin
+    assert counts["s3"] == 100  # default weight 1.0
+    # deterministic: identical output across runs
+    a = sorted(map(tuple, out.collect()))
+    b = sorted(map(tuple, mixture_sample(df, weights, default_weight=1.0).collect()))
+    assert a == b
+    # copy index is 1-based and dense per doc
+    copies = {
+        r["doc_id"]: r["cs"]
+        for r in out.where(F.col("source") == "s0")
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("copy")).alias("cs"))
+        .collect()
+    }
+    assert all(cs == [1, 2] for cs in copies.values())
+
+
+def test_pack_training_windows_layout_invariants(spark):
+    from datalake_toolkit_spark.llm import pack_training_windows
+
+    rows = [(i, (i * 37) % 150 + 1) for i in range(200)] + [(200, 0)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tok long")
+    out = pack_training_windows(df, "n_tok", ["doc_id"], window_tokens=256)
+    got = sorted(
+        (r["doc_id"], r["tok_offset"], r["window_start"], r["window_end"], r["n_windows"])
+        for r in out.collect()
+    )
+    # offsets are the exclusive prefix sums in doc_id order
+    exp_off = 0
+    for (did, ntok), (gdid, off, ws, we, nw) in zip(sorted(rows), got):
+        assert (did, exp_off) == (gdid, off)
+        if ntok == 0:
+            assert nw == 0
+        else:
+            assert ws == off // 256 and we == (off + ntok - 1) // 256
+            assert nw == we - ws + 1
+        exp_off += ntok
+    # partition-count invariant: same layout from a different input partitioning
+    got2 = sorted(
+        (r["doc_id"], r["tok_offset"], r["window_start"], r["window_end"], r["n_windows"])
+        for r in pack_training_windows(
+            df.repartition(13), "n_tok", ["doc_id"], window_tokens=256
+        ).collect()
+    )
+    assert got == got2
