@@ -201,19 +201,57 @@ def q_stateful_running_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination(300)
-    return spark.table(sink).groupBy("key").agg(
+    final = spark.table(sink).groupBy("key").agg(
         F.max("n_events").alias("n_events"),
         F.max_by("latest_status", "n_events").alias("latest_status"),
     )
+    # Embedded invariant (the rows-only check then carries semantic
+    # signal): every emitted key must agree with a from-scratch batch
+    # recomputation — same event count, and a latest_status drawn from
+    # the statuses at that key's max event time (set-membership, not
+    # equality: ts ties make the within-batch winner order-dependent).
+    # A broken state update drops rows here and the driver sees < 50.
+    per_key = events.groupBy(
+        F.col("user_id").cast("string").alias("key")
+    ).agg(F.count(F.lit(1)).alias("b_n"), F.max("ts_sec").alias("b_max_ts"))
+    cands = (
+        events.select(F.col("user_id").cast("string").alias("key"), "event_type", "ts_sec")
+        .join(per_key, "key")
+        .where(F.col("ts_sec") == F.col("b_max_ts"))
+        .groupBy("key")
+        .agg(F.collect_set("event_type").alias("b_latest_set"))
+    )
+    return (
+        final.join(per_key, "key")
+        .join(cands, "key")
+        .where(
+            (F.col("n_events") == F.col("b_n"))
+            & F.array_contains("b_latest_set", F.col("latest_status"))
+        )
+        .select("key", "n_events", "latest_status")
+    )
 
 
-@query("q_partition_local_groups", None)
+@query(
+    "q_partition_local_groups",
+    """
+    SELECT l_returnflag, count(*) AS n_rows
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def q_partition_local_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A4: partition-local grouping (rows-only check — output shape
-    depends on physical partitioning by design)."""
+    """A4: partition-local grouping, verified by re-aggregation. The
+    partial (partition, key) groups are intermediate state by design
+    (their shape depends on physical partitioning), but re-summing
+    their batch sizes must reproduce the global per-key counts
+    exactly — which IS SQL-expressible, so this previously rows-only
+    check now hash-verifies that the partition-local pass partitions
+    the rows (nothing lost, nothing duplicated)."""
     lineitem = _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_orderkey")
     out = group_within_partitions(lineitem, "l_returnflag", "l_orderkey")
-    return out.select("l_returnflag", F.size("items").alias("batch_size"))
+    return out.groupBy("l_returnflag").agg(
+        F.sum(F.size("items")).alias("n_rows")
+    )
 
 
 @query(
