@@ -72,6 +72,16 @@ DEMOTED: tuple[str, ...] = (
     "q_customer_struct_roundtrip",  # P2/P3/P6/P7 struct ops, 4x green
     "q_windowed_event_counts",  # streaming windows ~ q_sessionized_users
     "q_quality_filter_pipeline",  # quality filter ~ q_text_stats + q_repetition_stats
+    # r5 TPC-H breadth: born into the parity/bench tail (the window is
+    # full of never-driver-checked queries this round); rotate these
+    # into the gate in r6 in place of the then-twice-green curation set.
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q13_order_distribution",
+    "q15_top_supplier",
+    "q17_small_qty_revenue",
+    "q21_waiting_suppliers",
+    "q22_sales_opportunity",
 )
 
 GATE_WINDOW = 50

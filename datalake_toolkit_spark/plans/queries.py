@@ -1276,3 +1276,365 @@ def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("promo_pct"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H breadth, round 5: the remaining shapes expressible without a
+# partsupp table (q9/q11/q16/q20 need ps_supplycost/ps_availqty, which
+# the testdata set lacks). Columns the reduced schemas miss are
+# substituted with an equivalent-shape predicate, noted per query.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q7_volume_shipping",
+    f"""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS INTEGER) AS l_year,
+           CAST(sum({REV_SQL}) AS DOUBLE) AS revenue
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+    JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+    WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      AND l.l_shipdate >= DATE '1996-01-01' AND l.l_shipdate < DATE '1998-01-01'
+    GROUP BY 1, 2, 3
+    """,
+)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bidirectional nation-pair shipping volume.
+    One fact-fact shuffle join (lineitem x orders); customer,
+    supplier, and both nation legs broadcast. The nation-pair
+    disjunction lands post-join (it spans both legs)."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = _t(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    rpair = (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("cn_key"))
+        .where(pair | rpair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("l_year"),
+        )
+        .agg(F.sum(_rev()).cast("double").alias("revenue"))
+    )
+
+
+@query(
+    "q8_market_share",
+    f"""
+    WITH all_rev AS (
+      SELECT CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+             {REV_SQL} AS volume,
+             n1.n_name AS supp_nation
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN part p ON p.p_partkey = l.l_partkey
+      JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+      JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = n2.n_regionkey
+      WHERE r.r_name = 'ASIA' AND p.p_type = 'PROMO'
+        AND o.o_orderdate >= DATE '1996-01-01' AND o.o_orderdate < DATE '1998-01-01'
+    )
+    SELECT o_year,
+           round(CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume
+                         ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+                 / CAST(sum(volume) AS DOUBLE), 4) AS mkt_share
+    FROM all_rev GROUP BY o_year
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: national market share within a region-filtered
+    market — conditional share of exact-decimal sums (the ratio is a
+    double over two order-independent decimals). All dims broadcast;
+    the only shuffles are lineitem x orders and the final group."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    ).select("o_orderkey", "o_custkey", "o_orderdate")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    part = _t(spark, sf_dir, "part").where(F.col("p_type") == "PROMO").select("p_partkey")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.join(
+        F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select(F.col("n_nationkey").alias("cn_key"))
+    joined = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("sn_key"))
+    )
+    zero = F.lit(0).cast("decimal(12,2)")
+    agg = joined.groupBy(
+        F.year("o_orderdate").cast("int").alias("o_year")
+    ).agg(
+        F.sum(F.when(F.col("supp_nation") == "NATION_3", _rev()).otherwise(zero))
+        .alias("nat_rev"),
+        F.sum(_rev()).alias("tot_rev"),
+    )
+    return agg.select(
+        "o_year",
+        F.round(
+            F.col("nat_rev").cast("double") / F.col("tot_rev").cast("double"), 4
+        ).alias("mkt_share"),
+    )
+
+
+@query(
+    "q13_order_distribution",
+    """
+    WITH per_cust AS (
+      SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+      FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_custkey
+    )
+    SELECT c_count, count(*) AS custdist
+    FROM per_cust GROUP BY c_count
+    """,
+)
+def q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: two stacked aggregations over a left outer
+    join — orders-per-customer histogram, zero-order customers
+    included. (The spec's o_comment NOT LIKE filter is dropped: the
+    reduced orders schema has no comment column.)"""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    per_cust = (
+        cust.join(orders, F.col("o_custkey") == F.col("c_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@query(
+    "q15_top_supplier",
+    f"""
+    WITH rev AS (
+      SELECT l_suppkey AS supplier_no, sum({REV_SQL}) AS total_rev
+      FROM lineitem
+      WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, CAST(r.total_rev AS DOUBLE) AS total_revenue
+    FROM rev r JOIN supplier s ON s.s_suppkey = r.supplier_no
+    WHERE r.total_rev = (SELECT max(total_rev) FROM rev)
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: top supplier by quarterly revenue via a
+    scalar-max self-reference. The max is a one-row broadcast join,
+    and the revenue equality is safe because the sums are exact
+    DECIMAL (doubles would tie-break nondeterministically)."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(_rev()).alias("total_rev")
+    )
+    mx = rev.agg(F.max("total_rev").alias("max_rev"))
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.join(F.broadcast(mx), F.col("total_rev") == F.col("max_rev"))
+        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("supplier_no"))
+        .select(
+            "s_suppkey", "s_name", F.col("total_rev").cast("double").alias("total_revenue")
+        )
+    )
+
+
+@query(
+    "q17_small_qty_revenue",
+    """
+    WITH target AS (
+      SELECT p_partkey FROM part WHERE p_brand = 'Brand#12' AND p_size < 15
+    ),
+    qty AS (
+      SELECT l_partkey, 0.2 * avg(l_quantity) AS qty_cut
+      FROM lineitem JOIN target ON p_partkey = l_partkey
+      GROUP BY l_partkey
+    )
+    SELECT CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0
+                AS DOUBLE) AS avg_yearly
+    FROM lineitem
+    JOIN qty ON qty.l_partkey = lineitem.l_partkey
+    WHERE l_quantity < qty_cut
+    """,
+)
+def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated per-part average decorrelated into
+    an aggregate + re-join. (p_container doesn't exist in the reduced
+    schema; p_size < 15 stands in.) The 0.2*avg threshold is
+    engine-stable: quantities are integer-valued doubles, so the avg
+    is an exact-sum division both engines compute identically."""
+    part = _t(spark, sf_dir, "part").where(
+        (F.col("p_brand") == "Brand#12") & (F.col("p_size") < 15)
+    ).select("p_partkey")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    target = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    qty = target.groupBy("l_partkey").agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("qty_cut")
+    )
+    return (
+        li.withColumnRenamed("l_partkey", "lp")
+        .join(qty, F.col("lp") == F.col("l_partkey"))
+        .where(F.col("l_quantity") < F.col("qty_cut"))
+        .agg(
+            (
+                F.sum(_dec("l_extendedprice")).cast("double") / F.lit(7.0)
+            ).cast("double").alias("avg_yearly")
+        )
+    )
+
+
+@query(
+    "q21_waiting_suppliers",
+    """
+    SELECT s.s_name, count(*) AS numwait
+    FROM lineitem l1
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey AND o.o_orderstatus = 'F'
+    JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey AND n.n_name = 'NATION_1'
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_shipdate > l1.l_shipdate)
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 10
+    """,
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: EXISTS -> left-semi plus NOT EXISTS ->
+    left-anti, both fact-fact self-joins on the order key. (The
+    reduced lineitem has no commit/receipt dates, so "kept the order
+    waiting" is re-keyed on shipdate: this supplier shipped strictly
+    last among a multi-supplier 'F' order.) Top-10 with the unique
+    s_name as tiebreaker."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    f_orders = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderstatus") == "F")
+        .select("o_orderkey")
+    )
+    l1 = li.join(f_orders, F.col("l_orderkey") == F.col("o_orderkey")).drop("o_orderkey")
+    l2 = li.select(
+        F.col("l_orderkey").alias("r_orderkey"), F.col("l_suppkey").alias("r_suppkey")
+    )
+    l3 = li.select(
+        F.col("l_orderkey").alias("r_orderkey"),
+        F.col("l_suppkey").alias("r_suppkey"),
+        F.col("l_shipdate").alias("r_shipdate"),
+    )
+    waited = l1.join(
+        l2,
+        (F.col("l_orderkey") == F.col("r_orderkey"))
+        & (F.col("l_suppkey") != F.col("r_suppkey")),
+        "leftsemi",
+    ).join(
+        l3,
+        (F.col("l_orderkey") == F.col("r_orderkey"))
+        & (F.col("l_suppkey") != F.col("r_suppkey"))
+        & (F.col("r_shipdate") > F.col("l_shipdate")),
+        "leftanti",
+    )
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+    nation = _t(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_1")
+    return (
+        waited.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(10)
+    )
+
+
+@query(
+    "q22_sales_opportunity",
+    """
+    WITH coded AS (
+      SELECT c_custkey, c_custkey % 7 AS cntrycode,
+             CAST(round(c_acctbal * 100, 0) AS BIGINT) AS cents,
+             CAST(c_acctbal AS DECIMAL(12,2)) AS bal
+      FROM customer
+    ),
+    cut AS (
+      SELECT CAST(sum(cents) AS DOUBLE) / count(*) AS avg_cents
+      FROM coded WHERE cents > 0 AND cntrycode IN (1, 3, 5)
+    )
+    SELECT cntrycode, count(*) AS numcust,
+           CAST(sum(bal) AS DOUBLE) AS totacctbal
+    FROM coded, cut
+    WHERE cntrycode IN (1, 3, 5) AND cents > avg_cents
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = coded.c_custkey)
+    GROUP BY cntrycode
+    """,
+)
+def q22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: scalar above-average subquery + NOT EXISTS
+    anti-join. (No c_phone column: country code is c_custkey % 7.)
+    The average is taken over integer cents (round(bal*100)) so the
+    exact sum divides identically in both engines — an avg over raw
+    doubles would be summation-order-dependent at the last ULP and
+    could flip the boundary comparison.
+
+    This query OWNS a BroadcastNestedLoopJoin by design: the build
+    side is the one-row scalar average (IdentityBroadcastMode), so
+    the "nested loop" is a streaming O(n) filter against a single
+    broadcast row — Spark's canonical physical plan for a scalar
+    subquery, not a quadratic join."""
+    coded = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        (F.col("c_custkey") % 7).alias("cntrycode"),
+        F.round(F.col("c_acctbal") * 100, 0).cast("long").alias("cents"),
+        F.col("c_acctbal").cast("decimal(12,2)").alias("bal"),
+    ).where(F.col("cntrycode").isin(1, 3, 5))
+    cut = coded.where(F.col("cents") > 0).agg(
+        (F.sum("cents").cast("double") / F.count(F.lit(1))).alias("avg_cents")
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_custkey")
+    return (
+        coded.join(F.broadcast(cut))
+        .where(F.col("cents") > F.col("avg_cents"))
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"), "leftanti")
+        .groupBy("cntrycode")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum("bal").cast("double").alias("totacctbal"),
+        )
+    )
