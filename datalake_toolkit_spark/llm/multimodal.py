@@ -44,6 +44,46 @@ FEATURE_SCHEMA = T.StructType(
 )
 
 
+# extension -> media_type for the binaryFile ingestion source
+MEDIA_EXTENSIONS: dict[str, str] = {
+    "wav": "audio", "mp3": "audio", "flac": "audio", "ogg": "audio",
+    "png": "image", "jpg": "image", "jpeg": "image", "gif": "image", "bmp": "image",
+    "mp4": "video", "avi": "video", "mkv": "video", "webm": "video", "mov": "video",
+}
+
+
+def read_media_files(spark, path: str, glob: str | None = None) -> DataFrame:
+    """Ingest raw media files into the multimodal table shape via
+    Spark's native ``binaryFile`` source: one row per file with
+    ``(doc_id, media_type, content, path, byte_len)``, where doc_id
+    is the xxhash64 of the file path (stable across re-runs and
+    cluster sizes) and media_type derives from the extension
+    (NULL for unrecognized extensions — those rows flow through
+    :func:`decode_media` as ``decoded=false`` instead of failing).
+
+    Scale: binaryFile never splits a file (one row per blob), so this
+    is the BRIDGE format — read once, then persist as a parquet
+    multimodal table (payload column + metadata) where scans are
+    columnar, splittable, and prunable. Millions of small files
+    belong behind a manifest/compaction step, not repeated binaryFile
+    scans. ``pathGlobFilter`` prunes by extension at listing time."""
+    reader = spark.read.format("binaryFile")
+    if glob is not None:
+        reader = reader.option("pathGlobFilter", glob)
+    df = reader.load(path)
+    ext = F.lower(F.regexp_extract(F.col("path"), r"\.([A-Za-z0-9]+)$", 1))
+    mt_map = F.create_map(
+        *[F.lit(x) for kv in MEDIA_EXTENSIONS.items() for x in kv]
+    )
+    return df.select(
+        F.xxhash64("path").alias("doc_id"),
+        F.element_at(mt_map, ext).alias("media_type"),
+        F.col("content"),
+        F.col("path"),
+        F.col("length").alias("byte_len"),
+    )
+
+
 def attach_fake_media(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Turn the documents table into a multimodal table: UTF-8 bytes
     of the text as the binary payload, media_type assigned

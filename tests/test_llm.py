@@ -572,3 +572,46 @@ def test_pack_training_windows_layout_invariants(spark):
         ).collect()
     )
     assert got == got2
+
+
+def test_read_media_files_binaryfile_to_decode(spark, tmp_path):
+    """binaryFile ingestion -> multimodal shape -> real WAV decode."""
+    import wave as wave_mod
+
+    from datalake_toolkit_spark.llm.multimodal import decode_media, read_media_files
+
+    media = tmp_path / "media"
+    media.mkdir()
+    for name, rate in (("a.wav", 8000), ("b.wav", 16000)):
+        with wave_mod.open(str(media / name), "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(rate)
+            w.writeframes(b"\x00\x01" * 100)
+    (media / "corrupt.wav").write_bytes(b"not a wav at all")
+    (media / "notes.txt").write_text("plain text")
+
+    df = read_media_files(spark, str(media))
+    rows = {r["path"].rsplit("/", 1)[-1]: r for r in df.collect()}
+    assert rows["a.wav"]["media_type"] == "audio"
+    assert rows["notes.txt"]["media_type"] is None
+    assert rows["a.wav"]["byte_len"] == len((media / "a.wav").read_bytes())
+    # doc_id is stable across re-reads (path hash, not row order)
+    again = {r["path"]: r["doc_id"] for r in read_media_files(spark, str(media)).collect()}
+    assert all(again[r["path"]] == r["doc_id"] for r in rows.values())
+
+    dec = {
+        r["doc_id"]: r
+        for r in decode_media(df.select("doc_id", "media_type", "content")).collect()
+    }
+    by_name = {n: dec[rows[n]["doc_id"]] for n in rows}
+    assert by_name["a.wav"]["decoded"] and by_name["a.wav"]["sample_rate"] == 8000
+    assert by_name["b.wav"]["decoded"] and by_name["b.wav"]["sample_rate"] == 16000
+    assert by_name["b.wav"]["n_samples"] == 100
+    assert not by_name["corrupt.wav"]["decoded"]
+    assert by_name["corrupt.wav"]["decode_err"]
+    assert not by_name["notes.txt"]["decoded"]
+
+    # glob pruning happens at listing time
+    only_wav = read_media_files(spark, str(media), glob="*.wav")
+    assert only_wav.count() == 3
