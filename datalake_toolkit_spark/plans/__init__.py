@@ -82,6 +82,10 @@ DEMOTED: tuple[str, ...] = (
     "q17_small_qty_revenue",
     "q21_waiting_suppliers",
     "q22_sales_opportunity",
+    "q9_product_profit",
+    "q11_important_stock",
+    "q16_supplier_count",
+    "q20_excess_stock",
 )
 
 GATE_WINDOW = 50

@@ -1638,3 +1638,235 @@ def q22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("bal").cast("double").alias("totacctbal"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H q9/q11/q16/q20: the four shapes that need a partsupp table.
+# The testdata set has none, so partsupp is DERIVED deterministically
+# from the distinct (l_partkey, l_suppkey) pairs actually used, with
+# integer-arithmetic supplycost/availqty both engines compute
+# identically — the oracle reproduces the same derivation in SQL.
+# ---------------------------------------------------------------------------
+
+_PARTSUPP_CTE = """
+ps AS (
+  SELECT DISTINCT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+         (l_partkey * 31 + l_suppkey * 17) % 900 + 100 AS ps_cost_cents,
+         (l_partkey * 37 + l_suppkey * 11) % 9999 + 1 AS ps_availqty
+  FROM lineitem
+)
+"""
+
+# supplycost as an exact DECIMAL: cents * 0.01 by decimal MULTIPLY
+# (division would hit engine-specific scale rules)
+_PS_COST_SQL = "CAST(ps_cost_cents AS DECIMAL(12,2)) * CAST(0.01 AS DECIMAL(3,2))"
+
+
+def _partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The derived partsupp table (see _PARTSUPP_CTE)."""
+    pairs = (
+        _t(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_partkey").alias("ps_partkey"),
+            F.col("l_suppkey").alias("ps_suppkey"),
+        )
+        .distinct()
+    )
+    cents = (F.col("ps_partkey") * 31 + F.col("ps_suppkey") * 17) % 900 + 100
+    avail = (F.col("ps_partkey") * 37 + F.col("ps_suppkey") * 11) % 9999 + 1
+    return (
+        pairs.withColumn("ps_cost_cents", cents.cast("long"))
+        .withColumn("ps_availqty", avail.cast("long"))
+        .withColumn(
+            "ps_supplycost",
+            F.col("ps_cost_cents").cast("decimal(12,2)")
+            * F.lit("0.01").cast("decimal(3,2)"),
+        )
+    )
+
+
+@query(
+    "q9_product_profit",
+    f"""
+    WITH {_PARTSUPP_CTE},
+    profit AS (
+      SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+             {REV_SQL} - {_PS_COST_SQL} * CAST(l.l_quantity AS DECIMAL(12,2)) AS amount
+      FROM lineitem l
+      JOIN ps ON ps.ps_partkey = l.l_partkey AND ps.ps_suppkey = l.l_suppkey
+      JOIN part p ON p.p_partkey = l.l_partkey AND p.p_name LIKE '%red%'
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+    )
+    SELECT nation, o_year, CAST(sum(amount) AS DOUBLE) AS sum_profit
+    FROM profit GROUP BY 1, 2
+    """,
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: product-line profit by nation and year over the
+    derived partsupp. Profit stays in exact DECIMAL end to end
+    (revenue minus cents-based supplycost x integer quantity), so the
+    sum is order-independent. Two fact-fact shuffle joins (lineitem x
+    partsupp on the compound key, then x orders); part/supplier/nation
+    broadcast."""
+    li = _t(spark, sf_dir, "lineitem")
+    ps = _partsupp(spark, sf_dir)
+    part = _t(spark, sf_dir, "part").where(F.col("p_name").like("%red%")).select("p_partkey")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = _t(spark, sf_dir, "nation")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    amount = _rev() - F.col("ps_supplycost") * _dec("l_quantity")
+    return (
+        li.join(
+            ps,
+            (F.col("l_partkey") == F.col("ps_partkey"))
+            & (F.col("l_suppkey") == F.col("ps_suppkey")),
+        )
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(F.sum(amount).cast("double").alias("sum_profit"))
+    )
+
+
+@query(
+    "q11_important_stock",
+    f"""
+    WITH {_PARTSUPP_CTE},
+    v AS (
+      SELECT ps_partkey, sum(ps_cost_cents * ps_availqty) AS val_cents
+      FROM ps
+      JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey AND n.n_name = 'NATION_2'
+      GROUP BY 1
+    ),
+    tot AS (SELECT sum(val_cents) AS total_cents FROM v)
+    SELECT ps_partkey, CAST(val_cents AS BIGINT) AS value_cents
+    FROM v, tot WHERE 10000 * val_cents > total_cents
+    """,
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: stock value per part vs a scalar fraction of
+    the national total. All value arithmetic is INTEGER cents — the
+    `val > 0.0001 * total` predicate is re-stated as
+    `10000 * val > total`, an exact integer comparison (a decimal
+    ratio would hit Spark's precision-loss scale truncation and could
+    flip the boundary vs DuckDB).
+
+    OWNS a BroadcastNestedLoopJoin by design: the build side is the
+    one-row grand total, so the join is a streaming O(n) filter
+    against a single broadcast row — the canonical scalar-subquery
+    plan, not a quadratic join."""
+    ps = _partsupp(spark, sf_dir)
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = _t(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_2")
+    v = (
+        ps.join(F.broadcast(supp), F.col("ps_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("ps_partkey")
+        .agg(F.sum(F.col("ps_cost_cents") * F.col("ps_availqty")).alias("val_cents"))
+    )
+    tot = v.agg(F.sum("val_cents").alias("total_cents"))
+    return (
+        v.join(F.broadcast(tot))
+        .where(F.lit(10000) * F.col("val_cents") > F.col("total_cents"))
+        .select("ps_partkey", F.col("val_cents").cast("long").alias("value_cents"))
+    )
+
+
+@query(
+    "q16_supplier_count",
+    f"""
+    WITH {_PARTSUPP_CTE}
+    SELECT p.p_brand, p.p_type, p.p_size,
+           count(DISTINCT ps_suppkey) AS supplier_cnt
+    FROM ps
+    JOIN part p ON p.p_partkey = ps.ps_partkey
+    WHERE p.p_brand <> 'Brand#1' AND p.p_type NOT LIKE 'PROMO%'
+      AND p.p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+      AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY 1, 2, 3
+    """,
+)
+def q16_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: supplier count per part attribute with a
+    NOT-IN exclusion set -> broadcast anti-join. (No s_comment column
+    for the spec's complaints filter; negative account balance is the
+    stand-in exclusion set.)"""
+    ps = _partsupp(spark, sf_dir)
+    part = _t(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#1")
+        & ~F.col("p_type").like("PROMO%")
+        & F.col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    bad_supp = (
+        _t(spark, sf_dir, "supplier")
+        .where(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        ps.join(F.broadcast(part), F.col("ps_partkey") == F.col("p_partkey"))
+        .join(
+            F.broadcast(bad_supp), F.col("ps_suppkey") == F.col("s_suppkey"), "leftanti"
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("ps_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "q20_excess_stock",
+    f"""
+    WITH {_PARTSUPP_CTE},
+    shipped AS (
+      SELECT l_partkey, l_suppkey, sum(l_quantity) AS qty
+      FROM lineitem
+      WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+      GROUP BY 1, 2
+    )
+    SELECT DISTINCT s.s_suppkey, s.s_name
+    FROM ps
+    JOIN part p ON p.p_partkey = ps.ps_partkey AND p.p_name LIKE '%blue%'
+    JOIN shipped sh ON sh.l_partkey = ps.ps_partkey AND sh.l_suppkey = ps.ps_suppkey
+    JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey AND n.n_name = 'NATION_0'
+    WHERE ps.ps_availqty > 0.5 * sh.qty
+    """,
+)
+def q20_excess_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: the correlated half-of-shipped-quantity
+    threshold decorrelated into an aggregate + compound-key join.
+    Quantities are integer-valued doubles, so sum and 0.5x are exact
+    and the comparison is engine-stable. partsupp x shipped is the one
+    fact-fact shuffle; part/supplier/nation broadcast."""
+    ps = _partsupp(spark, sf_dir)
+    part = _t(spark, sf_dir, "part").where(F.col("p_name").like("%blue%")).select("p_partkey")
+    shipped = (
+        _t(spark, sf_dir, "lineitem")
+        .where(
+            (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+    nation = _t(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_0")
+    return (
+        ps.join(F.broadcast(part), F.col("ps_partkey") == F.col("p_partkey"))
+        .join(
+            shipped,
+            (F.col("l_partkey") == F.col("ps_partkey"))
+            & (F.col("l_suppkey") == F.col("ps_suppkey")),
+        )
+        .where(F.col("ps_availqty") > F.lit(0.5) * F.col("qty"))
+        .join(F.broadcast(supp), F.col("ps_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name")
+        .distinct()
+    )

@@ -108,6 +108,7 @@ _NESTED_LOOP_BY_DESIGN = {
     "q_ann_cosine_topk",    # brute-force baseline: join on qid != cid
     "q_jaccard_near_dups",  # exact-Jaccard baseline (inverted-index pruned)
     "q22_sales_opportunity",  # one-row scalar-average broadcast: O(n), see docstring
+    "q11_important_stock",  # one-row grand-total broadcast: O(n), see docstring
 }
 
 # Streaming-harness queries execute eagerly (start a stream) inside the
