@@ -1,0 +1,162 @@
+"""spark-submit-able CLI: the reference's per-job entry scripts
+(artifacts/spark_programs/spark_submit_*.py run() + click options,
+lambda job submitters) as ONE argparse front door over the engine.
+
+    python -m datalake_toolkit_spark ingest --input raw/*.csv --output out/ \
+        --schema "id long, name string, dt string" --partition-source dt
+    python -m datalake_toolkit_spark query --name q1_pricing_summary \
+        --sf-dir /root/testdata/sf0.01 --show 10
+    python -m datalake_toolkit_spark profile --table orders --sf-dir ...
+    python -m datalake_toolkit_spark compact --path tbl/ --target-partitions 8
+
+Parameters resolve CLI > JSON config > env (config.resolve_params),
+matching the reference's precedence chain. Each command builds the
+shared tuned session (session.get_spark) — under spark-submit the
+master/conf come from the launcher and getOrCreate adopts them.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from collections.abc import Sequence
+
+from datalake_toolkit_spark.config import resolve_params
+from datalake_toolkit_spark.session import get_spark
+
+
+def _build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="datalake_toolkit_spark")
+    sub = p.add_subparsers(dest="command", required=True)
+
+    ing = sub.add_parser("ingest", help="delimited files -> partitioned parquet")
+    ing.add_argument("--input", required=True, nargs="+")
+    ing.add_argument("--output", required=True)
+    ing.add_argument("--schema", default=None, help="DDL string; omit to infer")
+    ing.add_argument("--sep", default=",")
+    ing.add_argument("--header", action="store_true")
+    ing.add_argument("--partition-source", default=None)
+    ing.add_argument("--partition-col", default="dt")
+    ing.add_argument("--target-file-partitions", type=int, default=None)
+    ing.add_argument("--config-file", default=None, help="JSON param file")
+
+    q = sub.add_parser("query", help="run a named engine query")
+    q.add_argument("--name", required=True)
+    q.add_argument("--sf-dir", required=True)
+    q.add_argument("--show", type=int, default=0, help="print first N rows as JSON")
+    q.add_argument("--output", default=None, help="write result parquet here")
+    q.add_argument("--explain", action="store_true")
+    q.add_argument("--list", action="store_true", help="ignore --name, list queries")
+
+    pr = sub.add_parser("profile", help="single-pass column profile of a table")
+    pr.add_argument("--table", required=True)
+    pr.add_argument("--sf-dir", required=True)
+    pr.add_argument("--exact-distinct", action="store_true")
+
+    c = sub.add_parser("compact", help="rewrite a parquet dir to N files")
+    c.add_argument("--path", required=True)
+    c.add_argument("--target-partitions", type=int, required=True)
+    c.add_argument("--output", default=None)
+    return p
+
+
+def _cmd_ingest(args: argparse.Namespace) -> int:
+    from datalake_toolkit_spark.sources.ingest import ingest_delimited
+
+    params = resolve_params(
+        cli={
+            "sep": args.sep,
+            "partition_source": args.partition_source,
+            "partition_col": args.partition_col,
+            "target_file_partitions": args.target_file_partitions,
+        },
+        config_file=args.config_file,
+        defaults={
+            "sep": ",",
+            "partition_source": None,
+            "partition_col": "dt",
+            "target_file_partitions": None,
+        },
+    )
+    spark = get_spark(app_name="dts-ingest")
+    out = ingest_delimited(
+        spark,
+        args.input,
+        args.output,
+        schema=args.schema,
+        sep=params["sep"],
+        header=args.header,
+        partition_source=params["partition_source"],
+        partition_col=params["partition_col"],
+        target_file_partitions=params["target_file_partitions"],
+    )
+    print(json.dumps({"rows_written": out.count(), "output": args.output}))
+    return 0
+
+
+def _cmd_query(args: argparse.Namespace) -> int:
+    from datalake_toolkit_spark.plans import QUERIES
+
+    if args.list:
+        for name in QUERIES:
+            print(name)
+        return 0
+    if args.name not in QUERIES:
+        print(f"unknown query {args.name!r}; use --list", file=sys.stderr)
+        return 2
+    spark = get_spark(app_name=f"dts-query-{args.name}")
+    df = QUERIES[args.name](spark, args.sf_dir)
+    if args.explain:
+        df.explain("formatted")
+    if args.output:
+        df.write.mode("overwrite").parquet(args.output)
+        print(json.dumps({"rows_written": spark.read.parquet(args.output).count()}))
+    elif args.show:
+        for row in df.limit(args.show).collect():
+            print(json.dumps(row.asDict(), default=str))
+    else:
+        print(json.dumps({"rows": df.count()}))
+    return 0
+
+
+def _cmd_profile(args: argparse.Namespace) -> int:
+    from datalake_toolkit_spark.quality import profile_table
+    from datalake_toolkit_spark.sources import load_table
+
+    spark = get_spark(app_name="dts-profile")
+    df = load_table(spark, args.sf_dir, args.table)
+    for row in profile_table(df, exact_distinct=args.exact_distinct).collect():
+        print(json.dumps(row.asDict(), default=str))
+    return 0
+
+
+def _cmd_compact(args: argparse.Namespace) -> int:
+    from datalake_toolkit_spark.sources.ingest import compact
+
+    spark = get_spark(app_name="dts-compact")
+    compact(spark, args.path, args.target_partitions, output_path=args.output)
+    out_path = args.output or args.path + "_compacted"
+    print(
+        json.dumps(
+            {"rows": spark.read.parquet(out_path).count(), "output": out_path}
+        )
+    )
+    return 0
+
+
+_COMMANDS = {
+    "ingest": _cmd_ingest,
+    "query": _cmd_query,
+    "profile": _cmd_profile,
+    "compact": _cmd_compact,
+}
+
+
+def main(argv: Sequence[str] | None = None) -> int:
+    args = _build_parser().parse_args(argv)
+    return _COMMANDS[args.command](args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

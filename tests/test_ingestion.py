@@ -613,3 +613,46 @@ def test_read_delimited_permissive_corrupt_records(spark, tmp_path):
     assert len(bad) == 1 and bad[0]._bad == "not-a-number,beta,oops"
     with pytest.raises(ValueError):
         read_delimited(spark, str(raw), corrupt_record_col="_bad")
+
+
+def test_cli_entrypoints_in_process(spark, sf_dir, tmp_path, capsys):
+    """The argparse front door drives ingest/query/profile/compact
+    against the shared session (getOrCreate adopts the test session)."""
+    import json as json_mod
+
+    from datalake_toolkit_spark.__main__ import main
+
+    # ingest: csv -> partitioned parquet
+    src = tmp_path / "raw.csv"
+    src.write_text("1,a,2024-01-01\n2,b,2024-01-02\n3,c,2024-01-01\n")
+    out_dir = str(tmp_path / "ingested")
+    rc = main([
+        "ingest", "--input", str(src), "--output", out_dir,
+        "--schema", "id long, name string, dt_raw string",
+        "--partition-source", "dt_raw",
+    ])
+    assert rc == 0
+    res = json_mod.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["rows_written"] == 3
+
+    # query: named plan with row output
+    rc = main(["query", "--name", "q_nation_region", "--sf-dir", sf_dir, "--show", "2"])
+    assert rc == 0
+    lines = capsys.readouterr().out.strip().splitlines()
+    assert len(lines) == 2 and "n_name" in lines[0]
+    assert main(["query", "--name", "nope", "--sf-dir", sf_dir]) == 2
+    rc = main(["query", "--name", "x", "--sf-dir", sf_dir, "--list"])
+    assert rc == 0
+    assert "q1_pricing_summary" in capsys.readouterr().out.splitlines()
+
+    # profile: one JSON line per column
+    rc = main(["profile", "--table", "region", "--sf-dir", sf_dir])
+    assert rc == 0
+    prof = [json_mod.loads(x) for x in capsys.readouterr().out.strip().splitlines()]
+    assert {p["column"] for p in prof} == {"r_regionkey", "r_name"}
+
+    # compact: rewrite to one file
+    rc = main(["compact", "--path", out_dir, "--target-partitions", "1",
+               "--output", str(tmp_path / "compacted")])
+    assert rc == 0
+    assert json_mod.loads(capsys.readouterr().out.strip())["rows"] == 3
