@@ -214,3 +214,157 @@ def test_chunk_documents_covers_every_word_exactly(spark, n_words, chunk, overla
         assert not set(ws2) <= set(ws1)  # no fully-duplicated chunk
         if len(ws1) == chunk and len(ws2) == chunk:
             assert ws1[step:] == ws2[:overlap]
+
+
+# ---------------------------------------------------------------------------
+# Round-5 curation operators vs Python reference semantics
+# ---------------------------------------------------------------------------
+
+_TEXT_WORD = st.from_regex(r"[a-z]{1,5}", fullmatch=True)
+_DOC = st.lists(_TEXT_WORD, min_size=0, max_size=12).map(" ".join)
+
+
+def _py_ngrams(text: str | None, n: int) -> set[str]:
+    if text is None:
+        return set()
+    w = re.split(r"\s+", text)
+    return {" ".join(w[i : i + n]) for i in range(len(w) - n + 1)}
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(st.one_of(_DOC, st.none()), min_size=1, max_size=12),
+    st.lists(_DOC, min_size=1, max_size=4),
+)
+def test_decontaminate_matches_set_reference(spark, corpus_texts, eval_texts):
+    from datalake_toolkit_spark.llm import decontaminate
+
+    n = 3
+    corpus = spark.createDataFrame(
+        list(enumerate(corpus_texts)), "doc_id long, text string"
+    )
+    eval_df = spark.createDataFrame(
+        [(1000 + i, t) for i, t in enumerate(eval_texts)], "doc_id long, text string"
+    )
+    eval_grams = set().union(*(_py_ngrams(t, n) for t in eval_texts))
+    got = {
+        r["doc_id"]: (r["eval_ngram_hits"], r["contaminated"])
+        for r in decontaminate(corpus, eval_df, n=n).collect()
+    }
+    for i, t in enumerate(corpus_texts):
+        hits = len(_py_ngrams(t, n) & eval_grams)
+        assert got[i] == (hits, hits > 0), (t, eval_grams)
+
+
+def _py_redact(text: str):
+    """Sequential pattern application, counting against the text each
+    pattern actually sees — mirrors llm.curation.redact_pii."""
+    from datalake_toolkit_spark.llm.curation import PII_PATTERNS
+
+    counts, cur = {}, text
+    for name, pat, tok in PII_PATTERNS:
+        counts[f"n_{name}"] = len(re.findall(pat, cur))
+        cur = re.sub(pat, tok, cur)
+    return counts, cur
+
+
+_PII_BIT = st.one_of(
+    _TEXT_WORD,
+    st.just("bob@corp.io"),
+    st.just("x.y@a.b.co"),
+    st.just("https://ex.io/p?q=1"),
+    st.just("http://a.b/c"),
+    st.just("10.0.0.1"),
+    st.just("255.255.1.2"),
+    st.just("+1 555-0100"),
+    st.just("+44 202-1234"),
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(st.lists(_PII_BIT, min_size=0, max_size=6).map(" ".join),
+                min_size=1, max_size=10))
+def test_redact_pii_matches_python_re(spark, texts):
+    from datalake_toolkit_spark.llm import redact_pii
+
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in redact_pii(df).collect()}
+    for i, t in enumerate(texts):
+        counts, redacted = _py_redact(t)
+        for k, v in counts.items():
+            assert got[i][k] == v, (t, k)
+        assert got[i]["redacted"] == redacted, t
+
+
+def _py_coin(seed: str, source: str, doc_id: int) -> float:
+    import hashlib
+
+    h = hashlib.md5(f"{seed}|{source}|{doc_id}".encode()).hexdigest()
+    return int(h[:8], 16) / 16**8
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(st.tuples(st.integers(0, 10**6), st.sampled_from(["a", "b", "c"])),
+             min_size=1, max_size=25, unique_by=lambda t: t[0]),
+    st.sampled_from([0.0, 0.25, 0.5, 1.0, 1.75, 2.0, 3.25]),
+)
+def test_mixture_sample_matches_md5_reference(spark, rows, w):
+    import math
+
+    from datalake_toolkit_spark.llm import mixture_sample
+
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = mixture_sample(df, {"a": w}, default_weight=1.0, seed="mix")
+    got = {}
+    for r in out.collect():
+        got.setdefault((r["doc_id"], r["source"]), []).append(r["copy"])
+    for doc_id, source in rows:
+        wt = w if source == "a" else 1.0
+        reps = math.floor(wt) + (1 if _py_coin("mix", source, doc_id) < wt - math.floor(wt) else 0)
+        copies = sorted(got.get((doc_id, source), []))
+        assert copies == list(range(1, reps + 1)), (doc_id, source, wt)
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(st.integers(0, 300), min_size=1, max_size=40),
+       st.sampled_from([64, 100, 256]))
+def test_pack_training_windows_matches_prefix_sums(spark, toks, window):
+    from datalake_toolkit_spark.llm import pack_training_windows
+
+    df = spark.createDataFrame(list(enumerate(toks)), "doc_id long, n_tok long")
+    got = {
+        r["doc_id"]: (r["tok_offset"], r["window_start"], r["window_end"], r["n_windows"])
+        for r in pack_training_windows(df, "n_tok", ["doc_id"], window).collect()
+    }
+    off = 0
+    for i, t in enumerate(toks):
+        ws = off // window
+        we = (off + max(t, 1) - 1) // window
+        nw = 0 if t == 0 else we - ws + 1
+        assert got[i] == (off, ws, we, nw), (i, t)
+        off += t
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(st.one_of(_DOC, st.none()), min_size=1, max_size=10))
+def test_repetition_stats_matches_counter_reference(spark, texts):
+    from collections import Counter
+
+    from datalake_toolkit_spark.llm import with_repetition_stats
+
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in with_repetition_stats(df).collect()}
+    for i, t in enumerate(texts):
+        if t is None:
+            assert got[i]["top_bigram_char_frac"] == 0.0
+            continue
+        w = re.split(r"\s+", t)
+        bi = Counter(" ".join(w[j : j + 2]) for j in range(len(w) - 1))
+        tri = Counter(" ".join(w[j : j + 3]) for j in range(len(w) - 2))
+        t2 = max((c * len(g) for g, c in bi.items()), default=0)
+        s2 = sum(c * len(g) for g, c in bi.items())
+        d3 = sum(c * len(g) for g, c in tri.items() if c > 1)
+        s3 = sum(c * len(g) for g, c in tri.items())
+        assert got[i]["top_bigram_char_frac"] == round(t2 / max(s2, 1), 4), t
+        assert got[i]["dup_trigram_char_frac"] == round(d3 / max(s3, 1), 4), t
