@@ -106,3 +106,80 @@ def assert_unique_key(df: DataFrame, keys: Sequence[str]) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_copies"))
         .where(F.col("n_copies") > 1)
     )
+
+
+def profile_drift(
+    baseline: DataFrame,
+    current: DataFrame,
+    null_rate_shift: float = 0.05,
+    distinct_ratio_band: tuple[float, float] = (0.5, 2.0),
+    avg_len_rel_shift: float = 0.25,
+) -> DataFrame:
+    """Compare two :func:`profile_table` outputs (e.g. yesterday's
+    snapshot profile vs today's — pair with LakeTable time travel) and
+    flag drifted columns. One row per column present in either side:
+
+    - ``null_rate_base`` / ``null_rate_cur`` and ``null_drift`` when
+      the absolute null-rate shift exceeds ``null_rate_shift``;
+    - ``distinct_ratio`` (cur/base, row-count-normalized) and
+      ``distinct_drift`` when outside ``distinct_ratio_band``;
+    - ``len_drift`` when a string column's avg length moves by more
+      than ``avg_len_rel_shift`` relative;
+    - ``range_drift`` when min_str/max_str changed;
+    - ``schema_drift`` when the column exists on only one side;
+    - ``any_drift``: OR of the above.
+
+    Profiles are a handful of rows per table, so this is a broadcast
+    join of metadata — the heavy scan already happened in
+    profile_table. Drift detection therefore costs two table scans
+    total at ANY scale, never a re-read of history."""
+    b = baseline.select(
+        F.col("column"),
+        (F.col("n_null") / F.greatest(F.col("n_rows"), F.lit(1))).alias("null_rate_base"),
+        (F.col("n_distinct") / F.greatest(F.col("n_rows"), F.lit(1))).alias("_ddens_b"),
+        F.col("min_str").alias("_min_b"),
+        F.col("max_str").alias("_max_b"),
+        F.col("avg_len").alias("_len_b"),
+    )
+    c = current.select(
+        F.col("column"),
+        (F.col("n_null") / F.greatest(F.col("n_rows"), F.lit(1))).alias("null_rate_cur"),
+        (F.col("n_distinct") / F.greatest(F.col("n_rows"), F.lit(1))).alias("_ddens_c"),
+        F.col("min_str").alias("_min_c"),
+        F.col("max_str").alias("_max_c"),
+        F.col("avg_len").alias("_len_c"),
+    )
+    j = b.join(c, ["column"], "full_outer")
+    schema_drift = F.col("null_rate_base").isNull() | F.col("null_rate_cur").isNull()
+    null_drift = (
+        F.abs(F.col("null_rate_cur") - F.col("null_rate_base")) > F.lit(null_rate_shift)
+    )
+    distinct_ratio = F.col("_ddens_c") / F.nullif(F.col("_ddens_b"), F.lit(0.0))
+    lo, hi = distinct_ratio_band
+    distinct_drift = (distinct_ratio < F.lit(lo)) | (distinct_ratio > F.lit(hi))
+    len_drift = (
+        F.abs(F.col("_len_c") - F.col("_len_b"))
+        / F.nullif(F.abs(F.col("_len_b")), F.lit(0.0))
+    ) > F.lit(avg_len_rel_shift)
+    range_drift = (
+        F.col("_min_b").eqNullSafe(F.col("_min_c"))
+        & F.col("_max_b").eqNullSafe(F.col("_max_c"))
+    ) == F.lit(False)
+    flags = {
+        "schema_drift": schema_drift,
+        "null_drift": F.coalesce(null_drift, F.lit(False)),
+        "distinct_drift": F.coalesce(distinct_drift, F.lit(False)),
+        "len_drift": F.coalesce(len_drift, F.lit(False)),
+        "range_drift": F.coalesce(range_drift, F.lit(False)) & ~schema_drift,
+    }
+    out = j.select(
+        "column",
+        "null_rate_base",
+        "null_rate_cur",
+        distinct_ratio.alias("distinct_ratio"),
+        *[expr.alias(name) for name, expr in flags.items()],
+    )
+    any_drift = None
+    for name in flags:
+        any_drift = F.col(name) if any_drift is None else (any_drift | F.col(name))
+    return out.withColumn("any_drift", any_drift)
