@@ -186,3 +186,38 @@ def test_every_query_survives_null_payloads(spark, sf_dir, tmp_path):
 
     failures = _sweep_all_queries(spark, sf_dir, str(tmp_path / "null_sf"), nullify)
     assert not failures, f"queries crashing on null payloads: {failures}"
+
+
+def test_dynamic_partition_pruning_through_engine_write(spark, sf_dir, tmp_path):
+    """Scale guard: a fact table written through write_partitioned must
+    be DPP-prunable — joining it to a filtered dimension on the
+    partition column has to inject a dynamicpruning subquery into the
+    fact scan's PartitionFilters, so at 100 TB the join reads only the
+    partitions the dimension selects, not the whole table."""
+    from datalake_toolkit_spark.sources import load_table
+    from datalake_toolkit_spark.sources.ingest import write_partitioned
+
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "o_year", F.year("o_orderdate")
+    )
+    write_partitioned(orders, str(tmp_path / "orders_part"), ["o_year"])
+    spark.createDataFrame(
+        [(y, "keep" if y == 1996 else "drop") for y in range(1994, 2003)],
+        "o_year int, tag string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "dim"))
+
+    fact = spark.read.parquet(str(tmp_path / "orders_part"))
+    dim = spark.read.parquet(str(tmp_path / "dim")).where(F.col("tag") == "keep")
+    joined = fact.join(dim, "o_year").groupBy("o_year").count()
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan
+    # and the pruning reaches the scan's partition filters (the fact
+    # table is the only partitioned input, so the filter is its scan's)
+    pruned = [
+        ln for ln in plan.splitlines()
+        if "PartitionFilters" in ln and "dynamicpruning" in ln
+    ]
+    assert pruned, plan
+    # semantics unchanged: only 1996 partitions read
+    rows = joined.collect()
+    assert len(rows) == 1 and rows[0]["o_year"] == 1996
