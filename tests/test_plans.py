@@ -221,3 +221,39 @@ def test_dynamic_partition_pruning_through_engine_write(spark, sf_dir, tmp_path)
     # semantics unchanged: only 1996 partitions read
     rows = joined.collect()
     assert len(rows) == 1 and rows[0]["o_year"] == 1996
+
+
+def test_runtime_bloom_filter_injects_on_fact_fact_join(spark, sf_dir):
+    """Scale guard: the engine's fact-fact shuffle-join shape must be
+    ELIGIBLE for Spark's runtime bloom-filter injection (a selective
+    filter on one side becomes a might_contain pre-filter on the
+    other, cutting shuffle volume before the exchange). The size
+    thresholds are production-scale (10 GB application side), so the
+    test scales them down to the fixture data — what's pinned is that
+    nothing in our plan shape (hints, casts, subqueries) blocks the
+    InjectRuntimeFilter rule at 100 TB."""
+    from datalake_toolkit_spark.sources import load_table
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "1KB",
+    }
+    old = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = load_table(spark, sf_dir, "lineitem")
+        orders = load_table(spark, sf_dir, "orders").where(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan, plan
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
