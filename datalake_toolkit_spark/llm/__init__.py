@@ -74,3 +74,4 @@ from datalake_toolkit_spark.llm.curation import (  # noqa: E402,F401
     redact_pii,
     with_repetition_stats,
 )
+from datalake_toolkit_spark.llm.curation import with_rarity_scores  # noqa: E402,F401

@@ -21,6 +21,7 @@ from datalake_toolkit_spark.llm.text import shingles_from_words, words
 __all__ = [
     "decontaminate",
     "with_repetition_stats",
+    "with_rarity_scores",
     "redact_pii",
     "mixture_sample",
     "PII_PATTERNS",
@@ -250,4 +251,60 @@ def mixture_sample(
         .where(F.col("_rep") >= 1)
         .withColumn("copy", F.explode(F.sequence(F.lit(1), F.col("_rep"))))
         .drop("_rep")
+    )
+
+
+def with_rarity_scores(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Corpus-trained rarity scoring — the integer-exact cousin of an
+    n-gram LM perplexity filter (CCNet-style): build the corpus vocab,
+    rank words by descending frequency, and score each document by the
+    mean and max rank of its words (repeats counted). High mean rank =
+    rare-word-heavy (OCR noise, code dumps, gibberish); low = stopword
+    soup. Appends ``n_words_scored``, ``mean_word_rank``,
+    ``max_word_rank``.
+
+    Integer-exact on purpose: log-probabilities differ at the last ULP
+    between libm implementations, so a true LM perplexity cannot be
+    hash-verified cross-engine — ranks are integers, their mean is one
+    exact division, and the whole thing oracles bit-for-bit.
+
+    Scale: vocab ranking uses the range-partitioned consecutive-id
+    operator (no single-partition global window over the vocabulary);
+    the token->vocab join shuffles on the word key and is bounded by
+    corpus token count. NULL/empty texts survive with zero scores.
+    """
+    from datalake_toolkit_spark.operators import with_consecutive_id
+
+    tokens = df.select(
+        F.col(id_col), F.explode(words(text_col)).alias("word")
+    )
+    vocab = tokens.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+    ranked = with_consecutive_id(
+        vocab.withColumn("_negcnt", -F.col("cnt")),
+        ["_negcnt", "word"],
+        id_col="rank",
+        start=1,
+    ).select("word", "rank")
+    scored = (
+        tokens.join(ranked, "word")
+        .groupBy(id_col)
+        .agg(
+            F.sum("rank").alias("_sr"),
+            F.count(F.lit(1)).alias("_n"),
+            F.max("rank").alias("_mx"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(scored, [id_col], "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("_n", F.lit(0)).cast("long").alias("n_words_scored"),
+            F.coalesce(
+                F.round(F.col("_sr").cast("double") / F.col("_n"), 4), F.lit(0.0)
+            ).alias("mean_word_rank"),
+            F.coalesce("_mx", F.lit(0)).cast("long").alias("max_word_rank"),
+        )
     )

@@ -86,6 +86,7 @@ DEMOTED: tuple[str, ...] = (
     "q11_important_stock",
     "q16_supplier_count",
     "q20_excess_stock",
+    "q_word_rarity",  # r5: rarity scoring, parity tail; rotate into gate in r6
 )
 
 GATE_WINDOW = 50

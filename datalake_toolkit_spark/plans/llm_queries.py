@@ -1067,3 +1067,35 @@ def q_pack_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.col("n_chars").cast("long").alias("n_tok")
     )
     return pack_training_windows(docs, "n_tok", ["doc_id"], 2048)
+
+
+@query(
+    "q_word_rarity",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS word
+      FROM documents WHERE text IS NOT NULL
+    ),
+    vocab AS (SELECT word, count(*) AS cnt FROM toks GROUP BY 1),
+    ranked AS (
+      SELECT word, CAST(row_number() OVER (ORDER BY cnt DESC, word) AS BIGINT) AS rank
+      FROM vocab
+    ),
+    scored AS (
+      SELECT doc_id, sum(rank) AS sr, count(*) AS n, max(rank) AS mx
+      FROM toks JOIN ranked USING (word) GROUP BY 1
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(n, 0) AS BIGINT) AS n_words_scored,
+           COALESCE(round(CAST(sr AS DOUBLE) / n, 4), 0.0) AS mean_word_rank,
+           CAST(COALESCE(mx, 0) AS BIGINT) AS max_word_rank
+    FROM documents d LEFT JOIN scored USING (doc_id)
+    """,
+)
+def q_word_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-frequency rarity scoring (integer-exact LM-perplexity
+    stand-in): vocab ranked by frequency via the range-partitioned
+    consecutive-id operator, per-doc mean/max word rank."""
+    from datalake_toolkit_spark.llm import with_rarity_scores
+
+    return with_rarity_scores(_t(spark, sf_dir, "documents"))

@@ -615,3 +615,27 @@ def test_read_media_files_binaryfile_to_decode(spark, tmp_path):
     # glob pruning happens at listing time
     only_wav = read_media_files(spark, str(media), glob="*.wav")
     assert only_wav.count() == 3
+
+
+def test_rarity_scores_rank_semantics(spark):
+    from datalake_toolkit_spark.llm import with_rarity_scores
+
+    df = spark.createDataFrame(
+        [
+            (1, "the the the the cat"),   # mostly the most-common word
+            (2, "zyx zyx"),               # only mid-rank words
+            (3, None),
+            (4, "the qqqqq"),             # common + unique rare word
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r.asDict() for r in with_rarity_scores(df).collect()}
+    # vocab by count: the(5) -> rank 1; zyx(2) -> 2; cat/qqqqq(1) -> 3,4 (word asc: cat=3, qqqqq=4)
+    assert out[1]["n_words_scored"] == 5
+    assert out[1]["mean_word_rank"] == round((1 * 4 + 3) / 5, 4)
+    assert out[2]["mean_word_rank"] == 2.0
+    assert out[3] == {"doc_id": 3, "n_words_scored": 0, "mean_word_rank": 0.0,
+                      "max_word_rank": 0}
+    assert out[4]["max_word_rank"] == 4  # qqqqq is the rarest, last rank
+    # rare-word-heavy doc scores above common-word doc
+    assert out[4]["mean_word_rank"] > out[1]["mean_word_rank"]
