@@ -34,12 +34,21 @@ def read_files(
     fmt: str = "parquet",
     schema: T.StructType | str | None = None,
     options: dict[str, str] | None = None,
+    ignore_corrupt_files: bool = False,
 ) -> DataFrame:
     """Scan files of any supported format with an optional declared
-    schema (required for json/csv to stay single-pass)."""
+    schema (required for json/csv to stay single-pass).
+
+    ``ignore_corrupt_files`` opts the SCAN (not the session) into
+    skipping unreadable files instead of failing the job — at 100 TB a
+    torn upload or truncated footer is routine, and one bad file must
+    cost its own rows only. Uses the per-datasource option, so other
+    reads in the same session keep fail-fast semantics."""
     reader = spark.read.format(_check(fmt))
     if schema is not None:
         reader = reader.schema(schema)
+    if ignore_corrupt_files:
+        reader = reader.option("ignoreCorruptFiles", "true")
     for k, v in (options or {}).items():
         reader = reader.option(k, v)
     paths = [paths] if isinstance(paths, str) else list(paths)

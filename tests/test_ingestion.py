@@ -656,3 +656,23 @@ def test_cli_entrypoints_in_process(spark, sf_dir, tmp_path, capsys):
                "--output", str(tmp_path / "compacted")])
     assert rc == 0
     assert json_mod.loads(capsys.readouterr().out.strip())["rows"] == 3
+
+
+def test_read_files_ignore_corrupt_parquet(spark, tmp_path):
+    """A truncated parquet file must cost its own rows only when the
+    scan opts into ignoreCorruptFiles — and still fail fast without."""
+    import pytest as _pytest
+
+    from datalake_toolkit_spark.sources.formats import read_files
+
+    good = tmp_path / "data"
+    spark.range(100).coalesce(1).write.mode("overwrite").parquet(str(good))
+    part = next(good.glob("part-*.parquet"))
+    corrupt = good / "part-corrupt.parquet"
+    corrupt.write_bytes(part.read_bytes()[: part.stat().st_size // 3])
+
+    ok = read_files(spark, str(good), "parquet", ignore_corrupt_files=True)
+    assert ok.count() == 100  # good file fully read, corrupt one skipped
+
+    with _pytest.raises(Exception):
+        read_files(spark, str(good), "parquet").count()  # fail-fast default
