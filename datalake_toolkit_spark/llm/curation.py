@@ -24,6 +24,7 @@ __all__ = [
     "with_rarity_scores",
     "redact_pii",
     "mixture_sample",
+    "curate_corpus",
     "PII_PATTERNS",
 ]
 
@@ -307,4 +308,62 @@ def with_rarity_scores(
             ).alias("mean_word_rank"),
             F.coalesce("_mx", F.lit(0)).cast("long").alias("max_word_rank"),
         )
+    )
+
+
+def curate_corpus(
+    docs: DataFrame,
+    eval_df: DataFrame | None = None,
+    mixture_weights: Mapping[str, float] | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    window_tokens: int = 2048,
+    min_quality: float = 0.5,
+    ngram_n: int = 5,
+) -> DataFrame:
+    """The whole pretraining-data pipeline as ONE composed lazy plan:
+
+    1. exact dedup (min-id survivor per distinct text);
+    2. quality gate: heuristic quality_score >= ``min_quality`` AND
+       not flagged repetitive (Gopher fractions);
+    3. decontamination against ``eval_df`` (drop any doc sharing a
+       word ``ngram_n``-gram with the benchmark set);
+    4. domain mixture (``mixture_weights`` per source, 1.0 default);
+    5. concat-and-chunk packing onto ``window_tokens`` training
+       windows under (id, copy) order.
+
+    Returns one row per surviving (doc, copy) with the text, token
+    count, and window layout columns — the frame a trainer's loader
+    writes out, sharded by ``window_start``.
+
+    Everything stays declarative: each stage is the already-verified
+    operator, so Catalyst sees one plan (filters push through the
+    dedup semi-join; nothing materializes between stages) and the
+    per-stage oracles transfer to the composition.
+    """
+    from datalake_toolkit_spark.llm.dedup import exact_dedup
+    from datalake_toolkit_spark.llm.sample import pack_training_windows
+    from datalake_toolkit_spark.llm.text import with_text_stats
+
+    out = exact_dedup(docs, id_col, text_col=text_col)
+    out = with_text_stats(out, text_col).where(F.col("quality_score") >= min_quality)
+    rep = with_repetition_stats(out, id_col, text_col).where(~F.col("is_repetitive"))
+    out = out.join(rep.select(id_col), [id_col], "leftsemi")
+    if eval_df is not None:
+        clean = decontaminate(out, eval_df, id_col, text_col, n=ngram_n).where(
+            ~F.col("contaminated")
+        )
+        out = out.join(clean.select(id_col), [id_col], "leftsemi")
+    if mixture_weights:
+        out = mixture_sample(
+            out, mixture_weights, source_col=source_col, id_col=id_col
+        )
+    else:
+        out = out.withColumn("copy", F.lit(1))
+    return pack_training_windows(
+        out.withColumn("n_tok", F.col("n_tokens").cast("long")),
+        "n_tok",
+        [id_col, "copy"],
+        window_tokens,
     )

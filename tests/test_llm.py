@@ -639,3 +639,46 @@ def test_rarity_scores_rank_semantics(spark):
     assert out[4]["max_word_rank"] == 4  # qqqqq is the rarest, last rank
     # rare-word-heavy doc scores above common-word doc
     assert out[4]["mean_word_rank"] > out[1]["mean_word_rank"]
+
+
+def test_curate_corpus_end_to_end_invariants(spark, sf_dir):
+    from datalake_toolkit_spark.llm import curate_corpus
+    from datalake_toolkit_spark.llm.curation import (
+        decontaminate,
+        with_repetition_stats,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    eval_df = docs.where(F.col("doc_id") % 97 == 0)
+    out = curate_corpus(
+        docs,
+        eval_df=eval_df,
+        mixture_weights={"src0": 2.0, "src1": 0.0},
+        window_tokens=512,
+    ).cache()
+    rows = out.collect()
+    assert rows, "pipeline should keep some documents"
+    ids = {r["doc_id"] for r in rows}
+    # eval docs never survive (they trivially share their own n-grams)
+    assert not any(i % 97 == 0 for i in ids)
+    # no duplicate text among survivors (dedup) and no repetitive docs
+    kept = docs.where(F.col("doc_id").isin(*[int(i) for i in ids]))
+    assert kept.groupBy("text").count().where("count > 1").count() == 0
+    assert (
+        with_repetition_stats(kept).where("is_repetitive").count() == 0
+    )
+    # contamination really filtered (recompute independently)
+    cont = decontaminate(kept, eval_df).where("contaminated").count()
+    assert cont == 0
+    # mixture: src1 dropped, src0 doubled
+    by_src = {r["source"]: r["n"] for r in out.groupBy("source")
+              .agg(F.count("*").alias("n")).collect()}
+    assert "src1" not in by_src
+    src0 = [r for r in rows if r["source"] == "src0"]
+    assert src0 and all(r["copy"] in (1, 2) for r in src0)
+    # packing layout: offsets strictly increase with (doc_id, copy) order
+    ordered = sorted(rows, key=lambda r: (r["doc_id"], r["copy"]))
+    offs = [r["tok_offset"] for r in ordered]
+    assert offs == sorted(offs)
+    assert all(r["window_start"] <= r["window_end"] for r in rows)
+    out.unpersist()
