@@ -359,6 +359,32 @@ class LakeTable:
     def read(self, version: int | None = None) -> DataFrame:
         return self._read_owned(self._manifest(version))
 
+    def restore(self, version: int) -> int:
+        """Zero-copy rollback (Delta RESTORE semantics): commit a NEW
+        version whose owners map is the target version's — no data is
+        copied or rewritten, the old immutable token dirs are simply
+        re-referenced, and history keeps both the bad versions and the
+        restore itself (an audit trail, not an erasure). Keep-last-N
+        vacuum naturally retains the re-referenced dirs because the
+        restore manifest owns them.
+
+        The target manifest must still exist (not vacuumed past the
+        retention horizon) — _manifest raises otherwise."""
+        target = self._manifest(version)
+        for _ in range(self._MAX_COMMIT_RETRIES):
+            try:
+                return self._commit(
+                    self._next_version(),
+                    dict(target["owners"]),
+                    f"restore(v{version})",
+                    target["schema"],
+                )
+            except ConcurrentWriteError:
+                continue
+        raise ConcurrentWriteError(
+            f"restore lost {self._MAX_COMMIT_RETRIES} version races at {self.path}"
+        )
+
     def upsert(
         self,
         source: DataFrame,

@@ -542,3 +542,35 @@ def test_partition_values_match_spark_directory_rendering(spark, tmp_path):
     tb = LakeTable(spark, str(tmp_path / "tb"), partition_by=("flag",))
     tb.write(spark.createDataFrame([(1, True), (2, False)], "id bigint, flag boolean"))
     assert {r.id: r.flag for r in tb.read().collect()} == {1: True, 2: False}
+
+
+def test_restore_zero_copy_rollback(spark, tmp_path, base_df):
+    t = LakeTable(spark, str(tmp_path / "t"), partition_by=("seg",))
+    t.write(base_df)  # v0
+    t.upsert(
+        spark.createDataFrame([(0, "seg0", -1.0)], "id bigint, seg string, val double"),
+        keys=["id"],
+    )  # v1
+    t.delete_where(F.col("val") >= 0)  # v2: destroys most rows
+    assert t.read().count() < base_df.count()
+
+    v = t.restore(0)
+    assert v == 3 and t.current_version() == 3
+    # content is exactly v0 again, via re-referenced dirs (no copy)
+    assert _as_dict(t.read()) == _as_dict(base_df)
+    ops = [h["op"] for h in t.history()]
+    assert ops[-1] == "restore(v0)"
+    # history is an audit trail: the bad versions remain readable
+    assert _as_dict(t.read(version=2)) != _as_dict(base_df)
+    # the table keeps working after a restore
+    t.upsert(
+        spark.createDataFrame([(99, "seg0", 9.0)], "id bigint, seg string, val double"),
+        keys=["id"],
+    )
+    assert 99 in _as_dict(t.read())
+    # restore of a vacuumed-away version fails loudly
+    t.vacuum(keep_last=2)
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        t.restore(0)
