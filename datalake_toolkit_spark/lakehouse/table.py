@@ -541,7 +541,10 @@ class LakeTable:
         )
 
     def optimize(
-        self, sort_by: Sequence[str] = (), zorder_by: Sequence[str] = ()
+        self,
+        sort_by: Sequence[str] = (),
+        zorder_by: Sequence[str] = (),
+        partitions: Sequence[str] | None = None,
     ) -> int:
         """Compact the current snapshot into one fresh version (file
         sizing via the rebalance hint; stale versions become vacuum
@@ -552,18 +555,33 @@ class LakeTable:
         numeric columns), files cluster on an interleaved-bit Z-value
         so every listed column gets bounded per-file spans — Delta's
         OPTIMIZE ZORDER: scans with predicates on ANY z-column skip
-        files on parquet min/max stats. Mutually exclusive."""
+        files on parquet min/max stats. Mutually exclusive.
+
+        ``partitions`` scopes the rewrite to the named partition keys
+        (``"dt=2024-01-01"`` form, as in the manifest owners map) —
+        Delta's ``OPTIMIZE ... WHERE``: at 100 TB you compact the hot
+        recent partitions, never the whole table; untouched partitions
+        keep their current owner dirs in the new manifest."""
         if sort_by and zorder_by:
             raise ValueError("sort_by and zorder_by are mutually exclusive")
         for _ in range(self._MAX_COMMIT_RETRIES):
             man = self._manifest()
-            df = self._read_owned(man)
+            if partitions is not None:
+                missing = set(partitions) - set(man["owners"])
+                if missing:
+                    raise ValueError(
+                        f"unknown partitions {sorted(missing)}; "
+                        f"table has {sorted(man['owners'])}"
+                    )
+            df = self._read_owned(man, keys=partitions)
             token = self._new_token()
             keys = self._write_data(df, token, cluster_by=sort_by, zorder_by=zorder_by)
+            owners = dict(man["owners"]) if partitions is not None else {}
+            owners.update({k: token for k in keys})
             try:
                 return self._commit(
                     man["version"] + 1,
-                    {k: token for k in keys},
+                    owners,
                     "optimize",
                     df.schema.json(),
                 )

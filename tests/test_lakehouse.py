@@ -574,3 +574,23 @@ def test_restore_zero_copy_rollback(spark, tmp_path, base_df):
 
     with _pytest.raises(FileNotFoundError):
         t.restore(0)
+
+
+def test_optimize_scoped_to_partitions(spark, tmp_path, base_df):
+    t = LakeTable(spark, str(tmp_path / "t"), partition_by=("seg",))
+    t.write(base_df.repartition(8))  # many small files per partition
+    man0 = t._manifest()
+    seg_keys = sorted(man0["owners"])
+    target = seg_keys[0]
+    t.optimize(partitions=[target])
+    man1 = t._manifest()
+    # only the targeted partition changed owners; others untouched
+    assert man1["owners"][target] != man0["owners"][target]
+    for k in seg_keys[1:]:
+        assert man1["owners"][k] == man0["owners"][k]
+    # content identical
+    assert _as_dict(t.read()) == _as_dict(base_df)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown partitions"):
+        t.optimize(partitions=["seg=nope"])
