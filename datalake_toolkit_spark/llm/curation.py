@@ -22,6 +22,7 @@ __all__ = [
     "decontaminate",
     "with_repetition_stats",
     "with_rarity_scores",
+    "with_boilerplate_stats",
     "redact_pii",
     "mixture_sample",
     "curate_corpus",
@@ -366,4 +367,60 @@ def curate_corpus(
         "n_tok",
         [id_col, "copy"],
         window_tokens,
+    )
+
+
+def with_boilerplate_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    min_docs: int = 3,
+) -> DataFrame:
+    """Corpus-level boilerplate signal: an ``n``-gram is boilerplate
+    when it appears in at least ``min_docs`` DISTINCT documents
+    (headers, footers, license blurbs, navigation chrome — the text
+    that repeats across a crawl rather than within one page). Appends
+    per document:
+
+    - ``n_grams``: its n-gram count (with repeats);
+    - ``boilerplate_frac``: fraction of those occurrences whose gram
+      is corpus-boilerplate (round 4, exact integer division);
+    - ``is_boilerplate``: fraction > 0.5.
+
+    Complements :func:`with_repetition_stats`, which only sees
+    WITHIN-document repetition — a page whose every line appears on
+    10k sibling pages looks clean to it and lights up here.
+
+    Scale: one (gram -> distinct-doc-count) aggregation — two-level
+    hash agg with map-side partials, shuffle bounded by distinct
+    (doc, gram) pairs — then an equi-join of the doc grams against the
+    boilerplate gram set. That set is corpus-dependent: join hash on
+    the gram key (hint left to Catalyst/AQE, which broadcasts it only
+    when it measures small). NULL/short texts survive with 0.0.
+    """
+    grams = df.select(F.col(id_col), words(text_col).alias("__w")).select(
+        F.col(id_col), F.explode(shingles_from_words("__w", n)).alias("gram")
+    )
+    boiler = (
+        grams.groupBy("gram")
+        .agg(F.countDistinct(id_col).alias("_docs"))
+        .where(F.col("_docs") >= min_docs)
+        .select("gram")
+    )
+    tagged = grams.join(boiler.withColumn("_bp", F.lit(1)), ["gram"], "left")
+    per_doc = tagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(F.coalesce("_bp", F.lit(0))).alias("_b"),
+    )
+    frac = F.round(F.col("_b").cast("double") / F.col("_n"), 4)
+    return (
+        df.select(id_col)
+        .join(per_doc, [id_col], "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("_n", F.lit(0)).cast("long").alias("n_grams"),
+            F.coalesce(frac, F.lit(0.0)).alias("boilerplate_frac"),
+            (F.coalesce(frac, F.lit(0.0)) > F.lit(0.5)).alias("is_boilerplate"),
+        )
     )

@@ -87,6 +87,7 @@ DEMOTED: tuple[str, ...] = (
     "q16_supplier_count",
     "q20_excess_stock",
     "q_word_rarity",  # r5: rarity scoring, parity tail; rotate into gate in r6
+    "q_boilerplate",  # r5: corpus-level boilerplate, parity tail; rotate into gate in r6
 )
 
 GATE_WINDOW = 50

@@ -1099,3 +1099,37 @@ def q_word_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datalake_toolkit_spark.llm import with_rarity_scores
 
     return with_rarity_scores(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "q_boilerplate",
+    f"""
+    WITH {_GRAM5_CTE},
+    boiler AS (
+      SELECT gram FROM g5 GROUP BY gram HAVING count(DISTINCT doc_id) >= 3
+    ),
+    tagged AS (
+      SELECT g5.doc_id,
+             CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END AS bp
+      FROM g5 LEFT JOIN boiler b USING (gram)
+    ),
+    per_doc AS (
+      SELECT doc_id, count(*) AS n, sum(bp) AS bcnt
+      FROM tagged GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(n, 0) AS BIGINT) AS n_grams,
+           COALESCE(round(CAST(bcnt AS DOUBLE) / n, 4), 0.0) AS boilerplate_frac,
+           COALESCE(round(CAST(bcnt AS DOUBLE) / n, 4), 0.0) > 0.5 AS is_boilerplate
+    FROM documents d LEFT JOIN per_doc USING (doc_id)
+    """,
+)
+def q_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level boilerplate detection: word 5-grams shared by >= 3
+    distinct docs mark cross-document boilerplate; per-doc fraction of
+    boilerplate gram occurrences."""
+    from datalake_toolkit_spark.llm import with_boilerplate_stats
+
+    return with_boilerplate_stats(
+        _t(spark, sf_dir, "documents"), n=5, min_docs=3
+    )

@@ -682,3 +682,29 @@ def test_curate_corpus_end_to_end_invariants(spark, sf_dir):
     assert offs == sorted(offs)
     assert all(r["window_start"] <= r["window_end"] for r in rows)
     out.unpersist()
+
+
+def test_boilerplate_stats_cross_document_signal(spark):
+    from datalake_toolkit_spark.llm import (
+        with_boilerplate_stats,
+        with_repetition_stats,
+    )
+
+    footer = "subscribe to our newsletter for updates"
+    docs = [
+        (i, f"unique words number {i} here " + footer) for i in range(5)
+    ] + [(10, "completely original text with no shared phrasing at all"),
+         (11, None)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["doc_id"]: r.asDict()
+           for r in with_boilerplate_stats(df, n=5, min_docs=3).collect()}
+    for i in range(5):
+        assert out[i]["boilerplate_frac"] > 0
+    assert out[10]["boilerplate_frac"] == 0.0
+    assert out[11] == {"doc_id": 11, "n_grams": 0, "boilerplate_frac": 0.0,
+                       "is_boilerplate": False}
+    # the shared footer is INVISIBLE to within-doc repetition stats —
+    # exactly the gap this operator covers
+    rep = {r["doc_id"]: r["is_repetitive"]
+           for r in with_repetition_stats(df).collect()}
+    assert not any(rep[i] for i in range(5))
