@@ -173,6 +173,10 @@ PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
     ("url", r"https?://[^\s]+", "[URL]"),
     ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "[IP]"),
     ("phone", r"\+\d{1,2} \d{3}-\d{4}", "[PHONE]"),
+    # 16-digit card shapes (4-4-4-4); Luhn validation is out of regex
+    # reach — a redactor over-redacts rather than leaks
+    ("cc", r"\b\d{4}-\d{4}-\d{4}-\d{4}\b", "[CC]"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "[SSN]"),
 )
 
 

@@ -944,7 +944,9 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                source || '@example.com',
                'http://data.example.org/' || CAST(doc_id AS VARCHAR),
                '10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7',
-               '+1 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')) AS t0
+               '+1 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'),
+               '4111-1111-1111-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'),
+               lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-45-6789') AS t0
       FROM documents
     ),
     s1 AS (SELECT doc_id, t0,
@@ -953,14 +955,18 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     s2 AS (SELECT *, regexp_replace(t1, 'https?://[^\s]+', '[URL]', 'g') AS t2 FROM s1),
     s3 AS (SELECT *, regexp_replace(t2, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b',
                                     '[IP]', 'g') AS t3 FROM s2),
-    s4 AS (SELECT *, regexp_replace(t3, '\+\d{1,2} \d{3}-\d{4}', '[PHONE]', 'g') AS t4 FROM s3)
+    s4 AS (SELECT *, regexp_replace(t3, '\+\d{1,2} \d{3}-\d{4}', '[PHONE]', 'g') AS t4 FROM s3),
+    s5 AS (SELECT *, regexp_replace(t4, '\b\d{4}-\d{4}-\d{4}-\d{4}\b', '[CC]', 'g') AS t5 FROM s4),
+    s6 AS (SELECT *, regexp_replace(t5, '\b\d{3}-\d{2}-\d{4}\b', '[SSN]', 'g') AS t6 FROM s5)
     SELECT doc_id,
            CAST(len(regexp_extract_all(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER) AS n_email,
            CAST(len(regexp_extract_all(t1, 'https?://[^\s]+')) AS INTEGER) AS n_url,
            CAST(len(regexp_extract_all(t2, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INTEGER) AS n_ip,
            CAST(len(regexp_extract_all(t3, '\+\d{1,2} \d{3}-\d{4}')) AS INTEGER) AS n_phone,
-           t4 AS redacted
-    FROM s4
+           CAST(len(regexp_extract_all(t4, '\b\d{4}-\d{4}-\d{4}-\d{4}\b')) AS INTEGER) AS n_cc,
+           CAST(len(regexp_extract_all(t5, '\b\d{3}-\d{2}-\d{4}\b')) AS INTEGER) AS n_ssn,
+           t6 AS redacted
+    FROM s6
     """,
 )
 def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -986,10 +992,20 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit("+1 555-"),
                 F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
             ),
+            F.concat(
+                F.lit("4111-1111-1111-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            ),
+            F.concat(
+                F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+                F.lit("-45-6789"),
+            ),
         ).alias("text"),
     )
     out = redact_pii(aug, "text", out_col="redacted")
-    return out.select("doc_id", "n_email", "n_url", "n_ip", "n_phone", "redacted")
+    return out.select(
+        "doc_id", "n_email", "n_url", "n_ip", "n_phone", "n_cc", "n_ssn", "redacted"
+    )
 
 
 @query(

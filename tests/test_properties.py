@@ -278,6 +278,8 @@ _PII_BIT = st.one_of(
     st.just("255.255.1.2"),
     st.just("+1 555-0100"),
     st.just("+44 202-1234"),
+    st.just("4111-1111-1111-0042"),
+    st.just("078-05-1120"),
 )
 
 
