@@ -293,8 +293,10 @@ def with_rarity_scores(
         id_col="rank",
         start=1,
     ).select("word", "rank")
+    # shuffle_hash: the ranked vocab scales with the corpus (never
+    # assume it broadcasts)
     scored = (
-        tokens.join(ranked, "word")
+        tokens.join(ranked.hint("shuffle_hash"), "word")
         .groupBy(id_col)
         .agg(
             F.sum("rank").alias("_sr"),
@@ -412,7 +414,11 @@ def with_boilerplate_stats(
         .where(F.col("_docs") >= min_docs)
         .select("gram")
     )
-    tagged = grams.join(boiler.withColumn("_bp", F.lit(1)), ["gram"], "left")
+    # shuffle_hash: the boilerplate gram set scales with the corpus —
+    # a broadcast mis-estimate here OOMs executors at 100 TB
+    tagged = grams.join(
+        boiler.withColumn("_bp", F.lit(1)).hint("shuffle_hash"), ["gram"], "left"
+    )
     per_doc = tagged.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("_n"),
         F.sum(F.coalesce("_bp", F.lit(0))).alias("_b"),
