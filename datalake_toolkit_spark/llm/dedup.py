@@ -403,3 +403,71 @@ def incremental_dedup(
     )
     ledger.upsert(new_fps, keys=["text_hash"])
     return survivors
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    bits: int = 16,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-dup candidate pairs via pigeonhole bit-banding:
+    the fingerprint splits into ``max_hamming + 1`` equal bands, and
+    any pair within ``max_hamming`` bit flips must agree on at least
+    one whole band — so candidates come from an equi-join on
+    (band, band_value) and the exact hamming check
+    (``bit_count(xor)``) runs on candidates only. Returns
+    ``(doc_a, doc_b, hamming)`` with ``doc_a < doc_b``.
+
+    Same scale contract as the MinHash path: O(band collisions),
+    never all-pairs; both self-join sides carry ``shuffle_hash``
+    (corpus-sized, must not broadcast). NULL texts are excluded — a
+    no-word document's fingerprint is vacuously 0 and would pair with
+    every other empty doc.
+    """
+    n_bands = max_hamming + 1
+    if bits % n_bands:
+        raise ValueError(
+            f"bits ({bits}) must divide evenly into max_hamming+1 "
+            f"({n_bands}) pigeonhole bands"
+        )
+    width = bits // n_bands
+    mask = (1 << width) - 1
+    sims = simhash(
+        df.where(F.col(text_col).isNotNull()), id_col, text_col, bits
+    )
+    banded = sims.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright("simhash", i * width)
+                        .bitwiseAND(mask)
+                        .alias("bval"),
+                    )
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, "simhash", F.col("bk.band").alias("band"), F.col("bk.bval").alias("bval"))
+    a = banded.select(
+        F.col(id_col).alias("doc_a"), F.col("simhash").alias("sh_a"), "band", "bval"
+    ).hint("shuffle_hash")
+    b = banded.select(
+        F.col(id_col).alias("doc_b"), F.col("simhash").alias("sh_b"), "band", "bval"
+    ).hint("shuffle_hash")
+    cand = (
+        a.join(b, ["band", "bval"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sh_a", "sh_b")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("int")
+    return (
+        cand.select("doc_a", "doc_b", hamming.alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+    )

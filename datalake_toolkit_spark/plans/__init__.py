@@ -88,6 +88,7 @@ DEMOTED: tuple[str, ...] = (
     "q20_excess_stock",
     "q_word_rarity",  # r5: rarity scoring, parity tail; rotate into gate in r6
     "q_boilerplate",  # r5: corpus-level boilerplate, parity tail; rotate into gate in r6
+    "q_simhash_near_dups",  # r5: simhash banding pairs, parity tail; rotate into gate in r6
 )
 
 GATE_WINDOW = 50

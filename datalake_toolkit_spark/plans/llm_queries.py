@@ -1149,3 +1149,52 @@ def q_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_boilerplate_stats(
         _t(spark, sf_dir, "documents"), n=5, min_docs=3
     )
+
+
+@query(
+    "q_simhash_near_dups",
+    r"""
+    WITH base AS (
+      SELECT doc_id,
+             list_transform(string_split_regex(text, '\s+'),
+               w -> CAST('0x' || substr(md5(w), 1, 8) AS BIGINT)) AS hs
+      FROM documents WHERE text IS NOT NULL
+    ),
+    votes AS (
+      SELECT doc_id,
+             list_transform(generate_series(0, 15),
+               b -> CAST(list_sum(list_transform(hs,
+                      h -> CASE WHEN (h & (1 << b)) > 0 THEN 1 ELSE -1 END)) AS BIGINT)) AS v
+      FROM base
+    ),
+    sims AS (
+      SELECT doc_id,
+             CAST(list_sum(list_transform(v, (x, i) ->
+               CASE WHEN x > 0 THEN 1 << (i - 1) ELSE 0 END)) AS BIGINT) AS simhash
+      FROM votes
+    ),
+    banded AS (
+      SELECT doc_id, simhash, band, (simhash >> (band * 8)) & 255 AS bval
+      FROM sims, (SELECT unnest(generate_series(0, 1)) AS band)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.simhash AS sha, b.simhash AS shb
+      FROM banded a
+      JOIN banded b ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, CAST(bit_count(xor(sha, shb)) AS INTEGER) AS hamming
+    FROM cand WHERE bit_count(xor(sha, shb)) <= 1
+    """,
+)
+def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: pigeonhole bit-banding (2 bands of 8
+    bits for hamming <= 1) -> candidate equi-join -> exact
+    bit_count(xor) verify. O(band collisions), never all-pairs. (The
+    synthetic corpus's tiny vocabulary makes fingerprints collide far
+    more than real text — candidate volume here is a worst case.)"""
+    from datalake_toolkit_spark.llm.dedup import simhash_near_dup_pairs
+
+    return simhash_near_dup_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", bits=16, max_hamming=1
+    )

@@ -708,3 +708,26 @@ def test_boilerplate_stats_cross_document_signal(spark):
     rep = {r["doc_id"]: r["is_repetitive"]
            for r in with_repetition_stats(df).collect()}
     assert not any(rep[i] for i in range(5))
+
+
+def test_simhash_near_dup_pairs_finds_single_word_edits(spark):
+    from datalake_toolkit_spark.llm.dedup import simhash_near_dup_pairs
+
+    base = " ".join(f"tok{i}" for i in range(60))
+    near = base.replace("tok30", "tok30x")  # one-word edit
+    far = " ".join(f"other{i}" for i in range(60))
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, far), (4, None)],
+        "doc_id long, text string",
+    )
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in simhash_near_dup_pairs(df, "doc_id", max_hamming=3).collect()
+    }
+    assert (1, 2) in pairs  # near-identical docs pair up
+    assert all(4 not in p for p in pairs)  # NULL text excluded
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="pigeonhole"):
+        simhash_near_dup_pairs(df, "doc_id", bits=16, max_hamming=2)
