@@ -58,6 +58,18 @@ def _build_parser() -> argparse.ArgumentParser:
     c.add_argument("--path", required=True)
     c.add_argument("--target-partitions", type=int, required=True)
     c.add_argument("--output", default=None)
+
+    cu = sub.add_parser(
+        "curate", help="run the pretraining curation pipeline over documents"
+    )
+    cu.add_argument("--sf-dir", required=True)
+    cu.add_argument("--output", required=True, help="packed corpus parquet dir")
+    cu.add_argument("--window-tokens", type=int, default=2048)
+    cu.add_argument("--min-quality", type=float, default=0.5)
+    cu.add_argument(
+        "--eval-mod", type=int, default=None,
+        help="decontaminate against docs where doc_id %% MOD == 0",
+    )
     return p
 
 
@@ -145,11 +157,45 @@ def _cmd_compact(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_curate(args: argparse.Namespace) -> int:
+    from pyspark.sql import functions as F
+
+    from datalake_toolkit_spark.llm import curate_corpus
+    from datalake_toolkit_spark.sources import load_table
+
+    spark = get_spark(app_name="dts-curate")
+    docs = load_table(spark, args.sf_dir, "documents")
+    eval_df = (
+        docs.where(F.col("doc_id") % args.eval_mod == 0)
+        if args.eval_mod
+        else None
+    )
+    out = curate_corpus(
+        docs if eval_df is None else docs.where(F.col("doc_id") % args.eval_mod != 0),
+        eval_df=eval_df,
+        window_tokens=args.window_tokens,
+        min_quality=args.min_quality,
+    )
+    out.write.mode("overwrite").parquet(args.output)
+    written = spark.read.parquet(args.output)
+    print(
+        json.dumps(
+            {
+                "rows": written.count(),
+                "windows": written.agg(F.max("window_end")).collect()[0][0],
+                "output": args.output,
+            }
+        )
+    )
+    return 0
+
+
 _COMMANDS = {
     "ingest": _cmd_ingest,
     "query": _cmd_query,
     "profile": _cmd_profile,
     "compact": _cmd_compact,
+    "curate": _cmd_curate,
 }
 
 

@@ -676,3 +676,21 @@ def test_read_files_ignore_corrupt_parquet(spark, tmp_path):
 
     with _pytest.raises(Exception):
         read_files(spark, str(good), "parquet").count()  # fail-fast default
+
+
+def test_cli_curate_subcommand(spark, sf_dir, tmp_path, capsys):
+    import json as json_mod
+
+    from datalake_toolkit_spark.__main__ import main
+
+    out_dir = str(tmp_path / "packed")
+    rc = main(["curate", "--sf-dir", sf_dir, "--output", out_dir,
+               "--window-tokens", "512", "--eval-mod", "97"])
+    assert rc == 0
+    res = json_mod.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["rows"] > 0 and res["windows"] >= 0
+    packed = spark.read.parquet(out_dir)
+    assert {"doc_id", "copy", "tok_offset", "window_start", "window_end"} <= set(
+        packed.columns
+    )
+    assert packed.where("doc_id % 97 = 0").count() == 0  # decontaminated
