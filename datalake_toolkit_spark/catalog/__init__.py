@@ -39,3 +39,7 @@ __all__ = [
     "search_catalog",
     "write_catalog_json",
 ]
+from datalake_toolkit_spark.catalog.ddl import (  # noqa: E402,F401
+    schema_to_ddl,
+    table_doc_to_hive_ddl,
+)

@@ -209,3 +209,56 @@ def test_partition_docs_and_roundtrip(spark, sf_dir):
     kv = back["PARTITION_KEY_VALS"]
     assert kv.count() == 2 * n
     assert {r.INTEGER_IDX for r in kv.collect()} == {0, 1}
+
+
+def test_hive_ddl_from_catalog_doc_and_schema(spark, sf_dir, tmp_path):
+    from datalake_toolkit_spark.catalog.ddl import (
+        schema_to_ddl,
+        table_doc_to_hive_ddl,
+    )
+
+    # -- reference-artifact form from an assembled catalog document
+    ms = _metastore_from_star(spark, sf_dir)
+    doc = (
+        assemble_catalog_tables(ms)
+        .where(F.col("name").isNotNull())
+        .orderBy("database", "name")
+        .first()
+        .asDict(recursive=True)
+    )
+    ddl = table_doc_to_hive_ddl(doc)
+    assert ddl.startswith("CREATE EXTERNAL TABLE ")
+    assert "ROW FORMAT SERDE 'org." in ddl
+    assert "LOCATION 's3://" in ddl and ddl.endswith(";")
+    for c in doc["storageDescriptor"]["columns"]:
+        assert f"    {c['name']} {c['type']}" in ddl
+
+    # -- executable spark dialect round-trips through spark.sql
+    src = spark.range(10).selectExpr(
+        "id", "CAST(id % 3 AS INT) AS bucket", "CAST(id AS DOUBLE) AS val"
+    )
+    loc = str(tmp_path / "ddl_tbl")
+    src.write.partitionBy("bucket").parquet(loc)
+    ddl2 = schema_to_ddl(
+        "ddl_roundtrip", src.schema, loc, partition_by=["bucket"], dialect="spark"
+    )
+    spark.sql(ddl2)
+    try:
+        spark.sql("MSCK REPAIR TABLE ddl_roundtrip")
+        assert spark.table("ddl_roundtrip").count() == 10
+        assert set(spark.table("ddl_roundtrip").columns) == {"id", "bucket", "val"}
+    finally:
+        spark.sql("DROP TABLE IF EXISTS ddl_roundtrip")
+
+    # -- hive dialect carries the artifact shape
+    hive = schema_to_ddl(
+        "db.t", src.schema, "s3://bucket/t", partition_by=["bucket"], dialect="hive"
+    )
+    assert "CREATE EXTERNAL TABLE db.t" in hive
+    assert "PARTITIONED BY (bucket int)" in hive
+    assert "STORED AS PARQUET" in hive
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="partition_by"):
+        schema_to_ddl("t", src.schema, "s3://x", partition_by=["nope"])
