@@ -356,8 +356,25 @@ class LakeTable:
             f"write lost {self._MAX_COMMIT_RETRIES} version races at {self.path}"
         )
 
-    def read(self, version: int | None = None) -> DataFrame:
-        return self._read_owned(self._manifest(version))
+    def read(
+        self,
+        version: int | None = None,
+        partitions: Sequence[str] | None = None,
+    ) -> DataFrame:
+        """Snapshot read, optionally restricted to named partition keys
+        (``"dt=2024-01-01"`` form): structural pruning — only the
+        owner dirs of the named partitions are even LISTED, so a
+        one-partition read of a 100 TB table touches one directory.
+        Unknown keys fail loudly (a silent empty read hides typos)."""
+        man = self._manifest(version)
+        if partitions is not None:
+            missing = set(partitions) - set(man["owners"])
+            if missing:
+                raise ValueError(
+                    f"unknown partitions {sorted(missing)}; "
+                    f"table has {sorted(man['owners'])}"
+                )
+        return self._read_owned(man, keys=partitions)
 
     def restore(self, version: int) -> int:
         """Zero-copy rollback (Delta RESTORE semantics): commit a NEW

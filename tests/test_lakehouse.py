@@ -594,3 +594,17 @@ def test_optimize_scoped_to_partitions(spark, tmp_path, base_df):
 
     with _pytest.raises(ValueError, match="unknown partitions"):
         t.optimize(partitions=["seg=nope"])
+
+
+def test_read_scoped_to_partitions(spark, tmp_path, base_df):
+    t = LakeTable(spark, str(tmp_path / "t"), partition_by=("seg",))
+    t.write(base_df)
+    keys = sorted(t._manifest()["owners"])
+    part = t.read(partitions=[keys[0]])
+    seg = keys[0].split("=", 1)[1]
+    full = base_df.where(F.col("seg") == seg)
+    assert _as_dict(part) == _as_dict(full)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown partitions"):
+        t.read(partitions=["seg=nope"])
