@@ -89,6 +89,8 @@ DEMOTED: tuple[str, ...] = (
     "q_word_rarity",  # r5: rarity scoring, parity tail; rotate into gate in r6
     "q_boilerplate",  # r5: corpus-level boilerplate, parity tail; rotate into gate in r6
     "q_simhash_near_dups",  # r5: simhash banding pairs, parity tail; rotate into gate in r6
+    "q_funnel_conversion",  # r5: event-sequence analytics, parity tail; rotate into gate in r6
+    "q_cohort_retention",  # r5: same
 )
 
 GATE_WINDOW = 50

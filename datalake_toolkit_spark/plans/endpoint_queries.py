@@ -320,3 +320,76 @@ def q_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         columns=["o_orderkey", "o_orderpriority"],
         exact_distinct=True,
     )
+
+
+@query(
+    "q_funnel_conversion",
+    """
+    WITH ev AS (
+      SELECT user_id, epoch_us(ts) AS t, event_id AS o, event_type AS y
+      FROM events WHERE event_type IN ('view', 'click', 'purchase')
+    ),
+    lists AS (
+      SELECT user_id,
+             list({'step': CAST(NULL AS INTEGER), 't0': CAST(NULL AS BIGINT),
+                   't': t, 'y': y} ORDER BY t, o, y) AS es
+      FROM ev GROUP BY user_id
+    ),
+    folded AS (
+      SELECT user_id,
+             list_reduce(
+               list_prepend({'step': 0, 't0': CAST(0 AS BIGINT),
+                             't': CAST(NULL AS BIGINT), 'y': CAST(NULL AS VARCHAR)}, es),
+               (acc, x) -> CASE WHEN acc.step < 3
+                                AND x.y = (['view', 'click', 'purchase'])[acc.step + 1]
+                                AND (acc.step = 0 OR x.t - acc.t0 <= 604800000000)
+                   THEN {'step': acc.step + 1,
+                         't0': CASE WHEN acc.step = 0 THEN x.t ELSE acc.t0 END,
+                         't': CAST(NULL AS BIGINT), 'y': CAST(NULL AS VARCHAR)}
+                   ELSE acc END) AS st
+      FROM lists
+    ),
+    steps(step, step_name) AS (VALUES (1, 'view'), (2, 'click'), (3, 'purchase'))
+    SELECT s.step, s.step_name, count(*) AS n_users
+    FROM folded f JOIN steps s ON f.st.step >= s.step
+    GROUP BY 1, 2
+    """,
+)
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel conversion (view -> click -> purchase within 7 days):
+    per-user greedy sequence match as a codegen'd array fold over
+    events pre-filtered to the funnel's types, then the reached-step
+    ladder counts. Microsecond-exact ordering with event_id
+    tie-break."""
+    from datalake_toolkit_spark.operators.analytics import funnel_counts
+
+    return funnel_counts(
+        _t(spark, sf_dir, "events"),
+        ["view", "click", "purchase"],
+        within_seconds=7 * 86400,
+    )
+
+
+@query(
+    "q_cohort_retention",
+    """
+    WITH pe AS (
+      SELECT DISTINCT user_id,
+             CAST(floor(epoch_us(ts) / 604800000000.0) AS BIGINT) AS p
+      FROM events
+    ),
+    f AS (SELECT user_id, min(p) AS cohort_p FROM pe GROUP BY 1)
+    SELECT cohort_p AS cohort_period,
+           CAST(p - cohort_p AS INTEGER) AS period_offset,
+           count(*) AS n_users
+    FROM pe JOIN f USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention triangle: cohort by first-event week,
+    count active users per (cohort, week offset). Integer epoch-day
+    arithmetic only — oracles exactly."""
+    from datalake_toolkit_spark.operators.analytics import cohort_retention
+
+    return cohort_retention(_t(spark, sf_dir, "events"), period_days=7)

@@ -189,3 +189,60 @@ def test_quality_constraints_and_unique_key(spark):
     assert prof["id"].n_rows == 4 and prof["id"].n_distinct == 3
     assert prof["name"].n_null == 1 and prof["name"].avg_len == 1.0
     assert prof["score"].min_str == "-1.0" and prof["id"].avg_len is None
+
+
+def test_funnel_steps_greedy_order_and_horizon(spark):
+    from datalake_toolkit_spark.operators.analytics import (
+        cohort_retention,
+        funnel_counts,
+        funnel_steps,
+    )
+
+    rows = [
+        # u1: full funnel in order
+        (1, 1, "2024-01-01 00:00:00", "view"),
+        (2, 1, "2024-01-01 01:00:00", "click"),
+        (3, 1, "2024-01-01 02:00:00", "purchase"),
+        # u2: purchase BEFORE view/click -> only reaches step 1
+        (4, 2, "2024-01-01 00:00:00", "purchase"),
+        (5, 2, "2024-01-01 01:00:00", "view"),
+        # u3: view then click, purchase outside the 1h horizon
+        (6, 3, "2024-01-01 00:00:00", "view"),
+        (7, 3, "2024-01-01 00:30:00", "click"),
+        (8, 3, "2024-01-01 02:00:00", "purchase"),
+        # u4: irrelevant events only
+        (9, 4, "2024-01-01 00:00:00", "error"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts string, event_type string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    steps = ["view", "click", "purchase"]
+    got = {
+        r["user_id"]: r["funnel_step"]
+        for r in funnel_steps(ev, steps, within_seconds=3600).collect()
+    }
+    assert got == {1: 2, 2: 1, 3: 2}  # u1 purchase at +2h > 1h horizon too
+    got_wide = {
+        r["user_id"]: r["funnel_step"] for r in funnel_steps(ev, steps).collect()
+    }
+    assert got_wide == {1: 3, 2: 1, 3: 3}
+    counts = {
+        (r["step"], r["step_name"]): r["n_users"]
+        for r in funnel_counts(ev, steps).collect()
+    }
+    assert counts == {(1, "view"): 3, (2, "click"): 2, (3, "purchase"): 2}
+
+    # cohort: u1-u3 first-seen same week; a week-2 event retains u1
+    ev2 = ev.union(
+        spark.createDataFrame(
+            [(10, 1, "2024-01-09 00:00:00", "view")],
+            "event_id long, user_id long, ts string, event_type string",
+        ).withColumn("ts", F.to_timestamp("ts"))
+    )
+    ret = {
+        (r["cohort_period"], r["period_offset"]): r["n_users"]
+        for r in cohort_retention(ev2).collect()
+    }
+    cohort = next(k[0] for k in ret)
+    assert ret[(cohort, 0)] == 4  # all four users in the base week
+    assert ret[(cohort, 1)] == 1  # only u1 came back next week
