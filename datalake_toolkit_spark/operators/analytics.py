@@ -145,3 +145,41 @@ def cohort_retention(
         .groupBy("cohort_period", "period_offset")
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+def event_paths(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+    max_len: int = 5,
+    sep: str = ">",
+) -> DataFrame:
+    """Common-path analysis: each user's first ``max_len`` event types
+    in (time, order) sequence collapse to a path string
+    (``view>click>purchase``); returns ``(path, n_users)`` — the
+    "what do users actually do first" table.
+
+    Same shuffle shape as the funnel: one groupBy on the user key; the
+    per-user array is capped at ``max_len`` AFTER sorting, so state is
+    bounded. Microsecond ordering, order_col tie-break."""
+    ev = events.select(
+        F.col(user_col),
+        F.struct(
+            F.unix_micros(F.col(ts_col)).alias("t"),
+            F.col(order_col).alias("o"),
+            F.col(type_col).alias("y"),
+        ).alias("e"),
+    )
+    per_user = ev.groupBy(user_col).agg(
+        F.sort_array(F.collect_list("e")).alias("es")
+    )
+    path = F.concat_ws(
+        sep, F.transform(F.slice("es", 1, max_len), lambda x: x["y"])
+    )
+    return (
+        per_user.select(path.alias("path"))
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )

@@ -91,6 +91,7 @@ DEMOTED: tuple[str, ...] = (
     "q_simhash_near_dups",  # r5: simhash banding pairs, parity tail; rotate into gate in r6
     "q_funnel_conversion",  # r5: event-sequence analytics, parity tail; rotate into gate in r6
     "q_cohort_retention",  # r5: same
+    "q_event_paths",  # r5: same
 )
 
 GATE_WINDOW = 50

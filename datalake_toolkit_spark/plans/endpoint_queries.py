@@ -393,3 +393,26 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datalake_toolkit_spark.operators.analytics import cohort_retention
 
     return cohort_retention(_t(spark, sf_dir, "events"), period_days=7)
+
+
+@query(
+    "q_event_paths",
+    """
+    WITH ev AS (
+      SELECT user_id, epoch_us(ts) AS t, event_id AS o, event_type AS y
+      FROM events
+    ),
+    per_user AS (
+      SELECT user_id, list(y ORDER BY t, o, y) AS ys
+      FROM ev GROUP BY user_id
+    )
+    SELECT array_to_string(ys[1:5], '>') AS path, count(*) AS n_users
+    FROM per_user GROUP BY 1
+    """,
+)
+def q_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common first-5-event paths per user: sorted per-user type
+    sequence, capped after sorting, grouped into a path histogram."""
+    from datalake_toolkit_spark.operators.analytics import event_paths
+
+    return event_paths(_t(spark, sf_dir, "events"), max_len=5)
