@@ -8,3 +8,7 @@ from datalake_toolkit_spark.lakehouse.table import (
 )
 
 __all__ = ["ConcurrentWriteError", "LakeTable", "merge_batch", "stream_dedup_ingest", "stream_upsert"]
+from datalake_toolkit_spark.lakehouse.matview import (  # noqa: E402,F401
+    last_refreshed_version,
+    refresh_aggregate_view,
+)

@@ -608,3 +608,63 @@ def test_read_scoped_to_partitions(spark, tmp_path, base_df):
 
     with _pytest.raises(ValueError, match="unknown partitions"):
         t.read(partitions=["seg=nope"])
+
+
+def test_incremental_aggregate_view_equals_recompute(spark, tmp_path):
+    from datalake_toolkit_spark.lakehouse import (
+        LakeTable,
+        last_refreshed_version,
+        refresh_aggregate_view,
+    )
+
+    base = LakeTable(spark, str(tmp_path / "base"), partition_by=("seg",))
+    view = LakeTable(spark, str(tmp_path / "view"))
+    rows = [(i, f"seg{i % 3}", float(i)) for i in range(30)]
+    base.write(spark.createDataFrame(rows, "id bigint, seg string, val double"))
+
+    def recompute():
+        return {
+            (r["seg"],): (r["n_rows"], float(r["sum_value"]))
+            for r in base.read()
+            .groupBy("seg")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(F.col("val").cast("decimal(18,2)")).alias("sum_value"),
+            )
+            .collect()
+        }
+
+    def view_state():
+        return {
+            (r["seg"],): (r["n_rows"], float(r["sum_value"]))
+            for r in view.read().collect()
+        }
+
+    # full build
+    assert refresh_aggregate_view(base, view, ["seg"], "val") == 0
+    assert view_state() == recompute()
+    # idempotent: no base change -> no view commit
+    assert refresh_aggregate_view(base, view, ["seg"], "val") is None
+    assert last_refreshed_version(view) == 0
+
+    # update + insert (incl a brand-new group), then incremental refresh
+    base.upsert(
+        spark.createDataFrame(
+            [(0, "seg0", 1000.0), (99, "seg9", 7.5)],
+            "id bigint, seg string, val double",
+        ),
+        keys=["id"],
+    )
+    assert refresh_aggregate_view(base, view, ["seg"], "val") == 1
+    assert view_state() == recompute()
+    assert ("seg9",) in view_state()
+
+    # deletes shrink counts; an emptied group disappears
+    base.delete_where(F.col("seg") == "seg9")
+    base.delete_where((F.col("seg") == "seg1") & (F.col("id") < 10))
+    assert refresh_aggregate_view(base, view, ["seg"], "val") == 3
+    assert view_state() == recompute()
+    assert ("seg9",) not in view_state()
+    # view history carries the refresh audit trail
+    ops = [h["op"] for h in view.history()]
+    assert ops == ["refresh_base_v0", "refresh_base_v1", "refresh_base_v3"]
