@@ -41,9 +41,21 @@ def _fold_sum(arr: Column) -> Column:
 def cosine_similarity_col(a: Column, b: Column) -> Column:
     """cos(a, b) as a Catalyst expression (left fold, deterministic)."""
     dot = _fold_sum(F.zip_with(a, b, lambda x, y: x * y))
-    na = F.sqrt(_fold_sum(F.transform(a, lambda x: x * x)))
-    nb = F.sqrt(_fold_sum(F.transform(b, lambda x: x * x)))
-    return dot / (na * nb)
+    return dot / (_l2_norm(a) * _l2_norm(b))
+
+
+def _l2_norm(v: Column) -> Column:
+    return F.sqrt(_fold_sum(F.transform(v, lambda x: x * x)))
+
+
+def cosine_with_norms(a: Column, b: Column, na: Column, nb: Column) -> Column:
+    """cos(a, b) given each side's precomputed L2 norm: ONE array fold
+    per candidate pair instead of three. Norms are per-VECTOR, so
+    computing them in the pre-join projection (once per row) instead
+    of inline (once per candidate pair) cuts ~2/3 of the interpreted
+    lambda work in pair scoring — bit-identical output, because the
+    norm column is the very same expression tree evaluated earlier."""
+    return _fold_sum(F.zip_with(a, b, lambda x, y: x * y)) / (na * nb)
 
 
 def embedding_norms(df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
@@ -72,16 +84,18 @@ def cosine_topk(
     per-query local."""
     q = queries.select(
         F.col(id_col).alias("qid"), _as_double(vec_col).alias("qv")
-    )
+    ).withColumn("qn", _l2_norm(F.col("qv")))
     c = ensure_min_partitions(
         corpus.select(F.col(id_col).alias("cid"), _as_double(vec_col).alias("cv"))
-    )
+    ).withColumn("cn", _l2_norm(F.col("cv")))
     scored = (
         c.join(F.broadcast(q), F.col("qid") != F.col("cid"))
         .select(
             "qid",
             "cid",
-            cosine_similarity_col(F.col("qv"), F.col("cv")).alias("cosine"),
+            cosine_with_norms(
+                F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("cid"))
@@ -321,17 +335,24 @@ def ivf_topk(
             F.slice(ranked, 1, n_probe), lambda s: s.getField("list_id")
         )
 
-    q = queries.select(
-        F.col(id_col).alias("qid"), _as_double(vec_col).alias("qv")
-    ).select("qid", "qv", F.explode_outer(probe_lists(centroids)).alias("list_id"))
+    q = (
+        queries.select(F.col(id_col).alias("qid"), _as_double(vec_col).alias("qv"))
+        .withColumn("qn", _l2_norm(F.col("qv")))
+        .select(
+            "qid", "qv", "qn", F.explode_outer(probe_lists(centroids)).alias("list_id")
+        )
+    )
     scored = (
-        assigned.hint("shuffle_hash")
+        assigned.withColumn("vn", _l2_norm(F.col("v")))
+        .hint("shuffle_hash")
         .join(F.broadcast(q), "list_id")
         .where(F.col("qid") != F.col("vid"))
         .select(
             "qid",
             F.col("vid").alias("cid"),
-            cosine_similarity_col(F.col("qv"), F.col("v")).alias("cosine"),
+            cosine_with_norms(
+                F.col("qv"), F.col("v"), F.col("qn"), F.col("vn")
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("cid"))
@@ -366,23 +387,34 @@ def cosine_near_dup_pairs(
     """
     c = ensure_min_partitions(
         corpus.select(F.col(id_col).alias("id_a"), _as_double(vec_col).alias("va"))
-    )
+    ).withColumn("na", _l2_norm(F.col("va")))
     if n_planes is not None:
-        c = c.select("id_a", "va", hyperplane_bucket("va", n_planes, dim).alias("bucket"))
+        c = c.select(
+            "id_a", "va", "na", hyperplane_bucket("va", n_planes, dim).alias("bucket")
+        )
         other = c.select(
-            F.col("id_a").alias("id_b"), F.col("va").alias("vb"), "bucket"
+            F.col("id_a").alias("id_b"),
+            F.col("va").alias("vb"),
+            F.col("na").alias("nb"),
+            "bucket",
         ).hint("shuffle_hash")
         paired = c.hint("shuffle_hash").join(other, "bucket").where(
             F.col("id_a") < F.col("id_b")
         )
     else:
-        other = c.select(F.col("id_a").alias("id_b"), F.col("va").alias("vb"))
+        other = c.select(
+            F.col("id_a").alias("id_b"),
+            F.col("va").alias("vb"),
+            F.col("na").alias("nb"),
+        )
         paired = c.join(other, F.col("id_a") < F.col("id_b"))
     return (
         paired.select(
             "id_a",
             "id_b",
-            cosine_similarity_col(F.col("va"), F.col("vb")).alias("cosine"),
+            cosine_with_norms(
+                F.col("va"), F.col("vb"), F.col("na"), F.col("nb")
+            ).alias("cosine"),
         )
         .where(F.col("cosine") >= threshold)
     )
@@ -423,13 +455,22 @@ def lsh_bucketed_topk(
         ensure_min_partitions(
             corpus.select(F.col(id_col).alias("cid"), _as_double(vec_col).alias("cv"))
         )
-        .select("cid", "cv", hyperplane_bucket("cv", n_planes, dim).alias("bucket"))
+        .select(
+            "cid",
+            "cv",
+            _l2_norm(F.col("cv")).alias("cn"),
+            hyperplane_bucket("cv", n_planes, dim).alias("bucket"),
+        )
     )
     scored = (
-        c.join(F.broadcast(q), "bucket")
+        c.join(F.broadcast(q.withColumn("qn", _l2_norm(F.col("qv")))), "bucket")
         .where(F.col("qid") != F.col("cid"))
         .select(
-            "qid", "cid", cosine_similarity_col(F.col("qv"), F.col("cv")).alias("cosine")
+            "qid",
+            "cid",
+            cosine_with_norms(
+                F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("cid"))
