@@ -59,6 +59,17 @@ def _build_parser() -> argparse.ArgumentParser:
     c.add_argument("--target-partitions", type=int, required=True)
     c.add_argument("--output", default=None)
 
+    tb = sub.add_parser("table", help="lakehouse table maintenance")
+    tb.add_argument("--path", required=True)
+    tb.add_argument(
+        "action", choices=["history", "restore", "optimize", "vacuum", "show"]
+    )
+    tb.add_argument("--version", type=int, default=None, help="restore/show target")
+    tb.add_argument("--partitions", nargs="*", default=None, help="optimize scope")
+    tb.add_argument("--sort-by", nargs="*", default=(), help="optimize clustering")
+    tb.add_argument("--keep-last", type=int, default=None, help="vacuum retention")
+    tb.add_argument("--partition-by", nargs="*", default=(), help="table partition columns")
+
     cu = sub.add_parser(
         "curate", help="run the pretraining curation pipeline over documents"
     )
@@ -157,6 +168,37 @@ def _cmd_compact(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_table(args: argparse.Namespace) -> int:
+    from datalake_toolkit_spark.lakehouse import LakeTable
+
+    spark = get_spark(app_name="dts-table")
+    t = LakeTable(spark, args.path, partition_by=tuple(args.partition_by))
+    if args.action == "history":
+        for h in t.history():
+            print(json.dumps(h))
+    elif args.action == "show":
+        print(json.dumps({"rows": t.read(version=args.version).count(),
+                          "version": args.version if args.version is not None
+                          else t.current_version()}))
+    elif args.action == "restore":
+        if args.version is None:
+            print("restore requires --version", file=sys.stderr)
+            return 2
+        print(json.dumps({"restored_to": args.version,
+                          "new_version": t.restore(args.version)}))
+    elif args.action == "optimize":
+        v = t.optimize(sort_by=args.sort_by, partitions=args.partitions)
+        print(json.dumps({"optimized_version": v}))
+    elif args.action == "vacuum":
+        if args.keep_last is None:
+            print("vacuum requires --keep-last", file=sys.stderr)
+            return 2
+        t.vacuum(keep_last=args.keep_last)
+        print(json.dumps({"kept_last": args.keep_last,
+                          "current_version": t.current_version()}))
+    return 0
+
+
 def _cmd_curate(args: argparse.Namespace) -> int:
     from pyspark.sql import functions as F
 
@@ -196,6 +238,7 @@ _COMMANDS = {
     "profile": _cmd_profile,
     "compact": _cmd_compact,
     "curate": _cmd_curate,
+    "table": _cmd_table,
 }
 
 

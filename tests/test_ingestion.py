@@ -694,3 +694,37 @@ def test_cli_curate_subcommand(spark, sf_dir, tmp_path, capsys):
         packed.columns
     )
     assert packed.where("doc_id % 97 = 0").count() == 0  # decontaminated
+
+
+def test_cli_table_subcommand(spark, tmp_path, capsys):
+    import json as json_mod
+
+    from datalake_toolkit_spark.__main__ import main
+    from datalake_toolkit_spark.lakehouse import LakeTable
+
+    path = str(tmp_path / "tbl")
+    t = LakeTable(spark, path, partition_by=("seg",))
+    t.write(spark.createDataFrame(
+        [(i, f"seg{i % 2}", float(i)) for i in range(10)],
+        "id bigint, seg string, val double",
+    ))
+    t.delete_where(F.col("val") >= 5)
+
+    assert main(["table", "--path", path, "history"]) == 0
+    hist = [json_mod.loads(x) for x in capsys.readouterr().out.strip().splitlines()]
+    assert [h["op"] for h in hist] == ["write", "delete"]
+
+    assert main(["table", "--path", path, "show"]) == 0
+    assert json_mod.loads(capsys.readouterr().out.strip())["rows"] == 5
+
+    assert main(["table", "--path", path, "restore", "--version", "0",
+                 "--partition-by", "seg"]) == 0
+    assert json_mod.loads(capsys.readouterr().out.strip())["new_version"] == 2
+    assert main(["table", "--path", path, "show"]) == 0
+    assert json_mod.loads(capsys.readouterr().out.strip())["rows"] == 10
+
+    assert main(["table", "--path", path, "optimize", "--partition-by", "seg"]) == 0
+    capsys.readouterr()
+    assert main(["table", "--path", path, "vacuum", "--keep-last", "2"]) == 0
+    assert json_mod.loads(capsys.readouterr().out.strip())["current_version"] == 3
+    assert main(["table", "--path", path, "restore"]) == 2  # missing --version
