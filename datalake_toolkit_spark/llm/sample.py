@@ -144,3 +144,52 @@ def pack_training_windows(
         )
         .drop("_cum")
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    n: int,
+    id_col: str,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (A-ES /
+    exponential-keys): each row draws u = md5-uniform(salt, id) and is
+    ranked by u^(1/w) descending; the top n are an exact weighted
+    sample — inclusion probability proportional to weight, yet fully
+    reproducible across runs, engines, and cluster sizes (no RNG
+    state). Rows with NULL, zero, or negative weight are excluded.
+
+    The standard curation move "sample N docs proportional to
+    quality score" without a global shuffle of the corpus: the key is
+    a narrow projection, and selection is orderBy+limit — Spark plans
+    TakeOrderedAndProject (per-partition top-n, merge of n-row heaps),
+    never a global sort or a single-partition window.
+
+    Float caveat (why this has no SQL hash-oracle): u^(1/w) crosses
+    ``pow``, whose last ULP differs between libm implementations, so
+    cross-engine rank boundaries can flip. WITHIN an engine it is
+    bit-deterministic — pytest pins determinism and the
+    weight-monotone inclusion property instead.
+    """
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("|", F.lit(salt), F.col(id_col).cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(float(16**8))
+    )
+    w = F.col(weight_col).cast("double")
+    key = F.pow(u, F.lit(1.0) / w)
+    return (
+        df.where(w.isNotNull() & (w > 0))
+        .withColumn("_ak", key)
+        .orderBy(F.desc("_ak"), F.col(id_col))
+        .limit(n)
+        .drop("_ak")
+    )

@@ -731,3 +731,30 @@ def test_simhash_near_dup_pairs_finds_single_word_edits(spark):
 
     with _pytest.raises(ValueError, match="pigeonhole"):
         simhash_near_dup_pairs(df, "doc_id", bits=16, max_hamming=2)
+
+
+def test_weighted_sample_deterministic_and_weight_monotone(spark):
+    from datalake_toolkit_spark.llm import weighted_sample
+
+    # two weight classes: heavy (w=10) ids 0..99, light (w=1) ids 100..999
+    rows = [(i, 10.0 if i < 100 else 1.0) for i in range(1000)]
+    rows += [(1000, None), (1001, 0.0), (1002, -2.0)]  # excluded weights
+    df = spark.createDataFrame(rows, "doc_id long, wt double")
+    s1 = sorted(r["doc_id"] for r in weighted_sample(df, "wt", 200, "doc_id").collect())
+    s2 = sorted(r["doc_id"] for r in weighted_sample(df, "wt", 200, "doc_id").collect())
+    assert s1 == s2 and len(s1) == 200  # bit-deterministic across runs
+    assert not {1000, 1001, 1002} & set(s1)
+    heavy = sum(1 for i in s1 if i < 100)
+    # heavy items are 10% of rows but ~10x likelier: expect far more
+    # than the 20 a uniform draw would give (md5 coin is fixed, so the
+    # assertion is exact-repeatable, not flaky)
+    assert heavy > 55, heavy
+    # a different salt draws a different (still deterministic) sample
+    s3 = sorted(r["doc_id"] for r in weighted_sample(df, "wt", 200, "doc_id", salt="x").collect())
+    assert s3 != s1
+    # partition-count invariance
+    s4 = sorted(
+        r["doc_id"]
+        for r in weighted_sample(df.repartition(13), "wt", 200, "doc_id").collect()
+    )
+    assert s4 == s1
