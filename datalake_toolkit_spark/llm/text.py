@@ -184,3 +184,45 @@ def chunk_documents(
         .select(F.col(id_col), F.posexplode(chunks).alias("chunk_idx", "chunk_text"))
         .withColumn("n_words", F.size(F.split("chunk_text", r"\s+")))
     )
+
+
+def hashed_embeddings(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", dim: int = 32
+) -> DataFrame:
+    """Signed feature-hashing document vectors (the hashing trick):
+    each word hashes to a bucket in [0, dim) with a ±1 sign drawn from
+    another hash bit; the document vector is the per-bucket signed
+    count. The standard trainable-featurizer-free embedding — sparse
+    bag-of-words compressed to a fixed dense width, usable directly by
+    the cosine/LSH/IVF similarity operators.
+
+    Integer-exact end to end (counts, not floats), so the vectors
+    hash-verify against the SQL oracle bit-for-bit. One shuffle on
+    (doc, bucket) with map-side combine, then the dense assembly is a
+    per-row expression (map lookup over a dim-length sequence). NULL
+    or empty texts produce the zero vector.
+    """
+    toks = df.select(F.col(id_col), F.explode(words(text_col)).alias("w"))
+    h = F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("long")
+    hashed = toks.select(
+        F.col(id_col),
+        (h % dim).alias("b"),
+        F.when(F.shiftright(h, 8).bitwiseAND(1) == 1, F.lit(1))
+        .otherwise(F.lit(-1))
+        .alias("s"),
+    )
+    agg = hashed.groupBy(id_col, "b").agg(F.sum("s").cast("long").alias("v"))
+    maps = agg.groupBy(id_col).agg(
+        F.map_from_entries(F.collect_list(F.struct("b", "v"))).alias("m")
+    )
+    dense = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda d: F.coalesce(F.element_at(F.col("m"), d.cast("long")), F.lit(0)).cast(
+            "long"
+        ),
+    )
+    return (
+        df.select(id_col)
+        .join(maps, [id_col], "left")
+        .select(F.col(id_col), dense.alias("embedding"))
+    )

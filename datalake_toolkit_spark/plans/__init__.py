@@ -92,6 +92,7 @@ DEMOTED: tuple[str, ...] = (
     "q_funnel_conversion",  # r5: event-sequence analytics, parity tail; rotate into gate in r6
     "q_cohort_retention",  # r5: same
     "q_event_paths",  # r5: same
+    "q_hashed_embeddings",  # r5: same
 )
 
 GATE_WINDOW = 50

@@ -1198,3 +1198,37 @@ def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_dup_pairs(
         _t(spark, sf_dir, "documents"), "doc_id", "text", bits=16, max_hamming=1
     )
+
+
+@query(
+    "q_hashed_embeddings",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS w
+      FROM documents WHERE text IS NOT NULL
+    ),
+    h AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5(w), 1, 8) AS BIGINT) % 32 AS b,
+             CASE WHEN (CAST('0x' || substr(md5(w), 1, 8) AS BIGINT) >> 8) & 1 = 1
+                  THEN 1 ELSE -1 END AS s
+      FROM toks
+    ),
+    agg AS (SELECT doc_id, b, CAST(sum(s) AS BIGINT) AS v FROM h GROUP BY 1, 2),
+    pairs AS (SELECT doc_id, list({'b': b, 'v': v}) AS ps FROM agg GROUP BY 1)
+    SELECT d.doc_id,
+           list_transform(generate_series(0, 31),
+             dd -> CAST(coalesce(list_sum(list_transform(
+                      list_filter(ps, p -> p.b = dd), p -> p.v)), 0) AS BIGINT))
+             AS embedding
+    FROM documents d LEFT JOIN pairs USING (doc_id)
+    """,
+)
+def q_hashed_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signed feature-hashing document vectors (hashing trick),
+    integer-exact: per-bucket signed word counts assembled into dense
+    32-wide arrays — the bridge from the documents table to the
+    embedding-space operators."""
+    from datalake_toolkit_spark.llm import hashed_embeddings
+
+    return hashed_embeddings(_t(spark, sf_dir, "documents"), dim=32)

@@ -758,3 +758,29 @@ def test_weighted_sample_deterministic_and_weight_monotone(spark):
         for r in weighted_sample(df.repartition(13), "wt", 200, "doc_id").collect()
     )
     assert s4 == s1
+
+
+def test_hashed_embeddings_feed_similarity_ops(spark):
+    from datalake_toolkit_spark.llm import cosine_topk, hashed_embeddings
+
+    df = spark.createDataFrame(
+        [
+            (1, "spark shuffle join aggregate"),
+            (2, "spark shuffle join aggregate"),   # identical text
+            (3, "completely different words entirely here"),
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    emb = hashed_embeddings(df, dim=16)
+    vecs = {r["doc_id"]: r["embedding"] for r in emb.collect()}
+    assert vecs[1] == vecs[2] and len(vecs[1]) == 16
+    assert vecs[1] != vecs[3]
+    assert vecs[4] == [0] * 16  # NULL text -> zero vector
+    # the vectors plug straight into the similarity operators
+    nonzero = emb.where(F.col("doc_id") != 4).select(
+        "doc_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    top = cosine_topk(nonzero, nonzero.where("doc_id = 1"), k=1, id_col="doc_id")
+    best = top.collect()[0]
+    assert best["cid"] == 2 and abs(best["cosine"] - 1.0) < 1e-12
