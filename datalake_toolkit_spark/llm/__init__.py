@@ -79,3 +79,8 @@ from datalake_toolkit_spark.llm.curation import curate_corpus  # noqa: E402,F401
 from datalake_toolkit_spark.llm.curation import with_boilerplate_stats  # noqa: E402,F401
 from datalake_toolkit_spark.llm.sample import weighted_sample  # noqa: E402,F401
 from datalake_toolkit_spark.llm.text import hashed_embeddings  # noqa: E402,F401
+from datalake_toolkit_spark.llm.bpe import (  # noqa: E402,F401
+    bpe_tokenize,
+    train_bpe,
+    word_frequencies,
+)

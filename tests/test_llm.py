@@ -784,3 +784,71 @@ def test_hashed_embeddings_feed_similarity_ops(spark):
     top = cosine_topk(nonzero, nonzero.where("doc_id = 1"), k=1, id_col="doc_id")
     best = top.collect()[0]
     assert best["cid"] == 2 and abs(best["cosine"] - 1.0) < 1e-12
+
+
+def _py_bpe(texts, n_merges, min_count=2):
+    """Reference BPE trainer (word-frequency formulation)."""
+    import re as re_mod
+    from collections import Counter
+
+    wf = Counter()
+    for t in texts:
+        for w in re_mod.split(r"\s+", t):
+            if w:
+                wf[w] += 1
+    sym = {w: [*w, "</w>"] for w in wf}
+    merges = []
+    for _ in range(n_merges):
+        counts = Counter()
+        for w, f in wf.items():
+            s = sym[w]
+            for a, b in zip(s, s[1:]):
+                counts[(a, b)] += f
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        if best[1] < min_count:
+            break
+        (a, b) = best[0]
+        merges.append((a, b))
+        for w in sym:
+            s, out = sym[w], []
+            for x in s:
+                if out and out[-1] == a and x == b:
+                    out[-1] = a + b
+                else:
+                    out.append(x)
+            sym[w] = out
+    return merges, sym
+
+
+def test_train_bpe_matches_reference(spark):
+    from datalake_toolkit_spark.llm.bpe import bpe_tokenize, train_bpe
+
+    texts = [
+        "low lower lowest low low",
+        "new newer newest new newer",
+        "wide wider widest low new",
+        "low lower newer wide",
+    ]
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    merges, trained = train_bpe(df, n_merges=12, min_count=2)
+    ref_merges, ref_sym = _py_bpe(texts, 12)
+    assert merges == ref_merges, (merges, ref_merges)
+    got_sym = {r["word"]: list(r["symbols"]) for r in trained.collect()}
+    assert got_sym == ref_sym
+    # tokenization re-assembles segmentations in word order
+    out = {r["doc_id"]: (list(r["tokens"]), r["n_tokens"])
+           for r in bpe_tokenize(df, trained).collect()}
+    exp0 = [t for w in texts[0].split() for t in ref_sym[w]]
+    assert out[0][0] == exp0 and out[0][1] == len(exp0)
+    # unseen words fall back to characters + end marker
+    extra = spark.createDataFrame([(99, "zzq")], "doc_id long, text string")
+    fb = bpe_tokenize(extra, trained).collect()[0]
+    assert list(fb["tokens"]) == ["z", "z", "q", "</w>"]
+    # NULL text -> empty tokens
+    nulls = spark.createDataFrame([(7, None)], "doc_id long, text string")
+    nb = bpe_tokenize(nulls, trained).collect()[0]
+    assert list(nb["tokens"]) == [] and nb["n_tokens"] == 0
