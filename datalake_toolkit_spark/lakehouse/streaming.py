@@ -23,7 +23,7 @@ Semantics per micro-batch:
 
 from __future__ import annotations
 
-from collections.abc import Sequence
+from collections.abc import Callable, Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -99,6 +99,7 @@ def stream_dedup_ingest(
     text_col: str = "text",
     corpus_partition_by: Sequence[str] = (),
     available_now: bool = True,
+    batch_filter: Callable[[DataFrame], DataFrame] | None = None,
 ):
     """The full continuous-ingestion dedup pipeline: a document stream
     is exact-deduped ACROSS micro-batches (fingerprint ledger
@@ -117,10 +118,22 @@ def stream_dedup_ingest(
     The ledger is partitioned by ``hash_prefix`` (256 uniform md5
     buckets) so a micro-batch rewrites only the buckets it touches;
     pass ``corpus_partition_by`` so corpus merges rewrite only
-    affected partitions rather than the whole table per batch."""
+    affected partitions rather than the whole table per batch.
+
+    ``batch_filter`` is the in-stream curation hook (quality gates,
+    PII redaction, language filters — any deterministic
+    DataFrame->DataFrame): it runs BEFORE dedup so rejected rows never
+    commit fingerprints, keeping the door open for better duplicates
+    later. Determinism matters: the filter re-runs on crash replay."""
     from datalake_toolkit_spark.llm.dedup import incremental_dedup
 
     def _apply(batch: DataFrame, _batch_id: int) -> None:
+        # quality gate BEFORE dedup: rejected rows never reach the
+        # fingerprint ledger, so a later higher-quality duplicate of a
+        # rejected doc can still be admitted. Must be deterministic —
+        # it re-runs on crash replay.
+        if batch_filter is not None:
+            batch = batch_filter(batch)
         if batch.isEmpty():
             return
         ledger = LakeTable(

@@ -668,3 +668,45 @@ def test_incremental_aggregate_view_equals_recompute(spark, tmp_path):
     # view history carries the refresh audit trail
     ops = [h["op"] for h in view.history()]
     assert ops == ["refresh_base_v0", "refresh_base_v1", "refresh_base_v3"]
+
+
+def test_stream_dedup_ingest_with_quality_gate(spark, tmp_path):
+    from datalake_toolkit_spark.lakehouse import LakeTable
+    from datalake_toolkit_spark.lakehouse.streaming import stream_dedup_ingest
+    from datalake_toolkit_spark.llm import with_text_stats
+
+    src = tmp_path / "src"
+    src.mkdir()
+    good = "the quick brown fox jumps over the lazy dog again and again today"
+    (src / "b1.json").write_text(
+        '{"doc_id": 1, "text": "%s"}\n{"doc_id": 2, "text": "xx!!"}\n' % good
+    )
+    # batch 2: duplicate of the good doc + another junk row
+    (src / "b2.json").write_text(
+        '{"doc_id": 3, "text": "%s"}\n{"doc_id": 4, "text": "??"}\n' % good
+    )
+
+    def gate(batch):
+        return (
+            with_text_stats(batch)
+            .where(F.col("quality_score") >= 0.4)
+            .select("doc_id", "text")
+        )
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = stream_dedup_ingest(
+        stream,
+        str(tmp_path / "corpus"),
+        str(tmp_path / "ledger"),
+        str(tmp_path / "ckpt"),
+        batch_filter=gate,
+    )
+    q.awaitTermination(300)
+    corpus = LakeTable(spark, str(tmp_path / "corpus")).read().collect()
+    ids = sorted(r["doc_id"] for r in corpus)
+    # junk rows gated out before dedup; duplicate good doc deduped
+    assert ids == [1]
