@@ -84,3 +84,4 @@ from datalake_toolkit_spark.llm.bpe import (  # noqa: E402,F401
     train_bpe,
     word_frequencies,
 )
+from datalake_toolkit_spark.llm.text import tfidf_embeddings  # noqa: E402,F401

@@ -226,3 +226,68 @@ def hashed_embeddings(
         .join(maps, [id_col], "left")
         .select(F.col(id_col), dense.alias("embedding"))
     )
+
+
+def tfidf_embeddings(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", dim: int = 32
+) -> DataFrame:
+    """Hashed TF-IDF document vectors: the signed hashing trick of
+    :func:`hashed_embeddings` with each word weighted by its smoothed
+    inverse document frequency, ``idf = ln((N + 1) / (df + 1)) + 1``
+    (the scikit-learn smoothing — never zero, no division by zero).
+
+    The weighting needs floats, so unlike the raw hashed counts this
+    is NOT SQL-hash-oracled (ln's last ULP differs across libm
+    implementations); the pytest reference check recomputes the exact
+    formula in NumPy instead. Within an engine it IS bit-deterministic:
+    the per-bucket reduction is a value-sorted fold, not a
+    partition-order-dependent double sum.
+
+    Scale: one corpus pass for document frequencies (word-keyed hash
+    agg), a vocabulary-sized shuffle-hash join of tokens against the
+    idf table, then the same (doc, bucket) aggregation + dense
+    assembly as the count vectors.
+    """
+    n_docs = df.where(F.col(text_col).isNotNull()).count()
+    toks = df.select(
+        F.col(id_col), F.explode(F.array_distinct(words(text_col))).alias("w")
+    )
+    dfreq = toks.groupBy("w").agg(F.countDistinct(id_col).alias("_df"))
+    idf = dfreq.select(
+        "w",
+        (F.log((F.lit(float(n_docs)) + 1.0) / (F.col("_df") + 1.0)) + 1.0).alias(
+            "_idf"
+        ),
+    )
+    all_toks = df.select(F.col(id_col), F.explode(words(text_col)).alias("w"))
+    h = F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("long")
+    hashed = all_toks.join(idf.hint("shuffle_hash"), "w").select(
+        F.col(id_col),
+        (h % dim).alias("b"),
+        (
+            F.when(F.shiftright(h, 8).bitwiseAND(1) == 1, F.lit(1.0)).otherwise(
+                F.lit(-1.0)
+            )
+            * F.col("_idf")
+        ).alias("s"),
+    )
+    # value-sorted fold, not F.sum: double summation order varies with
+    # partitioning, and the repo rule is that float reductions must be
+    # bit-deterministic (the q_embedding_pool lesson)
+    agg = hashed.groupBy(id_col, "b").agg(
+        F.aggregate(
+            F.array_sort(F.collect_list("s")), F.lit(0.0), lambda a, x: a + x
+        ).alias("v")
+    )
+    maps = agg.groupBy(id_col).agg(
+        F.map_from_entries(F.collect_list(F.struct("b", "v"))).alias("m")
+    )
+    dense = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda d: F.coalesce(F.element_at(F.col("m"), d.cast("long")), F.lit(0.0)),
+    )
+    return (
+        df.select(id_col)
+        .join(maps, [id_col], "left")
+        .select(F.col(id_col), dense.alias("embedding"))
+    )

@@ -852,3 +852,45 @@ def test_train_bpe_matches_reference(spark):
     nulls = spark.createDataFrame([(7, None)], "doc_id long, text string")
     nb = bpe_tokenize(nulls, trained).collect()[0]
     assert list(nb["tokens"]) == [] and nb["n_tokens"] == 0
+
+
+def test_tfidf_embeddings_match_numpy_reference(spark):
+    import hashlib
+    import math
+
+    import numpy as np
+
+    from datalake_toolkit_spark.llm import tfidf_embeddings
+
+    texts = [
+        "spark shuffle join spark spark",
+        "shuffle window sort merge",
+        "totally different vocabulary here",
+        None,
+    ]
+    dim = 16
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    got = {r["doc_id"]: np.array(r["embedding"]) for r in tfidf_embeddings(df, dim=dim).collect()}
+
+    docs = [t.split() for t in texts if t is not None]
+    n = len(docs)
+    dfreq = {}
+    for d in docs:
+        for w in set(d):
+            dfreq[w] = dfreq.get(w, 0) + 1
+    exp = {}
+    for i, t in enumerate(texts):
+        v = np.zeros(dim)
+        if t is not None:
+            for w in t.split():
+                h = int(hashlib.md5(w.encode()).hexdigest()[:8], 16)
+                sign = 1.0 if (h >> 8) & 1 else -1.0
+                v[h % dim] += sign * (math.log((n + 1) / (dfreq[w] + 1)) + 1.0)
+        exp[i] = v
+    for i in exp:
+        assert np.allclose(got[i], exp[i], atol=1e-12), (i, got[i], exp[i])
+    assert not got[3].any()  # NULL text -> zero vector
+    # run-to-run bit determinism (sorted-fold reduction)
+    again = {r["doc_id"]: list(r["embedding"])
+             for r in tfidf_embeddings(df.repartition(7), dim=dim).collect()}
+    assert all(again[i] == list(got[i]) for i in got)
