@@ -51,6 +51,12 @@ def refresh_aggregate_view(
     bit-identical — double sums would drift by summation order and
     the maintained view would slowly diverge from a recompute.
     Returns the base version refreshed to (None = already current).
+
+    The refreshed view commits as a full snapshot write — views are
+    group-cardinality-sized, orders of magnitude smaller than their
+    base. If a view itself grows huge (billions of groups), partition
+    it by a key prefix and swap the snapshot write for an upsert of
+    the touched groups so a refresh rewrites only affected partitions.
     """
     keys = list(keys)
     cur = base.current_version()
