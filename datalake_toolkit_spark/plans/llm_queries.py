@@ -802,26 +802,28 @@ def q_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     l AS (
       SELECT group_id, d, list(x ORDER BY x) AS xs
       FROM e GROUP BY 1, 2
-    ),
-    m AS (
-      SELECT group_id, d,
-             list_reduce(list_prepend(CAST(0.0 AS DOUBLE), xs),
-                         (a, b) -> a + b) / len(xs) AS mv
-      FROM l
     )
-    SELECT group_id, list(mv ORDER BY d) AS pooled
-    FROM m GROUP BY group_id
+    SELECT group_id, CAST(d AS BIGINT) AS d,
+           list_reduce(list_prepend(CAST(0.0 AS DOUBLE), xs),
+                       (a, b) -> a + b) / len(xs) AS mv
+    FROM l
     """,
 )
 def q_embedding_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Chunk->doc embedding pooling: decimal-exact elementwise mean per
-    group, re-assembled in dimension order (collect_sorted_array)."""
+    """Chunk->doc embedding pooling: value-sorted-fold elementwise mean
+    per group, assembled via collect_sorted_array then re-exploded to
+    scalar (group_id, d, mv) rows — the driver's canonicalizer hashes
+    scalar cells only, so gate-facing queries never emit top-level
+    arrays (the r5 q_embedding_pool failure mode)."""
     from datalake_toolkit_spark.llm import pool_embeddings
 
     emb = _t(spark, sf_dir, "embeddings").select(
         (F.col("vec_id") % 50).alias("group_id"), "embedding"
     )
-    return pool_embeddings(emb, "group_id")
+    pooled = pool_embeddings(emb, "group_id")
+    return pooled.select(
+        "group_id", F.posexplode("pooled").alias("d", "mv")
+    ).select("group_id", F.col("d").cast("long").alias("d"), "mv")
 
 
 # ---------------------------------------------------------------------------
@@ -1215,20 +1217,24 @@ def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM toks
     ),
     agg AS (SELECT doc_id, b, CAST(sum(s) AS BIGINT) AS v FROM h GROUP BY 1, 2),
-    pairs AS (SELECT doc_id, list({'b': b, 'v': v}) AS ps FROM agg GROUP BY 1)
-    SELECT d.doc_id,
-           list_transform(generate_series(0, 31),
-             dd -> CAST(coalesce(list_sum(list_transform(
-                      list_filter(ps, p -> p.b = dd), p -> p.v)), 0) AS BIGINT))
-             AS embedding
-    FROM documents d LEFT JOIN pairs USING (doc_id)
+    dims AS (SELECT unnest(generate_series(0, 31)) AS dim)
+    SELECT d.doc_id, CAST(dims.dim AS BIGINT) AS dim,
+           CAST(coalesce(agg.v, 0) AS BIGINT) AS val
+    FROM documents d
+    CROSS JOIN dims
+    LEFT JOIN agg ON agg.doc_id = d.doc_id AND agg.b = dims.dim
     """,
 )
 def q_hashed_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Signed feature-hashing document vectors (hashing trick),
     integer-exact: per-bucket signed word counts assembled into dense
-    32-wide arrays — the bridge from the documents table to the
-    embedding-space operators."""
+    32-wide arrays, then re-exploded to scalar (doc_id, dim, val) rows
+    for the gate — the full dense-assembly path is still exercised;
+    only the OUTPUT is scalar (top-level arrays crash the driver's
+    pandas canonicalizer, the r5 q_embedding_pool failure)."""
     from datalake_toolkit_spark.llm import hashed_embeddings
 
-    return hashed_embeddings(_t(spark, sf_dir, "documents"), dim=32)
+    dense = hashed_embeddings(_t(spark, sf_dir, "documents"), dim=32)
+    return dense.select(
+        "doc_id", F.posexplode("embedding").alias("dim", "val")
+    ).select("doc_id", F.col("dim").cast("long").alias("dim"), "val")

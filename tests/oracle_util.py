@@ -63,7 +63,32 @@ def normalize(columns: list[str], rows: list[tuple]) -> list[tuple]:
     return out
 
 
+def complex_output_columns(spark_df) -> list[str]:
+    """Top-level Array/Struct/Map columns in the result schema.
+
+    The driver's pandas canonicalizer sorts result columns and crashes
+    on list cells (``TypeError: unhashable type: 'list'`` — the r5
+    q_embedding_pool gate failure). Local parity must therefore REJECT
+    complex-typed outputs instead of stringifying them, or local green
+    does not predict driver green.
+    """
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    return [
+        f.name
+        for f in spark_df.schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
+
+
 def compare(spark_df, con, sql: str) -> tuple[bool, str]:
+    bad = complex_output_columns(spark_df)
+    if bad:
+        return False, (
+            f"complex-typed top-level output columns {bad}: the driver "
+            "canonicalizer crashes on non-scalar cells — explode to "
+            "scalar rows (id, dim, value) before returning"
+        )
     s_rows = [tuple(r) for r in spark_df.collect()]
     s_cols = spark_df.columns
     d = con.execute(sql)

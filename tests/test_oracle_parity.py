@@ -6,7 +6,7 @@ from __future__ import annotations
 import pytest
 
 import __spark_entry__ as entry_mod
-from tests.oracle_util import compare, duckdb_con
+from tests.oracle_util import compare, complex_output_columns, duckdb_con
 
 QUERIES = entry_mod.queries()
 ORACLE = entry_mod.oracle_sql()
@@ -34,4 +34,9 @@ def test_oracle_parity(spark, sf_dir, con, name):
 @pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLE)))
 def test_rows_only(spark, sf_dir, name):
     df = QUERIES[name](spark, sf_dir)
+    bad = complex_output_columns(df)
+    assert not bad, (
+        f"{name}: complex-typed top-level output columns {bad} crash the "
+        "driver canonicalizer even on rows-only checks"
+    )
     assert df.count() >= 0
