@@ -18,6 +18,7 @@ from datalake_toolkit_spark.catalog.json_io import (
 from datalake_toolkit_spark.catalog.search import (
     catalog_columns,
     catalog_sql,
+    catalog_walk_documents,
     catalog_search_documents,
     register_star_schema,
     search_catalog,
@@ -32,6 +33,7 @@ __all__ = [
     "catalog_columns",
     "catalog_sql",
     "catalog_search_documents",
+    "catalog_walk_documents",
     "explode_catalog_tables",
     "flatten_catalog_tables",
     "read_catalog_json",

@@ -98,6 +98,41 @@ def search_catalog(docs: DataFrame, pattern: str) -> DataFrame:
     )
 
 
+def catalog_walk_documents(
+    spark: SparkSession, tables: list[str]
+) -> DataFrame:
+    """The reference's full three-level catalog walk
+    (odl_catalog_hive_metadata_es.py:75-94): SHOW DATABASES ->
+    SHOW TABLES -> DESCRIBE per table, every level routed through the
+    SQL passthrough (:func:`catalog_sql`), landing the flattened
+    search-document rows the ES index held (:211-224) — one scalar row
+    per column: (database, table_name, column_name, comment_tag,
+    ordinal).
+
+    Driver-side collects are metadata-sized (db/table/column listings,
+    same class as the reference's ES index), never data-sized.
+    ``tables`` restricts the walk to the star schema because the
+    session may hold unrelated temp views.
+    """
+    dbs = sorted(
+        r.database_name for r in catalog_sql(spark, "SHOW DATABASES").collect()
+    )
+    if "default" not in dbs:
+        raise ValueError(f"catalog walk found no default database: {dbs}")
+    listed = {
+        r.table_name for r in catalog_sql(spark, "SHOW TABLES").collect()
+    }
+    rows = []
+    for t in sorted(listed & set(tables)):
+        for i, c in enumerate(catalog_sql(spark, f"DESCRIBE {t}").collect()):
+            rows.append(("default", t, c.col_name, f"{t}.{c.col_name}", i + 1))
+    return spark.createDataFrame(
+        rows,
+        "database string, table_name string, column_name string, "
+        "comment_tag string, ordinal int",
+    )
+
+
 def catalog_sql(spark: SparkSession, statement: str) -> DataFrame:
     """S18: the Athena SQL-passthrough surface as direct catalog
     DataFrames. The reference routes exactly three statement shapes

@@ -72,27 +72,32 @@ DEMOTED: tuple[str, ...] = (
     "q_customer_struct_roundtrip",  # P2/P3/P6/P7 struct ops, 4x green
     "q_windowed_event_counts",  # streaming windows ~ q_sessionized_users
     "q_quality_filter_pipeline",  # quality filter ~ q_text_stats + q_repetition_stats
-    # r5 TPC-H breadth: born into the parity/bench tail (the window is
-    # full of never-driver-checked queries this round); rotate these
-    # into the gate in r6 in place of the then-twice-green curation set.
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q13_order_distribution",
-    "q15_top_supplier",
-    "q17_small_qty_revenue",
-    "q21_waiting_suppliers",
-    "q22_sales_opportunity",
-    "q9_product_profit",
-    "q11_important_stock",
-    "q16_supplier_count",
-    "q20_excess_stock",
-    "q_word_rarity",  # r5: rarity scoring, parity tail; rotate into gate in r6
-    "q_boilerplate",  # r5: corpus-level boilerplate, parity tail; rotate into gate in r6
-    "q_simhash_near_dups",  # r5: simhash banding pairs, parity tail; rotate into gate in r6
-    "q_funnel_conversion",  # r5: event-sequence analytics, parity tail; rotate into gate in r6
-    "q_cohort_retention",  # r5: same
-    "q_event_paths",  # r5: same
-    "q_hashed_embeddings",  # r5: same
+    # r6 rotation: ALL 18 never-driver-checked queries enter the window
+    # (the 11 TPC-H tail shapes q7/q8/q9/q11/q13/q15/q16/q17/q20/q21/q22
+    # plus q_word_rarity, q_boilerplate, q_simhash_near_dups,
+    # q_funnel_conversion, q_cohort_retention, q_event_paths,
+    # q_hashed_embeddings) together with the new q_catalog_walk. In
+    # exchange, 19 shapes green in 3+ driver rounds rotate out, each with
+    # its plan shape still covered in-window:
+    "q_order_parts_sorted",  # 5x; A2 sorted collect ~ q_embedding_pool (collect_sorted_array)
+    "q_sessionized_users",  # 5x; streaming windows ~ q_stream_dedup + q_interval_join stay
+    "q_text_stats",  # 5x; text expressions ~ q_word_rarity / q_repetition_stats
+    "q_dedup_exact",  # 5x; hash-agg dedup ~ q16_supplier_count distinct-agg + q_hashed_embeddings
+    "q_minhash_near_dups",  # 5x; banded self-join ~ q_simhash_near_dups (incoming)
+    "q_ann_cosine_topk",  # 5x; exact ANN baseline ~ q_lsh_ann_topk + q_ivf_ann_topk stay
+    "q_multimodal_features",  # 5x; binary mapInPandas ~ q_video_frames stays
+    "q_corpus_curation",  # 5x; curation composition ~ q_decontaminate/q_pii_redact/q_domain_mixture
+    "q_top_parts_by_revenue",  # 5x; W2 per-group top-k ~ q15_top_supplier (incoming)
+    "q_year_orders",  # 4x; trivial date agg ~ q12 stays
+    "q_user_event_map",  # 4x; A1 kv->map last-wins; winner rule pinned by property test
+    "q_asof_join",  # 4x; same operator as q_asof_forward_tolerance (stays)
+    "q_uri_normalize",  # 4x; scalar expressions ~ q_pii_redact regex path
+    "q_escape_props",  # 4x; same family
+    "q_time_functions",  # 4x; same family + TPC-H date arithmetic incoming
+    "q_catalog_table_docs",  # 3x; catalog assembly ~ q_catalog_partition_docs stays
+    "q_catalog_roundtrip_ids",  # 3x; same machinery
+    "q_catalog_skewed_info",  # 3x; same machinery
+    "q_show_tables",  # 3x; subsumed by q_catalog_walk (full 3-level walk)
 )
 
 GATE_WINDOW = 50

@@ -332,6 +332,29 @@ def q_catalog_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_catalog_walk",
+    """
+    SELECT 'default' AS database, table_name, column_name,
+           table_name || '.' || column_name AS comment_tag,
+           CAST(ordinal_position AS INTEGER) AS ordinal
+    FROM information_schema.columns
+    WHERE table_name IN ('region','nation','customer','supplier','part',
+                         'orders','lineitem','events','documents',
+                         'embeddings')
+    """,
+)
+def q_catalog_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S18 full passthrough walk (odl_catalog_hive_metadata_es.py:
+    75-94): SHOW DATABASES -> SHOW TABLES -> DESCRIBE per table, every
+    level through catalog_sql, flattened to the ES search-document
+    rows (:211-224)."""
+    from datalake_toolkit_spark.catalog import catalog_walk_documents
+
+    tables = register_star_schema(spark, sf_dir)
+    return catalog_walk_documents(spark, tables)
+
+
+@query(
     "q_catalog_partition_docs",
     """
     WITH parts AS (
