@@ -159,12 +159,24 @@ def q_skewed_list_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_stateful_running_status", None)
+@query(
+    "q_stateful_running_status",
+    """
+    SELECT CAST(user_id AS VARCHAR) AS key,
+           CAST(count(*) AS BIGINT) AS n_events,
+           TRUE AS matches_batch
+    FROM events WHERE user_id < 50 GROUP BY 1
+    """,
+)
 def q_stateful_running_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator (applyInPandasWithState):
     per-user running event count / latest type over the events table
-    replayed as a 2-file stream. Rows-only check — state-store
-    output is genuinely non-SQL-expressible."""
+    replayed as a 2-file stream. The raw state-store emissions are
+    non-SQL-expressible (latest_status is order-dependent on ts
+    ties), so the DRIVER-CHECKABLE projection is (key, n_events,
+    matches_batch): n_events hash-verifies against a relational
+    count, and matches_batch encodes the batch-recompute invariant —
+    a broken state update flips it to false and hash-fails."""
     import tempfile
     import uuid
 
@@ -205,12 +217,13 @@ def q_stateful_running_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_events").alias("n_events"),
         F.max_by("latest_status", "n_events").alias("latest_status"),
     )
-    # Embedded invariant (the rows-only check then carries semantic
-    # signal): every emitted key must agree with a from-scratch batch
+    # Embedded invariant, emitted as a column so the oracle can check
+    # it: every emitted key must agree with a from-scratch batch
     # recomputation — same event count, and a latest_status drawn from
     # the statuses at that key's max event time (set-membership, not
     # equality: ts ties make the within-batch winner order-dependent).
-    # A broken state update drops rows here and the driver sees < 50.
+    # The oracle expects matches_batch = TRUE for every key; a broken
+    # state update flips it (or skews n_events) and hash-fails.
     per_key = events.groupBy(
         F.col("user_id").cast("string").alias("key")
     ).agg(F.count(F.lit(1)).alias("b_n"), F.max("ts_sec").alias("b_max_ts"))
@@ -224,11 +237,14 @@ def q_stateful_running_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         final.join(per_key, "key")
         .join(cands, "key")
-        .where(
-            (F.col("n_events") == F.col("b_n"))
-            & F.array_contains("b_latest_set", F.col("latest_status"))
+        .select(
+            "key",
+            "n_events",
+            (
+                (F.col("n_events") == F.col("b_n"))
+                & F.array_contains("b_latest_set", F.col("latest_status"))
+            ).alias("matches_batch"),
         )
-        .select("key", "n_events", "latest_status")
     )
 
 
@@ -350,8 +366,10 @@ def q_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM lists
     ),
     steps(step, step_name) AS (VALUES (1, 'view'), (2, 'click'), (3, 'purchase'))
-    SELECT s.step, s.step_name, count(*) AS n_users
-    FROM folded f JOIN steps s ON f.st.step >= s.step
+    SELECT s.step, s.step_name,
+           CAST(sum(CASE WHEN f.st.step >= s.step THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_users
+    FROM folded f CROSS JOIN steps s
     GROUP BY 1, 2
     """,
 )
