@@ -46,10 +46,17 @@ def refresh_aggregate_view(
     sum(value_col) AS sum_value) up to date with ``base``.
 
     First call builds the full aggregate; later calls apply only the
-    change feed since the last refresh. Sums aggregate in
-    DECIMAL(18,2) so incremental (+delta) and from-scratch paths are
-    bit-identical — double sums would drift by summation order and
-    the maintained view would slowly diverge from a recompute.
+    change feed since the last refresh. Sums aggregate in DECIMAL so
+    incremental (+delta) and from-scratch paths are bit-identical —
+    double sums would drift by summation order and the maintained view
+    would slowly diverge from a recompute. BOTH paths emit
+    ``sum_value`` as DECIMAL(28,2) (Spark's widened sum-over-
+    DECIMAL(18,2) type): the full build gets it from ``sum`` directly
+    and the incremental merge casts back up to it, so the view's
+    schema never flips between refresh paths. A group sum beyond 26
+    integer digits overflows to NULL in non-ANSI mode — at 2 decimal
+    places that is 10^24 currency units per group, unreachable before
+    ``n_rows`` (a long) would itself overflow.
     Returns the base version refreshed to (None = already current).
 
     The refreshed view commits as a full snapshot write — views are
@@ -80,7 +87,7 @@ def refresh_aggregate_view(
         F.sum(sign * val).alias("_d_s"),
     )
     zero_n = F.lit(0).cast("long")
-    zero_s = F.lit(0).cast("decimal(18,2)")
+    zero_s = F.lit(0).cast("decimal(28,2)")
     merged = (
         view.read()
         .join(updates, keys, "full_outer")
@@ -90,7 +97,7 @@ def refresh_aggregate_view(
             .cast("long")
             .alias("n_rows"),
             (F.coalesce("sum_value", zero_s) + F.coalesce("_d_s", zero_s))
-            .cast("decimal(18,2)")
+            .cast("decimal(28,2)")
             .alias("sum_value"),
         )
         .where(F.col("n_rows") > 0)

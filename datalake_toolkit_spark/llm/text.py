@@ -246,18 +246,22 @@ def tfidf_embeddings(
     Scale: one corpus pass for document frequencies (word-keyed hash
     agg), a vocabulary-sized shuffle-hash join of tokens against the
     idf table, then the same (doc, bucket) aggregation + dense
-    assembly as the count vectors.
+    assembly as the count vectors. Fully lazy like the rest of the
+    module: N enters the idf table as a broadcast one-row aggregate
+    (a keyless broadcast plans as an O(n)
+    BroadcastNestedLoopJoin by design), so building the
+    transformation triggers no corpus scan.
     """
-    n_docs = df.where(F.col(text_col).isNotNull()).count()
+    n_docs = df.where(F.col(text_col).isNotNull()).agg(
+        F.count(F.lit(1)).cast("double").alias("_n")
+    )
     toks = df.select(
         F.col(id_col), F.explode(F.array_distinct(words(text_col))).alias("w")
     )
     dfreq = toks.groupBy("w").agg(F.countDistinct(id_col).alias("_df"))
-    idf = dfreq.select(
+    idf = dfreq.crossJoin(F.broadcast(n_docs)).select(
         "w",
-        (F.log((F.lit(float(n_docs)) + 1.0) / (F.col("_df") + 1.0)) + 1.0).alias(
-            "_idf"
-        ),
+        (F.log((F.col("_n") + 1.0) / (F.col("_df") + 1.0)) + 1.0).alias("_idf"),
     )
     all_toks = df.select(F.col(id_col), F.explode(words(text_col)).alias("w"))
     h = F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("long")

@@ -92,7 +92,10 @@ def funnel_counts(
 ) -> DataFrame:
     """Funnel conversion table: one row per step with the number of
     users whose furthest step reached at least it —
-    ``(step, step_name, n_users)``, monotonically non-increasing."""
+    ``(step, step_name, n_users)``, monotonically non-increasing.
+    Steps nobody reached still appear with ``n_users = 0`` (indicator
+    sum over the full ladder, not a filtered count), so the ladder is
+    complete whenever at least one user emitted a funnel-type event."""
     reached = funnel_steps(
         events, steps, user_col, type_col, ts_col, order_col, within_seconds
     )
@@ -109,10 +112,10 @@ def funnel_counts(
         F.col("s.step_name").alias("step_name"),
         F.col("funnel_step"),
     )
-    return (
-        ladder.where(F.col("funnel_step") >= F.col("step"))
-        .groupBy("step", "step_name")
-        .agg(F.count(F.lit(1)).alias("n_users"))
+    return ladder.groupBy("step", "step_name").agg(
+        F.sum((F.col("funnel_step") >= F.col("step")).cast("long")).alias(
+            "n_users"
+        )
     )
 
 
@@ -127,12 +130,17 @@ def cohort_retention(
     ``(cohort_period, period_offset, n_users)`` with offset 0 = the
     cohort period itself (so offset-0 n_users is the cohort size).
 
-    All integer arithmetic on epoch-days — no timezone or float in
-    sight, so it oracles exactly. Two shuffles: per-user min, then the
-    (cohort, offset) count over distinct user-periods.
+    The period is ``floor(epoch_micros / period_micros)`` — a double
+    quotient floored, the same IEEE operation DuckDB's
+    ``floor(epoch_us / k)`` performs, so it oracles exactly and (unlike
+    a truncating cast) stays correct for pre-1970 timestamps. Two
+    shuffles: per-user min, then the (cohort, offset) count over
+    distinct user-periods.
     """
     us = F.unix_micros(F.col(ts_col))
-    period = (us / F.lit(86_400_000_000 * period_days)).cast("long")
+    period = F.floor(us / F.lit(float(86_400_000_000 * period_days))).cast(
+        "long"
+    )
     per_event = events.select(F.col(user_col), period.alias("p"))
     first = per_event.groupBy(user_col).agg(F.min("p").alias("cohort_p"))
     active = per_event.distinct().join(first, user_col)

@@ -643,6 +643,8 @@ def test_incremental_aggregate_view_equals_recompute(spark, tmp_path):
     # full build
     assert refresh_aggregate_view(base, view, ["seg"], "val") == 0
     assert view_state() == recompute()
+    full_build_types = dict(view.read().dtypes)
+    assert full_build_types["sum_value"] == "decimal(28,2)"
     # idempotent: no base change -> no view commit
     assert refresh_aggregate_view(base, view, ["seg"], "val") is None
     assert last_refreshed_version(view) == 0
@@ -658,6 +660,9 @@ def test_incremental_aggregate_view_equals_recompute(spark, tmp_path):
     assert refresh_aggregate_view(base, view, ["seg"], "val") == 1
     assert view_state() == recompute()
     assert ("seg9",) in view_state()
+    # the incremental path must not flip the view's column types
+    # (r5 bug: full build decimal(28,2), incremental cast to 18,2)
+    assert dict(view.read().dtypes) == full_build_types
 
     # deletes shrink counts; an emptied group disappears
     base.delete_where(F.col("seg") == "seg9")
