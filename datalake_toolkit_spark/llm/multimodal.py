@@ -9,9 +9,11 @@ installed, soft-imported) and degrades per-row (``decoded=false`` +
 ``decode_err``) where one doesn't (video: no ffmpeg here).
 ``extract_media_features`` derives deterministic md5-based features
 from the bytes, which keeps the whole pipeline executable and
-oracle-verifiable end-to-end; ``resize_media`` / ``sample_frames``
-carry the production Arrow contract with deterministic stand-in
-resamplers (documented per-function).
+oracle-verifiable end-to-end; ``resize_media`` really resamples
+decodable images (PIL where installed; binary PPM in pure numpy
+everywhere) and degrades undecodable payloads to a deterministic
+stand-in; ``sample_frames`` carries the production Arrow contract
+with a deterministic stand-in splitter (no ffmpeg here).
 
 At 100 TB: binary payloads ride in parquet alongside metadata; decode
 runs as ``mapInPandas`` so each Arrow batch crosses the Python
@@ -98,6 +100,74 @@ def attach_fake_media(docs: DataFrame, id_col: str = "doc_id", text_col: str = "
     )
 
 
+def _parse_ppm(raw: bytes):
+    """Decode a binary PPM (P6, maxval 255) into an (h, w, 3) uint8
+    numpy array — the zero-dependency real-image path (PIL handles the
+    compressed formats where installed). Returns None when the bytes
+    aren't a well-formed P6."""
+    import numpy as np
+
+    if not raw.startswith(b"P6"):
+        return None
+    tokens: list[bytes] = []
+    i = 2
+    while len(tokens) < 3:
+        if i >= len(raw):
+            return None
+        c = raw[i : i + 1]
+        if c == b"#":  # comment runs to end of line
+            i = raw.find(b"\n", i)
+            if i < 0:
+                return None
+            i += 1
+        elif c.isspace():
+            i += 1
+        else:
+            j = i
+            while j < len(raw) and not raw[j : j + 1].isspace():
+                j += 1
+            tokens.append(raw[i:j])
+            i = j
+    try:
+        w, h, maxval = (int(t) for t in tokens)
+    except ValueError:
+        return None
+    if maxval != 255 or w <= 0 or h <= 0:
+        return None
+    i += 1  # exactly one whitespace byte separates header from pixels
+    data = raw[i : i + w * h * 3]
+    if len(data) < w * h * 3:
+        return None
+    return np.frombuffer(data, dtype=np.uint8).reshape(h, w, 3).copy()
+
+
+def _encode_ppm(arr) -> bytes:
+    h, w = arr.shape[:2]
+    return b"P6\n%d %d\n255\n" % (w, h) + arr.tobytes()
+
+
+def _bilinear_resize(arr, width: int, height: int):
+    """Deterministic bilinear resample of an (h, w, c) uint8 array to
+    (height, width, c) in pure numpy (pixel-center alignment, the
+    standard align_corners=False convention)."""
+    import numpy as np
+
+    src_h, src_w = arr.shape[:2]
+    x = (np.arange(width) + 0.5) * (src_w / width) - 0.5
+    y = (np.arange(height) + 0.5) * (src_h / height) - 0.5
+    x0 = np.clip(np.floor(x).astype(np.int64), 0, src_w - 1)
+    y0 = np.clip(np.floor(y).astype(np.int64), 0, src_h - 1)
+    x1 = np.clip(x0 + 1, 0, src_w - 1)
+    y1 = np.clip(y0 + 1, 0, src_h - 1)
+    wx = np.clip(x - x0, 0.0, 1.0)[None, :, None]
+    wy = np.clip(y - y0, 0.0, 1.0)[:, None, None]
+    a = arr.astype(np.float64)
+    top = a[y0][:, x0] * (1.0 - wx) + a[y0][:, x1] * wx
+    bot = a[y1][:, x0] * (1.0 - wx) + a[y1][:, x1] * wx
+    out = top * (1.0 - wy) + bot * wy
+    return np.clip(np.rint(out), 0, 255).astype(np.uint8)
+
+
 DECODE_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),
@@ -155,9 +225,7 @@ def decode_media(media: DataFrame) -> DataFrame:
                             n_samples=w.getnframes(),
                         )
                 elif mtype == "image":
-                    if pil_image is None:
-                        out["decode_err"] = "decoder_unavailable: PIL"
-                    else:
+                    if pil_image is not None:
                         with pil_image.open(io.BytesIO(raw)) as im:
                             out.update(
                                 decoded=True,
@@ -165,6 +233,17 @@ def decode_media(media: DataFrame) -> DataFrame:
                                 height=im.height,
                                 n_channels=len(im.getbands()),
                             )
+                    else:
+                        arr = _parse_ppm(raw)
+                        if arr is not None:
+                            out.update(
+                                decoded=True,
+                                width=arr.shape[1],
+                                height=arr.shape[0],
+                                n_channels=arr.shape[2],
+                            )
+                        else:
+                            out["decode_err"] = "decoder_unavailable: PIL (non-PPM image)"
                 else:
                     out["decode_err"] = "decoder_unavailable: ffmpeg"
             except Exception as exc:  # corrupt payload -> one bad row
@@ -243,12 +322,15 @@ RESIZE_SCHEMA = T.StructType(
 
 
 def resize_media(media: DataFrame, width: int = 64, height: int = 64) -> DataFrame:
-    """Image resize plumbing: image rows -> (doc_id, width, height,
-    resized payload, md5, length). The Arrow batch shape, row filter,
-    and binary-out schema are the production contract; the resampler
-    is a deterministic stand-in (payload = md5(content:WxH) hex chain
-    tiled to width*height/256 bytes — a real implementation puts
-    PIL/libvips resampling in its place, same signature).
+    """Image resize: image rows -> (doc_id, width, height, resized
+    payload, md5, length). Decodable payloads are REALLY resampled:
+    PIL (soft-imported) handles compressed formats, bilinear to
+    (width, height) re-encoded as PNG; binary PPM (P6) decodes and
+    bilinear-resamples in pure numpy with no dependency at all. Rows
+    whose bytes match no decoder degrade per-row to the deterministic
+    md5-chain stand-in (payload = md5(content:WxH) hex chain tiled to
+    width*height/256 bytes) exactly like :func:`decode_media`
+    degrades — one bad blob costs one row's fidelity, never the stage.
 
     Scale: executor-local mapInPandas (no shuffle); output bytes per
     row are bounded by the target dims regardless of source size, so
@@ -258,15 +340,35 @@ def resize_media(media: DataFrame, width: int = 64, height: int = 64) -> DataFra
     suffix = f":{width}x{height}".encode()
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+
+        try:
+            from PIL import Image as pil_image  # soft dep, like decode_media
+        except ImportError:
+            pil_image = None
+
+        def one(raw: bytes) -> bytes:
+            if pil_image is not None:
+                try:
+                    with pil_image.open(io.BytesIO(raw)) as im:
+                        resized = im.resize(
+                            (width, height), pil_image.Resampling.BILINEAR
+                        )
+                        buf = io.BytesIO()
+                        resized.save(buf, format="PNG")
+                        return buf.getvalue()
+                except Exception:
+                    pass  # not PIL-decodable -> try PPM, then stand-in
+            arr = _parse_ppm(raw)
+            if arr is not None:
+                return _encode_ppm(_bilinear_resize(arr, width, height))
+            ch = hashlib.md5(raw + suffix).hexdigest()
+            return (ch * (target_len // 32 + 1))[:target_len].encode()
+
         for pdf in it:
             # nothing to resize for a NULL payload: skip the row
             keep = pdf[(pdf["media_type"] == "image") & pdf["content"].notna()]
-            chains = [
-                hashlib.md5(bytes(c) + suffix).hexdigest() for c in keep["content"]
-            ]
-            payloads = [
-                (ch * (target_len // 32 + 1))[:target_len].encode() for ch in chains
-            ]
+            payloads = [one(bytes(c)) for c in keep["content"]]
             yield pd.DataFrame(
                 {
                     "doc_id": [

@@ -491,8 +491,10 @@ def q_quality_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal resize stage: image rows through the Arrow-batched
-    resize contract (llm.multimodal.resize_media; resampler is the
-    deterministic stand-in, plumbing is production-shaped)."""
+    resize contract (llm.multimodal.resize_media). PIL-decodable
+    payloads resample for real; these fake text-derived payloads all
+    degrade per-row to the deterministic md5-chain stand-in, which is
+    what the SQL oracle recomputes."""
     from datalake_toolkit_spark.llm.multimodal import attach_fake_media, resize_media
 
     media = attach_fake_media(_t(spark, sf_dir, "documents"))

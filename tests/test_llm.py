@@ -151,11 +151,93 @@ def test_resize_media_payload_contract(spark, sf_dir):
     out = resize_media(media, width=32, height=32).collect()
     n_images = media.where("media_type = 'image'").count()
     assert len(out) == n_images > 0
+    # fake payloads aren't decodable images -> every row takes the
+    # deterministic stand-in path (fixed length, self-describing md5)
     target_len = 32 * 32 // 256 + 1
     for r in out:
         assert r.resized_len == len(r.resized_bytes) == target_len
         assert hashlib.md5(bytes(r.resized_bytes)).hexdigest() == r.resized_md5
         assert (r.width, r.height) == (32, 32)
+
+
+def _gradient_ppm(size: int = 64) -> bytes:
+    """64x64 P6 gradient: red ramps left->right, green top->bottom."""
+    import numpy as np
+
+    xs = np.arange(size, dtype=np.uint8) * (256 // size)
+    arr = np.zeros((size, size, 3), dtype=np.uint8)
+    arr[:, :, 0] = xs[None, :]
+    arr[:, :, 1] = xs[:, None]
+    return b"P6\n%d %d\n255\n" % (size, size) + arr.tobytes()
+
+
+def test_resize_media_real_image_resamples(spark):
+    """A genuinely decodable image payload must come back REALLY
+    resampled: the emitted bytes decode as a 32x32 image preserving
+    the source gradient, deterministically across runs. Uses the
+    dependency-free PPM path so the real-resample branch executes in
+    any environment."""
+    import hashlib
+
+    from datalake_toolkit_spark.llm.multimodal import _parse_ppm, resize_media
+
+    ppm = _gradient_ppm(64)
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(ppm)), (2, "image", bytearray(b"not an image"))],
+        "doc_id bigint, media_type string, content binary",
+    )
+    rows = {r.doc_id: r for r in resize_media(media, width=32, height=32).collect()}
+
+    real = bytes(rows[1].resized_bytes)
+    arr = _parse_ppm(real)
+    assert arr is not None and arr.shape == (32, 32, 3)
+    assert arr[0, 31, 0] > arr[0, 0, 0]  # red still ramps left->right
+    assert arr[31, 0, 1] > arr[0, 0, 1]  # green still ramps top->bottom
+    assert int(arr[0, 0, 2]) == 0  # blue channel stays empty
+    assert hashlib.md5(real).hexdigest() == rows[1].resized_md5
+    # determinism: a second run emits identical bytes
+    again = {r.doc_id: r for r in resize_media(media, width=32, height=32).collect()}
+    assert bytes(again[1].resized_bytes) == real
+
+    # the undecodable payload degrades to the fixed-length stand-in
+    assert rows[2].resized_len == 32 * 32 // 256 + 1
+
+
+def test_decode_media_ppm_dimensions(spark):
+    """decode_media reads P6 dimensions without PIL (numpy path)."""
+    from datalake_toolkit_spark.llm.multimodal import decode_media
+
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(_gradient_ppm(48)))],
+        "doc_id bigint, media_type string, content binary",
+    )
+    row = decode_media(media).collect()[0]
+    assert row.decoded and (row.width, row.height, row.n_channels) == (48, 48, 3)
+
+
+def test_resize_media_pil_path(spark):
+    """Where PIL exists, compressed formats (PNG) really resample."""
+    import io
+
+    import pytest
+
+    pil = pytest.importorskip("PIL.Image")
+    from datalake_toolkit_spark.llm.multimodal import resize_media
+
+    src = pil.new("RGB", (64, 64))
+    src.putdata([(x * 4, y * 4, 0) for y in range(64) for x in range(64)])
+    buf = io.BytesIO()
+    src.save(buf, format="PNG")
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(buf.getvalue()))],
+        "doc_id bigint, media_type string, content binary",
+    )
+    row = resize_media(media, width=32, height=32).collect()[0]
+    with pil.open(io.BytesIO(bytes(row.resized_bytes))) as im:
+        assert im.size == (32, 32)
+        px = im.convert("RGB").load()
+        assert px[31, 0][0] > px[0, 0][0]
+        assert px[0, 31][1] > px[0, 0][1]
 
 
 def test_cosine_near_dup_lsh_subset_of_exact(spark, sf_dir):
