@@ -98,6 +98,9 @@ DEMOTED: tuple[str, ...] = (
     "q_catalog_roundtrip_ids",  # 3x; same machinery
     "q_catalog_skewed_info",  # 3x; same machinery
     "q_show_tables",  # 3x; subsumed by q_catalog_walk (full 3-level walk)
+    # r6 births: parked in the parity/bench tail (this round's window is
+    # full of never-driver-checked queries); rotate into the gate in r7.
+    "q_curate_corpus_full",
 )
 
 GATE_WINDOW = 50

@@ -1240,3 +1240,156 @@ def q_hashed_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dense.select(
         "doc_id", F.posexplode("embedding").alias("dim", "val")
     ).select("doc_id", F.col("dim").cast("long").alias("dim"), "val")
+
+
+@query(
+    "q_curate_corpus_full",
+    r"""
+    WITH corpus AS (
+      SELECT doc_id, text, source FROM documents WHERE doc_id % 97 <> 0
+    ),
+    keep AS (SELECT min(doc_id) AS doc_id FROM corpus GROUP BY md5(text)),
+    dd AS (SELECT c.doc_id, c.text, c.source FROM corpus c JOIN keep USING (doc_id)),
+    base AS (
+      SELECT doc_id, text, source,
+             string_split_regex(text, '\s+') AS w,
+             length(text) AS n_chars_t
+      FROM dd
+    ),
+    scored AS (
+      SELECT doc_id, text, source,
+             CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_tok,
+             0.4 * least(1.0, CAST(len(w) AS DOUBLE) / 50.0)
+               + 0.3 * (1.0 - CAST(length(regexp_replace(text, '[^\.,;:!\?]', '', 'g')) AS DOUBLE)
+                              / greatest(n_chars_t, 1))
+               + 0.3 * (CAST(len(list_filter(w, x -> x IN ('the','a','of','to','and','in','is','that'))) AS DOUBLE)
+                        / greatest(len(w), 1)) AS quality_score
+      FROM base
+    ),
+    q AS (SELECT doc_id, text, source, n_tok FROM scored WHERE quality_score >= 0.5),
+    rw AS (SELECT doc_id, string_split_regex(text, '\s+') AS w FROM q WHERE text IS NOT NULL),
+    rg AS (
+      SELECT doc_id, 2 AS n, unnest(list_filter(
+               list_transform(w, (x, i) -> CASE WHEN i + 1 <= len(w)
+                   THEN array_to_string(w[i:i+1], ' ') END),
+               s -> s IS NOT NULL)) AS gram
+      FROM rw
+      UNION ALL
+      SELECT doc_id, 3 AS n, unnest(list_filter(
+               list_transform(w, (x, i) -> CASE WHEN i + 2 <= len(w)
+                   THEN array_to_string(w[i:i+2], ' ') END),
+               s -> s IS NOT NULL)) AS gram
+      FROM rw
+    ),
+    rc AS (SELECT doc_id, n, gram, count(*) AS cnt FROM rg GROUP BY 1, 2, 3),
+    rp AS (
+      SELECT doc_id,
+             max(CASE WHEN n = 2 THEN cnt * length(gram) ELSE 0 END) AS t2,
+             sum(CASE WHEN n = 2 THEN cnt * length(gram) ELSE 0 END) AS s2,
+             sum(CASE WHEN n = 3 AND cnt > 1 THEN cnt * length(gram) ELSE 0 END) AS d3,
+             sum(CASE WHEN n = 3 THEN cnt * length(gram) ELSE 0 END) AS s3
+      FROM rc GROUP BY 1
+    ),
+    rf AS (
+      SELECT q.doc_id,
+             COALESCE(round(CAST(t2 AS DOUBLE) / greatest(CAST(s2 AS DOUBLE), 1), 4), 0.0) AS tf,
+             COALESCE(round(CAST(d3 AS DOUBLE) / greatest(CAST(s3 AS DOUBLE), 1), 4), 0.0) AS df3
+      FROM q LEFT JOIN rp USING (doc_id)
+    ),
+    qr AS (
+      SELECT q.doc_id, q.text, q.source, q.n_tok
+      FROM q JOIN rf USING (doc_id)
+      WHERE NOT (rf.tf > 0.18 OR rf.df3 > 0.30)
+    ),
+    ew AS (
+      SELECT string_split_regex(text, '\s+') AS w
+      FROM documents WHERE doc_id % 97 = 0 AND text IS NOT NULL
+    ),
+    eg AS (
+      SELECT DISTINCT unnest(list_filter(
+               list_transform(w, (x, i) -> CASE WHEN i + 4 <= len(w)
+                   THEN array_to_string(w[i:i+4], ' ') END),
+               s -> s IS NOT NULL)) AS gram
+      FROM ew
+    ),
+    qg AS (
+      SELECT doc_id, unnest(list_filter(
+               list_transform(string_split_regex(text, '\s+'), (x, i) ->
+                   CASE WHEN i + 4 <= len(string_split_regex(text, '\s+'))
+                   THEN array_to_string(string_split_regex(text, '\s+')[i:i+4], ' ') END),
+               s -> s IS NOT NULL)) AS gram
+      FROM qr WHERE text IS NOT NULL
+    ),
+    hits AS (SELECT DISTINCT qg.doc_id FROM qg JOIN eg USING (gram)),
+    clean AS (
+      SELECT qr.doc_id, qr.source, qr.n_tok
+      FROM qr LEFT JOIN hits USING (doc_id)
+      WHERE hits.doc_id IS NULL
+    ),
+    wtd AS (
+      SELECT doc_id, n_tok, source,
+             CASE WHEN source = 'src0' THEN CAST(2.5 AS DOUBLE)
+                  WHEN source = 'src1' THEN CAST(0.25 AS DOUBLE)
+                  WHEN source = 'src2' THEN CAST(0.0 AS DOUBLE)
+                  WHEN source = 'src3' THEN CAST(1.75 AS DOUBLE)
+                  ELSE CAST(1.0 AS DOUBLE) END AS w
+      FROM clean
+    ),
+    reps AS (
+      SELECT doc_id, n_tok,
+             CAST(floor(w) AS BIGINT) +
+             CASE WHEN CAST('0x' || substr(md5('mix|' || source || '|' ||
+                      CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) / 4294967296.0
+                  < w - floor(w) THEN 1 ELSE 0 END AS n_rep
+      FROM wtd
+    ),
+    ex AS (
+      SELECT doc_id, n_tok, unnest(generate_series(1, n_rep)) AS copy
+      FROM reps WHERE n_rep >= 1
+    ),
+    t AS (
+      SELECT doc_id, copy, n_tok,
+             sum(n_tok) OVER (ORDER BY doc_id, copy
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM ex
+    )
+    SELECT doc_id, CAST(copy AS BIGINT) AS copy, n_tok,
+           CAST(cum - n_tok AS BIGINT) AS tok_offset,
+           CAST(floor(CAST(cum - n_tok AS DOUBLE) / 2048) AS BIGINT) AS window_start,
+           CAST(floor(CAST(cum - n_tok + greatest(n_tok, 1) - 1 AS DOUBLE) / 2048)
+                AS BIGINT) AS window_end,
+           CAST(CASE WHEN n_tok <= 0 THEN 0
+                ELSE floor(CAST(cum - n_tok + greatest(n_tok, 1) - 1 AS DOUBLE) / 2048)
+                     - floor(CAST(cum - n_tok AS DOUBLE) / 2048) + 1 END AS BIGINT)
+             AS n_windows
+    FROM t
+    """,
+)
+def q_curate_corpus_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FLAGSHIP five-stage curation pipeline as one composed lazy
+    plan (llm.curation.curate_corpus): exact dedup -> quality gate ->
+    repetition gate -> decontamination vs the held-out doc_id % 97
+    eval slice -> domain mixture -> 2048-token window packing. Output
+    is the integer window layout only, so the hash check rides on the
+    float gates' decisions without comparing any float directly;
+    every stage's float formula is separately hash-verified by its own
+    query. The one-plan claim (no materialization between stages) is
+    pinned by test_plans.test_curate_corpus_single_lazy_plan."""
+    from datalake_toolkit_spark.llm import curate_corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    out = curate_corpus(
+        docs.where(F.col("doc_id") % 97 != 0),
+        eval_df=docs.where(F.col("doc_id") % 97 == 0),
+        mixture_weights={"src0": 2.5, "src1": 0.25, "src2": 0.0, "src3": 1.75},
+        window_tokens=2048,
+    )
+    return out.select(
+        "doc_id",
+        F.col("copy").cast("long").alias("copy"),
+        "n_tok",
+        "tok_offset",
+        "window_start",
+        "window_end",
+        "n_windows",
+    )

@@ -137,6 +137,34 @@ def test_no_unplanned_nested_loop_or_cartesian_anywhere(spark, sf_dir):
     assert not offenders, f"unplanned quadratic joins: {offenders}"
 
 
+def test_curate_corpus_single_lazy_plan(spark, sf_dir):
+    """The flagship curation pipeline's one-plan claim, pinned: building
+    curate_corpus launches ZERO jobs (fully lazy — no mid-pipeline
+    count/collect), and its physical plan's only leaves are parquet
+    file scans (no InMemoryTableScan / Scan ExistingRDD that would
+    betray a materialized intermediate)."""
+    from datalake_toolkit_spark.llm import curate_corpus
+    from datalake_toolkit_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")  # footer reads land outside the probe group
+    sc = spark.sparkContext
+    sc.setJobGroup("curate_build_probe", "laziness probe")
+    try:
+        out = curate_corpus(
+            docs.where(F.col("doc_id") % 97 != 0),
+            eval_df=docs.where(F.col("doc_id") % 97 == 0),
+            mixture_weights={"src0": 2.5, "src1": 0.25},
+        )
+        jobs = sc.statusTracker().getJobIdsForGroup("curate_build_probe")
+    finally:
+        sc.setJobGroup(None, None)
+    assert jobs == [], f"curate_corpus construction launched jobs: {jobs}"
+    plan = _plan(out)
+    for marker in ("InMemoryTableScan", "Scan ExistingRDD", "LogicalRDD"):
+        assert marker not in plan, f"materialized intermediate in plan: {marker}"
+    assert "FileScan parquet" in plan or "Scan parquet" in plan
+
+
 def _sweep_all_queries(spark, sf_dir, out_dir, transform):
     """Write each star-schema table through ``transform`` to out_dir,
     then execute EVERY registered query against it, collecting crashes."""

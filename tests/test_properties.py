@@ -98,11 +98,13 @@ def test_sanitize_header_matches_reference(spark, cases):
         max_size=50,
     )
 )
-def test_kv_pairs_to_map_last_wins(spark, rows):
-    """A1 duplicate-key policy: for each (id, key), SOME value from
-    that key's rows wins and every key is present — the dict.update
-    merge of the reference, which had no cross-partition order
-    guarantee either."""
+def test_kv_pairs_to_map_max_value_wins(spark, rows):
+    """A1 duplicate-key policy, pinned EXACTLY: for each (id, key) the
+    MAX value wins, regardless of row order or physical partitioning.
+    The reference's dict.update merge picked a partition-order-lucky
+    winner (hive_metastore_migration.py:320-337); this engine's
+    documented divergence is the deterministic max — a refactor that
+    silently flips the winner rule fails here."""
     from datalake_toolkit_spark.operators import kv_pairs_to_map
 
     df = spark.createDataFrame(rows, "id int, k string, v int")
@@ -117,7 +119,15 @@ def test_kv_pairs_to_map_last_wins(spark, rows):
     for i, keys in by_id.items():
         assert set(out[i]) == set(keys)
         for k, candidates in keys.items():
-            assert out[i][k] in candidates
+            assert out[i][k] == max(candidates)
+    # winner is a function of the data, not the partitioning
+    repart = {
+        r.id: r.m
+        for r in kv_pairs_to_map(
+            df.repartition(7), "id", "k", "v", "m"
+        ).collect()
+    }
+    assert repart == out
 
 
 _KEYS = st.integers(0, 5)
