@@ -17,6 +17,7 @@ from datalake_toolkit_spark.llm.cluster import (
     connected_components,
     dedup_clusters,
     dedup_keep_canonical,
+    semantic_dedup,
 )
 from datalake_toolkit_spark.llm.dedup import (
     exact_dedup,
@@ -43,6 +44,7 @@ __all__ = [
     "cosine_topk",
     "embedding_norms",
     "dedup_clusters",
+    "semantic_dedup",
     "dedup_keep_canonical",
     "exact_dedup",
     "exact_dedup_groups",

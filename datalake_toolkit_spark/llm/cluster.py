@@ -117,6 +117,56 @@ def dedup_clusters(
     )
 
 
+def semantic_dedup(
+    vectors: DataFrame,
+    id_col: str = "doc_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9375,
+    n_planes: int | None = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """Embedding-space deduplication, end to end: cosine near-dup
+    pairs (LSH-blocked when ``n_planes`` is set) -> connected
+    components -> min-id canonical per cluster. The semantic twin of
+    ``exact_dedup`` — returns ``(id_col, cluster_id, is_canonical)``
+    for EVERY input row (singletons are their own cluster).
+
+    Zero-norm vectors (NULL/empty documents hash to the zero vector)
+    are excluded from pairing before any cosine is computed: their
+    cosine is 0/0 = NaN, and NaN-vs-threshold comparison semantics
+    differ between engines (Spark orders NaN above every value), so
+    the guard is correctness, not taste. They survive as singleton
+    clusters.
+
+    Scale: the pair stage is the LSH-blocked candidate join
+    (O(bucket collisions), never all-pairs); components run min-label
+    propagation + pointer doubling (O(log diameter) rounds); the
+    final join is one id-keyed shuffle. Pick a binary-exact threshold
+    (x.9375, x.875) so the >= comparison never straddles a ULP.
+    """
+    from datalake_toolkit_spark.llm.similarity import (
+        _as_double,
+        _fold_sum,
+        cosine_near_dup_pairs,
+    )
+
+    sq_norm = _fold_sum(
+        F.transform(_as_double(vec_col), lambda x: x * x)
+    )
+    nonzero = vectors.select(id_col, vec_col).where(sq_norm > 0)
+    pairs = cosine_near_dup_pairs(
+        nonzero,
+        threshold=threshold,
+        id_col=id_col,
+        vec_col=vec_col,
+        n_planes=n_planes,
+        dim=dim,
+    ).select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
+    return dedup_clusters(
+        vectors.select(id_col), pairs, id_col=id_col
+    )
+
+
 def dedup_keep_canonical(
     docs: DataFrame,
     pairs: DataFrame,

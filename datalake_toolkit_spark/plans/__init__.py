@@ -101,6 +101,7 @@ DEMOTED: tuple[str, ...] = (
     # r6 births: parked in the parity/bench tail (this round's window is
     # full of never-driver-checked queries); rotate into the gate in r7.
     "q_curate_corpus_full",
+    "q_semantic_dedup",
 )
 
 GATE_WINDOW = 50

@@ -1393,3 +1393,74 @@ def q_curate_corpus_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         "window_end",
         "n_windows",
     )
+
+
+def _semantic_dedup_oracle() -> str:
+    """DuckDB mirror of llm.cluster.semantic_dedup over the hashed
+    document vectors: identical integer embeddings -> identical LSH
+    buckets -> identical candidate pairs -> recursive-CTE transitive
+    closure standing in for the iterative min-label propagation."""
+    bucket = _lsh_bucket_sql(4, 32)
+    return rf"""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS w
+      FROM documents WHERE text IS NOT NULL
+    ),
+    h AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5(w), 1, 8) AS BIGINT) % 32 AS b,
+             CASE WHEN (CAST('0x' || substr(md5(w), 1, 8) AS BIGINT) >> 8) & 1 = 1
+                  THEN 1 ELSE -1 END AS s
+      FROM toks
+    ),
+    agg AS (SELECT doc_id, b, CAST(sum(s) AS BIGINT) AS v FROM h GROUP BY 1, 2),
+    dims AS (SELECT unnest(generate_series(0, 31)) AS dim),
+    dense AS (
+      SELECT d.doc_id,
+             list(CAST(coalesce(agg.v, 0) AS DOUBLE) ORDER BY dims.dim) AS v
+      FROM documents d
+      CROSS JOIN dims
+      LEFT JOIN agg ON agg.doc_id = d.doc_id AND agg.b = dims.dim
+      GROUP BY d.doc_id
+    ),
+    nz AS (SELECT doc_id, v FROM dense WHERE list_inner_product(v, v) > 0),
+    bk AS (SELECT doc_id, v, {bucket} AS bucket FROM nz),
+    e0 AS (
+      SELECT a.doc_id AS a, bb.doc_id AS b
+      FROM bk a JOIN bk bb ON a.bucket = bb.bucket AND a.doc_id < bb.doc_id
+      WHERE list_cosine_similarity(a.v, bb.v) >= 0.9375
+    ),
+    edges AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+    nodes AS (SELECT DISTINCT a AS n FROM edges),
+    reach(n, m) AS (
+      SELECT n, n FROM nodes
+      UNION
+      SELECT e.a, r.m FROM edges e JOIN reach r ON e.b = r.n
+    ),
+    comp AS (SELECT n AS doc_id, MIN(m) AS comp FROM reach GROUP BY n)
+    SELECT d.doc_id,
+           CAST(coalesce(comp.comp, d.doc_id) AS BIGINT) AS cluster_id,
+           coalesce(comp.comp, d.doc_id) = d.doc_id AS is_canonical
+    FROM documents d LEFT JOIN comp USING (doc_id)
+    """
+
+
+@query("q_semantic_dedup", _semantic_dedup_oracle())
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic deduplication end to end (llm.cluster.semantic_dedup):
+    hashed document vectors -> LSH-blocked cosine pairs (>= 0.9375,
+    binary-exact) -> connected components -> min-id canonical per
+    cluster. Integer-exact vectors make even this approximate pipeline
+    fully hash-checkable; zero-norm (empty) docs skip pairing and
+    survive as singletons."""
+    from datalake_toolkit_spark.llm import hashed_embeddings, semantic_dedup
+
+    emb = hashed_embeddings(_t(spark, sf_dir, "documents"), dim=32)
+    out = semantic_dedup(
+        emb, id_col="doc_id", threshold=0.9375, n_planes=4, dim=32
+    )
+    return out.select(
+        "doc_id", F.col("cluster_id").cast("long").alias("cluster_id"), "is_canonical"
+    )
+
+

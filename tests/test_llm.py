@@ -311,6 +311,28 @@ def test_connected_components_chain_star_and_singleton(spark):
     assert got[10] == (10, True) and got[13] == (10, False)
 
 
+def test_semantic_dedup_clusters_zero_vectors_and_canonicals(spark):
+    """semantic_dedup: colinear vectors cluster under their min id,
+    orthogonal vectors stay singletons, and zero vectors (NULL-doc
+    hash output) never pair — no NaN cosine reaches the threshold."""
+    from datalake_toolkit_spark.llm import semantic_dedup
+
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0, 0.0]),
+            (2, [2.0, 0.0, 0.0, 0.0]),  # same direction as 1 -> cosine 1.0
+            (3, [0.0, 1.0, 0.0, 0.0]),  # orthogonal -> singleton
+            (4, [0.0, 0.0, 0.0, 0.0]),  # zero vector -> guarded singleton
+        ],
+        "doc_id bigint, embedding array<double>",
+    )
+    out = {
+        r.doc_id: (r.cluster_id, r.is_canonical)
+        for r in semantic_dedup(df, threshold=0.9375, n_planes=None, dim=4).collect()
+    }
+    assert out == {1: (1, True), 2: (1, False), 3: (3, True), 4: (4, True)}
+
+
 def test_dedup_keep_canonical_composes_with_minhash(spark, sf_dir):
     """End-to-end dedup: minhash pairs -> clusters -> canonical-only
     corpus. Survivor count = docs - (cluster members - clusters), and
