@@ -124,6 +124,7 @@ def semantic_dedup(
     threshold: float = 0.9375,
     n_planes: int | None = 4,
     dim: int = 64,
+    universe: DataFrame | None = None,
 ) -> DataFrame:
     """Embedding-space deduplication, end to end: cosine near-dup
     pairs (LSH-blocked when ``n_planes`` is set) -> connected
@@ -143,6 +144,23 @@ def semantic_dedup(
     propagation + pointer doubling (O(log diameter) rounds); the
     final join is one id-keyed shuffle. Pick a binary-exact threshold
     (x.9375, x.875) so the >= comparison never straddles a ULP.
+
+    Tune ``n_planes`` to the corpus geometry: sign buckets balance
+    only when vector directions spread. Correlated vectors (raw
+    bag-of-words counts share the stopword-dominated direction) pile
+    into one bucket and the candidate join goes quadratic — measured
+    on the sf0.1 synthetic corpus, 4 planes put 58% of docs in a
+    single bucket (4.7M candidates) while 16 planes spread them over
+    1542 buckets (53k candidates, ~25x faster) at an explicit recall
+    trade. Mean-centering or TF-IDF weighting the vectors before
+    bucketing is the other lever: both remove the shared component.
+
+    ``universe`` (optional): a cheap ``(id_col)`` frame covering the
+    same ids as ``vectors``. When the vector column is itself a
+    derived pipeline (hashed embeddings over text), the final
+    annotate-every-row join would re-run that pipeline just to list
+    ids — pass the underlying id source instead and it is scanned
+    once.
     """
     from datalake_toolkit_spark.llm.similarity import (
         _as_double,
@@ -162,9 +180,8 @@ def semantic_dedup(
         n_planes=n_planes,
         dim=dim,
     ).select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
-    return dedup_clusters(
-        vectors.select(id_col), pairs, id_col=id_col
-    )
+    ids = vectors.select(id_col) if universe is None else universe.select(id_col)
+    return dedup_clusters(ids, pairs, id_col=id_col)
 
 
 def dedup_keep_canonical(

@@ -1400,7 +1400,7 @@ def _semantic_dedup_oracle() -> str:
     document vectors: identical integer embeddings -> identical LSH
     buckets -> identical candidate pairs -> recursive-CTE transitive
     closure standing in for the iterative min-label propagation."""
-    bucket = _lsh_bucket_sql(4, 32)
+    bucket = _lsh_bucket_sql(16, 32)
     return rf"""
     WITH RECURSIVE toks AS (
       SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS w
@@ -1452,12 +1452,23 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     binary-exact) -> connected components -> min-id canonical per
     cluster. Integer-exact vectors make even this approximate pipeline
     fully hash-checkable; zero-norm (empty) docs skip pairing and
-    survive as singletons."""
+    survive as singletons. 16 planes, not the default: bag-of-words
+    vectors share the stopword-dominated direction, so few planes
+    collapse most docs into one sign bucket (measured: 4 planes put
+    2894/5000 sf0.1 docs in one bucket -> 4.7M candidates / 28s; 16
+    planes -> 1542 buckets / 53k candidates / ~1s, recall traded
+    explicitly)."""
     from datalake_toolkit_spark.llm import hashed_embeddings, semantic_dedup
 
-    emb = hashed_embeddings(_t(spark, sf_dir, "documents"), dim=32)
+    docs = _t(spark, sf_dir, "documents")
+    emb = hashed_embeddings(docs, dim=32)
     out = semantic_dedup(
-        emb, id_col="doc_id", threshold=0.9375, n_planes=4, dim=32
+        emb,
+        id_col="doc_id",
+        threshold=0.9375,
+        n_planes=16,
+        dim=32,
+        universe=docs,  # cheap id source: skip re-running the embedding pipeline for the final join
     )
     return out.select(
         "doc_id", F.col("cluster_id").cast("long").alias("cluster_id"), "is_canonical"
