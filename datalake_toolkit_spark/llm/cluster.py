@@ -125,6 +125,7 @@ def semantic_dedup(
     n_planes: int | None = 4,
     dim: int = 64,
     universe: DataFrame | None = None,
+    center: bool = False,
 ) -> DataFrame:
     """Embedding-space deduplication, end to end: cosine near-dup
     pairs (LSH-blocked when ``n_planes`` is set) -> connected
@@ -179,6 +180,7 @@ def semantic_dedup(
         vec_col=vec_col,
         n_planes=n_planes,
         dim=dim,
+        center=center,
     ).select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
     ids = vectors.select(id_col) if universe is None else universe.select(id_col)
     return dedup_clusters(ids, pairs, id_col=id_col)

@@ -333,6 +333,62 @@ def test_semantic_dedup_clusters_zero_vectors_and_canonicals(spark):
     assert out == {1: (1, True), 2: (1, False), 3: (3, True), 4: (4, True)}
 
 
+def test_centered_lsh_balances_buckets_without_losing_true_dups(spark):
+    """center=True must (a) spread the dominant-direction mass over
+    many sign buckets, and (b) keep every true near-identical
+    duplicate pair: identical residuals center to identical vectors,
+    so their buckets still coincide."""
+    from datalake_toolkit_spark.llm.similarity import (
+        _as_double,
+        cosine_near_dup_pairs,
+        dimension_means,
+        hyperplane_bucket,
+    )
+
+    # shared dominant component + one of 10 residual classes; docs in
+    # the same class are IDENTICAL vectors (true duplicates)
+    shared = [60, 50, 40, 30, 20, 10, 10, 10]
+    residuals = [
+        [(17 * (k + 1) * (d + 3)) % 29 - 14 for d in range(8)] for k in range(10)
+    ]
+    rows = [
+        (i, [shared[d] + residuals[i % 10][d] for d in range(8)])
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, embedding array<long>")
+
+    exact = {
+        (r.id_a, r.id_b)
+        for r in cosine_near_dup_pairs(df, 0.999, "doc_id").collect()
+    }
+    assert len(exact) > 0
+    centered = {
+        (r.id_a, r.id_b)
+        for r in cosine_near_dup_pairs(
+            df, 0.999, "doc_id", n_planes=4, dim=8, center=True
+        ).collect()
+    }
+    assert centered == exact  # every true dup kept, nothing extra
+
+    def max_bucket(center: bool) -> int:
+        v = df.select(_as_double("embedding").alias("va"))
+        if center:
+            v = v.crossJoin(F.broadcast(dimension_means(v, "va"))).select(
+                F.zip_with("va", "_mean", lambda x, m: x - m).alias("va")
+            )
+        hist = (
+            v.select(hyperplane_bucket("va", 4, 8).alias("b"))
+            .groupBy("b")
+            .count()
+            .collect()
+        )
+        return max(r["count"] for r in hist)
+
+    # the shared component pushes most raw vectors into few buckets;
+    # centering spreads them by residual class
+    assert max_bucket(center=True) < max_bucket(center=False)
+
+
 def test_dedup_keep_canonical_composes_with_minhash(spark, sf_dir):
     """End-to-end dedup: minhash pairs -> clusters -> canonical-only
     corpus. Survivor count = docs - (cluster members - clusters), and
