@@ -50,6 +50,19 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
+class ConstraintViolationError(ValueError):
+    """A write was rejected because rows violate the table's declared
+    constraints; carries the per-rule violation counts."""
+
+    def __init__(self, table_path: str, report: list[tuple[str, int]]) -> None:
+        self.report = report
+        detail = ", ".join(f"{name}: {n} rows" for name, n in report)
+        super().__init__(
+            f"write to {table_path} violates constraints ({detail}); "
+            "fix the data, drop the rule, or use on_violation='quarantine'"
+        )
+
+
 class ConcurrentWriteError(RuntimeError):
     """Another writer committed this version first; re-read and retry."""
 
@@ -103,12 +116,28 @@ class LakeTable:
         spark: SparkSession,
         path: str,
         partition_by: Sequence[str] = (),
+        constraints: dict[str, str] | None = None,
+        on_violation: str = "reject",
     ) -> None:
+        """``constraints``: named boolean SQL expressions every row of
+        every write/upsert must satisfy (Delta CHECK-constraint
+        semantics; false OR NULL = violation). Persisted in the commit
+        manifest, so a later ``LakeTable(spark, path)`` — no
+        constraints argument — enforces the table's declared rules.
+        ``on_violation``: ``'reject'`` fails the whole write with
+        per-rule counts; ``'quarantine'`` diverts violating rows to
+        ``<path>/_quarantine/<token>`` and commits only passing rows
+        (the streaming UNMATCHED pattern applied to batch writes)."""
+        if on_violation not in ("reject", "quarantine"):
+            raise ValueError(f"on_violation must be reject|quarantine, got {on_violation!r}")
         self.spark = spark
         self.path = path
         self.partition_by = tuple(partition_by)
+        self.constraints = dict(constraints) if constraints is not None else None
+        self.on_violation = on_violation
         self.log_dir = os.path.join(path, "_dtk_log")
         self.data_dir = os.path.join(path, "data")
+        self.quarantine_dir = os.path.join(path, "_quarantine")
 
     # -- log ---------------------------------------------------------------
 
@@ -166,6 +195,7 @@ class LakeTable:
             "partition_by": list(self.partition_by),
             "owners": owners,
             "schema": schema_json,
+            "constraints": self._active_constraints(),
         }
         try:
             fd = os.open(
@@ -179,6 +209,62 @@ class LakeTable:
         with os.fdopen(fd, "w") as fh:
             json.dump(manifest, fh)
         return version
+
+    # -- constraints ---------------------------------------------------------
+
+    def _active_constraints(self) -> dict[str, str]:
+        """This instance's rules if given, else the table's persisted
+        rules from the latest manifest (empty for a fresh table)."""
+        if self.constraints is not None:
+            return self.constraints
+        if self.current_version() is None:
+            return {}
+        return self._manifest().get("constraints", {})
+
+    def _enforce(self, df: DataFrame) -> DataFrame:
+        """Apply the table's CHECK constraints to rows about to land.
+        ``reject``: one aggregate pass counts violations per rule and
+        the whole write fails if any (counts travel in the exception).
+        ``quarantine``: violating rows land under _quarantine/<token>
+        as parquet (with a ``_violated`` rule-list column) and only
+        passing rows continue to the commit."""
+        rules = self._active_constraints()
+        if not rules:
+            return df
+        conds = {
+            name: F.coalesce(F.expr(rule), F.lit(False))
+            for name, rule in rules.items()
+        }
+        passing = None
+        for c in conds.values():
+            passing = c if passing is None else (passing & c)
+        if self.on_violation == "reject":
+            counts = df.agg(
+                *[
+                    F.sum(F.when(c, 0).otherwise(1)).cast("long").alias(n)
+                    for n, c in conds.items()
+                ]
+            ).collect()[0]
+            report = [(n, counts[n] or 0) for n in conds if (counts[n] or 0) > 0]
+            if report:
+                raise ConstraintViolationError(self.path, report)
+            return df
+        violated = F.filter(
+            F.array(
+                *[
+                    F.when(~c, F.lit(n)).otherwise(F.lit(None))
+                    for n, c in conds.items()
+                ]
+            ),
+            lambda x: x.isNotNull(),
+        )
+        bad = df.where(~passing).withColumn(
+            "_violated", F.concat_ws(",", violated)
+        )
+        if bad.limit(1).count() > 0:
+            qdir = os.path.join(self.quarantine_dir, self._new_token())
+            bad.write.mode("overwrite").parquet(qdir)
+        return df.where(passing)
 
     # -- data io -----------------------------------------------------------
 
@@ -340,6 +426,7 @@ class LakeTable:
         Data lands once under a fresh token; a commit conflict only
         re-claims the next version number (replace-table semantics
         don't depend on the manifest we lost to)."""
+        df = self._enforce(df)
         token = self._new_token()
         keys = self._write_data(df, token)
         for _ in range(self._MAX_COMMIT_RETRIES):
@@ -428,6 +515,10 @@ class LakeTable:
         if when_matched not in ("update", "delete"):
             raise ValueError(f"when_matched must be update|delete: {when_matched}")
         keys = list(keys)
+        if when_matched == "update":
+            # incoming rows face the table's CHECK constraints; carried
+            # rows were validated when they landed
+            source = self._enforce(source)
         for _ in range(self._MAX_COMMIT_RETRIES):
             if self.current_version() is None:
                 # first merge into an empty table: everything inserts

@@ -715,3 +715,67 @@ def test_stream_dedup_ingest_with_quality_gate(spark, tmp_path):
     ids = sorted(r["doc_id"] for r in corpus)
     # junk rows gated out before dedup; duplicate good doc deduped
     assert ids == [1]
+
+
+def test_write_constraints_reject_and_persist(spark, tmp_path):
+    """Declared CHECK constraints gate every write with per-rule
+    counts, persist in the manifest, and bind a later constraint-less
+    handle to the same table."""
+    import pytest
+
+    from datalake_toolkit_spark.lakehouse import (
+        ConstraintViolationError,
+        LakeTable,
+    )
+
+    t = LakeTable(
+        spark,
+        str(tmp_path / "t"),
+        constraints={"val_positive": "val > 0", "id_not_null": "id IS NOT NULL"},
+    )
+    good = spark.createDataFrame([(1, 5.0), (2, 1.0)], "id bigint, val double")
+    t.write(good)
+
+    bad = spark.createDataFrame(
+        [(3, -1.0), (None, 2.0), (4, 3.0)], "id bigint, val double"
+    )
+    with pytest.raises(ConstraintViolationError) as exc:
+        t.write(bad)
+    assert dict(exc.value.report) == {"val_positive": 1, "id_not_null": 1}
+    # the failed write committed nothing
+    assert t.current_version() == 0
+
+    # a fresh handle with NO constraints argument enforces the
+    # persisted rules (they ride the manifest)
+    t2 = LakeTable(spark, str(tmp_path / "t"))
+    with pytest.raises(ConstraintViolationError):
+        t2.upsert(bad, keys=["id"])
+    t2.upsert(spark.createDataFrame([(9, 4.0)], "id bigint, val double"), keys=["id"])
+    assert t2.read().count() == 3
+
+
+def test_write_constraints_quarantine_mode(spark, tmp_path):
+    """on_violation='quarantine': violating rows divert to
+    _quarantine with the violated-rule list; passing rows commit."""
+    import os
+
+    from datalake_toolkit_spark.lakehouse import LakeTable
+
+    t = LakeTable(
+        spark,
+        str(tmp_path / "q"),
+        constraints={"val_positive": "val > 0"},
+        on_violation="quarantine",
+    )
+    mixed = spark.createDataFrame(
+        [(1, 5.0), (2, -1.0), (3, 2.0)], "id bigint, val double"
+    )
+    t.write(mixed)
+    assert sorted(r.id for r in t.read().collect()) == [1, 3]
+    qdir = os.path.join(str(tmp_path / "q"), "_quarantine")
+    qrows = spark.read.parquet(f"{qdir}/*").collect()
+    assert [(r.id, r._violated) for r in qrows] == [(2, "val_positive")]
+    # an all-clean write adds no quarantine dir
+    before = len(os.listdir(qdir))
+    t.write(spark.createDataFrame([(7, 1.0)], "id bigint, val double"))
+    assert len(os.listdir(qdir)) == before
