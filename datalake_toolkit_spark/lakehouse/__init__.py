@@ -12,4 +12,5 @@ __all__ = ["ConcurrentWriteError", "ConstraintViolationError", "LakeTable", "mer
 from datalake_toolkit_spark.lakehouse.matview import (  # noqa: E402,F401
     last_refreshed_version,
     refresh_aggregate_view,
+    refresh_group_stats_view,
 )

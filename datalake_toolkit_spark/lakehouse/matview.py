@@ -104,3 +104,62 @@ def refresh_aggregate_view(
     )
     view.write(merged, op=f"refresh_base_v{cur}")
     return cur
+
+
+def refresh_group_stats_view(
+    base: LakeTable,
+    view: LakeTable,
+    keys: Sequence[str],
+    value_col: str,
+) -> int | None:
+    """Bring ``view`` (= SELECT keys, count(*) AS n_rows, sum/min/max
+    of ``value_col``) up to date with ``base`` — the maintenance
+    strategy for aggregates a delta CANNOT invert (a delete may have
+    removed the current min/max, so +/- arithmetic is unsound).
+
+    First call builds the full aggregate. Later calls read the change
+    feed ONLY to learn which groups were touched, recompute exactly
+    those groups from the current base snapshot, and carry every
+    untouched group's row forward by anti-join — so the cost is
+    O(changed partitions) for the CDF + O(touched groups' rows) for
+    the recompute, never a full rescan of untouched groups. When the
+    group keys prefix the base's partition columns the recompute scan
+    itself partition-prunes.
+
+    Same type discipline as :func:`refresh_aggregate_view`: both
+    paths emit sum_value as DECIMAL(28,2) and min/max as
+    DECIMAL(18,2), so the view schema never flips between refresh
+    paths. Returns the base version refreshed to (None = current).
+    """
+    keys = list(keys)
+    cur = base.current_version()
+    if cur is None:
+        raise ValueError("base table has no committed version")
+    val = F.col(value_col).cast("decimal(18,2)")
+
+    def aggregate(df):
+        return df.groupBy(*keys).agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(val).alias("sum_value"),
+            F.min(val).alias("min_value"),
+            F.max(val).alias("max_value"),
+        )
+
+    last = last_refreshed_version(view)
+    if last is None:
+        view.write(aggregate(base.read()), op=f"refresh_base_v{cur}")
+        return cur
+    if last >= cur:
+        return None
+    # touched-group set is bounded by changed rows; AQE picks the
+    # broadcast at runtime when it is small (no forced hint — a bulk
+    # rewrite can touch every group)
+    touched = base.changes(last, cur).select(*keys).distinct()
+    recomputed = aggregate(
+        base.read().join(touched, keys, "left_semi")
+    )
+    carried = view.read().join(touched, keys, "left_anti")
+    view.write(
+        carried.unionByName(recomputed), op=f"refresh_base_v{cur}"
+    )
+    return cur
