@@ -81,6 +81,23 @@ def _build_parser() -> argparse.ArgumentParser:
         "--eval-mod", type=int, default=None,
         help="decontaminate against docs where doc_id %% MOD == 0",
     )
+
+    dd = sub.add_parser(
+        "dedup", help="annotate documents with duplicate clusters"
+    )
+    dd.add_argument("--sf-dir", required=True)
+    dd.add_argument("--output", required=True, help="annotated parquet dir")
+    dd.add_argument(
+        "--method", choices=["exact", "minhash", "semantic"], default="exact"
+    )
+    dd.add_argument("--threshold", type=float, default=0.8, help="minhash/semantic")
+    dd.add_argument("--dim", type=int, default=64, help="semantic: hashed-vector width")
+    dd.add_argument("--n-planes", type=int, default=16, help="semantic: LSH planes")
+    dd.add_argument("--center", action="store_true", help="semantic: mean-center buckets")
+    dd.add_argument(
+        "--keep-canonical", action="store_true",
+        help="write only one survivor per cluster instead of annotations",
+    )
     return p
 
 
@@ -232,8 +249,66 @@ def _cmd_curate(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_dedup(args: argparse.Namespace) -> int:
+    from pyspark.sql import functions as F
+
+    from datalake_toolkit_spark.llm import (
+        dedup_clusters,
+        dedup_keep_canonical,
+        exact_dedup_groups,
+        hashed_embeddings,
+        minhash_near_dup_pairs,
+        semantic_dedup,
+    )
+    from datalake_toolkit_spark.sources import load_table
+
+    spark = get_spark(app_name=f"dts-dedup-{args.method}")
+    docs = load_table(spark, args.sf_dir, "documents")
+    if args.method == "exact":
+        keep = exact_dedup_groups(docs, "doc_id").select(
+            F.col("keep_id").alias("doc_id"), F.lit(True).alias("is_canonical")
+        )
+        out = docs.join(keep, ["doc_id"], "left").withColumn(
+            "is_canonical", F.coalesce("is_canonical", F.lit(False))
+        )
+        if args.keep_canonical:
+            out = out.where("is_canonical").drop("is_canonical")
+    else:
+        if args.method == "minhash":
+            pairs = minhash_near_dup_pairs(
+                docs, "doc_id", "text", threshold=args.threshold
+            ).select("doc_a", "doc_b")
+        else:
+            emb = hashed_embeddings(docs, dim=args.dim)
+            out_sem = semantic_dedup(
+                emb,
+                threshold=args.threshold,
+                n_planes=args.n_planes,
+                dim=args.dim,
+                center=args.center,
+                universe=docs,
+            )
+            pairs = (
+                out_sem.where(~F.col("is_canonical"))
+                .select(
+                    F.col("cluster_id").alias("doc_a"),
+                    F.col("doc_id").alias("doc_b"),
+                )
+            )
+        out = (
+            dedup_keep_canonical(docs, pairs, "doc_id")
+            if args.keep_canonical
+            else dedup_clusters(docs, pairs, "doc_id")
+        )
+    out.write.mode("overwrite").parquet(args.output)
+    written = spark.read.parquet(args.output)
+    print(json.dumps({"rows": written.count(), "output": args.output}))
+    return 0
+
+
 _COMMANDS = {
     "ingest": _cmd_ingest,
+    "dedup": _cmd_dedup,
     "query": _cmd_query,
     "profile": _cmd_profile,
     "compact": _cmd_compact,

@@ -658,6 +658,31 @@ def test_cli_entrypoints_in_process(spark, sf_dir, tmp_path, capsys):
     assert json_mod.loads(capsys.readouterr().out.strip())["rows"] == 3
 
 
+def test_cli_dedup_methods(spark, sf_dir, tmp_path, capsys):
+    """The dedup subcommand annotates (or filters) the documents table
+    through each method's full pipeline."""
+    import json as json_mod
+
+    from datalake_toolkit_spark.__main__ import main
+
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+
+    rc = main(["dedup", "--sf-dir", sf_dir, "--output",
+               str(tmp_path / "exact"), "--method", "exact"])
+    assert rc == 0
+    assert json_mod.loads(capsys.readouterr().out.strip())["rows"] == n_docs
+    annotated = spark.read.parquet(str(tmp_path / "exact"))
+    assert "is_canonical" in annotated.columns
+
+    rc = main(["dedup", "--sf-dir", sf_dir, "--output",
+               str(tmp_path / "sem"), "--method", "semantic",
+               "--threshold", "0.9375", "--dim", "32", "--center",
+               "--keep-canonical"])
+    assert rc == 0
+    kept = json_mod.loads(capsys.readouterr().out.strip())["rows"]
+    assert 0 < kept <= n_docs
+
+
 def test_read_files_ignore_corrupt_parquet(spark, tmp_path):
     """A truncated parquet file must cost its own rows only when the
     scan opts into ignoreCorruptFiles — and still fail fast without."""
