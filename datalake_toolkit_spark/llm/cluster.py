@@ -126,6 +126,7 @@ def semantic_dedup(
     dim: int = 64,
     universe: DataFrame | None = None,
     center: bool = False,
+    n_bands: int = 1,
 ) -> DataFrame:
     """Embedding-space deduplication, end to end: cosine near-dup
     pairs (LSH-blocked when ``n_planes`` is set) -> connected
@@ -181,6 +182,7 @@ def semantic_dedup(
         n_planes=n_planes,
         dim=dim,
         center=center,
+        n_bands=n_bands,
     ).select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
     ids = vectors.select(id_col) if universe is None else universe.select(id_col)
     return dedup_clusters(ids, pairs, id_col=id_col)

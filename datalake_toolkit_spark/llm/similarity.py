@@ -155,18 +155,28 @@ def _matrix_lit(m: list[list[float]]) -> Column:
     return F.expr(f"array({body})")
 
 
-def hyperplane_bucket(vec_col: Column | str, n_planes: int = 8, dim: int = 64) -> Column:
+def hyperplane_bucket(
+    vec_col: Column | str,
+    n_planes: int = 8,
+    dim: int = 64,
+    plane_offset: int = 0,
+) -> Column:
     """Sign-bit LSH bucket id in [0, 2^n_planes):
-    bit p = [dot(vec, plane_p) > 0].
+    bit p = [dot(vec, plane_{p + plane_offset}) > 0].
 
     The plane matrix is row-invariant, so it is folded into a single
     array literal on the driver instead of md5-hashed per row (the
     naive in-expression derivation costs n_planes * dim md5 calls per
     vector). Pass a materialized double-array column to avoid
-    re-casting per plane."""
+    re-casting per plane. ``plane_offset`` selects an independent
+    plane family — band b of a multi-band scheme uses offset
+    b * n_planes so bands never share a plane."""
     v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
     planes = _matrix_lit(
-        [[_plane_component(p, d) for d in range(dim)] for p in range(n_planes)]
+        [
+            [_plane_component(p + plane_offset, d) for d in range(dim)]
+            for p in range(n_planes)
+        ]
     )
     bits = F.transform(
         planes,
@@ -400,6 +410,7 @@ def cosine_near_dup_pairs(
     n_planes: int | None = None,
     dim: int = 64,
     center: bool = False,
+    n_bands: int = 1,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (id_a, id_b, cosine)
     with id_a < id_b and cosine >= threshold.
@@ -429,12 +440,64 @@ def cosine_near_dup_pairs(
     5175/13.3s at threshold 0.9375). One extra corpus pass for the
     mean, composed lazily as a one-row broadcast (keyless broadcast =
     O(n) BroadcastNestedLoopJoin by design).
+
+    ``n_bands > 1`` is OR-amplification (the MinHash banding scheme
+    applied to sign LSH): each band hashes on its OWN ``n_planes``
+    disjoint planes and a pair becomes a candidate when ANY band
+    matches — per-band match probability p = (1 - θ/π)^n_planes
+    amplifies to 1 - (1 - p)^n_bands, so recall rises without
+    fattening any single bucket. Candidates dedupe on (id_a, id_b)
+    BEFORE scoring (a pair colliding in 3 bands is scored once), then
+    vectors re-join by id — three narrow shuffles instead of shipping
+    vectors through the band join.
     """
     c = ensure_min_partitions(
         corpus.select(F.col(id_col).alias("id_a"), _as_double(vec_col).alias("va"))
     ).withColumn("na", _l2_norm(F.col("va")))
-    if n_planes is not None:
-        bucket_src: Column = F.col("va")
+    if n_planes is not None and n_bands > 1:
+        bucket_src = F.col("va")
+        if center:
+            c = c.crossJoin(F.broadcast(dimension_means(c, "va")))
+            bucket_src = F.zip_with(
+                F.col("va"), F.col("_mean"), lambda x, m: x - m
+            )
+        bands = F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        hyperplane_bucket(
+                            bucket_src, n_planes, dim, plane_offset=b * n_planes
+                        ).alias("key"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        )
+        keyed = c.select("id_a", bands.alias("bk")).select(
+            "id_a", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+        )
+        otherk = keyed.select(
+            F.col("id_a").alias("id_b"), "band", "key"
+        ).hint("shuffle_hash")
+        cand = (
+            keyed.hint("shuffle_hash")
+            .join(otherk, ["band", "key"])
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+        vecs = c.select("id_a", "va", "na")
+        paired = cand.join(vecs.hint("shuffle_hash"), "id_a").join(
+            vecs.select(
+                F.col("id_a").alias("id_b"),
+                F.col("va").alias("vb"),
+                F.col("na").alias("nb"),
+            ).hint("shuffle_hash"),
+            "id_b",
+        )
+    elif n_planes is not None:
+        bucket_src = F.col("va")
         if center:
             c = c.crossJoin(F.broadcast(dimension_means(c, "va")))
             bucket_src = F.zip_with(

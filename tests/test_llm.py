@@ -389,6 +389,33 @@ def test_centered_lsh_balances_buckets_without_losing_true_dups(spark):
     assert max_bucket(center=True) < max_bucket(center=False)
 
 
+def test_banded_lsh_amplifies_recall(spark, sf_dir):
+    """OR-amplified (multi-band) cosine LSH: band 0 uses the same
+    plane family as the single-bucket mode, so banded candidates are
+    a SUPERSET of single-bucket pairs; every mode's output stays a
+    subset of the exact all-pairs truth; and extra bands strictly add
+    recall on this corpus."""
+    from datalake_toolkit_spark.llm import hashed_embeddings
+    from datalake_toolkit_spark.llm.similarity import cosine_near_dup_pairs
+    from datalake_toolkit_spark.sources import load_table
+
+    emb = hashed_embeddings(load_table(spark, sf_dir, "documents"), dim=32)
+
+    def pairs(**kw):
+        return {
+            (r.id_a, r.id_b)
+            for r in cosine_near_dup_pairs(
+                emb, 0.9375, "doc_id", dim=32, **kw
+            ).collect()
+        }
+
+    exact = pairs()
+    single = pairs(n_planes=12)
+    banded = pairs(n_planes=12, n_bands=4)
+    assert single <= banded <= exact
+    assert len(banded) > len(single)  # amplification really engaged
+
+
 def test_dedup_keep_canonical_composes_with_minhash(spark, sf_dir):
     """End-to-end dedup: minhash pairs -> clusters -> canonical-only
     corpus. Survivor count = docs - (cluster members - clusters), and
