@@ -39,11 +39,16 @@ def merge_batch(
     partition_by: Sequence[str] = (),
     order_by: Sequence[Column] = (),
     schema_evolution: bool = False,
+    on_violation: str = "reject",
 ) -> None:
     """MERGE one (micro-)batch into the LakeTable at ``path``.
 
     Usable directly for batch upserts or via ``stream_upsert`` as the
-    ``foreachBatch`` body."""
+    ``foreachBatch`` body. The table's PERSISTED CHECK constraints
+    bind automatically (the handle loads them from the manifest);
+    ``on_violation`` picks the writer-side policy — ``'quarantine'``
+    diverts violating rows instead of failing the micro-batch, the
+    right default for unattended streams."""
     if batch.isEmpty():
         return
     collapsed = dedup_latest(
@@ -51,9 +56,10 @@ def merge_batch(
         partition_cols=list(keys),
         order_cols=[*order_by, *[F.col(k) for k in keys]],
     )
-    LakeTable(batch.sparkSession, path, partition_by=partition_by).upsert(
-        collapsed, keys=list(keys), schema_evolution=schema_evolution
-    )
+    LakeTable(
+        batch.sparkSession, path, partition_by=partition_by,
+        on_violation=on_violation,
+    ).upsert(collapsed, keys=list(keys), schema_evolution=schema_evolution)
 
 
 def stream_upsert(
@@ -65,10 +71,14 @@ def stream_upsert(
     order_by: Sequence[Column] = (),
     schema_evolution: bool = False,
     available_now: bool = True,
+    on_violation: str = "reject",
 ):
     """Run a stream into a MERGE-maintained LakeTable; returns the
     started ``StreamingQuery`` (``availableNow`` drains and stops by
-    default, processing-time tailing with ``available_now=False``)."""
+    default, processing-time tailing with ``available_now=False``).
+    Persisted CHECK constraints on the target table gate every
+    micro-batch; pass ``on_violation='quarantine'`` so bad rows divert
+    instead of killing the stream."""
 
     def _apply(batch: DataFrame, _batch_id: int) -> None:
         merge_batch(
@@ -78,6 +88,7 @@ def stream_upsert(
             partition_by=partition_by,
             order_by=order_by,
             schema_evolution=schema_evolution,
+            on_violation=on_violation,
         )
 
     writer = (

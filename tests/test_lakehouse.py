@@ -845,3 +845,34 @@ def test_group_stats_view_recomputes_touched_groups_only(spark, tmp_path):
     # schema stays put across full-build and incremental paths
     assert dict(view.read().dtypes)["sum_value"] == "decimal(28,2)"
     assert dict(view.read().dtypes)["min_value"] == "decimal(18,2)"
+
+
+def test_stream_upsert_honors_persisted_constraints(spark, tmp_path):
+    """A stream into a constrained table enforces the PERSISTED rules
+    per micro-batch: quarantine mode diverts violating rows and keeps
+    the stream alive; the committed table holds only passing rows."""
+    from datalake_toolkit_spark.lakehouse import LakeTable
+    from datalake_toolkit_spark.lakehouse.streaming import stream_upsert
+
+    tbl_path = str(tmp_path / "t")
+    t = LakeTable(spark, tbl_path, constraints={"val_positive": "val > 0"})
+    t.write(spark.createDataFrame([(1, 5.0)], "id bigint, val double"))
+
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "b1.json").write_text('{"id": 2, "val": 3.0}\n{"id": 3, "val": -9.0}\n')
+    stream = (
+        spark.readStream.schema("id bigint, val double")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = stream_upsert(
+        stream, tbl_path, keys=["id"],
+        checkpoint=str(tmp_path / "ckpt"),
+        on_violation="quarantine",
+    )
+    q.awaitTermination(300)
+    got = {r.id: r.val for r in LakeTable(spark, tbl_path).read().collect()}
+    assert got == {1: 5.0, 2: 3.0}  # violator never committed
+    qrows = spark.read.parquet(f"{tbl_path}/_quarantine/*").collect()
+    assert [(r.id, r._violated) for r in qrows] == [(3, "val_positive")]
