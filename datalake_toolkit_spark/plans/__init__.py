@@ -102,6 +102,7 @@ DEMOTED: tuple[str, ...] = (
     # full of never-driver-checked queries); rotate into the gate in r7.
     "q_curate_corpus_full",
     "q_semantic_dedup",
+    "q_banded_cosine_near_dups",
 )
 
 GATE_WINDOW = 50

@@ -306,17 +306,20 @@ def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_norms(_t(spark, sf_dir, "embeddings"))
 
 
-def _lsh_bucket_sql(n_planes: int, dim: int) -> str:
+def _lsh_bucket_sql(n_planes: int, dim: int, plane_offset: int = 0) -> str:
     """DuckDB mirror of llm.similarity.hyperplane_bucket: the plane
     matrix is deterministic (md5-derived, driver-computable), so the
     oracle reproduces the exact bucket ids with literal plane arrays
     — making the LSH-blocked scale path fully hash-checkable, not
-    just recall-bounded."""
+    just recall-bounded. ``plane_offset`` mirrors the multi-band
+    scheme's disjoint per-band plane families."""
     from datalake_toolkit_spark.llm.similarity import _plane_component
 
     terms = []
     for p in range(n_planes):
-        arr = ",".join(repr(_plane_component(p, d)) for d in range(dim))
+        arr = ",".join(
+            repr(_plane_component(p + plane_offset, d)) for d in range(dim)
+        )
         terms.append(
             f"(CASE WHEN list_inner_product(v, [{arr}]) > 0 "
             f"THEN {2 ** p} ELSE 0 END)"
@@ -576,6 +579,45 @@ def q_lsh_cosine_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     return cosine_near_dup_pairs(emb, threshold=0.4, n_planes=4)
+
+
+def _banded_cosine_oracle() -> str:
+    """DuckDB mirror of the multi-band (OR-amplified) cosine LSH
+    pairing: three disjoint 6-plane families, candidates deduped on
+    ids before scoring — identical band keys, identical pair set."""
+    bands = " UNION ALL ".join(
+        f"SELECT vec_id, v, {b} AS band, "
+        f"{_lsh_bucket_sql(6, 64, plane_offset=b * 6)} AS key FROM c"
+        for b in range(3)
+    )
+    return f"""
+    WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    b AS ({bands}),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, bb.vec_id AS id_b
+      FROM b a JOIN b bb
+        ON a.band = bb.band AND a.key = bb.key AND a.vec_id < bb.vec_id
+    )
+    SELECT cand.id_a, cand.id_b,
+           list_cosine_similarity(x.v, y.v) AS cosine
+    FROM cand
+    JOIN c x ON x.vec_id = cand.id_a
+    JOIN c y ON y.vec_id = cand.id_b
+    WHERE list_cosine_similarity(x.v, y.v) >= 0.4
+    """
+
+
+@query("q_banded_cosine_near_dups", _banded_cosine_oracle())
+def q_banded_cosine_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-band OR-amplified cosine LSH pairs: 3 bands x 6 disjoint
+    planes; a pair is scored when ANY band matches, lifting per-band
+    recall p to 1-(1-p)^3 without fattening any single bucket. The
+    oracle reproduces the exact per-band keys, so even the amplified
+    approximate path is hash-checked."""
+    from datalake_toolkit_spark.llm import cosine_near_dup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return cosine_near_dup_pairs(emb, threshold=0.4, n_planes=6, n_bands=3)
 
 
 def _ivf_oracle(n_lists: int = 8, n_probe: int = 2, dim: int = 64, k: int = 10) -> str:
