@@ -22,6 +22,7 @@ from datalake_toolkit_spark.llm.cluster import (
 from datalake_toolkit_spark.llm.dedup import (
     exact_dedup,
     exact_dedup_groups,
+    incremental_minhash_dedup,
     jaccard_pairs,
     minhash_band_keys,
     minhash_near_dup_pairs,
@@ -48,6 +49,7 @@ __all__ = [
     "dedup_keep_canonical",
     "exact_dedup",
     "exact_dedup_groups",
+    "incremental_minhash_dedup",
     "jaccard_pairs",
     "ivf_topk",
     "lsh_bucketed_topk",

@@ -150,13 +150,7 @@ def minhash_near_dup_pairs(
     # interpreted and cost ~2x the whole pipeline. Map-side partial
     # min means the shuffle carries one signature row per doc per
     # partition.
-    ex = docs.select(F.col(id_col), F.explode_outer("sh").alias("shingle"))
-    sig = ex.groupBy(id_col).agg(
-        *[
-            F.min(F.md5(F.concat(F.col("shingle"), F.lit(f"#{i}")))).alias(f"__s{i}")
-            for i in range(num_hashes)
-        ]
-    )
+    sig = _signatures(docs, id_col, num_hashes)
     band_keys = [
         F.md5(
             F.concat_ws(
@@ -403,6 +397,152 @@ def incremental_dedup(
     )
     ledger.upsert(new_fps, keys=["text_hash"])
     return survivors
+
+
+def _signatures(
+    docs: DataFrame, id_col: str, num_hashes: int
+) -> DataFrame:
+    """(id, __s0..__sN) MinHash signatures from a ``_doc_shingles``
+    frame — the codegen'd hash-aggregate formulation."""
+    ex = docs.select(F.col(id_col), F.explode_outer("sh").alias("shingle"))
+    return ex.groupBy(id_col).agg(
+        *[
+            F.min(F.md5(F.concat(F.col("shingle"), F.lit(f"#{i}")))).alias(f"__s{i}")
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def incremental_minhash_dedup(
+    new_docs: DataFrame,
+    ledger,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 12,
+    bands: int = 4,
+    threshold: float = 0.8,
+    before_commit=None,
+) -> DataFrame:
+    """Production NEAR-dup dedup under continuous ingestion: drop rows
+    of ``new_docs`` that near-duplicate anything already committed to
+    ``ledger`` (a ``lakehouse.LakeTable`` of MinHash band keys +
+    signatures) — the 100 TB historical corpus is never rescanned,
+    only its band index is probed. The batch first collapses
+    internally via exact-Jaccard-verified MinHash pairs; survivors
+    then probe the ledger's band keys, and candidates verify by
+    SIGNATURE-estimated Jaccard (matching positions / num_hashes —
+    the historical text is not retained, so the estimator IS the
+    verification; in-batch dedup stays exact). Surviving canonicals'
+    band rows commit LAST (the crash-recovery order of
+    :func:`incremental_dedup`): ``before_commit(survivors)`` is where
+    downstream corpus writes belong.
+
+    Ledger schema: (bkey, band, keep_id, signature, key_prefix) with
+    ``bands`` rows per committed doc, upsert-keyed on (bkey, keep_id)
+    so replays merge. Construct the LakeTable with
+    ``partition_by=("key_prefix",)`` (first 2 hex chars of the band
+    key, 256 uniform buckets) so a batch rewrites only touched
+    buckets. k / num_hashes / bands are part of the ledger's identity:
+    probing with different parameters than it was built with finds
+    nothing — pass the same values every batch.
+
+    Scale: signatures are one hash-agg per batch; the ledger probe is
+    an equi-join on band key with the ledger side pinned to
+    shuffle_hash (never let a 100 TB index broadcast); estimated
+    verification touches only collided pairs.
+    """
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must divide evenly into bands ({bands})"
+        )
+    rows_per_band = num_hashes // bands
+
+    # 1. batch-internal collapse (exact-verified near-dup canonicals)
+    from datalake_toolkit_spark.llm.cluster import dedup_keep_canonical
+
+    batch = new_docs.where(F.col(text_col).isNotNull())
+    pairs = minhash_near_dup_pairs(
+        batch, id_col, text_col, k=k, num_hashes=num_hashes,
+        bands=bands, threshold=threshold,
+    ).select("doc_a", "doc_b")
+    survivors = dedup_keep_canonical(batch, pairs, id_col)
+
+    # 2. signatures + band rows for the surviving batch docs
+    docs = _doc_shingles(survivors, id_col, text_col, k)
+    sig = _signatures(docs, id_col, num_hashes)
+    sig_str = F.concat_ws("|", *[F.col(f"__s{i}") for i in range(num_hashes)])
+    band_rows = sig.select(
+        F.col(id_col),
+        sig_str.alias("signature"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.md5(
+                        F.concat_ws(
+                            "|",
+                            F.lit(str(b)),
+                            *[
+                                F.col(f"__s{i}")
+                                for i in range(
+                                    b * rows_per_band, (b + 1) * rows_per_band
+                                )
+                            ],
+                        )
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "bkey"),
+    )
+
+    # 3. probe the historical band index; verify by signature estimate
+    try:
+        seen = ledger.read().select(
+            "bkey", F.col("signature").alias("_old_sig")
+        )
+        est = (
+            F.aggregate(
+                F.zip_with(
+                    F.split(F.col("signature"), r"\|"),
+                    F.split(F.col("_old_sig"), r"\|"),
+                    lambda a, b: F.when(a == b, 1).otherwise(0),
+                ),
+                F.lit(0),
+                lambda acc, x: acc + x,
+            ).cast("double")
+            / F.lit(float(num_hashes))
+        )
+        dup_ids = (
+            band_rows.hint("shuffle_hash")
+            .join(seen.hint("shuffle_hash"), "bkey")
+            .where(est >= threshold)
+            .select(id_col)
+            .distinct()
+        )
+        fresh = survivors.join(dup_ids, [id_col], "left_anti")
+        fresh_bands = band_rows.join(dup_ids, [id_col], "left_anti")
+    except FileNotFoundError:  # first batch: empty ledger
+        fresh = survivors
+        fresh_bands = band_rows
+    if before_commit is not None:
+        fresh = fresh.localCheckpoint(eager=True)
+        before_commit(fresh)
+
+    # 4. band rows commit LAST; short docs (< k words) have no
+    # shingles, hence no band rows — they pass through undeduped by
+    # design (no content identity at this granularity)
+    new_rows = fresh_bands.join(
+        fresh.select(id_col), [id_col], "left_semi"
+    ).select(
+        "bkey",
+        F.col("band").cast("int").alias("band"),
+        F.col(id_col).alias("keep_id"),
+        "signature",
+        F.substring("bkey", 1, 2).alias("key_prefix"),
+    )
+    ledger.upsert(new_rows, keys=["bkey", "keep_id"])
+    return fresh
 
 
 def simhash_near_dup_pairs(

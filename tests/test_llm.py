@@ -549,6 +549,54 @@ def test_incremental_dedup_drops_null_text(spark, tmp_path):
     assert ledger.read().count() == 1
 
 
+def test_incremental_minhash_dedup_across_batches(spark, tmp_path):
+    """NEAR-dup dedup against the persistent band ledger: batch 2
+    drops a doc that near-duplicates batch-1 history (different text,
+    high shingle overlap), keeps a genuinely new doc, collapses its
+    own internal near-dups first, and a full replay is a no-op."""
+    from datalake_toolkit_spark.lakehouse import LakeTable
+    from datalake_toolkit_spark.llm import incremental_minhash_dedup
+
+    ledger = LakeTable(
+        spark, str(tmp_path / "mh_ledger"), partition_by=("key_prefix",)
+    )
+    base = "the quick brown fox jumps over the lazy dog in the quiet park today"
+    near = base.replace("today", "tonight")  # high-overlap variant
+    other = "completely different words about databases and distributed query engines"
+
+    b1 = spark.createDataFrame(
+        [(1, base), (2, other)], "doc_id bigint, text string"
+    )
+    s1 = incremental_minhash_dedup(b1, ledger, threshold=0.5)
+    assert {r.doc_id for r in s1.collect()} == {1, 2}
+    assert ledger.read().count() == 8  # 2 docs x 4 bands
+
+    # 10 near-dups history, 11+12 internal near-dup pair, 13 fresh
+    b2 = spark.createDataFrame(
+        [
+            (10, near),
+            (11, "an entirely novel document describing minhash banding"),
+            (12, "an entirely novel document describing minhash banding ok"),
+            (13, "unrelated corpus of legal filings and court transcripts here"),
+        ],
+        "doc_id bigint, text string",
+    )
+    seen = []
+    s2 = incremental_minhash_dedup(
+        b2, ledger, threshold=0.5, before_commit=lambda df: seen.append(df.count())
+    )
+    got = {r.doc_id for r in s2.collect()}
+    assert 10 not in got  # near-dup of history, estimator-dropped
+    assert 11 in got and 12 not in got  # internal collapse keeps min id
+    assert 13 in got
+    assert seen == [2]  # before_commit saw exactly the survivors
+
+    # replay: both survivors now near-duplicate history exactly
+    s2r = incremental_minhash_dedup(b2, ledger, threshold=0.5)
+    assert s2r.count() == 0
+    assert ledger.read().select("keep_id").distinct().count() == 4  # 1,2,11,13
+
+
 def test_chunk_documents_window_arithmetic(spark):
     """Chunk boundaries: full windows step by chunk-overlap, the tail
     is kept, empty docs vanish, bad params rejected."""
