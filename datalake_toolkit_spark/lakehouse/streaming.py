@@ -174,3 +174,67 @@ def stream_dedup_ingest(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_near_dedup_ingest(
+    stream_df: DataFrame,
+    corpus_path: str,
+    ledger_path: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    corpus_partition_by: Sequence[str] = (),
+    available_now: bool = True,
+    batch_filter: Callable[[DataFrame], DataFrame] | None = None,
+    threshold: float = 0.8,
+    k: int = 3,
+    num_hashes: int = 12,
+    bands: int = 4,
+):
+    """:func:`stream_dedup_ingest` with NEAR-duplicate semantics: each
+    micro-batch probes the persistent MinHash band ledger, drops docs
+    near-duplicating the committed corpus (signature-estimated
+    Jaccard), collapses internally with exact verification, merges
+    survivors into the corpus, and commits band rows LAST (the same
+    corpus-first crash-recovery order). k / num_hashes / bands are
+    part of the ledger's identity — keep them constant for its
+    lifetime. ``batch_filter`` runs before dedup, exactly like the
+    exact-dedup pipeline."""
+    from datalake_toolkit_spark.llm.dedup import incremental_minhash_dedup
+
+    def _apply(batch: DataFrame, _batch_id: int) -> None:
+        if batch_filter is not None:
+            batch = batch_filter(batch)
+        if batch.isEmpty():
+            return
+        ledger = LakeTable(
+            batch.sparkSession, ledger_path, partition_by=("key_prefix",)
+        )
+        corpus = LakeTable(
+            batch.sparkSession, corpus_path, partition_by=corpus_partition_by
+        )
+
+        def _commit_corpus(survivors: DataFrame) -> None:
+            if not survivors.isEmpty():
+                corpus.upsert(survivors, keys=[id_col])
+
+        incremental_minhash_dedup(
+            batch,
+            ledger,
+            id_col=id_col,
+            text_col=text_col,
+            k=k,
+            num_hashes=num_hashes,
+            bands=bands,
+            threshold=threshold,
+            before_commit=_commit_corpus,
+        )
+
+    writer = (
+        stream_df.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -876,3 +876,38 @@ def test_stream_upsert_honors_persisted_constraints(spark, tmp_path):
     assert got == {1: 5.0, 2: 3.0}  # violator never committed
     qrows = spark.read.parquet(f"{tbl_path}/_quarantine/*").collect()
     assert [(r.id, r._violated) for r in qrows] == [(3, "val_positive")]
+
+
+def test_stream_near_dedup_ingest(spark, tmp_path):
+    """Near-dup streaming ingestion: a later micro-batch's
+    high-overlap variant of a committed doc is dropped by the band
+    ledger probe; genuinely new docs land in the corpus."""
+    from datalake_toolkit_spark.lakehouse import LakeTable
+    from datalake_toolkit_spark.lakehouse.streaming import stream_near_dedup_ingest
+
+    base = "the quick brown fox jumps over the lazy dog in the quiet park today"
+    near = base.replace("today", "tonight")
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "b1.json").write_text('{"doc_id": 1, "text": "%s"}\n' % base)
+    (src / "b2.json").write_text(
+        '{"doc_id": 2, "text": "%s"}\n{"doc_id": 3, "text": "totally new legal filings corpus text here"}\n'
+        % near
+    )
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = stream_near_dedup_ingest(
+        stream,
+        str(tmp_path / "corpus"),
+        str(tmp_path / "ledger"),
+        str(tmp_path / "ckpt"),
+        threshold=0.5,
+    )
+    q.awaitTermination(300)
+    ids = sorted(
+        r.doc_id for r in LakeTable(spark, str(tmp_path / "corpus")).read().collect()
+    )
+    assert ids == [1, 3]  # near-dup 2 dropped across micro-batches
