@@ -103,6 +103,7 @@ DEMOTED: tuple[str, ...] = (
     "q_curate_corpus_full",
     "q_semantic_dedup",
     "q_banded_cosine_near_dups",
+    "q_incremental_minhash",
 )
 
 GATE_WINDOW = 50

@@ -237,6 +237,117 @@ def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _incremental_minhash_oracle() -> str:
+    """DuckDB mirror of llm.dedup.incremental_minhash_dedup run as
+    two batches (doc_id parity split): per batch the full
+    shingle -> 12-hash signature -> 4-band -> exact-Jaccard-verified
+    pairs -> connected-components collapse, then batch 2's canonicals
+    drop when any band key collides with batch 1's committed ledger
+    AND the signature-estimated Jaccard reaches the threshold."""
+
+    def batch(tag: str, pred: str) -> str:
+        return f"""
+    w{tag} AS (SELECT doc_id, string_split_regex(text, '\\s+') AS w
+               FROM documents WHERE {pred} AND text IS NOT NULL),
+    d{tag} AS (
+      SELECT doc_id, list_distinct(list_filter(
+               list_transform(w, (x, i) -> CASE WHEN i + 2 <= len(w)
+                   THEN x || ' ' || w[i+1] || ' ' || w[i+2] END),
+               s -> s IS NOT NULL)) AS sh
+      FROM w{tag} WHERE len(w) >= 3
+    ),
+    s{tag} AS (
+      SELECT doc_id, sh,
+             list_transform(generate_series(0, 11),
+               i -> list_min(list_transform(sh, s -> md5(s || '#' || CAST(i AS VARCHAR))))) AS sig
+      FROM d{tag}
+    ),
+    k{tag} AS (
+      SELECT doc_id, sig,
+             unnest(list_transform(generate_series(0, 3),
+               b -> md5(CAST(b AS VARCHAR) || '|' || array_to_string(sig[b*3+1 : b*3+3], '|')))) AS bkey
+      FROM s{tag}
+    ),
+    cand{tag} AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM k{tag} a JOIN k{tag} b ON a.bkey = b.bkey AND a.doc_id < b.doc_id
+    ),
+    sz{tag} AS (SELECT doc_id, len(sh) AS n FROM d{tag}),
+    ex{tag} AS (SELECT doc_id, unnest(sh) AS shingle FROM d{tag}),
+    iv{tag} AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+      FROM cand{tag} c
+      JOIN ex{tag} a ON a.doc_id = c.doc_a
+      JOIN ex{tag} b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+      GROUP BY 1, 2
+    ),
+    ver{tag} AS (
+      SELECT i.doc_a, i.doc_b FROM iv{tag} i
+      JOIN sz{tag} x ON x.doc_id = i.doc_a
+      JOIN sz{tag} y ON y.doc_id = i.doc_b
+      WHERE CAST(i.n_inter AS DOUBLE) / (x.n + y.n - i.n_inter) >= 0.8
+    ),
+    edges{tag} AS (SELECT doc_a AS a, doc_b AS b FROM ver{tag}
+                   UNION SELECT doc_b, doc_a FROM ver{tag}),
+    nodes{tag} AS (SELECT DISTINCT a AS n FROM edges{tag}),
+    reach{tag}(n, m) AS (
+      SELECT n, n FROM nodes{tag}
+      UNION
+      SELECT e.a, r.m FROM edges{tag} e JOIN reach{tag} r ON e.b = r.n
+    ),
+    comp{tag} AS (SELECT n AS doc_id, MIN(m) AS comp FROM reach{tag} GROUP BY n),
+    canon{tag} AS (
+      SELECT t.doc_id FROM w{tag} t
+      LEFT JOIN comp{tag} c USING (doc_id)
+      WHERE coalesce(c.comp, t.doc_id) = t.doc_id
+    )"""
+
+    return f"""
+    WITH RECURSIVE {batch('1', 'doc_id % 2 = 0')},
+    {batch('2', 'doc_id % 2 = 1')},
+    ledger AS (
+      SELECT k1.bkey, k1.sig FROM k1 JOIN canon1 USING (doc_id)
+    ),
+    dup2 AS (
+      SELECT DISTINCT k2.doc_id
+      FROM k2
+      JOIN canon2 USING (doc_id)
+      JOIN ledger ON ledger.bkey = k2.bkey
+      WHERE CAST(list_sum(list_transform(generate_series(1, 12),
+              i -> CASE WHEN k2.sig[i] = ledger.sig[i] THEN 1 ELSE 0 END))
+            AS DOUBLE) / 12.0 >= 0.8
+    )
+    SELECT c.doc_id FROM canon2 c
+    LEFT JOIN dup2 USING (doc_id)
+    WHERE dup2.doc_id IS NULL
+    """
+
+
+@query("q_incremental_minhash", _incremental_minhash_oracle())
+def q_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dup dedup across two batches: even doc_ids
+    seed the persistent band/signature ledger, odd doc_ids probe it —
+    survivors are the odd-batch canonicals that neither collapse
+    internally nor estimator-match committed history. The whole
+    stateful flow (two LakeTable ledger commits) is hash-checked
+    against a relational replay of both batches."""
+    import tempfile
+
+    from datalake_toolkit_spark.lakehouse import LakeTable
+    from datalake_toolkit_spark.llm import incremental_minhash_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    work = tempfile.mkdtemp(prefix="dts_incmh_")
+    ledger = LakeTable(spark, f"{work}/ledger", partition_by=("key_prefix",))
+    incremental_minhash_dedup(
+        docs.where(F.col("doc_id") % 2 == 0), ledger, threshold=0.8
+    )
+    survivors = incremental_minhash_dedup(
+        docs.where(F.col("doc_id") % 2 == 1), ledger, threshold=0.8
+    )
+    return survivors.select("doc_id")
+
+
 @query(
     "q_simhash",
     """
