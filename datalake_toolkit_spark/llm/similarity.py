@@ -546,6 +546,7 @@ def lsh_bucketed_topk(
     vec_col: str = "embedding",
     dim: int = 64,
     n_flip: int = 0,
+    center: bool = False,
 ) -> DataFrame:
     """Approximate top-k: score only corpus vectors in the query's
     hyperplane bucket(s). Bucket assignment is a narrow projection;
@@ -555,29 +556,43 @@ def lsh_bucketed_topk(
     without touching corpus-side selectivity — via ``n_flip``
     multi-probe: each query additionally probes the buckets reached
     by flipping its lowest-|margin| planes, multiplying candidates by
-    ~(1 + n_flip)/1 for the query side only."""
+    ~(1 + n_flip)/1 for the query side only.
+
+    ``center=True`` subtracts the CORPUS per-dimension mean before
+    bucketing on BOTH sides (cosine still scores raw vectors) — the
+    same skew fix as the near-dup pairing: correlated corpora put
+    most vectors in one sign bucket, and centering spreads them. The
+    query side must center with the corpus mean, never its own: the
+    two sides have to hash into the same space."""
     # Double-cast vectors materialize as attributes before the
     # n_planes dot-product lambdas read them (avoids per-plane
     # re-evaluation of the cast).
+    corpus_v = ensure_min_partitions(
+        corpus.select(F.col(id_col).alias("cid"), _as_double(vec_col).alias("cv"))
+    )
     q = queries.select(
         F.col(id_col).alias("qid"), _as_double(vec_col).alias("qv")
-    ).select(
+    )
+    q_src: Column = F.col("qv")
+    c_src: Column = F.col("cv")
+    if center:
+        means = dimension_means(corpus_v, "cv")
+        corpus_v = corpus_v.crossJoin(F.broadcast(means))
+        q = q.crossJoin(F.broadcast(means))
+        q_src = F.zip_with(F.col("qv"), F.col("_mean"), lambda x, m: x - m)
+        c_src = F.zip_with(F.col("cv"), F.col("_mean"), lambda x, m: x - m)
+    q = q.select(
         "qid",
         "qv",
         F.explode(
-            hyperplane_probe_buckets("qv", n_planes, dim, n_flip)
+            hyperplane_probe_buckets(q_src, n_planes, dim, n_flip)
         ).alias("bucket"),
     )
-    c = (
-        ensure_min_partitions(
-            corpus.select(F.col(id_col).alias("cid"), _as_double(vec_col).alias("cv"))
-        )
-        .select(
-            "cid",
-            "cv",
-            _l2_norm(F.col("cv")).alias("cn"),
-            hyperplane_bucket("cv", n_planes, dim).alias("bucket"),
-        )
+    c = corpus_v.select(
+        "cid",
+        "cv",
+        _l2_norm(F.col("cv")).alias("cn"),
+        hyperplane_bucket(c_src, n_planes, dim).alias("bucket"),
     )
     scored = (
         c.join(F.broadcast(q.withColumn("qn", _l2_norm(F.col("qv")))), "bucket")

@@ -389,6 +389,30 @@ def test_centered_lsh_balances_buckets_without_losing_true_dups(spark):
     assert max_bucket(center=True) < max_bucket(center=False)
 
 
+def test_centered_ann_finds_true_duplicates(spark):
+    """lsh_bucketed_topk(center=True): queries center with the CORPUS
+    mean, so a query's exact duplicates (same residual class) share
+    its centered bucket and surface at cosine 1.0."""
+    from datalake_toolkit_spark.llm.similarity import lsh_bucketed_topk
+
+    shared = [60, 50, 40, 30, 20, 10, 10, 10]
+    residuals = [
+        [(17 * (k + 1) * (d + 3)) % 29 - 14 for d in range(8)] for k in range(10)
+    ]
+    rows = [
+        (i, [shared[d] + residuals[i % 10][d] for d in range(8)])
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<long>")
+    queries = df.where(F.col("vec_id") < 10)  # one per residual class
+    top = lsh_bucketed_topk(
+        df, queries, k=3, n_planes=4, dim=8, center=True
+    )
+    best = {r.qid: r.cosine for r in top.where(F.col("rank") == 1).collect()}
+    assert set(best) == set(range(10))
+    assert all(abs(c - 1.0) < 1e-12 for c in best.values())
+
+
 def test_banded_lsh_amplifies_recall(spark, sf_dir):
     """OR-amplified (multi-band) cosine LSH: band 0 uses the same
     plane family as the single-bucket mode, so banded candidates are
