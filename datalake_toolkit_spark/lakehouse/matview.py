@@ -14,12 +14,31 @@ from __future__ import annotations
 
 import re
 from collections.abc import Sequence
+from functools import reduce
 
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from datalake_toolkit_spark.lakehouse.table import LakeTable
 
 _REFRESH_OP = re.compile(r"^refresh_base_v(\d+)$")
+
+
+def _null_safe_cond(left: DataFrame, right: DataFrame, keys: Sequence[str]) -> Column:
+    """Null-safe equi-join condition over ``keys``.
+
+    Plain ``join(..., keys)`` uses null-unsafe equality, so a NULL
+    group key never matches itself: on the incremental paths a
+    NULL-key group would enter the view on the full build but later
+    deltas would neither recompute it (left_semi misses) nor carry it
+    off (left_anti keeps the stale row), silently diverging from a
+    recompute. ``eqNullSafe`` (`<=>`) still plans as a hash
+    equi-join — NULLs hash like any other value under `<=>` — so
+    this costs nothing at scale.
+    """
+    return reduce(
+        lambda a, b: a & b, [left[k].eqNullSafe(right[k]) for k in keys]
+    )
 
 
 def last_refreshed_version(view: LakeTable) -> int | None:
@@ -88,15 +107,18 @@ def refresh_aggregate_view(
     )
     zero_n = F.lit(0).cast("long")
     zero_s = F.lit(0).cast("decimal(28,2)")
+    current = view.read()
     merged = (
-        view.read()
-        .join(updates, keys, "full_outer")
+        current
+        .join(updates, _null_safe_cond(current, updates, keys), "full_outer")
         .select(
-            *keys,
-            (F.coalesce("n_rows", zero_n) + F.coalesce("_d_n", zero_n))
+            # both-NULL keys matched null-safely, so coalesce to NULL is
+            # the genuine key value, not a miss
+            *[F.coalesce(current[k], updates[k]).alias(k) for k in keys],
+            (F.coalesce(current["n_rows"], zero_n) + F.coalesce(updates["_d_n"], zero_n))
             .cast("long")
             .alias("n_rows"),
-            (F.coalesce("sum_value", zero_s) + F.coalesce("_d_s", zero_s))
+            (F.coalesce(current["sum_value"], zero_s) + F.coalesce(updates["_d_s"], zero_s))
             .cast("decimal(28,2)")
             .alias("sum_value"),
         )
@@ -155,10 +177,12 @@ def refresh_group_stats_view(
     # broadcast at runtime when it is small (no forced hint — a bulk
     # rewrite can touch every group)
     touched = base.changes(last, cur).select(*keys).distinct()
+    snapshot = base.read()
     recomputed = aggregate(
-        base.read().join(touched, keys, "left_semi")
+        snapshot.join(touched, _null_safe_cond(snapshot, touched, keys), "left_semi")
     )
-    carried = view.read().join(touched, keys, "left_anti")
+    current = view.read()
+    carried = current.join(touched, _null_safe_cond(current, touched, keys), "left_anti")
     view.write(
         carried.unionByName(recomputed), op=f"refresh_base_v{cur}"
     )

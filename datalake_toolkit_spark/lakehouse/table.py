@@ -235,9 +235,6 @@ class LakeTable:
             name: F.coalesce(F.expr(rule), F.lit(False))
             for name, rule in rules.items()
         }
-        passing = None
-        for c in conds.values():
-            passing = c if passing is None else (passing & c)
         if self.on_violation == "reject":
             counts = df.agg(
                 *[
@@ -258,13 +255,26 @@ class LakeTable:
             ),
             lambda x: x.isNotNull(),
         )
-        bad = df.where(~passing).withColumn(
+        # Evaluate the source EXACTLY ONCE: without pinning, the
+        # bad-probe, the quarantine write, and the commit write each
+        # re-run the source plan, and a non-deterministic source could
+        # commit a row without quarantining it (or both). The flags are
+        # computed once and localCheckpoint materializes them; both
+        # splits below read the pinned blocks. Cost: one batch-sized
+        # materialization, paid only by constrained quarantine-mode
+        # tables.
+        annotated = df.withColumn(
             "_violated", F.concat_ws(",", violated)
-        )
+        ).localCheckpoint(eager=True)
+        bad = annotated.where(F.col("_violated") != "")
         if bad.limit(1).count() > 0:
+            # quarantine dirs are an audit sink with their own token:
+            # they survive even if the subsequent commit loses every
+            # version race (a diverted row should stay inspectable
+            # regardless of what happened to the rest of the batch)
             qdir = os.path.join(self.quarantine_dir, self._new_token())
             bad.write.mode("overwrite").parquet(qdir)
-        return df.where(passing)
+        return annotated.where(F.col("_violated") == "").drop("_violated")
 
     # -- data io -----------------------------------------------------------
 

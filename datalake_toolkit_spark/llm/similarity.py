@@ -451,6 +451,16 @@ def cosine_near_dup_pairs(
     vectors re-join by id — three narrow shuffles instead of shipping
     vectors through the band join.
     """
+    if n_planes is None and (n_bands > 1 or center):
+        # banding/centering only shape the LSH bucketing; without
+        # planes the call would silently fall back to the quadratic
+        # all-pairs path — fail loudly instead (semantic_dedup callers
+        # inherit this guard too)
+        raise ValueError(
+            "n_bands > 1 / center=True require n_planes (they configure "
+            "LSH bucketing); without n_planes this is the exact all-pairs "
+            "path and they would be silently ignored"
+        )
     c = ensure_min_partitions(
         corpus.select(F.col(id_col).alias("id_a"), _as_double(vec_col).alias("va"))
     ).withColumn("na", _l2_norm(F.col("va")))

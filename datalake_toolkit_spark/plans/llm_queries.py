@@ -331,6 +331,7 @@ def q_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     internally nor estimator-match committed history. The whole
     stateful flow (two LakeTable ledger commits) is hash-checked
     against a relational replay of both batches."""
+    import shutil
     import tempfile
 
     from datalake_toolkit_spark.lakehouse import LakeTable
@@ -338,19 +339,25 @@ def q_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     work = tempfile.mkdtemp(prefix="dts_incmh_")
-    # unpartitioned ledger here: the 256-bucket key_prefix scheme is
-    # the production layout (bounded rewrites at 100 TB), but at bench
-    # scale it means 256 tiny dirs per commit — the semantics are
-    # identical either way and the partitioned path is pinned by
-    # test_incremental_minhash_dedup_across_batches
-    ledger = LakeTable(spark, f"{work}/ledger")
-    incremental_minhash_dedup(
-        docs.where(F.col("doc_id") % 2 == 0), ledger, threshold=0.8
-    )
-    survivors = incremental_minhash_dedup(
-        docs.where(F.col("doc_id") % 2 == 1), ledger, threshold=0.8
-    )
-    return survivors.select("doc_id")
+    try:
+        # unpartitioned ledger here: the 256-bucket key_prefix scheme is
+        # the production layout (bounded rewrites at 100 TB), but at bench
+        # scale it means 256 tiny dirs per commit — the semantics are
+        # identical either way and the partitioned path is pinned by
+        # test_incremental_minhash_dedup_across_batches
+        ledger = LakeTable(spark, f"{work}/ledger")
+        incremental_minhash_dedup(
+            docs.where(F.col("doc_id") % 2 == 0), ledger, threshold=0.8
+        )
+        survivors = incremental_minhash_dedup(
+            docs.where(F.col("doc_id") % 2 == 1), ledger, threshold=0.8
+        )
+        # pin the (small) survivor set before the ledger dir goes away —
+        # the caller collects AFTER this function returns, so a lazy
+        # plan over the temp ledger would read deleted files
+        return survivors.select("doc_id").localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
 
 
 @query(

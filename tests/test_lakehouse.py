@@ -781,6 +781,38 @@ def test_write_constraints_quarantine_mode(spark, tmp_path):
     assert len(os.listdir(qdir)) == before
 
 
+def test_quarantine_single_evaluation_of_source(spark, tmp_path):
+    """The quarantine gate evaluates the source plan once (r6 advice):
+    with a non-deterministic source, re-evaluating it for the probe,
+    the quarantine write, and the commit could commit a row without
+    quarantining it or vice versa. Every source row must land in
+    exactly one of {table, quarantine}."""
+    import os
+
+    from datalake_toolkit_spark.lakehouse import LakeTable
+
+    t = LakeTable(
+        spark,
+        str(tmp_path / "q"),
+        constraints={"val_small": "val < 0.5"},
+        on_violation="quarantine",
+    )
+    # non-deterministic values: each re-evaluation of the plan draws
+    # fresh randoms, so any double-evaluation shows up as rows lost or
+    # duplicated across the table/quarantine split
+    src = spark.range(200).select(
+        F.col("id"), F.rand().alias("val")
+    )
+    t.write(src)
+    committed = {r.id for r in t.read().collect()}
+    qdir = os.path.join(str(tmp_path / "q"), "_quarantine")
+    quarantined = {r.id for r in spark.read.parquet(f"{qdir}/*").collect()}
+    assert committed | quarantined == set(range(200))
+    assert committed & quarantined == set()
+    # and the committed rows actually satisfy the rule
+    assert t.read().where("val >= 0.5").count() == 0
+
+
 def test_group_stats_view_recomputes_touched_groups_only(spark, tmp_path):
     """min/max cannot subtract deltas: the stats view recomputes
     exactly the CDF-touched groups and carries the rest forward —
@@ -845,6 +877,74 @@ def test_group_stats_view_recomputes_touched_groups_only(spark, tmp_path):
     # schema stays put across full-build and incremental paths
     assert dict(view.read().dtypes)["sum_value"] == "decimal(28,2)"
     assert dict(view.read().dtypes)["min_value"] == "decimal(18,2)"
+
+
+def test_matview_null_key_groups_stay_in_sync(spark, tmp_path):
+    """NULL group keys must refresh like any other group (r6 advice):
+    plain equi-joins never match NULL=NULL, so without null-safe joins
+    a NULL-key group enters the view on the full build but later
+    changes are neither recomputed nor carried off — the view silently
+    diverges. Pins both refresh paths."""
+    from decimal import Decimal
+
+    from datalake_toolkit_spark.lakehouse import (
+        LakeTable,
+        refresh_aggregate_view,
+        refresh_group_stats_view,
+    )
+
+    schema = "id bigint, seg string, val double"
+    rows = [(1, "a", 10.0), (2, None, 20.0), (3, None, 30.0), (4, "b", 40.0)]
+
+    def recompute(base):
+        return {
+            r["seg"]: (r["n_rows"], r["sum_value"])
+            for r in base.read()
+            .groupBy("seg")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(F.col("val").cast("decimal(18,2)")).alias("sum_value"),
+            )
+            .collect()
+        }
+
+    # --- invertible sum/count view ---
+    base = LakeTable(spark, str(tmp_path / "base"))
+    view = LakeTable(spark, str(tmp_path / "view"))
+    base.write(spark.createDataFrame(rows, schema))
+    refresh_aggregate_view(base, view, ["seg"], "val")
+    state = {r["seg"]: (r["n_rows"], r["sum_value"]) for r in view.read().collect()}
+    assert state[None] == (2, Decimal("50.00"))
+
+    # touch ONLY the NULL group: update one row, delete the other
+    base.upsert(
+        spark.createDataFrame([(2, None, 1000.0)], schema), keys=["id"]
+    )
+    base.delete_where(F.col("id") == 3)
+    refresh_aggregate_view(base, view, ["seg"], "val")
+    state = {r["seg"]: (r["n_rows"], r["sum_value"]) for r in view.read().collect()}
+    assert state == recompute(base)
+    assert state[None] == (1, Decimal("1000.00"))
+    # emptying the NULL group drops its row
+    base.delete_where(F.col("seg").isNull())
+    refresh_aggregate_view(base, view, ["seg"], "val")
+    assert None not in {r["seg"] for r in view.read().collect()}
+
+    # --- recompute-touched min/max view ---
+    base2 = LakeTable(spark, str(tmp_path / "base2"))
+    view2 = LakeTable(spark, str(tmp_path / "view2"))
+    base2.write(spark.createDataFrame(rows, schema))
+    refresh_group_stats_view(base2, view2, ["seg"], "val")
+    # delete the NULL group's max; recompute must pick the new max
+    base2.delete_where(F.col("id") == 3)
+    refresh_group_stats_view(base2, view2, ["seg"], "val")
+    state2 = {
+        r["seg"]: (r["n_rows"], r["max_value"]) for r in view2.read().collect()
+    }
+    assert state2[None] == (1, Decimal("20.00"))
+    # untouched non-NULL groups carried forward intact
+    assert state2["a"] == (1, Decimal("10.00"))
+    assert state2["b"] == (1, Decimal("40.00"))
 
 
 def test_stream_upsert_honors_persisted_constraints(spark, tmp_path):

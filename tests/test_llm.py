@@ -259,6 +259,23 @@ def test_cosine_near_dup_lsh_subset_of_exact(spark, sf_dir):
     assert len(exact) > 0
 
 
+def test_cosine_near_dup_rejects_banding_without_planes(spark):
+    """n_bands/center configure LSH bucketing; without n_planes the
+    call would silently run the quadratic all-pairs path (r6 advice) —
+    it must raise instead."""
+    import pytest
+
+    from datalake_toolkit_spark.llm import cosine_near_dup_pairs
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], "vec_id bigint, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="require n_planes"):
+        cosine_near_dup_pairs(df, n_bands=3)
+    with pytest.raises(ValueError, match="require n_planes"):
+        cosine_near_dup_pairs(df, center=True)
+
+
 def test_ivf_topk_subset_and_recall(spark, sf_dir):
     """IVF results score a candidate subset, so every (qid, cid) it
     returns must also appear in brute force's full ranking, and with
