@@ -190,6 +190,7 @@ def stream_near_dedup_ingest(
     k: int = 3,
     num_hashes: int = 12,
     bands: int = 4,
+    ledger_partition_by: Sequence[str] = ("key_prefix",),
 ):
     """:func:`stream_dedup_ingest` with NEAR-duplicate semantics: each
     micro-batch probes the persistent MinHash band ledger, drops docs
@@ -199,7 +200,12 @@ def stream_near_dedup_ingest(
     corpus-first crash-recovery order). k / num_hashes / bands are
     part of the ledger's identity — keep them constant for its
     lifetime. ``batch_filter`` runs before dedup, exactly like the
-    exact-dedup pipeline."""
+    exact-dedup pipeline.
+
+    ``ledger_partition_by`` defaults to the production 256-bucket
+    ``key_prefix`` layout (a micro-batch rewrites only touched
+    buckets); pass ``()`` for small corpora where 256 tiny dirs per
+    commit cost more than they prune."""
     from datalake_toolkit_spark.llm.dedup import incremental_minhash_dedup
 
     def _apply(batch: DataFrame, _batch_id: int) -> None:
@@ -208,7 +214,7 @@ def stream_near_dedup_ingest(
         if batch.isEmpty():
             return
         ledger = LakeTable(
-            batch.sparkSession, ledger_path, partition_by=("key_prefix",)
+            batch.sparkSession, ledger_path, partition_by=ledger_partition_by
         )
         corpus = LakeTable(
             batch.sparkSession, corpus_path, partition_by=corpus_partition_by

@@ -98,12 +98,19 @@ DEMOTED: tuple[str, ...] = (
     "q_catalog_roundtrip_ids",  # 3x; same machinery
     "q_catalog_skewed_info",  # 3x; same machinery
     "q_show_tables",  # 3x; subsumed by q_catalog_walk (full 3-level walk)
-    # r6 births: parked in the parity/bench tail (this round's window is
-    # full of never-driver-checked queries); rotate into the gate in r7.
-    "q_curate_corpus_full",
-    "q_semantic_dedup",
-    "q_banded_cosine_near_dups",
-    "q_incremental_minhash",
+    # r7 rotation: the four r6-born flagships (q_curate_corpus_full,
+    # q_semantic_dedup, q_banded_cosine_near_dups, q_incremental_minhash)
+    # are PROMOTED out of this tuple into the window, together with the
+    # three r7 births (q_centered_cosine_near_dups, q_stream_near_dedup,
+    # q_bpe_train). Seven multi-green shapes rotate out in exchange,
+    # each with its plan shape still covered in-window:
+    "q_merge_upsert",  # 4x; lakehouse MERGE ~ q_time_travel + q_snapshot_retention stay, and q_stream_near_dedup/q_incremental_minhash commit via the same upsert path
+    "q_jdbc_roundtrip",  # 3x; JDBC scan/sink shape, green r4-r6
+    "q_salted_join",  # 3x; skew-salted join, green r4-r6
+    "q_partition_local_groups",  # 2x; A4 partition-local contract, green r5-r6
+    "q_lsh_cosine_near_dups",  # 4x; single-band LSH pairing ~ q_banded_cosine_near_dups + q_centered_cosine_near_dups (incoming)
+    "q_dup_clusters",  # 4x; connected components ~ q_semantic_dedup (incoming, same iteration)
+    "q_range_join",  # 4x; range predicates ~ q_interval_join / q_interval_join_left stay
 )
 
 GATE_WINDOW = 50

@@ -360,6 +360,168 @@ def q_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def _bpe_oracle(n_merges: int = 3) -> str:
+    """DuckDB mirror of llm.bpe.train_bpe with a fixed merge count:
+    word frequencies -> per-round (pair-count argmax, merge applied to
+    every word's symbols) -> final segmentation per word.
+
+    The Spark merge is a left fold over symbol arrays; DuckDB's RE2
+    regexp has no lookahead and plain ``replace`` of a
+    single-separator encoding either crosses token boundaries
+    ([a, bc] merging (a,b)) or eats the shared separator consecutive
+    matches need ([a,a,a,a] merging (a,a)). The faithful encoding
+    doubles the separator — tokens joined by chr(31)chr(31) with the
+    pattern consuming only the INNER half of each boundary
+    (SEP·a·SEP·SEP·b·SEP -> SEP·ab·SEP): both boundaries are asserted,
+    adjacent matches keep their shared halves, and left-to-right
+    non-overlapping replace reproduces the fold exactly. The argmax
+    tie-break (count desc, then pair lexicographic) is binary-collated
+    on both engines."""
+
+    def round_ctes(i: int, prev: str) -> str:
+        return f"""
+    pc{i} AS (
+      SELECT p.a AS a, p.b AS b, sum(freq) AS n FROM (
+        SELECT freq,
+               unnest(list_transform(generate_series(1, len(toks) - 1),
+                 j -> struct_pack(a := toks[j], b := toks[j+1]))) AS p
+        FROM (SELECT freq, l[2:len(l)-1] AS toks
+              FROM (SELECT freq, string_split(s, chr(31)||chr(31)) AS l FROM {prev}))
+      ) GROUP BY 1, 2
+    ),
+    best{i} AS (SELECT a, b FROM pc{i} ORDER BY n DESC, a, b LIMIT 1),
+    s{i} AS (
+      SELECT word, freq,
+             replace(s, chr(31)||best{i}.a||chr(31)||chr(31)||best{i}.b||chr(31),
+                        chr(31)||best{i}.a||best{i}.b||chr(31)) AS s
+      FROM {prev}, best{i}
+    )"""
+
+    rounds = ",".join(round_ctes(i, f"s{i-1}") for i in range(1, n_merges + 1))
+    return (
+        r"""
+    WITH wf AS (
+      SELECT w AS word, count(*) AS freq FROM (
+        SELECT unnest(string_split_regex(text, '\s+')) AS w
+        FROM documents WHERE text IS NOT NULL
+      ) WHERE length(w) > 0 GROUP BY w
+    ),
+    s0 AS (
+      SELECT word, freq,
+             chr(31)||chr(31) ||
+             array_to_string(
+               list_append(list_transform(generate_series(1, length(word)),
+                                          i -> substr(word, i, 1)), '</w>'),
+               chr(31)||chr(31)) ||
+             chr(31)||chr(31) AS s
+      FROM wf
+    ),"""
+        + rounds
+        + f"""
+    SELECT word, freq,
+           replace(trim(s, chr(31)), chr(31)||chr(31), ' ') AS seg
+    FROM s{n_merges}
+    """
+    )
+
+
+@query("q_bpe_train", _bpe_oracle(3))
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training (llm/bpe.py train_bpe), 3 merge rounds,
+    hash-checked end to end: the returned word table carries every
+    word's final symbol segmentation, which pins both the learned
+    merge sequence (argmax pair per round, deterministic tie-break)
+    and its application (the left-to-right merge fold). Each round is
+    one pair-count aggregation (shuffle bounded by distinct pairs, not
+    corpus size) plus a one-row argmax collect — the driver payload is
+    one merge pair per round."""
+    from datalake_toolkit_spark.llm.bpe import train_bpe
+
+    docs = _t(spark, sf_dir, "documents")
+    _merges, trained = train_bpe(docs, n_merges=3)
+    return trained.select(
+        "word", "freq", F.array_join("symbols", " ").alias("seg")
+    )
+
+
+def _stream_near_dedup_oracle() -> str:
+    """Relational replay of stream_near_dedup_ingest over the same two
+    micro-batches (doc_id parity): the final corpus is batch 1's
+    canonicals plus batch 2's canonicals that survive the ledger
+    probe — the same CTE chain as q_incremental_minhash with the
+    corpus (not just batch 2's survivors) as the output."""
+    head, _, _ = _incremental_minhash_oracle().rpartition("SELECT c.doc_id FROM canon2")
+    return f"""{head}
+    SELECT doc_id FROM canon1
+    UNION ALL
+    SELECT c.doc_id FROM canon2 c
+    LEFT JOIN dup2 USING (doc_id)
+    WHERE dup2.doc_id IS NULL
+    """
+
+
+@query("q_stream_near_dedup", _stream_near_dedup_oracle())
+def q_stream_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming near-dedup ingestion pipeline end to end
+    (lakehouse/streaming.py stream_near_dedup_ingest): the documents
+    table split into two parquet files (doc_id parity), replayed as
+    two AvailableNow micro-batches through the real foreachBatch
+    wrapper — MinHash band-ledger probe, estimator-verified history,
+    corpus-first commit order. The final corpus contents are
+    hash-checked against a full relational replay of both batches.
+    File order is pinned by mtime (FileStreamSource processes files
+    oldest-first), so batch boundaries match the oracle's parity
+    split deterministically."""
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    from datalake_toolkit_spark.lakehouse import LakeTable
+    from datalake_toolkit_spark.lakehouse.streaming import stream_near_dedup_ingest
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    work = tempfile.mkdtemp(prefix="dts_strmnd_")
+    try:
+        src = os.path.join(work, "src")
+        os.mkdir(src)
+        now = time.time()
+        for i, pred in ((1, F.col("doc_id") % 2 == 0), (2, F.col("doc_id") % 2 == 1)):
+            stage = os.path.join(work, f"_b{i}")
+            docs.where(pred).coalesce(1).write.parquet(stage)
+            part = next(
+                f for f in os.listdir(stage)
+                if f.startswith("part-") and f.endswith(".parquet")
+            )
+            dest = os.path.join(src, f"b{i}.parquet")
+            shutil.move(os.path.join(stage, part), dest)
+            # pin strictly increasing mtimes: batch 1 (even ids) first
+            os.utime(dest, (now - 120 + i * 60, now - 120 + i * 60))
+        stream = (
+            spark.readStream.schema("doc_id bigint, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = stream_near_dedup_ingest(
+            stream,
+            os.path.join(work, "corpus"),
+            os.path.join(work, "ledger"),
+            os.path.join(work, "ckpt"),
+            threshold=0.8,
+            ledger_partition_by=(),  # bench-scale layout, like q_incremental_minhash
+        )
+        q.awaitTermination(600)
+        corpus_path = os.path.join(work, "corpus")
+        if not os.path.isdir(os.path.join(corpus_path, "_dtk_log")):
+            # every micro-batch was empty -> foreachBatch never committed
+            return spark.createDataFrame([], "doc_id bigint")
+        corpus = LakeTable(spark, corpus_path)
+        # pin before the temp dirs go away (driver collects after return)
+        return corpus.read().select("doc_id").localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 @query(
     "q_simhash",
     """
@@ -429,13 +591,16 @@ def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_norms(_t(spark, sf_dir, "embeddings"))
 
 
-def _lsh_bucket_sql(n_planes: int, dim: int, plane_offset: int = 0) -> str:
+def _lsh_bucket_sql(
+    n_planes: int, dim: int, plane_offset: int = 0, var: str = "v"
+) -> str:
     """DuckDB mirror of llm.similarity.hyperplane_bucket: the plane
     matrix is deterministic (md5-derived, driver-computable), so the
     oracle reproduces the exact bucket ids with literal plane arrays
     — making the LSH-blocked scale path fully hash-checkable, not
     just recall-bounded. ``plane_offset`` mirrors the multi-band
-    scheme's disjoint per-band plane families."""
+    scheme's disjoint per-band plane families; ``var`` names the
+    vector column (e.g. a centered vector)."""
     from datalake_toolkit_spark.llm.similarity import _plane_component
 
     terms = []
@@ -444,7 +609,7 @@ def _lsh_bucket_sql(n_planes: int, dim: int, plane_offset: int = 0) -> str:
             repr(_plane_component(p + plane_offset, d)) for d in range(dim)
         )
         terms.append(
-            f"(CASE WHEN list_inner_product(v, [{arr}]) > 0 "
+            f"(CASE WHEN list_inner_product({var}, [{arr}]) > 0 "
             f"THEN {2 ** p} ELSE 0 END)"
         )
     return " + ".join(terms)
@@ -741,6 +906,97 @@ def q_banded_cosine_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     return cosine_near_dup_pairs(emb, threshold=0.4, n_planes=6, n_bands=3)
+
+
+def _centered_cosine_oracle() -> str:
+    """DuckDB mirror of the mean-centered LSH pairing over the hashed
+    (integer-exact) document vectors: the per-dimension mean is exact
+    integral-sum / count (bit-identical across engines), centering is
+    one IEEE subtract per element, and the bucket ids follow from the
+    same literal plane matrix — so even the skew-resistant centered
+    path is exactly hash-checked. Cosine is spelled
+    dot / (sqrt(a.a) * sqrt(b.b)) — NOT list_cosine_similarity, which
+    DuckDB computes as dot / sqrt((a.a)*(b.b)); the two differ by a
+    ULP on exact-duplicate pairs (1.0 vs 1.0000000000000002 observed
+    at sf0.1) and Spark's cosine_with_norms multiplies the sqrts."""
+    bucket = _lsh_bucket_sql(8, 32, var="cv")
+    return rf"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS w
+      FROM documents WHERE text IS NOT NULL
+    ),
+    h AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5(w), 1, 8) AS BIGINT) % 32 AS b,
+             CASE WHEN (CAST('0x' || substr(md5(w), 1, 8) AS BIGINT) >> 8) & 1 = 1
+                  THEN 1 ELSE -1 END AS s
+      FROM toks
+    ),
+    agg AS (SELECT doc_id, b, CAST(sum(s) AS BIGINT) AS v FROM h GROUP BY 1, 2),
+    dims AS (SELECT unnest(generate_series(0, 31)) AS dim),
+    dense AS (
+      SELECT d.doc_id,
+             list(CAST(coalesce(agg.v, 0) AS DOUBLE) ORDER BY dims.dim) AS v
+      FROM documents d
+      CROSS JOIN dims
+      LEFT JOIN agg ON agg.doc_id = d.doc_id AND agg.b = dims.dim
+      GROUP BY d.doc_id
+    ),
+    nz AS (SELECT doc_id, v FROM dense WHERE list_inner_product(v, v) > 0),
+    meanv AS (
+      SELECT list(m ORDER BY d) AS m FROM (
+        SELECT dims.dim AS d,
+               CAST(coalesce(sum(a.v), 0) AS DOUBLE)
+                 / (SELECT count(*) FROM nz) AS m
+        FROM dims LEFT JOIN (
+          SELECT agg.b, agg.v FROM agg JOIN nz USING (doc_id)
+        ) a ON a.b = dims.dim
+        GROUP BY dims.dim
+      )
+    ),
+    cb AS (
+      SELECT doc_id, v, {bucket} AS bucket
+      FROM (SELECT nz.doc_id, nz.v,
+                   list_transform(nz.v, (x, i) -> x - mv.m[i]) AS cv
+            FROM nz, meanv mv)
+    )
+    SELECT id_a, id_b, cosine FROM (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             list_inner_product(a.v, b.v)
+               / (sqrt(list_inner_product(a.v, a.v))
+                  * sqrt(list_inner_product(b.v, b.v))) AS cosine
+      FROM cb a JOIN cb b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ) WHERE cosine >= 0.9375
+    """
+
+
+@query("q_centered_cosine_near_dups", _centered_cosine_oracle())
+def q_centered_cosine_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean-centered LSH cosine near-dup pairs — the skew-resistant
+    bucketing path (llm/similarity.py center=True): bag-of-words
+    vectors share the stopword-dominated direction, so uncentered sign
+    buckets skew badly at few planes; subtracting the per-dimension
+    corpus mean before bucketing rebalances them while true duplicates
+    (coinciding residuals) keep colliding. Hashed integer vectors make
+    the mean exact-sum/count and therefore the whole centered path
+    hash-checkable (measured at sf0.1: 1133 centered pairs vs 2782
+    uncentered at 8 planes, threshold 0.9375 — centering trades
+    direction-similar recall for bucket balance, the same trade as
+    adding planes)."""
+    from datalake_toolkit_spark.llm import cosine_near_dup_pairs, hashed_embeddings
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = hashed_embeddings(docs, dim=32)
+    nz = emb.where(F.exists("embedding", lambda x: x != 0))
+    return cosine_near_dup_pairs(
+        nz,
+        threshold=0.9375,
+        id_col="doc_id",
+        vec_col="embedding",
+        n_planes=8,
+        dim=32,
+        center=True,
+    )
 
 
 def _ivf_oracle(n_lists: int = 8, n_probe: int = 2, dim: int = 64, k: int = 10) -> str:

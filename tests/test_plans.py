@@ -109,6 +109,10 @@ _NESTED_LOOP_BY_DESIGN = {
     "q_jaccard_near_dups",  # exact-Jaccard baseline (inverted-index pruned)
     "q22_sales_opportunity",  # one-row scalar-average broadcast: O(n), see docstring
     "q11_important_stock",  # one-row grand-total broadcast: O(n), see docstring
+    # one-row corpus-mean broadcast (dimension_means composed via
+    # crossJoin(broadcast(...))): O(n) by design, the candidate join
+    # itself is a bucket equi-join — see cosine_near_dup_pairs center=
+    "q_centered_cosine_near_dups",
 }
 
 # Streaming-harness queries execute eagerly (start a stream) inside the
