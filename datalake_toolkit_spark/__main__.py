@@ -68,7 +68,8 @@ def _build_parser() -> argparse.ArgumentParser:
     tb.add_argument("--partitions", nargs="*", default=None, help="optimize scope")
     tb.add_argument("--sort-by", nargs="*", default=(), help="optimize clustering")
     tb.add_argument("--keep-last", type=int, default=None, help="vacuum retention")
-    tb.add_argument("--partition-by", nargs="*", default=(), help="table partition columns")
+    tb.add_argument("--partition-by", nargs="*", default=None,
+                help="table partition columns (omit to adopt the committed scheme)")
 
     cu = sub.add_parser(
         "curate", help="run the pretraining curation pipeline over documents"
@@ -189,7 +190,11 @@ def _cmd_table(args: argparse.Namespace) -> int:
     from datalake_toolkit_spark.lakehouse import LakeTable
 
     spark = get_spark(app_name="dts-table")
-    t = LakeTable(spark, args.path, partition_by=tuple(args.partition_by))
+    t = LakeTable(
+        spark,
+        args.path,
+        partition_by=None if args.partition_by is None else tuple(args.partition_by),
+    )
     if args.action == "history":
         for h in t.history():
             print(json.dumps(h))

@@ -60,9 +60,17 @@ def refresh_aggregate_view(
     view: LakeTable,
     keys: Sequence[str],
     value_col: str,
+    include_avg: bool = False,
 ) -> int | None:
     """Bring ``view`` (= SELECT keys, count(*) AS n_rows,
     sum(value_col) AS sum_value) up to date with ``base``.
+
+    ``include_avg=True`` additionally maintains ``avg_value``: an
+    average is not delta-invertible on its own, but it IS derivable
+    from the (count, sum) pair this view already maintains — so both
+    refresh paths emit ``sum_value / n_rows`` from the identical
+    carried state and the incremental view can never drift from a
+    recompute on the average either.
 
     First call builds the full aggregate; later calls apply only the
     change feed since the last refresh. Sums aggregate in DECIMAL so
@@ -89,13 +97,24 @@ def refresh_aggregate_view(
     if cur is None:
         raise ValueError("base table has no committed version")
     val = F.col(value_col).cast("decimal(18,2)")
+
+    def finish(df: DataFrame) -> DataFrame:
+        if include_avg:
+            # derived from the maintained (count, sum) pair with ONE
+            # shared expression, so both refresh paths agree bit-for-bit
+            df = df.withColumn(
+                "avg_value",
+                (F.col("sum_value") / F.col("n_rows")).cast("decimal(28,6)"),
+            )
+        return df
+
     last = last_refreshed_version(view)
     if last is None:
         full = base.read().groupBy(*keys).agg(
             F.count(F.lit(1)).alias("n_rows"),
             F.sum(val).alias("sum_value"),
         )
-        view.write(full, op=f"refresh_base_v{cur}")
+        view.write(finish(full), op=f"refresh_base_v{cur}")
         return cur
     if last >= cur:
         return None
@@ -124,7 +143,7 @@ def refresh_aggregate_view(
         )
         .where(F.col("n_rows") > 0)
     )
-    view.write(merged, op=f"refresh_base_v{cur}")
+    view.write(finish(merged), op=f"refresh_base_v{cur}")
     return cur
 
 

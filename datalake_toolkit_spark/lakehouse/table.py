@@ -91,6 +91,19 @@ def _fmt_key(partition_by: Sequence[str], row) -> str:
     return "/".join(f"{c}={_escape_partition_value(row[c])}" for c in partition_by)
 
 
+def _key_spec(key: str) -> tuple[str, ...]:
+    """The partition layout a stored owners-map key was written under,
+    parsed back from the key itself: ``"dt=2024-01-01/seg=a"`` ->
+    ``("dt", "seg")``, ``""`` (unpartitioned blob) -> ``()``. Safe to
+    split textually because ``/`` and ``=`` inside VALUES are
+    Hive-escaped to %XX at format time. This is what lets one manifest
+    own directories written under different partition schemes
+    (Iceberg-style partition-spec evolution) without a spec registry."""
+    if not key:
+        return ()
+    return tuple(seg.split("=", 1)[0] for seg in key.split("/"))
+
+
 class LakeTable:
     """A versioned Parquet table rooted at ``path``.
 
@@ -115,11 +128,20 @@ class LakeTable:
         self,
         spark: SparkSession,
         path: str,
-        partition_by: Sequence[str] = (),
+        partition_by: Sequence[str] | None = None,
         constraints: dict[str, str] | None = None,
         on_violation: str = "reject",
     ) -> None:
-        """``constraints``: named boolean SQL expressions every row of
+        """``partition_by``: the table's partition scheme. ``None``
+        (default) adopts the existing table's current scheme from its
+        latest manifest (``()`` for a new table), so readers never
+        have to restate the layout. An explicit value on an EXISTING
+        table must match the committed scheme — changing it is a
+        versioned operation (``evolve_partitioning``), not a
+        constructor side effect; a silent mismatch would let mutations
+        interpret the owners map under the wrong layout.
+
+        ``constraints``: named boolean SQL expressions every row of
         every write/upsert must satisfy (Delta CHECK-constraint
         semantics; false OR NULL = violation). Persisted in the commit
         manifest, so a later ``LakeTable(spark, path)`` — no
@@ -132,12 +154,25 @@ class LakeTable:
             raise ValueError(f"on_violation must be reject|quarantine, got {on_violation!r}")
         self.spark = spark
         self.path = path
-        self.partition_by = tuple(partition_by)
         self.constraints = dict(constraints) if constraints is not None else None
         self.on_violation = on_violation
         self.log_dir = os.path.join(path, "_dtk_log")
         self.data_dir = os.path.join(path, "data")
         self.quarantine_dir = os.path.join(path, "_quarantine")
+        committed: tuple[str, ...] | None = None
+        if self.current_version() is not None:
+            committed = tuple(self._manifest()["partition_by"])
+        if partition_by is None:
+            self.partition_by = committed if committed is not None else ()
+        else:
+            self.partition_by = tuple(partition_by)
+            if committed is not None and self.partition_by != committed:
+                raise ValueError(
+                    f"table at {path} is partitioned by {committed}, not "
+                    f"{self.partition_by}; open it without partition_by (or "
+                    "with the committed scheme) and call "
+                    "evolve_partitioning() to change the layout"
+                )
 
     # -- log ---------------------------------------------------------------
 
@@ -378,37 +413,69 @@ class LakeTable:
         owners: dict[str, int] = manifest["owners"]
         if keys is not None:
             owners = {k: v for k, v in owners.items() if k in set(keys)}
+        schema = T.StructType.fromJson(json.loads(manifest["schema"]))
         if not owners:
-            schema = T.StructType.fromJson(json.loads(manifest["schema"]))
             return self.spark.createDataFrame([], schema)
-        if not manifest["partition_by"]:
-            return self.spark.read.parquet(self._vdir(owners[""]))
-        by_version: dict[int, list[str]] = {}
+        types = {f.name: f.dataType for f in schema.fields}
+        # Group by (owning token, key layout): one manifest may own
+        # directories written under DIFFERENT partition schemes
+        # (partition-spec evolution) — each group reads with its own
+        # basePath so dir-derived columns resolve under its own layout,
+        # and unionByName merges the mixed shapes.
+        by_group: dict[tuple, list[str]] = {}
         for key, v in owners.items():
-            by_version.setdefault(v, []).append(key)
-        pieces = [
-            self.spark.read.option("basePath", self._vdir(v)).parquet(
-                *[os.path.join(self._vdir(v), k) for k in ks]
-            )
-            for v, ks in by_version.items()
-        ]
+            by_group.setdefault((v, _key_spec(key)), []).append(key)
+        pieces = []
+        for (v, spec), ks in by_group.items():
+            if not spec:
+                piece = self.spark.read.parquet(self._vdir(v))
+            else:
+                piece = self.spark.read.option("basePath", self._vdir(v)).parquet(
+                    *[os.path.join(self._vdir(v), k) for k in ks]
+                )
+            # directory-derived partition values come back through
+            # Spark's partition-type inference, which covers
+            # numerics/dates but NOT booleans ('true' stays a string) —
+            # pin each dir-derived column back to its manifest type
+            # BEFORE the union, so a piece whose column is dir-derived
+            # (string-inferred) unions cleanly with a piece storing the
+            # same column physically
+            for c in spec:
+                if c in types and c in piece.columns:
+                    piece = piece.withColumn(c, F.col(c).cast(types[c]))
+            pieces.append(piece)
         # allowMissingColumns: partitions written before a schema
         # evolution lack the later columns — they read as NULL, same
         # as Delta's mergeSchema reads
         out = reduce(
             lambda a, b: a.unionByName(b, allowMissingColumns=True), pieces
         )
-        schema = T.StructType.fromJson(json.loads(manifest["schema"]))
-        # directory-derived partition values come back through Spark's
-        # partition-type inference, which covers numerics/dates but NOT
-        # booleans ('true' stays a string) — pin every partition column
-        # back to its manifest type
-        for f in schema.fields:
-            if f.name in manifest["partition_by"] and f.name in out.columns:
-                out = out.withColumn(f.name, F.col(f.name).cast(f.dataType))
         names = [f.name for f in schema.fields]
         if set(names) == set(out.columns):
             out = out.select(*names)  # pin manifest column order
+        return out
+
+    def _affected_keys(self, man: dict, touched: DataFrame) -> set[str]:
+        """Partition keys a mutation rewriting the ``touched`` rows must
+        carry through, under EVERY layout present in the manifest's
+        owners map plus the current scheme. During a partition-spec
+        migration window a matched row may live in a directory keyed
+        under the old layout — formatting the touched rows under each
+        stored layout (one bounded distinct+collect per layout; exactly
+        one layout outside a migration window) finds it. A touched row
+        stored under layout A can mint a spurious key under layout B;
+        that only marks an extra partition for rewrite (its survivors
+        are carried verbatim), never a correctness loss."""
+        specs = {_key_spec(k) for k in man["owners"]}
+        specs.add(self.partition_by)
+        out: set[str] = set()
+        for s in specs:
+            # select(*()) yields a zero-column frame: one distinct row
+            # iff ``touched`` is non-empty — exactly when a legacy
+            # unpartitioned blob ("" key) must be rewritten
+            out |= {
+                _fmt_key(s, r) for r in touched.select(*s).distinct().collect()
+            }
         return out
 
     def _check_merge_schema(
@@ -499,6 +566,70 @@ class LakeTable:
             f"restore lost {self._MAX_COMMIT_RETRIES} version races at {self.path}"
         )
 
+    def evolve_partitioning(
+        self, partition_by: Sequence[str], migrate: str = "metadata"
+    ) -> int:
+        """Change the table's partition scheme as a versioned commit
+        (Iceberg partition-spec evolution; Delta has no counterpart —
+        it makes you rewrite the table).
+
+        ``migrate='metadata'`` (default, the 100 TB path): commits a
+        manifest with the new scheme and the UNCHANGED owners map — no
+        data moves. Existing directories keep their old layout (each
+        owners key encodes the layout it was written under); new
+        writes land under the new scheme; snapshot reads union both
+        layouts transparently; mutations carry legacy partitions off
+        as they touch them, so the table migrates incrementally. A
+        full ``optimize()`` finishes the migration in one pass when
+        wanted.
+
+        ``migrate='rewrite'``: rewrites the current snapshot under the
+        new scheme immediately — bounded tables, or when structural
+        partition pruning on the new keys must hold for every existing
+        row right away.
+
+        Either way, every EARLIER version stays readable under the
+        layout it was committed with (``read(version=...)`` is
+        manifest-faithful), and ``history()`` shows the scheme per
+        version. New-scheme columns must already exist in the table
+        schema — evolve partitioning and schema in separate commits."""
+        if migrate not in ("metadata", "rewrite"):
+            raise ValueError(f"migrate must be metadata|rewrite, got {migrate!r}")
+        new = tuple(partition_by)
+        for _ in range(self._MAX_COMMIT_RETRIES):
+            man = self._manifest()
+            cols = {f.name for f in T.StructType.fromJson(json.loads(man["schema"]))}
+            missing = [c for c in new if c not in cols]
+            if missing:
+                raise ValueError(
+                    f"partition columns {missing} not in table schema; "
+                    "evolve the schema first (write/upsert with "
+                    "schema_evolution), then the partitioning"
+                )
+            if tuple(man["partition_by"]) == new:
+                self.partition_by = new
+                return man["version"]  # already the current scheme
+            self.partition_by = new
+            if migrate == "rewrite":
+                df = self._read_owned(man)
+                token = self._new_token()
+                owners = {k: token for k in self._write_data(df, token)}
+            else:
+                owners = dict(man["owners"])
+            try:
+                return self._commit(
+                    man["version"] + 1,
+                    owners,
+                    f"evolve_partitioning({','.join(new) or '-'},{migrate})",
+                    man["schema"],
+                )
+            except ConcurrentWriteError:
+                continue
+        raise ConcurrentWriteError(
+            f"evolve_partitioning lost {self._MAX_COMMIT_RETRIES} version "
+            f"races at {self.path}"
+        )
+
     def upsert(
         self,
         source: DataFrame,
@@ -577,16 +708,13 @@ class LakeTable:
                 target_all = self._read_owned(man)
                 # partitions holding matched rows (an update may move
                 # a key across partitions, so this is NOT just the
-                # source's partitions)
-                matched_parts = (
-                    target_all.join(src_keys, keys, "leftsemi")
-                    .select(*self.partition_by)
-                    .distinct()
-                )
-                src_parts = source.select(*self.partition_by).distinct()
-                affected = {
+                # source's partitions) — keyed under every layout in
+                # the owners map, so rows still stored under a
+                # pre-evolution layout are carried off too
+                matched = target_all.join(src_keys, keys, "leftsemi")
+                affected = self._affected_keys(man, matched) | {
                     _fmt_key(self.partition_by, r)
-                    for r in matched_parts.unionByName(src_parts)
+                    for r in source.select(*self.partition_by)
                     .distinct()
                     .collect()
                 }
@@ -631,13 +759,9 @@ class LakeTable:
                 written = self._write_data(new, token)
                 owners = {k: token for k in written}
             else:
-                affected = {
-                    _fmt_key(self.partition_by, r)
-                    for r in target_all.where(condition)
-                    .select(*self.partition_by)
-                    .distinct()
-                    .collect()
-                }
+                affected = self._affected_keys(
+                    man, target_all.where(condition)
+                )
                 affected_existing = [k for k in affected if k in man["owners"]]
                 new = self._read_owned(man, affected_existing).where(
                     ~F.coalesce(condition, F.lit(False))
@@ -756,6 +880,7 @@ class LakeTable:
                     "op": m["op"],
                     "ts": m["ts"],
                     "n_partitions": len(m["owners"]),
+                    "partition_by": list(m["partition_by"]),
                 }
             )
         return out

@@ -457,11 +457,43 @@ def salted_join(
     isn't available or isn't enough; the cost is ``salt``x the
     right-side shuffle volume, so keep the smaller side right.
 
-    Supported ``how``: inner / left / left_outer (right-side
-    replication breaks right/full-outer semantics — rejected).
+    ``how`` variants and their mechanics:
+
+    - inner / left / left_outer: salt the left row (deterministic
+      row-hash), replicate the right side ``salt``× — cost is
+      ``salt``× the RIGHT shuffle volume, so keep the smaller side
+      right.
+    - right / right_outer: the mirror image — the right row keeps ONE
+      salt (so unmatched right rows surface exactly once) and the
+      LEFT side replicates, flipping the cost to ``salt``× the left
+      shuffle volume.
+    - full / outer / full_outer: salted left_outer plus an anti-join
+      that appends the right rows whose key never occurs on the left
+      (typed-NULL left columns). The anti-join shuffles one key
+      column of the right side; a hot key that exists on the left is
+      eliminated by the semi structure, so the residual skew is only
+      on keys absent from the left entirely.
     """
+    if how in ("right", "right_outer"):
+        rsalt = right.withColumn(
+            "__salt",
+            F.pmod(F.xxhash64(*[F.col(c) for c in right.columns]), salt).cast("int"),
+        )
+        lrep = left.select(
+            "*", F.explode(F.sequence(F.lit(0), F.lit(salt - 1))).alias("__salt")
+        )
+        return lrep.join(rsalt, [on, "__salt"], "right").drop("__salt")
+    if how in ("full", "outer", "full_outer"):
+        lo = salted_join(left, right, on, salt=salt, how="left_outer")
+        anti = right.join(left.select(on).distinct(), [on], "left_anti")
+        for f in left.schema.fields:
+            if f.name != on:
+                anti = anti.withColumn(f.name, F.lit(None).cast(f.dataType))
+        return lo.unionByName(anti.select(*lo.columns))
     if how not in ("inner", "left", "left_outer"):
-        raise ValueError(f"salted_join supports inner/left joins, got {how!r}")
+        raise ValueError(
+            f"salted_join supports inner/left/right/full joins, got {how!r}"
+        )
     lsalt = left.withColumn(
         "__salt",
         F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), salt).cast("int"),
@@ -556,11 +588,22 @@ def auto_skew_join(
     fallback for distributions AQE can't fix (e.g. one key > a whole
     executor's memory in a single post-split partition).
 
-    Supported ``how``: inner / left / left_outer (same contract as
-    :func:`salted_join`).
+    Supported ``how``: every equi-join mode :func:`salted_join`
+    supports — inner / left / right / full and their _outer aliases.
+    Hot detection always counts the LEFT side (one narrow pre-pass);
+    for right/full joins pass the probe-heavy side as ``left`` so the
+    count measures the skew that matters.
+
+    For outer modes the key space is PARTITIONED between the two
+    branches — the right side splits hot/cold too — so an unmatched
+    outer row surfaces in exactly one branch (joining the cold left
+    against the full right under ``how='right'`` would re-emit every
+    hot-key right row as a spurious NULL-left unmatched row).
     """
-    if how not in ("inner", "left", "left_outer"):
-        raise ValueError(f"auto_skew_join supports inner/left joins, got {how!r}")
+    inner_left = ("inner", "left", "left_outer")
+    outer = ("right", "right_outer", "full", "outer", "full_outer")
+    if how not in inner_left + outer:
+        raise ValueError(f"auto_skew_join does not support how={how!r}")
     # null keys never join anyway, and a None inside isin() poisons the
     # cold-side filter (three-valued IN: NULL, not false) — exclude them
     # from hot detection so they always ride the plain-join path
@@ -580,6 +623,13 @@ def auto_skew_join(
     l_hot = left.where(F.col(on).isin(hot_keys))
     l_cold = left.where(~F.col(on).isin(hot_keys) | F.col(on).isNull())
     r_hot = right.where(F.col(on).isin(hot_keys))
-    cold = l_cold.join(right, on, how)
+    if how in inner_left:
+        # the cold branch may keep the FULL right side: cold left rows
+        # can't match hot right rows, and inner/left never emit
+        # unmatched right rows
+        cold = l_cold.join(right, on, how)
+    else:
+        r_cold = right.where(~F.col(on).isin(hot_keys) | F.col(on).isNull())
+        cold = l_cold.join(r_cold, on, how)
     hot = salted_join(l_hot, r_hot, on, salt=salt, how=how)
     return cold.unionByName(hot)

@@ -115,6 +115,25 @@ DEMOTED: tuple[str, ...] = (
 
 GATE_WINDOW = 50
 
+# Queries whose builder performs eager side-effecting work — LakeTable
+# commit cycles, streaming micro-batch replays, JDBC round trips —
+# rather than returning one lazy Catalyst plan. Their bench timings
+# measure an end-to-end stateful pipeline (multiple jobs + commit
+# protocol), so bench.py subtotals them separately from the pure-plan
+# queries: comparing a 2-commit ledger replay against a single
+# aggregation scan round-over-round is comparing unlike things.
+STATEFUL: frozenset[str] = frozenset(
+    {
+        "q_incremental_minhash",  # two LakeTable commit cycles vs a band ledger
+        "q_stream_near_dedup",  # two AvailableNow micro-batches through foreachBatch
+        "q_stateful_running_status",  # applyInPandasWithState stream replay
+        "q_merge_upsert",  # MERGE commit cycle
+        "q_time_travel",  # multi-version commit history
+        "q_snapshot_retention",  # commit + vacuum cycle
+        "q_jdbc_roundtrip",  # Derby write + readback
+    }
+)
+
 
 def _reorder() -> None:
     head = {k: v for k, v in QUERIES.items() if k not in DEMOTED}
@@ -126,4 +145,4 @@ def _reorder() -> None:
 
 _reorder()
 
-__all__ = ["ORACLE", "QUERIES", "DEMOTED", "GATE_WINDOW"]
+__all__ = ["ORACLE", "QUERIES", "DEMOTED", "GATE_WINDOW", "STATEFUL"]

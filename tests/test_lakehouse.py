@@ -1011,3 +1011,188 @@ def test_stream_near_dedup_ingest(spark, tmp_path):
         r.doc_id for r in LakeTable(spark, str(tmp_path / "corpus")).read().collect()
     )
     assert ids == [1, 3]  # near-dup 2 dropped across micro-batches
+
+
+# -- partition-spec evolution ------------------------------------------------
+
+
+def _owner_layouts(t: LakeTable) -> set[tuple[str, ...]]:
+    from datalake_toolkit_spark.lakehouse.table import _key_spec
+
+    return {_key_spec(k) for k in t._manifest()["owners"]}
+
+
+def test_partition_evolution_metadata_mixed_layout_reads(spark, tmp_path, base_df):
+    """evolve_partitioning(metadata): no data moves, old dirs keep the
+    old layout, new writes land under the new one, and snapshot reads
+    union both transparently. Earlier versions read back under the
+    layout they were committed with."""
+    t = LakeTable(spark, str(tmp_path / "t"), partition_by=("seg",))
+    t.write(base_df.withColumn("dt", F.concat(F.lit("d"), F.col("id") % 2)))
+    t.evolve_partitioning(("dt",))
+    assert t.partition_by == ("dt",)
+    # legacy dirs untouched: owners still keyed under seg
+    assert _owner_layouts(t) == {("seg",)}
+    # new rows land under dt; legacy partitions stay put
+    src = spark.createDataFrame(
+        [(100, "seg0", 1.0, "d0"), (101, "seg1", 2.0, "d1")],
+        "id bigint, seg string, val double, dt string",
+    )
+    t.upsert(src, keys=["id"])
+    assert _owner_layouts(t) == {("seg",), ("dt",)}
+    got = {r.id: (r.seg, r.val, r.dt) for r in t.read().collect()}
+    assert len(got) == 32 and got[100] == ("seg0", 1.0, "d0")
+    assert got[5] == ("seg2", 50.0, "d1")
+    # v0 still reads under the original layout
+    assert {r.id for r in t.read(version=0).collect()} == set(range(30))
+    layouts = [tuple(h["partition_by"]) for h in t.history()]
+    assert layouts == [("seg",), ("dt",), ("dt",)]
+
+
+def test_partition_evolution_upsert_carries_legacy_partitions(
+    spark, tmp_path, base_df
+):
+    """A merge matching rows still stored under the PRE-evolution
+    layout must carry them off (no duplicates) and rewrite them under
+    the current scheme — the incremental-migration contract."""
+    t = LakeTable(spark, str(tmp_path / "t"), partition_by=("seg",))
+    t.write(base_df.withColumn("dt", F.concat(F.lit("d"), F.col("id") % 2)))
+    t.evolve_partitioning(("dt",))
+    src = spark.createDataFrame(
+        [(3, "seg0", 999.0, "d1"), (4, "seg1", 888.0, "d0")],
+        "id bigint, seg string, val double, dt string",
+    )
+    t.upsert(src, keys=["id"])
+    rows = t.read().collect()
+    assert len(rows) == 30  # updated in place, not duplicated
+    got = {r.id: (r.val, r.dt) for r in rows}
+    assert got[3] == (999.0, "d1") and got[4] == (888.0, "d0")
+    # the touched legacy partitions (seg0/seg1 held ids 3,4) migrated;
+    # untouched seg2 keeps its legacy layout
+    assert _owner_layouts(t) == {("seg",), ("dt",)}
+    owners = set(t._manifest()["owners"])
+    assert "seg=seg0" not in owners and "seg=seg1" not in owners
+    assert "seg=seg2" in owners
+
+
+def test_partition_evolution_delete_where_spans_layouts(spark, tmp_path, base_df):
+    t = LakeTable(spark, str(tmp_path / "t"), partition_by=("seg",))
+    t.write(base_df.withColumn("dt", F.concat(F.lit("d"), F.col("id") % 2)))
+    t.evolve_partitioning(("dt",))
+    t.upsert(
+        spark.createDataFrame(
+            [(100, "seg0", 5.0, "d0")], "id bigint, seg string, val double, dt string"
+        ),
+        keys=["id"],
+    )
+    t.delete_where(F.col("id").isin(1, 100))  # one legacy row, one new-layout row
+    assert {r.id for r in t.read().collect()} == set(range(30)) - {1}
+
+
+def test_partition_evolution_rewrite_and_optimize_migration(
+    spark, tmp_path, base_df
+):
+    """migrate='rewrite' relays the snapshot under the new scheme at
+    once; after a metadata evolve, a full optimize() finishes the
+    migration (every owner key re-keyed under the current scheme)."""
+    df = base_df.withColumn("dt", F.concat(F.lit("d"), F.col("id") % 2))
+    a = LakeTable(spark, str(tmp_path / "a"), partition_by=("seg",))
+    a.write(df)
+    a.evolve_partitioning(("dt",), migrate="rewrite")
+    assert _owner_layouts(a) == {("dt",)}
+    assert _as_dict(a.read().drop("dt")) == _as_dict(df.drop("dt"))
+    b = LakeTable(spark, str(tmp_path / "b"), partition_by=("seg",))
+    b.write(df)
+    b.evolve_partitioning(("dt",))
+    assert _owner_layouts(b) == {("seg",)}
+    b.optimize()
+    assert _owner_layouts(b) == {("dt",)}
+    assert _as_dict(b.read().drop("dt")) == _as_dict(df.drop("dt"))
+
+
+def test_partition_evolution_from_unpartitioned_blob(spark, tmp_path, base_df):
+    """Evolving an unpartitioned table: the legacy '' blob is carried
+    off (and re-laid-out) by the first mutation that touches it."""
+    t = LakeTable(spark, str(tmp_path / "t"))
+    t.write(base_df)
+    t.evolve_partitioning(("seg",))
+    assert _owner_layouts(t) == {()}
+    t.upsert(
+        spark.createDataFrame([(0, "seg0", 1.0)], "id bigint, seg string, val double"),
+        keys=["id"],
+    )
+    assert _owner_layouts(t) == {("seg",)}
+    got = _as_dict(t.read())
+    assert len(got) == 30 and got[0] == ("seg0", 1.0)
+
+
+def test_open_adopts_committed_scheme_and_mismatch_raises(
+    spark, tmp_path, base_df
+):
+    path = str(tmp_path / "t")
+    t = LakeTable(spark, path, partition_by=("seg",))
+    t.write(base_df)
+    # no partition_by -> adopt the committed scheme (reads AND writes)
+    again = LakeTable(spark, path)
+    assert again.partition_by == ("seg",)
+    with pytest.raises(ValueError, match="evolve_partitioning"):
+        LakeTable(spark, path, partition_by=("id",))
+    with pytest.raises(ValueError, match="evolve_partitioning"):
+        LakeTable(spark, path, partition_by=())
+
+
+def test_partition_evolution_validates_columns(spark, tmp_path, base_df):
+    t = LakeTable(spark, str(tmp_path / "t"), partition_by=("seg",))
+    t.write(base_df)
+    with pytest.raises(ValueError, match="not in table schema"):
+        t.evolve_partitioning(("nope",))
+
+
+def test_aggregate_view_maintains_average(spark, tmp_path):
+    """include_avg: avg_value is derived from the maintained
+    (count, sum) pair on BOTH refresh paths, so the incremental view
+    matches a recompute exactly through updates and deletes."""
+    from datalake_toolkit_spark.lakehouse import LakeTable, refresh_aggregate_view
+
+    base = LakeTable(spark, str(tmp_path / "base"), partition_by=("seg",))
+    view = LakeTable(spark, str(tmp_path / "view"))
+    rows = [(i, f"seg{i % 3}", float(i)) for i in range(30)]
+    base.write(spark.createDataFrame(rows, "id bigint, seg string, val double"))
+
+    def recompute():
+        return {
+            r["seg"]: (r["n_rows"], float(r["sum_value"]), float(r["avg_value"]))
+            for r in base.read()
+            .groupBy("seg")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(F.col("val").cast("decimal(18,2)")).alias("sum_value"),
+            )
+            .withColumn(
+                "avg_value",
+                (F.col("sum_value") / F.col("n_rows")).cast("decimal(28,6)"),
+            )
+            .collect()
+        }
+
+    def view_state():
+        return {
+            r["seg"]: (r["n_rows"], float(r["sum_value"]), float(r["avg_value"]))
+            for r in view.read().collect()
+        }
+
+    refresh_aggregate_view(base, view, ["seg"], "val", include_avg=True)
+    assert view_state() == recompute()
+    types = dict(view.read().dtypes)
+    assert types["avg_value"] == "decimal(28,6)"
+    base.upsert(
+        spark.createDataFrame(
+            [(0, "seg0", 1000.0), (99, "seg9", 7.5)],
+            "id bigint, seg string, val double",
+        ),
+        keys=["id"],
+    )
+    base.delete_where((F.col("seg") == "seg1") & (F.col("id") < 10))
+    refresh_aggregate_view(base, view, ["seg"], "val", include_avg=True)
+    assert view_state() == recompute()
+    assert dict(view.read().dtypes) == types

@@ -4,6 +4,7 @@ by q_asof_join against DuckDB's native ASOF JOIN)."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from datalake_toolkit_spark.operators import asof_join
@@ -246,3 +247,46 @@ def test_funnel_steps_greedy_order_and_horizon(spark):
     cohort = next(k[0] for k in ret)
     assert ret[(cohort, 0)] == 4  # all four users in the base week
     assert ret[(cohort, 1)] == 1  # only u1 came back next week
+
+
+def test_salted_and_auto_skew_join_outer_modes_equal_plain(spark):
+    """right/full-outer variants: the salted decomposition (mirror
+    salting for right; left_outer + key-anti for full) must reproduce
+    the plain join exactly — matched pairs once, each unmatched outer
+    row exactly once, NULL keys unmatched on their own side."""
+    from datalake_toolkit_spark.operators import auto_skew_join, salted_join
+
+    left = spark.createDataFrame(
+        [(1, i) for i in range(500)]  # hot key
+        + [(2, 1), (3, 5), (None, 9)],
+        "k bigint, lv bigint",
+    )
+    right = spark.createDataFrame(
+        [(1, 100), (1, 200), (2, 300), (4, 400), (None, 500)],
+        "k bigint, rv bigint",
+    )
+
+    def rows(df):
+        return sorted(
+            ((r.k, r.lv, r.rv) for r in df.collect()),
+            key=lambda t: tuple((v is None, v) for v in t),
+        )
+
+    for how in ("right", "full"):
+        plain = rows(left.join(right, "k", how))
+        assert rows(salted_join(left, right, "k", salt=4, how=how)) == plain
+        assert (
+            rows(
+                auto_skew_join(
+                    left, right, "k", how=how, hot_key_threshold=100, salt=4
+                )
+            )
+            == plain
+        ), how
+        # below threshold: passthrough path, still identical
+        assert (
+            rows(auto_skew_join(left, right, "k", how=how, hot_key_threshold=10_000))
+            == plain
+        ), how
+    with pytest.raises(ValueError):
+        salted_join(left, right, "k", how="cross")
