@@ -111,6 +111,13 @@ DEMOTED: tuple[str, ...] = (
     "q_lsh_cosine_near_dups",  # 4x; single-band LSH pairing ~ q_banded_cosine_near_dups + q_centered_cosine_near_dups (incoming)
     "q_dup_clusters",  # 4x; connected components ~ q_semantic_dedup (incoming, same iteration)
     "q_range_join",  # 4x; range predicates ~ q_interval_join / q_interval_join_left stay
+    # r7 second wave: q_partition_evolution enters (the new
+    # evolve_partitioning flagship, never driver-checked); q_time_travel
+    # (4x green r4-r7 window) rotates out — its shape (multi-version
+    # commits + an old-version read) is subsumed in-window by
+    # q_partition_evolution (reads v0 under the PRE-evolution layout)
+    # and q_snapshot_retention (history/vacuum machinery).
+    "q_time_travel",
 )
 
 GATE_WINDOW = 50

@@ -133,6 +133,74 @@ def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_partition_evolution",
+    _MERGED_SQL
+    + """
+    SELECT 'v0_by_segment' AS part, c_mktsegment AS grp,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+    FROM customer GROUP BY c_mktsegment
+    UNION ALL
+    SELECT 'final_by_bucket' AS part, CAST(c_custkey % 4 AS VARCHAR) AS grp,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+    FROM merged GROUP BY c_custkey % 4
+    """,
+)
+def q_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-spec evolution end to end
+    (lakehouse.LakeTable.evolve_partitioning, metadata-only mode): the
+    table is written partitioned by segment, the scheme evolves to a
+    key-derived bucket WITHOUT moving any data, and a MERGE then lands
+    under the new layout while carrying off the legacy partitions it
+    touches — so the final snapshot is a genuinely MIXED-layout read
+    (untouched segment dirs ∪ new bucket dirs). The output pins both
+    sides of the contract: version 0 still reads under the original
+    layout after the evolution, and the final per-bucket aggregate
+    only matches the relational merge replay if the mixed-layout union
+    neither drops nor double-counts a single row."""
+    cust, src = _customer_source(spark, sf_dir)
+
+    def bucketed(df: DataFrame) -> DataFrame:
+        return df.withColumn(
+            "bal_bucket", (F.col("c_custkey") % 4).cast("int")
+        )
+
+    t = LakeTable(
+        spark,
+        tempfile.mkdtemp(prefix="q_partition_evolution_"),
+        partition_by=("c_mktsegment",),
+    )
+    t.write(bucketed(cust))  # v0: segment layout
+    t.evolve_partitioning(("bal_bucket",))  # v1: metadata-only, no data moves
+    t.upsert(bucketed(src), keys=["c_custkey"])  # v2: mixed layouts
+
+    v0 = (
+        t.read(version=0)
+        .groupBy(F.col("c_mktsegment").alias("grp"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_bal"),
+        )
+        .select(F.lit("v0_by_segment").alias("part"), "*")
+    )
+    fin = (
+        t.read()
+        .groupBy(F.col("bal_bucket").cast("string").alias("grp"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_bal"),
+        )
+        .select(F.lit("final_by_bucket").alias("part"), "*")
+    )
+    return v0.unionByName(fin)
+
+
+@query(
     "q_snapshot_retention",
     """
     WITH src AS (
