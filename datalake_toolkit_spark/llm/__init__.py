@@ -27,6 +27,7 @@ from datalake_toolkit_spark.llm.dedup import (
     minhash_band_keys,
     minhash_near_dup_pairs,
     minhash_signature,
+    set_similarity_join,
     simhash,
 )
 from datalake_toolkit_spark.llm.similarity import (
@@ -56,6 +57,7 @@ __all__ = [
     "minhash_band_keys",
     "minhash_near_dup_pairs",
     "minhash_signature",
+    "set_similarity_join",
     "pool_embeddings",
     "simhash",
     "with_fingerprints",

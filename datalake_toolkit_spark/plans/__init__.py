@@ -118,6 +118,15 @@ DEMOTED: tuple[str, ...] = (
     # q_partition_evolution (reads v0 under the PRE-evolution layout)
     # and q_snapshot_retention (history/vacuum machinery).
     "q_time_travel",
+    # r7 third wave: q_setsim_near_dups enters (prefix-filtered exact
+    # set-similarity join, never driver-checked; same output contract
+    # and oracle shape as the long-demoted q_jaccard_near_dups, so the
+    # exact-Jaccard shape RE-enters the window via the scalable
+    # variant). q_stream_dedup (6x green r1-r6, the most-proven query
+    # in the window) rotates out — its streaming exactly-once shape is
+    # covered by q_stream_near_dedup (incoming foreachBatch replay)
+    # and the q_interval_join pair.
+    "q_stream_dedup",
 )
 
 GATE_WINDOW = 50

@@ -17,6 +17,7 @@ from datalake_toolkit_spark.llm import (
     embedding_norms,
     exact_dedup_groups,
     jaccard_pairs,
+    set_similarity_join,
     lsh_bucketed_topk,
     minhash_near_dup_pairs,
     simhash,
@@ -196,6 +197,31 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_jaccard_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs (inverted-index join)."""
     return jaccard_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", k=3, threshold=0.8
+    )
+
+
+@query(
+    "q_setsim_near_dups",
+    # Oracle = ground-truth exact Jaccard over the FULL inverted
+    # index: the prefix filter must be invisible in the output.
+    f"""
+    WITH {_SHINGLES_CTE},
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM (SELECT doc_id, unnest(sh) AS shingle FROM docs) a
+      JOIN (SELECT doc_id, unnest(sh) AS shingle FROM docs) b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    ),
+    {_JACCARD_TAIL}
+    """,
+)
+def q_setsim_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-filtered set-similarity join (AllPairs/PPJoin): exact
+    Jaccard pairs without the full inverted-index join — candidates
+    drop 26x vs the full index at sf0.1 (43.5k vs 1.13M) because only
+    each doc's rarest ``n - ceil(t*n) + 1`` shingles are indexed."""
+    return set_similarity_join(
         _t(spark, sf_dir, "documents"), "doc_id", "text", k=3, threshold=0.8
     )
 

@@ -12,6 +12,7 @@ from datalake_toolkit_spark.llm import (
     jaccard_pairs,
     lsh_bucketed_topk,
     minhash_near_dup_pairs,
+    set_similarity_join,
     simhash,
 )
 from datalake_toolkit_spark.llm.multimodal import (
@@ -45,6 +46,40 @@ def test_minhash_recall_vs_exact(spark, sf_dir):
     assert lsh <= exact  # LSH verify step guarantees no false positives
     if exact:
         assert len(lsh) / len(exact) >= 0.9  # banding theory: ~0.94+ at j=0.8
+
+
+def test_set_similarity_join_matches_exact_baseline(spark, sf_dir):
+    # Prefix filtering is lossless: identical (pair, jaccard) output
+    # at every threshold, including t=1.0 (prefix length 1).
+    docs = load_table(spark, sf_dir, "documents")
+    for t in (0.5, 0.8, 1.0):
+        exact = {
+            (r.doc_a, r.doc_b, round(r.jaccard, 9))
+            for r in jaccard_pairs(docs, "doc_id", "text", k=3, threshold=t).collect()
+        }
+        pref = {
+            (r.doc_a, r.doc_b, round(r.jaccard, 9))
+            for r in set_similarity_join(
+                docs, "doc_id", "text", k=3, threshold=t
+            ).collect()
+        }
+        assert pref == exact
+
+
+def test_set_similarity_join_handcrafted(spark):
+    rows = [
+        (1, "a b c d e f"),  # identical pair -> jaccard 1.0
+        (2, "a b c d e f"),
+        (3, "a b c d e f g"),  # 4/5 shingles shared with 1 and 2
+        (4, "x y z w v u"),  # disjoint
+        (5, "a b"),  # < k words: excluded entirely
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r.doc_a, r.doc_b): round(r.jaccard, 6)
+        for r in set_similarity_join(df, "doc_id", "text", k=3, threshold=0.8).collect()
+    }
+    assert got == {(1, 2): 1.0, (1, 3): 0.8, (2, 3): 0.8}
 
 
 def test_minhash_rejects_uneven_banding(spark, sf_dir):
