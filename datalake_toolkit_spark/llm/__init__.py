@@ -20,6 +20,7 @@ from datalake_toolkit_spark.llm.cluster import (
     semantic_dedup,
 )
 from datalake_toolkit_spark.llm.dedup import (
+    dup_ngram_stats,
     exact_dedup,
     exact_dedup_groups,
     incremental_minhash_dedup,
@@ -48,6 +49,7 @@ __all__ = [
     "dedup_clusters",
     "semantic_dedup",
     "dedup_keep_canonical",
+    "dup_ngram_stats",
     "exact_dedup",
     "exact_dedup_groups",
     "incremental_minhash_dedup",

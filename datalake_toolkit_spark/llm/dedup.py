@@ -377,6 +377,59 @@ def set_similarity_join(
     )
 
 
+def dup_ngram_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    k: int = 5,
+) -> DataFrame:
+    """Span-level duplication signal: for each document, how many of
+    its distinct word ``k``-grams also appear in at least one OTHER
+    document. The practical distributed stand-in for suffix-array
+    substring dedup (Lee et al. 2022, "Deduplicating Training Data
+    Makes Language Models Better"): doc-level dedup misses shared
+    boilerplate, licenses, and quoted passages — a high ``dup_ratio``
+    with no whole-doc near-dup is exactly that case.
+
+    Scale: one explode (distinct grams per doc), one gram-keyed
+    aggregation for document frequency, one gram-keyed join back, one
+    doc-keyed aggregation. Every stage is hash-partitioned with
+    map-side partial aggregation; nothing is quadratic and nothing is
+    collected. Docs with fewer than ``k`` words have no k-grams and
+    are absent from the output.
+
+    Returns ``(id, n_grams, n_dup_grams, dup_ratio, max_gram_docs)``:
+    distinct-gram count, how many of those occur elsewhere, their
+    ratio, and the document frequency of the doc's most-duplicated
+    gram (1 = nothing shared; large = contains a viral span).
+    """
+    docs = _doc_shingles(df, id_col, text_col, k)
+    # explode_outer, not explode: see jaccard_pairs.
+    ex = docs.select(F.col(id_col), F.explode_outer("sh").alias("gram"))
+    # sh is distinct per doc, so count(*) per gram = document frequency.
+    docfreq = ex.groupBy("gram").agg(F.count(F.lit(1)).alias("n_docs"))
+    # Both sides are corpus-sized — shuffle hash join, never broadcast.
+    return (
+        ex.hint("shuffle_hash")
+        .join(docfreq.hint("shuffle_hash"), "gram")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum((F.col("n_docs") >= 2).cast("bigint")).alias("n_dup_grams"),
+            F.max("n_docs").alias("max_gram_docs"),
+        )
+        .select(
+            F.col(id_col),
+            "n_grams",
+            "n_dup_grams",
+            (F.col("n_dup_grams").cast("double") / F.col("n_grams")).alias(
+                "dup_ratio"
+            ),
+            "max_gram_docs",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

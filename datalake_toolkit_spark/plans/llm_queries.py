@@ -16,6 +16,7 @@ from datalake_toolkit_spark.llm import (
     cosine_topk,
     embedding_norms,
     exact_dedup_groups,
+    dup_ngram_stats,
     jaccard_pairs,
     set_similarity_join,
     lsh_bucketed_topk,
@@ -224,6 +225,36 @@ def q_setsim_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return set_similarity_join(
         _t(spark, sf_dir, "documents"), "doc_id", "text", k=3, threshold=0.8
     )
+
+
+@query(
+    "q_dup_ngram_stats",
+    # 5-gram CTE via array slices (w[i:i+4] is 5 tokens, inclusive) —
+    # generalizes to any k unlike the fixed k=3 shingle CTE above.
+    r"""
+    WITH docs AS (
+      SELECT doc_id, list_distinct(list_transform(
+               generate_series(1, len(w) - 4),
+               i -> array_to_string(w[i:i+4], ' '))) AS sh
+      FROM (SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents)
+      WHERE len(w) >= 5
+    ),
+    ex AS (SELECT doc_id, unnest(sh) AS gram FROM docs),
+    docfreq AS (SELECT gram, count(*) AS n_docs FROM ex GROUP BY gram)
+    SELECT e.doc_id,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(sum(CASE WHEN d.n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_grams,
+           CAST(sum(CASE WHEN d.n_docs >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*) AS dup_ratio,
+           CAST(max(d.n_docs) AS BIGINT) AS max_gram_docs
+    FROM ex e JOIN docfreq d USING (gram)
+    GROUP BY e.doc_id
+    """,
+)
+def q_dup_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level duplication: per-doc duplicated 5-gram counts and
+    ratio — catches shared boilerplate that doc-level dedup misses."""
+    return dup_ngram_stats(_t(spark, sf_dir, "documents"), "doc_id", "text", k=5)
 
 
 @query(

@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 
 from datalake_toolkit_spark.llm import (
     cosine_topk,
+    dup_ngram_stats,
     exact_dedup,
     jaccard_pairs,
     lsh_bucketed_topk,
@@ -64,6 +65,26 @@ def test_set_similarity_join_matches_exact_baseline(spark, sf_dir):
             ).collect()
         }
         assert pref == exact
+
+
+def test_dup_ngram_stats_handcrafted(spark):
+    shared = "the quick brown fox jumps"  # one shared 5-gram
+    rows = [
+        (1, shared + " over the lazy dog"),  # 5 grams, 1 duplicated
+        (2, "again today " + shared),  # 3 grams, 1 duplicated
+        (3, "completely different words here entirely"),  # 1 gram, unique
+        (4, "too short"),  # < 5 words: absent from output
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r.doc_id: (r.n_grams, r.n_dup_grams, round(r.dup_ratio, 6), r.max_gram_docs)
+        for r in dup_ngram_stats(df, "doc_id", "text", k=5).collect()
+    }
+    assert got == {
+        1: (5, 1, 0.2, 2),
+        2: (3, 1, round(1 / 3, 6), 2),
+        3: (1, 0, 0.0, 1),
+    }
 
 
 def test_set_similarity_join_handcrafted(spark):
