@@ -37,8 +37,11 @@ is structural rather than filter-dependent.
 
 from __future__ import annotations
 
+import datetime
 import json
+import math
 import os
+import re
 import uuid
 import shutil
 import time
@@ -104,6 +107,179 @@ def _key_spec(key: str) -> tuple[str, ...]:
     return tuple(seg.split("=", 1)[0] for seg in key.split("/"))
 
 
+# -- file statistics / data skipping ----------------------------------------
+#
+# Iceberg-style manifest column stats: each commit records per-FILE
+# min/max/null_count for the table's prunable columns, collected from
+# parquet FOOTERS only (never a data re-read — a few KB per file, so
+# stats collection on a 100 TB load costs footer-reads, not a second
+# scan). ``read(where=...)`` then skips whole files the predicate
+# provably excludes BEFORE Spark ever lists them — the planning-time
+# complement to parquet's own row-group skipping, which still needs
+# every footer opened per query.
+
+_STATS_MAX_COLS = 16
+
+_PCT_RE = re.compile("%([0-9A-Fa-f]{2})")
+
+
+def _unescape_partition_value(s: str) -> str:
+    return _PCT_RE.sub(lambda m: chr(int(m.group(1), 16)), s)
+
+
+def _stats_eligible(schema: T.StructType) -> list[str]:
+    """Top-level columns file stats can be kept for: orderable
+    primitives whose parquet footer min/max round-trip to JSON-safe
+    values (decimals, binaries, and nested types are excluded)."""
+    ok = (
+        T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+        T.FloatType, T.DoubleType, T.StringType, T.DateType,
+        T.TimestampType, T.TimestampNTZType,
+    )
+    return [f.name for f in schema.fields if isinstance(f.dataType, ok)][
+        :_STATS_MAX_COLS
+    ]
+
+
+def _json_safe_stat(v):
+    """A footer min/max value as a JSON-storable, ORDER-PRESERVING
+    scalar: timestamps/dates become fixed-width ISO strings (lexical
+    order == chronological order), everything unrepresentable (bytes,
+    NaN/Inf, decimals) returns None and drops the stat."""
+    if isinstance(v, bool):
+        return None
+    if isinstance(v, (int, str)):
+        return v
+    if isinstance(v, float):
+        return v if math.isfinite(v) else None
+    if isinstance(v, datetime.datetime):
+        if v.tzinfo is not None:
+            v = v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+        return v.isoformat(sep=" ")
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    return None
+
+
+def _read_footers(paths: list[str], cols: list[str]) -> dict[str, dict]:
+    """Per-file column stats from parquet footers: {abs_path: {col:
+    [min, max, null_count]}}. Module-level so Spark can ship it to
+    executors for large file counts. A file whose footer lacks usable
+    min/max for a column simply omits that column (the file is then
+    never pruned on it)."""
+    import pyarrow.parquet as pq
+
+    out: dict[str, dict] = {}
+    for p in paths:
+        st: dict[str, list] = {}
+        try:
+            md = pq.ParquetFile(p).metadata
+            idx = {}
+            for i in range(md.num_columns):
+                idx.setdefault(md.schema.column(i).path, i)
+            for c in cols:
+                i = idx.get(c)
+                if i is None:
+                    continue
+                mn = mx = None
+                nulls = 0
+                usable = True
+                for rg in range(md.num_row_groups):
+                    s = md.row_group(rg).column(i).statistics
+                    if s is None or not s.has_min_max:
+                        usable = False
+                        break
+                    lo, hi = _json_safe_stat(s.min), _json_safe_stat(s.max)
+                    if lo is None or hi is None:
+                        usable = False
+                        break
+                    mn = lo if mn is None or lo < mn else mn
+                    mx = hi if mx is None or hi > mx else mx
+                    nulls += s.null_count or 0
+                if usable and mn is not None:
+                    st[c] = [mn, mx, nulls]
+        except Exception:  # unreadable footer: keep the file unpruned
+            st = {}
+        out[p] = st
+    return out
+
+
+_WHERE_CMP_RE = re.compile(
+    r"^\s*([A-Za-z_]\w*)\s*(<=|>=|==|=|<|>)\s*('(?:[^']|'')*'|-?\d+(?:\.\d+)?)\s*$"
+)
+_WHERE_AND_RE = re.compile(r"\bAND\b", re.IGNORECASE)
+
+
+def _parse_conjuncts(where: str) -> list[tuple[str, str, object]]:
+    """Best-effort decomposition of a WHERE string into prunable
+    ``(col, op, literal)`` conjuncts. Anything beyond a top-level AND
+    of simple comparisons (OR, NOT, parens, functions, quoted ANDs)
+    yields [] — pruning silently degrades to a full scan and the
+    filter itself is ALWAYS applied to the result, so parsing can
+    never affect correctness, only skipping."""
+    if "(" in where or ")" in where:
+        return []
+    if re.search(r"\b(OR|NOT|IN|BETWEEN|LIKE|IS)\b", where, re.IGNORECASE):
+        return []
+    out = []
+    for part in _WHERE_AND_RE.split(where):
+        if part.count("'") % 2:
+            return []  # AND split inside a quoted string
+        m = _WHERE_CMP_RE.match(part)
+        if not m:
+            continue  # unparsable conjunct: no pruning on it
+        col, op, lit = m.groups()
+        if lit.startswith("'"):
+            val: object = lit[1:-1].replace("''", "'")
+        elif "." in lit:
+            val = float(lit)
+        else:
+            val = int(lit)
+        out.append((col, "=" if op == "==" else op, val))
+    return out
+
+
+def _cmp_compatible(a, b) -> bool:
+    num = (int, float)
+    return (isinstance(a, num) and isinstance(b, num)) or (
+        isinstance(a, str) and isinstance(b, str)
+    )
+
+
+def _range_excludes(mn, mx, op: str, val) -> bool:
+    """True iff NO value in [mn, mx] can satisfy ``x op val``."""
+    if not (_cmp_compatible(mn, val) and _cmp_compatible(mx, val)):
+        return False
+    if op == "=":
+        return val < mn or val > mx
+    if op == "<":
+        return mn >= val
+    if op == "<=":
+        return mn > val
+    if op == ">":
+        return mx <= val
+    if op == ">=":
+        return mx < val
+    return False
+
+
+def _point_excludes(pv, op: str, val) -> bool:
+    """True iff the single partition value ``pv`` fails ``pv op val``."""
+    if not _cmp_compatible(pv, val):
+        return False
+    if op == "=":
+        return pv != val
+    if op == "<":
+        return not pv < val
+    if op == "<=":
+        return not pv <= val
+    if op == ">":
+        return not pv > val
+    if op == ">=":
+        return not pv >= val
+    return False
+
+
 class LakeTable:
     """A versioned Parquet table rooted at ``path``.
 
@@ -131,6 +307,7 @@ class LakeTable:
         partition_by: Sequence[str] | None = None,
         constraints: dict[str, str] | None = None,
         on_violation: str = "reject",
+        stats_columns: Sequence[str] | None = None,
     ) -> None:
         """``partition_by``: the table's partition scheme. ``None``
         (default) adopts the existing table's current scheme from its
@@ -149,13 +326,22 @@ class LakeTable:
         ``on_violation``: ``'reject'`` fails the whole write with
         per-rule counts; ``'quarantine'`` diverts violating rows to
         ``<path>/_quarantine/<token>`` and commits only passing rows
-        (the streaming UNMATCHED pattern applied to batch writes)."""
+        (the streaming UNMATCHED pattern applied to batch writes).
+
+        ``stats_columns``: columns to keep per-file min/max manifest
+        stats for (data skipping via ``read(where=...)``). ``None``
+        (default) auto-selects the first 16 orderable primitive
+        columns; ``()`` disables stats collection for commits made
+        through this instance."""
         if on_violation not in ("reject", "quarantine"):
             raise ValueError(f"on_violation must be reject|quarantine, got {on_violation!r}")
         self.spark = spark
         self.path = path
         self.constraints = dict(constraints) if constraints is not None else None
         self.on_violation = on_violation
+        self.stats_columns = (
+            tuple(stats_columns) if stats_columns is not None else None
+        )
         self.log_dir = os.path.join(path, "_dtk_log")
         self.data_dir = os.path.join(path, "data")
         self.quarantine_dir = os.path.join(path, "_quarantine")
@@ -231,6 +417,7 @@ class LakeTable:
             "owners": owners,
             "schema": schema_json,
             "constraints": self._active_constraints(),
+            "stats": self._build_stats(version, owners, schema_json),
         }
         try:
             fd = os.open(
@@ -244,6 +431,85 @@ class LakeTable:
         with os.fdopen(fd, "w") as fh:
             json.dump(manifest, fh)
         return version
+
+    # -- file statistics -----------------------------------------------------
+
+    def _build_stats(
+        self, version: int, owners: dict[str, str], schema_json: str
+    ) -> dict[str, dict]:
+        """The manifest's cumulative per-file stats map ``{relpath:
+        {col: [min, max, null_count]}}``: stats for still-owned files
+        carry forward from the previous manifest by pointer; files of
+        (token, key) pairs with no carried entry — fresh writes, or
+        owners restored from pre-stats history — are footer-read. A
+        collection failure degrades to an empty map (reads simply
+        don't prune), never a failed commit."""
+        if self.stats_columns is not None and not self.stats_columns:
+            return {}
+        try:
+            schema = T.StructType.fromJson(json.loads(schema_json))
+            cols = (
+                [c for c in self.stats_columns if c in schema.fieldNames()]
+                if self.stats_columns is not None
+                else _stats_eligible(schema)
+            )
+            if not cols:
+                return {}
+            known: dict[str, dict] = {}
+            if version > 0:
+                try:
+                    known = self._manifest(version - 1).get("stats") or {}
+                except FileNotFoundError:
+                    known = {}
+            out: dict[str, dict] = {}
+            need: list[tuple[str, str]] = []
+            for key, tok in owners.items():
+                prefix = f"{tok}/{key}/" if key else f"{tok}/"
+                hit = {
+                    p: s for p, s in known.items() if p.startswith(prefix)
+                }
+                if hit:
+                    out.update(hit)
+                else:
+                    need.append((tok, key))
+            for tok, key in need:
+                out.update(self._collect_token_stats(tok, key, cols))
+            return out
+        except Exception:  # pragma: no cover - defensive
+            return {}
+
+    def _collect_token_stats(
+        self, token: str, key: str, cols: list[str]
+    ) -> dict[str, dict]:
+        d = os.path.join(self._vdir(token), key) if key else self._vdir(token)
+        if not os.path.isdir(d):
+            return {}
+        paths = [
+            os.path.join(d, f)
+            for f in os.listdir(d)
+            if f.endswith(".parquet") and not f.startswith(("_", "."))
+        ]
+        if not paths:
+            return {}
+        # Footer reads only. Driver-side below a modest file count (a
+        # Spark job has fixed overhead); distributed via an RDD of
+        # paths beyond it — per-partition imperative I/O is the one
+        # legitimate RDD use, and a 100 TB initial load's stats pass
+        # is exactly that case.
+        if len(paths) > 64:
+            rdd = self.spark.sparkContext.parallelize(
+                paths, max(1, len(paths) // 64)
+            )
+            pieces = rdd.mapPartitions(
+                lambda it, c=tuple(cols): [_read_footers(list(it), list(c))]
+            ).collect()
+            by_abs = {p: s for piece in pieces for p, s in piece.items()}
+        else:
+            by_abs = _read_footers(paths, cols)
+        rel = f"{token}/{key}/" if key else f"{token}/"
+        return {
+            rel + os.path.basename(p): s for p, s in by_abs.items() if s
+        }
 
     # -- constraints ---------------------------------------------------------
 
@@ -375,6 +641,29 @@ class LakeTable:
         zorder_by: Sequence[str] = (),
     ) -> list[str]:
         vdir = self._vdir(data_version)
+        # INT96 (Spark's legacy parquet default) carries no footer
+        # min/max, which would silently disable timestamp data
+        # skipping for tables written from sessions that don't set the
+        # modern encoding — pin TIMESTAMP_MICROS for the write and
+        # restore the caller's conf after.
+        conf = df.sparkSession.conf
+        prev_ts = conf.get("spark.sql.parquet.outputTimestampType", None)
+        conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+        try:
+            return self._write_data_inner(df, vdir, cluster_by, zorder_by)
+        finally:
+            if prev_ts is None:
+                conf.unset("spark.sql.parquet.outputTimestampType")
+            else:
+                conf.set("spark.sql.parquet.outputTimestampType", prev_ts)
+
+    def _write_data_inner(
+        self,
+        df: DataFrame,
+        vdir: str,
+        cluster_by: Sequence[str] = (),
+        zorder_by: Sequence[str] = (),
+    ) -> list[str]:
         clustered = bool(cluster_by or zorder_by)
         if zorder_by:
             # interleaved-bit clustering: range-partition + sort on the
@@ -406,16 +695,110 @@ class LakeTable:
         df.write.mode("overwrite").parquet(vdir)
         return [""]
 
-    def _read_owned(self, manifest: dict, keys: Sequence[str] | None = None) -> DataFrame:
-        """Assemble a snapshot (optionally restricted to ``keys``) by
-        listing exactly the directories each owning version holds for
-        it — structural partition pruning, no filter needed."""
-        owners: dict[str, int] = manifest["owners"]
+    def _partition_excluded(
+        self, key: str, types: dict, conjuncts: Sequence[tuple]
+    ) -> bool:
+        """True iff the partition values encoded in ``key`` provably
+        fail a conjunct (so no row under the directory can pass the
+        filter). A NULL partition value is excluded by ANY comparison
+        conjunct — SQL comparisons with NULL never hold."""
+        if not key:
+            return False
+        vals = {}
+        for seg in key.split("/"):
+            c, _, raw = seg.partition("=")
+            vals[c] = raw
+        for col, op, val in conjuncts:
+            raw = vals.get(col)
+            if raw is None:
+                continue
+            if raw == "__HIVE_DEFAULT_PARTITION__":
+                return True
+            txt = _unescape_partition_value(raw)
+            t = types.get(col)
+            try:
+                if isinstance(
+                    t, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+                ):
+                    pv: object = int(txt)
+                elif isinstance(t, (T.FloatType, T.DoubleType)):
+                    pv = float(txt)
+                else:
+                    pv = txt
+            except ValueError:
+                continue
+            if _point_excludes(pv, op, val):
+                return True
+        return False
+
+    def _select_files(
+        self,
+        manifest: dict,
+        keys: Sequence[str] | None,
+        conjuncts: Sequence[tuple],
+    ) -> tuple[dict, dict]:
+        """File-level scan selection under predicate pruning: for each
+        owned partition, drop the whole directory if its key values
+        exclude a conjunct, then drop individual files whose manifest
+        min/max stats exclude one. Files without stats are always
+        kept — skipping is strictly evidence-based."""
+        owners: dict[str, str] = manifest["owners"]
         if keys is not None:
             owners = {k: v for k, v in owners.items() if k in set(keys)}
         schema = T.StructType.fromJson(json.loads(manifest["schema"]))
-        if not owners:
-            return self.spark.createDataFrame([], schema)
+        types = {f.name: f.dataType for f in schema.fields}
+        stats = manifest.get("stats") or {}
+        report = {
+            "partitions_total": len(owners),
+            "partitions_scanned": 0,
+            "files_total": 0,
+            "files_scanned": 0,
+        }
+        by_group: dict[tuple, list[str]] = {}
+        for key, tok in owners.items():
+            d = os.path.join(self._vdir(tok), key) if key else self._vdir(tok)
+            files = (
+                sorted(
+                    f
+                    for f in os.listdir(d)
+                    if f.endswith(".parquet") and not f.startswith(("_", "."))
+                )
+                if os.path.isdir(d)
+                else []
+            )
+            report["files_total"] += len(files)
+            if conjuncts and self._partition_excluded(key, types, conjuncts):
+                continue
+            prefix = f"{tok}/{key}/" if key else f"{tok}/"
+            kept = []
+            for f in files:
+                st = stats.get(prefix + f)
+                if st and any(
+                    c in st and _range_excludes(st[c][0], st[c][1], op, val)
+                    for c, op, val in conjuncts
+                ):
+                    continue
+                kept.append(os.path.join(d, f))
+            if not kept:
+                continue
+            report["partitions_scanned"] += 1
+            report["files_scanned"] += len(kept)
+            by_group.setdefault((tok, _key_spec(key)), []).extend(kept)
+        return by_group, report
+
+    def _read_owned(
+        self,
+        manifest: dict,
+        keys: Sequence[str] | None = None,
+        conjuncts: Sequence[tuple] | None = None,
+    ) -> DataFrame:
+        """Assemble a snapshot (optionally restricted to ``keys``) by
+        listing exactly the directories each owning version holds for
+        it — structural partition pruning, no filter needed. With
+        ``conjuncts`` (from ``read(where=...)``), selection drops to
+        FILE granularity: manifest min/max stats skip files the
+        predicate provably excludes before Spark lists anything."""
+        schema = T.StructType.fromJson(json.loads(manifest["schema"]))
         types = {f.name: f.dataType for f in schema.fields}
         # Group by (owning token, key layout): one manifest may own
         # directories written under DIFFERENT partition schemes
@@ -423,15 +806,27 @@ class LakeTable:
         # basePath so dir-derived columns resolve under its own layout,
         # and unionByName merges the mixed shapes.
         by_group: dict[tuple, list[str]] = {}
-        for key, v in owners.items():
-            by_group.setdefault((v, _key_spec(key)), []).append(key)
+        if conjuncts is not None:
+            by_group, _ = self._select_files(manifest, keys, conjuncts)
+        else:
+            owners: dict[str, str] = manifest["owners"]
+            if keys is not None:
+                owners = {k: v for k, v in owners.items() if k in set(keys)}
+            for key, v in owners.items():
+                spec = _key_spec(key)
+                path = (
+                    os.path.join(self._vdir(v), key) if spec else self._vdir(v)
+                )
+                by_group.setdefault((v, spec), []).append(path)
+        if not by_group:
+            return self.spark.createDataFrame([], schema)
         pieces = []
-        for (v, spec), ks in by_group.items():
+        for (v, spec), paths in by_group.items():
             if not spec:
-                piece = self.spark.read.parquet(self._vdir(v))
+                piece = self.spark.read.parquet(*sorted(set(paths)))
             else:
                 piece = self.spark.read.option("basePath", self._vdir(v)).parquet(
-                    *[os.path.join(self._vdir(v), k) for k in ks]
+                    *sorted(set(paths))
                 )
             # directory-derived partition values come back through
             # Spark's partition-type inference, which covers
@@ -524,12 +919,20 @@ class LakeTable:
         self,
         version: int | None = None,
         partitions: Sequence[str] | None = None,
+        where: str | None = None,
     ) -> DataFrame:
         """Snapshot read, optionally restricted to named partition keys
         (``"dt=2024-01-01"`` form): structural pruning — only the
         owner dirs of the named partitions are even LISTED, so a
         one-partition read of a 100 TB table touches one directory.
-        Unknown keys fail loudly (a silent empty read hides typos)."""
+        Unknown keys fail loudly (a silent empty read hides typos).
+
+        ``where`` (a Spark SQL boolean expression) is ALWAYS applied
+        as a filter; additionally, when it decomposes into an AND of
+        simple comparisons, partition values and manifest file stats
+        prune whole directories and files before Spark lists them
+        (data skipping — see ``plan_scan`` for what a predicate
+        saves). Complex predicates silently degrade to filter-only."""
         man = self._manifest(version)
         if partitions is not None:
             missing = set(partitions) - set(man["owners"])
@@ -538,7 +941,27 @@ class LakeTable:
                     f"unknown partitions {sorted(missing)}; "
                     f"table has {sorted(man['owners'])}"
                 )
-        return self._read_owned(man, keys=partitions)
+        conjs = _parse_conjuncts(where) if where else []
+        df = self._read_owned(man, keys=partitions, conjuncts=conjs or None)
+        if where:
+            df = df.where(F.expr(where))
+        return df
+
+    def plan_scan(
+        self,
+        where: str | None = None,
+        version: int | None = None,
+        partitions: Sequence[str] | None = None,
+    ) -> dict:
+        """What ``read(where=...)`` would actually open: partition and
+        file counts before/after predicate pruning, plus whether the
+        predicate was prunable at all. Planning-time observability —
+        no Spark job runs."""
+        man = self._manifest(version)
+        conjs = _parse_conjuncts(where) if where else []
+        _, report = self._select_files(man, partitions, conjs)
+        report["prunable"] = bool(conjs)
+        return report
 
     def restore(self, version: int) -> int:
         """Zero-copy rollback (Delta RESTORE semantics): commit a NEW

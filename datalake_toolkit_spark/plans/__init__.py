@@ -132,6 +132,11 @@ DEMOTED: tuple[str, ...] = (
     # rotates out — its agg-core shape stays covered by the in-window
     # TPC-H set (q1-family aggs via q9/q13/q16/q17/q18).
     "q12_priority_by_returnflag",
+    # q_file_skipping enters (manifest-stats data skipping, never
+    # driver-checked); q_snapshot_retention (4x green r3-r6) rotates
+    # out — lakehouse commit/read machinery stays covered in-window by
+    # q_partition_evolution and q_file_skipping itself.
+    "q_snapshot_retention",
 )
 
 GATE_WINDOW = 50
@@ -152,6 +157,8 @@ STATEFUL: frozenset[str] = frozenset(
         "q_time_travel",  # multi-version commit history
         "q_snapshot_retention",  # commit + vacuum cycle
         "q_jdbc_roundtrip",  # Derby write + readback
+        "q_file_skipping",  # LakeTable commit + stats collection + pruned read
+        "q_partition_evolution",  # three commit cycles incl. evolve + MERGE
     }
 )
 

@@ -133,6 +133,58 @@ def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_file_skipping",
+    """
+    SELECT strftime(o_orderdate, '%Y-%m') AS part,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+    FROM orders
+    WHERE o_orderdate >= DATE '1997-01-01'
+    GROUP BY 1
+    UNION ALL
+    SELECT '__pruned__' AS part, 1 AS n_orders, 0.0 AS sum_price
+    """,
+)
+def q_file_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest-stats data skipping end to end (LakeTable file
+    statistics + ``read(where=...)``): orders lands range-clustered on
+    o_orderdate so each parquet file covers a disjoint date range, the
+    commit footer-reads per-file min/max into the manifest, and the
+    predicate read opens ONLY the files whose range can intersect
+    [1997-01-01, inf). The '__pruned__' row pins that skipping really
+    happened (files_scanned < files_total — it flips to 0 and fails
+    the hash if pruning degrades), while the month aggregates pin that
+    no qualifying row was dropped."""
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    t = LakeTable(spark, tempfile.mkdtemp(prefix="q_file_skipping_"))
+    t.write(
+        orders.repartitionByRange(8, "o_orderdate").sortWithinPartitions(
+            "o_orderdate"
+        )
+    )
+    pred = "o_orderdate >= '1997-01-01'"
+    rep = t.plan_scan(where=pred)
+    agg = (
+        t.read(where=pred)
+        .groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("part"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+    )
+    pruned = int(rep["prunable"] and rep["files_scanned"] < rep["files_total"])
+    flag = spark.createDataFrame(
+        [("__pruned__", pruned, 0.0)],
+        "part string, n_orders bigint, sum_price double",
+    )
+    return agg.unionByName(flag)
+
+
+@query(
     "q_partition_evolution",
     _MERGED_SQL
     + """

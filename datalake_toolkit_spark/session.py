@@ -63,6 +63,11 @@ def get_spark(
         # TIMESTAMP, not TIMESTAMP_NTZ — with a UTC session TZ the values
         # match DuckDB's naive reading, and unix_* functions keep working
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+        # modern timestamp encoding: INT96 (Spark's legacy default) has
+        # NO footer min/max statistics, so neither parquet row-group
+        # skipping nor LakeTable manifest file stats can prune on
+        # timestamp columns; TIMESTAMP_MICROS restores both
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # bound Arrow batch rows so mapInPandas over MB-sized binary
         # payloads (multimodal decode/resize) can't blow executor

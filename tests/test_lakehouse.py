@@ -1196,3 +1196,84 @@ def test_aggregate_view_maintains_average(spark, tmp_path):
     refresh_aggregate_view(base, view, ["seg"], "val", include_avg=True)
     assert view_state() == recompute()
     assert dict(view.read().dtypes) == types
+
+
+# -- file statistics / data skipping ----------------------------------------
+
+
+def test_file_stats_collected_and_pruned(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(i, f"s{i}", float(i)) for i in range(100)],
+        "id bigint, name string, val double",
+    )
+    t = LakeTable(spark, str(tmp_path / "t"))
+    # range-cluster on id -> each file covers a disjoint id range
+    t.write(df.repartitionByRange(4, "id").sortWithinPartitions("id"))
+    stats = t._manifest().get("stats")
+    assert stats and len(stats) == 4
+    assert all({"id", "name", "val"} <= set(s) for s in stats.values())
+    rep = t.plan_scan(where="id >= 75")
+    assert rep["prunable"] and rep["files_total"] == 4
+    assert rep["files_scanned"] == 1
+    got = sorted(r.id for r in t.read(where="id >= 75").collect())
+    assert got == list(range(75, 100))
+    # unparsable predicate: no pruning, correct rows
+    rep2 = t.plan_scan(where="id >= 75 OR id < 3")
+    assert not rep2["prunable"] and rep2["files_scanned"] == 4
+    got2 = sorted(r.id for r in t.read(where="id >= 75 OR id < 3").collect())
+    assert got2 == [0, 1, 2, *range(75, 100)]
+
+
+def test_partition_pruning_from_where(spark, tmp_path, base_df):
+    t = LakeTable(spark, str(tmp_path / "t"), partition_by=("seg",))
+    withnull = base_df.unionByName(
+        spark.createDataFrame([(99, None, 9.9)], base_df.schema)
+    )
+    t.write(withnull)
+    rep = t.plan_scan(where="seg = 'seg1'")
+    assert rep["partitions_total"] == 4  # seg0..2 + NULL dir
+    assert rep["partitions_scanned"] == 1
+    # NULL partition excluded by ANY comparison, matching filter semantics
+    assert {r.seg for r in t.read(where="seg = 'seg1'").collect()} == {"seg1"}
+
+
+def test_stats_carry_forward_on_upsert(spark, tmp_path, base_df):
+    t = LakeTable(spark, str(tmp_path / "t"), partition_by=("seg",))
+    t.write(base_df)
+    before = t._manifest().get("stats")
+    src = spark.createDataFrame([(1, "seg1", 999.0)], base_df.schema)
+    t.upsert(src, keys=["id"])
+    after = t._manifest()
+    # untouched partitions keep their ORIGINAL stats entries by pointer
+    untouched = {
+        p: s for p, s in before.items() if "/seg=seg0/" in f"/{p}"
+        or p.split("/", 1)[1].startswith("seg=seg0")
+    }
+    assert untouched
+    for p, s in untouched.items():
+        assert after["stats"].get(p) == s
+    # rewritten partition's stats reflect the new value
+    seg1 = [s for p, s in after["stats"].items() if "seg=seg1" in p]
+    assert seg1 and max(s["val"][1] for s in seg1) == 999.0
+
+
+def test_stats_survive_restore_and_time_travel(spark, tmp_path, base_df):
+    t = LakeTable(spark, str(tmp_path / "t"))
+    t.write(base_df)
+    t.write(base_df.where(F.col("id") < 5))  # v1 replaces
+    t.restore(0)
+    man = t._manifest()
+    assert man["op"] == "restore(v0)"
+    assert man.get("stats")  # regenerated (or carried) for restored owners
+    assert t.read(where="id >= 20").count() == 10
+    assert t.read(version=1, where="id >= 20").count() == 0
+
+
+def test_stats_disabled(spark, tmp_path, base_df):
+    t = LakeTable(spark, str(tmp_path / "t"), stats_columns=())
+    t.write(base_df)
+    assert t._manifest().get("stats") == {}
+    # reads still correct, pruning just can't skip files
+    assert t.read(where="id >= 20").count() == 10
+    rep = t.plan_scan(where="id >= 20")
+    assert rep["prunable"] and rep["files_scanned"] == rep["files_total"]
