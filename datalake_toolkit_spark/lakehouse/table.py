@@ -405,8 +405,34 @@ class LakeTable:
         cur = self.current_version()
         return 0 if cur is None else cur + 1
 
+    def _carried_deletes(
+        self, version: int, owners: dict[str, str]
+    ) -> list[dict]:
+        """Previous manifest's merge-on-read delete entries, pruned to
+        tokens still owned: a rewrite gives its partitions a fresh
+        token, so entries over fully-rewritten tokens fall away — the
+        rewrite materialized them through ``_read_owned``."""
+        if version <= 0:
+            return []
+        try:
+            prev = self._manifest(version - 1).get("deletes") or []
+        except FileNotFoundError:
+            return []
+        live = set(owners.values())
+        out = []
+        for e in prev:
+            toks = [t for t in e["tokens"] if t in live]
+            if toks:
+                out.append({"pred": e["pred"], "tokens": toks})
+        return out
+
     def _commit(
-        self, version: int, owners: dict[str, int], op: str, schema_json: str
+        self,
+        version: int,
+        owners: dict[str, int],
+        op: str,
+        schema_json: str,
+        deletes: list[dict] | None = None,
     ) -> int:
         os.makedirs(self.log_dir, exist_ok=True)
         manifest = {
@@ -418,6 +444,11 @@ class LakeTable:
             "schema": schema_json,
             "constraints": self._active_constraints(),
             "stats": self._build_stats(version, owners, schema_json),
+            "deletes": (
+                deletes
+                if deletes is not None
+                else self._carried_deletes(version, owners)
+            ),
         }
         try:
             fd = os.open(
@@ -838,6 +869,17 @@ class LakeTable:
             for c in spec:
                 if c in types and c in piece.columns:
                     piece = piece.withColumn(c, F.col(c).cast(types[c]))
+            # merge-on-read deletes: a delete entry applies to exactly
+            # the tokens that existed when it committed — rows written
+            # AFTER it (fresh tokens) are immune, and a rewrite of a
+            # partition drops its token from the entry, having
+            # materialized the delete. NULL predicate results keep the
+            # row (SQL DELETE semantics).
+            for e in manifest.get("deletes") or []:
+                if v in e["tokens"]:
+                    piece = piece.where(
+                        ~F.coalesce(F.expr(e["pred"]), F.lit(False))
+                    )
             pieces.append(piece)
         # allowMissingColumns: partitions written before a schema
         # evolution lack the later columns — they read as NULL, same
@@ -982,6 +1024,9 @@ class LakeTable:
                     dict(target["owners"]),
                     f"restore(v{version})",
                     target["schema"],
+                    # the restored snapshot includes the target's
+                    # merge-on-read delete set, not the latest's
+                    deletes=list(target.get("deletes") or []),
                 )
             except ConcurrentWriteError:
                 continue
@@ -1170,9 +1215,62 @@ class LakeTable:
             f"merge lost {self._MAX_COMMIT_RETRIES} version races at {self.path}"
         )
 
-    def delete_where(self, condition) -> int:
-        """Partition-scoped row delete (condition must be null-safe);
-        same optimistic-retry contract as ``upsert``."""
+    def delete_where(self, condition, mode: str = "cow") -> int:
+        """Row delete. ``mode='cow'`` (default) rewrites affected
+        partitions without the matching rows — read cost stays flat,
+        write cost is O(affected partition data).
+
+        ``mode='mor'`` (merge-on-read, Iceberg delete-file spirit):
+        commits ONLY a predicate entry scoped to the tokens existing
+        right now — zero data movement, O(metadata), the path for
+        point deletes on a 100 TB table. Every read anti-applies the
+        predicate to those tokens; rows inserted later are immune
+        (they land under fresh tokens); any rewrite of a partition
+        (upsert touching it, ``optimize``) materializes the delete and
+        drops its token from the entry, so entries drain as the table
+        churns and a full ``optimize()`` clears them. Requires a SQL
+        string condition (it is re-evaluated at read time, so it must
+        be deterministic over row values); predicates stack until
+        compaction, trading a per-read filter for the rewrite."""
+        if mode not in ("cow", "mor"):
+            raise ValueError(f"mode must be cow|mor, got {mode!r}")
+        if mode == "mor":
+            if not isinstance(condition, str):
+                raise TypeError(
+                    "merge-on-read delete needs a SQL string condition "
+                    "(it is stored in the manifest and re-evaluated at "
+                    "read time)"
+                )
+            for _ in range(self._MAX_COMMIT_RETRIES):
+                man = self._manifest()
+                # parse AND resolve the predicate against the table
+                # schema now — F.expr alone is lazy, and a predicate
+                # that only fails at read time would wedge every
+                # future snapshot read
+                self.spark.createDataFrame(
+                    [], T.StructType.fromJson(json.loads(man["schema"]))
+                ).where(condition)
+                entry = {
+                    "pred": condition,
+                    "tokens": sorted(set(man["owners"].values())),
+                }
+                carried = self._carried_deletes(
+                    man["version"] + 1, man["owners"]
+                )
+                try:
+                    return self._commit(
+                        man["version"] + 1,
+                        dict(man["owners"]),
+                        "delete_mor",
+                        man["schema"],
+                        deletes=carried + [entry],
+                    )
+                except ConcurrentWriteError:
+                    continue
+            raise ConcurrentWriteError(
+                f"delete lost {self._MAX_COMMIT_RETRIES} version races "
+                f"at {self.path}"
+            )
         for _ in range(self._MAX_COMMIT_RETRIES):
             man = self._manifest()
             target_all = self._read_owned(man)
@@ -1269,10 +1367,24 @@ class LakeTable:
         m_from = self._manifest(from_version)
         m_to = self._manifest(to_version)
         own_f, own_t = m_from["owners"], m_to["owners"]
+
+        # a merge-on-read delete changes no owner, but it changes which
+        # predicates apply to a partition's token — keys whose
+        # applicable delete set differs between the manifests changed
+        # logically and must be diffed too
+        def applicable(man, key):
+            tok = man["owners"].get(key)
+            return [
+                e["pred"]
+                for e in man.get("deletes") or []
+                if tok is not None and tok in e["tokens"]
+            ]
+
         changed = [
             k
             for k in set(own_f) | set(own_t)
             if own_f.get(k) != own_t.get(k)
+            or applicable(m_from, k) != applicable(m_to, k)
         ]
         before = self._read_owned(m_from, [k for k in changed if k in own_f])
         after = self._read_owned(m_to, [k for k in changed if k in own_t])

@@ -137,6 +137,11 @@ DEMOTED: tuple[str, ...] = (
     # out — lakehouse commit/read machinery stays covered in-window by
     # q_partition_evolution and q_file_skipping itself.
     "q_snapshot_retention",
+    # q_mor_delete enters (merge-on-read predicate deletes, never
+    # driver-checked); q_interval_join (3x green r4-r6) rotates out —
+    # q_interval_join_left stays, the same stream-stream interval
+    # operator in its superset (outer) mode.
+    "q_interval_join",
 )
 
 GATE_WINDOW = 50
@@ -159,6 +164,7 @@ STATEFUL: frozenset[str] = frozenset(
         "q_jdbc_roundtrip",  # Derby write + readback
         "q_file_skipping",  # LakeTable commit + stats collection + pruned read
         "q_partition_evolution",  # three commit cycles incl. evolve + MERGE
+        "q_mor_delete",  # three commit cycles incl. merge-on-read delete
     }
 )
 

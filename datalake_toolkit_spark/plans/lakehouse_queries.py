@@ -133,6 +133,77 @@ def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_mor_delete",
+    """
+    WITH survivors AS (
+      SELECT o_orderkey, o_orderpriority, o_totalprice
+      FROM orders WHERE NOT (o_totalprice < 50000.0)
+    ),
+    inserted AS (
+      SELECT o_orderkey + 10000000 AS o_orderkey,
+             'X-NEW' AS o_orderpriority,
+             1000.0 AS o_totalprice
+      FROM orders WHERE o_orderkey % 100 = 0
+    ),
+    final AS (
+      SELECT * FROM survivors UNION ALL SELECT * FROM inserted
+    )
+    SELECT o_orderpriority AS part,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+    FROM final GROUP BY o_orderpriority
+    UNION ALL
+    SELECT '__mor__' AS part, 1 AS n_orders, 0.0 AS sum_price
+    """,
+)
+def q_mor_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read delete end to end (LakeTable
+    ``delete_where(mode='mor')``): the delete commits ONLY a predicate
+    entry — the '__mor__' flag row pins that zero partitions changed
+    owner — and a subsequent MERGE lands inserts (some BELOW the
+    deleted threshold) into a fresh partition, so the final snapshot
+    is survivors-under-predicate ∪ inserts: reading it exercises the
+    predicate applied to legacy tokens while fresh-token rows stay
+    immune. The per-priority aggregates hash-pin both halves."""
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    t = LakeTable(
+        spark,
+        tempfile.mkdtemp(prefix="q_mor_delete_"),
+        partition_by=("o_orderpriority",),
+    )
+    t.write(orders)  # v0
+    v0_owners = t._manifest()["owners"]
+    t.delete_where("o_totalprice < 50000.0", mode="mor")  # v1: metadata only
+    v1 = t._manifest()
+    inserts = orders.where(F.col("o_orderkey") % 100 == 0).select(
+        (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+        F.lit("X-NEW").alias("o_orderpriority"),
+        F.lit(1000.0).alias("o_totalprice"),
+    )
+    t.upsert(inserts, keys=["o_orderkey"])  # v2: fresh partition only
+    mor_ok = int(
+        v1["owners"] == v0_owners and len(t._manifest()["deletes"]) == 1
+    )
+    agg = (
+        t.read()
+        .groupBy(F.col("o_orderpriority").alias("part"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+    )
+    flag = spark.createDataFrame(
+        [("__mor__", mor_ok, 0.0)],
+        "part string, n_orders bigint, sum_price double",
+    )
+    return agg.unionByName(flag)
+
+
+@query(
     "q_file_skipping",
     """
     SELECT strftime(o_orderdate, '%Y-%m') AS part,

@@ -1277,3 +1277,62 @@ def test_stats_disabled(spark, tmp_path, base_df):
     assert t.read(where="id >= 20").count() == 10
     rep = t.plan_scan(where="id >= 20")
     assert rep["prunable"] and rep["files_scanned"] == rep["files_total"]
+
+
+# -- merge-on-read deletes --------------------------------------------------
+
+
+def test_mor_delete_is_metadata_only_and_insert_immune(spark, tmp_path, base_df):
+    t = LakeTable(spark, str(tmp_path / "t"), partition_by=("seg",))
+    t.write(base_df)
+    before = t._manifest()["owners"]
+    t.delete_where("val >= 200.0", mode="mor")
+    man = t._manifest()
+    assert man["owners"] == before  # zero data movement
+    assert man["op"] == "delete_mor" and len(man["deletes"]) == 1
+    assert t.read().count() == 20
+    # rows inserted AFTER the delete are immune even when they match
+    t.upsert(
+        spark.createDataFrame([(100, "seg0", 999.0)], base_df.schema),
+        keys=["id"],
+    )
+    assert {r.id for r in t.read(where="val >= 200.0").collect()} == {100}
+
+
+def test_mor_delete_stacks_drains_on_rewrite_and_time_travels(
+    spark, tmp_path, base_df
+):
+    t = LakeTable(spark, str(tmp_path / "t"))
+    t.write(base_df)
+    t.delete_where("id < 5", mode="mor")
+    t.delete_where("id >= 25", mode="mor")
+    assert t.read().count() == 20
+    assert t.read(version=0).count() == 30  # pre-delete snapshot intact
+    assert t.read(version=1).count() == 25
+    ch = t.changes(1, 2)  # second MoR delete changed no owner
+    assert ch.where("_change_type = 'delete'").count() == 5
+    t.optimize()  # materializes both predicates, entries drain
+    assert t._manifest()["deletes"] == []
+    assert t.read().count() == 20
+    t.restore(1)  # restored snapshot carries ITS delete set
+    assert t.read().count() == 25 and len(t._manifest()["deletes"]) == 1
+
+
+def test_mor_delete_matches_cow_delete(spark, tmp_path, base_df):
+    mor = LakeTable(spark, str(tmp_path / "mor"), partition_by=("seg",))
+    cow = LakeTable(spark, str(tmp_path / "cow"), partition_by=("seg",))
+    mor.write(base_df)
+    cow.write(base_df)
+    mor.delete_where("val >= 100.0 AND seg = 'seg1'", mode="mor")
+    cow.delete_where(F.expr("val >= 100.0 AND seg = 'seg1'"))
+    assert _as_dict(mor.read()) == _as_dict(cow.read())
+
+
+def test_mor_delete_rejects_non_string_and_bad_sql(spark, tmp_path, base_df):
+    t = LakeTable(spark, str(tmp_path / "t"))
+    t.write(base_df)
+    with pytest.raises(TypeError, match="SQL string"):
+        t.delete_where(F.col("id") < 5, mode="mor")
+    with pytest.raises(Exception):
+        t.delete_where("id <<>> 5", mode="mor")
+    assert t.current_version() == 0  # nothing committed
