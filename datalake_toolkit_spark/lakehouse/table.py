@@ -51,6 +51,7 @@ from functools import reduce
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from pyspark.sql.window import Window
 
 
 class ConstraintViolationError(ValueError):
@@ -406,25 +407,37 @@ class LakeTable:
         return 0 if cur is None else cur + 1
 
     def _carried_deletes(
-        self, version: int, owners: dict[str, str]
+        self,
+        version: int,
+        owners: dict[str, str],
+        merges: Sequence[dict] = (),
     ) -> list[dict]:
         """Previous manifest's merge-on-read delete entries, pruned to
-        tokens still owned: a rewrite gives its partitions a fresh
-        token, so entries over fully-rewritten tokens fall away — the
-        rewrite materialized them through ``_read_owned``."""
+        tokens still referenced (owners or pending merge appends): a
+        rewrite gives its partitions a fresh token, so entries over
+        fully-rewritten tokens fall away — the rewrite materialized
+        them through ``_read_owned``."""
         if version <= 0:
             return []
         try:
             prev = self._manifest(version - 1).get("deletes") or []
         except FileNotFoundError:
             return []
-        live = set(owners.values())
+        live = set(owners.values()) | {e["token"] for e in merges}
         out = []
         for e in prev:
             toks = [t for t in e["tokens"] if t in live]
             if toks:
                 out.append({"pred": e["pred"], "tokens": toks})
         return out
+
+    def _carried_merges(self, version: int) -> list[dict]:
+        if version <= 0:
+            return []
+        try:
+            return list(self._manifest(version - 1).get("merges") or [])
+        except FileNotFoundError:
+            return []
 
     def _commit(
         self,
@@ -433,6 +446,7 @@ class LakeTable:
         op: str,
         schema_json: str,
         deletes: list[dict] | None = None,
+        merges: list[dict] | None = None,
     ) -> int:
         os.makedirs(self.log_dir, exist_ok=True)
         manifest = {
@@ -444,12 +458,18 @@ class LakeTable:
             "schema": schema_json,
             "constraints": self._active_constraints(),
             "stats": self._build_stats(version, owners, schema_json),
-            "deletes": (
-                deletes
-                if deletes is not None
-                else self._carried_deletes(version, owners)
-            ),
         }
+        # pending merge-on-read appends carry by default (they are
+        # data — dropping them silently would lose rows); full-rewrite
+        # ops pass merges=[] because their read already resolved them
+        manifest["merges"] = (
+            merges if merges is not None else self._carried_merges(version)
+        )
+        manifest["deletes"] = (
+            deletes
+            if deletes is not None
+            else self._carried_deletes(version, owners, manifest["merges"])
+        )
         try:
             fd = os.open(
                 self._manifest_path(version),
@@ -849,9 +869,11 @@ class LakeTable:
                     os.path.join(self._vdir(v), key) if spec else self._vdir(v)
                 )
                 by_group.setdefault((v, spec), []).append(path)
-        if not by_group:
+        if not by_group and not (manifest.get("merges") or []):
             return self.spark.createDataFrame([], schema)
-        pieces = []
+        # an all-pruned (or empty) base still resolves pending
+        # merge-on-read appends below — start from an empty piece
+        pieces = [self.spark.createDataFrame([], schema)]
         for (v, spec), paths in by_group.items():
             if not spec:
                 piece = self.spark.read.parquet(*sorted(set(paths)))
@@ -887,6 +909,38 @@ class LakeTable:
         out = reduce(
             lambda a, b: a.unionByName(b, allowMissingColumns=True), pieces
         )
+        # merge-on-read appends: newest append per key wins; base rows
+        # for appended keys lose by anti-join (matching the CoW MERGE
+        # contract exactly, including tables whose base has duplicate
+        # keys — those survive untouched unless appended over). The
+        # per-key window runs over APPEND data only (small); the base
+        # pays one anti-join shuffle — the MoR read tax that drains at
+        # the next rewrite.
+        pending = manifest.get("merges") or []
+        if pending:
+            mkeys = list(pending[0]["keys"])
+            parts = []
+            for e in pending:
+                p = self.spark.read.parquet(self._vdir(e["token"]))
+                for d in manifest.get("deletes") or []:
+                    if e["token"] in d["tokens"]:
+                        p = p.where(
+                            ~F.coalesce(F.expr(d["pred"]), F.lit(False))
+                        )
+                parts.append(p.withColumn("_seq", F.lit(e["seq"])))
+            appended = reduce(
+                lambda a, b: a.unionByName(b, allowMissingColumns=True),
+                parts,
+            )
+            w = Window.partitionBy(*mkeys).orderBy(F.col("_seq").desc())
+            latest = (
+                appended.withColumn("_rn", F.row_number().over(w))
+                .where(F.col("_rn") == 1)
+                .drop("_rn", "_seq")
+            )
+            out = out.join(latest.select(*mkeys), mkeys, "left_anti").unionByName(
+                latest, allowMissingColumns=True
+            )
         names = [f.name for f in schema.fields]
         if set(names) == set(out.columns):
             out = out.select(*names)  # pin manifest column order
@@ -950,6 +1004,7 @@ class LakeTable:
                     {k: token for k in keys},
                     op,
                     df.schema.json(),
+                    merges=[],
                 )
             except ConcurrentWriteError:
                 continue
@@ -1025,8 +1080,10 @@ class LakeTable:
                     f"restore(v{version})",
                     target["schema"],
                     # the restored snapshot includes the target's
-                    # merge-on-read delete set, not the latest's
+                    # merge-on-read delete and merge sets, not the
+                    # latest's
                     deletes=list(target.get("deletes") or []),
+                    merges=list(target.get("merges") or []),
                 )
             except ConcurrentWriteError:
                 continue
@@ -1074,6 +1131,11 @@ class LakeTable:
                     "evolve the schema first (write/upsert with "
                     "schema_evolution), then the partitioning"
                 )
+            if man.get("merges"):
+                raise ValueError(
+                    "table has pending merge-on-read appends; resolve "
+                    "them (optimize()) before evolving partitioning"
+                )
             if tuple(man["partition_by"]) == new:
                 self.partition_by = new
                 return man["version"]  # already the current scheme
@@ -1104,6 +1166,7 @@ class LakeTable:
         keys: Sequence[str],
         when_matched: str = "update",
         schema_evolution: bool = False,
+        mode: str = "cow",
     ) -> int:
         """MERGE: match target rows to ``target`` on ``keys``; matched
         rows are replaced by their source row (``update``) or removed
@@ -1116,6 +1179,16 @@ class LakeTable:
         inserted rows). Off by default so a malformed source fails
         loudly instead of silently widening the table.
 
+        ``mode='mor'`` (merge-on-read, Hudi MOR spirit; unpartitioned
+        tables, ``when_matched='update'``): the source lands as an
+        APPEND under a fresh token plus a manifest merge entry — write
+        cost is O(source), never O(matched partitions). Reads resolve
+        newest-append-wins per key (anti-join base + per-key window
+        over appends only); any full rewrite (CoW upsert, ``optimize``)
+        materializes and clears pending entries. The high-frequency
+        small-upsert path: a 1000-row merge into a 100 TB table moves
+        1000 rows.
+
         Concurrency: the merge is computed against a manifest read,
         and the commit targets exactly ``read_version + 1`` — if any
         writer committed in between, the O_EXCL claim fails and the
@@ -1123,7 +1196,11 @@ class LakeTable:
         concurrency; the orphaned attempt dir is reaped by vacuum)."""
         if when_matched not in ("update", "delete"):
             raise ValueError(f"when_matched must be update|delete: {when_matched}")
+        if mode not in ("cow", "mor"):
+            raise ValueError(f"mode must be cow|mor, got {mode!r}")
         keys = list(keys)
+        if mode == "mor":
+            return self._upsert_mor(source, keys, when_matched, schema_evolution)
         if when_matched == "update":
             # incoming rows face the table's CHECK constraints; carried
             # rows were validated when they landed
@@ -1143,6 +1220,7 @@ class LakeTable:
                         {k: token for k in written},
                         "merge_update",
                         source.schema.json(),
+                        merges=[],
                     )
                 except ConcurrentWriteError:
                     continue  # table appeared: re-enter as a real merge
@@ -1168,6 +1246,7 @@ class LakeTable:
                         {k: token for k in written},
                         f"merge_{when_matched}",
                         new.schema.json(),
+                        merges=[],  # the rewrite read resolved them
                     )
                 except ConcurrentWriteError:
                     continue
@@ -1215,6 +1294,74 @@ class LakeTable:
             f"merge lost {self._MAX_COMMIT_RETRIES} version races at {self.path}"
         )
 
+    def _upsert_mor(
+        self,
+        source: DataFrame,
+        keys: list[str],
+        when_matched: str,
+        schema_evolution: bool,
+    ) -> int:
+        if self.partition_by:
+            raise ValueError(
+                "merge-on-read upsert supports unpartitioned tables; "
+                "partitioned tables use the copy-on-write path (their "
+                "rewrite is already scoped to affected partitions)"
+            )
+        if when_matched != "update" or schema_evolution:
+            raise ValueError(
+                "merge-on-read upsert supports when_matched='update' "
+                "without schema_evolution; use mode='cow' for the rest"
+            )
+        source = self._enforce(source)
+        # newest-wins WITHIN a batch is undefined (no ordering column);
+        # collapse to one row per key so resolution is deterministic
+        # across engines and replays
+        source = source.dropDuplicates(keys)
+        for _ in range(self._MAX_COMMIT_RETRIES):
+            if self.current_version() is None:
+                token = self._new_token()
+                written = self._write_data(source, token)
+                try:
+                    return self._commit(
+                        0,
+                        {k: token for k in written},
+                        "merge_update",
+                        source.schema.json(),
+                        merges=[],
+                    )
+                except ConcurrentWriteError:
+                    continue
+            man = self._manifest()
+            self._check_merge_schema(man, source, False)
+            missing = [k for k in keys if k not in source.columns]
+            if missing:
+                raise ValueError(f"merge keys {missing} not in source")
+            prior = list(man.get("merges") or [])
+            if prior and list(prior[0]["keys"]) != keys:
+                raise ValueError(
+                    f"pending merge-on-read entries use keys "
+                    f"{prior[0]['keys']}; resolve them (optimize()) "
+                    f"before merging on {keys}"
+                )
+            token = self._new_token()
+            self._write_data(source, token)
+            seq = max((e["seq"] for e in prior), default=0) + 1
+            try:
+                return self._commit(
+                    man["version"] + 1,
+                    dict(man["owners"]),
+                    "merge_mor",
+                    man["schema"],
+                    merges=prior + [
+                        {"token": token, "keys": keys, "seq": seq}
+                    ],
+                )
+            except ConcurrentWriteError:
+                continue
+        raise ConcurrentWriteError(
+            f"merge lost {self._MAX_COMMIT_RETRIES} version races at {self.path}"
+        )
+
     def delete_where(self, condition, mode: str = "cow") -> int:
         """Row delete. ``mode='cow'`` (default) rewrites affected
         partitions without the matching rows — read cost stays flat,
@@ -1252,7 +1399,10 @@ class LakeTable:
                 ).where(condition)
                 entry = {
                     "pred": condition,
-                    "tokens": sorted(set(man["owners"].values())),
+                    "tokens": sorted(
+                        set(man["owners"].values())
+                        | {e["token"] for e in man.get("merges") or []}
+                    ),
                 }
                 carried = self._carried_deletes(
                     man["version"] + 1, man["owners"]
@@ -1295,7 +1445,11 @@ class LakeTable:
                 owners.update({k: token for k in written})
             try:
                 return self._commit(
-                    man["version"] + 1, owners, "delete", new.schema.json()
+                    man["version"] + 1,
+                    owners,
+                    "delete",
+                    new.schema.json(),
+                    merges=[],  # the rewrite read resolved them
                 )
             except ConcurrentWriteError:
                 continue
@@ -1347,6 +1501,7 @@ class LakeTable:
                     owners,
                     "optimize",
                     df.schema.json(),
+                    merges=[],  # compaction materialized pending appends
                 )
             except ConcurrentWriteError:
                 continue
@@ -1380,10 +1535,14 @@ class LakeTable:
                 if tok is not None and tok in e["tokens"]
             ]
 
+        merge_diff = (m_from.get("merges") or []) != (
+            m_to.get("merges") or []
+        )
         changed = [
             k
             for k in set(own_f) | set(own_t)
-            if own_f.get(k) != own_t.get(k)
+            if merge_diff
+            or own_f.get(k) != own_t.get(k)
             or applicable(m_from, k) != applicable(m_to, k)
         ]
         before = self._read_owned(m_from, [k for k in changed if k in own_f])
@@ -1465,11 +1624,14 @@ class LakeTable:
         dropped = [v for v in versions if v not in keep]
 
         def owned_dirs(vs) -> set[str]:
-            return {
-                os.path.basename(self._vdir(owner))
-                for v in vs
-                for owner in self._manifest(v)["owners"].values()
-            }
+            out = set()
+            for v in vs:
+                man = self._manifest(v)
+                for owner in man["owners"].values():
+                    out.add(os.path.basename(self._vdir(owner)))
+                for e in man.get("merges") or []:
+                    out.add(os.path.basename(self._vdir(e["token"])))
+            return out
 
         referenced = owned_dirs(keep)
         # dirs only dropped manifests referenced were committed once —

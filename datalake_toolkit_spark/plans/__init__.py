@@ -142,6 +142,11 @@ DEMOTED: tuple[str, ...] = (
     # q_interval_join_left stays, the same stream-stream interval
     # operator in its superset (outer) mode.
     "q_interval_join",
+    # q_mor_upsert enters (merge-on-read MERGE, never driver-checked);
+    # q18_large_orders (4x green r3-r6) rotates out — global top-k /
+    # large-agg shape covered in-window by q15_top_supplier and the
+    # q9/q13/q16/q17 agg set.
+    "q18_large_orders",
 )
 
 GATE_WINDOW = 50
@@ -165,6 +170,7 @@ STATEFUL: frozenset[str] = frozenset(
         "q_file_skipping",  # LakeTable commit + stats collection + pruned read
         "q_partition_evolution",  # three commit cycles incl. evolve + MERGE
         "q_mor_delete",  # three commit cycles incl. merge-on-read delete
+        "q_mor_upsert",  # three commit cycles incl. two MoR appends
     }
 )
 

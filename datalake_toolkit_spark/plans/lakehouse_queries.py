@@ -133,6 +133,72 @@ def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_mor_upsert",
+    f"""
+    WITH src AS ({_SRC_SQL}),
+    b2 AS (
+      SELECT c_custkey, 'MACHINERY' AS c_mktsegment,
+             c_acctbal + 5000 AS c_acctbal
+      FROM customer WHERE c_custkey % 21 = 0
+    ),
+    resolved AS (
+      SELECT * FROM b2
+      UNION ALL
+      SELECT * FROM src
+      WHERE c_custkey NOT IN (SELECT c_custkey FROM b2)
+      UNION ALL
+      SELECT c_custkey, c_mktsegment, c_acctbal FROM customer
+      WHERE c_custkey NOT IN (SELECT c_custkey FROM src)
+        AND c_custkey NOT IN (SELECT c_custkey FROM b2)
+    )
+    SELECT c_mktsegment AS part,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+    FROM resolved GROUP BY c_mktsegment
+    UNION ALL
+    SELECT '__mor__' AS part, 1 AS n_customers, 0.0 AS sum_bal
+    """,
+)
+def q_mor_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read MERGE end to end (LakeTable
+    ``upsert(mode='mor')``): two overlapping source batches land as
+    APPENDS — the '__mor__' flag row pins that the base was never
+    rewritten (owners unchanged across both merges, two pending
+    entries) — and the snapshot read resolves newest-append-wins per
+    key over base ∪ both appends. The per-segment aggregates only
+    match the three-way relational resolution if precedence
+    (batch2 > batch1 > base) holds for every key."""
+    cust, src = _customer_source(spark, sf_dir)
+    t = LakeTable(spark, tempfile.mkdtemp(prefix="q_mor_upsert_"))
+    t.write(cust)  # v0: unpartitioned base
+    v0_owners = t._manifest()["owners"]
+    t.upsert(src, keys=["c_custkey"], mode="mor")  # v1: append batch 1
+    b2 = cust.where(F.col("c_custkey") % 21 == 0).select(
+        "c_custkey",
+        F.lit("MACHINERY").alias("c_mktsegment"),
+        (F.col("c_acctbal") + 5000).alias("c_acctbal"),
+    )
+    t.upsert(b2, keys=["c_custkey"], mode="mor")  # v2: append batch 2
+    man = t._manifest()
+    mor_ok = int(man["owners"] == v0_owners and len(man["merges"]) == 2)
+    agg = (
+        t.read()
+        .groupBy(F.col("c_mktsegment").alias("part"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_bal"),
+        )
+    )
+    flag = spark.createDataFrame(
+        [("__mor__", mor_ok, 0.0)],
+        "part string, n_customers bigint, sum_bal double",
+    )
+    return agg.unionByName(flag)
+
+
+@query(
     "q_mor_delete",
     """
     WITH survivors AS (

@@ -1336,3 +1336,90 @@ def test_mor_delete_rejects_non_string_and_bad_sql(spark, tmp_path, base_df):
     with pytest.raises(Exception):
         t.delete_where("id <<>> 5", mode="mor")
     assert t.current_version() == 0  # nothing committed
+
+
+# -- merge-on-read upsert ---------------------------------------------------
+
+
+def test_mor_upsert_appends_and_resolves_newest_wins(spark, tmp_path, base_df):
+    t = LakeTable(spark, str(tmp_path / "t"))
+    t.write(base_df)
+    owners0 = dict(t._manifest()["owners"])
+    t.upsert(
+        spark.createDataFrame([(1, "seg9", 111.0), (99, "segX", 1.0)], base_df.schema),
+        keys=["id"],
+        mode="mor",
+    )
+    man = t._manifest()
+    assert man["owners"] == owners0  # append-only: zero base rewrite
+    assert man["op"] == "merge_mor" and len(man["merges"]) == 1
+    t.upsert(
+        spark.createDataFrame([(1, "seg8", 222.0)], base_df.schema),
+        keys=["id"],
+        mode="mor",
+    )
+    got = _as_dict(t.read())
+    assert len(got) == 31
+    assert got[1] == ("seg8", 222.0)  # newest append wins
+    assert got[99] == ("segX", 1.0)  # insert via append
+    assert got[2] == ("seg2", 20.0)  # untouched base row
+    # time travel resolves each manifest's own pending set
+    assert _as_dict(t.read(version=1))[1] == ("seg9", 111.0)
+    assert _as_dict(t.read(version=0))[1] == ("seg1", 10.0)
+
+
+def test_mor_upsert_matches_cow_upsert(spark, tmp_path, base_df):
+    src = spark.createDataFrame(
+        [(0, "segA", -1.0), (77, "segB", 7.0)], base_df.schema
+    )
+    mor = LakeTable(spark, str(tmp_path / "mor"))
+    cow = LakeTable(spark, str(tmp_path / "cow"))
+    mor.write(base_df)
+    cow.write(base_df)
+    mor.upsert(src, keys=["id"], mode="mor")
+    cow.upsert(src, keys=["id"])
+    assert _as_dict(mor.read()) == _as_dict(cow.read())
+
+
+def test_mor_upsert_entries_drain_and_vacuum_keeps_append_dirs(
+    spark, tmp_path, base_df
+):
+    t = LakeTable(spark, str(tmp_path / "t"))
+    t.write(base_df)
+    t.upsert(
+        spark.createDataFrame([(5, "segZ", 5.5)], base_df.schema),
+        keys=["id"],
+        mode="mor",
+    )
+    # CDF across the append sees the logical update
+    ch = {
+        (r._change_type, r.id, r.val)
+        for r in t.changes(0, 1).where("id = 5").collect()
+    }
+    assert ch == {("delete", 5, 50.0), ("insert", 5, 5.5)}
+    # vacuum must never reap a pending append's token dir
+    t.vacuum(keep_last=1)
+    assert _as_dict(t.read())[5] == ("segZ", 5.5)
+    t.optimize()
+    assert t._manifest()["merges"] == []
+    assert _as_dict(t.read())[5] == ("segZ", 5.5)
+
+
+def test_mor_upsert_guards(spark, tmp_path, base_df):
+    part = LakeTable(spark, str(tmp_path / "p"), partition_by=("seg",))
+    part.write(base_df)
+    with pytest.raises(ValueError, match="unpartitioned"):
+        part.upsert(base_df, keys=["id"], mode="mor")
+    t = LakeTable(spark, str(tmp_path / "t"))
+    t.write(base_df)
+    t.upsert(
+        spark.createDataFrame([(5, "segZ", 5.5)], base_df.schema),
+        keys=["id"],
+        mode="mor",
+    )
+    with pytest.raises(ValueError, match="pending"):
+        t.upsert(base_df.limit(1), keys=["seg"], mode="mor")
+    with pytest.raises(ValueError, match="pending"):
+        t.evolve_partitioning(("seg",))
+    with pytest.raises(ValueError, match="when_matched"):
+        t.upsert(base_df.limit(1), keys=["id"], mode="mor", when_matched="delete")
