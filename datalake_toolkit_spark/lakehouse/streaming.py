@@ -40,6 +40,7 @@ def merge_batch(
     order_by: Sequence[Column] = (),
     schema_evolution: bool = False,
     on_violation: str = "reject",
+    mode: str = "cow",
 ) -> None:
     """MERGE one (micro-)batch into the LakeTable at ``path``.
 
@@ -48,7 +49,13 @@ def merge_batch(
     bind automatically (the handle loads them from the manifest);
     ``on_violation`` picks the writer-side policy — ``'quarantine'``
     diverts violating rows instead of failing the micro-batch, the
-    right default for unattended streams."""
+    right default for unattended streams.
+
+    ``mode='mor'`` (unpartitioned targets) appends each micro-batch
+    under a fresh token instead of rewriting matched partitions —
+    O(batch) per trigger, the natural fit for high-frequency small
+    micro-batches; schedule an ``optimize()`` to compact the pending
+    appends out-of-band."""
     if batch.isEmpty():
         return
     collapsed = dedup_latest(
@@ -59,7 +66,12 @@ def merge_batch(
     LakeTable(
         batch.sparkSession, path, partition_by=partition_by,
         on_violation=on_violation,
-    ).upsert(collapsed, keys=list(keys), schema_evolution=schema_evolution)
+    ).upsert(
+        collapsed,
+        keys=list(keys),
+        schema_evolution=schema_evolution,
+        mode=mode,
+    )
 
 
 def stream_upsert(
@@ -72,13 +84,15 @@ def stream_upsert(
     schema_evolution: bool = False,
     available_now: bool = True,
     on_violation: str = "reject",
+    mode: str = "cow",
 ):
     """Run a stream into a MERGE-maintained LakeTable; returns the
     started ``StreamingQuery`` (``availableNow`` drains and stops by
     default, processing-time tailing with ``available_now=False``).
     Persisted CHECK constraints on the target table gate every
     micro-batch; pass ``on_violation='quarantine'`` so bad rows divert
-    instead of killing the stream."""
+    instead of killing the stream. ``mode='mor'`` appends each
+    micro-batch merge-on-read style (see ``merge_batch``)."""
 
     def _apply(batch: DataFrame, _batch_id: int) -> None:
         merge_batch(
@@ -89,6 +103,7 @@ def stream_upsert(
             order_by=order_by,
             schema_evolution=schema_evolution,
             on_violation=on_violation,
+            mode=mode,
         )
 
     writer = (

@@ -1423,3 +1423,63 @@ def test_mor_upsert_guards(spark, tmp_path, base_df):
         t.evolve_partitioning(("seg",))
     with pytest.raises(ValueError, match="when_matched"):
         t.upsert(base_df.limit(1), keys=["id"], mode="mor", when_matched="delete")
+
+
+def test_stream_upsert_mor_mode(spark, tmp_path):
+    """Streaming MERGE with mode='mor': each micro-batch APPENDS under
+    a fresh token (op merge_mor, base never rewritten) and the resolved
+    read matches what CoW streaming would produce."""
+    import json as _json
+
+    from datalake_toolkit_spark.lakehouse import LakeTable, stream_upsert
+
+    src = tmp_path / "src"
+    src.mkdir()
+    table = str(tmp_path / "t")
+
+    (src / "b1.json").write_text(
+        "\n".join(
+            _json.dumps(r)
+            for r in [
+                {"id": 1, "val": 1.0, "ts": 1.0},
+                {"id": 2, "val": 2.0, "ts": 1.0},
+            ]
+        )
+    )
+    q = stream_upsert(
+        spark.readStream.schema("id bigint, val double, ts double").json(
+            str(src)
+        ),
+        table,
+        keys=["id"],
+        checkpoint=str(tmp_path / "ckpt"),
+        order_by=[F.desc("ts")],
+        mode="mor",
+    )
+    q.awaitTermination(120)
+    (src / "b2.json").write_text(
+        "\n".join(
+            _json.dumps(r)
+            for r in [
+                {"id": 1, "val": 99.0, "ts": 3.0},
+                {"id": 1, "val": 10.0, "ts": 2.0},  # in-batch loser
+                {"id": 3, "val": 3.0, "ts": 2.0},
+            ]
+        )
+    )
+    q = stream_upsert(
+        spark.readStream.schema("id bigint, val double, ts double").json(
+            str(src)
+        ),
+        table,
+        keys=["id"],
+        checkpoint=str(tmp_path / "ckpt"),
+        order_by=[F.desc("ts")],
+        mode="mor",
+    )
+    q.awaitTermination(120)
+    t = LakeTable(spark, table)
+    man = t._manifest()
+    assert man["op"] == "merge_mor" and len(man["merges"]) == 1
+    got = {r.id: r.val for r in t.read().collect()}
+    assert got == {1: 99.0, 2: 2.0, 3: 3.0}
