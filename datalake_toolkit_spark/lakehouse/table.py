@@ -391,7 +391,11 @@ class LakeTable:
             return json.load(fh)
 
     def _vdir(self, token: int | str) -> str:
-        # int: legacy version-numbered dirs; str: unique staging tokens
+        # int: legacy version-numbered dirs; str: unique staging
+        # tokens; absolute path: an external dir referenced by a
+        # shallow clone — resolved as-is, never under our data_dir
+        if isinstance(token, str) and os.path.isabs(token):
+            return token
         name = f"v{token:08d}" if isinstance(token, int) else token
         return os.path.join(self.data_dir, name)
 
@@ -447,6 +451,7 @@ class LakeTable:
         schema_json: str,
         deletes: list[dict] | None = None,
         merges: list[dict] | None = None,
+        stats: dict | None = None,
     ) -> int:
         os.makedirs(self.log_dir, exist_ok=True)
         manifest = {
@@ -457,7 +462,11 @@ class LakeTable:
             "owners": owners,
             "schema": schema_json,
             "constraints": self._active_constraints(),
-            "stats": self._build_stats(version, owners, schema_json),
+            "stats": (
+                stats
+                if stats is not None
+                else self._build_stats(version, owners, schema_json)
+            ),
         }
         # pending merge-on-read appends carry by default (they are
         # data — dropping them silently would lose rows); full-rewrite
@@ -1090,6 +1099,78 @@ class LakeTable:
         raise ConcurrentWriteError(
             f"restore lost {self._MAX_COMMIT_RETRIES} version races at {self.path}"
         )
+
+    def clone(
+        self,
+        target_path: str,
+        version: int | None = None,
+        shallow: bool = True,
+    ) -> "LakeTable":
+        """Delta-style CLONE: an independent table at ``target_path``
+        seeded from this table's snapshot.
+
+        ``shallow=True`` (default) commits a v0 manifest whose owners
+        point at THIS table's immutable token dirs by absolute path —
+        zero bytes move, O(metadata) even for a 100 TB table, and the
+        snapshot's file stats, pending merge-on-read appends, delete
+        predicates, and CHECK constraints all carry over (stats by key
+        translation, not a re-read). The clone's own writes land under
+        its OWN data dir; every rewrite localizes the partitions it
+        touches (copy-on-write), so the clone diverges incrementally.
+        The clone's ``vacuum`` never touches the source's dirs (they
+        live outside its data dir); the SOURCE vacuuming referenced
+        dirs away breaks the clone — the same retention caveat Delta
+        shallow clones carry. The dev/test-fork primitive.
+
+        ``shallow=False`` materializes the RESOLVED snapshot (deletes
+        applied, appends merged) into a fully self-contained table —
+        one data copy."""
+        man = self._manifest(version)
+        dst = LakeTable(
+            self.spark,
+            target_path,
+            constraints=dict(man.get("constraints") or {}) or None,
+        )
+        if dst.current_version() is not None:
+            raise ValueError(f"clone target {target_path} already has commits")
+        dst.partition_by = tuple(man["partition_by"])
+        if not shallow:
+            dst.write(
+                self._read_owned(man), op=f"clone({self.path}@v{man['version']})"
+            )
+            return dst
+
+        def absolutize(tok: str) -> str:
+            return tok if os.path.isabs(tok) else self._vdir(tok)
+
+        owners = {k: absolutize(t) for k, t in man["owners"].items()}
+        # stats keys are "<token>/<key>/<file>" — re-root the token
+        # segment so the clone's lookups match its absolute owners
+        stats = {}
+        for pth, st in (man.get("stats") or {}).items():
+            for k, t in man["owners"].items():
+                prefix = f"{t}/{k}/" if k else f"{t}/"
+                if pth.startswith(prefix):
+                    stats[absolutize(t) + pth[len(t):]] = st
+                    break
+        merges = [
+            {**e, "token": absolutize(e["token"])}
+            for e in man.get("merges") or []
+        ]
+        deletes = [
+            {"pred": e["pred"], "tokens": [absolutize(t) for t in e["tokens"]]}
+            for e in man.get("deletes") or []
+        ]
+        dst._commit(
+            0,
+            owners,
+            f"clone({self.path}@v{man['version']})",
+            man["schema"],
+            deletes=deletes,
+            merges=merges,
+            stats=stats,
+        )
+        return dst
 
     def evolve_partitioning(
         self, partition_by: Sequence[str], migrate: str = "metadata"

@@ -147,6 +147,11 @@ DEMOTED: tuple[str, ...] = (
     # large-agg shape covered in-window by q15_top_supplier and the
     # q9/q13/q16/q17 agg set.
     "q18_large_orders",
+    # q_shallow_clone enters (zero-copy clone, never driver-checked);
+    # q_catalog_partition_docs (4x green r3-r6) rotates out — catalog
+    # assembly machinery stays covered by q_catalog_walk and
+    # q_catalog_search in-window.
+    "q_catalog_partition_docs",
 )
 
 GATE_WINDOW = 50
@@ -171,6 +176,7 @@ STATEFUL: frozenset[str] = frozenset(
         "q_partition_evolution",  # three commit cycles incl. evolve + MERGE
         "q_mor_delete",  # three commit cycles incl. merge-on-read delete
         "q_mor_upsert",  # three commit cycles incl. two MoR appends
+        "q_shallow_clone",  # write + clone + divergent MERGE commits
     }
 )
 

@@ -133,6 +133,71 @@ def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_shallow_clone",
+    _MERGED_SQL
+    + """
+    SELECT 'src' AS part, c_mktsegment AS grp,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+    FROM customer GROUP BY c_mktsegment
+    UNION ALL
+    SELECT 'clone' AS part, c_mktsegment AS grp,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+    FROM merged GROUP BY c_mktsegment
+    UNION ALL
+    SELECT '__zero_copy__' AS part, 'flag' AS grp,
+           1 AS n_customers, 0.0 AS sum_bal
+    """,
+)
+def q_shallow_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-copy shallow clone end to end (LakeTable.clone): the clone
+    commits only absolute-path pointers at the source's immutable
+    token dirs — the '__zero_copy__' flag row pins that NO data dir
+    exists under the clone at clone time and every owner is external —
+    then a MERGE diverges the clone (copy-on-write localization) while
+    the source must aggregate unchanged. Both snapshots hash-checked
+    against base vs relational-merge replays."""
+    import os as _os
+
+    cust, src = _customer_source(spark, sf_dir)
+    s = LakeTable(
+        spark,
+        tempfile.mkdtemp(prefix="q_clone_src_"),
+        partition_by=("c_mktsegment",),
+    )
+    s.write(cust)
+    target = tempfile.mkdtemp(prefix="q_clone_dst_")
+    _os.rmdir(target)  # clone wants a fresh root
+    c = s.clone(target)
+    man = c._manifest()
+    zero_copy = int(
+        not _os.path.isdir(_os.path.join(target, "data"))
+        and all(_os.path.isabs(t) for t in man["owners"].values())
+    )
+    c.upsert(src, keys=["c_custkey"])  # diverge the clone only
+
+    def agg(t: LakeTable, tag: str) -> DataFrame:
+        return (
+            t.read()
+            .groupBy(F.col("c_mktsegment").alias("grp"))
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+                F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("sum_bal"),
+            )
+            .select(F.lit(tag).alias("part"), "*")
+        )
+
+    flag = spark.createDataFrame(
+        [("__zero_copy__", "flag", zero_copy, 0.0)],
+        "part string, grp string, n_customers bigint, sum_bal double",
+    )
+    return agg(s, "src").unionByName(agg(c, "clone")).unionByName(flag)
+
+
+@query(
     "q_mor_upsert",
     f"""
     WITH src AS ({_SRC_SQL}),

@@ -1483,3 +1483,67 @@ def test_stream_upsert_mor_mode(spark, tmp_path):
     assert man["op"] == "merge_mor" and len(man["merges"]) == 1
     got = {r.id: r.val for r in t.read().collect()}
     assert got == {1: 99.0, 2: 2.0, 3: 3.0}
+
+
+# -- clone ------------------------------------------------------------------
+
+
+def test_shallow_clone_zero_copy_and_divergence(spark, tmp_path, base_df):
+    src = LakeTable(spark, str(tmp_path / "src"), partition_by=("seg",))
+    src.write(base_df)
+    src.delete_where("val >= 250.0", mode="mor")  # pending predicate
+    c = src.clone(str(tmp_path / "clone"))
+    # zero-copy: no data dir of its own yet, full snapshot readable
+    assert not os.path.isdir(str(tmp_path / "clone" / "data"))
+    assert _as_dict(c.read()) == _as_dict(src.read())
+    assert c.read().count() == 25  # the carried delete predicate applies
+    assert len(c._manifest()["deletes"]) == 1
+    # translated file stats prune on the clone
+    rep = c.plan_scan(where="seg = 'seg1'")
+    assert rep["partitions_scanned"] == 1 and rep["partitions_total"] == 3
+    # divergence both ways
+    c.upsert(
+        spark.createDataFrame([(0, "seg0", 999.0)], base_df.schema), keys=["id"]
+    )
+    src.upsert(
+        spark.createDataFrame([(1, "seg1", 888.0)], base_df.schema), keys=["id"]
+    )
+    assert _as_dict(c.read())[0] == ("seg0", 999.0)
+    assert _as_dict(src.read())[0] == ("seg0", 0.0)
+    assert _as_dict(c.read())[1] == ("seg1", 10.0)
+    # clone vacuum never reaps the source's dirs
+    c.vacuum(keep_last=1)
+    assert src.read().count() == 25
+    with pytest.raises(ValueError, match="already has commits"):
+        src.clone(str(tmp_path / "clone"))
+
+
+def test_deep_clone_is_self_contained(spark, tmp_path, base_df):
+    src = LakeTable(spark, str(tmp_path / "src"), partition_by=("seg",))
+    src.write(base_df)
+    d = src.clone(str(tmp_path / "deep"), shallow=False)
+    assert all(
+        not os.path.isabs(t) for t in d._manifest()["owners"].values()
+    )
+    assert _as_dict(d.read()) == _as_dict(src.read())
+    # fully independent of the source's retention
+    shutil_rm = __import__("shutil").rmtree
+    shutil_rm(str(tmp_path / "src"))
+    assert d.read().count() == 30
+
+
+def test_shallow_clone_carries_pending_merges(spark, tmp_path, base_df):
+    src = LakeTable(spark, str(tmp_path / "src"))
+    src.write(base_df)
+    src.upsert(
+        spark.createDataFrame([(1, "segZ", 111.0), (50, "segN", 5.0)], base_df.schema),
+        keys=["id"],
+        mode="mor",
+    )
+    c = src.clone(str(tmp_path / "clone"))
+    assert len(c._manifest()["merges"]) == 1
+    got = _as_dict(c.read())
+    assert got[1] == ("segZ", 111.0) and got[50] == ("segN", 5.0)
+    c.optimize()  # localizes + clears pending entries on the CLONE only
+    assert c._manifest()["merges"] == []
+    assert len(LakeTable(spark, str(tmp_path / "src"))._manifest()["merges"]) == 1
