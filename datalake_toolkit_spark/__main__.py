@@ -62,7 +62,11 @@ def _build_parser() -> argparse.ArgumentParser:
     tb = sub.add_parser("table", help="lakehouse table maintenance")
     tb.add_argument("--path", required=True)
     tb.add_argument(
-        "action", choices=["history", "restore", "optimize", "vacuum", "show"]
+        "action",
+        choices=[
+            "history", "restore", "optimize", "vacuum", "show",
+            "plan-scan", "delete", "clone",
+        ],
     )
     tb.add_argument("--version", type=int, default=None, help="restore/show target")
     tb.add_argument("--partitions", nargs="*", default=None, help="optimize scope")
@@ -70,6 +74,13 @@ def _build_parser() -> argparse.ArgumentParser:
     tb.add_argument("--keep-last", type=int, default=None, help="vacuum retention")
     tb.add_argument("--partition-by", nargs="*", default=None,
                 help="table partition columns (omit to adopt the committed scheme)")
+    tb.add_argument("--where", default=None,
+                help="plan-scan/delete predicate (simple AND-of-comparisons prune)")
+    tb.add_argument("--mode", choices=["cow", "mor"], default="cow",
+                help="delete mode: rewrite (cow) or predicate entry (mor)")
+    tb.add_argument("--target", default=None, help="clone target path")
+    tb.add_argument("--deep", action="store_true",
+                help="clone materializes instead of zero-copy pointers")
 
     cu = sub.add_parser(
         "curate", help="run the pretraining curation pipeline over documents"
@@ -218,6 +229,24 @@ def _cmd_table(args: argparse.Namespace) -> int:
         t.vacuum(keep_last=args.keep_last)
         print(json.dumps({"kept_last": args.keep_last,
                           "current_version": t.current_version()}))
+    elif args.action == "plan-scan":
+        print(json.dumps(t.plan_scan(where=args.where, version=args.version)))
+    elif args.action == "delete":
+        if args.where is None:
+            print("delete requires --where", file=sys.stderr)
+            return 2
+        v = t.delete_where(args.where, mode=args.mode)
+        print(json.dumps({"deleted_version": v, "mode": args.mode}))
+    elif args.action == "clone":
+        if args.target is None:
+            print("clone requires --target", file=sys.stderr)
+            return 2
+        c = t.clone(args.target, version=args.version, shallow=not args.deep)
+        print(json.dumps({"cloned_to": args.target,
+                          "shallow": not args.deep,
+                          "source_version": args.version
+                          if args.version is not None
+                          else t.current_version()}))
     return 0
 
 

@@ -753,3 +753,36 @@ def test_cli_table_subcommand(spark, tmp_path, capsys):
     assert main(["table", "--path", path, "vacuum", "--keep-last", "2"]) == 0
     assert json_mod.loads(capsys.readouterr().out.strip())["current_version"] == 3
     assert main(["table", "--path", path, "restore"]) == 2  # missing --version
+
+
+def test_cli_table_skipping_and_clone_actions(spark, tmp_path, capsys):
+    import json as json_mod
+
+    from datalake_toolkit_spark.__main__ import main
+    from datalake_toolkit_spark.lakehouse import LakeTable
+
+    path = str(tmp_path / "tbl")
+    LakeTable(spark, path).write(
+        spark.createDataFrame(
+            [(i, float(i)) for i in range(20)], "id bigint, val double"
+        ).repartitionByRange(4, "id").sortWithinPartitions("id")
+    )
+
+    assert main(["table", "--path", path, "plan-scan", "--where", "id >= 15"]) == 0
+    rep = json_mod.loads(capsys.readouterr().out.strip())
+    assert rep["prunable"] and rep["files_scanned"] < rep["files_total"]
+
+    assert main(["table", "--path", path, "delete",
+                 "--where", "id >= 15", "--mode", "mor"]) == 0
+    out = json_mod.loads(capsys.readouterr().out.strip())
+    assert out == {"deleted_version": 1, "mode": "mor"}
+    assert LakeTable(spark, path).read().count() == 15
+    assert main(["table", "--path", path, "delete"]) == 2  # missing --where
+    capsys.readouterr()
+
+    clone_path = str(tmp_path / "fork")
+    assert main(["table", "--path", path, "clone", "--target", clone_path]) == 0
+    out = json_mod.loads(capsys.readouterr().out.strip())
+    assert out["shallow"] is True
+    assert LakeTable(spark, clone_path).read().count() == 15
+    assert main(["table", "--path", path, "clone"]) == 2  # missing --target
