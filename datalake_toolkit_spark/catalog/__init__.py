@@ -20,6 +20,7 @@ from datalake_toolkit_spark.catalog.search import (
     catalog_sql,
     catalog_walk_documents,
     catalog_search_documents,
+    lake_table_documents,
     register_star_schema,
     search_catalog,
 )
@@ -33,6 +34,7 @@ __all__ = [
     "catalog_columns",
     "catalog_sql",
     "catalog_search_documents",
+    "lake_table_documents",
     "catalog_walk_documents",
     "explode_catalog_tables",
     "flatten_catalog_tables",

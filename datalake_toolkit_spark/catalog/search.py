@@ -60,6 +60,58 @@ def catalog_search_documents(spark: SparkSession, tables: list[str]) -> DataFram
     )
 
 
+def lake_table_documents(
+    spark: SparkSession, tables: dict[str, str]
+) -> DataFrame:
+    """Search documents for LakeTable roots (``{name: path}``): the
+    SAME shape ``catalog_search_documents`` emits for Hive tables — so
+    ``search_catalog`` runs over a mixed Hive+lakehouse catalog —
+    plus lakehouse-specific metadata columns (location, current
+    version, last op/timestamp, partition scheme, live file count,
+    pending merge-on-read entry counts).
+
+    Metadata-only: manifests and directory listings, bounded by table
+    count — no Spark job reads any data, so cataloging a fleet of
+    100 TB tables costs manifest I/O."""
+    import json as _json
+
+    from pyspark.sql import types as T
+
+    from datalake_toolkit_spark.lakehouse import LakeTable
+
+    rows = []
+    for name, path in sorted(dict(tables).items()):
+        t = LakeTable(spark, path)
+        man = t._manifest()
+        fields = T.StructType.fromJson(_json.loads(man["schema"])).fields
+        rep = t.plan_scan()
+        rows.append(
+            (
+                "lake",
+                name,
+                [f.name for f in fields],
+                [f"{name}.{f.name}" for f in fields],
+                {f.name: f.dataType.simpleString() for f in fields},
+                path,
+                int(man["version"]),
+                man["op"],
+                float(man["ts"]),
+                list(man["partition_by"]),
+                int(rep["files_total"]),
+                len(man.get("merges") or []),
+                len(man.get("deletes") or []),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "database string, `table` string, column_tags array<string>, "
+        "comment_tags array<string>, columns map<string,string>, "
+        "location string, version int, last_op string, last_ts double, "
+        "partition_keys array<string>, n_files int, "
+        "pending_merges int, pending_deletes int",
+    )
+
+
 def search_catalog(docs: DataFrame, pattern: str) -> DataFrame:
     """The ES fuzzy-lookup plane over the search documents
     (odl_catalog_hive_metadata_es.py:211-224): case-insensitive

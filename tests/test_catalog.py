@@ -262,3 +262,37 @@ def test_hive_ddl_from_catalog_doc_and_schema(spark, sf_dir, tmp_path):
 
     with _pytest.raises(ValueError, match="partition_by"):
         schema_to_ddl("t", src.schema, "s3://x", partition_by=["nope"])
+
+
+def test_lake_table_documents_mixed_search(spark, tmp_path, sf_dir):
+    """LakeTable roots catalog into the same search-document shape as
+    Hive tables; search_catalog ranks a MIXED catalog, and the
+    lakehouse extras (version, files, pending MoR entries) are
+    metadata-faithful."""
+    from datalake_toolkit_spark.catalog import (
+        catalog_search_documents,
+        lake_table_documents,
+        register_star_schema,
+        search_catalog,
+    )
+    from datalake_toolkit_spark.lakehouse import LakeTable
+    from datalake_toolkit_spark.sources import load_table
+
+    t1 = LakeTable(spark, str(tmp_path / "cust_lake"), partition_by=("c_mktsegment",))
+    t1.write(load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"))
+    t1.delete_where("c_acctbal < 0", mode="mor")
+    docs = lake_table_documents(spark, {"cust_lake": str(tmp_path / "cust_lake")})
+    row = docs.collect()[0]
+    assert row.database == "lake" and row.version == 1
+    assert row.last_op == "delete_mor" and row.pending_deletes == 1
+    assert row.partition_keys == ["c_mktsegment"]
+    assert row.columns["c_acctbal"] == "double" and row.n_files >= 1
+
+    register_star_schema(spark, sf_dir)
+    mixed = catalog_search_documents(spark, ["orders", "nation"]).unionByName(
+        docs, allowMissingColumns=True
+    )
+    hits = {r.table_name: r.matched_columns
+            for r in search_catalog(mixed, "custkey").collect()}
+    assert hits == {"orders": "o_custkey", "cust_lake": "c_custkey"}
