@@ -289,3 +289,21 @@ def test_runtime_bloom_filter_injects_on_fact_fact_join(spark, sf_dir):
     finally:
         for k, v in old.items():
             spark.conf.set(k, v)
+
+
+def test_setsim_and_dup_ngram_stay_off_broadcast_path(spark, sf_dir):
+    """The prefix index, token-frequency table, and per-doc shingle
+    arrays are all corpus-sized: Spark's size estimates at test SF
+    would happily broadcast them, which OOMs at 100 TB — the
+    shuffle_hash hints must hold everywhere in both operators."""
+    from datalake_toolkit_spark.llm import dup_ngram_stats, set_similarity_join
+    from datalake_toolkit_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    for df in (
+        set_similarity_join(docs, "doc_id", "text", k=3, threshold=0.8),
+        dup_ngram_stats(docs, "doc_id", "text", k=5),
+    ):
+        plan = _plan(df)
+        assert "BroadcastHashJoin" not in plan, plan
+        assert "ShuffledHashJoin" in plan
