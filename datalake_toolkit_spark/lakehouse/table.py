@@ -1656,6 +1656,8 @@ class LakeTable:
                     "ts": m["ts"],
                     "n_partitions": len(m["owners"]),
                     "partition_by": list(m["partition_by"]),
+                    "pending_merges": len(m.get("merges") or []),
+                    "pending_deletes": len(m.get("deletes") or []),
                 }
             )
         return out
