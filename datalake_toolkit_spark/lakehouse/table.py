@@ -1070,6 +1070,22 @@ class LakeTable:
         man = self._manifest(version)
         conjs = _parse_conjuncts(where) if where else []
         _, report = self._select_files(man, partitions, conjs)
+        # pending merge-on-read appends are always read in full (no
+        # stats are kept for them until a rewrite localizes) — count
+        # them so the report reflects what the scan actually opens
+        for e in man.get("merges") or []:
+            d = self._vdir(e["token"])
+            n = (
+                sum(
+                    1
+                    for f in os.listdir(d)
+                    if f.endswith(".parquet") and not f.startswith(("_", "."))
+                )
+                if os.path.isdir(d)
+                else 0
+            )
+            report["files_total"] += n
+            report["files_scanned"] += n
         report["prunable"] = bool(conjs)
         return report
 

@@ -1547,3 +1547,54 @@ def test_shallow_clone_carries_pending_merges(spark, tmp_path, base_df):
     c.optimize()  # localizes + clears pending entries on the CLONE only
     assert c._manifest()["merges"] == []
     assert len(LakeTable(spark, str(tmp_path / "src"))._manifest()["merges"]) == 1
+
+
+def test_matview_refresh_over_mor_mutations(spark, tmp_path):
+    """Incremental matview maintenance rides the change feed; MoR
+    deletes and appends change NO owner, so this pins that the CDF's
+    logical-change detection feeds the view the right deltas."""
+    from datalake_toolkit_spark.lakehouse import (
+        LakeTable,
+        refresh_aggregate_view,
+    )
+
+    base = LakeTable(spark, str(tmp_path / "base"))
+    view = LakeTable(spark, str(tmp_path / "view"))
+    base.write(
+        spark.createDataFrame(
+            [(i, f"seg{i % 3}", float(i)) for i in range(30)],
+            "id bigint, seg string, val double",
+        )
+    )
+
+    def recompute():
+        return {
+            (r["seg"],): (r["n_rows"], float(r["sum_value"]))
+            for r in base.read()
+            .groupBy("seg")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(F.col("val").cast("decimal(18,2)")).alias("sum_value"),
+            )
+            .collect()
+        }
+
+    def view_state():
+        return {
+            (r["seg"],): (r["n_rows"], float(r["sum_value"]))
+            for r in view.read().collect()
+        }
+
+    refresh_aggregate_view(base, view, ["seg"], "val")
+    assert view_state() == recompute()
+    base.upsert(
+        spark.createDataFrame(
+            [(0, "seg0", 1000.0), (99, "seg9", 7.5)],
+            "id bigint, seg string, val double",
+        ),
+        keys=["id"],
+        mode="mor",
+    )
+    base.delete_where("seg = 'seg1' AND id < 10", mode="mor")
+    refresh_aggregate_view(base, view, ["seg"], "val")
+    assert view_state() == recompute()
