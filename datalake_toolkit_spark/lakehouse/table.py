@@ -807,6 +807,20 @@ class LakeTable:
             owners = {k: v for k, v in owners.items() if k in set(keys)}
         schema = T.StructType.fromJson(json.loads(manifest["schema"]))
         types = {f.name: f.dataType for f in schema.fields}
+        # TIMESTAMP (local-TZ) stats are UTC-normalized ISO strings,
+        # but the FILTER interprets string literals in the session
+        # timezone — under a non-UTC session the two disagree and a
+        # stats comparison could prune files that hold matching rows.
+        # Drop those conjuncts from pruning (the filter still applies)
+        # unless the session runs UTC. DATE and TIMESTAMP_NTZ have no
+        # timezone and always prune.
+        tz = self.spark.conf.get("spark.sql.session.timeZone", "")
+        if tz not in ("UTC", "Etc/UTC", "GMT", "+00:00", "Z"):
+            conjuncts = [
+                c
+                for c in conjuncts
+                if not isinstance(types.get(c[0]), T.TimestampType)
+            ]
         stats = manifest.get("stats") or {}
         report = {
             "partitions_total": len(owners),

@@ -1598,3 +1598,39 @@ def test_matview_refresh_over_mor_mutations(spark, tmp_path):
     base.delete_where("seg = 'seg1' AND id < 10", mode="mor")
     refresh_aggregate_view(base, view, ["seg"], "val")
     assert view_state() == recompute()
+
+
+def test_timestamp_pruning_disabled_under_non_utc_session(spark, tmp_path):
+    """LTZ timestamp stats are UTC-normalized but filter literals are
+    session-TZ: under a non-UTC session the conjunct must NOT prune
+    (it could drop files holding matching rows) while the filter still
+    returns the right rows. DATE columns keep pruning either way."""
+    df = spark.sql(
+        "SELECT id, timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,CAST(id AS INT),0,0,0) AS ts,"
+        "       date'2024-01-01' + CAST(id AS INT) AS d FROM range(40)"
+    )
+    t = LakeTable(spark, str(tmp_path / "t"))
+    t.write(df.repartitionByRange(4, "id").sortWithinPartitions("id"))
+    pred_ts = "ts >= '2024-01-31 00:00:00'"
+    pred_d = "d >= '2024-01-31'"
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        utc = t.plan_scan(where=pred_ts)
+        assert utc["files_scanned"] < utc["files_total"]  # prunes under UTC
+        n_utc = t.read(where=pred_ts).count()
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        ny = t.plan_scan(where=pred_ts)
+        assert ny["files_scanned"] == ny["files_total"]  # no TS pruning
+        # correctness holds: filter-only result, same rows as a plain read
+        assert (
+            t.read(where=pred_ts).count()
+            == t.read().where(F.expr(pred_ts)).count()
+        )
+        # DATE pruning is timezone-free and stays active
+        nyd = t.plan_scan(where=pred_d)
+        assert nyd["files_scanned"] < nyd["files_total"]
+        assert t.read(where=pred_d).count() == 10
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+    assert n_utc == 10
