@@ -7,6 +7,7 @@ fingerprints), and multimodal binary-column plumbing.
 """
 
 from datalake_toolkit_spark.llm.text import (
+    bigram_familiarity,
     with_fingerprints,
     with_language_id,
     chunk_documents,
@@ -42,6 +43,7 @@ from datalake_toolkit_spark.llm.similarity import (
 )
 
 __all__ = [
+    "bigram_familiarity",
     "connected_components",
     "cosine_similarity_col",
     "cosine_topk",

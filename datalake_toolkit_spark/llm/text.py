@@ -147,6 +147,65 @@ def with_fingerprints(df: DataFrame, text_col: str = "text", k: int = 5) -> Data
     )
 
 
+def bigram_familiarity(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    min_count: int = 2,
+) -> DataFrame:
+    """Corpus-grounded fluency signal (the integer-exact cousin of
+    CCNet's LM-perplexity filter): for each document, the share of its
+    word-bigram OCCURRENCES whose corpus-wide frequency reaches
+    ``min_count``. Gibberish, OCR noise, and shuffled text are built
+    from bigrams the rest of the corpus never repeats — low
+    familiarity flags them without training a language model.
+
+    Returns ``(id, n_bigrams, n_familiar, familiarity,
+    median_bigram_count)``: occurrence counts, their ratio, and the
+    lower median of the doc's bigram corpus-frequencies. Docs with
+    fewer than two words have no bigrams and are absent.
+
+    Scale: one explode over bigram occurrences, one bigram-keyed count
+    (map-side partial), one bigram-keyed hash join back (both sides
+    corpus-sized — shuffle_hash, never broadcast), one doc-keyed agg.
+    Every output is an integer or an exact integer ratio, so results
+    hash identically across engines — no transcendental (log-prob)
+    math to drift in the last ulp."""
+    ex = (
+        df.select(F.col(id_col), F.col(text_col))
+        .select(F.col(id_col), words(text_col).alias("__w"))
+        .where(F.size("__w") >= 2)
+        .select(
+            F.col(id_col),
+            F.explode(shingles_from_words("__w", 2)).alias("bigram"),
+        )
+    )
+    counts = ex.groupBy("bigram").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        ex.hint("shuffle_hash")
+        .join(counts.hint("shuffle_hash"), "bigram")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum((F.col("c") >= min_count).cast("bigint")).alias(
+                "n_familiar"
+            ),
+            F.sort_array(F.collect_list("c")).alias("__cs"),
+        )
+        .select(
+            F.col(id_col),
+            "n_bigrams",
+            "n_familiar",
+            (F.col("n_familiar").cast("double") / F.col("n_bigrams")).alias(
+                "familiarity"
+            ),
+            F.element_at(
+                "__cs", F.floor((F.size("__cs") + 1) / 2).cast("int")
+            ).alias("median_bigram_count"),
+        )
+    )
+
+
 def chunk_documents(
     df: DataFrame,
     id_col: str = "doc_id",

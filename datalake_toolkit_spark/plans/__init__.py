@@ -152,6 +152,11 @@ DEMOTED: tuple[str, ...] = (
     # assembly machinery stays covered by q_catalog_walk and
     # q_catalog_search in-window.
     "q_catalog_partition_docs",
+    # q_bigram_familiarity enters (corpus-grounded fluency scoring,
+    # never driver-checked); q_stratified_sample (3x green r4-r6)
+    # rotates out — sampling machinery stays covered in-window by
+    # q_token_shards and q_pack_windows.
+    "q_stratified_sample",
 )
 
 GATE_WINDOW = 50

@@ -16,6 +16,7 @@ from datalake_toolkit_spark.llm import (
     cosine_topk,
     embedding_norms,
     exact_dedup_groups,
+    bigram_familiarity,
     dup_ngram_stats,
     jaccard_pairs,
     set_similarity_join,
@@ -224,6 +225,45 @@ def q_setsim_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     each doc's rarest ``n - ceil(t*n) + 1`` shingles are indexed."""
     return set_similarity_join(
         _t(spark, sf_dir, "documents"), "doc_id", "text", k=3, threshold=0.8
+    )
+
+
+@query(
+    "q_bigram_familiarity",
+    r"""
+    WITH docs AS (
+      SELECT doc_id, w
+      FROM (SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents)
+      WHERE len(w) >= 2
+    ),
+    ex AS (
+      SELECT doc_id, unnest(list_transform(
+               generate_series(1, len(w) - 1),
+               i -> w[i] || ' ' || w[i+1])) AS bigram
+      FROM docs
+    ),
+    counts AS (SELECT bigram, count(*) AS c FROM ex GROUP BY bigram),
+    per AS (
+      SELECT e.doc_id,
+             CAST(count(*) AS BIGINT) AS n_bigrams,
+             CAST(sum(CASE WHEN d.c >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_familiar,
+             list_sort(list(d.c)) AS cs
+      FROM ex e JOIN counts d USING (bigram)
+      GROUP BY e.doc_id
+    )
+    SELECT doc_id, n_bigrams, n_familiar,
+           CAST(n_familiar AS DOUBLE) / n_bigrams AS familiarity,
+           CAST(cs[(len(cs)+1)//2] AS BIGINT) AS median_bigram_count
+    FROM per
+    """,
+)
+def q_bigram_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-grounded fluency scoring: per-doc share of bigram
+    occurrences the corpus repeats — the integer-exact stand-in for an
+    LM-perplexity quality filter (no transcendental math to drift
+    between engines)."""
+    return bigram_familiarity(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", min_count=2
     )
 
 

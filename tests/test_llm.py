@@ -1226,3 +1226,30 @@ def test_tfidf_embeddings_match_numpy_reference(spark):
     again = {r["doc_id"]: list(r["embedding"])
              for r in tfidf_embeddings(df.repartition(7), dim=dim).collect()}
     assert all(again[i] == list(got[i]) for i in got)
+
+
+def test_bigram_familiarity_handcrafted(spark):
+    from datalake_toolkit_spark.llm import bigram_familiarity
+
+    rows = [
+        (1, "the cat sat"),        # bigrams: "the cat", "cat sat"
+        (2, "the cat ran"),        # "the cat" (shared), "cat ran"
+        (3, "zq xv qj"),           # unique gibberish bigrams
+        (4, "one"),                # < 2 words: absent
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r.doc_id: (
+            r.n_bigrams,
+            r.n_familiar,
+            round(r.familiarity, 6),
+            r.median_bigram_count,
+        )
+        for r in bigram_familiarity(df, "doc_id", "text", min_count=2).collect()
+    }
+    # "the cat" occurs twice corpus-wide -> familiar; the rest once
+    assert got == {
+        1: (2, 1, 0.5, 1),  # counts [1, 2] -> lower median 1
+        2: (2, 1, 0.5, 1),
+        3: (2, 0, 0.0, 1),
+    }
