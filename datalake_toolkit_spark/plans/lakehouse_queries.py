@@ -73,24 +73,28 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     inserts into existing and brand-new partitions; only affected
     partitions are rewritten. Oracle is the equivalent
     anti-join ∪ source SQL over ``customer``."""
+    import shutil
+
     cust, src = _customer_source(spark, sf_dir)
-    t = LakeTable(
-        spark,
-        tempfile.mkdtemp(prefix="q_merge_upsert_"),
-        partition_by=("c_mktsegment",),
-    )
-    t.write(cust)
-    t.upsert(src, keys=["c_custkey"])
-    return (
-        t.read()
-        .groupBy("c_mktsegment")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
-            F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
-            .cast("double")
-            .alias("sum_bal"),
+    work = tempfile.mkdtemp(prefix="q_merge_upsert_")
+    try:
+        t = LakeTable(spark, work, partition_by=("c_mktsegment",))
+        t.write(cust)
+        t.upsert(src, keys=["c_custkey"])
+        # pin before the temp dir goes away (driver collects after return)
+        return (
+            t.read()
+            .groupBy("c_mktsegment")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+                F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("sum_bal"),
+            )
+            .localCheckpoint(eager=True)
         )
-    )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
 
 
 @query(
@@ -111,25 +115,32 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time travel: version 0 must still read the pre-merge snapshot
     after the merge commits (manifests are immutable pointer sets)."""
+    import shutil
+
     cust, src = _customer_source(spark, sf_dir)
-    t = LakeTable(
-        spark,
-        tempfile.mkdtemp(prefix="q_time_travel_"),
-        partition_by=("c_mktsegment",),
-    )
-    t.write(cust)
-    t.upsert(src, keys=["c_custkey"])
+    work = tempfile.mkdtemp(prefix="q_time_travel_")
+    try:
+        t = LakeTable(spark, work, partition_by=("c_mktsegment",))
+        t.write(cust)
+        t.upsert(src, keys=["c_custkey"])
 
-    def _summary(df: DataFrame, version: int) -> DataFrame:
-        return df.agg(
-            F.lit(version).cast("int").alias("version"),
-            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
-            F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
-            .cast("double")
-            .alias("sum_bal"),
+        def _summary(df: DataFrame, version: int) -> DataFrame:
+            return df.agg(
+                F.lit(version).cast("int").alias("version"),
+                F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+                F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("sum_bal"),
+            )
+
+        # pin before the temp dir goes away (driver collects after return)
+        return (
+            _summary(t.read(version=0), 0)
+            .unionByName(_summary(t.read(), 1))
+            .localCheckpoint(eager=True)
         )
-
-    return _summary(t.read(version=0), 0).unionByName(_summary(t.read(), 1))
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
 
 
 @query(
@@ -159,42 +170,52 @@ def q_shallow_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
     the source must aggregate unchanged. Both snapshots hash-checked
     against base vs relational-merge replays."""
     import os as _os
+    import shutil
 
     cust, src = _customer_source(spark, sf_dir)
-    s = LakeTable(
-        spark,
-        tempfile.mkdtemp(prefix="q_clone_src_"),
-        partition_by=("c_mktsegment",),
-    )
-    s.write(cust)
-    target = tempfile.mkdtemp(prefix="q_clone_dst_")
-    _os.rmdir(target)  # clone wants a fresh root
-    c = s.clone(target)
-    man = c._manifest()
-    zero_copy = int(
-        not _os.path.isdir(_os.path.join(target, "data"))
-        and all(_os.path.isabs(t) for t in man["owners"].values())
-    )
-    c.upsert(src, keys=["c_custkey"])  # diverge the clone only
-
-    def agg(t: LakeTable, tag: str) -> DataFrame:
-        return (
-            t.read()
-            .groupBy(F.col("c_mktsegment").alias("grp"))
-            .agg(
-                F.count(F.lit(1)).cast("bigint").alias("n_customers"),
-                F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
-                .cast("double")
-                .alias("sum_bal"),
-            )
-            .select(F.lit(tag).alias("part"), "*")
+    work = tempfile.mkdtemp(prefix="q_clone_")
+    try:
+        s = LakeTable(
+            spark,
+            _os.path.join(work, "src"),
+            partition_by=("c_mktsegment",),
         )
+        s.write(cust)
+        target = _os.path.join(work, "dst")
+        c = s.clone(target)
+        man = c._manifest()
+        zero_copy = int(
+            not _os.path.isdir(_os.path.join(target, "data"))
+            and all(_os.path.isabs(t) for t in man["owners"].values())
+        )
+        c.upsert(src, keys=["c_custkey"])  # diverge the clone only
 
-    flag = spark.createDataFrame(
-        [("__zero_copy__", "flag", zero_copy, 0.0)],
-        "part string, grp string, n_customers bigint, sum_bal double",
-    )
-    return agg(s, "src").unionByName(agg(c, "clone")).unionByName(flag)
+        def agg(t: LakeTable, tag: str) -> DataFrame:
+            return (
+                t.read()
+                .groupBy(F.col("c_mktsegment").alias("grp"))
+                .agg(
+                    F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+                    F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+                    .cast("double")
+                    .alias("sum_bal"),
+                )
+                .select(F.lit(tag).alias("part"), "*")
+            )
+
+        flag = spark.createDataFrame(
+            [("__zero_copy__", "flag", zero_copy, 0.0)],
+            "part string, grp string, n_customers bigint, sum_bal double",
+        )
+        return (
+            agg(s, "src")
+            .unionByName(agg(c, "clone"))
+            .unionByName(flag)
+            # pin before the temp dirs go away (driver collects after return)
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
 
 
 @query(
@@ -233,34 +254,41 @@ def q_mor_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     key over base ∪ both appends. The per-segment aggregates only
     match the three-way relational resolution if precedence
     (batch2 > batch1 > base) holds for every key."""
+    import shutil
+
     cust, src = _customer_source(spark, sf_dir)
-    t = LakeTable(spark, tempfile.mkdtemp(prefix="q_mor_upsert_"))
-    t.write(cust)  # v0: unpartitioned base
-    v0_owners = t._manifest()["owners"]
-    t.upsert(src, keys=["c_custkey"], mode="mor")  # v1: append batch 1
-    b2 = cust.where(F.col("c_custkey") % 21 == 0).select(
-        "c_custkey",
-        F.lit("MACHINERY").alias("c_mktsegment"),
-        (F.col("c_acctbal") + 5000).alias("c_acctbal"),
-    )
-    t.upsert(b2, keys=["c_custkey"], mode="mor")  # v2: append batch 2
-    man = t._manifest()
-    mor_ok = int(man["owners"] == v0_owners and len(man["merges"]) == 2)
-    agg = (
-        t.read()
-        .groupBy(F.col("c_mktsegment").alias("part"))
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
-            F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
-            .cast("double")
-            .alias("sum_bal"),
+    work = tempfile.mkdtemp(prefix="q_mor_upsert_")
+    try:
+        t = LakeTable(spark, work)
+        t.write(cust)  # v0: unpartitioned base
+        v0_owners = t._manifest()["owners"]
+        t.upsert(src, keys=["c_custkey"], mode="mor")  # v1: append batch 1
+        b2 = cust.where(F.col("c_custkey") % 21 == 0).select(
+            "c_custkey",
+            F.lit("MACHINERY").alias("c_mktsegment"),
+            (F.col("c_acctbal") + 5000).alias("c_acctbal"),
         )
-    )
-    flag = spark.createDataFrame(
-        [("__mor__", mor_ok, 0.0)],
-        "part string, n_customers bigint, sum_bal double",
-    )
-    return agg.unionByName(flag)
+        t.upsert(b2, keys=["c_custkey"], mode="mor")  # v2: append batch 2
+        man = t._manifest()
+        mor_ok = int(man["owners"] == v0_owners and len(man["merges"]) == 2)
+        agg = (
+            t.read()
+            .groupBy(F.col("c_mktsegment").alias("part"))
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+                F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("sum_bal"),
+            )
+        )
+        flag = spark.createDataFrame(
+            [("__mor__", mor_ok, 0.0)],
+            "part string, n_customers bigint, sum_bal double",
+        )
+        # pin before the temp dir goes away (driver collects after return)
+        return agg.unionByName(flag).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
 
 
 @query(
@@ -296,42 +324,45 @@ def q_mor_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     is survivors-under-predicate ∪ inserts: reading it exercises the
     predicate applied to legacy tokens while fresh-token rows stay
     immune. The per-priority aggregates hash-pin both halves."""
+    import shutil
+
     orders = _t(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderpriority", "o_totalprice"
     )
-    t = LakeTable(
-        spark,
-        tempfile.mkdtemp(prefix="q_mor_delete_"),
-        partition_by=("o_orderpriority",),
-    )
-    t.write(orders)  # v0
-    v0_owners = t._manifest()["owners"]
-    t.delete_where("o_totalprice < 50000.0", mode="mor")  # v1: metadata only
-    v1 = t._manifest()
-    inserts = orders.where(F.col("o_orderkey") % 100 == 0).select(
-        (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
-        F.lit("X-NEW").alias("o_orderpriority"),
-        F.lit(1000.0).alias("o_totalprice"),
-    )
-    t.upsert(inserts, keys=["o_orderkey"])  # v2: fresh partition only
-    mor_ok = int(
-        v1["owners"] == v0_owners and len(t._manifest()["deletes"]) == 1
-    )
-    agg = (
-        t.read()
-        .groupBy(F.col("o_orderpriority").alias("part"))
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
-            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
-            .cast("double")
-            .alias("sum_price"),
+    work = tempfile.mkdtemp(prefix="q_mor_delete_")
+    try:
+        t = LakeTable(spark, work, partition_by=("o_orderpriority",))
+        t.write(orders)  # v0
+        v0_owners = t._manifest()["owners"]
+        t.delete_where("o_totalprice < 50000.0", mode="mor")  # v1: metadata
+        v1 = t._manifest()
+        inserts = orders.where(F.col("o_orderkey") % 100 == 0).select(
+            (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+            F.lit("X-NEW").alias("o_orderpriority"),
+            F.lit(1000.0).alias("o_totalprice"),
         )
-    )
-    flag = spark.createDataFrame(
-        [("__mor__", mor_ok, 0.0)],
-        "part string, n_orders bigint, sum_price double",
-    )
-    return agg.unionByName(flag)
+        t.upsert(inserts, keys=["o_orderkey"])  # v2: fresh partition only
+        mor_ok = int(
+            v1["owners"] == v0_owners and len(t._manifest()["deletes"]) == 1
+        )
+        agg = (
+            t.read()
+            .groupBy(F.col("o_orderpriority").alias("part"))
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("sum_price"),
+            )
+        )
+        flag = spark.createDataFrame(
+            [("__mor__", mor_ok, 0.0)],
+            "part string, n_orders bigint, sum_price double",
+        )
+        # pin before the temp dir goes away (driver collects after return)
+        return agg.unionByName(flag).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
 
 
 @query(
@@ -360,30 +391,39 @@ def q_file_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderdate", "o_totalprice"
     )
-    t = LakeTable(spark, tempfile.mkdtemp(prefix="q_file_skipping_"))
-    t.write(
-        orders.repartitionByRange(8, "o_orderdate").sortWithinPartitions(
-            "o_orderdate"
+    import shutil
+
+    work = tempfile.mkdtemp(prefix="q_file_skipping_")
+    try:
+        t = LakeTable(spark, work)
+        t.write(
+            orders.repartitionByRange(8, "o_orderdate").sortWithinPartitions(
+                "o_orderdate"
+            )
         )
-    )
-    pred = "o_orderdate >= '1997-01-01'"
-    rep = t.plan_scan(where=pred)
-    agg = (
-        t.read(where=pred)
-        .groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("part"))
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
-            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
-            .cast("double")
-            .alias("sum_price"),
+        pred = "o_orderdate >= '1997-01-01'"
+        rep = t.plan_scan(where=pred)
+        agg = (
+            t.read(where=pred)
+            .groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("part"))
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("sum_price"),
+            )
         )
-    )
-    pruned = int(rep["prunable"] and rep["files_scanned"] < rep["files_total"])
-    flag = spark.createDataFrame(
-        [("__pruned__", pruned, 0.0)],
-        "part string, n_orders bigint, sum_price double",
-    )
-    return agg.unionByName(flag)
+        pruned = int(
+            rep["prunable"] and rep["files_scanned"] < rep["files_total"]
+        )
+        flag = spark.createDataFrame(
+            [("__pruned__", pruned, 0.0)],
+            "part string, n_orders bigint, sum_price double",
+        )
+        # pin before the temp dir goes away (driver collects after return)
+        return agg.unionByName(flag).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
 
 
 @query(
@@ -420,38 +460,41 @@ def q_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bal_bucket", (F.col("c_custkey") % 4).cast("int")
         )
 
-    t = LakeTable(
-        spark,
-        tempfile.mkdtemp(prefix="q_partition_evolution_"),
-        partition_by=("c_mktsegment",),
-    )
-    t.write(bucketed(cust))  # v0: segment layout
-    t.evolve_partitioning(("bal_bucket",))  # v1: metadata-only, no data moves
-    t.upsert(bucketed(src), keys=["c_custkey"])  # v2: mixed layouts
+    import shutil
 
-    v0 = (
-        t.read(version=0)
-        .groupBy(F.col("c_mktsegment").alias("grp"))
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
-            F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
-            .cast("double")
-            .alias("sum_bal"),
+    work = tempfile.mkdtemp(prefix="q_partition_evolution_")
+    try:
+        t = LakeTable(spark, work, partition_by=("c_mktsegment",))
+        t.write(bucketed(cust))  # v0: segment layout
+        t.evolve_partitioning(("bal_bucket",))  # v1: metadata-only
+        t.upsert(bucketed(src), keys=["c_custkey"])  # v2: mixed layouts
+
+        v0 = (
+            t.read(version=0)
+            .groupBy(F.col("c_mktsegment").alias("grp"))
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+                F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("sum_bal"),
+            )
+            .select(F.lit("v0_by_segment").alias("part"), "*")
         )
-        .select(F.lit("v0_by_segment").alias("part"), "*")
-    )
-    fin = (
-        t.read()
-        .groupBy(F.col("bal_bucket").cast("string").alias("grp"))
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
-            F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
-            .cast("double")
-            .alias("sum_bal"),
+        fin = (
+            t.read()
+            .groupBy(F.col("bal_bucket").cast("string").alias("grp"))
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+                F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("sum_bal"),
+            )
+            .select(F.lit("final_by_bucket").alias("part"), "*")
         )
-        .select(F.lit("final_by_bucket").alias("part"), "*")
-    )
-    return v0.unionByName(fin)
+        # pin before the temp dir goes away (driver collects after return)
+        return v0.unionByName(fin).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
 
 
 @query(
@@ -482,14 +525,25 @@ def q_snapshot_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_name",
         F.col("n_regionkey").cast("bigint").alias("n_regionkey"),
     )
-    t = LakeTable(spark, tempfile.mkdtemp(prefix="q_snapshot_retention_"))
-    t.write(nation)  # v0
-    t.optimize()  # v1: rewrites everything; v0's data becomes garbage
-    src = nation.where(F.col("n_nationkey") < 5).withColumn(
-        "n_regionkey", F.col("n_regionkey") + 100
-    )
-    t.upsert(src, keys=["n_nationkey"])  # v2
-    t.vacuum(keep_last=2)
-    return t.read().withColumn(
-        "n_versions_retained", F.lit(len(t.history())).cast("int")
-    )
+    import shutil
+
+    work = tempfile.mkdtemp(prefix="q_snapshot_retention_")
+    try:
+        t = LakeTable(spark, work)
+        t.write(nation)  # v0
+        t.optimize()  # v1: rewrites everything; v0's data is garbage
+        src = nation.where(F.col("n_nationkey") < 5).withColumn(
+            "n_regionkey", F.col("n_regionkey") + 100
+        )
+        t.upsert(src, keys=["n_nationkey"])  # v2
+        t.vacuum(keep_last=2)
+        # pin before the temp dir goes away (driver collects after return)
+        return (
+            t.read()
+            .withColumn(
+                "n_versions_retained", F.lit(len(t.history())).cast("int")
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
