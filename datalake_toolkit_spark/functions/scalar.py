@@ -45,11 +45,21 @@ def escape_special_chars(col: Column | str) -> Column:
 
 
 def skewed_values_to_str(array_col: Column | str) -> Column:
-    """Fold a string array into the reference's ``'<len>%<v1>,<v2>'``
-    encoding — parity: F5 (hive_metastore_migration.py:467-471)."""
+    """Fold a string array into the reference's per-element
+    ``'<len(v)>%<v>'`` encoding, joined with NO separator; None
+    elements contribute the empty string — parity: F5
+    (hive_metastore_migration.py:467-471):
+    ``''.join('%d%%%s' % (len(v), v) for v in values)``.
+
+    ``["ab", "c"] -> "2%ab1%c"``; ``["ab", None] -> "2%ab"``.
+    Pure Catalyst: transform + array_join (null_replacement='')."""
     c = F.col(array_col) if isinstance(array_col, str) else array_col
-    return F.concat(
-        F.size(c).cast("string"), F.lit("%"), F.concat_ws(",", c)
+    return F.array_join(
+        F.transform(
+            c, lambda v: F.concat(F.length(v).cast("string"), F.lit("%"), v)
+        ),
+        "",
+        "",
     )
 
 

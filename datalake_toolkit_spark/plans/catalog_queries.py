@@ -376,8 +376,9 @@ def q_catalog_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM nation),
     skew AS (
       SELECT n_nationkey AS sd_id,
-             '2%' || n_name || ',' || n_name || '_v1=s3://skew/' || n_name
-               AS locmap_str
+             CAST(length(n_name) AS VARCHAR) || '%' || n_name ||
+             CAST(length(n_name) + 3 AS VARCHAR) || '%' || n_name || '_v1' ||
+             '=s3://skew/' || n_name AS locmap_str
       FROM nation)
     SELECT d.dbname AS database, t.tname AS "table",
            p.values_str,
@@ -429,9 +430,12 @@ def q_catalog_partition_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM customer WHERE c_custkey >= 100 AND c_custkey < 200 GROUP BY 1),
     vals AS (
       SELECT CAST(n_nationkey AS BIGINT) AS sd_id,
-             '2%' || n_name || ',' || n_name || '_v1' AS values_str,
-             '2%' || n_name || ',' || n_name || '_v1=s3://skew/' || n_name
-               AS locmap_str
+             CAST(length(n_name) AS VARCHAR) || '%' || n_name ||
+             CAST(length(n_name) + 3 AS VARCHAR) || '%' || n_name || '_v1'
+               AS values_str,
+             CAST(length(n_name) AS VARCHAR) || '%' || n_name ||
+             CAST(length(n_name) + 3 AS VARCHAR) || '%' || n_name || '_v1' ||
+             '=s3://skew/' || n_name AS locmap_str
       FROM nation)
     SELECT coalesce(n.sd_id, v.sd_id) AS SD_ID,
            coalesce(n.names_str, '') AS names_str,

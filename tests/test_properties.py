@@ -18,6 +18,18 @@ from datalake_toolkit_spark.functions import (
 _PY2_WHITESPACE = " \t\n\x0b\x0c\r"
 
 
+def _round_half_up(x: float, places: str = "0.0001") -> float:
+    """Round like Spark/DuckDB ``round()`` (HALF_UP over the double's
+    shortest decimal representation — java.math.BigDecimal.valueOf),
+    not Python's banker's rounding. ``repr(float)`` produces the same
+    shortest repr as ``Double.toString``."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(
+        Decimal(repr(float(x))).quantize(Decimal(places), rounding=ROUND_HALF_UP)
+    )
+
+
 def _ref_string_list_parse(s: str) -> list[str]:
     """Verbatim reference semantics
     (hive_metastore_migration.py:829-842). The reference is Python 2:
@@ -70,6 +82,59 @@ def test_string_list_parse_matches_reference(spark, cases):
     ]
     expected = [_ref_string_list_parse(s) for s in cases]
     assert got == expected
+
+
+def _ref_skewed_values_to_str(values: list[str | None]) -> str:
+    """Verbatim reference semantics
+    (hive_metastore_migration.py:468-471)."""
+    return "".join(
+        "" if v is None else "%d%%%s" % (len(v), v) for v in values
+    )
+
+
+def test_skewed_values_to_str_pinned_reference_encoding(spark):
+    """F5 pins: per-element '<len(v)>%<v>' folded with NO separator,
+    None elements contribute '' — NOT the old '<size>%<v1>,<v2>'
+    shape (the r7 verdict's weak item)."""
+    from datalake_toolkit_spark.functions import skewed_values_to_str
+
+    cases = [["ab", "c"], ["ab", None], [], [None], ["", "x"]]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(cases)], "i int, v array<string>"
+    )
+    got = {
+        r.i: r.s
+        for r in df.select("i", skewed_values_to_str("v").alias("s")).collect()
+    }
+    assert got[0] == "2%ab1%c"
+    assert got[1] == "2%ab"
+    assert got[2] == ""
+    assert got[3] == ""
+    assert got[4] == "0%1%x"
+    for i, case in enumerate(cases):
+        assert got[i] == _ref_skewed_values_to_str(case)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.one_of(st.none(), _WORD), max_size=5),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_skewed_values_to_str_matches_reference(spark, arrays):
+    from datalake_toolkit_spark.functions import skewed_values_to_str
+
+    df = spark.createDataFrame(
+        [(i, a) for i, a in enumerate(arrays)], "i int, v array<string>"
+    )
+    got = {
+        r.i: r.s
+        for r in df.select("i", skewed_values_to_str("v").alias("s")).collect()
+    }
+    for i, a in enumerate(arrays):
+        assert got[i] == _ref_skewed_values_to_str(a), a
 
 
 @settings(max_examples=8, deadline=None)
@@ -378,8 +443,15 @@ def test_repetition_stats_matches_counter_reference(spark, texts):
         s2 = sum(c * len(g) for g, c in bi.items())
         d3 = sum(c * len(g) for g, c in tri.items() if c > 1)
         s3 = sum(c * len(g) for g, c in tri.items())
-        assert got[i]["top_bigram_char_frac"] == round(t2 / max(s2, 1), 4), t
-        assert got[i]["dup_trigram_char_frac"] == round(d3 / max(s3, 1), 4), t
+        # Spark/DuckDB round() is half-up; Python round() is banker's
+        # (half-even), so ties like 9/32 = 0.28125 diverge — quantize the
+        # reference with explicit ROUND_HALF_UP instead.
+        assert got[i]["top_bigram_char_frac"] == _round_half_up(
+            t2 / max(s2, 1)
+        ), t
+        assert got[i]["dup_trigram_char_frac"] == _round_half_up(
+            d3 / max(s3, 1)
+        ), t
 
 
 # -- data-skipping helpers (lakehouse/table.py) ------------------------------
