@@ -51,11 +51,10 @@ def merge_batch(
     diverts violating rows instead of failing the micro-batch, the
     right default for unattended streams.
 
-    ``mode='mor'`` (unpartitioned targets) appends each micro-batch
-    under a fresh token instead of rewriting matched partitions —
-    O(batch) per trigger, the natural fit for high-frequency small
-    micro-batches; schedule an ``optimize()`` to compact the pending
-    appends out-of-band."""
+    ``mode='mor'`` appends each micro-batch under a fresh token
+    instead of rewriting matched partitions — O(batch) per trigger,
+    the natural fit for high-frequency small micro-batches; schedule
+    an ``optimize()`` to compact the pending appends out-of-band."""
     if batch.isEmpty():
         return
     collapsed = dedup_latest(
@@ -71,6 +70,9 @@ def merge_batch(
         keys=list(keys),
         schema_evolution=schema_evolution,
         mode=mode,
+        # dedup_latest just collapsed to one row per key — skip the
+        # merge-on-read uniqueness verification job per micro-batch
+        assume_key_unique=True,
     )
 
 

@@ -240,6 +240,93 @@ def _parse_conjuncts(where: str) -> list[tuple[str, str, object]]:
     return out
 
 
+_DATE_LIT_RE = re.compile(r"^\s*(\d{4})-(\d{1,2})-(\d{1,2})\s*$")
+_TS_LIT_RE = re.compile(
+    r"^\s*(\d{4})-(\d{1,2})-(\d{1,2})"
+    r"(?:[T ](\d{1,2}):(\d{1,2})(?::(\d{1,2})(\.\d+)?)?)?"
+    r"(Z|[+-]\d{2}:?\d{2})?\s*$"
+)
+
+
+def _normalize_date_literal(val) -> str | None:
+    """Re-encode a date literal exactly as ``_json_safe_stat`` encodes
+    DATE stats (zero-padded ISO), or None if it doesn't parse as a
+    plain date. Spark compares ``date_col > '1997-1-1'`` semantically
+    (the cast pads it), but stats comparisons are lexical — an
+    unpadded month/day sorts ABOVE every padded stat and would prune
+    files that hold matching rows."""
+    if not isinstance(val, str):
+        return None
+    m = _DATE_LIT_RE.match(val)
+    if not m:
+        return None
+    try:
+        return datetime.date(*map(int, m.groups())).isoformat()
+    except ValueError:
+        return None
+
+
+def _normalize_ts_literal(val, allow_offset: bool) -> str | None:
+    """Re-encode a timestamp literal exactly as ``_json_safe_stat``
+    encodes TIMESTAMP stats (``isoformat(sep=' ')``: space separator,
+    zero-padded, microseconds omitted when zero, UTC-normalized), or
+    None if it doesn't parse canonically. Covers 'T'-separated
+    literals, unpadded fields, missing time/seconds (midnight / :00),
+    and — for the local-TZ type only — explicit UTC offsets.
+    Sub-microsecond fractions return None (truncation could flip a
+    strict comparison at the cut)."""
+    if not isinstance(val, str):
+        return None
+    m = _TS_LIT_RE.match(val)
+    if not m:
+        return None
+    y, mo, d, hh, mm, ss, frac, off = m.groups()
+    if off is not None and not allow_offset:
+        return None
+    micro = 0
+    if frac is not None:
+        digits = frac[1:]
+        if len(digits) > 6:
+            return None
+        micro = int(digits.ljust(6, "0"))
+    try:
+        dt = datetime.datetime(
+            int(y), int(mo), int(d),
+            int(hh or 0), int(mm or 0), int(ss or 0), micro,
+        )
+    except ValueError:
+        return None
+    if off is not None and off != "Z":
+        sign = 1 if off[0] == "+" else -1
+        oh, om = int(off[1:3]), int(off.replace(":", "")[3:5])
+        dt -= sign * datetime.timedelta(hours=oh, minutes=om)
+    return dt.isoformat(sep=" ")
+
+
+def _normalize_temporal_conjuncts(
+    conjuncts: Sequence[tuple], types: dict
+) -> list[tuple]:
+    """Pruning-side literal normalization for date/timestamp columns:
+    stats and partition-directory values are canonical ISO strings,
+    so the literal must be re-encoded to the SAME form before any
+    lexical comparison. A literal that doesn't normalize drops out of
+    pruning entirely (the filter still applies) — parsing can reduce
+    skipping, never correctness."""
+    out = []
+    for col, op, val in conjuncts:
+        t = types.get(col)
+        if isinstance(t, T.DateType):
+            val = _normalize_date_literal(val)
+        elif isinstance(t, (T.TimestampType, T.TimestampNTZType)):
+            val = _normalize_ts_literal(
+                val, allow_offset=isinstance(t, T.TimestampType)
+            )
+        if val is None:
+            continue
+        out.append((col, op, val))
+    return out
+
+
 def _cmp_compatible(a, b) -> bool:
     num = (int, float)
     return (isinstance(a, num) and isinstance(b, num)) or (
@@ -821,6 +908,10 @@ class LakeTable:
                 for c in conjuncts
                 if not isinstance(types.get(c[0]), T.TimestampType)
             ]
+        # date/timestamp literals must be re-encoded to the stat
+        # encoding before any lexical comparison — '1997-1-1' sorts
+        # above every '1997-0x-..' stat and would wrongly prune
+        conjuncts = _normalize_temporal_conjuncts(conjuncts, types)
         stats = manifest.get("stats") or {}
         report = {
             "partitions_total": len(owners),
@@ -860,11 +951,41 @@ class LakeTable:
             by_group.setdefault((tok, _key_spec(key)), []).extend(kept)
         return by_group, report
 
+    def _keys_predicate(self, keys: Sequence[str], types: dict):
+        """Row-level predicate equivalent of the structural partition
+        restriction: a row matches a stored owners-map key iff every
+        column the key encodes equals the key's (typed) value —
+        ``__HIVE_DEFAULT_PARTITION__`` matches NULL/''. Needed to scope
+        RESOLVED merge-on-read append rows to a partition-restricted
+        read: appends resolve globally (a key may have moved partitions),
+        so directories alone can't scope them."""
+        disj = F.lit(False)
+        for key in keys:
+            conj = F.lit(True)
+            for seg in key.split("/") if key else []:
+                c, _, raw = seg.partition("=")
+                if raw == "__HIVE_DEFAULT_PARTITION__":
+                    cond = F.col(c).isNull() | (
+                        F.col(c).cast("string") == F.lit("")
+                    )
+                else:
+                    txt = _unescape_partition_value(raw)
+                    t = types.get(c)
+                    cond = (
+                        F.col(c) == F.lit(txt).cast(t)
+                        if t is not None
+                        else F.col(c).cast("string") == F.lit(txt)
+                    )
+                conj = conj & cond
+            disj = disj | conj
+        return disj
+
     def _read_owned(
         self,
         manifest: dict,
         keys: Sequence[str] | None = None,
         conjuncts: Sequence[tuple] | None = None,
+        merge_scope: str = "restrict",
     ) -> DataFrame:
         """Assemble a snapshot (optionally restricted to ``keys``) by
         listing exactly the directories each owning version holds for
@@ -948,12 +1069,15 @@ class LakeTable:
             mkeys = list(pending[0]["keys"])
             parts = []
             for e in pending:
+                # a partitioned append wrote its partition columns into
+                # directory names — reading the token ROOT recovers them
+                # via partition discovery; pin dir-derived types like
+                # the base pieces above
                 p = self.spark.read.parquet(self._vdir(e["token"]))
-                for d in manifest.get("deletes") or []:
-                    if e["token"] in d["tokens"]:
-                        p = p.where(
-                            ~F.coalesce(F.expr(d["pred"]), F.lit(False))
-                        )
+                for k in e.get("parts") or []:
+                    for c in _key_spec(k):
+                        if c in types and c in p.columns:
+                            p = p.withColumn(c, F.col(c).cast(types[c]))
                 parts.append(p.withColumn("_seq", F.lit(e["seq"])))
             appended = reduce(
                 lambda a, b: a.unionByName(b, allowMissingColumns=True),
@@ -963,9 +1087,34 @@ class LakeTable:
             latest = (
                 appended.withColumn("_rn", F.row_number().over(w))
                 .where(F.col("_rn") == 1)
-                .drop("_rn", "_seq")
+                .drop("_rn")
             )
-            out = out.join(latest.select(*mkeys), mkeys, "left_anti").unionByName(
+            # merge-on-read deletes apply to the RESOLVED winner, never
+            # to raw append rows: a delete matching the winning append
+            # must kill the key outright — filtering pre-resolution
+            # would resurrect the shadowed base/older-append row the
+            # delete's snapshot never showed. A delete covers exactly
+            # the appends that existed when it committed (their tokens
+            # are in its token list).
+            for d in manifest.get("deletes") or []:
+                toks = set(d["tokens"])
+                seqs = [e["seq"] for e in pending if e["token"] in toks]
+                if seqs:
+                    latest = latest.where(
+                        ~(
+                            F.col("_seq").isin(seqs)
+                            & F.coalesce(F.expr(d["pred"]), F.lit(False))
+                        )
+                    )
+            latest = latest.drop("_seq")
+            if keys is not None and merge_scope == "restrict":
+                latest = latest.where(self._keys_predicate(keys, types))
+            # base rows for EVERY appended key lose — even when the
+            # winning append row was itself deleted above, the delete
+            # acted on the appended state, so the shadowed base row
+            # must not resurface
+            anti = appended.select(*mkeys).distinct()
+            out = out.join(anti, mkeys, "left_anti").unionByName(
                 latest, allowMissingColumns=True
             )
         names = [f.name for f in schema.fields]
@@ -994,6 +1143,41 @@ class LakeTable:
             out |= {
                 _fmt_key(s, r) for r in touched.select(*s).distinct().collect()
             }
+        return out
+
+    def _merge_affected_keys(self, man: dict) -> set[str]:
+        """Partition keys a scoped rewrite must ALSO carry through to
+        fully materialize every pending merge-on-read append (so the
+        commit may clear the entries): the partitions the append rows
+        themselves land in (recorded in each entry at append time),
+        plus the partitions of base rows their keys shadow — a
+        cross-partition key move leaves a stale row behind in the OLD
+        partition, and only rewriting that partition materializes its
+        disappearance. Costs one base-probe (left-semi against the
+        small append key set) per mutation, paid only while appends
+        are pending."""
+        pending = man.get("merges") or []
+        if not pending:
+            return set()
+        mkeys = list(pending[0]["keys"])
+        out: set[str] = set()
+        app_parts = []
+        for e in pending:
+            p = self.spark.read.parquet(self._vdir(e["token"]))
+            if e.get("parts"):
+                out.update(k for k in e["parts"] if k)
+            else:
+                out |= self._affected_keys(man, p)
+            app_parts.append(p)
+        appended_keys = reduce(
+            lambda a, b: a.unionByName(b, allowMissingColumns=True), app_parts
+        ).select(*mkeys).distinct()
+        base_man = dict(man)
+        base_man["merges"] = []
+        shadowed = self._read_owned(base_man).join(
+            appended_keys, mkeys, "leftsemi"
+        )
+        out |= self._affected_keys(man, shadowed)
         return out
 
     def _check_merge_schema(
@@ -1282,6 +1466,7 @@ class LakeTable:
         when_matched: str = "update",
         schema_evolution: bool = False,
         mode: str = "cow",
+        assume_key_unique: bool = False,
     ) -> int:
         """MERGE: match target rows to ``target`` on ``keys``; matched
         rows are replaced by their source row (``update``) or removed
@@ -1294,15 +1479,23 @@ class LakeTable:
         inserted rows). Off by default so a malformed source fails
         loudly instead of silently widening the table.
 
-        ``mode='mor'`` (merge-on-read, Hudi MOR spirit; unpartitioned
-        tables, ``when_matched='update'``): the source lands as an
-        APPEND under a fresh token plus a manifest merge entry — write
-        cost is O(source), never O(matched partitions). Reads resolve
+        ``mode='mor'`` (merge-on-read, Hudi MOR spirit;
+        ``when_matched='update'``): the source lands as an APPEND
+        under a fresh token plus a manifest merge entry — write cost
+        is O(source), never O(matched partitions). Reads resolve
         newest-append-wins per key (anti-join base + per-key window
-        over appends only); any full rewrite (CoW upsert, ``optimize``)
-        materializes and clears pending entries. The high-frequency
-        small-upsert path: a 1000-row merge into a 100 TB table moves
-        1000 rows.
+        over appends only); any rewrite (CoW upsert, ``delete_where``,
+        ``optimize``) materializes and clears pending entries. The
+        high-frequency small-upsert path: a 1000-row merge into a
+        100 TB table moves 1000 rows. Partitioned tables append under
+        the table's layout, and resolution is GLOBAL on ``keys`` — an
+        update may move a key across partitions; the old partition's
+        stale row stays shadowed until a rewrite carries it off. The
+        source must hold one row per key (no ordering column means no
+        deterministic within-batch winner) — violations raise;
+        ``assume_key_unique=True`` skips that verification job when
+        uniqueness is guaranteed upstream (e.g. ``merge_batch``
+        collapses first).
 
         Concurrency: the merge is computed against a manifest read,
         and the commit targets exactly ``read_version + 1`` — if any
@@ -1315,7 +1508,10 @@ class LakeTable:
             raise ValueError(f"mode must be cow|mor, got {mode!r}")
         keys = list(keys)
         if mode == "mor":
-            return self._upsert_mor(source, keys, when_matched, schema_evolution)
+            return self._upsert_mor(
+                source, keys, when_matched, schema_evolution,
+                assume_key_unique=assume_key_unique,
+            )
         if when_matched == "update":
             # incoming rows face the table's CHECK constraints; carried
             # rows were validated when they landed
@@ -1380,8 +1576,18 @@ class LakeTable:
                     .distinct()
                     .collect()
                 }
+                # pending merge-on-read appends materialize through
+                # this rewrite (it commits merges=[]), so every
+                # partition they touch — including old homes of moved
+                # keys — must be carried through the rewrite too
+                affected |= self._merge_affected_keys(man)
                 affected_existing = [k for k in affected if k in man["owners"]]
-                target_affected = self._read_owned(man, affected_existing)
+                # merge_scope='all': resolved append rows must ALL flow
+                # into the rewrite, even ones landing in partitions that
+                # have no owner directory yet
+                target_affected = self._read_owned(
+                    man, affected_existing, merge_scope="all"
+                )
                 survivors = target_affected.join(src_keys, keys, "left_anti")
                 new = (
                     survivors
@@ -1402,6 +1608,7 @@ class LakeTable:
                         owners,
                         f"merge_{when_matched}",
                         new.schema.json(),
+                        merges=[],  # the scoped rewrite resolved them
                     )
                 except ConcurrentWriteError:
                     continue
@@ -1409,33 +1616,53 @@ class LakeTable:
             f"merge lost {self._MAX_COMMIT_RETRIES} version races at {self.path}"
         )
 
+    def _assert_key_unique(self, token: str, keys: list[str]) -> None:
+        """Fail loudly when a merge-on-read batch holds multiple rows
+        per key: newest-wins WITHIN a batch has no ordering column, so
+        any silent winner choice is partition-layout-dependent and two
+        replays could commit different values (Delta MERGE raises the
+        same way on multiple matching source rows). Checked on the
+        already-WRITTEN token so a non-deterministic source is
+        evaluated exactly once; an abort strands the staging dir for
+        vacuum to reap."""
+        dup = (
+            self.spark.read.parquet(self._vdir(token))
+            .groupBy(*keys)
+            .count()
+            .where(F.col("count") > 1)
+            .limit(1)
+            .count()
+        )
+        if dup:
+            raise ValueError(
+                "merge-on-read source has multiple rows per key "
+                f"{keys}: within-batch newest-wins would be "
+                "non-deterministic. Collapse the batch to one row per "
+                "key first (dedup_latest with an explicit ordering), "
+                "or pass assume_key_unique=True if uniqueness is "
+                "guaranteed upstream."
+            )
+
     def _upsert_mor(
         self,
         source: DataFrame,
         keys: list[str],
         when_matched: str,
         schema_evolution: bool,
+        assume_key_unique: bool = False,
     ) -> int:
-        if self.partition_by:
-            raise ValueError(
-                "merge-on-read upsert supports unpartitioned tables; "
-                "partitioned tables use the copy-on-write path (their "
-                "rewrite is already scoped to affected partitions)"
-            )
         if when_matched != "update" or schema_evolution:
             raise ValueError(
                 "merge-on-read upsert supports when_matched='update' "
                 "without schema_evolution; use mode='cow' for the rest"
             )
         source = self._enforce(source)
-        # newest-wins WITHIN a batch is undefined (no ordering column);
-        # collapse to one row per key so resolution is deterministic
-        # across engines and replays
-        source = source.dropDuplicates(keys)
         for _ in range(self._MAX_COMMIT_RETRIES):
             if self.current_version() is None:
                 token = self._new_token()
                 written = self._write_data(source, token)
+                if not assume_key_unique:
+                    self._assert_key_unique(token, keys)
                 try:
                     return self._commit(
                         0,
@@ -1459,17 +1686,24 @@ class LakeTable:
                     f"before merging on {keys}"
                 )
             token = self._new_token()
-            self._write_data(source, token)
+            # partitioned tables append under the SAME layout as the
+            # base (partition dirs under the token); the entry records
+            # the touched partition keys so rewrites can scope their
+            # materialization without re-deriving them
+            written = self._write_data(source, token)
+            if not assume_key_unique:
+                self._assert_key_unique(token, keys)
             seq = max((e["seq"] for e in prior), default=0) + 1
+            entry = {"token": token, "keys": keys, "seq": seq}
+            if self.partition_by:
+                entry["parts"] = sorted(written)
             try:
                 return self._commit(
                     man["version"] + 1,
                     dict(man["owners"]),
                     "merge_mor",
                     man["schema"],
-                    merges=prior + [
-                        {"token": token, "keys": keys, "seq": seq}
-                    ],
+                    merges=prior + [entry],
                 )
             except ConcurrentWriteError:
                 continue
@@ -1496,6 +1730,10 @@ class LakeTable:
         compaction, trading a per-read filter for the rewrite."""
         if mode not in ("cow", "mor"):
             raise ValueError(f"mode must be cow|mor, got {mode!r}")
+        # a string condition must become an EXPRESSION before it meets
+        # F.coalesce below — a bare string there is read as a column
+        # NAME and fails analysis on any real predicate
+        cond = F.expr(condition) if isinstance(condition, str) else condition
         if mode == "mor":
             if not isinstance(condition, str):
                 raise TypeError(
@@ -1540,18 +1778,21 @@ class LakeTable:
             man = self._manifest()
             target_all = self._read_owned(man)
             if not self.partition_by:
-                new = target_all.where(~F.coalesce(condition, F.lit(False)))
+                new = target_all.where(~F.coalesce(cond, F.lit(False)))
                 token = self._new_token()
                 written = self._write_data(new, token)
                 owners = {k: token for k in written}
             else:
                 affected = self._affected_keys(
-                    man, target_all.where(condition)
+                    man, target_all.where(cond)
                 )
+                # pending merge-on-read appends materialize through this
+                # rewrite (merges=[]): carry every partition they touch
+                affected |= self._merge_affected_keys(man)
                 affected_existing = [k for k in affected if k in man["owners"]]
-                new = self._read_owned(man, affected_existing).where(
-                    ~F.coalesce(condition, F.lit(False))
-                )
+                new = self._read_owned(
+                    man, affected_existing, merge_scope="all"
+                ).where(~F.coalesce(cond, F.lit(False)))
                 token = self._new_token()
                 written = set(self._write_data(new, token))
                 owners = {
@@ -1605,10 +1846,32 @@ class LakeTable:
                         f"unknown partitions {sorted(missing)}; "
                         f"table has {sorted(man['owners'])}"
                     )
-            df = self._read_owned(man, keys=partitions)
+            scope = partitions
+            if partitions is not None and man.get("merges"):
+                # a scoped compaction still clears ALL pending appends
+                # (merges=[]) — widen the scope to the partitions they
+                # touch so their rows (and moved keys' old homes)
+                # materialize instead of vanishing
+                extra = self._merge_affected_keys(man)
+                scope = sorted(
+                    set(partitions) | {k for k in extra if k in man["owners"]}
+                )
+            df = self._read_owned(man, keys=scope, merge_scope="all")
             token = self._new_token()
             keys = self._write_data(df, token, cluster_by=sort_by, zorder_by=zorder_by)
-            owners = dict(man["owners"]) if partitions is not None else {}
+            # carry only UNSCOPED partitions: a scoped partition whose
+            # resolved content is now empty (rows moved away by a
+            # pending append, or fully MoR-deleted) must drop out, not
+            # keep pointing at its stale pre-resolution files
+            owners = (
+                {
+                    k: v
+                    for k, v in man["owners"].items()
+                    if k not in set(scope)
+                }
+                if partitions is not None
+                else {}
+            )
             owners.update({k: token for k in keys})
             try:
                 return self._commit(

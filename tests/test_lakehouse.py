@@ -328,7 +328,7 @@ def test_merge_retries_on_concurrent_commit(spark, tmp_path, base_df):
     orig = t._commit
     fired = []
 
-    def racing_commit(version, owners, op, schema_json):
+    def racing_commit(version, owners, op, schema_json, **kwargs):
         if not fired:
             fired.append(True)
             other.upsert(  # sneaks in v1 before our claim
@@ -337,7 +337,7 @@ def test_merge_retries_on_concurrent_commit(spark, tmp_path, base_df):
                 ),
                 keys=["id"],
             )
-        return orig(version, owners, op, schema_json)
+        return orig(version, owners, op, schema_json, **kwargs)
 
     t._commit = racing_commit
     t.upsert(
@@ -1406,10 +1406,17 @@ def test_mor_upsert_entries_drain_and_vacuum_keeps_append_dirs(
 
 
 def test_mor_upsert_guards(spark, tmp_path, base_df):
+    # a batch with multiple rows per key has no deterministic
+    # within-batch winner — it must fail loudly, not pick one silently
     part = LakeTable(spark, str(tmp_path / "p"), partition_by=("seg",))
     part.write(base_df)
-    with pytest.raises(ValueError, match="unpartitioned"):
-        part.upsert(base_df, keys=["id"], mode="mor")
+    dup = spark.createDataFrame(
+        [(1, "seg1", 10.0), (1, "seg1", 20.0)],
+        "id bigint, seg string, val double",
+    )
+    with pytest.raises(ValueError, match="multiple rows per key"):
+        part.upsert(dup, keys=["id"], mode="mor")
+    assert part.current_version() == 0  # aborted before any commit
     t = LakeTable(spark, str(tmp_path / "t"))
     t.write(base_df)
     t.upsert(
@@ -1634,3 +1641,236 @@ def test_timestamp_pruning_disabled_under_non_utc_session(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.session.timeZone", prev)
     assert n_utc == 10
+
+
+# -- merge-on-read: resolved-view deletes + partitioned appends ---------------
+
+
+def test_mor_delete_after_mor_upsert_kills_shadowed_key(spark, tmp_path):
+    """A MoR delete whose predicate matches the WINNING append row must
+    kill the key outright — not resurrect the shadowed base row the
+    delete's snapshot never showed (r7 ADVICE high). Parity against the
+    same sequence replayed copy-on-write."""
+    schema = "id bigint, seg string, val double"
+    base = spark.createDataFrame([(0, "seg0", 50.0), (1, "seg1", 60.0)], schema)
+    upd = spark.createDataFrame([(0, "seg0", 250.0)], schema)
+    mor = LakeTable(spark, str(tmp_path / "mor"))
+    cow = LakeTable(spark, str(tmp_path / "cow"))
+    for t, mode in ((mor, "mor"), (cow, "cow")):
+        t.write(base)
+        t.upsert(upd, keys=["id"], mode=mode)
+        t.delete_where("val >= 200.0", mode=mode)
+    assert _as_dict(mor.read()) == _as_dict(cow.read()) == {1: ("seg1", 60.0)}
+    # and the inverse: delete matching only the SHADOWED value leaves
+    # the winner untouched
+    mor2 = LakeTable(spark, str(tmp_path / "mor2"))
+    mor2.write(base)
+    mor2.upsert(upd, keys=["id"], mode="mor")
+    mor2.delete_where("val = 50.0", mode="mor")
+    assert _as_dict(mor2.read()) == {0: ("seg0", 250.0), 1: ("seg1", 60.0)}
+
+
+def test_mor_delete_targets_winner_among_stacked_appends(spark, tmp_path):
+    """With stacked appends, a delete matching the newest append must
+    not fall back to an older (already-shadowed) append row."""
+    schema = "id bigint, seg string, val double"
+    t = LakeTable(spark, str(tmp_path / "t"))
+    t.write(spark.createDataFrame([(9, "seg9", 1.0)], schema))
+    t.upsert(spark.createDataFrame([(0, "s", 10.0)], schema), keys=["id"], mode="mor")
+    t.upsert(spark.createDataFrame([(0, "s", 250.0)], schema), keys=["id"], mode="mor")
+    t.delete_where("val >= 200.0", mode="mor")
+    assert _as_dict(t.read()) == {9: ("seg9", 1.0)}  # id 0 gone, not 10.0
+    # an append AFTER the delete re-inserts the key (fresh tokens are
+    # immune to earlier predicates)
+    t.upsert(spark.createDataFrame([(0, "s", 300.0)], schema), keys=["id"], mode="mor")
+    got = _as_dict(t.read())
+    assert got[0] == ("s", 300.0) and len(got) == 2
+
+
+def test_mor_upsert_partitioned_matches_cow_and_time_travels(
+    spark, tmp_path, base_df
+):
+    src = spark.createDataFrame(
+        [(0, "seg0", -1.0), (77, "seg7", 7.0)], base_df.schema
+    )
+    mor = LakeTable(spark, str(tmp_path / "mor"), partition_by=("seg",))
+    cow = LakeTable(spark, str(tmp_path / "cow"), partition_by=("seg",))
+    mor.write(base_df)
+    cow.write(base_df)
+    owners0 = dict(mor._manifest()["owners"])
+    mor.upsert(src, keys=["id"], mode="mor")
+    cow.upsert(src, keys=["id"])
+    man = mor._manifest()
+    assert man["owners"] == owners0  # append-only: zero base rewrite
+    assert man["merges"][0]["parts"] == ["seg=seg0", "seg=seg7"]
+    assert _as_dict(mor.read()) == _as_dict(cow.read())
+    assert _as_dict(mor.read(version=0)) == _as_dict(base_df)
+
+
+def test_mor_upsert_partitioned_cross_partition_move(spark, tmp_path, base_df):
+    """An update that moves a key to another partition: the full read
+    shows exactly one row for the key (new home), a read restricted to
+    the OLD partition must NOT show the stale shadowed row, and the new
+    home is visible even though no owner directory exists for it yet."""
+    t = LakeTable(spark, str(tmp_path / "t"), partition_by=("seg",))
+    t.write(base_df)  # id 3 lives in seg0
+    t.upsert(
+        spark.createDataFrame([(3, "segNEW", 999.0)], base_df.schema),
+        keys=["id"],
+        mode="mor",
+    )
+    got = _as_dict(t.read())
+    assert got[3] == ("segNEW", 999.0) and len(got) == 30
+    old_home = _as_dict(t.read(partitions=["seg=seg0"]))
+    assert 3 not in old_home  # stale row stays shadowed
+    assert old_home[0] == ("seg0", 0.0)
+    # the new partition has no owner dir yet; restricted reads still
+    # surface the appended row through global resolution
+    assert _as_dict(t.read(partitions=["seg=seg1"])).keys() == {
+        i for i in range(30) if i % 3 == 1
+    }
+
+
+def test_cow_rewrites_materialize_partitioned_pending_appends(
+    spark, tmp_path, base_df
+):
+    """A CoW upsert/delete on a partitioned table with pending appends
+    clears the merge entries WITHOUT losing append rows in partitions
+    the CoW source never touched, and carries off the old home of a
+    moved key (r8: merge-on-read for partitioned tables)."""
+    t = LakeTable(spark, str(tmp_path / "t"), partition_by=("seg",))
+    t.write(base_df)
+    # pending: move id 3 seg0->segNEW, update id 4 in place
+    t.upsert(
+        spark.createDataFrame(
+            [(3, "segNEW", 999.0), (4, "seg1", 44.0)], base_df.schema
+        ),
+        keys=["id"],
+        mode="mor",
+    )
+    # CoW upsert touching ONLY seg2 (id 5) — must still materialize both
+    t.upsert(
+        spark.createDataFrame([(5, "seg2", 55.0)], base_df.schema),
+        keys=["id"],
+    )
+    man = t._manifest()
+    assert man["merges"] == []
+    got = _as_dict(t.read())
+    assert got[3] == ("segNEW", 999.0)
+    assert got[4] == ("seg1", 44.0)
+    assert got[5] == ("seg2", 55.0)
+    assert len(got) == 30
+    # the old home's directory no longer serves the stale row even with
+    # no merge entries left
+    assert 3 not in _as_dict(t.read(partitions=["seg=seg0"]))
+    # same for CoW delete
+    t2 = LakeTable(spark, str(tmp_path / "t2"), partition_by=("seg",))
+    t2.write(base_df)
+    t2.upsert(
+        spark.createDataFrame([(3, "segNEW", 999.0)], base_df.schema),
+        keys=["id"],
+        mode="mor",
+    )
+    t2.delete_where(F.col("id") == 6)  # seg0, unrelated to the append
+    assert t2._manifest()["merges"] == []
+    got2 = _as_dict(t2.read())
+    assert got2[3] == ("segNEW", 999.0) and 6 not in got2 and len(got2) == 29
+
+
+def test_scoped_optimize_materializes_partitioned_pending_appends(
+    spark, tmp_path, base_df
+):
+    """optimize(partitions=...) with pending appends widens its scope to
+    the partitions they touch: entries clear, moved keys land in their
+    new home, and the old home's stale row is carried off."""
+    t = LakeTable(spark, str(tmp_path / "t"), partition_by=("seg",))
+    t.write(base_df)
+    t.upsert(
+        spark.createDataFrame([(3, "segNEW", 999.0)], base_df.schema),
+        keys=["id"],
+        mode="mor",
+    )
+    t.optimize(partitions=["seg=seg2"])  # scope does not name seg0/segNEW
+    man = t._manifest()
+    assert man["merges"] == []
+    got = _as_dict(t.read())
+    assert got[3] == ("segNEW", 999.0) and len(got) == 30
+    assert "seg=segNEW" in man["owners"]
+    assert 3 not in _as_dict(t.read(partitions=["seg=seg0"]))
+
+
+def test_empty_source_cow_mutations_are_lossless(spark, tmp_path, base_df):
+    """Empty-source CoW upserts and never-matching CoW deletes preserve
+    every row — including with pending merge-on-read appends, whose
+    entries they resolve (r7 ADVICE medium pin)."""
+    for part in ((), ("seg",)):
+        t = LakeTable(
+            spark, str(tmp_path / f"t{len(part)}"), partition_by=part
+        )
+        t.write(base_df)
+        t.upsert(
+            spark.createDataFrame([(0, "seg0", 250.0)], base_df.schema),
+            keys=["id"],
+            mode="mor",
+        )
+        t.upsert(
+            spark.createDataFrame([], base_df.schema), keys=["id"]
+        )
+        got = _as_dict(t.read())
+        assert len(got) == 30 and got[0] == ("seg0", 250.0)
+        assert t._manifest()["merges"] == []
+        t.delete_where("val > 99999.0")  # matches nothing
+        assert len(_as_dict(t.read())) == 30
+
+
+def test_cow_delete_accepts_sql_string_condition(spark, tmp_path, base_df):
+    """delete_where(mode='cow') with a SQL STRING condition — the string
+    must become an expression before F.coalesce (a bare string there is
+    read as a column NAME and failed analysis)."""
+    t = LakeTable(spark, str(tmp_path / "t"), partition_by=("seg",))
+    t.write(base_df)
+    t.delete_where("val >= 200.0 AND seg = 'seg2'")
+    got = _as_dict(t.read())
+    assert len(got) == 26
+    assert all(not (v >= 200.0 and s == "seg2") for s, v in got.values())
+
+
+def test_data_skipping_normalizes_noncanonical_temporal_literals(
+    spark, tmp_path
+):
+    """Stats are canonical ISO strings but Spark compares literals
+    semantically: '1997-1-1' (unpadded) sorts lexically ABOVE every
+    '1997-0x-..' stat and used to prune files holding matching rows.
+    Non-canonical literals must now prune CORRECTLY (normalized), and
+    'T'-separated timestamps likewise (r7 ADVICE medium)."""
+    df = spark.sql(
+        "SELECT id, date'1997-01-01' + CAST(id AS INT) AS d,"
+        "       timestamp'1997-01-01 00:00:00' + make_interval(0,0,0,CAST(id AS INT),0,0,0) AS ts"
+        " FROM range(40)"
+    )
+    t = LakeTable(spark, str(tmp_path / "t"))
+    t.write(df.repartitionByRange(4, "id").sortWithinPartitions("id"))
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        # semantic truth: d > 1997-01-05 -> ids 5..39 -> 35 rows
+        for pred in ("d > '1997-01-05'", "d > '1997-1-5'"):
+            assert t.read(where=pred).count() == 35, pred
+        # the padded form prunes; the unpadded form normalizes to the
+        # SAME pruning (not a wrong one, not zero)
+        canon = t.plan_scan(where="d > '1997-01-28'")
+        loose = t.plan_scan(where="d > '1997-1-28'")
+        assert canon["files_scanned"] < canon["files_total"]
+        assert loose == canon
+        assert t.read(where="d > '1997-1-28'").count() == 12
+        # T-separated / unpadded timestamp literals: same story
+        canon_ts = t.plan_scan(where="ts >= '1997-01-29 00:00:00'")
+        for lit in ("1997-01-29T00:00:00", "1997-1-29"):
+            got = t.plan_scan(where=f"ts >= '{lit}'")
+            assert got == canon_ts, lit
+            assert t.read(where=f"ts >= '{lit}'").count() == 12, lit
+        # an unparseable literal degrades to filter-only, never prunes
+        weird = t.plan_scan(where="d > '1997~01~05'")
+        assert weird["files_scanned"] == weird["files_total"]
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
