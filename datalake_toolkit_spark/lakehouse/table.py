@@ -1661,7 +1661,7 @@ class LakeTable:
             if self.current_version() is None:
                 token = self._new_token()
                 written = self._write_data(source, token)
-                if not assume_key_unique:
+                if written and not assume_key_unique:
                     self._assert_key_unique(token, keys)
                 try:
                     return self._commit(
@@ -1691,6 +1691,12 @@ class LakeTable:
             # the touched partition keys so rewrites can scope their
             # materialization without re-deriving them
             written = self._write_data(source, token)
+            if self.partition_by and not written:
+                # zero-row source: an empty partitioned write leaves no
+                # readable files — a merge entry pointing at it would
+                # wedge every snapshot read. No-op instead.
+                shutil.rmtree(self._vdir(token), ignore_errors=True)
+                return man["version"]
             if not assume_key_unique:
                 self._assert_key_unique(token, keys)
             seq = max((e["seq"] for e in prior), default=0) + 1

@@ -67,7 +67,6 @@ DEMOTED: tuple[str, ...] = (
     # (q_decontaminate, q_repetition_stats, q_pii_redact,
     # q_domain_mixture, q_pack_windows); five 4x-green (r1-r4) shapes
     # rotate out, each still covered in-window:
-    "q1_pricing_summary",  # agg-core ~ q12_priority_by_returnflag + q18
     "q_latest_event_per_user",  # W3 rank-dedup ~ q_top_parts_by_revenue
     "q_customer_struct_roundtrip",  # P2/P3/P6/P7 struct ops, 4x green
     "q_windowed_event_counts",  # streaming windows ~ q_sessionized_users
@@ -94,7 +93,6 @@ DEMOTED: tuple[str, ...] = (
     "q_uri_normalize",  # 4x; scalar expressions ~ q_pii_redact regex path
     "q_escape_props",  # 4x; same family
     "q_time_functions",  # 4x; same family + TPC-H date arithmetic incoming
-    "q_catalog_table_docs",  # 3x; catalog assembly ~ q_catalog_partition_docs stays
     "q_catalog_roundtrip_ids",  # 3x; same machinery
     "q_catalog_skewed_info",  # 3x; same machinery
     "q_show_tables",  # 3x; subsumed by q_catalog_walk (full 3-level walk)
@@ -104,7 +102,6 @@ DEMOTED: tuple[str, ...] = (
     # three r7 births (q_centered_cosine_near_dups, q_stream_near_dedup,
     # q_bpe_train). Seven multi-green shapes rotate out in exchange,
     # each with its plan shape still covered in-window:
-    "q_merge_upsert",  # 4x; lakehouse MERGE ~ q_time_travel + q_snapshot_retention stay, and q_stream_near_dedup/q_incremental_minhash commit via the same upsert path
     "q_jdbc_roundtrip",  # 3x; JDBC scan/sink shape, green r4-r6
     "q_salted_join",  # 3x; skew-salted join, green r4-r6
     "q_partition_local_groups",  # 2x; A4 partition-local contract, green r5-r6
@@ -143,10 +140,8 @@ DEMOTED: tuple[str, ...] = (
     # operator in its superset (outer) mode.
     "q_interval_join",
     # q_mor_upsert enters (merge-on-read MERGE, never driver-checked);
-    # q18_large_orders (4x green r3-r6) rotates out — global top-k /
-    # large-agg shape covered in-window by q15_top_supplier and the
-    # q9/q13/q16/q17 agg set.
-    "q18_large_orders",
+    # q18_large_orders (4x green r3-r6) rotated out in r7 and RETURNED
+    # in r8's staleness rotation (below).
     # q_shallow_clone enters (zero-copy clone, never driver-checked);
     # q_catalog_partition_docs (4x green r3-r6) rotates out — catalog
     # assembly machinery stays covered by q_catalog_walk and
@@ -157,6 +152,19 @@ DEMOTED: tuple[str, ...] = (
     # rotates out — sampling machinery stays covered in-window by
     # q_token_shards and q_pack_windows.
     "q_stratified_sample",
+    # r8 rotation: every query has now been driver-checked at least
+    # once (r7 verdict), so rotation shifts to STALENESS — the four
+    # longest-unchecked high-value shapes RETURN to the window
+    # (q1_pricing_summary last green r4, q18_large_orders r6,
+    # q_merge_upsert r6, q_catalog_table_docs r6 — removed from this
+    # tuple above), and the new q_mor_upsert_partitioned (partitioned
+    # merge-on-read, never driver-checked) enters. Five multi-green r07
+    # shapes rotate out in exchange, each still covered in-window:
+    "q_lsh_ann_topk",  # 4x (r4-r7); bucketed ANN ~ q_ivf_ann_topk + q_banded/centered_cosine stay
+    "q_doc_chunks",  # 3x (r5-r7); overlap-window chunking ~ q_pack_windows + q_token_shards stay
+    "q_domain_mixture",  # 3x (r5-r7); md5-coin mixture sampling ~ q_curate_corpus_full composes it in-window
+    "q_catalog_search",  # 3x (r5-r7); catalog machinery ~ q_catalog_walk stays + q_catalog_table_docs returns
+    "q13_order_distribution",  # 2x (r6-r7); outer-join distribution ~ q_cohort_retention + q21 stay
 )
 
 GATE_WINDOW = 50
@@ -181,6 +189,7 @@ STATEFUL: frozenset[str] = frozenset(
         "q_partition_evolution",  # three commit cycles incl. evolve + MERGE
         "q_mor_delete",  # three commit cycles incl. merge-on-read delete
         "q_mor_upsert",  # three commit cycles incl. two MoR appends
+        "q_mor_upsert_partitioned",  # partitioned write + MoR append + restricted reads
         "q_shallow_clone",  # write + clone + divergent MERGE commits
     }
 )

@@ -98,6 +98,79 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_mor_upsert_partitioned",
+    _MERGED_SQL
+    + """
+    SELECT c_mktsegment AS part,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+    FROM merged GROUP BY c_mktsegment
+    UNION ALL
+    SELECT '__mor__' AS part, 1 AS n_customers, 0.0 AS sum_bal
+    """,
+)
+def q_mor_upsert_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read MERGE on a PARTITIONED table (r8): the source —
+    cross-partition key moves (%21 keys -> MACHINERY), in-place
+    updates, and inserts into a brand-new partition (SYNTH) — lands as
+    one partitioned APPEND token; the base is never rewritten. The
+    '__mor__' flag row pins the protocol invariants: owners unchanged,
+    one pending entry recording its touched partition keys, and a read
+    restricted to a moved key's OLD partition no longer serving the
+    stale shadowed row (resolution is global on the merge keys, not
+    per-directory). The per-segment aggregates only match the
+    anti-join ∪ source oracle if every move/update/insert resolved."""
+    import shutil
+
+    cust, src = _customer_source(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="q_mor_up_part_")
+    try:
+        t = LakeTable(spark, work, partition_by=("c_mktsegment",))
+        t.write(cust)  # v0: partitioned base
+        v0_owners = t._manifest()["owners"]
+        t.upsert(src, keys=["c_custkey"], mode="mor")  # v1: append only
+        man = t._manifest()
+        entry = (man["merges"] or [{}])[0]
+        # every %21 key is now MACHINERY — any surfacing in another
+        # partition's restricted read is a stale shadowed row
+        # (empty-input runs own no BUILDING partition: vacuously clean)
+        stale = (
+            t.read(partitions=["c_mktsegment=BUILDING"])
+            .where(F.col("c_custkey") % 21 == 0)
+            .count()
+            if "c_mktsegment=BUILDING" in v0_owners
+            else 0
+        )
+        mor_ok = int(
+            man["owners"] == v0_owners
+            and len(man["merges"]) <= 1
+            and (
+                not man["merges"]
+                or "c_mktsegment=SYNTH" in (entry.get("parts") or [])
+            )
+            and stale == 0
+        )
+        agg = (
+            t.read()
+            .groupBy(F.col("c_mktsegment").alias("part"))
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+                F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("sum_bal"),
+            )
+        )
+        flag = spark.createDataFrame(
+            [("__mor__", mor_ok, 0.0)],
+            "part string, n_customers bigint, sum_bal double",
+        )
+        # pin before the temp dir goes away (driver collects after return)
+        return agg.unionByName(flag).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@query(
     "q_time_travel",
     f"""
     {_MERGED_SQL}

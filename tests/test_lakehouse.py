@@ -670,9 +670,39 @@ def test_incremental_aggregate_view_equals_recompute(spark, tmp_path):
     assert refresh_aggregate_view(base, view, ["seg"], "val") == 3
     assert view_state() == recompute()
     assert ("seg9",) not in view_state()
+    # NULL-key groups must stay in sync through the incremental path
+    # too (mirrors test_matview_null_key_groups_stay_in_sync for the
+    # aggregate-view flavor): inserts create the NULL group, an update
+    # adjusts it, a delete shrinks it
+    base.upsert(
+        spark.createDataFrame(
+            [(200, None, 5.0), (201, None, 7.0)],
+            "id bigint, seg string, val double",
+        ),
+        keys=["id"],
+    )
+    assert refresh_aggregate_view(base, view, ["seg"], "val") == 4
+    assert view_state() == recompute()
+    assert view_state()[(None,)] == (2, 12.0)
+    base.upsert(
+        spark.createDataFrame(
+            [(200, None, 50.0)], "id bigint, seg string, val double"
+        ),
+        keys=["id"],
+    )
+    base.delete_where(F.col("id") == 201)
+    assert refresh_aggregate_view(base, view, ["seg"], "val") == 6
+    assert view_state() == recompute()
+    assert view_state()[(None,)] == (1, 50.0)
     # view history carries the refresh audit trail
     ops = [h["op"] for h in view.history()]
-    assert ops == ["refresh_base_v0", "refresh_base_v1", "refresh_base_v3"]
+    assert ops == [
+        "refresh_base_v0",
+        "refresh_base_v1",
+        "refresh_base_v3",
+        "refresh_base_v4",
+        "refresh_base_v6",
+    ]
 
 
 def test_stream_dedup_ingest_with_quality_gate(spark, tmp_path):
