@@ -645,9 +645,34 @@ def incremental_minhash_dedup(
         ).alias("band", "bkey"),
     )
 
-    # 3. probe the historical band index; verify by signature estimate
+    # 3. probe the historical band index; verify by signature estimate.
+    # The batch's band rows materialize ONCE here (they feed the
+    # bucket-prune collect, the probe join, and the final commit —
+    # batch-sized by design), and the probe reads ONLY the ledger
+    # buckets the batch actually touches: with the documented
+    # key_prefix partitioning, a small batch lists a handful of the
+    # 256 bucket dirs instead of the whole index.
+    band_rows = band_rows.localCheckpoint(eager=True)
     try:
-        seen = ledger.read().select(
+        if tuple(ledger.partition_by) == ("key_prefix",):
+            existing = set(ledger._manifest()["owners"])
+            touched = {
+                f"key_prefix={r['p']}"
+                for r in band_rows.select(
+                    F.substring("bkey", 1, 2).alias("p")
+                )
+                .distinct()
+                .collect()  # bounded: at most 256 rows
+            }
+            probe = sorted(touched & existing)
+            seen_src = (
+                ledger.read()
+                if len(probe) == len(existing)
+                else ledger.read(partitions=probe)
+            )
+        else:
+            seen_src = ledger.read()
+        seen = seen_src.select(
             "bkey", F.col("signature").alias("_old_sig")
         )
         est = (

@@ -167,10 +167,18 @@ def bigram_familiarity(
 
     Scale: one explode over bigram occurrences, one bigram-keyed count
     (map-side partial), one bigram-keyed hash join back (both sides
-    corpus-sized — shuffle_hash, never broadcast), one doc-keyed agg.
+    corpus-sized — shuffle_hash, never broadcast), then ONE doc-keyed
+    window pass: the lower median is the row at rank
+    ``floor((n+1)/2)`` of the doc's frequency-ordered occurrences, and
+    the doc totals ride the same partitioning as unbounded-frame
+    window aggregates — a spillable in-partition sort, never a per-doc
+    ``collect_list`` array (a single long document would otherwise
+    materialize millions of elements in one aggregation buffer).
     Every output is an integer or an exact integer ratio, so results
     hash identically across engines — no transcendental (log-prob)
     math to drift in the last ulp."""
+    from pyspark.sql import Window
+
     ex = (
         df.select(F.col(id_col), F.col(text_col))
         .select(F.col(id_col), words(text_col).alias("__w"))
@@ -181,27 +189,28 @@ def bigram_familiarity(
         )
     )
     counts = ex.groupBy("bigram").agg(F.count(F.lit(1)).alias("c"))
+    wp = Window.partitionBy(id_col)
+    wo = wp.orderBy("c")
     return (
         ex.hint("shuffle_hash")
         .join(counts.hint("shuffle_hash"), "bigram")
-        .groupBy(id_col)
-        .agg(
-            F.count(F.lit(1)).alias("n_bigrams"),
-            F.sum((F.col("c") >= min_count).cast("bigint")).alias(
-                "n_familiar"
-            ),
-            F.sort_array(F.collect_list("c")).alias("__cs"),
+        .withColumn("__r", F.row_number().over(wo))
+        .withColumn("__n", F.count(F.lit(1)).over(wp))
+        .withColumn(
+            "__fam",
+            F.sum((F.col("c") >= min_count).cast("bigint")).over(wp),
         )
+        # exactly one surviving row per doc: ties in c share the value,
+        # so the rank-row choice among them cannot change the median
+        .where(F.col("__r") == F.floor((F.col("__n") + 1) / 2))
         .select(
             F.col(id_col),
-            "n_bigrams",
-            "n_familiar",
-            (F.col("n_familiar").cast("double") / F.col("n_bigrams")).alias(
+            F.col("__n").alias("n_bigrams"),
+            F.col("__fam").alias("n_familiar"),
+            (F.col("__fam").cast("double") / F.col("__n")).alias(
                 "familiarity"
             ),
-            F.element_at(
-                "__cs", F.floor((F.size("__cs") + 1) / 2).cast("int")
-            ).alias("median_bigram_count"),
+            F.col("c").alias("median_bigram_count"),
         )
     )
 

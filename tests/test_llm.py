@@ -694,6 +694,53 @@ def test_incremental_minhash_dedup_across_batches(spark, tmp_path):
     assert ledger.read().select("keep_id").distinct().count() == 4  # 1,2,11,13
 
 
+def test_incremental_minhash_probe_prunes_to_touched_buckets(
+    spark, tmp_path
+):
+    """The ledger probe must read ONLY the key_prefix buckets the
+    batch's band keys fall in — never rescan the whole index (r7
+    verdict refinement). A batch touching a strict subset of the
+    committed buckets probes with an explicit partitions list that is
+    (a) a subset of the batch's touched prefixes and (b) smaller than
+    the full owners set; results are unchanged."""
+    from datalake_toolkit_spark.lakehouse import LakeTable
+    from datalake_toolkit_spark.llm import incremental_minhash_dedup
+
+    ledger = LakeTable(
+        spark, str(tmp_path / "mh_ledger"), partition_by=("key_prefix",)
+    )
+    texts = [
+        (i, f"document number {i} about topic {i} with unique words w{i}a w{i}b w{i}c w{i}d")
+        for i in range(1, 9)
+    ]
+    b1 = spark.createDataFrame(texts, "doc_id bigint, text string")
+    incremental_minhash_dedup(b1, ledger, threshold=0.5)
+    owners = set(ledger._manifest()["owners"])
+    assert len(owners) > 4  # enough buckets that pruning is observable
+
+    b2 = spark.createDataFrame(
+        [(100, texts[0][1].replace("w1d", "w1e"))],  # near-dup of doc 1
+        "doc_id bigint, text string",
+    )
+    calls = []
+    orig = ledger.read
+
+    def spy(version=None, partitions=None, where=None):
+        calls.append(partitions)
+        return orig(version=version, partitions=partitions, where=where)
+
+    ledger.read = spy
+    try:
+        out = incremental_minhash_dedup(b2, ledger, threshold=0.5)
+        assert out.count() == 0  # still deduped against history
+    finally:
+        ledger.read = orig
+    probe = calls[0]
+    assert probe is not None, "probe did a full ledger read"
+    assert set(probe) < owners  # strictly fewer buckets than the index
+    assert len(probe) <= 4  # one doc: at most `bands` distinct prefixes
+
+
 def test_chunk_documents_window_arithmetic(spark):
     """Chunk boundaries: full windows step by chunk-overlap, the tail
     is kept, empty docs vanish, bad params rejected."""
