@@ -396,6 +396,7 @@ class LakeTable:
         constraints: dict[str, str] | None = None,
         on_violation: str = "reject",
         stats_columns: Sequence[str] | None = None,
+        bloom_filter_columns: Sequence[str] | dict[str, int] | None = None,
     ) -> None:
         """``partition_by``: the table's partition scheme. ``None``
         (default) adopts the existing table's current scheme from its
@@ -420,7 +421,20 @@ class LakeTable:
         stats for (data skipping via ``read(where=...)``). ``None``
         (default) auto-selects the first 16 orderable primitive
         columns; ``()`` disables stats collection for commits made
-        through this instance."""
+        through this instance.
+
+        ``bloom_filter_columns``: columns to write parquet BLOOM
+        FILTERS for (a dict maps column -> expected distinct count,
+        parquet's sizing knob; a plain sequence uses parquet's
+        default NDV). Two effects: Spark's own parquet reader skips
+        row groups on pushed-down equality predicates natively, and
+        ``read(where="col = '...'")`` / ``plan_scan`` additionally
+        skip WHOLE FILES whose bloom filter proves the value absent —
+        the point-lookup complement to min/max stats, which high-
+        cardinality identifier columns defeat (every file spans the
+        alphabet). Planning-side probing covers STRING equality (the
+        case min/max loses); numeric equality already prunes via
+        min/max and Spark's row-group blooms."""
         if on_violation not in ("reject", "quarantine"):
             raise ValueError(f"on_violation must be reject|quarantine, got {on_violation!r}")
         self.spark = spark
@@ -430,6 +444,12 @@ class LakeTable:
         self.stats_columns = (
             tuple(stats_columns) if stats_columns is not None else None
         )
+        if bloom_filter_columns is None:
+            self.bloom_filter_columns: dict[str, int | None] = {}
+        elif isinstance(bloom_filter_columns, dict):
+            self.bloom_filter_columns = dict(bloom_filter_columns)
+        else:
+            self.bloom_filter_columns = {c: None for c in bloom_filter_columns}
         self.log_dir = os.path.join(path, "_dtk_log")
         self.data_dir = os.path.join(path, "data")
         self.quarantine_dir = os.path.join(path, "_quarantine")
@@ -541,6 +561,18 @@ class LakeTable:
         stats: dict | None = None,
     ) -> int:
         os.makedirs(self.log_dir, exist_ok=True)
+        # bloom hint: which columns MAY carry file bloom filters —
+        # union with the previous manifest's hint because carried
+        # partitions keep their bloomed files. Purely advisory: the
+        # probe keeps any file whose footer lacks the filter.
+        bloom_hint = set(self.bloom_filter_columns)
+        if version > 0:
+            try:
+                bloom_hint |= set(
+                    self._manifest(version - 1).get("bloom_columns") or []
+                )
+            except FileNotFoundError:
+                pass
         manifest = {
             "version": version,
             "op": op,
@@ -548,6 +580,7 @@ class LakeTable:
             "partition_by": list(self.partition_by),
             "owners": owners,
             "schema": schema_json,
+            "bloom_columns": sorted(bloom_hint),
             "constraints": self._active_constraints(),
             "stats": (
                 stats
@@ -834,13 +867,25 @@ class LakeTable:
             keys = self._partition_keys(df)
             out = df if clustered else df.hint("rebalance", *self.partition_by)
             (
-                out.write.mode("overwrite")
+                self._bloom_writer(out.write.mode("overwrite"))
                 .partitionBy(*self.partition_by)
                 .parquet(vdir)
             )
             return keys
-        df.write.mode("overwrite").parquet(vdir)
+        self._bloom_writer(df.write.mode("overwrite")).parquet(vdir)
         return [""]
+
+    def _bloom_writer(self, writer):
+        """Enable parquet bloom filters on the configured columns for
+        this write (per-column writer options — parquet-mr sizes the
+        filter from the expected NDV when given)."""
+        for c, ndv in self.bloom_filter_columns.items():
+            writer = writer.option(f"parquet.bloom.filter.enabled#{c}", "true")
+            if ndv is not None:
+                writer = writer.option(
+                    f"parquet.bloom.filter.expected.ndv#{c}", str(int(ndv))
+                )
+        return writer
 
     def _partition_excluded(
         self, key: str, types: dict, conjuncts: Sequence[tuple]
@@ -878,6 +923,44 @@ class LakeTable:
                 return True
         return False
 
+    _BLOOM_PROBE_MAX_FILES = 256
+
+    def _bloom_excludes(self, path: str, col: str, val: str) -> bool:
+        """True iff the file's parquet bloom filters PROVE ``col``
+        never equals ``val`` in any row group. Strictly evidence-
+        based: a missing filter (file written before blooms were
+        enabled, carried partition, unreadable footer) keeps the file.
+        Reads through the JVM's ParquetFileReader — pyarrow exposes no
+        bloom API — one footer + filter-page seek per probe."""
+        try:
+            jvm = self.spark._jvm
+            conf = self.spark._jsc.hadoopConfiguration()
+            infile = jvm.org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+                jvm.org.apache.hadoop.fs.Path(path), conf
+            )
+            reader = jvm.org.apache.parquet.hadoop.ParquetFileReader.open(infile)
+            try:
+                blocks = reader.getFooter().getBlocks()
+                binary = jvm.org.apache.parquet.io.api.Binary.fromString(val)
+                for b in range(blocks.size()):
+                    rg = blocks.get(b)
+                    cols = rg.getColumns()
+                    cc = None
+                    for i in range(cols.size()):
+                        if cols.get(i).getPath().toDotString() == col:
+                            cc = cols.get(i)
+                            break
+                    if cc is None:
+                        return False
+                    bf = reader.getBloomFilterDataReader(rg).readBloomFilter(cc)
+                    if bf is None or bf.findHash(bf.hash(binary)):
+                        return False  # no evidence / possibly present
+                return blocks.size() > 0
+            finally:
+                reader.close()
+        except Exception:  # pragma: no cover - defensive
+            return False
+
     def _select_files(
         self,
         manifest: dict,
@@ -913,11 +996,28 @@ class LakeTable:
         # above every '1997-0x-..' stat and would wrongly prune
         conjuncts = _normalize_temporal_conjuncts(conjuncts, types)
         stats = manifest.get("stats") or {}
+        # bloom probing: STRING equality conjuncts on columns the
+        # manifest hints may carry file bloom filters — the point-
+        # lookup case min/max stats structurally lose (every file of a
+        # high-cardinality identifier column spans the alphabet).
+        # Driver-side footer seeks, so a shared budget caps the probe
+        # count; past it, files are simply kept (evidence-based).
+        bloom_cols = set(manifest.get("bloom_columns") or [])
+        bloom_eq = [
+            (c, val)
+            for c, op, val in conjuncts
+            if op == "="
+            and c in bloom_cols
+            and isinstance(val, str)
+            and isinstance(types.get(c), T.StringType)
+        ]
+        bloom_budget = self._BLOOM_PROBE_MAX_FILES if bloom_eq else 0
         report = {
             "partitions_total": len(owners),
             "partitions_scanned": 0,
             "files_total": 0,
             "files_scanned": 0,
+            "files_bloom_skipped": 0,
         }
         by_group: dict[tuple, list[str]] = {}
         for key, tok in owners.items():
@@ -943,7 +1043,15 @@ class LakeTable:
                     for c, op, val in conjuncts
                 ):
                     continue
-                kept.append(os.path.join(d, f))
+                full = os.path.join(d, f)
+                if bloom_budget > 0:
+                    bloom_budget -= 1
+                    if any(
+                        self._bloom_excludes(full, c, v) for c, v in bloom_eq
+                    ):
+                        report["files_bloom_skipped"] += 1
+                        continue
+                kept.append(full)
             if not kept:
                 continue
             report["partitions_scanned"] += 1
@@ -1352,6 +1460,11 @@ class LakeTable:
         if dst.current_version() is not None:
             raise ValueError(f"clone target {target_path} already has commits")
         dst.partition_by = tuple(man["partition_by"])
+        # the snapshot's files keep their bloom filters — carry the
+        # probe hint so the clone's point lookups still skip on them
+        dst.bloom_filter_columns = {
+            c: None for c in man.get("bloom_columns") or []
+        }
         if not shallow:
             dst.write(
                 self._read_owned(man), op=f"clone({self.path}@v{man['version']})"

@@ -1904,3 +1904,71 @@ def test_data_skipping_normalizes_noncanonical_temporal_literals(
         assert weird["files_scanned"] == weird["files_total"]
     finally:
         spark.conf.set("spark.sql.session.timeZone", prev)
+
+
+def test_bloom_filter_point_lookup_skips_overlapping_files(spark, tmp_path):
+    """Parquet bloom filters on write + planning-side probe on read:
+    two files whose [min, max] string ranges fully overlap (min/max
+    stats can exclude NOTHING for a point lookup) — the bloom probe
+    must still skip the file that provably lacks the key, read() must
+    return the right row, and files without filters stay unpruned."""
+    # file A holds even uids, file B odd uids; both span uid_000..uid_199
+    rows_a = [(i, f"uid_{i:03d}") for i in range(0, 200, 2)]
+    rows_b = [(i, f"uid_{i:03d}") for i in range(1, 200, 2)]
+    t = LakeTable(
+        spark,
+        str(tmp_path / "t"),
+        bloom_filter_columns={"uid": 256},
+    )
+    df_a = spark.createDataFrame(rows_a, "id bigint, uid string").coalesce(1)
+    df_b = spark.createDataFrame(rows_b, "id bigint, uid string").coalesce(1)
+    t.write(df_a.unionByName(df_b).repartitionByRange(2, (F.col("id") % 2)))
+    # force exactly-2-file layout deterministically: rewrite as two
+    # one-file frames under one version via union of coalesced halves
+    # (repartitionByRange on id%2 gives one even + one odd partition)
+    man = t._manifest()
+    rep = t.plan_scan(where="uid = 'uid_004'")  # even: lives in one file
+    assert rep["files_total"] == 2, man["owners"]
+    # min/max can't split them (both files span the full uid range)...
+    assert all(
+        st["uid"][0] <= "uid_004" <= st["uid"][1]
+        for st in man["stats"].values()
+    )
+    # ...but the bloom probe skips the odd file
+    assert rep["files_bloom_skipped"] == 1
+    assert rep["files_scanned"] == 1
+    got = t.read(where="uid = 'uid_004'").collect()
+    assert [(r.id, r.uid) for r in got] == [(4, "uid_004")]
+    # a value inside BOTH files' [min,max] range but present in NO
+    # file: min/max keeps both, blooms skip both, read returns empty
+    rep_none = t.plan_scan(where="uid = 'uid_100a'")
+    assert rep_none["files_scanned"] == 0
+    assert rep_none["files_bloom_skipped"] == 2
+    assert t.read(where="uid = 'uid_100a'").count() == 0
+    # a reader WITHOUT the option still probes via the manifest hint
+    t2 = LakeTable(spark, str(tmp_path / "t"))
+    rep2 = t2.plan_scan(where="uid = 'uid_004'")
+    assert rep2["files_scanned"] == 1
+
+
+def test_bloom_probe_keeps_files_without_filters(spark, tmp_path, base_df):
+    """Evidence-based only: files written BEFORE blooms were enabled
+    (or by a bloom-less writer) are never skipped, even when the
+    manifest hints the column."""
+    plain = LakeTable(spark, str(tmp_path / "t"))
+    plain.write(base_df.withColumn("uid", F.concat(F.lit("u"), F.col("id"))))
+    # enable blooms for a later commit: hint appears, old files survive
+    bloomed = LakeTable(
+        spark, str(tmp_path / "t"), bloom_filter_columns=["uid"]
+    )
+    bloomed.upsert(
+        spark.createDataFrame(
+            [(999, "segZ", 9.0, "u999")],
+            "id bigint, seg string, val double, uid string",
+        ),
+        keys=["id"],
+    )
+    assert "uid" in bloomed._manifest()["bloom_columns"]
+    rep = bloomed.plan_scan(where="uid = 'u1'")
+    assert rep["files_scanned"] >= 1
+    assert bloomed.read(where="uid = 'u1'").count() == 1
