@@ -35,6 +35,7 @@ from datalake_toolkit_spark.catalog.schemas import METASTORE_DDL
 from datalake_toolkit_spark.functions import (
     normalize_s3_uri,
     partition_name,
+    skewed_str_to_values,
     skewed_values_to_str,
 )
 from datalake_toolkit_spark.operators import (
@@ -425,13 +426,14 @@ def explode_catalog_tables(
         "n",
         keep=["SD_ID"],
     ).select("SD_ID", F.col("n").alias("SKEWED_COL_NAME"), "INTEGER_IDX")
-    # Skew value lists come back from the '<n>%v1,v2' map keys. One
+    # Skew value lists come back from the length-prefixed
+    # '<len(v1)>%v1<len(v2)>%v2' map keys (F5's actual encoding). One
     # string list per map entry, STRING_LIST_ID 1:1 derived from
     # (SD_ID, entry rank). NOTE: the reference's own reverse parser
     # (F14) expects "<n>%['a', 'b']" — a format its forward encoder
     # (F5) never produces, so the original pipeline silently loses
-    # skew values on the round trip; we parse our actual F5 encoding
-    # and keep them.
+    # skew values on the round trip; we parse the real F5 encoding
+    # (skewed_str_to_values, a consuming fold) and keep them.
     loc_entries = seeded.select(
         "SD_ID",
         F.posexplode_outer(
@@ -473,7 +475,7 @@ def explode_catalog_tables(
     skewed_string_list_values = posexplode_with_idx(
         loc_entries.select(
             "STRING_LIST_ID",
-            F.split(F.substring_index("vstr", "%", -1), ",").alias("vals"),
+            skewed_str_to_values("vstr").alias("vals"),
         ),
         "vals",
         "INTEGER_IDX",

@@ -11,6 +11,7 @@ from datalake_toolkit_spark.functions.scalar import (
     partition_name,
     plain_map_to_ddb_json,
     sanitize_csv_header,
+    skewed_str_to_values,
     skewed_values_to_str,
     string_list_str_to_array,
     unix_seconds_to_gson,
@@ -28,6 +29,7 @@ __all__ = [
     "partition_name",
     "plain_map_to_ddb_json",
     "sanitize_csv_header",
+    "skewed_str_to_values",
     "skewed_values_to_str",
     "string_list_str_to_array",
     "unix_seconds_to_gson",

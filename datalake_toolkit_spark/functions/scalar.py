@@ -63,6 +63,50 @@ def skewed_values_to_str(array_col: Column | str) -> Column:
     )
 
 
+def skewed_str_to_values(col: Column | str) -> Column:
+    """Inverse of :func:`skewed_values_to_str`: parse the
+    length-prefixed ``'<len(v)>%<v>'`` concatenation back into the
+    string array. The encoding is NOT regex-splittable — values may
+    end in digits (``"8%NATION_011%NATION_0_v1"``), so boundaries are
+    found by CONSUMING each declared length, as a Catalyst
+    ``aggregate`` fold over enough steps to drain the string (each
+    element eats >= 2 chars; extra steps no-op on the empty
+    remainder). Malformed remainders stop the parse and keep what was
+    read. O(len^2) worst case from the substring copies — fine for
+    metastore-sized metadata strings, and still expression-only."""
+    c = F.col(col) if isinstance(col, str) else col
+
+    def step(acc, _):
+        rest = acc.getField("rest")
+        d = F.regexp_extract(rest, r"^([0-9]+)%", 1)
+        n = d.cast("int")
+        val = F.substr(rest, F.length(d) + F.lit(2), n)
+        new_rest = F.substr(
+            rest, F.length(d) + F.lit(2) + n, F.length(rest)
+        )
+        return F.when(
+            (d != "") & (F.length(rest) >= F.length(d) + 1 + n),
+            F.struct(
+                new_rest.alias("rest"),
+                F.array_append(acc.getField("vals"), val).alias("vals"),
+            ),
+        ).otherwise(
+            F.struct(F.lit("").alias("rest"), acc.getField("vals").alias("vals"))
+        )
+
+    init = F.struct(
+        F.coalesce(c, F.lit("")).alias("rest"),
+        F.array().cast("array<string>").alias("vals"),
+    )
+    steps = F.sequence(
+        F.lit(1),
+        F.greatest(
+            (F.length(F.coalesce(c, F.lit(""))) / 2 + 1).cast("int"), F.lit(1)
+        ),
+    )
+    return F.aggregate(steps, init, step, lambda acc: acc.getField("vals"))
+
+
 def normalize_s3_uri(col: Column | str) -> Column:
     """``s3a://`` / ``s3n://`` -> ``s3://`` (null-safe).
 

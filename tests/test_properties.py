@@ -118,6 +118,47 @@ def test_skewed_values_to_str_pinned_reference_encoding(spark):
 @settings(max_examples=6, deadline=None)
 @given(
     st.lists(
+        st.lists(
+            st.one_of(
+                st.none(),
+                st.text(
+                    alphabet=st.characters(
+                        codec="ascii", exclude_characters="\x00"
+                    ),
+                    max_size=12,
+                ),
+            ),
+            max_size=5,
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_skewed_encoding_roundtrips(spark, arrays):
+    """decode(encode(vals)) == vals minus None elements (they encode
+    to ''), including values that contain digits and '%' — the cases
+    a regex-based splitter cannot handle."""
+    from datalake_toolkit_spark.functions import (
+        skewed_str_to_values,
+        skewed_values_to_str,
+    )
+
+    df = spark.createDataFrame(
+        [(i, a) for i, a in enumerate(arrays)], "i int, v array<string>"
+    )
+    got = {
+        r.i: r.back
+        for r in df.select(
+            "i", skewed_str_to_values(skewed_values_to_str("v")).alias("back")
+        ).collect()
+    }
+    for i, a in enumerate(arrays):
+        assert got[i] == [v for v in a if v is not None], a
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
         st.lists(st.one_of(st.none(), _WORD), max_size=5),
         min_size=1,
         max_size=30,
