@@ -1972,3 +1972,22 @@ def test_bloom_probe_keeps_files_without_filters(spark, tmp_path, base_df):
     rep = bloomed.plan_scan(where="uid = 'u1'")
     assert rep["files_scanned"] >= 1
     assert bloomed.read(where="uid = 'u1'").count() == 1
+
+
+def test_scoped_optimize_after_spec_evolution_does_not_duplicate(
+    spark, tmp_path, base_df
+):
+    """optimize(partitions=[<old-layout key>]) after evolve_partitioning
+    rewrites the data under the NEW layout: the old-layout owner must
+    DROP from the owners map (r8 fix — carrying it alongside the new
+    keys double-counted every rewritten row)."""
+    t = LakeTable(spark, str(tmp_path / "t"), partition_by=("seg",))
+    t.write(base_df.withColumn("bucket", F.col("id") % 2))
+    t.evolve_partitioning(("seg", "bucket"))  # metadata-only
+    before = _as_dict(t.read())
+    t.optimize(partitions=["seg=seg0"])  # old-layout key, new-layout write
+    man = t._manifest()
+    assert "seg=seg0" not in man["owners"]  # old home dropped
+    assert any(k.startswith("seg=seg0/bucket=") for k in man["owners"])
+    assert _as_dict(t.read()) == before  # no duplicated rows
+    assert t.read().count() == 30
