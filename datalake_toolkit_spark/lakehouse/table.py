@@ -1580,6 +1580,7 @@ class LakeTable:
         schema_evolution: bool = False,
         mode: str = "cow",
         assume_key_unique: bool = False,
+        partition_scoped: bool = False,
     ) -> int:
         """MERGE: match target rows to ``target`` on ``keys``; matched
         rows are replaced by their source row (``update``) or removed
@@ -1609,6 +1610,19 @@ class LakeTable:
         ``assume_key_unique=True`` skips that verification job when
         uniqueness is guaranteed upstream (e.g. ``merge_batch``
         collapses first).
+
+        ``partition_scoped=True`` declares that a matched target row
+        can only live in the partitions the SOURCE rows name — true
+        exactly when the partition columns are a pure function of the
+        merge keys (hash-prefix-bucketed ledgers, date extracted from
+        a keyed event time). The copy-on-write match probe then skips
+        the full-table scan that otherwise finds which partitions hold
+        matched keys: a 1000-row merge into a 100 TB bucketed ledger
+        reads only the touched buckets. The caller OWNS the invariant
+        — a matched row outside the source's partitions would silently
+        survive as a stale duplicate. Layout-safe across partition-spec
+        evolution (the source rows are keyed under every stored
+        layout).
 
         Concurrency: the merge is computed against a manifest read,
         and the commit targets exactly ``read_version + 1`` — if any
@@ -1676,19 +1690,28 @@ class LakeTable:
                     continue
             else:
                 src_keys = source.select(*keys).distinct()
-                target_all = self._read_owned(man)
-                # partitions holding matched rows (an update may move
-                # a key across partitions, so this is NOT just the
-                # source's partitions) — keyed under every layout in
-                # the owners map, so rows still stored under a
-                # pre-evolution layout are carried off too
-                matched = target_all.join(src_keys, keys, "leftsemi")
-                affected = self._affected_keys(man, matched) | {
-                    _fmt_key(self.partition_by, r)
-                    for r in source.select(*self.partition_by)
-                    .distinct()
-                    .collect()
-                }
+                if partition_scoped:
+                    # caller-declared: matched rows live only in the
+                    # source's partitions (partition cols derive from
+                    # the merge keys) — no target scan; keyed under
+                    # every stored layout so pre-evolution directories
+                    # are still carried off
+                    affected = self._affected_keys(man, source)
+                else:
+                    target_all = self._read_owned(man)
+                    # partitions holding matched rows (an update may
+                    # move a key across partitions, so this is NOT
+                    # just the source's partitions) — keyed under
+                    # every layout in the owners map, so rows still
+                    # stored under a pre-evolution layout are carried
+                    # off too
+                    matched = target_all.join(src_keys, keys, "leftsemi")
+                    affected = self._affected_keys(man, matched) | {
+                        _fmt_key(self.partition_by, r)
+                        for r in source.select(*self.partition_by)
+                        .distinct()
+                        .collect()
+                    }
                 # pending merge-on-read appends materialize through
                 # this rewrite (it commits merges=[]), so every
                 # partition they touch — including old homes of moved

@@ -526,11 +526,35 @@ def incremental_dedup(
     broadcast; for left_anti only the RIGHT side can build, so the hint
     must sit on the ledger). Ledger keys are uniform md5 — no skew.
     """
+    # materialize the hashed batch once: it feeds the bucket-prune
+    # collect, the ledger anti-join, and the fingerprint commit
+    # (batch-sized by design)
     hashed = new_docs.where(F.col(text_col).isNotNull()).withColumn(
         "_th", F.md5(F.col(text_col))
-    )
+    ).localCheckpoint(eager=True)
     try:
-        seen = ledger.read().select(F.col("text_hash").alias("_th"))
+        # probe ONLY the hash_prefix buckets this batch touches: with
+        # the documented partitioning a small batch lists a handful of
+        # the 256 bucket dirs, never the whole fingerprint index
+        if tuple(ledger.partition_by) == ("hash_prefix",):
+            existing = set(ledger._manifest()["owners"])
+            touched = {
+                f"hash_prefix={r['p']}"
+                for r in hashed.select(
+                    F.substring("_th", 1, 2).alias("p")
+                )
+                .distinct()
+                .collect()  # bounded: at most 256 rows
+            }
+            probe = sorted(touched & existing)
+            seen_src = (
+                ledger.read()
+                if len(probe) == len(existing)
+                else ledger.read(partitions=probe)
+            )
+        else:
+            seen_src = ledger.read()
+        seen = seen_src.select(F.col("text_hash").alias("_th"))
         fresh = hashed.join(seen.hint("shuffle_hash"), "_th", "left_anti")
     except FileNotFoundError:  # first batch: empty ledger
         fresh = hashed
@@ -544,7 +568,14 @@ def incremental_dedup(
     new_fps = exact_dedup_groups(fresh.drop("_th"), id_col, text_col).withColumn(
         "hash_prefix", F.substring("text_hash", 1, 2)
     )
-    ledger.upsert(new_fps, keys=["text_hash"])
+    # hash_prefix is a pure function of the merge key, so matched
+    # ledger rows can only live in the source's buckets: the scoped
+    # merge never scans the full fingerprint index
+    ledger.upsert(
+        new_fps,
+        keys=["text_hash"],
+        partition_scoped=tuple(ledger.partition_by) == ("hash_prefix",),
+    )
     return survivors
 
 
@@ -715,7 +746,13 @@ def incremental_minhash_dedup(
         "signature",
         F.substring("bkey", 1, 2).alias("key_prefix"),
     )
-    ledger.upsert(new_rows, keys=["bkey", "keep_id"])
+    # key_prefix derives from bkey (a merge key): the scoped merge
+    # rewrites only the touched band buckets, never the whole ledger
+    ledger.upsert(
+        new_rows,
+        keys=["bkey", "keep_id"],
+        partition_scoped=tuple(ledger.partition_by) == ("key_prefix",),
+    )
     return fresh
 
 

@@ -1991,3 +1991,42 @@ def test_scoped_optimize_after_spec_evolution_does_not_duplicate(
     assert any(k.startswith("seg=seg0/bucket=") for k in man["owners"])
     assert _as_dict(t.read()) == before  # no duplicated rows
     assert t.read().count() == 30
+
+
+def test_partition_scoped_upsert_never_scans_the_table(spark, tmp_path):
+    """partition_scoped=True: when the partition column derives from
+    the merge keys, the CoW merge must not read ANY partition outside
+    the source's own (no full-table match probe), while producing the
+    same result as the unscoped merge."""
+    rows = [(f"k{i:02d}", f"b{i % 4}", float(i)) for i in range(40)]
+    schema = "key string, bucket string, val double"
+    scoped = LakeTable(spark, str(tmp_path / "s"), partition_by=("bucket",))
+    plain = LakeTable(spark, str(tmp_path / "p"), partition_by=("bucket",))
+    for t in (scoped, plain):
+        t.write(spark.createDataFrame(rows, schema))
+    src = spark.createDataFrame(
+        [("k01", "b1", 111.0), ("k99", "b3", 9.0)], schema
+    )
+    reads = []
+    orig = scoped._read_owned
+
+    def spy(man, keys=None, conjuncts=None, merge_scope="restrict"):
+        reads.append(keys)
+        return orig(man, keys=keys, conjuncts=conjuncts, merge_scope=merge_scope)
+
+    scoped._read_owned = spy
+    try:
+        scoped.upsert(src, keys=["key"], partition_scoped=True)
+    finally:
+        scoped._read_owned = orig
+    assert reads and all(k is not None for k in reads), reads
+    assert set().union(*reads) <= {"bucket=b1", "bucket=b3"}
+    plain.upsert(src, keys=["key"])
+    assert {
+        (r.key, r.bucket, r.val) for r in scoped.read().collect()
+    } == {(r.key, r.bucket, r.val) for r in plain.read().collect()}
+    # untouched buckets carried by pointer
+    man = scoped._manifest()
+    man0 = scoped._manifest(0)
+    for k in ("bucket=b0", "bucket=b2"):
+        assert man["owners"][k] == man0["owners"][k]

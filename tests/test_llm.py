@@ -1300,3 +1300,56 @@ def test_bigram_familiarity_handcrafted(spark):
         2: (2, 1, 0.5, 1),
         3: (2, 0, 0.0, 1),
     }
+
+
+def test_incremental_dedup_prunes_probe_and_commit_to_touched_buckets(
+    spark, tmp_path
+):
+    """With the documented hash_prefix partitioning, BOTH sides of an
+    increment stay bucket-local: the anti-join probe reads only the
+    batch's buckets (never the whole fingerprint index) and the
+    fingerprint commit's merge never does a full-table match scan."""
+    from datalake_toolkit_spark.lakehouse import LakeTable
+    from datalake_toolkit_spark.llm.dedup import incremental_dedup
+
+    ledger = LakeTable(
+        spark, str(tmp_path / "fp"), partition_by=("hash_prefix",)
+    )
+    b1 = spark.createDataFrame(
+        [(i, f"text number {i}") for i in range(12)],
+        "doc_id bigint, text string",
+    )
+    incremental_dedup(b1, ledger)
+    owners = set(ledger._manifest()["owners"])
+    assert len(owners) > 2
+
+    b2 = spark.createDataFrame(
+        [(100, "text number 3"), (101, "a brand new document")],
+        "doc_id bigint, text string",
+    )
+    read_calls, owned_calls = [], []
+    orig_read, orig_owned = ledger.read, ledger._read_owned
+
+    def spy_read(version=None, partitions=None, where=None):
+        read_calls.append(partitions)
+        return orig_read(version=version, partitions=partitions, where=where)
+
+    def spy_owned(man, keys=None, conjuncts=None, merge_scope="restrict"):
+        owned_calls.append(keys)
+        return orig_owned(
+            man, keys=keys, conjuncts=conjuncts, merge_scope=merge_scope
+        )
+
+    ledger.read, ledger._read_owned = spy_read, spy_owned
+    try:
+        out = incremental_dedup(b2, ledger)
+        assert {r.doc_id for r in out.collect()} == {101}
+    finally:
+        ledger.read, ledger._read_owned = orig_read, orig_owned
+    # probe: an explicit (strictly smaller) partitions list
+    assert read_calls and read_calls[0] is not None
+    assert set(read_calls[0]) < owners
+    # commit: every snapshot read during the merge was key-restricted
+    assert owned_calls and all(k is not None for k in owned_calls)
+    # replay stays a no-op under the scoped path
+    assert incremental_dedup(b2, ledger).count() == 0
