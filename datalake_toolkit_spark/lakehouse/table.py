@@ -2055,18 +2055,66 @@ class LakeTable:
                 if tok is not None and tok in e["tokens"]
             ]
 
-        merge_diff = (m_from.get("merges") or []) != (
-            m_to.get("merges") or []
-        )
+        # pending merge-on-read entries that differ between the
+        # manifests change rows WITHOUT changing owners — but only in
+        # (a) the partitions the delta entries' append rows land in
+        # (inserts/updates, possibly partitions with no owner dir yet)
+        # and (b) the partitions of base rows those appends' keys
+        # shadow on either side (a moved key's old home sees a delete
+        # event). Scoping to that set keeps CDF after a small MoR
+        # append O(touched partitions), not a two-snapshot diff —
+        # matview refresh rides this path on every increment.
+        merges_f = m_from.get("merges") or []
+        merges_t = m_to.get("merges") or []
+        merge_changed: set[str] = set()
+        if merges_f != merges_t:
+            all_keys = set(own_f) | set(own_t)
+            if all(not _key_spec(k) for k in all_keys):
+                merge_changed = all_keys | {""}  # unpartitioned blob
+            else:
+                delta = [e for e in merges_t if e not in merges_f] + [
+                    e for e in merges_f if e not in merges_t
+                ]
+                mkeys = list((merges_t or merges_f)[0]["keys"])
+                key_parts = []
+                for e in delta:
+                    p = self.spark.read.parquet(self._vdir(e["token"]))
+                    if e.get("parts"):
+                        merge_changed |= {k for k in e["parts"] if k}
+                    else:
+                        merge_changed |= self._affected_keys(m_to, p)
+                    key_parts.append(p.select(*mkeys))
+                # shadowed old homes: only possible when a key can MOVE
+                # partitions — with every partition column inside the
+                # merge keys, the shadowed row shares the append row's
+                # partition and the probe (a base scan + semijoin
+                # against the small append-key set) is skipped entirely
+                specs = {_key_spec(k) for k in all_keys if k}
+                specs.add(tuple(self.partition_by))
+                if not all(set(s) <= set(mkeys) for s in specs):
+                    app_keys = reduce(
+                        lambda a, b: a.unionByName(b), key_parts
+                    ).distinct()
+                    for man in (m_from, m_to):
+                        base_man = dict(man)
+                        base_man["merges"] = []
+                        shadowed = self._read_owned(base_man).join(
+                            app_keys, mkeys, "leftsemi"
+                        )
+                        merge_changed |= self._affected_keys(man, shadowed)
         changed = [
             k
             for k in set(own_f) | set(own_t)
-            if merge_diff
+            if k in merge_changed
             or own_f.get(k) != own_t.get(k)
             or applicable(m_from, k) != applicable(m_to, k)
-        ]
-        before = self._read_owned(m_from, [k for k in changed if k in own_f])
-        after = self._read_owned(m_to, [k for k in changed if k in own_t])
+        ] + sorted(merge_changed - set(own_f) - set(own_t))
+        # BOTH sides read the full changed set: a key with no owner dir
+        # in one manifest can still surface rows there through pending
+        # appends (the key predicate on the resolved winners is what
+        # scopes them, not the directory listing)
+        before = self._read_owned(m_from, changed)
+        after = self._read_owned(m_to, changed)
         # conform both sides to the union of columns so evolved
         # schemas diff cleanly (missing columns read as NULL)
         empty = self.spark.createDataFrame(

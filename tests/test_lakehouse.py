@@ -2030,3 +2030,79 @@ def test_partition_scoped_upsert_never_scans_the_table(spark, tmp_path):
     man0 = scoped._manifest(0)
     for k in ("bucket=b0", "bucket=b2"):
         assert man["owners"][k] == man0["owners"][k]
+
+
+def test_cdf_after_partitioned_mor_append_is_scoped_and_complete(
+    spark, tmp_path, base_df
+):
+    """changes() across a partitioned MoR append: the moved key emits
+    a delete in its old home and an insert in its new one, an insert
+    into a brand-new partition is NOT lost (it has no owner directory
+    on either side), and the diff reads ONLY the merge-touched
+    partitions — never the whole table."""
+    t = LakeTable(spark, str(tmp_path / "t"), partition_by=("seg",))
+    t.write(base_df)  # v0; id 3 lives in seg0
+    t.upsert(
+        spark.createDataFrame(
+            [(3, "segNEW", 999.0), (4, "seg1", 44.0)], base_df.schema
+        ),
+        keys=["id"],
+        mode="mor",
+    )  # v1
+    reads = []
+    orig = t._read_owned
+
+    def spy(man, keys=None, conjuncts=None, merge_scope="restrict"):
+        reads.append(keys)
+        return orig(man, keys=keys, conjuncts=conjuncts, merge_scope=merge_scope)
+
+    t._read_owned = spy
+    try:
+        got = {
+            (r._change_type, r.id, r.seg, r.val)
+            for r in t.changes(0, 1).collect()
+        }
+    finally:
+        t._read_owned = orig
+    assert got == {
+        ("delete", 3, "seg0", 30.0),
+        ("insert", 3, "segNEW", 999.0),
+        ("delete", 4, "seg1", 40.0),
+        ("insert", 4, "seg1", 44.0),
+    }
+    # the before/after diffs are key-restricted and never name seg2
+    # (untouched by the append and shadowing nothing); the only
+    # unrestricted reads are the two shadowed-home probes, needed here
+    # because keys=["id"] lets a key move partitions
+    scoped = [set(k) for k in reads if k is not None]
+    assert scoped and len([k for k in reads if k is None]) == 2
+    assert all("seg=seg2" not in s for s in scoped)
+    assert {"seg=segNEW", "seg=seg0", "seg=seg1"} <= set().union(*scoped)
+
+    # with every partition column inside the merge keys, a key cannot
+    # move partitions: the shadow probe is skipped and NO read touches
+    # the whole table
+    t2 = LakeTable(spark, str(tmp_path / "t2"), partition_by=("seg",))
+    t2.write(base_df)
+    t2.upsert(
+        spark.createDataFrame([(4, "seg1", 44.0)], base_df.schema),
+        keys=["id", "seg"],
+        mode="mor",
+    )
+    reads2 = []
+    orig2 = t2._read_owned
+
+    def spy2(man, keys=None, conjuncts=None, merge_scope="restrict"):
+        reads2.append(keys)
+        return orig2(man, keys=keys, conjuncts=conjuncts, merge_scope=merge_scope)
+
+    t2._read_owned = spy2
+    try:
+        got2 = {
+            (r._change_type, r.id, r.val) for r in t2.changes(0, 1).collect()
+        }
+    finally:
+        t2._read_owned = orig2
+    assert got2 == {("delete", 4, 40.0), ("insert", 4, 44.0)}
+    assert reads2 and all(k is not None for k in reads2)
+    assert set().union(*reads2) == {"seg=seg1"}
