@@ -444,18 +444,27 @@ class LakeTable:
         self.stats_columns = (
             tuple(stats_columns) if stats_columns is not None else None
         )
-        if bloom_filter_columns is None:
-            self.bloom_filter_columns: dict[str, int | None] = {}
-        elif isinstance(bloom_filter_columns, dict):
-            self.bloom_filter_columns = dict(bloom_filter_columns)
-        else:
-            self.bloom_filter_columns = {c: None for c in bloom_filter_columns}
         self.log_dir = os.path.join(path, "_dtk_log")
         self.data_dir = os.path.join(path, "data")
         self.quarantine_dir = os.path.join(path, "_quarantine")
         committed: tuple[str, ...] | None = None
         if self.current_version() is not None:
             committed = tuple(self._manifest()["partition_by"])
+        if bloom_filter_columns is None:
+            # adopt the table's committed bloom config (mirroring the
+            # partition_by adoption below): a maintenance handle opened
+            # without the option must keep writing filters, or its
+            # rewrites would silently strip point-lookup skipping
+            self.bloom_filter_columns: dict[str, int | None] = {}
+            if committed is not None:
+                self.bloom_filter_columns = {
+                    c: None
+                    for c in self._manifest().get("bloom_columns") or []
+                }
+        elif isinstance(bloom_filter_columns, dict):
+            self.bloom_filter_columns = dict(bloom_filter_columns)
+        else:
+            self.bloom_filter_columns = {c: None for c in bloom_filter_columns}
         if partition_by is None:
             self.partition_by = committed if committed is not None else ()
         else:

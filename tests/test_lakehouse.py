@@ -2106,3 +2106,153 @@ def test_cdf_after_partitioned_mor_append_is_scoped_and_complete(
     assert got2 == {("delete", 4, 40.0), ("insert", 4, 44.0)}
     assert reads2 and all(k is not None for k in reads2)
     assert set().union(*reads2) == {"seg=seg1"}
+
+
+def test_bloom_config_adopted_by_later_handles(spark, tmp_path):
+    """A handle opened WITHOUT bloom_filter_columns adopts the table's
+    committed config (like partition_by): its rewrites keep writing
+    filters, so maintenance through a plain handle can't silently
+    strip point-lookup skipping."""
+    t = LakeTable(
+        spark, str(tmp_path / "t"), bloom_filter_columns={"uid": 256}
+    )
+    t.write(
+        spark.createDataFrame(
+            [(i, f"uid_{i:03d}") for i in range(200)], "id bigint, uid string"
+        )
+    )
+    plain = LakeTable(spark, str(tmp_path / "t"))  # no option
+    assert plain.bloom_filter_columns == {"uid": None}
+    plain.optimize()  # full rewrite through the adopting handle
+    # an absent-but-in-range key: min/max excludes the files whose
+    # range misses it, and the BLOOM must exclude the rest — zero
+    # files scanned proves the rewritten files still carry filters
+    rep = plain.plan_scan(where="uid = 'uid_100a'")
+    assert rep["files_total"] >= 1
+    assert rep["files_scanned"] == 0
+    assert rep["files_bloom_skipped"] >= 1
+
+
+def test_stream_upsert_mor_partitioned(spark, tmp_path):
+    """Streaming merge-on-read into a PARTITIONED table (r8): each
+    micro-batch appends under the table's layout, a later batch can
+    move a key across partitions, and the resolved read (full and
+    partition-restricted) reflects the newest state."""
+    import json as _json
+
+    from datalake_toolkit_spark.lakehouse import LakeTable, stream_upsert
+
+    src = tmp_path / "src"
+    src.mkdir()
+    table = str(tmp_path / "t")
+    (src / "b1.json").write_text(
+        "\n".join(
+            _json.dumps(r)
+            for r in [
+                {"id": 1, "seg": "a", "val": 1.0, "ts": 1.0},
+                {"id": 2, "seg": "b", "val": 2.0, "ts": 1.0},
+            ]
+        )
+    )
+    schema = "id bigint, seg string, val double, ts double"
+    q = stream_upsert(
+        spark.readStream.schema(schema).json(str(src)),
+        table,
+        keys=["id"],
+        checkpoint=str(tmp_path / "ckpt"),
+        partition_by=("seg",),
+        order_by=[F.desc("ts")],
+        mode="mor",
+    )
+    q.awaitTermination(120)
+    (src / "b2.json").write_text(
+        _json.dumps({"id": 1, "seg": "c", "val": 99.0, "ts": 2.0})
+    )
+    q = stream_upsert(
+        spark.readStream.schema(schema).json(str(src)),
+        table,
+        keys=["id"],
+        checkpoint=str(tmp_path / "ckpt"),
+        partition_by=("seg",),
+        order_by=[F.desc("ts")],
+        mode="mor",
+    )
+    q.awaitTermination(120)
+    t = LakeTable(spark, table)
+    man = t._manifest()
+    assert man["op"] == "merge_mor"
+    assert man["merges"] and man["merges"][-1]["parts"] == ["seg=c"]
+    got = {r.id: (r.seg, r.val) for r in t.read().collect()}
+    assert got == {1: ("c", 99.0), 2: ("b", 2.0)}
+    # the moved key's old partition no longer serves it
+    assert 1 not in {
+        r.id for r in t.read(partitions=["seg=a"]).collect()
+    }
+
+
+def test_random_mor_cow_interleavings_match_model(spark, tmp_path):
+    """Model-based check of the mutation state machine: seeded random
+    interleavings of CoW/MoR upserts, CoW/MoR deletes, and full/scoped
+    compactions on a partitioned table must match a plain in-memory
+    dict model after EVERY op — and every committed version must still
+    read back as the model state it was committed under (time travel
+    across pending-append boundaries)."""
+    import random
+
+    for seed in (7, 23):
+        rng = random.Random(seed)
+        path = str(tmp_path / f"m{seed}")
+        t = LakeTable(spark, path, partition_by=("seg",))
+        model: dict[str, tuple[str, float]] = {}
+        keys_pool = [f"k{i}" for i in range(8)]
+        segs = ["s0", "s1", "s2"]
+        schema = "key string, seg string, val double"
+
+        def batch(n):
+            ks = rng.sample(keys_pool, n)
+            return [
+                (k, rng.choice(segs), float(rng.randint(0, 9) * 10))
+                for k in ks
+            ]
+
+        init = batch(5)
+        t.write(spark.createDataFrame(init, schema))
+        model = {k: (s, v) for k, s, v in init}
+        history = [(t.current_version(), dict(model))]
+
+        def check(tag):
+            got = {r.key: (r.seg, r.val) for r in t.read().collect()}
+            assert got == model, f"seed={seed} after {tag}: {got} != {model}"
+
+        for step in range(8):
+            op = rng.choice(
+                ["cow_up", "mor_up", "cow_del", "mor_del", "opt", "opt_part"]
+            )
+            if op in ("cow_up", "mor_up"):
+                rows = batch(rng.randint(1, 3))
+                t.upsert(
+                    spark.createDataFrame(rows, schema),
+                    keys=["key"],
+                    mode="mor" if op == "mor_up" else "cow",
+                )
+                model.update({k: (s, v) for k, s, v in rows})
+            elif op in ("cow_del", "mor_del"):
+                cut = float(rng.randint(0, 9) * 10)
+                t.delete_where(f"val >= {cut}", mode=op[:3])
+                model = {k: sv for k, sv in model.items() if sv[1] < cut}
+            elif op == "opt":
+                t.optimize()
+            else:
+                owned = sorted(t._manifest()["owners"])
+                if owned and owned != [""]:
+                    t.optimize(partitions=[rng.choice(owned)])
+                else:
+                    t.optimize()
+            check(f"step {step} {op}")
+            history.append((t.current_version(), dict(model)))
+
+        # time travel: every committed version reads as the state it
+        # was committed under, including versions with pending appends
+        for v, snap in history:
+            got = {r.key: (r.seg, r.val) for r in t.read(version=v).collect()}
+            assert got == snap, f"seed={seed} version {v}"
