@@ -128,6 +128,7 @@ def stream_dedup_ingest(
     corpus_partition_by: Sequence[str] = (),
     available_now: bool = True,
     batch_filter: Callable[[DataFrame], DataFrame] | None = None,
+    corpus_mode: str = "cow",
 ):
     """The full continuous-ingestion dedup pipeline: a document stream
     is exact-deduped ACROSS micro-batches (fingerprint ledger
@@ -146,7 +147,13 @@ def stream_dedup_ingest(
     The ledger is partitioned by ``hash_prefix`` (256 uniform md5
     buckets) so a micro-batch rewrites only the buckets it touches;
     pass ``corpus_partition_by`` so corpus merges rewrite only
-    affected partitions rather than the whole table per batch.
+    affected partitions rather than the whole table per batch, and
+    ``corpus_mode='mor'`` to land each batch's survivors as a
+    merge-on-read APPEND — O(batch) per trigger against a 100 TB
+    corpus, with compaction deferred to an out-of-band ``optimize()``.
+    The replayed-batch corpus merge stays idempotent either way
+    (keyed on ``id_col``; MoR replays re-append and newest-wins
+    resolves to the same rows).
 
     ``batch_filter`` is the in-stream curation hook (quality gates,
     PII redaction, language filters — any deterministic
@@ -173,7 +180,7 @@ def stream_dedup_ingest(
 
         def _commit_corpus(survivors: DataFrame) -> None:
             if not survivors.isEmpty():
-                corpus.upsert(survivors, keys=[id_col])
+                corpus.upsert(survivors, keys=[id_col], mode=corpus_mode)
 
         incremental_dedup(
             batch,
@@ -208,6 +215,7 @@ def stream_near_dedup_ingest(
     num_hashes: int = 12,
     bands: int = 4,
     ledger_partition_by: Sequence[str] = ("key_prefix",),
+    corpus_mode: str = "cow",
 ):
     """:func:`stream_dedup_ingest` with NEAR-duplicate semantics: each
     micro-batch probes the persistent MinHash band ledger, drops docs
@@ -222,7 +230,9 @@ def stream_near_dedup_ingest(
     ``ledger_partition_by`` defaults to the production 256-bucket
     ``key_prefix`` layout (a micro-batch rewrites only touched
     buckets); pass ``()`` for small corpora where 256 tiny dirs per
-    commit cost more than they prune."""
+    commit cost more than they prune. ``corpus_mode='mor'`` appends
+    survivors merge-on-read (O(batch) corpus commits — see
+    :func:`stream_dedup_ingest`)."""
     from datalake_toolkit_spark.llm.dedup import incremental_minhash_dedup
 
     def _apply(batch: DataFrame, _batch_id: int) -> None:
@@ -239,7 +249,7 @@ def stream_near_dedup_ingest(
 
         def _commit_corpus(survivors: DataFrame) -> None:
             if not survivors.isEmpty():
-                corpus.upsert(survivors, keys=[id_col])
+                corpus.upsert(survivors, keys=[id_col], mode=corpus_mode)
 
         incremental_minhash_dedup(
             batch,

@@ -2256,3 +2256,41 @@ def test_random_mor_cow_interleavings_match_model(spark, tmp_path):
         for v, snap in history:
             got = {r.key: (r.seg, r.val) for r in t.read(version=v).collect()}
             assert got == snap, f"seed={seed} version {v}"
+
+
+def test_stream_dedup_ingest_mor_corpus(spark, tmp_path):
+    """corpus_mode='mor': each micro-batch's survivors land as a
+    merge-on-read APPEND on the corpus (no base rewrite), dedup across
+    batches still holds, and the resolved corpus matches the CoW
+    pipeline's content."""
+    from datalake_toolkit_spark.lakehouse.streaming import stream_dedup_ingest
+
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "b1.json").write_text(
+        '{"doc_id": 1, "text": "alpha doc"}\n{"doc_id": 2, "text": "beta doc"}\n'
+    )
+    q = stream_dedup_ingest(
+        spark.readStream.schema("doc_id bigint, text string").json(str(src)),
+        corpus_path=str(tmp_path / "corpus"),
+        ledger_path=str(tmp_path / "ledger"),
+        checkpoint=str(tmp_path / "ckpt"),
+        corpus_mode="mor",
+    )
+    q.awaitTermination(120)
+    (src / "b2.json").write_text(
+        '{"doc_id": 3, "text": "alpha doc"}\n{"doc_id": 4, "text": "gamma doc"}\n'
+    )
+    q = stream_dedup_ingest(
+        spark.readStream.schema("doc_id bigint, text string").json(str(src)),
+        corpus_path=str(tmp_path / "corpus"),
+        ledger_path=str(tmp_path / "ledger"),
+        checkpoint=str(tmp_path / "ckpt"),
+        corpus_mode="mor",
+    )
+    q.awaitTermination(120)
+    corpus = LakeTable(spark, str(tmp_path / "corpus"))
+    man = corpus._manifest()
+    assert man["op"] == "merge_mor" and man["merges"]  # append, no rewrite
+    got = {(r.doc_id, r.text) for r in corpus.read().collect()}
+    assert got == {(1, "alpha doc"), (2, "beta doc"), (4, "gamma doc")}
