@@ -1224,6 +1224,14 @@ class LakeTable:
                         )
                     )
             latest = latest.drop("_seq")
+            # key-tombstone appends (merge-on-read DELETE by key): a
+            # key whose newest append is a tombstone resolves to
+            # nothing — but its base rows still lose the anti-join
+            # below (appended keys include tombstoned keys)
+            if self._TOMBSTONE in latest.columns:
+                latest = latest.where(
+                    ~F.coalesce(F.col(self._TOMBSTONE), F.lit(False))
+                ).drop(self._TOMBSTONE)
             if keys is not None and merge_scope == "restrict":
                 latest = latest.where(self._keys_predicate(keys, types))
             # base rows for EVERY appended key lose — even when the
@@ -1618,7 +1626,11 @@ class LakeTable:
         deterministic within-batch winner) — violations raise;
         ``assume_key_unique=True`` skips that verification job when
         uniqueness is guaranteed upstream (e.g. ``merge_batch``
-        collapses first).
+        collapses first). ``when_matched='delete'`` appends KEY
+        TOMBSTONES instead (Hudi delete-record spirit): O(keys)
+        metadata+append where a predicate string can't scale to a
+        large key set; the source may be a bare key frame, and a later
+        append for the same key re-inserts it.
 
         ``partition_scoped=True`` declares that a matched target row
         can only live in the partitions the SOURCE rows name — true
@@ -1788,6 +1800,8 @@ class LakeTable:
                 "guaranteed upstream."
             )
 
+    _TOMBSTONE = "__dtk_tombstone"
+
     def _upsert_mor(
         self,
         source: DataFrame,
@@ -1796,14 +1810,20 @@ class LakeTable:
         schema_evolution: bool,
         assume_key_unique: bool = False,
     ) -> int:
-        if when_matched != "update" or schema_evolution:
+        if schema_evolution:
             raise ValueError(
-                "merge-on-read upsert supports when_matched='update' "
-                "without schema_evolution; use mode='cow' for the rest"
+                "merge-on-read upsert does not support schema_evolution; "
+                "use mode='cow' to widen the table"
             )
-        source = self._enforce(source)
+        delete = when_matched == "delete"
+        if not delete:
+            source = self._enforce(source)
         for _ in range(self._MAX_COMMIT_RETRIES):
             if self.current_version() is None:
+                if delete:
+                    raise FileNotFoundError(
+                        f"no table to delete from at {self.path}"
+                    )
                 token = self._new_token()
                 written = self._write_data(source, token)
                 if written and not assume_key_unique:
@@ -1819,10 +1839,39 @@ class LakeTable:
                 except ConcurrentWriteError:
                     continue
             man = self._manifest()
-            self._check_merge_schema(man, source, False)
             missing = [k for k in keys if k not in source.columns]
             if missing:
                 raise ValueError(f"merge keys {missing} not in source")
+            if delete:
+                # O(keys) tombstone delete (Hudi delete-record spirit):
+                # append rows carrying ONLY the key values plus a
+                # tombstone flag; resolution drops any key whose
+                # newest append is a tombstone. The source may be a
+                # bare key frame — non-key columns are nulled to the
+                # table schema (a key-valued partition column still
+                # places the tombstone in the victim's partition).
+                schema = T.StructType.fromJson(json.loads(man["schema"]))
+                unknown = [k for k in keys if k not in schema.fieldNames()]
+                if unknown:
+                    raise ValueError(
+                        f"merge keys {unknown} not in table schema"
+                    )
+                src = source.select(
+                    *[
+                        (
+                            F.col(f.name).cast(f.dataType)
+                            if f.name in keys
+                            else F.lit(None).cast(f.dataType)
+                        ).alias(f.name)
+                        for f in schema.fields
+                    ]
+                ).withColumn(self._TOMBSTONE, F.lit(True))
+                # duplicate tombstones for one key are identical rows —
+                # collapsing them is deterministic by construction
+                src = src.dropDuplicates(keys)
+            else:
+                self._check_merge_schema(man, source, False)
+                src = source
             prior = list(man.get("merges") or [])
             if prior and list(prior[0]["keys"]) != keys:
                 raise ValueError(
@@ -1835,24 +1884,26 @@ class LakeTable:
             # base (partition dirs under the token); the entry records
             # the touched partition keys so rewrites can scope their
             # materialization without re-deriving them
-            written = self._write_data(source, token)
+            written = self._write_data(src, token)
             if self.partition_by and not written:
                 # zero-row source: an empty partitioned write leaves no
                 # readable files — a merge entry pointing at it would
                 # wedge every snapshot read. No-op instead.
                 shutil.rmtree(self._vdir(token), ignore_errors=True)
                 return man["version"]
-            if not assume_key_unique:
+            if not delete and not assume_key_unique:
                 self._assert_key_unique(token, keys)
             seq = max((e["seq"] for e in prior), default=0) + 1
             entry = {"token": token, "keys": keys, "seq": seq}
             if self.partition_by:
                 entry["parts"] = sorted(written)
+            if delete:
+                entry["delete"] = True
             try:
                 return self._commit(
                     man["version"] + 1,
                     dict(man["owners"]),
-                    "merge_mor",
+                    "merge_mor_delete" if delete else "merge_mor",
                     man["schema"],
                     merges=prior + [entry],
                 )

@@ -1458,8 +1458,10 @@ def test_mor_upsert_guards(spark, tmp_path, base_df):
         t.upsert(base_df.limit(1), keys=["seg"], mode="mor")
     with pytest.raises(ValueError, match="pending"):
         t.evolve_partitioning(("seg",))
-    with pytest.raises(ValueError, match="when_matched"):
-        t.upsert(base_df.limit(1), keys=["id"], mode="mor", when_matched="delete")
+    with pytest.raises(ValueError, match="schema_evolution"):
+        t.upsert(
+            base_df.limit(1), keys=["id"], mode="mor", schema_evolution=True
+        )
 
 
 def test_stream_upsert_mor_mode(spark, tmp_path):
@@ -2226,7 +2228,8 @@ def test_random_mor_cow_interleavings_match_model(spark, tmp_path):
 
         for step in range(8):
             op = rng.choice(
-                ["cow_up", "mor_up", "cow_del", "mor_del", "opt", "opt_part"]
+                ["cow_up", "mor_up", "cow_del", "mor_del", "mor_del_keys",
+                 "opt", "opt_part"]
             )
             if op in ("cow_up", "mor_up"):
                 rows = batch(rng.randint(1, 3))
@@ -2240,6 +2243,16 @@ def test_random_mor_cow_interleavings_match_model(spark, tmp_path):
                 cut = float(rng.randint(0, 9) * 10)
                 t.delete_where(f"val >= {cut}", mode=op[:3])
                 model = {k: sv for k, sv in model.items() if sv[1] < cut}
+            elif op == "mor_del_keys":
+                doomed = rng.sample(keys_pool, rng.randint(1, 2))
+                t.upsert(
+                    spark.createDataFrame([(k,) for k in doomed], "key string"),
+                    keys=["key"],
+                    mode="mor",
+                    when_matched="delete",
+                )
+                for k in doomed:
+                    model.pop(k, None)
             elif op == "opt":
                 t.optimize()
             else:
@@ -2294,3 +2307,69 @@ def test_stream_dedup_ingest_mor_corpus(spark, tmp_path):
     assert man["op"] == "merge_mor" and man["merges"]  # append, no rewrite
     got = {(r.doc_id, r.text) for r in corpus.read().collect()}
     assert got == {(1, "alpha doc"), (2, "beta doc"), (4, "gamma doc")}
+
+
+def test_mor_delete_by_key_tombstones(spark, tmp_path, base_df):
+    """upsert(when_matched='delete', mode='mor'): key tombstones append
+    O(keys) — bare key frames work, the base is never rewritten, the
+    result matches the CoW key-delete, a later append re-inserts the
+    key, and rewrites materialize the deletions."""
+    mor = LakeTable(spark, str(tmp_path / "mor"), partition_by=("seg",))
+    cow = LakeTable(spark, str(tmp_path / "cow"), partition_by=("seg",))
+    mor.write(base_df)
+    cow.write(base_df)
+    owners0 = dict(mor._manifest()["owners"])
+    doomed = spark.createDataFrame([(3,), (7,), (999,)], "id bigint")
+    mor.upsert(doomed, keys=["id"], mode="mor", when_matched="delete")
+    man = mor._manifest()
+    assert man["op"] == "merge_mor_delete"
+    assert man["owners"] == owners0  # append-only
+    assert man["merges"][0].get("delete") is True
+    # CoW delete needs the full schema; derive the same key set
+    cow.upsert(
+        base_df.where(F.col("id").isin(3, 7)),
+        keys=["id"],
+        when_matched="delete",
+    )
+    assert _as_dict(mor.read()) == _as_dict(cow.read())
+    assert len(_as_dict(mor.read())) == 28
+    # restricted read of the victim's partition excludes it
+    assert 3 not in _as_dict(mor.read(partitions=["seg=seg0"]))
+    # a later append re-inserts the key (newest-wins over the tombstone)
+    mor.upsert(
+        spark.createDataFrame([(3, "segX", 33.0)], base_df.schema),
+        keys=["id"],
+        mode="mor",
+    )
+    assert _as_dict(mor.read())[3] == ("segX", 33.0)
+    # time travel: the tombstone version stays deleted, v0 intact
+    assert 3 not in _as_dict(mor.read(version=1))
+    assert _as_dict(mor.read(version=0)) == _as_dict(base_df)
+    # a CoW rewrite materializes the pending set without resurrecting
+    mor.upsert(
+        spark.createDataFrame([(0, "seg0", 1.0)], base_df.schema),
+        keys=["id"],
+    )
+    assert mor._manifest()["merges"] == []
+    got = _as_dict(mor.read())
+    assert 7 not in got and got[3] == ("segX", 33.0) and got[0] == ("seg0", 1.0)
+
+
+def test_mor_tombstone_lands_in_victims_partition_when_key_covers_it(
+    spark, tmp_path, base_df
+):
+    """With the partition column inside the merge keys, the tombstone
+    carries the key's partition value and lands in that partition —
+    not in __HIVE_DEFAULT_PARTITION__."""
+    t = LakeTable(spark, str(tmp_path / "t"), partition_by=("seg",))
+    t.write(base_df)
+    t.upsert(
+        spark.createDataFrame([(6, "seg0")], "id bigint, seg string"),
+        keys=["id", "seg"],
+        mode="mor",
+        when_matched="delete",
+    )
+    entry = t._manifest()["merges"][0]
+    assert entry["parts"] == ["seg=seg0"]
+    got = _as_dict(t.read())
+    assert 6 not in got and len(got) == 29
