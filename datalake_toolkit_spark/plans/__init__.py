@@ -165,6 +165,11 @@ DEMOTED: tuple[str, ...] = (
     "q_domain_mixture",  # 3x (r5-r7); md5-coin mixture sampling ~ q_curate_corpus_full composes it in-window
     "q_catalog_search",  # 3x (r5-r7); catalog machinery ~ q_catalog_walk stays + q_catalog_table_docs returns
     "q13_order_distribution",  # 2x (r6-r7); outer-join distribution ~ q_cohort_retention + q21 stay
+    # r8 third wave: q_mor_delete_by_key enters (merge-on-read key
+    # tombstones, never driver-checked); q17_small_qty_revenue (2x
+    # green r6-r7) rotates out — its correlated-scalar-subquery shape
+    # stays covered in-window by q20_excess_stock.
+    "q17_small_qty_revenue",
 )
 
 GATE_WINDOW = 50
@@ -190,6 +195,7 @@ STATEFUL: frozenset[str] = frozenset(
         "q_mor_delete",  # three commit cycles incl. merge-on-read delete
         "q_mor_upsert",  # three commit cycles incl. two MoR appends
         "q_mor_upsert_partitioned",  # partitioned write + MoR append + restricted reads
+        "q_mor_delete_by_key",  # partitioned write + tombstone append commits
         "q_shallow_clone",  # write + clone + divergent MERGE commits
     }
 )

@@ -171,6 +171,68 @@ def q_mor_upsert_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_mor_delete_by_key",
+    """
+    WITH survivors AS (
+      SELECT c_custkey, c_mktsegment, c_acctbal
+      FROM customer WHERE c_custkey % 13 <> 0
+    )
+    SELECT c_mktsegment AS part,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+    FROM survivors GROUP BY c_mktsegment
+    UNION ALL
+    SELECT '__mor__' AS part, 1 AS n_customers, 0.0 AS sum_bal
+    """,
+)
+def q_mor_delete_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read KEY-TOMBSTONE delete (r8,
+    ``upsert(when_matched='delete', mode='mor')``): a bare key frame
+    (every %13 custkey) appends tombstones — O(keys), the path a
+    predicate string can't take for a large key set — and the resolved
+    read drops exactly those keys. The '__mor__' flag pins the
+    protocol: owners unchanged (no base rewrite), one pending entry
+    marked delete=True."""
+    import shutil
+
+    cust, _ = _customer_source(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="q_mor_del_key_")
+    try:
+        t = LakeTable(spark, work, partition_by=("c_mktsegment",))
+        t.write(cust)  # v0: partitioned base
+        v0_owners = t._manifest()["owners"]
+        doomed = cust.where(F.col("c_custkey") % 13 == 0).select("c_custkey")
+        t.upsert(
+            doomed, keys=["c_custkey"], mode="mor", when_matched="delete"
+        )  # v1: tombstone append only
+        man = t._manifest()
+        entry = (man["merges"] or [{}])[0]
+        mor_ok = int(
+            man["owners"] == v0_owners
+            and man["op"] in ("merge_mor_delete", "write")
+            and (not man["merges"] or entry.get("delete") is True)
+        )
+        agg = (
+            t.read()
+            .groupBy(F.col("c_mktsegment").alias("part"))
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+                F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("sum_bal"),
+            )
+        )
+        flag = spark.createDataFrame(
+            [("__mor__", mor_ok, 0.0)],
+            "part string, n_customers bigint, sum_bal double",
+        )
+        # pin before the temp dir goes away (driver collects after return)
+        return agg.unionByName(flag).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@query(
     "q_time_travel",
     f"""
     {_MERGED_SQL}
