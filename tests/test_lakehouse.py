@@ -2373,3 +2373,42 @@ def test_mor_tombstone_lands_in_victims_partition_when_key_covers_it(
     assert entry["parts"] == ["seg=seg0"]
     got = _as_dict(t.read())
     assert 6 not in got and len(got) == 29
+
+
+def test_mor_append_retries_on_concurrent_commit(spark, tmp_path, base_df):
+    """Two writers MoR-appending concurrently: the loser recomputes
+    from the fresh manifest and BOTH appends survive as distinct
+    pending entries with increasing seqs — nothing lost, resolution
+    sees both."""
+    path = str(tmp_path / "t")
+    t = LakeTable(spark, path)
+    t.write(base_df)
+    other = LakeTable(spark, path)
+    orig = t._commit
+    fired = []
+
+    def racing_commit(version, owners, op, schema_json, **kwargs):
+        if not fired:
+            fired.append(True)
+            other.upsert(  # sneaks in v1 before our claim
+                spark.createDataFrame(
+                    [(50, "segA", 5.0)], "id bigint, seg string, val double"
+                ),
+                keys=["id"],
+                mode="mor",
+            )
+        return orig(version, owners, op, schema_json, **kwargs)
+
+    t._commit = racing_commit
+    t.upsert(
+        spark.createDataFrame(
+            [(51, "segB", 6.0)], "id bigint, seg string, val double"
+        ),
+        keys=["id"],
+        mode="mor",
+    )
+    man = t._manifest()
+    assert [e["seq"] for e in man["merges"]] == [1, 2]
+    got = _as_dict(t.read())
+    assert got[50] == ("segA", 5.0) and got[51] == ("segB", 6.0)
+    assert len(got) == 32
