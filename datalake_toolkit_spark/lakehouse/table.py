@@ -2216,6 +2216,7 @@ class LakeTable:
         look_back_sec: float | None = None,
         now: float | None = None,
         staging_grace_sec: float = 3600.0,
+        quarantine_max_age_sec: float | None = None,
     ) -> list[int]:
         """Drop old manifests and any data version no retained
         manifest references; returns the dropped manifest versions.
@@ -2231,7 +2232,22 @@ class LakeTable:
         Unreferenced staging dirs (orphans from lost commit races)
         are reaped only once older than ``staging_grace_sec`` — a
         concurrent writer's not-yet-committed data must survive its
-        own vacuum (Delta's retention-window rule)."""
+        own vacuum (Delta's retention-window rule).
+
+        ``quarantine_max_age_sec``: also reap ``_quarantine/<token>``
+        audit dirs older than the given age. Quarantined rows are an
+        inspection sink with no manifest references, so they would
+        otherwise accumulate forever; age-gated so a diverted batch
+        stays inspectable through its triage window. ``None``
+        (default) never touches quarantine."""
+        if quarantine_max_age_sec is not None and os.path.isdir(
+            self.quarantine_dir
+        ):
+            qnow = time.time() if now is None else now
+            for d in os.listdir(self.quarantine_dir):
+                full = os.path.join(self.quarantine_dir, d)
+                if qnow - os.path.getmtime(full) > quarantine_max_age_sec:
+                    shutil.rmtree(full, ignore_errors=True)
         versions = self._versions()
         if not versions:
             return []

@@ -2412,3 +2412,30 @@ def test_mor_append_retries_on_concurrent_commit(spark, tmp_path, base_df):
     got = _as_dict(t.read())
     assert got[50] == ("segA", 5.0) and got[51] == ("segB", 6.0)
     assert len(got) == 32
+
+
+def test_vacuum_reaps_aged_quarantine_dirs(spark, tmp_path):
+    """Quarantine dirs are an audit sink with no manifest references —
+    vacuum(quarantine_max_age_sec=...) reaps them once aged, keeps
+    them inside the triage window, and never touches table data."""
+    import time as _time
+
+    t = LakeTable(
+        spark,
+        str(tmp_path / "t"),
+        constraints={"pos": "val >= 0"},
+        on_violation="quarantine",
+    )
+    t.write(
+        spark.createDataFrame(
+            [(1, 5.0), (2, -1.0)], "id bigint, val double"
+        )
+    )
+    qroot = tmp_path / "t" / "_quarantine"
+    assert qroot.is_dir() and any(qroot.iterdir())
+    now = _time.time()
+    t.vacuum(quarantine_max_age_sec=3600.0, now=now)  # young: kept
+    assert any(qroot.iterdir())
+    t.vacuum(quarantine_max_age_sec=3600.0, now=now + 7200)  # aged: reaped
+    assert not any(qroot.iterdir())
+    assert {r.id for r in t.read().collect()} == {1}  # data untouched
