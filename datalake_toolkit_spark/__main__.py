@@ -72,12 +72,19 @@ def _build_parser() -> argparse.ArgumentParser:
     tb.add_argument("--partitions", nargs="*", default=None, help="optimize scope")
     tb.add_argument("--sort-by", nargs="*", default=(), help="optimize clustering")
     tb.add_argument("--keep-last", type=int, default=None, help="vacuum retention")
+    tb.add_argument("--quarantine-max-age", type=float, default=None,
+                help="vacuum: also reap quarantine dirs older than N seconds")
     tb.add_argument("--partition-by", nargs="*", default=None,
                 help="table partition columns (omit to adopt the committed scheme)")
     tb.add_argument("--where", default=None,
                 help="plan-scan/delete predicate (simple AND-of-comparisons prune)")
     tb.add_argument("--mode", choices=["cow", "mor"], default="cow",
                 help="delete mode: rewrite (cow) or predicate entry (mor)")
+    tb.add_argument("--keys", default=None,
+                help="delete: comma-separated key VALUES to tombstone "
+                     "(merge-on-read key delete; needs --key-col)")
+    tb.add_argument("--key-col", default=None,
+                help="delete --keys: the merge key column name")
     tb.add_argument("--target", default=None, help="clone target path")
     tb.add_argument("--deep", action="store_true",
                 help="clone materializes instead of zero-copy pointers")
@@ -223,20 +230,39 @@ def _cmd_table(args: argparse.Namespace) -> int:
         v = t.optimize(sort_by=args.sort_by, partitions=args.partitions)
         print(json.dumps({"optimized_version": v}))
     elif args.action == "vacuum":
-        if args.keep_last is None:
-            print("vacuum requires --keep-last", file=sys.stderr)
+        if args.keep_last is None and args.quarantine_max_age is None:
+            print("vacuum requires --keep-last and/or --quarantine-max-age",
+                  file=sys.stderr)
             return 2
-        t.vacuum(keep_last=args.keep_last)
+        t.vacuum(keep_last=args.keep_last,
+                 quarantine_max_age_sec=args.quarantine_max_age)
         print(json.dumps({"kept_last": args.keep_last,
+                          "quarantine_max_age": args.quarantine_max_age,
                           "current_version": t.current_version()}))
     elif args.action == "plan-scan":
         print(json.dumps(t.plan_scan(where=args.where, version=args.version)))
     elif args.action == "delete":
-        if args.where is None:
-            print("delete requires --where", file=sys.stderr)
+        if args.keys is not None:
+            # merge-on-read key tombstones: O(keys), no predicate string
+            if args.key_col is None:
+                print("delete --keys requires --key-col", file=sys.stderr)
+                return 2
+            key_df = spark.createDataFrame(
+                [(k,) for k in args.keys.split(",")],
+                f"{args.key_col} string",
+            )
+            v = t.upsert(
+                key_df, keys=[args.key_col], mode="mor",
+                when_matched="delete",
+            )
+            print(json.dumps({"deleted_version": v, "mode": "mor",
+                              "tombstoned": len(args.keys.split(","))}))
+        elif args.where is None:
+            print("delete requires --where or --keys", file=sys.stderr)
             return 2
-        v = t.delete_where(args.where, mode=args.mode)
-        print(json.dumps({"deleted_version": v, "mode": args.mode}))
+        else:
+            v = t.delete_where(args.where, mode=args.mode)
+            print(json.dumps({"deleted_version": v, "mode": args.mode}))
     elif args.action == "clone":
         if args.target is None:
             print("clone requires --target", file=sys.stderr)

@@ -786,3 +786,48 @@ def test_cli_table_skipping_and_clone_actions(spark, tmp_path, capsys):
     assert out["shallow"] is True
     assert LakeTable(spark, clone_path).read().count() == 15
     assert main(["table", "--path", path, "clone"]) == 2  # missing --target
+
+
+def test_cli_table_tombstone_delete_and_quarantine_vacuum(
+    spark, tmp_path, capsys
+):
+    import json as json_mod
+    import time as time_mod
+
+    from datalake_toolkit_spark.__main__ import main
+    from datalake_toolkit_spark.lakehouse import LakeTable
+
+    path = str(tmp_path / "tbl")
+    LakeTable(spark, path).write(
+        spark.createDataFrame(
+            [(i, float(i)) for i in range(10)], "id bigint, val double"
+        )
+    )
+    # merge-on-read key tombstones from the CLI (string key values cast
+    # to the table's key type)
+    assert main(["table", "--path", path, "delete",
+                 "--keys", "3,7", "--key-col", "id"]) == 0
+    out = json_mod.loads(capsys.readouterr().out.strip())
+    assert out["mode"] == "mor" and out["tombstoned"] == 2
+    got = {r.id for r in LakeTable(spark, path).read().collect()}
+    assert got == set(range(10)) - {3, 7}
+    assert main(["table", "--path", path, "delete",
+                 "--keys", "1"]) == 2  # missing --key-col
+    capsys.readouterr()
+
+    # quarantine-aged vacuum from the CLI
+    qpath = str(tmp_path / "q")
+    guarded = LakeTable(
+        spark, qpath, constraints={"pos": "val >= 0"},
+        on_violation="quarantine",
+    )
+    guarded.write(
+        spark.createDataFrame([(1, 5.0), (2, -1.0)], "id bigint, val double")
+    )
+    qroot = tmp_path / "q" / "_quarantine"
+    assert any(qroot.iterdir())
+    time_mod.sleep(1.1)
+    assert main(["table", "--path", qpath, "vacuum",
+                 "--quarantine-max-age", "1"]) == 0
+    capsys.readouterr()
+    assert not any(qroot.iterdir())
