@@ -247,16 +247,50 @@ def _cmd_table(args: argparse.Namespace) -> int:
             if args.key_col is None:
                 print("delete --keys requires --key-col", file=sys.stderr)
                 return 2
+            from pyspark.sql import functions as F
+            from pyspark.sql import types as T
+
+            key_vals = args.keys.split(",")
             key_df = spark.createDataFrame(
-                [(k,) for k in args.keys.split(",")],
+                [(k,) for k in key_vals],
                 f"{args.key_col} string",
             )
+            # validate the cast against the table's key type up front:
+            # an uncastable value (e.g. 'abc' vs a bigint key) becomes
+            # a NULL tombstone that matches nothing, and the command
+            # would report success while deleting zero rows
+            schema = T.StructType.fromJson(json.loads(t._manifest()["schema"]))
+            field = next(
+                (f for f in schema.fields if f.name == args.key_col), None
+            )
+            if field is None:
+                print(
+                    f"delete --key-col {args.key_col!r} is not a column "
+                    "of the table",
+                    file=sys.stderr,
+                )
+                return 2
+            bad = [
+                r[0]
+                for r in key_df.where(
+                    F.col(args.key_col)
+                    .try_cast(field.dataType)
+                    .isNull()
+                ).collect()
+            ]
+            if bad:
+                print(
+                    f"delete --keys: {bad} do not cast to the key type "
+                    f"{field.dataType.simpleString()}",
+                    file=sys.stderr,
+                )
+                return 2
             v = t.upsert(
                 key_df, keys=[args.key_col], mode="mor",
                 when_matched="delete",
             )
             print(json.dumps({"deleted_version": v, "mode": "mor",
-                              "tombstoned": len(args.keys.split(","))}))
+                              "tombstoned": len(key_vals)}))
         elif args.where is None:
             print("delete requires --where or --keys", file=sys.stderr)
             return 2

@@ -450,6 +450,11 @@ class LakeTable:
         committed: tuple[str, ...] | None = None
         if self.current_version() is not None:
             committed = tuple(self._manifest()["partition_by"])
+        # an EXPLICIT config (even empty) is authoritative: commits set
+        # the manifest hint to exactly these columns, letting
+        # bloom_filter_columns=() retire a stale hint whose files long
+        # since lost their filters (r8 ADVICE). None = adopt + carry.
+        self._bloom_explicit = bloom_filter_columns is not None
         if bloom_filter_columns is None:
             # adopt the table's committed bloom config (mirroring the
             # partition_by adoption below): a maintenance handle opened
@@ -573,9 +578,14 @@ class LakeTable:
         # bloom hint: which columns MAY carry file bloom filters —
         # union with the previous manifest's hint because carried
         # partitions keep their bloomed files. Purely advisory: the
-        # probe keeps any file whose footer lacks the filter.
+        # probe keeps any file whose footer lacks the filter. A handle
+        # built with an EXPLICIT config writes exactly that column set
+        # instead, so passing () retires a hint whose footer probes
+        # stopped paying off (dropped columns lose skipping on any
+        # still-bloomed carried files — correctness is unaffected, the
+        # probe is evidence-based).
         bloom_hint = set(self.bloom_filter_columns)
-        if version > 0:
+        if version > 0 and not self._bloom_explicit:
             try:
                 bloom_hint |= set(
                     self._manifest(version - 1).get("bloom_columns") or []
@@ -1959,8 +1969,13 @@ class LakeTable:
                         | {e["token"] for e in man.get("merges") or []}
                     ),
                 }
+                # pending merge tokens are live too: a prior delete
+                # whose only coverage is an un-compacted MoR append
+                # must carry, or its rows resurrect on the next read
                 carried = self._carried_deletes(
-                    man["version"] + 1, man["owners"]
+                    man["version"] + 1,
+                    man["owners"],
+                    man.get("merges") or [],
                 )
                 try:
                     return self._commit(
@@ -2089,6 +2104,31 @@ class LakeTable:
             f"optimize lost {self._MAX_COMMIT_RETRIES} version races at {self.path}"
         )
 
+    def _key_range_conjuncts(
+        self, app_keys: DataFrame, ekeys: Sequence[str]
+    ) -> list[tuple] | None:
+        """Min/max range conjuncts over a delta's append keys, used to
+        stat-prune the shadowed-old-home base probe in ``changes()``
+        down to files whose key ranges overlap the appends. Returns
+        None when no base row can possibly match — empty delta, or an
+        all-NULL key column (the equality semijoin matches nothing).
+        A key whose bounds don't encode JSON-safely (decimal, binary)
+        contributes no conjunct; the probe still runs, just unpruned
+        on that column."""
+        aggs = []
+        for k in ekeys:
+            aggs += [F.min(k).alias(f"__mn_{k}"), F.max(k).alias(f"__mx_{k}")]
+        row = app_keys.agg(*aggs).first()
+        out: list[tuple] = []
+        for k in ekeys:
+            mn, mx = row[f"__mn_{k}"], row[f"__mx_{k}"]
+            if mn is None:
+                return None
+            lo, hi = _json_safe_stat(mn), _json_safe_stat(mx)
+            if lo is not None and hi is not None:
+                out += [(k, ">=", lo), (k, "<=", hi)]
+        return out
+
     def changes(self, from_version: int, to_version: int | None = None) -> DataFrame:
         """Change data feed between two versions: each changed row
         tagged ``_change_type`` ('insert' | 'delete'; an update is a
@@ -2135,32 +2175,47 @@ class LakeTable:
                 delta = [e for e in merges_t if e not in merges_f] + [
                     e for e in merges_f if e not in merges_t
                 ]
-                mkeys = list((merges_t or merges_f)[0]["keys"])
-                key_parts = []
+                # each entry names its OWN key set: across a rewrite
+                # boundary the delta can mix merges committed on
+                # different keys (and a key-tombstone token holds only
+                # its own key columns), so selection must be per entry
+                key_parts: dict[tuple, list[DataFrame]] = {}
                 for e in delta:
                     p = self.spark.read.parquet(self._vdir(e["token"]))
                     if e.get("parts"):
                         merge_changed |= {k for k in e["parts"] if k}
                     else:
                         merge_changed |= self._affected_keys(m_to, p)
-                    key_parts.append(p.select(*mkeys))
+                    ekeys = tuple(e["keys"])
+                    key_parts.setdefault(ekeys, []).append(p.select(*ekeys))
                 # shadowed old homes: only possible when a key can MOVE
                 # partitions — with every partition column inside the
                 # merge keys, the shadowed row shares the append row's
-                # partition and the probe (a base scan + semijoin
-                # against the small append-key set) is skipped entirely
+                # partition and the probe (a stat-pruned base read +
+                # semijoin against the small append-key set) is
+                # skipped entirely
                 specs = {_key_spec(k) for k in all_keys if k}
                 specs.add(tuple(self.partition_by))
-                if not all(set(s) <= set(mkeys) for s in specs):
+                for ekeys, parts in key_parts.items():
+                    if all(set(s) <= set(ekeys) for s in specs):
+                        continue
                     app_keys = reduce(
-                        lambda a, b: a.unionByName(b), key_parts
+                        lambda a, b: a.unionByName(b), parts
                     ).distinct()
+                    # prune the base probe with the appends' key
+                    # ranges: only files whose manifest min/max stats
+                    # overlap the delta keys are listed — a small MoR
+                    # append on a large table probes O(overlapping
+                    # files), not the whole base
+                    conjs = self._key_range_conjuncts(app_keys, ekeys)
+                    if conjs is None:
+                        continue  # nothing the semijoin could match
                     for man in (m_from, m_to):
                         base_man = dict(man)
                         base_man["merges"] = []
-                        shadowed = self._read_owned(base_man).join(
-                            app_keys, mkeys, "leftsemi"
-                        )
+                        shadowed = self._read_owned(
+                            base_man, conjuncts=conjs
+                        ).join(app_keys, list(ekeys), "leftsemi")
                         merge_changed |= self._affected_keys(man, shadowed)
         changed = [
             k

@@ -814,6 +814,18 @@ def test_cli_table_tombstone_delete_and_quarantine_vacuum(
     assert main(["table", "--path", path, "delete",
                  "--keys", "1"]) == 2  # missing --key-col
     capsys.readouterr()
+    # an uncastable key value must fail loudly, not commit a NULL
+    # tombstone that matches nothing (r8 ADVICE low)
+    v_before = LakeTable(spark, path).current_version()
+    assert main(["table", "--path", path, "delete",
+                 "--keys", "abc,4", "--key-col", "id"]) == 2
+    err = capsys.readouterr().err
+    assert "abc" in err and "bigint" in err
+    assert LakeTable(spark, path).current_version() == v_before
+    # and an unknown key column is rejected before any Spark work
+    assert main(["table", "--path", path, "delete",
+                 "--keys", "4", "--key-col", "nope"]) == 2
+    assert "nope" in capsys.readouterr().err
 
     # quarantine-aged vacuum from the CLI
     qpath = str(tmp_path / "q")

@@ -1719,6 +1719,38 @@ def test_mor_delete_targets_winner_among_stacked_appends(spark, tmp_path):
     assert got[0] == ("s", 300.0) and len(got) == 2
 
 
+def test_stacked_mor_deletes_keep_coverage_of_pending_appends(
+    spark, tmp_path
+):
+    """Two stacked MoR predicate deletes over a pending MoR append: the
+    second delete's carry must keep the first entry's coverage of the
+    pending merge token (r8 ADVICE medium — `_carried_deletes` was
+    called without the merges, so a delete whose only live coverage was
+    an un-compacted append was pruned away and its rows resurrected)."""
+    schema = "id bigint, seg string, val double"
+    t = LakeTable(spark, str(tmp_path / "t"))
+    t.write(spark.createDataFrame([(9, "seg9", 1.0)], schema))
+    # pending append introduces id=1 under a merge token only
+    t.upsert(
+        spark.createDataFrame([(1, "s1", 80.0)], schema),
+        keys=["id"],
+        mode="mor",
+    )
+    t.delete_where("id = 1", mode="mor")
+    assert _as_dict(t.read()) == {9: ("seg9", 1.0)}
+    # unrelated second MoR delete must not resurrect id=1
+    t.delete_where("val > 1000.0", mode="mor")
+    assert _as_dict(t.read()) == {9: ("seg9", 1.0)}
+    man = t._manifest()
+    merge_tok = man["merges"][0]["token"]
+    first = [e for e in man["deletes"] if e["pred"] == "id = 1"]
+    assert first and merge_tok in first[0]["tokens"]
+    # and the drain still works: a full optimize materializes both
+    t.optimize()
+    assert _as_dict(t.read()) == {9: ("seg9", 1.0)}
+    assert not t._manifest()["deletes"] and not t._manifest()["merges"]
+
+
 def test_mor_upsert_partitioned_matches_cow_and_time_travels(
     spark, tmp_path, base_df
 ):
@@ -2110,6 +2142,99 @@ def test_cdf_after_partitioned_mor_append_is_scoped_and_complete(
     assert set().union(*reads2) == {"seg=seg1"}
 
 
+def test_cdf_shadow_probe_is_stat_pruned(spark, tmp_path):
+    """The shadowed-old-home probe in changes() must not read the whole
+    base when partition cols are not a subset of the merge keys (r8
+    verdict #2): it builds min/max range conjuncts from the delta's
+    append keys, so only files whose key stats overlap are listed."""
+    t = LakeTable(spark, str(tmp_path / "t"), partition_by=("seg",))
+    rows = [(i, "a", float(i)) for i in range(10)]
+    rows += [(i, "b", float(i)) for i in range(100, 110)]
+    rows += [(i, "c", float(i)) for i in range(200, 210)]
+    t.write(spark.createDataFrame(rows, "id bigint, seg string, val double"))
+    # move id=5 from seg=a to seg=zz: keys=["id"] can't cover seg, so
+    # the probe runs — but pruned to files overlapping id=5
+    t.upsert(
+        spark.createDataFrame(
+            [(5, "zz", 555.0)], "id bigint, seg string, val double"
+        ),
+        keys=["id"],
+        mode="mor",
+    )
+    reports = []
+    orig = t._select_files
+
+    def spy(man, keys, conjuncts):
+        bg, rep = orig(man, keys, conjuncts)
+        reports.append((conjuncts, rep))
+        return bg, rep
+
+    t._select_files = spy
+    try:
+        got = {
+            (r._change_type, r.id, r.seg, r.val)
+            for r in t.changes(0, 1).collect()
+        }
+    finally:
+        t._select_files = orig
+    assert got == {
+        ("delete", 5, "a", 5.0),
+        ("insert", 5, "zz", 555.0),
+    }
+    # two probes (from/to side), each carrying id range conjuncts and
+    # scanning only the seg=a files (id stats of b/c exclude 5)
+    probes = [(c, r) for c, r in reports if c]
+    assert len(probes) == 2
+    for conjs, rep in probes:
+        assert ("id", ">=", 5) in conjs and ("id", "<=", 5) in conjs
+        assert rep["files_total"] >= 3
+        assert 0 < rep["files_scanned"] < rep["files_total"]
+        assert rep["partitions_scanned"] == 1
+
+
+def test_cdf_across_rewrite_boundary_with_mixed_merge_key_sets(
+    spark, tmp_path
+):
+    """changes() spanning a rewrite that cleared merges committed on one
+    key set and re-created them on another (r8 ADVICE low): each delta
+    entry must be probed with its OWN keys, and the diff must equal the
+    brute-force snapshot diff."""
+    schema = "id bigint, seg string, val double"
+    t = LakeTable(spark, str(tmp_path / "t"), partition_by=("seg",))
+    t.write(
+        spark.createDataFrame(
+            [(1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0)], schema
+        )
+    )  # v0
+    t.upsert(
+        spark.createDataFrame([(1, "zz", 11.0)], schema),
+        keys=["id"],
+        mode="mor",
+    )  # v1: pending merge on keys=[id], cross-partition move
+    t.optimize()  # v2: merges cleared
+    t.upsert(
+        spark.createDataFrame([(2, "b", 22.0)], schema),
+        keys=["id", "seg"],
+        mode="mor",
+    )  # v3: pending merge on a DIFFERENT key set
+    man_f, man_t = t._manifest(1), t._manifest(3)
+    assert [list(e["keys"]) for e in man_f["merges"]] == [["id"]]
+    assert [list(e["keys"]) for e in man_t["merges"]] == [["id", "seg"]]
+    before, after = t.read(version=1), t.read(version=3)
+    want = {
+        ("delete", r.id, r.seg, r.val)
+        for r in before.exceptAll(after).collect()
+    } | {
+        ("insert", r.id, r.seg, r.val)
+        for r in after.exceptAll(before).collect()
+    }
+    got = {
+        (r._change_type, r.id, r.seg, r.val)
+        for r in t.changes(1, 3).collect()
+    }
+    assert got == want == {("delete", 2, "b", 2.0), ("insert", 2, "b", 22.0)}
+
+
 def test_bloom_config_adopted_by_later_handles(spark, tmp_path):
     """A handle opened WITHOUT bloom_filter_columns adopts the table's
     committed config (like partition_by): its rewrites keep writing
@@ -2133,6 +2258,34 @@ def test_bloom_config_adopted_by_later_handles(spark, tmp_path):
     assert rep["files_total"] >= 1
     assert rep["files_scanned"] == 0
     assert rep["files_bloom_skipped"] >= 1
+
+
+def test_bloom_hint_retires_with_explicit_empty_config(spark, tmp_path):
+    """The manifest bloom hint is a monotone union only for handles
+    that ADOPT the config; an explicit bloom_filter_columns=() is
+    authoritative and retires the hint (r8 ADVICE low), so point
+    lookups stop paying footer probes on columns whose files lost
+    their filters. A later adopting handle stays retired."""
+    df = spark.createDataFrame(
+        [(i, f"uid_{i:03d}") for i in range(50)], "id bigint, uid string"
+    )
+    t = LakeTable(spark, str(tmp_path / "t"), bloom_filter_columns=("uid",))
+    t.write(df)
+    assert t._manifest()["bloom_columns"] == ["uid"]
+    # an adopting handle carries the hint through its commits
+    LakeTable(spark, str(tmp_path / "t")).optimize()
+    assert t._manifest()["bloom_columns"] == ["uid"]
+    # explicit empty config: the next commit drops the hint
+    off = LakeTable(spark, str(tmp_path / "t"), bloom_filter_columns=())
+    off.optimize()
+    assert off._manifest()["bloom_columns"] == []
+    # and adoption after retirement stays empty
+    again = LakeTable(spark, str(tmp_path / "t"))
+    assert again.bloom_filter_columns == {}
+    again.write(df, op="append")
+    assert again._manifest()["bloom_columns"] == []
+    # reads stay correct throughout
+    assert again.read().where("uid = 'uid_007'").count() >= 1
 
 
 def test_stream_upsert_mor_partitioned(spark, tmp_path):
