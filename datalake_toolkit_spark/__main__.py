@@ -65,9 +65,30 @@ def _build_parser() -> argparse.ArgumentParser:
         "action",
         choices=[
             "history", "restore", "optimize", "vacuum", "show",
-            "plan-scan", "delete", "clone",
+            "plan-scan", "delete", "clone", "write", "upsert",
         ],
     )
+    tb.add_argument("--input", default=None,
+                help="write/upsert: source parquet path")
+    tb.add_argument("--merge-keys", nargs="+", default=None,
+                help="upsert: merge key columns")
+    tb.add_argument("--partition-scoped", action="store_true",
+                help="upsert: declare matched rows share the source row's "
+                     "partition (skips the full-table match probe)")
+    tb.add_argument("--bloom-columns", nargs="*", default=None,
+                help="columns to write parquet bloom filters for, as COL "
+                     "or COL:NDV; pass with NO values to retire the "
+                     "table's bloom hint; omit to adopt the committed "
+                     "config")
+    tb.add_argument("--auto-compact-merges", type=int, default=None,
+                help="drain pending MoR appends once this many merge "
+                     "entries accumulate (scoped optimize at commit time)")
+    tb.add_argument("--auto-compact-deletes", type=int, default=None,
+                help="full optimize once this many MoR delete entries "
+                     "accumulate")
+    tb.add_argument("--auto-compact-append-ratio", type=float, default=None,
+                help="drain pending MoR appends once appended/base file "
+                     "ratio crosses this value")
     tb.add_argument("--version", type=int, default=None, help="restore/show target")
     tb.add_argument("--partitions", nargs="*", default=None, help="optimize scope")
     tb.add_argument("--sort-by", nargs="*", default=(), help="optimize clustering")
@@ -208,12 +229,50 @@ def _cmd_table(args: argparse.Namespace) -> int:
     from datalake_toolkit_spark.lakehouse import LakeTable
 
     spark = get_spark(app_name="dts-table")
+    bloom = None
+    if args.bloom_columns is not None:
+        # COL or COL:NDV specs; an empty list is an EXPLICIT empty
+        # config, which retires the table's bloom hint on commit
+        bloom = {}
+        for spec in args.bloom_columns:
+            col, _, ndv = spec.partition(":")
+            bloom[col] = int(ndv) if ndv else None
+    policy = {}
+    if args.auto_compact_merges is not None:
+        policy["merges"] = args.auto_compact_merges
+    if args.auto_compact_deletes is not None:
+        policy["deletes"] = args.auto_compact_deletes
+    if args.auto_compact_append_ratio is not None:
+        policy["append_ratio"] = args.auto_compact_append_ratio
     t = LakeTable(
         spark,
         args.path,
         partition_by=None if args.partition_by is None else tuple(args.partition_by),
+        bloom_filter_columns=bloom,
+        auto_compact_after=policy or None,
     )
-    if args.action == "history":
+    if args.action == "write":
+        if args.input is None:
+            print("write requires --input", file=sys.stderr)
+            return 2
+        v = t.write(spark.read.parquet(args.input))
+        print(json.dumps({"written_version": v,
+                          "bloom_columns": t._manifest()["bloom_columns"]}))
+    elif args.action == "upsert":
+        if args.input is None or not args.merge_keys:
+            print("upsert requires --input and --merge-keys", file=sys.stderr)
+            return 2
+        v = t.upsert(
+            spark.read.parquet(args.input),
+            keys=args.merge_keys,
+            mode=args.mode,
+            partition_scoped=args.partition_scoped,
+        )
+        man = t._manifest()
+        print(json.dumps({"upserted_version": v, "mode": args.mode,
+                          "current_version": t.current_version(),
+                          "pending_merges": len(man.get("merges") or [])}))
+    elif args.action == "history":
         for h in t.history():
             print(json.dumps(h))
     elif args.action == "show":

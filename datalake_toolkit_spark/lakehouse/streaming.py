@@ -41,6 +41,7 @@ def merge_batch(
     schema_evolution: bool = False,
     on_violation: str = "reject",
     mode: str = "cow",
+    auto_compact_after: dict | None = None,
 ) -> None:
     """MERGE one (micro-)batch into the LakeTable at ``path``.
 
@@ -53,8 +54,10 @@ def merge_batch(
 
     ``mode='mor'`` appends each micro-batch under a fresh token
     instead of rewriting matched partitions — O(batch) per trigger,
-    the natural fit for high-frequency small micro-batches; schedule
-    an ``optimize()`` to compact the pending appends out-of-band."""
+    the natural fit for high-frequency small micro-batches. Pass
+    ``auto_compact_after`` (see :class:`LakeTable`) so the stream
+    drains its own pending appends every N micro-batches; without it,
+    schedule an ``optimize()`` out-of-band."""
     if batch.isEmpty():
         return
     collapsed = dedup_latest(
@@ -64,7 +67,7 @@ def merge_batch(
     )
     LakeTable(
         batch.sparkSession, path, partition_by=partition_by,
-        on_violation=on_violation,
+        on_violation=on_violation, auto_compact_after=auto_compact_after,
     ).upsert(
         collapsed,
         keys=list(keys),
@@ -87,6 +90,7 @@ def stream_upsert(
     available_now: bool = True,
     on_violation: str = "reject",
     mode: str = "cow",
+    auto_compact_after: dict | None = None,
 ):
     """Run a stream into a MERGE-maintained LakeTable; returns the
     started ``StreamingQuery`` (``availableNow`` drains and stops by
@@ -94,7 +98,8 @@ def stream_upsert(
     Persisted CHECK constraints on the target table gate every
     micro-batch; pass ``on_violation='quarantine'`` so bad rows divert
     instead of killing the stream. ``mode='mor'`` appends each
-    micro-batch merge-on-read style (see ``merge_batch``)."""
+    micro-batch merge-on-read style, with ``auto_compact_after``
+    bounding the pending-state read tax (see ``merge_batch``)."""
 
     def _apply(batch: DataFrame, _batch_id: int) -> None:
         merge_batch(
@@ -106,6 +111,7 @@ def stream_upsert(
             schema_evolution=schema_evolution,
             on_violation=on_violation,
             mode=mode,
+            auto_compact_after=auto_compact_after,
         )
 
     writer = (
@@ -129,6 +135,7 @@ def stream_dedup_ingest(
     available_now: bool = True,
     batch_filter: Callable[[DataFrame], DataFrame] | None = None,
     corpus_mode: str = "cow",
+    corpus_auto_compact_after: dict | None = None,
 ):
     """The full continuous-ingestion dedup pipeline: a document stream
     is exact-deduped ACROSS micro-batches (fingerprint ledger
@@ -150,7 +157,9 @@ def stream_dedup_ingest(
     affected partitions rather than the whole table per batch, and
     ``corpus_mode='mor'`` to land each batch's survivors as a
     merge-on-read APPEND — O(batch) per trigger against a 100 TB
-    corpus, with compaction deferred to an out-of-band ``optimize()``.
+    corpus, with compaction deferred to an out-of-band ``optimize()``
+    or bounded in-stream via ``corpus_auto_compact_after`` (see
+    :class:`LakeTable`).
     The replayed-batch corpus merge stays idempotent either way
     (keyed on ``id_col``; MoR replays re-append and newest-wins
     resolves to the same rows).
@@ -175,7 +184,9 @@ def stream_dedup_ingest(
             batch.sparkSession, ledger_path, partition_by=("hash_prefix",)
         )
         corpus = LakeTable(
-            batch.sparkSession, corpus_path, partition_by=corpus_partition_by
+            batch.sparkSession, corpus_path,
+            partition_by=corpus_partition_by,
+            auto_compact_after=corpus_auto_compact_after,
         )
 
         def _commit_corpus(survivors: DataFrame) -> None:
@@ -216,6 +227,7 @@ def stream_near_dedup_ingest(
     bands: int = 4,
     ledger_partition_by: Sequence[str] = ("key_prefix",),
     corpus_mode: str = "cow",
+    corpus_auto_compact_after: dict | None = None,
 ):
     """:func:`stream_dedup_ingest` with NEAR-duplicate semantics: each
     micro-batch probes the persistent MinHash band ledger, drops docs
@@ -231,8 +243,8 @@ def stream_near_dedup_ingest(
     ``key_prefix`` layout (a micro-batch rewrites only touched
     buckets); pass ``()`` for small corpora where 256 tiny dirs per
     commit cost more than they prune. ``corpus_mode='mor'`` appends
-    survivors merge-on-read (O(batch) corpus commits — see
-    :func:`stream_dedup_ingest`)."""
+    survivors merge-on-read (O(batch) corpus commits, bounded by
+    ``corpus_auto_compact_after`` — see :func:`stream_dedup_ingest`)."""
     from datalake_toolkit_spark.llm.dedup import incremental_minhash_dedup
 
     def _apply(batch: DataFrame, _batch_id: int) -> None:
@@ -244,7 +256,9 @@ def stream_near_dedup_ingest(
             batch.sparkSession, ledger_path, partition_by=ledger_partition_by
         )
         corpus = LakeTable(
-            batch.sparkSession, corpus_path, partition_by=corpus_partition_by
+            batch.sparkSession, corpus_path,
+            partition_by=corpus_partition_by,
+            auto_compact_after=corpus_auto_compact_after,
         )
 
         def _commit_corpus(survivors: DataFrame) -> None:

@@ -397,6 +397,7 @@ class LakeTable:
         on_violation: str = "reject",
         stats_columns: Sequence[str] | None = None,
         bloom_filter_columns: Sequence[str] | dict[str, int] | None = None,
+        auto_compact_after: dict | None = None,
     ) -> None:
         """``partition_by``: the table's partition scheme. ``None``
         (default) adopts the existing table's current scheme from its
@@ -434,13 +435,44 @@ class LakeTable:
         cardinality identifier columns defeat (every file spans the
         alphabet). Planning-side probing covers STRING equality (the
         case min/max loses); numeric equality already prunes via
-        min/max and Spark's row-group blooms."""
+        min/max and Spark's row-group blooms.
+
+        ``auto_compact_after``: commit-time compaction policy for
+        merge-on-read state (Delta auto-compaction / Hudi inline-
+        compaction spirit). A dict with any of:
+
+        - ``'merges': N`` — after a MoR commit leaves >= N pending
+          merge entries, run a SCOPED ``optimize()`` over the
+          partitions they touch, draining them;
+        - ``'deletes': N`` — >= N pending predicate-delete entries
+          triggers a FULL ``optimize()`` (their token coverage spans
+          the table, so only a full rewrite drains every entry);
+        - ``'append_ratio': r`` — pending append files / base files
+          (from the manifest stats map) >= r triggers the scoped
+          drain; needs per-file stats (on by default).
+
+        Without a policy (default), compaction stays out-of-band and
+        every read pays the documented MoR resolution tax until
+        someone calls ``optimize()``. The policy bounds that tax: a
+        steady MoR stream compacts itself every N micro-batches."""
         if on_violation not in ("reject", "quarantine"):
             raise ValueError(f"on_violation must be reject|quarantine, got {on_violation!r}")
         self.spark = spark
         self.path = path
         self.constraints = dict(constraints) if constraints is not None else None
         self.on_violation = on_violation
+        self.auto_compact_after = (
+            dict(auto_compact_after) if auto_compact_after else None
+        )
+        if self.auto_compact_after:
+            unknown = set(self.auto_compact_after) - {
+                "merges", "deletes", "append_ratio",
+            }
+            if unknown:
+                raise ValueError(
+                    f"auto_compact_after keys {sorted(unknown)} unknown; "
+                    "expected merges|deletes|append_ratio"
+                )
         self.stats_columns = (
             tuple(stats_columns) if stats_columns is not None else None
         )
@@ -1910,7 +1942,7 @@ class LakeTable:
             if delete:
                 entry["delete"] = True
             try:
-                return self._commit(
+                v = self._commit(
                     man["version"] + 1,
                     dict(man["owners"]),
                     "merge_mor_delete" if delete else "merge_mor",
@@ -1919,9 +1951,63 @@ class LakeTable:
                 )
             except ConcurrentWriteError:
                 continue
+            return self._maybe_auto_compact(v)
         raise ConcurrentWriteError(
             f"merge lost {self._MAX_COMMIT_RETRIES} version races at {self.path}"
         )
+
+    def _maybe_auto_compact(self, version: int) -> int:
+        """Post-commit compaction trigger: evaluate the
+        ``auto_compact_after`` policy against the just-committed
+        manifest and, when a threshold is crossed, drain pending
+        merge-on-read state — a scoped ``optimize()`` over the
+        merge-touched partitions for the merges/append_ratio
+        triggers, a full one for the deletes trigger (predicate
+        entries' token coverage spans the table). Returns the
+        (possibly advanced) current version; readers on the prior
+        version stay consistent — compaction is just another commit."""
+        pol = self.auto_compact_after
+        if not pol:
+            return version
+        man = self._manifest(version)
+        merges = man.get("merges") or []
+        deletes = man.get("deletes") or []
+        full = (
+            pol.get("deletes") is not None
+            and len(deletes) >= pol["deletes"]
+        )
+        scoped = (
+            pol.get("merges") is not None
+            and len(merges) >= pol["merges"]
+        )
+        ratio = pol.get("append_ratio")
+        if not full and not scoped and ratio is not None and merges:
+            # appended files per pending token (cheap: bounded by the
+            # merges threshold) vs base files from the stats map (free:
+            # already in memory). No stats -> the ratio never fires.
+            base = len(man.get("stats") or {})
+            if base:
+                appended = 0
+                for e in merges:
+                    for _root, _dirs, files in os.walk(
+                        self._vdir(e["token"])
+                    ):
+                        appended += sum(
+                            1
+                            for f in files
+                            if f.endswith(".parquet")
+                            and not f.startswith(("_", "."))
+                        )
+                scoped = appended / base >= ratio
+        if full:
+            return self.optimize()
+        if scoped:
+            if self.partition_by and man["owners"]:
+                # partitions=[] scopes to nothing and lets optimize()
+                # widen to exactly the merge-affected partitions
+                return self.optimize(partitions=[])
+            return self.optimize()
+        return version
 
     def delete_where(self, condition, mode: str = "cow") -> int:
         """Row delete. ``mode='cow'`` (default) rewrites affected
@@ -1978,7 +2064,7 @@ class LakeTable:
                     man.get("merges") or [],
                 )
                 try:
-                    return self._commit(
+                    v = self._commit(
                         man["version"] + 1,
                         dict(man["owners"]),
                         "delete_mor",
@@ -1987,6 +2073,7 @@ class LakeTable:
                     )
                 except ConcurrentWriteError:
                     continue
+                return self._maybe_auto_compact(v)
             raise ConcurrentWriteError(
                 f"delete lost {self._MAX_COMMIT_RETRIES} version races "
                 f"at {self.path}"

@@ -788,6 +788,74 @@ def test_cli_table_skipping_and_clone_actions(spark, tmp_path, capsys):
     assert main(["table", "--path", path, "clone"]) == 2  # missing --target
 
 
+def test_cli_table_write_upsert_bloom_and_auto_compact(
+    spark, tmp_path, capsys
+):
+    """r8 verdict #3: bloom columns, partition-scoped merges, and the
+    auto-compact policy are all reachable from the CLI — table create
+    and maintenance no longer require Python."""
+    import json as json_mod
+
+    from datalake_toolkit_spark.__main__ import main
+    from datalake_toolkit_spark.lakehouse import LakeTable
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(i, f"uid_{i:03d}", float(i)) for i in range(50)],
+        "id bigint, uid string, val double",
+    ).coalesce(1).write.parquet(src)
+    path = str(tmp_path / "tbl")
+    # create WITH bloom filters from the CLI
+    assert main(["table", "--path", path, "write", "--input", src,
+                 "--bloom-columns", "uid:128"]) == 0
+    out = json_mod.loads(capsys.readouterr().out.strip())
+    assert out == {"written_version": 0, "bloom_columns": ["uid"]}
+    rep = LakeTable(spark, path).plan_scan(where="uid = 'uid_099x'")
+    assert rep["files_scanned"] == 0  # bloom written and probing
+    assert main(["table", "--path", path, "write"]) == 2  # missing --input
+
+    # upsert from the CLI with a MoR auto-compact policy: the second
+    # pending merge crosses the threshold and drains itself
+    up = str(tmp_path / "up")
+    spark.createDataFrame(
+        [(0, "uid_000", 999.0)], "id bigint, uid string, val double"
+    ).coalesce(1).write.parquet(up)
+    assert main(["table", "--path", path, "upsert", "--input", up,
+                 "--merge-keys", "id", "--mode", "mor",
+                 "--auto-compact-merges", "2"]) == 0
+    o1 = json_mod.loads(capsys.readouterr().out.strip())
+    assert o1["pending_merges"] == 1
+    assert main(["table", "--path", path, "upsert", "--input", up,
+                 "--merge-keys", "id", "--mode", "mor",
+                 "--auto-compact-merges", "2"]) == 0
+    o2 = json_mod.loads(capsys.readouterr().out.strip())
+    assert o2["pending_merges"] == 0  # auto-drained
+    t = LakeTable(spark, path)
+    assert t._manifest()["op"] == "optimize"
+    assert {r.id: r.val for r in t.read().collect()}[0] == 999.0
+    assert main(["table", "--path", path, "upsert", "--input", up]) == 2
+
+    # partitioned flow: --partition-scoped upsert via CLI
+    ppath = str(tmp_path / "ptbl")
+    psrc = str(tmp_path / "psrc")
+    spark.createDataFrame(
+        [(i, "a" if i < 5 else "b", float(i)) for i in range(10)],
+        "id bigint, seg string, val double",
+    ).write.parquet(psrc)
+    assert main(["table", "--path", ppath, "write", "--input", psrc,
+                 "--partition-by", "seg"]) == 0
+    capsys.readouterr()
+    pup = str(tmp_path / "pup")
+    spark.createDataFrame(
+        [(0, "a", 999.0)], "id bigint, seg string, val double"
+    ).coalesce(1).write.parquet(pup)
+    assert main(["table", "--path", ppath, "upsert", "--input", pup,
+                 "--merge-keys", "id", "--partition-scoped"]) == 0
+    capsys.readouterr()
+    got = {r.id: r.val for r in LakeTable(spark, ppath).read().collect()}
+    assert got[0] == 999.0 and len(got) == 10
+
+
 def test_cli_table_tombstone_delete_and_quarantine_vacuum(
     spark, tmp_path, capsys
 ):

@@ -2142,6 +2142,126 @@ def test_cdf_after_partitioned_mor_append_is_scoped_and_complete(
     assert set().union(*reads2) == {"seg=seg1"}
 
 
+def test_auto_compact_merges_threshold_scoped_drain(spark, tmp_path):
+    """auto_compact_after={'merges': N}: the Nth MoR commit triggers a
+    SCOPED rewrite that drains the pending appends — untouched
+    partitions keep their owner token, a reader holding the prior
+    snapshot stays consistent, and the data matches a CoW replay."""
+    schema = "id bigint, seg string, val double"
+    base = [(1, "a", 1.0), (2, "a", 2.0), (3, "b", 3.0)]
+    t = LakeTable(
+        spark, str(tmp_path / "t"), partition_by=("seg",),
+        auto_compact_after={"merges": 3},
+    )
+    cow = LakeTable(spark, str(tmp_path / "cow"), partition_by=("seg",))
+    t.write(spark.createDataFrame(base, schema))
+    cow.write(spark.createDataFrame(base, schema))
+    ups = [(1, "a", 11.0), (2, "a", 22.0), (1, "a", 111.0)]
+    for i, row in enumerate(ups):
+        src = spark.createDataFrame([row], schema)
+        cow.upsert(src, keys=["id"])
+        if i == 2:
+            snapshot = t.read()  # reader opened BEFORE the Nth commit
+            pre = {(r.id, r.seg, r.val) for r in snapshot.collect()}
+        t.upsert(src, keys=["id"], mode="mor")
+    man = t._manifest()
+    # the 3rd commit crossed the threshold: merges drained by a
+    # follow-up optimize commit
+    assert man["op"] == "optimize" and man["merges"] == []
+    # scoped: seg=b was never merge-touched and kept its v0 token
+    assert man["owners"]["seg=b"] == t._manifest(0)["owners"]["seg=b"]
+    assert _as_dict(t.read()) == _as_dict(cow.read())
+    # versions: 3 upsert commits + 1 auto optimize
+    assert t.current_version() == 4
+    # the pre-trigger reader still collects its own consistent snapshot
+    assert pre == {(1, "a", 11.0), (2, "a", 22.0), (3, "b", 3.0)}
+
+
+def test_auto_compact_deletes_threshold_full_drain(spark, tmp_path):
+    """auto_compact_after={'deletes': N}: stacked MoR predicate deletes
+    drain with a FULL optimize once the entry count crosses N (their
+    token coverage spans the table)."""
+    schema = "id bigint, seg string, val double"
+    t = LakeTable(
+        spark, str(tmp_path / "t"), partition_by=("seg",),
+        auto_compact_after={"deletes": 2},
+    )
+    t.write(
+        spark.createDataFrame(
+            [(i, "a" if i % 2 else "b", float(i)) for i in range(6)], schema
+        )
+    )
+    t.delete_where("id = 1", mode="mor")
+    assert t._manifest()["op"] == "delete_mor"  # below threshold
+    t.delete_where("id = 4", mode="mor")
+    man = t._manifest()
+    assert man["op"] == "optimize"
+    assert man["deletes"] == [] and man["merges"] == []
+    assert {r.id for r in t.read().collect()} == {0, 2, 3, 5}
+
+
+def test_auto_compact_append_ratio_trigger(spark, tmp_path):
+    """auto_compact_after={'append_ratio': r}: pending append files vs
+    base files (manifest stats) trigger the drain even below the
+    merges count threshold."""
+    schema = "id bigint, val double"
+    t = LakeTable(
+        spark, str(tmp_path / "t"),
+        auto_compact_after={"merges": 100, "append_ratio": 0.4},
+    )
+    t.write(spark.createDataFrame([(i, float(i)) for i in range(4)], schema))
+    base_files = len(t._manifest()["stats"])
+    t.upsert(
+        spark.createDataFrame([(0, 100.0)], schema), keys=["id"], mode="mor"
+    )
+    man = t._manifest()
+    if len(man["stats"]) == 0 or base_files == 0:  # stats always on here
+        raise AssertionError("test premise broken: no stats collected")
+    # a single-file append against a small base crosses 0.4 immediately
+    assert man["op"] == "optimize" and man["merges"] == []
+    assert {r.id: r.val for r in t.read().collect()}[0] == 100.0
+
+
+def test_stream_upsert_mor_auto_compacts(spark, tmp_path):
+    """A MoR stream with auto_compact_after never accumulates more
+    than the threshold of pending merges — the read tax is bounded
+    without any out-of-band optimize()."""
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+    schema = "id bigint, seg string, val double"
+    for b in range(4):
+        spark.createDataFrame(
+            [(i, "s", float(b * 10 + i)) for i in range(3)], schema
+        ).coalesce(1).write.mode("append").parquet(str(src_dir / f"b{b}"))
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src_dir / "b*"))
+    )
+    from datalake_toolkit_spark.lakehouse.streaming import stream_upsert
+
+    q = stream_upsert(
+        stream,
+        str(tmp_path / "tbl"),
+        keys=["id"],
+        checkpoint=str(tmp_path / "ckpt"),
+        partition_by=("seg",),
+        order_by=[F.col("val")],
+        mode="mor",
+        auto_compact_after={"merges": 2},
+    )
+    q.awaitTermination(120)
+    t = LakeTable(spark, str(tmp_path / "tbl"))
+    # pending merges bounded by the policy at every version
+    for v in t._versions():
+        assert len(t._manifest(v).get("merges") or []) < 2 + 1
+    assert len(t._manifest().get("merges") or []) < 2
+    got = _as_dict(t.read())
+    assert set(got) == {0, 1, 2}
+    # newest-wins under order_by=val: the max val per id survives
+    assert got[0] == ("s", 30.0) and got[2] == ("s", 32.0)
+
+
 def test_cdf_shadow_probe_is_stat_pruned(spark, tmp_path):
     """The shadowed-old-home probe in changes() must not read the whole
     base when partition cols are not a subset of the merge keys (r8
