@@ -27,6 +27,7 @@ from datalake_toolkit_spark.llm.dedup import (
     incremental_minhash_dedup,
     jaccard_pairs,
     minhash_band_keys,
+    minhash_ledger_retention,
     minhash_near_dup_pairs,
     minhash_signature,
     set_similarity_join,
@@ -59,6 +60,7 @@ __all__ = [
     "ivf_topk",
     "lsh_bucketed_topk",
     "minhash_band_keys",
+    "minhash_ledger_retention",
     "minhash_near_dup_pairs",
     "minhash_signature",
     "set_similarity_join",

@@ -736,7 +736,13 @@ def incremental_minhash_dedup(
 
     # 4. band rows commit LAST; short docs (< k words) have no
     # shingles, hence no band rows — they pass through undeduped by
-    # design (no content identity at this granularity)
+    # design (no content identity at this granularity). Each row is
+    # stamped with the ledger version it commits toward (``seq``) so
+    # retention can tell a keep_id's LATEST signature from superseded
+    # ones (a re-admitted doc with changed text leaves band rows of
+    # both signatures behind — see :func:`minhash_ledger_retention`).
+    cur = ledger.current_version()
+    seq = 0 if cur is None else cur + 1
     new_rows = fresh_bands.join(
         fresh.select(id_col), [id_col], "left_semi"
     ).select(
@@ -745,6 +751,7 @@ def incremental_minhash_dedup(
         F.col(id_col).alias("keep_id"),
         "signature",
         F.substring("bkey", 1, 2).alias("key_prefix"),
+        F.lit(seq).cast("bigint").alias("seq"),
     )
     # key_prefix derives from bkey (a merge key): the scoped merge
     # rewrites only the touched band buckets, never the whole ledger
@@ -754,6 +761,33 @@ def incremental_minhash_dedup(
         partition_scoped=tuple(ledger.partition_by) == ("key_prefix",),
     )
     return fresh
+
+
+def minhash_ledger_retention(ledger) -> int:
+    """Maintenance for the band ledger (r8 verdict #6): the ledger only
+    grows under ingestion — every batch appends band rows, and a
+    keep_id re-admitted with CHANGED text leaves rows from both its
+    old and new signatures (upsert keys are (bkey, keep_id); different
+    text yields different bkeys, so nothing collides). Superseded
+    rows keep probe-matching future docs against text the corpus no
+    longer contains. This pass keeps, per keep_id, only the rows of
+    its latest-committed signature (max ``seq``) and rewrites the
+    ledger in one compacted snapshot — file count drops to one token,
+    old versions become ``vacuum`` candidates, and dedup decisions
+    against the corpus's CURRENT content are unchanged.
+
+    Scale: one full ledger read + a max-window shuffled on keep_id —
+    O(ledger) by design, a SCHEDULED maintenance op (run it when the
+    superseded fraction warrants, not per batch). Returns the new
+    version."""
+    rows = ledger.read()
+    w = Window.partitionBy("keep_id")
+    latest = (
+        rows.withColumn("_mx", F.max("seq").over(w))
+        .where(F.col("seq") == F.col("_mx"))
+        .drop("_mx")
+    )
+    return ledger.write(latest, op="ledger_retention")
 
 
 def simhash_near_dup_pairs(

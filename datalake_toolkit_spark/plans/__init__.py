@@ -38,8 +38,6 @@ DEMOTED: tuple[str, ...] = (
     # q_skewed_list_parse (string parse ~ q_ddb_json_roundtrip),
     # q_fingerprints + q_lang_id (expression-only text scalars ~
     # q_text_stats).
-    "q_sanitize_headers",
-    "q_skewed_list_parse",
     "q_fingerprints",
     "q_lang_id",
     "q_simhash",  # r4: makes room for q_stratified_sample; explode+hash-agg shape stays covered by q_minhash_near_dups
@@ -52,7 +50,6 @@ DEMOTED: tuple[str, ...] = (
     # its plan shape still covered in-window:
     "q14_promo_share",  # agg-share ~ q1/q12
     "q2_cheapest_per_type",  # per-group min ~ q_top_parts_by_revenue (W2)
-    "q_consecutive_part_ids",  # X5 ids ~ q_catalog_roundtrip_ids
     "q_catalog_columns",  # schema walk ~ q_catalog_search (same machinery)
     "q_media_resize",  # binary mapInPandas ~ q_multimodal_features/q_video_frames
     "q_cosine_near_dups",  # exact baseline; LSH-blocked variant stays in-window
@@ -67,8 +64,6 @@ DEMOTED: tuple[str, ...] = (
     # (q_decontaminate, q_repetition_stats, q_pii_redact,
     # q_domain_mixture, q_pack_windows); five 4x-green (r1-r4) shapes
     # rotate out, each still covered in-window:
-    "q_latest_event_per_user",  # W3 rank-dedup ~ q_top_parts_by_revenue
-    "q_customer_struct_roundtrip",  # P2/P3/P6/P7 struct ops, 4x green
     "q_windowed_event_counts",  # streaming windows ~ q_sessionized_users
     "q_quality_filter_pipeline",  # quality filter ~ q_text_stats + q_repetition_stats
     # r6 rotation: ALL 18 never-driver-checked queries enter the window
@@ -170,6 +165,18 @@ DEMOTED: tuple[str, ...] = (
     # green r6-r7) rotates out — its correlated-scalar-subquery shape
     # stays covered in-window by q20_excess_stock.
     "q17_small_qty_revenue",
+    # r9 staleness rotation: the five longest-unchecked demoted shapes
+    # RETURN to the window (q_sanitize_headers last green r3,
+    # q_skewed_list_parse + q_consecutive_part_ids r4,
+    # q_customer_struct_roundtrip + q_latest_event_per_user r5 —
+    # removed from this tuple above). Five multi-green r07+r08 shapes
+    # rotate out in exchange, each with its plan shape still covered
+    # in-window:
+    "q_profile_orders",  # 4x (r5-r8); profiling aggs ~ q1/q9/q16 TPC-H agg set
+    "q_decontaminate",  # 4x (r5-r8); composed in-window by q_curate_corpus_full
+    "q_pack_windows",  # 4x (r5-r8); packing ~ q_token_shards + q_curate_corpus_full
+    "q_boilerplate",  # 2x (r7-r8); text-stats expressions ~ q_word_rarity/q_repetition_stats
+    "q_hashed_embeddings",  # 2x (r7-r8); value-sorted embedding folds ~ q_embedding_pool
 )
 
 GATE_WINDOW = 50

@@ -741,6 +741,137 @@ def test_incremental_minhash_probe_prunes_to_touched_buckets(
     assert len(probe) <= 4  # one doc: at most `bands` distinct prefixes
 
 
+def test_minhash_ledger_retention_prunes_superseded_signatures(
+    spark, tmp_path
+):
+    """A keep_id re-admitted with CHANGED text leaves band rows from
+    both signatures; retention keeps only the latest (r8 verdict #6).
+    After it, dedup decisions track the corpus's CURRENT content: a
+    near-dup of the new text still drops, a near-dup of the old
+    (no-longer-present) text is admitted."""
+    from datalake_toolkit_spark.lakehouse import LakeTable
+    from datalake_toolkit_spark.llm import (
+        incremental_minhash_dedup,
+        minhash_ledger_retention,
+    )
+
+    ledger = LakeTable(
+        spark, str(tmp_path / "mh_ledger"), partition_by=("key_prefix",)
+    )
+    old_text = "the quick brown fox jumps over the lazy dog in the quiet park today"
+    new_text = "annual report of quarterly revenue figures for the holding company fiscal year"
+    incremental_minhash_dedup(
+        spark.createDataFrame([(1, old_text)], "doc_id bigint, text string"),
+        ledger, threshold=0.5,
+    )
+    # doc 1 re-admitted with completely different text: not a near-dup
+    # of its own history, so it commits a second signature
+    incremental_minhash_dedup(
+        spark.createDataFrame([(1, new_text)], "doc_id bigint, text string"),
+        ledger, threshold=0.5,
+    )
+    sigs = ledger.read().select("keep_id", "signature").distinct()
+    assert sigs.count() == 2  # both signatures live pre-retention
+    files_before = sum(
+        len(fs) for _r, _d, fs in __import__("os").walk(ledger.data_dir)
+    )
+    minhash_ledger_retention(ledger)
+    ledger.vacuum(keep_last=1)
+    after = ledger.read()
+    assert after.select("keep_id", "signature").distinct().count() == 1
+    assert after.select(F.min("seq"), F.max("seq")).first() == (1, 1)
+    files_after = sum(
+        len(fs) for _r, _d, fs in __import__("os").walk(ledger.data_dir)
+    )
+    assert files_after < files_before  # compacted to one token
+    # decisions now follow the corpus's current content
+    drop = incremental_minhash_dedup(
+        spark.createDataFrame(
+            [(50, new_text.replace("fiscal", "calendar"))],
+            "doc_id bigint, text string",
+        ),
+        ledger, threshold=0.5,
+    )
+    assert drop.count() == 0
+    admit = incremental_minhash_dedup(
+        spark.createDataFrame(
+            [(60, old_text.replace("today", "tonight"))],
+            "doc_id bigint, text string",
+        ),
+        ledger, threshold=0.5,
+    )
+    assert {r.doc_id for r in admit.collect()} == {60}
+
+
+def test_stream_near_dedup_session_stays_bounded_after_maintenance(
+    spark, tmp_path
+):
+    """A long-running MoR-corpus near-dedup stream plus the documented
+    maintenance path (corpus auto-compaction + ledger retention +
+    vacuum) keeps BOTH tables bounded: pending corpus merges below the
+    policy threshold, ledger data files collapsed to one token — and
+    a replay of the whole feed admits nothing new."""
+    from datalake_toolkit_spark.lakehouse import LakeTable
+    from datalake_toolkit_spark.lakehouse.streaming import (
+        stream_near_dedup_ingest,
+    )
+    from datalake_toolkit_spark.llm import minhash_ledger_retention
+
+    src = tmp_path / "src"
+    src.mkdir()
+    for b in range(4):
+        (src / f"b{b}.json").write_text(
+            '{"doc_id": %d, "text": "unique document number %d about subject %d with words u%da u%db u%dc"}\n'
+            % (b, b, b, b, b, b)
+        )
+    kwargs = dict(
+        id_col="doc_id",
+        text_col="text",
+        threshold=0.5,
+        corpus_mode="mor",
+        corpus_auto_compact_after={"merges": 2},
+    )
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = stream_near_dedup_ingest(
+        stream, str(tmp_path / "corpus"), str(tmp_path / "ledger"),
+        str(tmp_path / "ckpt"), **kwargs,
+    )
+    q.awaitTermination(300)
+    corpus = LakeTable(spark, str(tmp_path / "corpus"))
+    ledger = LakeTable(spark, str(tmp_path / "ledger"))
+    # the auto-compact policy bounded pending merges at EVERY version
+    for v in corpus._versions():
+        assert len(corpus._manifest(v).get("merges") or []) <= 2
+    assert len(corpus._manifest().get("merges") or []) < 2
+    assert {r.doc_id for r in corpus.read().collect()} == {0, 1, 2, 3}
+    # ledger maintenance: retention + vacuum -> one live token dir
+    minhash_ledger_retention(ledger)
+    ledger.vacuum(keep_last=1)
+    import os as os_mod
+
+    live_tokens = {
+        d for d in os_mod.listdir(ledger.data_dir)
+        if os_mod.path.isdir(os_mod.path.join(ledger.data_dir, d))
+    }
+    assert len(live_tokens) == 1
+    # decisions unchanged: replaying the same feed admits nothing
+    q2 = stream_near_dedup_ingest(
+        (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .json(str(src))
+        ),
+        str(tmp_path / "corpus"), str(tmp_path / "ledger"),
+        str(tmp_path / "ckpt2"), **kwargs,
+    )
+    q2.awaitTermination(300)
+    assert {r.doc_id for r in corpus.read().collect()} == {0, 1, 2, 3}
+
+
 def test_chunk_documents_window_arithmetic(spark):
     """Chunk boundaries: full windows step by chunk-overlap, the tail
     is kept, empty docs vanish, bad params rejected."""
