@@ -296,3 +296,51 @@ def test_lake_table_documents_mixed_search(spark, tmp_path, sf_dir):
     hits = {r.table_name: r.matched_columns
             for r in search_catalog(mixed, "custkey").collect()}
     assert hits == {"orders": "o_custkey", "cust_lake": "c_custkey"}
+
+
+def test_catalog_walk_bulk_matches_sql(spark, sf_dir):
+    """The native bulk walk produces byte-identical documents to the
+    parity SQL-passthrough walk while never entering the passthrough
+    (zero catalog_sql statements) — r8 verdict #7."""
+    import time
+
+    from datalake_toolkit_spark.catalog import (
+        catalog_walk_documents,
+        register_star_schema,
+    )
+    from datalake_toolkit_spark.catalog import search as search_mod
+
+    tables = register_star_schema(spark, sf_dir)
+    t0 = time.monotonic()
+    via_sql = sorted(map(tuple, catalog_walk_documents(spark, tables).collect()))
+    sql_sec = time.monotonic() - t0
+    calls = []
+    orig = search_mod.catalog_sql
+
+    def spy(s, stmt):
+        calls.append(stmt)
+        return orig(s, stmt)
+
+    search_mod.catalog_sql = spy
+    try:
+        t0 = time.monotonic()
+        via_bulk = sorted(
+            map(
+                tuple,
+                catalog_walk_documents(spark, tables, method="bulk").collect(),
+            )
+        )
+        bulk_sec = time.monotonic() - t0
+    finally:
+        search_mod.catalog_sql = orig
+    assert via_bulk == via_sql and len(via_bulk) > 30
+    assert calls == []  # bulk path never touches the passthrough
+    # the point of the fast path: it skips ~2 jobs per table. Soft
+    # bound to stay robust to host noise while still catching a
+    # regression that re-introduces per-table round trips.
+    assert bulk_sec < sql_sec
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        catalog_walk_documents(spark, tables, method="nope")
