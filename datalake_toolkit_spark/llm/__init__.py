@@ -25,6 +25,7 @@ from datalake_toolkit_spark.llm.dedup import (
     exact_dedup,
     exact_dedup_groups,
     incremental_minhash_dedup,
+    incremental_semantic_dedup,
     jaccard_pairs,
     minhash_band_keys,
     minhash_ledger_retention,
@@ -56,6 +57,7 @@ __all__ = [
     "exact_dedup",
     "exact_dedup_groups",
     "incremental_minhash_dedup",
+    "incremental_semantic_dedup",
     "jaccard_pairs",
     "ivf_topk",
     "lsh_bucketed_topk",

@@ -763,6 +763,180 @@ def incremental_minhash_dedup(
     return fresh
 
 
+def incremental_semantic_dedup(
+    new_docs: DataFrame,
+    ledger,
+    id_col: str = "doc_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+    n_planes: int = 6,
+    n_bands: int = 3,
+    dim: int = 64,
+    before_commit=None,
+) -> DataFrame:
+    """:func:`incremental_minhash_dedup` in EMBEDDING space — the
+    missing cell of the dedup matrix (exact / MinHash / semantic, each
+    batch AND incremental): drop rows of ``new_docs`` whose vector
+    cosine-matches anything already committed to ``ledger`` (a
+    ``lakehouse.LakeTable`` of per-band sign-LSH bucket keys +
+    vectors). The historical corpus is never rescanned — only the
+    band buckets the batch touches are probed, and candidates verify
+    by EXACT cosine against the stored vector (unlike the MinHash
+    ledger, the identity payload — the embedding — is small enough to
+    retain, so incremental verification stays exact).
+
+    Flow per batch (the crash-recovery order of
+    :func:`incremental_dedup`): batch-internal collapse via
+    OR-amplified LSH pairs + connected components
+    (:func:`~datalake_toolkit_spark.llm.similarity.cosine_near_dup_pairs`
+    with ``n_bands`` disjoint ``n_planes``-plane families), probe the
+    ledger on (band, bucket) key, exact-cosine verify, call
+    ``before_commit(survivors)`` (corpus writes), commit survivors'
+    band rows LAST. Zero-norm / NULL vectors pass through undeduped
+    (no identity at this granularity) and never enter the ledger —
+    cosine on them is 0/0 = NaN and NaN-vs-threshold semantics differ
+    between engines.
+
+    Ledger schema mirrors the MinHash band ledger: (bkey, band,
+    keep_id, vec, norm, key_prefix, seq), upsert-keyed on
+    (bkey, keep_id), ``partition_by=("key_prefix",)`` for bucket-local
+    probes and commits, seq-stamped so
+    :func:`minhash_ledger_retention` applies verbatim. n_planes /
+    n_bands / dim are the ledger's identity — keep them constant.
+
+    Scale: bucketing is a narrow projection (driver-folded plane
+    literals, no shuffle); the probe is an equi-join on band key with
+    both sides pinned to shuffle_hash (never broadcast a 100 TB
+    index); verification touches only collided pairs."""
+    from datalake_toolkit_spark.llm.cluster import dedup_keep_canonical
+    from datalake_toolkit_spark.llm.similarity import (
+        _as_double,
+        _fold_sum,
+        _l2_norm,
+        cosine_near_dup_pairs,
+        cosine_with_norms,
+        hyperplane_bucket,
+    )
+
+    sq_norm = _fold_sum(F.transform(_as_double(vec_col), lambda x: x * x))
+    nonzero = new_docs.where(F.col(vec_col).isNotNull() & (sq_norm > 0))
+    zeroes = new_docs.where(F.col(vec_col).isNull() | ~(sq_norm > 0))
+
+    # 1. batch-internal collapse (exact-cosine-verified LSH canonicals)
+    pairs = cosine_near_dup_pairs(
+        nonzero, threshold=threshold, id_col=id_col, vec_col=vec_col,
+        n_planes=n_planes, dim=dim, n_bands=n_bands,
+    )
+    survivors = dedup_keep_canonical(
+        nonzero, pairs, id_col, src="id_a", dst="id_b"
+    )
+
+    # 2. per-band bucket rows for the surviving batch docs; bkey is
+    # md5(band:bucket) so key_prefix buckets stay md5-uniform exactly
+    # like the MinHash ledger's
+    staged = survivors.select(
+        F.col(id_col), _as_double(vec_col).alias("_v")
+    ).withColumn("_n", _l2_norm(F.col("_v")))
+    band_rows = staged.select(
+        id_col,
+        "_v",
+        "_n",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                ":",
+                                F.lit(str(b)),
+                                hyperplane_bucket(
+                                    F.col("_v"), n_planes, dim,
+                                    plane_offset=b * n_planes,
+                                ).cast("string"),
+                            )
+                        ).alias("bkey"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(
+        id_col, "_v", "_n",
+        F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"),
+    )
+
+    # 3. probe the historical index, bucket-pruned like the MinHash
+    # path; batch band rows materialize once (probe + commit)
+    band_rows = band_rows.localCheckpoint(eager=True)
+    try:
+        if tuple(ledger.partition_by) == ("key_prefix",):
+            existing = set(ledger._manifest()["owners"])
+            touched = {
+                f"key_prefix={r['p']}"
+                for r in band_rows.select(
+                    F.substring("bkey", 1, 2).alias("p")
+                )
+                .distinct()
+                .collect()  # bounded: at most 256 rows
+            }
+            probe = sorted(touched & existing)
+            seen_src = (
+                ledger.read()
+                if len(probe) == len(existing)
+                else ledger.read(partitions=probe)
+            )
+        else:
+            seen_src = ledger.read()
+        seen = seen_src.select(
+            "bkey",
+            F.col("vec").alias("_ov"),
+            F.col("norm").alias("_on"),
+        )
+        dup_ids = (
+            band_rows.hint("shuffle_hash")
+            .join(seen.hint("shuffle_hash"), "bkey")
+            .where(
+                cosine_with_norms(
+                    F.col("_v"), F.col("_ov"), F.col("_n"), F.col("_on")
+                )
+                >= threshold
+            )
+            .select(id_col)
+            .distinct()
+        )
+        fresh = survivors.join(dup_ids, [id_col], "left_anti")
+        fresh_bands = band_rows.join(dup_ids, [id_col], "left_anti")
+    except FileNotFoundError:  # first batch: empty ledger
+        fresh = survivors
+        fresh_bands = band_rows
+    fresh = fresh.unionByName(zeroes)
+    if before_commit is not None:
+        fresh = fresh.localCheckpoint(eager=True)
+        before_commit(fresh)
+
+    # 4. band rows commit LAST, seq-stamped for retention
+    cur = ledger.current_version()
+    seq = 0 if cur is None else cur + 1
+    new_rows = fresh_bands.join(
+        fresh.select(id_col), [id_col], "left_semi"
+    ).select(
+        "bkey",
+        F.col("band").cast("int").alias("band"),
+        F.col(id_col).alias("keep_id"),
+        F.col("_v").alias("vec"),
+        F.col("_n").alias("norm"),
+        F.substring("bkey", 1, 2).alias("key_prefix"),
+        F.lit(seq).cast("bigint").alias("seq"),
+    )
+    ledger.upsert(
+        new_rows,
+        keys=["bkey", "keep_id"],
+        partition_scoped=tuple(ledger.partition_by) == ("key_prefix",),
+    )
+    return fresh
+
+
 def minhash_ledger_retention(ledger) -> int:
     """Maintenance for the band ledger (r8 verdict #6): the ledger only
     grows under ingestion — every batch appends band rows, and a
@@ -779,7 +953,9 @@ def minhash_ledger_retention(ledger) -> int:
     Scale: one full ledger read + a max-window shuffled on keep_id —
     O(ledger) by design, a SCHEDULED maintenance op (run it when the
     superseded fraction warrants, not per batch). Returns the new
-    version."""
+    version. Applies verbatim to the semantic embedding ledger
+    (:func:`incremental_semantic_dedup`) — both schemas carry
+    (keep_id, seq)."""
     rows = ledger.read()
     w = Window.partitionBy("keep_id")
     latest = (

@@ -177,6 +177,12 @@ DEMOTED: tuple[str, ...] = (
     "q_pack_windows",  # 4x (r5-r8); packing ~ q_token_shards + q_curate_corpus_full
     "q_boilerplate",  # 2x (r7-r8); text-stats expressions ~ q_word_rarity/q_repetition_stats
     "q_hashed_embeddings",  # 2x (r7-r8); value-sorted embedding folds ~ q_embedding_pool
+    # r9 birth, parked for the r10 rotation (the r9 window was already
+    # committed when it landed — same precedent as the r5 TPC-H tail):
+    # incremental semantic dedup vs the persistent band/vector ledger,
+    # fully oracled; machinery pinned by
+    # test_incremental_semantic_dedup_across_batches
+    "q_incremental_semantic",
 )
 
 GATE_WINDOW = 50
@@ -191,6 +197,7 @@ GATE_WINDOW = 50
 STATEFUL: frozenset[str] = frozenset(
     {
         "q_incremental_minhash",  # two LakeTable commit cycles vs a band ledger
+        "q_incremental_semantic",  # two LakeTable commit cycles vs a vector ledger
         "q_stream_near_dedup",  # two AvailableNow micro-batches through foreachBatch
         "q_stateful_running_status",  # applyInPandasWithState stream replay
         "q_merge_upsert",  # MERGE commit cycle

@@ -1005,6 +1005,117 @@ def q_banded_cosine_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_near_dup_pairs(emb, threshold=0.4, n_planes=6, n_bands=3)
 
 
+def _incremental_semantic_oracle() -> str:
+    """DuckDB mirror of llm.dedup.incremental_semantic_dedup run as two
+    batches (vec_id parity split): per batch the 3-band x 6-plane
+    sign-LSH candidates -> exact-cosine-verified pairs -> connected
+    components, then batch 2's canonicals drop when any (band, bucket)
+    collides with batch 1's committed ledger AND the exact cosine
+    against the stored vector reaches the threshold. Cosine is spelled
+    dot / (sqrt(a.a) * sqrt(b.b)) — Spark's cosine_with_norms form —
+    not list_cosine_similarity (ULP-different on exact-dup pairs)."""
+
+    def cos(x: str, y: str) -> str:
+        return (
+            f"list_inner_product({x}, {y}) / "
+            f"(sqrt(list_inner_product({x}, {x})) * "
+            f"sqrt(list_inner_product({y}, {y})))"
+        )
+
+    def batch(tag: str, pred: str) -> str:
+        bands = " UNION ALL ".join(
+            f"SELECT vec_id, v, {b} AS band, "
+            f"{_lsh_bucket_sql(6, 64, plane_offset=b * 6)} AS key FROM c{tag}"
+            for b in range(3)
+        )
+        return f"""
+    c{tag} AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      WHERE {pred} AND embedding IS NOT NULL
+        AND list_inner_product(CAST(embedding AS DOUBLE[]),
+                               CAST(embedding AS DOUBLE[])) > 0),
+    b{tag} AS ({bands}),
+    cand{tag} AS (
+      SELECT DISTINCT a.vec_id AS id_a, bb.vec_id AS id_b
+      FROM b{tag} a JOIN b{tag} bb
+        ON a.band = bb.band AND a.key = bb.key AND a.vec_id < bb.vec_id),
+    ver{tag} AS (
+      SELECT cd.id_a, cd.id_b FROM cand{tag} cd
+      JOIN c{tag} x ON x.vec_id = cd.id_a
+      JOIN c{tag} y ON y.vec_id = cd.id_b
+      WHERE {cos('x.v', 'y.v')} >= 0.4),
+    edges{tag} AS (SELECT id_a AS a, id_b AS b FROM ver{tag}
+                   UNION SELECT id_b, id_a FROM ver{tag}),
+    nodes{tag} AS (SELECT DISTINCT a AS n FROM edges{tag}),
+    reach{tag}(n, m) AS (
+      SELECT n, n FROM nodes{tag}
+      UNION
+      SELECT e.a, r.m FROM edges{tag} e JOIN reach{tag} r ON e.b = r.n),
+    comp{tag} AS (SELECT n AS vec_id, MIN(m) AS comp FROM reach{tag} GROUP BY n),
+    canon{tag} AS (
+      SELECT t.vec_id FROM c{tag} t
+      LEFT JOIN comp{tag} cc USING (vec_id)
+      WHERE coalesce(cc.comp, t.vec_id) = t.vec_id)"""
+
+    return f"""
+    WITH RECURSIVE {batch('1', 'vec_id % 2 = 0')},
+    {batch('2', 'vec_id % 2 = 1')},
+    ledger AS (
+      SELECT b1.band, b1.key, b1.v FROM b1 JOIN canon1 USING (vec_id)
+    ),
+    dup2 AS (
+      SELECT DISTINCT b2.vec_id
+      FROM b2
+      JOIN canon2 USING (vec_id)
+      JOIN ledger ON ledger.band = b2.band AND ledger.key = b2.key
+      WHERE {cos('b2.v', 'ledger.v')} >= 0.4
+    )
+    SELECT c.vec_id FROM canon2 c
+    LEFT JOIN dup2 USING (vec_id)
+    WHERE dup2.vec_id IS NULL
+    UNION ALL
+    SELECT vec_id FROM embeddings
+    WHERE vec_id % 2 = 1 AND (embedding IS NULL
+      OR list_inner_product(CAST(embedding AS DOUBLE[]),
+                            CAST(embedding AS DOUBLE[])) <= 0)
+    """
+
+
+@query("q_incremental_semantic", _incremental_semantic_oracle())
+def q_incremental_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SEMANTIC dedup across two batches: even vec_ids
+    seed the persistent band/vector ledger, odd vec_ids probe it —
+    survivors are the odd-batch canonicals that neither collapse
+    internally nor exact-cosine-match committed history. The whole
+    stateful flow (two LakeTable ledger commits) is hash-checked
+    against a relational replay of both batches."""
+    import shutil
+    import tempfile
+
+    from datalake_toolkit_spark.lakehouse import LakeTable
+    from datalake_toolkit_spark.llm import incremental_semantic_dedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    work = tempfile.mkdtemp(prefix="dts_incsem_")
+    try:
+        # unpartitioned ledger at bench scale (same rationale as
+        # q_incremental_minhash); the 256-bucket key_prefix layout is
+        # the production path, pinned by
+        # test_incremental_semantic_dedup_across_batches
+        ledger = LakeTable(spark, f"{work}/ledger")
+        incremental_semantic_dedup(
+            emb.where(F.col("vec_id") % 2 == 0), ledger,
+            id_col="vec_id", threshold=0.4,
+        )
+        survivors = incremental_semantic_dedup(
+            emb.where(F.col("vec_id") % 2 == 1), ledger,
+            id_col="vec_id", threshold=0.4,
+        )
+        return survivors.select("vec_id").localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def _centered_cosine_oracle() -> str:
     """DuckDB mirror of the mean-centered LSH pairing over the hashed
     (integer-exact) document vectors: the per-dimension mean is exact

@@ -803,6 +803,73 @@ def test_minhash_ledger_retention_prunes_superseded_signatures(
     assert {r.doc_id for r in admit.collect()} == {60}
 
 
+def test_incremental_semantic_dedup_across_batches(spark, tmp_path):
+    """Embedding-space dedup against the persistent band/vector ledger:
+    batch 2 drops a vector cosine-matching batch-1 history, keeps an
+    orthogonal one, collapses its own internal near-dups first, zero
+    vectors pass through without entering the ledger, and a replay is
+    a no-op. Retention applies verbatim to this ledger."""
+    from datalake_toolkit_spark.lakehouse import LakeTable
+    from datalake_toolkit_spark.llm import (
+        incremental_semantic_dedup,
+        minhash_ledger_retention,
+    )
+
+    dim = 8
+
+    def vec(*hot):
+        return [1.0 if i in hot else 0.0 for i in range(dim)]
+
+    schema = "doc_id bigint, embedding array<double>"
+    ledger = LakeTable(
+        spark, str(tmp_path / "sem_ledger"), partition_by=("key_prefix",)
+    )
+    b1 = spark.createDataFrame(
+        [(1, vec(0, 1)), (2, vec(4, 5))], schema
+    )
+    s1 = incremental_semantic_dedup(
+        b1, ledger, threshold=0.9, n_planes=4, n_bands=2, dim=dim
+    )
+    assert {r.doc_id for r in s1.collect()} == {1, 2}
+    assert ledger.read().select("keep_id").distinct().count() == 2
+
+    # 10 ~ doc 1 (cos 1.0 scaled copy), 11+12 internal near-dup pair,
+    # 13 orthogonal fresh, 14 zero vector (passes through, no ledger)
+    b2 = spark.createDataFrame(
+        [
+            (10, [x * 3.0 for x in vec(0, 1)]),
+            (11, vec(6, 7)),
+            (12, [x * 2.0 for x in vec(6, 7)]),
+            (13, vec(2, 3)),
+            (14, [0.0] * dim),
+        ],
+        schema,
+    )
+    seen = []
+    s2 = incremental_semantic_dedup(
+        b2, ledger, threshold=0.9, n_planes=4, n_bands=2, dim=dim,
+        before_commit=lambda df: seen.append(df.count()),
+    )
+    got = {r.doc_id for r in s2.collect()}
+    assert 10 not in got  # cosine-dup of history
+    assert 11 in got and 12 not in got  # internal collapse keeps min id
+    assert 13 in got and 14 in got  # fresh + zero pass-through
+    assert seen == [3]
+    committed = {r.keep_id for r in ledger.read().collect()}
+    assert committed == {1, 2, 11, 13}  # zero vector never enters
+
+    # replay: every nonzero survivor now matches history; the zero
+    # vector still passes through
+    s2r = incremental_semantic_dedup(
+        b2, ledger, threshold=0.9, n_planes=4, n_bands=2, dim=dim
+    )
+    assert {r.doc_id for r in s2r.collect()} == {14}
+
+    # the shared retention pass applies to this ledger's schema
+    minhash_ledger_retention(ledger)
+    assert {r.keep_id for r in ledger.read().collect()} == {1, 2, 11, 13}
+
+
 def test_stream_near_dedup_session_stays_bounded_after_maintenance(
     spark, tmp_path
 ):
