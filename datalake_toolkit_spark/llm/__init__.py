@@ -34,6 +34,7 @@ from datalake_toolkit_spark.llm.dedup import (
     set_similarity_join,
     simhash,
 )
+from datalake_toolkit_spark.llm.ann_index import IVFIndex
 from datalake_toolkit_spark.llm.similarity import (
     cosine_similarity_col,
     cosine_near_dup_pairs,
@@ -59,6 +60,7 @@ __all__ = [
     "incremental_minhash_dedup",
     "incremental_semantic_dedup",
     "jaccard_pairs",
+    "IVFIndex",
     "ivf_topk",
     "lsh_bucketed_topk",
     "minhash_band_keys",

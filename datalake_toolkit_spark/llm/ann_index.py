@@ -1,0 +1,255 @@
+"""Persistent IVF approximate-nearest-neighbor index.
+
+:func:`~datalake_toolkit_spark.llm.similarity.ivf_topk` quantizes the
+corpus per QUERY BATCH — right for one-shot analytics, wasteful for a
+serving/repeated-query workload where the corpus is quantized once and
+probed many times. :class:`IVFIndex` persists the quantization as two
+``lakehouse.LakeTable``\\ s:
+
+- ``<path>/centroids`` — one row per inverted list (list_id,
+  centroid); n_lists x dim doubles, driver-sized by construction.
+- ``<path>/assignments`` — one row per indexed vector (id, vec, norm,
+  list_id), ``partition_by=("list_id",)`` so a probe of ``n_probe``
+  lists LISTS only those directories — the read-side cost of a query
+  is ``n_probe / n_lists`` of the corpus, enforced structurally by
+  partition pruning rather than by a filter Spark might or might not
+  push.
+
+Incremental adds assign against the STORED centroids (no retrain, the
+classic IVF contract) and land as merge-on-read appends by default —
+O(batch) commits, with the table's ``auto_compact_after`` policy
+bounding the read tax exactly like the dedup ledgers. Key re-adds
+(a vector UPDATE) resolve globally, so a vector that moves lists
+never leaves a stale twin behind.
+
+Everything stays in Catalyst expressions (literal centroid matrices,
+``zip_with`` dot products, window top-k): no UDFs, no driver-side
+scoring, collects bounded by n_lists.
+
+The reference engine has no vector index; this is part of the
+LLM-pipeline plane (SURVEY.md "beyond the reference"), sharing its
+centroid/assign/probe expressions with ``llm.similarity`` so the
+batch and persistent paths can never drift.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from datalake_toolkit_spark.lakehouse import LakeTable
+from datalake_toolkit_spark.llm.similarity import (
+    _as_double,
+    _fold_sum,
+    _l2_norm,
+    cosine_with_norms,
+    ivf_assign_col,
+    ivf_assignments,
+    ivf_probe_col,
+)
+
+
+class IVFIndex:
+    """A persistent inverted-file index over an embedding column.
+
+    ``build`` once (Lloyd-refined deterministic centroids), ``add``
+    batches forever (stored-centroid assignment, merge-on-read
+    appends), ``search`` any time (partition-pruned probes). All
+    three are plain LakeTable commits/reads — time travel, vacuum,
+    ``optimize`` and concurrency semantics come for free."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        auto_compact_after: dict | None = None,
+    ) -> None:
+        self.spark = spark
+        self.path = path
+        self.id_col = id_col
+        self.vec_col = vec_col
+        self.centroids_t = LakeTable(spark, os.path.join(path, "centroids"))
+        self.assignments_t = LakeTable(
+            spark,
+            os.path.join(path, "assignments"),
+            partition_by=("list_id",),
+            auto_compact_after=auto_compact_after,
+        )
+
+    # -- internals -----------------------------------------------------------
+
+    def _prep(self, df: DataFrame) -> DataFrame:
+        """(id, vec double[], norm) for indexable rows. NULL / zero-norm
+        vectors are NOT indexable (cosine against them is 0/0) and are
+        dropped here — an index answers "what is near x", and nothing
+        is near a direction-free vector."""
+        v = _as_double(self.vec_col)
+        sq = _fold_sum(F.transform(v, lambda x: x * x))
+        return (
+            df.where(F.col(self.vec_col).isNotNull() & (sq > 0))
+            .select(F.col(self.id_col).alias("id"), v.alias("vec"))
+            .withColumn("norm", _l2_norm(F.col("vec")))
+        )
+
+    def centroids(self) -> list[list[float]]:
+        """The stored centroid matrix, list_id order. Bounded by
+        n_lists — the one collect in the serving path."""
+        rows = self.centroids_t.read().orderBy("list_id").collect()
+        if not rows:
+            raise RuntimeError(f"IVF index at {self.path} is empty")
+        return [list(r["centroid"]) for r in rows]
+
+    # -- lifecycle -----------------------------------------------------------
+
+    def build(
+        self,
+        corpus: DataFrame,
+        n_lists: int = 16,
+        lloyd_iters: int = 2,
+        dim: int = 64,
+    ) -> "IVFIndex":
+        """(Re)build from scratch: deterministic seed directions +
+        ``lloyd_iters`` bit-reproducible Lloyd passes (see
+        :func:`~datalake_toolkit_spark.llm.similarity.ivf_assignments`),
+        then snapshot-write both tables. Replaces any prior index
+        state as two ordinary versioned commits — time travel still
+        reaches the old index."""
+        src = self._prep(corpus)
+        assigned, cents = ivf_assignments(
+            src, n_lists=n_lists, id_col="id", vec_col="vec",
+            dim=dim, lloyd_iters=lloyd_iters,
+        )
+        rows = assigned.select(
+            F.col("vid").alias(self.id_col),
+            F.col("v").alias("vec"),
+            _l2_norm(F.col("v")).alias("norm"),
+            F.col("list_id").cast("int").alias("list_id"),
+        )
+        self.assignments_t.write(rows, op="ivf_build")
+        self.centroids_t.write(
+            self.spark.createDataFrame(
+                [(i, c) for i, c in enumerate(cents)],
+                "list_id int, centroid array<double>",
+            ),
+            op="ivf_build",
+        )
+        return self
+
+    def add(self, batch: DataFrame, mode: str = "mor") -> int:
+        """Incrementally index a batch: assign against the STORED
+        centroids (the IVF contract — lists drift in balance, never in
+        meaning, until ``rebuild``) and MERGE on the id — a re-added
+        id is an update whose row moves lists if its vector did.
+        ``mode='mor'`` (default) makes the commit O(batch); the
+        table's ``auto_compact_after`` policy (constructor) bounds the
+        accumulated read tax. Returns the committed version."""
+        cents = self.centroids()
+        rows = self._prep(batch).select(
+            F.col("id").alias(self.id_col),
+            "vec",
+            "norm",
+            ivf_assign_col(cents, "vec").cast("int").alias("list_id"),
+        )
+        return self.assignments_t.upsert(rows, keys=[self.id_col], mode=mode)
+
+    def rebuild(
+        self, n_lists: int | None = None, lloyd_iters: int = 2
+    ) -> "IVFIndex":
+        """Retrain from the currently indexed vectors — the answer to
+        centroid drift after many adds (``list_sizes`` shows the
+        imbalance). A full O(index) pass by design, scheduled like
+        ledger retention, not per batch."""
+        cur = self.assignments_t.read().select(
+            F.col(self.id_col), F.col("vec").alias(self.vec_col)
+        )
+        k = n_lists if n_lists is not None else len(self.centroids())
+        dim = len(self.centroids()[0])
+        return self.build(cur, n_lists=k, lloyd_iters=lloyd_iters, dim=dim)
+
+    # -- serving -------------------------------------------------------------
+
+    def search(
+        self,
+        queries: DataFrame,
+        k: int = 10,
+        n_probe: int = 4,
+        exclude_self: bool = False,
+    ) -> DataFrame:
+        """Approximate top-k for each query row: (qid, cid, cosine,
+        rank). Each query probes its ``n_probe`` nearest centroids'
+        lists; the scan is restricted to the probed ``list_id``
+        partitions STRUCTURALLY (only those directories are listed),
+        so a small serving batch reads ~n_probe/n_lists of the index.
+        ``n_probe >= n_lists`` is exact search. ``exclude_self`` drops
+        candidates whose id equals the query id (corpus-as-queries
+        evaluation). Queries are broadcast — this is the serving path,
+        sized accordingly; for corpus-scale query sets use
+        :func:`~datalake_toolkit_spark.llm.similarity.ivf_topk`."""
+        cents = self.centroids()
+        n_probe = min(n_probe, len(cents))
+        q = (
+            self._prep(queries)
+            .select(
+                F.col("id").alias("qid"),
+                F.col("vec").alias("qv"),
+                F.col("norm").alias("qn"),
+            )
+            .withColumn(
+                "list_id", F.explode(ivf_probe_col(cents, n_probe, "qv"))
+            )
+            .withColumn("list_id", F.col("list_id").cast("int"))
+        )
+        # bounded collect (<= queries * n_probe distinct list ids,
+        # itself <= n_lists): which partitions the batch probes
+        probed = {
+            f"list_id={r['list_id']}"
+            for r in q.select("list_id").distinct().collect()
+        }
+        man = self.assignments_t._manifest()
+        known = sorted(probed & set(man["owners"]))
+        if len(known) == len(man["owners"]):
+            cand = self.assignments_t.read()
+        else:
+            cand = self.assignments_t.read(partitions=known)
+        # pending MoR appends are read un-restricted; the equi-join on
+        # list_id below keeps only probed lists, so correctness never
+        # depends on the pruning
+        scored = (
+            cand.hint("shuffle_hash")
+            .join(F.broadcast(q), "list_id")
+            .where(
+                F.lit(True)
+                if not exclude_self
+                else F.col("qid") != F.col(self.id_col)
+            )
+            .select(
+                "qid",
+                F.col(self.id_col).alias("cid"),
+                cosine_with_norms(
+                    F.col("qv"), F.col("vec"), F.col("qn"), F.col("norm")
+                ).alias("cosine"),
+            )
+        )
+        w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("cid"))
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("qid", "cid", "cosine", "rank")
+        )
+
+    # -- observability -------------------------------------------------------
+
+    def list_sizes(self) -> DataFrame:
+        """(list_id, n_vectors) — the imbalance monitor that decides
+        when ``rebuild`` is due (a hot list degrades probed-search
+        toward brute force over that list)."""
+        return (
+            self.assignments_t.read()
+            .groupBy("list_id")
+            .agg(F.count(F.lit(1)).alias("n_vectors"))
+        )

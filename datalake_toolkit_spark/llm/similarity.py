@@ -234,6 +234,55 @@ def hyperplane_probe_buckets(
     return F.concat(F.array(base), flips)
 
 
+def ivf_assign_col(
+    cents: list[list[float]], vec_col: Column | str = "v"
+) -> Column:
+    """Nearest-centroid (max inner product) list id as a pure
+    expression over a literal centroid matrix — argmax spelled as
+    ``array_max`` over (dot, -list_id) structs: one transform, size
+    linear in n_lists. A chained ``when(dot > best)`` argmax embeds
+    the running best twice per step and the tree grows O(2^n_lists) —
+    at 16 lists that alone costs seconds of analysis/codegen per
+    pass. Negated id keeps the smallest list id on ties. Shared by
+    :func:`ivf_assignments` (build/refine passes) and
+    :class:`~datalake_toolkit_spark.llm.ann_index.IVFIndex.add`
+    (incremental assignment against STORED centroids) so the two can
+    never drift."""
+    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    dots = F.transform(
+        _matrix_lit(cents),
+        lambda c, i: F.struct(
+            _fold_sum(F.zip_with(v, c, lambda x, w: x * w)).alias("dot"),
+            (-i).alias("neg_id"),
+        ),
+    )
+    return -F.array_max(dots).getField("neg_id")
+
+
+def ivf_probe_col(
+    cents: list[list[float]],
+    n_probe: int,
+    vec_col: Column | str = "qv",
+) -> Column:
+    """The query-side complement of :func:`ivf_assign_col`: the
+    ``n_probe`` nearest centroids' list ids (inner product, largest
+    list id on ties — ``reverse(array_sort)`` over (dot, list_id)
+    structs) as an array expression. Shared by :func:`ivf_topk` and
+    :class:`~datalake_toolkit_spark.llm.ann_index.IVFIndex.search`."""
+    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    dots = F.transform(
+        _matrix_lit(cents),
+        lambda c, i: F.struct(
+            _fold_sum(F.zip_with(v, c, lambda x, w: x * w)).alias("dot"),
+            i.alias("list_id"),
+        ),
+    )
+    ranked = F.reverse(F.array_sort(dots))
+    return F.transform(
+        F.slice(ranked, 1, n_probe), lambda s: s.getField("list_id")
+    )
+
+
 def ivf_assignments(
     corpus: DataFrame,
     n_lists: int = 16,
@@ -272,23 +321,7 @@ def ivf_assignments(
     ]
 
     def assign(cents: list[list[float]]) -> Column:
-        # argmax as array_max over (dot, -list_id) structs: one
-        # transform over the literal centroid matrix, expression size
-        # linear in n_lists. A chained when(dot > best) argmax embeds
-        # the running best twice per step and the tree grows
-        # O(2^n_lists) — at 16 lists that alone costs seconds of
-        # analysis/codegen per pass. Negated id keeps the smallest
-        # list id on ties.
-        dots = F.transform(
-            _matrix_lit(cents),
-            lambda c, i: F.struct(
-                _fold_sum(F.zip_with(F.col("v"), c, lambda x, w: x * w)).alias(
-                    "dot"
-                ),
-                (-i).alias("neg_id"),
-            ),
-        )
-        return -F.array_max(dots).getField("neg_id")
+        return ivf_assign_col(cents, "v")
 
     # Lloyd means MUST be bit-deterministic: a plain avg() sums floats
     # in shuffle-fetch order, and a ULP of run-to-run (or Spark-vs-
@@ -360,19 +393,7 @@ def ivf_topk(
     )
 
     def probe_lists(cents: list[list[float]]) -> Column:
-        dots = F.transform(
-            _matrix_lit(cents),
-            lambda c, i: F.struct(
-                _fold_sum(F.zip_with(F.col("qv"), c, lambda x, w: x * w)).alias(
-                    "dot"
-                ),
-                i.alias("list_id"),
-            ),
-        )
-        ranked = F.reverse(F.array_sort(dots))
-        return F.transform(
-            F.slice(ranked, 1, n_probe), lambda s: s.getField("list_id")
-        )
+        return ivf_probe_col(cents, n_probe, "qv")
 
     q = (
         queries.select(F.col(id_col).alias("qid"), _as_double(vec_col).alias("qv"))

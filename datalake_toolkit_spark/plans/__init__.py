@@ -177,12 +177,20 @@ DEMOTED: tuple[str, ...] = (
     "q_pack_windows",  # 4x (r5-r8); packing ~ q_token_shards + q_curate_corpus_full
     "q_boilerplate",  # 2x (r7-r8); text-stats expressions ~ q_word_rarity/q_repetition_stats
     "q_hashed_embeddings",  # 2x (r7-r8); value-sorted embedding folds ~ q_embedding_pool
-    # r9 birth, parked for the r10 rotation (the r9 window was already
-    # committed when it landed — same precedent as the r5 TPC-H tail):
-    # incremental semantic dedup vs the persistent band/vector ledger,
-    # fully oracled; machinery pinned by
-    # test_incremental_semantic_dedup_across_batches
-    "q_incremental_semantic",
+    # r9 second wave: q_incremental_semantic enters (incremental
+    # semantic dedup vs the persistent band/vector ledger, the r9
+    # flagship birth — never driver-checked, so it belongs in-window
+    # per the rotation discipline above). q_repetition_stats (4x green
+    # r5-r8) rotates out in exchange — its text-stats expression shape
+    # stays covered in-window by q_word_rarity, the same coverage
+    # argument that demoted q_boilerplate this round.
+    "q_repetition_stats",
+    # r9 third wave: q_persistent_ivf enters (the persistent IVF index
+    # lifecycle — build / incremental MoR add / partition-pruned
+    # serve — never driver-checked). q_event_paths (3x green r6-r8)
+    # rotates out in exchange — its sequence/window shape stays
+    # covered in-window by q_funnel_conversion and q_cohort_retention.
+    "q_event_paths",
 )
 
 GATE_WINDOW = 50
@@ -198,6 +206,7 @@ STATEFUL: frozenset[str] = frozenset(
     {
         "q_incremental_minhash",  # two LakeTable commit cycles vs a band ledger
         "q_incremental_semantic",  # two LakeTable commit cycles vs a vector ledger
+        "q_persistent_ivf",  # IVF index build + MoR add + probed serve
         "q_stream_near_dedup",  # two AvailableNow micro-batches through foreachBatch
         "q_stateful_running_status",  # applyInPandasWithState stream replay
         "q_merge_upsert",  # MERGE commit cycle

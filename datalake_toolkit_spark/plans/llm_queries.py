@@ -1207,6 +1207,36 @@ def q_centered_cosine_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lloyd_pass_sql(src_cent: str, out: str, i: int, src: str = "c") -> str:
+    """One relational Lloyd iteration (shared by the IVF oracles):
+    argmax assignment of ``src`` rows against ``src_cent``, then the
+    two-level deterministic mean (value-sorted folds inside vec_id%256
+    sub-buckets, then over the subtotals) — the exact IEEE summation
+    sequence Spark's ``ivf_assignments`` performs, so the discrete
+    assignments can never drift between engines."""
+    return f"""
+    x{i} AS (SELECT c.vec_id, c.v, kk.list_id,
+             row_number() OVER (PARTITION BY c.vec_id
+               ORDER BY list_inner_product(c.v, kk.cv) DESC, kk.list_id) AS rn
+             FROM {src} c CROSS JOIN {src_cent} kk),
+    a{i} AS (SELECT vec_id, v, list_id FROM x{i} WHERE rn = 1),
+    m{i} AS (SELECT vec_id, list_id, unnest(generate_series(1, len(v))) AS d,
+                    unnest(v) AS x FROM a{i}),
+    s{i} AS (SELECT list_id, d, vec_id % 256 AS b,
+                    list_reduce(list_prepend(0.0, list(x ORDER BY x)),
+                                (acc, e) -> acc + e) AS s,
+                    count(*) AS n
+             FROM m{i} GROUP BY 1, 2, 3),
+    g{i} AS (SELECT list_id, d,
+                    list_reduce(list_prepend(0.0, list(s ORDER BY s)),
+                                (acc, e) -> acc + e) / sum(n) AS m
+             FROM s{i} GROUP BY 1, 2),
+    cc{i} AS (SELECT list_id, list(m ORDER BY d) AS cv FROM g{i} GROUP BY list_id),
+    {out} AS (SELECT * FROM cc{i} UNION ALL
+              SELECT kk.list_id, kk.cv FROM {src_cent} kk
+              WHERE kk.list_id NOT IN (SELECT list_id FROM cc{i}))"""
+
+
 def _ivf_oracle(n_lists: int = 8, n_probe: int = 2, dim: int = 64, k: int = 10) -> str:
     """DuckDB mirror of llm.similarity.ivf_topk with lloyd_iters=2:
     the initial centroids are md5-derived literals (same derivation as
@@ -1230,27 +1260,7 @@ def _ivf_oracle(n_lists: int = 8, n_probe: int = 2, dim: int = 64, k: int = 10) 
     )
 
     def lloyd(src_cent: str, out: str, i: int) -> str:
-        return f"""
-    x{i} AS (SELECT c.vec_id, c.v, kk.list_id,
-             row_number() OVER (PARTITION BY c.vec_id
-               ORDER BY list_inner_product(c.v, kk.cv) DESC, kk.list_id) AS rn
-             FROM c CROSS JOIN {src_cent} kk),
-    a{i} AS (SELECT vec_id, v, list_id FROM x{i} WHERE rn = 1),
-    m{i} AS (SELECT vec_id, list_id, unnest(generate_series(1, len(v))) AS d,
-                    unnest(v) AS x FROM a{i}),
-    s{i} AS (SELECT list_id, d, vec_id % 256 AS b,
-                    list_reduce(list_prepend(0.0, list(x ORDER BY x)),
-                                (acc, e) -> acc + e) AS s,
-                    count(*) AS n
-             FROM m{i} GROUP BY 1, 2, 3),
-    g{i} AS (SELECT list_id, d,
-                    list_reduce(list_prepend(0.0, list(s ORDER BY s)),
-                                (acc, e) -> acc + e) / sum(n) AS m
-             FROM s{i} GROUP BY 1, 2),
-    cc{i} AS (SELECT list_id, list(m ORDER BY d) AS cv FROM g{i} GROUP BY list_id),
-    {out} AS (SELECT * FROM cc{i} UNION ALL
-              SELECT kk.list_id, kk.cv FROM {src_cent} kk
-              WHERE kk.list_id NOT IN (SELECT list_id FROM cc{i}))"""
+        return _lloyd_pass_sql(src_cent, out, i)
 
     return f"""
     WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -1292,6 +1302,96 @@ def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 5)
     return ivf_topk(emb, queries, k=10, n_lists=8, n_probe=2)
+
+
+def _persistent_ivf_oracle(
+    n_lists: int = 8, n_probe: int = 2, dim: int = 64, k: int = 8
+) -> str:
+    """DuckDB mirror of the PERSISTENT IVF index lifecycle
+    (llm.ann_index.IVFIndex): build on the even vec_ids (literal seed
+    centroids + one relational Lloyd pass over the BUILD HALF only),
+    then the odd-half incremental add assigns against those same
+    stored centroids — so the full-corpus assignment is one argmax of
+    ALL indexable rows vs the final centroids. Indexable = non-NULL,
+    positive-norm vectors (the index drops direction-free rows on
+    both build and add). Probe/rank replicate ivf_topk's tie-breaks;
+    cosine is spelled dot / (sqrt(a.a) * sqrt(b.b)) — the
+    cosine_with_norms form the Spark side computes."""
+    from datalake_toolkit_spark.llm.similarity import _plane_component
+
+    rows = ",".join(
+        "({}, [{}])".format(
+            p, ",".join(repr(_plane_component(p, d)) for d in range(dim))
+        )
+        for p in range(n_lists)
+    )
+
+    def cos(x: str, y: str) -> str:
+        return (
+            f"list_inner_product({x}, {y}) / "
+            f"(sqrt(list_inner_product({x}, {x})) * "
+            f"sqrt(list_inner_product({y}, {y})))"
+        )
+
+    return f"""
+    WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings
+               WHERE embedding IS NOT NULL
+                 AND list_inner_product(CAST(embedding AS DOUBLE[]),
+                                        CAST(embedding AS DOUBLE[])) > 0),
+    cb AS (SELECT * FROM c WHERE vec_id % 2 = 0),
+    cent0(list_id, cv) AS (VALUES {rows}),
+    {_lloyd_pass_sql('cent0', 'cent1', 0, src='cb')},
+    xf AS (SELECT c.vec_id, c.v, kk.list_id,
+           row_number() OVER (PARTITION BY c.vec_id
+             ORDER BY list_inner_product(c.v, kk.cv) DESC, kk.list_id) AS rn
+           FROM c CROSS JOIN cent1 kk),
+    af AS (SELECT vec_id, v, list_id FROM xf WHERE rn = 1),
+    q AS (SELECT vec_id AS qid, v AS qv FROM c WHERE vec_id < 5),
+    probe AS (SELECT q.qid, q.qv, kk.list_id,
+              row_number() OVER (PARTITION BY q.qid
+                ORDER BY list_inner_product(q.qv, kk.cv) DESC, kk.list_id DESC) AS prn
+              FROM q CROSS JOIN cent1 kk),
+    qp AS (SELECT qid, qv, list_id FROM probe WHERE prn <= {n_probe}),
+    scored AS (SELECT qp.qid, af.vec_id AS cid,
+                      {cos('qp.qv', 'af.v')} AS cosine
+               FROM qp JOIN af ON qp.list_id = af.list_id
+               WHERE qp.qid <> af.vec_id),
+    ranked AS (SELECT qid, cid, cosine,
+               CAST(row_number() OVER (PARTITION BY qid
+                 ORDER BY cosine DESC, cid) AS INTEGER) AS rank FROM scored)
+    SELECT qid, cid, cosine, rank FROM ranked WHERE rank <= {k}
+    """
+
+
+@query("q_persistent_ivf", _persistent_ivf_oracle())
+def q_persistent_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persistent IVF index lifecycle, end to end: build on the even
+    vec_ids (one Lloyd pass), incrementally add the odd half as a
+    merge-on-read append against the STORED centroids, then serve a
+    probed top-k — search reads only the probed list_id partitions
+    (structural pruning) plus the pending MoR append, so the whole
+    build -> add -> serve flow including two LakeTable commit cycles
+    is hash-checked against a relational replay."""
+    import shutil
+    import tempfile
+
+    from datalake_toolkit_spark.llm import IVFIndex
+
+    emb = _t(spark, sf_dir, "embeddings")
+    work = tempfile.mkdtemp(prefix="dts_ivfidx_")
+    try:
+        idx = IVFIndex(spark, work)
+        idx.build(
+            emb.where(F.col("vec_id") % 2 == 0), n_lists=8, lloyd_iters=1
+        )
+        idx.add(emb.where(F.col("vec_id") % 2 == 1), mode="mor")
+        out = idx.search(
+            emb.where(F.col("vec_id") < 5), k=8, n_probe=2, exclude_self=True
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
 
 
 @query(

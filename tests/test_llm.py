@@ -360,6 +360,127 @@ def test_ivf_topk_subset_and_recall(spark, sf_dir):
     }
 
 
+def test_ivf_index_lifecycle_full_probe_equals_brute_force(
+    spark, sf_dir, tmp_path
+):
+    """Persistent index: build on half the corpus, incrementally add
+    the rest (merge-on-read), then a FULL-probe search from a FRESH
+    handle (persistence) must equal brute force over every indexable
+    vector — proving build+add together indexed exactly the
+    positive-norm corpus and the serve path scores it correctly."""
+    from datalake_toolkit_spark.llm import IVFIndex, cosine_topk
+    from datalake_toolkit_spark.llm.similarity import _as_double, _fold_sum
+    from datalake_toolkit_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    sq = _fold_sum(F.transform(_as_double("embedding"), lambda x: x * x))
+    indexable = emb.where(F.col("embedding").isNotNull() & (sq > 0))
+
+    idx = IVFIndex(spark, str(tmp_path / "ivf"))
+    idx.build(emb.where(F.col("vec_id") % 2 == 0), n_lists=8, lloyd_iters=1)
+    idx.add(emb.where(F.col("vec_id") % 2 == 1), mode="mor")
+
+    queries = indexable.where(F.col("vec_id") < 5)
+    served = IVFIndex(spark, str(tmp_path / "ivf"))  # fresh handle
+    got = {
+        (r.qid, r.cid, r.rank)
+        for r in served.search(
+            queries, k=10, n_probe=8, exclude_self=True
+        ).collect()
+    }
+    want = {
+        (r.qid, r.cid, r.rank)
+        for r in cosine_topk(indexable, queries, k=10).collect()
+    }
+    assert got == want
+
+    # probed search: same recall floor as test_ivf_topk_subset_and_recall
+    # (0.3 catches an assignment/probe regression without flaking)
+    probed = served.search(queries, k=10, n_probe=2, exclude_self=True)
+    hits = {(r.qid, r.cid) for r in probed.collect()}
+    assert len(hits & {(q, c) for (q, c, _) in want}) / len(want) >= 0.3
+
+
+def test_ivf_index_probe_restricts_to_probed_lists(spark, sf_dir, tmp_path):
+    """n_probe=1: every candidate a query sees lives in that query's
+    single probed list — the structural guarantee behind the
+    partition-pruned read."""
+    from datalake_toolkit_spark.llm import IVFIndex
+    from datalake_toolkit_spark.llm.similarity import ivf_probe_col
+    from datalake_toolkit_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = IVFIndex(spark, str(tmp_path / "ivf"))
+    idx.build(emb, n_lists=8, lloyd_iters=1)
+    cents = idx.centroids()
+    queries = emb.where(F.col("vec_id") < 5)
+    probe_of = {
+        r.vec_id: r.lists[0]
+        for r in queries.select(
+            "vec_id",
+            ivf_probe_col(
+                cents, 1, F.transform("embedding", lambda x: x.cast("double"))
+            ).alias("lists"),
+        ).collect()
+    }
+    assigned = {
+        r[idx.id_col]: r.list_id for r in idx.assignments_t.read().collect()
+    }
+    out = idx.search(queries, k=50, n_probe=1).collect()
+    assert out
+    for r in out:
+        assert assigned[r.cid] == probe_of[r.qid]
+
+
+def test_ivf_index_readd_moves_list_without_stale_twin(spark, tmp_path):
+    """A re-added id whose vector moved toward another centroid is an
+    UPDATE: exactly one assignment row survives, in the new list —
+    merge-on-read global key resolution, not a second copy."""
+    from datalake_toolkit_spark.llm import IVFIndex
+
+    base = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0, 0.0]),
+            (2, [0.9, 0.1, 0.0, 0.0]),
+            (3, [0.0, 1.0, 0.0, 0.0]),
+            (4, [0.1, 0.9, 0.0, 0.0]),
+        ],
+        "vec_id bigint, embedding array<double>",
+    )
+    idx = IVFIndex(spark, str(tmp_path / "ivf"))
+    idx.build(base, n_lists=2, lloyd_iters=2, dim=4)
+    before = {
+        r.vec_id: r.list_id for r in idx.assignments_t.read().collect()
+    }
+    assert before[1] != before[3]  # the two directions separated
+
+    moved = spark.createDataFrame(
+        [(1, [0.0, 1.0, 0.0, 0.0])], "vec_id bigint, embedding array<double>"
+    )
+    idx.add(moved, mode="mor")
+    rows = idx.assignments_t.read().where(F.col("vec_id") == 1).collect()
+    assert len(rows) == 1
+    assert rows[0].list_id == before[3]
+
+    # zero-norm / NULL vectors are not indexable and never land
+    junk = spark.createDataFrame(
+        [(7, [0.0, 0.0, 0.0, 0.0]), (8, None)],
+        "vec_id bigint, embedding array<double>",
+    )
+    idx.add(junk)
+    ids = {r.vec_id for r in idx.assignments_t.read().collect()}
+    assert 7 not in ids and 8 not in ids
+
+    sizes = {r.list_id: r.n_vectors for r in idx.list_sizes().collect()}
+    assert sum(sizes.values()) == 4
+
+    # rebuild retrains from the indexed vectors; serving still works
+    idx.rebuild(n_lists=2, lloyd_iters=1)
+    hits = idx.search(moved, k=2, n_probe=2, exclude_self=True).collect()
+    assert {r.cid for r in hits} <= {2, 3, 4}
+    assert hits[0].cid in (3, 4)  # nearest now the e2 direction
+
+
 def test_connected_components_chain_star_and_singleton(spark):
     """Multi-hop chain, star, and an isolated pairless doc: components
     are min-reachable-id, exactly transitive closure."""
