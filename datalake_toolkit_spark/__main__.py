@@ -138,6 +138,38 @@ def _build_parser() -> argparse.ArgumentParser:
         "--keep-canonical", action="store_true",
         help="write only one survivor per cluster instead of annotations",
     )
+
+    se = sub.add_parser(
+        "search", help="lexical retrieval (batch or persistent index)"
+    )
+    se.add_argument(
+        "action",
+        choices=["query", "index-add", "index-query"],
+        help="query: one-shot over --docs; index-add: build/extend the "
+             "persistent index at --index from --docs; index-query: "
+             "serve from --index",
+    )
+    se.add_argument("--docs", default=None,
+                help="documents parquet (doc_id, text)")
+    se.add_argument("--index", default=None, help="PostingsIndex root")
+    se.add_argument("--query", default=None, help="whitespace-separated terms")
+    se.add_argument("--k", type=int, default=10)
+    se.add_argument("--method", choices=["keyword", "bm25"], default="keyword")
+    se.add_argument("--mode", choices=["cow", "mor"], default="mor",
+                help="index-add commit mode")
+
+    an = sub.add_parser("ann", help="persistent IVF vector index")
+    an.add_argument("action", choices=["build", "add", "search", "sizes"])
+    an.add_argument("--path", required=True, help="IVFIndex root")
+    an.add_argument("--input", default=None,
+                help="embeddings parquet (vec_id, embedding)")
+    an.add_argument("--n-lists", type=int, default=16)
+    an.add_argument("--lloyd-iters", type=int, default=2)
+    an.add_argument("--dim", type=int, default=64)
+    an.add_argument("--k", type=int, default=10)
+    an.add_argument("--n-probe", type=int, default=4)
+    an.add_argument("--mode", choices=["cow", "mor"], default="mor",
+                help="add commit mode")
     return p
 
 
@@ -459,8 +491,89 @@ def _cmd_dedup(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_search(args: argparse.Namespace) -> int:
+    from datalake_toolkit_spark.llm import (
+        PostingsIndex,
+        bm25_topk,
+        keyword_search_topk,
+    )
+
+    spark = get_spark(app_name="dts-search")
+    if args.action == "index-add":
+        if not (args.index and args.docs):
+            raise SystemExit("index-add needs --index and --docs")
+        idx = PostingsIndex(spark, args.index)
+        v = idx.add(spark.read.parquet(args.docs), mode=args.mode)
+        print(json.dumps({"version": v, "index": args.index}))
+        return 0
+    if not args.query:
+        raise SystemExit(f"{args.action} needs --query")
+    queries = spark.createDataFrame(
+        [(0, args.query)], "query_id bigint, query_text string"
+    )
+    if args.action == "index-query":
+        if not args.index:
+            raise SystemExit("index-query needs --index")
+        idx = PostingsIndex(spark, args.index)
+        out = (
+            idx.search(queries, k=args.k)
+            if args.method == "keyword"
+            else idx.search_bm25(queries, k=args.k)
+        )
+    else:
+        if not args.docs:
+            raise SystemExit("query needs --docs")
+        docs = spark.read.parquet(args.docs)
+        out = (
+            keyword_search_topk(docs, queries, k=args.k)
+            if args.method == "keyword"
+            else bm25_topk(docs, queries, k=args.k)
+        )
+    for r in out.orderBy("rank").collect():
+        print(json.dumps(r.asDict()))
+    return 0
+
+
+def _cmd_ann(args: argparse.Namespace) -> int:
+    from datalake_toolkit_spark.llm import IVFIndex
+
+    spark = get_spark(app_name="dts-ann")
+    idx = IVFIndex(spark, args.path)
+    if args.action == "build":
+        if not args.input:
+            raise SystemExit("build needs --input")
+        idx.build(
+            spark.read.parquet(args.input),
+            n_lists=args.n_lists,
+            lloyd_iters=args.lloyd_iters,
+            dim=args.dim,
+        )
+        print(json.dumps({"built": args.path, "n_lists": args.n_lists}))
+        return 0
+    if args.action == "add":
+        if not args.input:
+            raise SystemExit("add needs --input")
+        v = idx.add(spark.read.parquet(args.input), mode=args.mode)
+        print(json.dumps({"version": v, "index": args.path}))
+        return 0
+    if args.action == "sizes":
+        for r in idx.list_sizes().orderBy("list_id").collect():
+            print(json.dumps(r.asDict()))
+        return 0
+    if not args.input:
+        raise SystemExit("search needs --input (query vectors parquet)")
+    out = idx.search(
+        spark.read.parquet(args.input), k=args.k, n_probe=args.n_probe
+    )
+    for r in out.orderBy("qid", "rank").collect():
+        print(json.dumps(r.asDict()))
+    return 0
+
+
 _COMMANDS = {
     "ingest": _cmd_ingest,
+    "search": _cmd_search,
+    "ann": _cmd_ann,
     "dedup": _cmd_dedup,
     "query": _cmd_query,
     "profile": _cmd_profile,

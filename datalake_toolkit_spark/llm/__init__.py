@@ -35,6 +35,12 @@ from datalake_toolkit_spark.llm.dedup import (
     simhash,
 )
 from datalake_toolkit_spark.llm.ann_index import IVFIndex
+from datalake_toolkit_spark.llm.search import (
+    PostingsIndex,
+    bm25_topk,
+    keyword_search_topk,
+    posting_lists,
+)
 from datalake_toolkit_spark.llm.similarity import (
     cosine_similarity_col,
     cosine_near_dup_pairs,
@@ -47,6 +53,10 @@ from datalake_toolkit_spark.llm.similarity import (
 
 __all__ = [
     "bigram_familiarity",
+    "bm25_topk",
+    "keyword_search_topk",
+    "posting_lists",
+    "PostingsIndex",
     "connected_components",
     "cosine_similarity_col",
     "cosine_topk",

@@ -1,0 +1,402 @@
+"""Lexical retrieval over the documents table: posting lists,
+exact-arithmetic keyword ranking, and BM25 top-k.
+
+The missing search modality next to the embedding plane
+(``llm.similarity`` / ``llm.ann_index``): corpus exploration,
+benchmark decontamination lookups, and boolean/coordination filtering
+all want term-level retrieval, not vectors.
+
+Tokenization follows the package convention (whitespace split, no
+case folding — callers normalize upstream if they need to), so search
+terms line up with ``word_shingles`` / ``dup_ngram_stats`` and the
+DuckDB oracles replicate it with ``string_split_regex``.
+
+Scale shape: a query batch broadcasts its DISTINCT terms and the
+exploded corpus tokens are semi-filtered against them BEFORE any
+aggregation — the tf group-by runs over matching tokens only, and the
+corpus is never shuffled in full per query (the full inverted index
+is only materialized by :func:`posting_lists` when a caller asks for
+it). Scores that sum floating point do so over VALUE-SORTED folds for
+run-to-run determinism.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def _tokens(text_col: str) -> Column:
+    # split('') yields [''] and leading whitespace yields a leading ''
+    # — drop empty tokens so dl counts words, not artifacts (the
+    # oracle mirrors with list_filter(..., t -> t <> ''))
+    return F.filter(
+        F.split(F.col(text_col), r"\s+"), lambda t: t != F.lit("")
+    )
+
+
+def _doc_tokens(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(doc_id, dl, term) — one row per token occurrence; empty
+    documents contribute nothing."""
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"), _tokens(text_col).alias("w")
+        )
+        .where(F.size("w") > 0)
+        .select(
+            "doc_id", F.size("w").alias("dl"), F.explode("w").alias("term")
+        )
+    )
+
+
+def _query_terms(
+    queries: DataFrame, query_id_col: str, query_text_col: str
+) -> DataFrame:
+    """(query_id, term) — distinct terms per query."""
+    return queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.explode(F.array_distinct(_tokens(query_text_col))).alias("term"),
+    ).distinct()
+
+
+def posting_lists(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(term, doc_id, tf, dl): the full inverted index — one row per
+    distinct term per document, with term frequency and the document's
+    token count. The rankers below do NOT materialize this (they
+    aggregate only query-matched tokens); it exists for callers
+    persisting an index or computing corpus-level term stats."""
+    return (
+        _doc_tokens(docs, id_col, text_col)
+        .groupBy("term", "doc_id", "dl")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .select("term", "doc_id", "tf", "dl")
+    )
+
+
+def _matched_postings(
+    docs: DataFrame,
+    qterms: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """(term, doc_id, tf, dl) restricted to terms some query uses —
+    the broadcast term filter lands BELOW the tf aggregation, so the
+    group-by processes only matching token occurrences (at 100 TB the
+    difference between 'aggregate the corpus vocabulary' and
+    'aggregate the query's needles')."""
+    terms = qterms.select("term").distinct()
+    return (
+        _doc_tokens(docs, id_col, text_col)
+        .join(F.broadcast(terms), "term", "left_semi")
+        .groupBy("term", "doc_id", "dl")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def keyword_search_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    query_text_col: str = "query_text",
+) -> DataFrame:
+    """Exact coordination-level ranking: per (query, document) count
+    the DISTINCT query terms the document contains (``n_matched``) and
+    their total term frequency (``sum_tf``); rank by
+    (n_matched DESC, sum_tf DESC, doc_id ASC) and keep the top k.
+
+    Boolean-retrieval scoring — integer arithmetic end to end, so the
+    ranking is bit-exact across engines (the DuckDB-oracled layer;
+    :func:`bm25_topk` adds the floating-point relevance refinement on
+    the same machinery)."""
+    qterms = _query_terms(queries, query_id_col, query_text_col)
+    matched = (
+        _matched_postings(docs, qterms, id_col, text_col)
+        .join(F.broadcast(qterms), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_matched"),
+            F.sum("tf").alias("sum_tf"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("n_matched"), F.desc("sum_tf"), F.asc("doc_id")
+    )
+    return (
+        matched.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "doc_id", "n_matched", "sum_tf", "rank")
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    query_text_col: str = "query_text",
+) -> DataFrame:
+    """BM25 top-k per query: (query_id, doc_id, score, rank) with the
+    Lucene formulation — idf = ln(1 + (N - df + 0.5) / (df + 0.5)),
+    per-term weight idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl
+    / avgdl)) — summed over the query's distinct matched terms.
+
+    N and avgdl come from one corpus-level aggregate (a one-row frame
+    cross-joined back in, not a driver constant — the plan stays one
+    lazy tree); df is counted per QUERY term from the matched
+    postings, never over the full vocabulary. The per-document sum
+    folds VALUE-SORTED per-term scores so repeated runs are
+    bit-identical; cross-ENGINE bit equality is not promised (``ln``
+    is not correctly-rounded IEEE and measurably differs between libm
+    and the JVM), which is why the gate-level oracle pins
+    :func:`keyword_search_topk`'s integer layer and this ranker is
+    pinned by tolerance-based tests instead."""
+    qterms = _query_terms(queries, query_id_col, query_text_col)
+    post = _matched_postings(docs, qterms, id_col, text_col)
+    # N / avgdl over DOCUMENTS (pre-explode token counts; one narrow
+    # corpus aggregate, no vocabulary group-by)
+    stats = (
+        docs.select(_tokens(text_col).alias("w"))
+        .where(F.size("w") > 0)
+        .groupBy()
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            (F.sum(F.size("w")) / F.count(F.lit(1))).alias("avgdl"),
+        )
+    )
+    # df per query term: matched postings already hold one row per
+    # (term, containing doc) — small by construction
+    df_t = post.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        post.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(df_t), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf",
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+            ),
+        )
+        .withColumn(
+            "w",
+            F.col("idf")
+            * (F.col("tf") * F.lit(k1 + 1.0))
+            / (
+                F.col("tf")
+                + F.lit(k1)
+                * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+    )
+    agg = scored.groupBy("query_id", "doc_id").agg(
+        F.aggregate(
+            F.array_sort(F.collect_list("w")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("score")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        agg.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "doc_id", "score", "rank")
+    )
+
+
+class PostingsIndex:
+    """A persistent inverted index: the serving twin of the batch
+    rankers above, mirroring :class:`~datalake_toolkit_spark.llm.
+    ann_index.IVFIndex`'s lifecycle for the lexical modality.
+
+    Two LakeTables under ``path``:
+
+    - ``postings`` — (term, doc_id, tf, dl, term_prefix), partitioned
+      by ``term_prefix`` (first 2 hex chars of md5(term): 256 uniform
+      buckets). ALL postings of a term live in one bucket, so a query
+      batch reads only its terms' buckets — structural pruning, and
+      per-term document frequencies are complete within the probed
+      read.
+    - ``doc_stats`` — (doc_id, dl, dhash_prefix), same 256-bucket
+      layout on the doc id; feeds the corpus-level N / avgdl that
+      BM25 needs (one narrow 2-column aggregate on demand).
+
+    ``add`` batches land as merge-on-read upserts with
+    ``partition_scoped=True`` (both partition keys are pure functions
+    of the merge keys), so commits are O(batch) and touch only the
+    batch's buckets; replaying a crashed batch is idempotent (upserts
+    on (term, doc_id) / (doc_id)). The corpus contract is
+    APPEND-ONLY-by-content: a re-added doc_id updates the (term,
+    doc_id) pairs it still shares and the dl everywhere, but postings
+    for terms the new text DROPPED survive — run exact dedup upstream
+    (``llm.dedup.incremental_dedup``) or rebuild, exactly like a
+    Lucene segment needs a merge after a delete."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        auto_compact_after: dict | None = None,
+    ) -> None:
+        from datalake_toolkit_spark.lakehouse import LakeTable
+
+        self.spark = spark
+        self.path = path
+        self.id_col = id_col
+        self.text_col = text_col
+        self.postings_t = LakeTable(
+            spark,
+            os.path.join(path, "postings"),
+            partition_by=("term_prefix",),
+            auto_compact_after=auto_compact_after,
+        )
+        self.doc_stats_t = LakeTable(
+            spark,
+            os.path.join(path, "doc_stats"),
+            partition_by=("dhash_prefix",),
+            auto_compact_after=auto_compact_after,
+        )
+
+    def add(self, docs: DataFrame, mode: str = "mor") -> int:
+        """Index a batch: postings commit first, doc stats second —
+        both idempotent upserts, so a crash between them replays
+        cleanly. Returns the postings table's committed version."""
+        post = posting_lists(docs, self.id_col, self.text_col).withColumn(
+            "term_prefix", F.substring(F.md5("term"), 1, 2)
+        )
+        if self.postings_t.current_version() is None:
+            v = self.postings_t.write(post, op="postings_build")
+        else:
+            v = self.postings_t.upsert(
+                post,
+                keys=["term", "doc_id"],
+                mode=mode,
+                partition_scoped=True,
+                assume_key_unique=True,  # posting_lists groups by (term, doc)
+            )
+        stats = post.select("doc_id", "dl").distinct().withColumn(
+            "dhash_prefix", F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+        )
+        if self.doc_stats_t.current_version() is None:
+            self.doc_stats_t.write(stats, op="postings_build")
+        else:
+            self.doc_stats_t.upsert(
+                stats,
+                keys=["doc_id"],
+                mode=mode,
+                partition_scoped=True,
+                assume_key_unique=True,
+            )
+        return v
+
+    def _probed_postings(self, qterms: DataFrame) -> DataFrame:
+        """Postings restricted to the buckets the query terms hash
+        into — the read lists only those directories (bounded collect:
+        <= 256 prefixes)."""
+        touched = {
+            f"term_prefix={r['p']}"
+            for r in qterms.select(
+                F.substring(F.md5("term"), 1, 2).alias("p")
+            )
+            .distinct()
+            .collect()
+        }
+        existing = set(self.postings_t._manifest()["owners"])
+        probe = sorted(touched & existing)
+        if len(probe) == len(existing):
+            return self.postings_t.read()
+        return self.postings_t.read(partitions=probe)
+
+    def search(
+        self, queries: DataFrame, k: int = 10,
+        query_id_col: str = "query_id", query_text_col: str = "query_text",
+    ) -> DataFrame:
+        """Exact coordination ranking served from the index —
+        identical output contract to :func:`keyword_search_topk`, but
+        the scan is the probed term buckets instead of the corpus."""
+        qterms = _query_terms(queries, query_id_col, query_text_col)
+        matched = (
+            self._probed_postings(qterms)
+            .join(F.broadcast(qterms), "term")
+            .groupBy("query_id", "doc_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_matched"),
+                F.sum("tf").alias("sum_tf"),
+            )
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("n_matched"), F.desc("sum_tf"), F.asc("doc_id")
+        )
+        return (
+            matched.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "doc_id", "n_matched", "sum_tf", "rank")
+        )
+
+    def search_bm25(
+        self, queries: DataFrame, k: int = 10, k1: float = 1.2, b: float = 0.75,
+        query_id_col: str = "query_id", query_text_col: str = "query_text",
+    ) -> DataFrame:
+        """BM25 served from the index: df per term is complete within
+        the probed buckets (a term's postings never span buckets);
+        N / avgdl aggregate the 2-column doc_stats table."""
+        qterms = _query_terms(queries, query_id_col, query_text_col)
+        post = self._probed_postings(qterms).join(
+            F.broadcast(qterms.select("term").distinct()), "term", "left_semi"
+        )
+        stats = self.doc_stats_t.read().groupBy().agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            (F.sum("dl") / F.count(F.lit(1))).alias("avgdl"),
+        )
+        df_t = post.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+        scored = (
+            post.join(F.broadcast(qterms), "term")
+            .join(F.broadcast(df_t), "term")
+            .crossJoin(F.broadcast(stats))
+            .withColumn(
+                "idf",
+                F.log(
+                    F.lit(1.0)
+                    + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                    / (F.col("df") + F.lit(0.5))
+                ),
+            )
+            .withColumn(
+                "w",
+                F.col("idf")
+                * (F.col("tf") * F.lit(k1 + 1.0))
+                / (
+                    F.col("tf")
+                    + F.lit(k1)
+                    * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+                ),
+            )
+        )
+        agg = scored.groupBy("query_id", "doc_id").agg(
+            F.aggregate(
+                F.array_sort(F.collect_list("w")),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("score")
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("score"), F.asc("doc_id")
+        )
+        return (
+            agg.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "doc_id", "score", "rank")
+        )

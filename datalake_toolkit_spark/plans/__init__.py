@@ -191,6 +191,21 @@ DEMOTED: tuple[str, ...] = (
     # rotates out in exchange — its sequence/window shape stays
     # covered in-window by q_funnel_conversion and q_cohort_retention.
     "q_event_paths",
+    # r9 fourth wave: q_keyword_search enters (lexical retrieval —
+    # inverted match + coordination ranking, never driver-checked).
+    # q_token_shards (4x green r5-r8) rotates out in exchange — its
+    # sharding shape is composed in-window by q_curate_corpus_full,
+    # the same argument that demoted q_pack_windows this round.
+    "q_token_shards",
+    # r9 fifth wave: q_postings_search enters (the PERSISTENT inverted
+    # index — two bucket-scoped MoR add commits + a term-bucket-pruned
+    # serve — never driver-checked). q_banded_cosine_near_dups (3x
+    # green r6-r8) rotates out in exchange — its banded-LSH cosine
+    # pairing is composed in-window by q_incremental_semantic (which
+    # runs cosine_near_dup_pairs with n_bands=3 inside each batch) and
+    # covered by q_centered_cosine_near_dups (same operator, center
+    # superset).
+    "q_banded_cosine_near_dups",
 )
 
 GATE_WINDOW = 50
@@ -207,6 +222,7 @@ STATEFUL: frozenset[str] = frozenset(
         "q_incremental_minhash",  # two LakeTable commit cycles vs a band ledger
         "q_incremental_semantic",  # two LakeTable commit cycles vs a vector ledger
         "q_persistent_ivf",  # IVF index build + MoR add + probed serve
+        "q_postings_search",  # postings index: two add commits + bucket-pruned serve
         "q_stream_near_dedup",  # two AvailableNow micro-batches through foreachBatch
         "q_stateful_running_status",  # applyInPandasWithState stream replay
         "q_merge_upsert",  # MERGE commit cycle

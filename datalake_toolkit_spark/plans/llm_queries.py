@@ -1395,6 +1395,103 @@ def q_persistent_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_keyword_search",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS w
+      FROM documents),
+    d AS (SELECT doc_id, w FROM toks WHERE len(w) > 0),
+    post AS (SELECT doc_id, term, count(*) AS tf
+             FROM (SELECT doc_id, unnest(w) AS term FROM d)
+             GROUP BY doc_id, term),
+    q AS (SELECT doc_id AS query_id, unnest(list_distinct(w[1:5])) AS term
+          FROM d WHERE doc_id < 3),
+    m AS (SELECT q.query_id, p.doc_id, count(*) AS n_matched,
+                 CAST(sum(p.tf) AS BIGINT) AS sum_tf
+          FROM q JOIN post p USING (term) GROUP BY 1, 2),
+    r AS (SELECT query_id, doc_id, n_matched, sum_tf,
+          CAST(row_number() OVER (PARTITION BY query_id
+            ORDER BY n_matched DESC, sum_tf DESC, doc_id) AS INTEGER)
+            AS rank
+          FROM m)
+    SELECT query_id, doc_id, n_matched, sum_tf, rank FROM r WHERE rank <= 10
+    """,
+)
+def q_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical retrieval, exact layer: the first five tokens of docs
+    0-2 become keyword queries; coordination ranking (distinct terms
+    matched, then total tf, then doc_id) is integer arithmetic end to
+    end, so the whole inverted-match pipeline is hash-exact. The
+    floating-point BM25 refinement on the same machinery is
+    tolerance-pinned in pytest (ln is not bit-portable across
+    engines)."""
+    from datalake_toolkit_spark.llm import keyword_search_topk
+    from datalake_toolkit_spark.llm.search import _tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    queries = docs.where(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("query_id"),
+        F.concat_ws(" ", F.slice(_tokens("text"), 1, 5)).alias("query_text"),
+    )
+    return keyword_search_topk(docs, queries, k=10)
+
+
+@query(
+    "q_postings_search",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS w
+      FROM documents),
+    d AS (SELECT doc_id, w FROM toks WHERE len(w) > 0),
+    post AS (SELECT doc_id, term, count(*) AS tf
+             FROM (SELECT doc_id, unnest(w) AS term FROM d)
+             GROUP BY doc_id, term),
+    q AS (SELECT doc_id AS query_id, unnest(list_distinct(w[1:6])) AS term
+          FROM d WHERE doc_id >= 3 AND doc_id < 6),
+    m AS (SELECT q.query_id, p.doc_id, count(*) AS n_matched,
+                 CAST(sum(p.tf) AS BIGINT) AS sum_tf
+          FROM q JOIN post p USING (term) GROUP BY 1, 2),
+    r AS (SELECT query_id, doc_id, n_matched, sum_tf,
+          CAST(row_number() OVER (PARTITION BY query_id
+            ORDER BY n_matched DESC, sum_tf DESC, doc_id) AS INTEGER)
+            AS rank
+          FROM m)
+    SELECT query_id, doc_id, n_matched, sum_tf, rank FROM r WHERE rank <= 12
+    """,
+)
+def q_postings_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PERSISTENT inverted index, end to end: two incremental add
+    batches (even doc_ids build, odd doc_ids land as term-bucket-scoped
+    merge-on-read upserts), then a coordination-ranked search that
+    reads only the probed term_prefix buckets. Because the index is
+    append-only the final state equals one-shot indexing, so the whole
+    lifecycle — both LakeTable commit cycles, bucket-pruned serve —
+    hash-checks against the same relational layer as
+    ``q_keyword_search``."""
+    import shutil
+    import tempfile
+
+    from datalake_toolkit_spark.llm import PostingsIndex
+    from datalake_toolkit_spark.llm.search import _tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    queries = docs.where((F.col("doc_id") >= 3) & (F.col("doc_id") < 6)).select(
+        F.col("doc_id").alias("query_id"),
+        F.concat_ws(" ", F.slice(_tokens("text"), 1, 6)).alias("query_text"),
+    )
+    work = tempfile.mkdtemp(prefix="dts_postidx_")
+    try:
+        idx = PostingsIndex(spark, work)
+        idx.add(docs.where(F.col("doc_id") % 2 == 0))
+        idx.add(docs.where(F.col("doc_id") % 2 == 1), mode="mor")
+        return idx.search(queries, k=12).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@query(
     "q_dup_clusters",
     """
     WITH RECURSIVE e0 AS (

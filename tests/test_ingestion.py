@@ -911,3 +911,64 @@ def test_cli_table_tombstone_delete_and_quarantine_vacuum(
                  "--quarantine-max-age", "1"]) == 0
     capsys.readouterr()
     assert not any(qroot.iterdir())
+
+
+def test_cli_search_and_ann_subcommands(spark, tmp_path, capsys):
+    """The round-9 retrieval planes are operable from the shell:
+    one-shot lexical query, persistent index add + serve, and the IVF
+    vector index build/add/search/sizes lifecycle."""
+    import json as json_mod
+
+    from datalake_toolkit_spark.__main__ import main
+
+    docs_path = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(1, "red fish blue fish"), (2, "red red red"), (3, "blue whale")],
+        "doc_id bigint, text string",
+    ).coalesce(1).write.parquet(docs_path)
+
+    # one-shot keyword query over parquet docs
+    assert main(["search", "query", "--docs", docs_path,
+                 "--query", "red fish", "--k", "2"]) == 0
+    rows = [json_mod.loads(ln) for ln in
+            capsys.readouterr().out.strip().splitlines()]
+    assert [r["doc_id"] for r in rows] == [1, 2]
+    assert rows[0]["n_matched"] == 2
+
+    # persistent index: add twice (idempotent), then serve bm25
+    idx_path = str(tmp_path / "pidx")
+    assert main(["search", "index-add", "--index", idx_path,
+                 "--docs", docs_path]) == 0
+    capsys.readouterr()
+    assert main(["search", "index-query", "--index", idx_path,
+                 "--query", "whale", "--method", "bm25"]) == 0
+    rows = [json_mod.loads(ln) for ln in
+            capsys.readouterr().out.strip().splitlines()]
+    assert [r["doc_id"] for r in rows] == [3]
+
+    # IVF lifecycle
+    emb_path = str(tmp_path / "emb")
+    spark.createDataFrame(
+        [(i, [1.0 * (i % 2), 1.0 * ((i + 1) % 2), 0.1 * i, 1.0])
+         for i in range(12)],
+        "vec_id bigint, embedding array<double>",
+    ).coalesce(1).write.parquet(emb_path)
+    ivf_path = str(tmp_path / "ivf")
+    assert main(["ann", "build", "--path", ivf_path, "--input", emb_path,
+                 "--n-lists", "2", "--lloyd-iters", "1", "--dim", "4"]) == 0
+    capsys.readouterr()
+    add_path = str(tmp_path / "emb2")
+    spark.createDataFrame(
+        [(100, [1.0, 0.0, 0.5, 1.0])], "vec_id bigint, embedding array<double>"
+    ).coalesce(1).write.parquet(add_path)
+    assert main(["ann", "add", "--path", ivf_path, "--input", add_path]) == 0
+    capsys.readouterr()
+    assert main(["ann", "sizes", "--path", ivf_path]) == 0
+    sizes = [json_mod.loads(ln) for ln in
+             capsys.readouterr().out.strip().splitlines()]
+    assert sum(s["n_vectors"] for s in sizes) == 13
+    assert main(["ann", "search", "--path", ivf_path, "--input", add_path,
+                 "--k", "3", "--n-probe", "2"]) == 0
+    rows = [json_mod.loads(ln) for ln in
+            capsys.readouterr().out.strip().splitlines()]
+    assert len(rows) == 3 and rows[0]["qid"] == 100

@@ -481,6 +481,221 @@ def test_ivf_index_readd_moves_list_without_stale_twin(spark, tmp_path):
     assert hits[0].cid in (3, 4)  # nearest now the e2 direction
 
 
+def test_posting_lists_and_keyword_search_exact(spark):
+    """Hand-checkable corpus: tf / dl / n_matched / sum_tf and the
+    (n_matched DESC, sum_tf DESC, doc_id ASC) ranking, including an
+    empty document contributing nothing."""
+    from datalake_toolkit_spark.llm import keyword_search_topk, posting_lists
+
+    docs = spark.createDataFrame(
+        [
+            (1, "red fish blue fish"),
+            (2, "red red red"),
+            (3, "blue whale"),
+            (4, ""),
+        ],
+        "doc_id bigint, text string",
+    )
+    post = {
+        (r.term, r.doc_id): (r.tf, r.dl) for r in posting_lists(docs).collect()
+    }
+    assert post[("fish", 1)] == (2, 4)
+    assert post[("red", 2)] == (3, 3)
+    assert post[("whale", 3)] == (1, 2)
+    assert not any(d == 4 for (_, d) in post)
+
+    queries = spark.createDataFrame(
+        [(100, "red fish"), (200, "whale")],
+        "query_id bigint, query_text string",
+    )
+    got = {
+        (r.query_id, r.rank): (r.doc_id, r.n_matched, r.sum_tf)
+        for r in keyword_search_topk(docs, queries, k=10).collect()
+    }
+    # q100: doc1 matches both terms (tf 1+2=3); doc2 matches one with
+    # tf 3 — coordination beats raw tf
+    assert got[(100, 1)] == (1, 2, 3)
+    assert got[(100, 2)] == (2, 1, 3)
+    assert got[(200, 1)] == (3, 1, 1)
+    assert (200, 2) not in got
+
+
+def test_bm25_topk_matches_python_reference(spark, sf_dir):
+    """BM25 over the documents table vs an independent Python
+    replay (Lucene formulation) — per-pair scores agree to 1e-9
+    relative and the returned ranking is the score argsort with the
+    doc_id tie-break."""
+    import math
+    from collections import Counter
+
+    from datalake_toolkit_spark.llm import bm25_topk
+    from datalake_toolkit_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    queries = spark.createDataFrame(
+        [(1, "table scan filter"), (2, "spark join window agg")],
+        "query_id bigint, query_text string",
+    )
+    k1, b = 1.2, 0.75
+    got = bm25_topk(docs, queries, k=15, k1=k1, b=b).collect()
+
+    rows = docs.select("doc_id", "text").collect()
+    toks = {
+        r.doc_id: [t for t in (r.text or "").split() if t]
+        for r in rows
+    }
+    toks = {d: w for d, w in toks.items() if w}
+    n = len(toks)
+    avgdl = sum(len(w) for w in toks.values()) / n
+    tfs = {d: Counter(w) for d, w in toks.items()}
+    dfs: Counter = Counter()
+    for c in tfs.values():
+        dfs.update(c.keys())
+
+    def score(qterms, d):
+        s = []
+        for t in set(qterms):
+            tf = tfs[d].get(t, 0)
+            if not tf:
+                continue
+            idf = math.log(1.0 + (n - dfs[t] + 0.5) / (dfs[t] + 0.5))
+            s.append(
+                idf * tf * (k1 + 1.0)
+                / (tf + k1 * (1.0 - b + b * len(toks[d]) / avgdl))
+            )
+        return sum(sorted(s))
+
+    qtext = {1: "table scan filter".split(), 2: "spark join window agg".split()}
+    by_q: dict = {}
+    for r in got:
+        by_q.setdefault(r.query_id, []).append(r)
+    for qid, rs in by_q.items():
+        rs.sort(key=lambda r: r.rank)
+        # expected top-15 from the python replay
+        want = sorted(
+            ((score(qtext[qid], d), d) for d in toks),
+            key=lambda x: (-x[0], x[1]),
+        )[:15]
+        assert [r.doc_id for r in rs] == [d for _, d in want]
+        for r, (s, _) in zip(rs, want):
+            assert math.isclose(r.score, s, rel_tol=1e-9)
+
+
+def test_postings_index_incremental_equals_batch_rankers(
+    spark, sf_dir, tmp_path
+):
+    """Two incremental add batches must serve IDENTICAL rankings to
+    the one-shot batch rankers over the same corpus — coordination
+    layer exactly, BM25 to float equality (same expression trees on
+    identical inputs), and a replayed batch (crash recovery) must not
+    change anything."""
+    import math
+
+    from datalake_toolkit_spark.llm import (
+        PostingsIndex,
+        bm25_topk,
+        keyword_search_topk,
+    )
+    from datalake_toolkit_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    queries = spark.createDataFrame(
+        [(1, "table scan filter"), (2, "spark join window agg")],
+        "query_id bigint, query_text string",
+    )
+    idx = PostingsIndex(spark, str(tmp_path / "pidx"))
+    idx.add(docs.where(F.col("doc_id") % 2 == 0))
+    idx.add(docs.where(F.col("doc_id") % 2 == 1), mode="mor")
+
+    got = {
+        (r.query_id, r.doc_id): (r.n_matched, r.sum_tf, r.rank)
+        for r in idx.search(queries, k=12).collect()
+    }
+    want = {
+        (r.query_id, r.doc_id): (r.n_matched, r.sum_tf, r.rank)
+        for r in keyword_search_topk(docs, queries, k=12).collect()
+    }
+    assert got == want
+
+    got_bm = {
+        (r.query_id, r.doc_id): (r.score, r.rank)
+        for r in idx.search_bm25(queries, k=12).collect()
+    }
+    want_bm = {
+        (r.query_id, r.doc_id): (r.score, r.rank)
+        for r in bm25_topk(docs, queries, k=12).collect()
+    }
+    assert set(got_bm) == set(want_bm)
+    for key, (s, rk) in want_bm.items():
+        assert got_bm[key][1] == rk
+        assert math.isclose(got_bm[key][0], s, rel_tol=1e-12)
+
+    # replaying a batch (idempotent upserts) changes nothing
+    idx.add(docs.where(F.col("doc_id") % 2 == 1), mode="mor")
+    again = {
+        (r.query_id, r.doc_id): (r.n_matched, r.sum_tf, r.rank)
+        for r in idx.search(queries, k=12).collect()
+    }
+    assert again == want
+    n_docs = idx.doc_stats_t.read().count()
+    assert n_docs == docs.where(F.col("text").isNotNull()).count()
+
+
+def test_postings_index_probe_reads_only_term_buckets(spark, tmp_path):
+    """A one-term query probes exactly that term's md5-prefix bucket:
+    the restricted read sees only postings hashing there, and the
+    index spans multiple buckets so the restriction is real."""
+    from datalake_toolkit_spark.llm import PostingsIndex
+    from datalake_toolkit_spark.llm.search import _query_terms
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha{i % 7} beta{i % 5} gamma common") for i in range(40)],
+        "doc_id bigint, text string",
+    )
+    idx = PostingsIndex(spark, str(tmp_path / "pidx"))
+    idx.add(docs)
+    owners = set(idx.postings_t._manifest()["owners"])
+    assert len(owners) > 1
+
+    queries = spark.createDataFrame(
+        [(1, "common")], "query_id bigint, query_text string"
+    )
+    qterms = _query_terms(queries, "query_id", "query_text")
+    probed = idx._probed_postings(qterms)
+    prefixes = {
+        r.p
+        for r in probed.select(
+            F.substring(F.md5("term"), 1, 2).alias("p")
+        ).distinct().collect()
+    }
+    assert len(prefixes) == 1  # only the probed bucket's postings
+    out = idx.search(queries, k=50).collect()
+    assert len(out) == 40  # every doc contains 'common'
+    assert all(r.n_matched == 1 and r.sum_tf == 1 for r in out)
+
+
+def test_bm25_idf_prefers_rare_terms(spark):
+    """A rare-term match must outrank a common-term match with equal
+    tf — the idf effect, on a corpus built to isolate it."""
+    from datalake_toolkit_spark.llm import bm25_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "common rare pad1 pad2"),
+            (2, "common word1 pad3 pad4"),
+            (3, "common word2 pad5 pad6"),
+            (4, "common word3 pad7 pad8"),
+        ],
+        "doc_id bigint, text string",
+    )
+    queries = spark.createDataFrame(
+        [(1, "rare common")], "query_id bigint, query_text string"
+    )
+    out = bm25_topk(docs, queries, k=4).collect()
+    best = min(out, key=lambda r: r.rank)
+    assert best.doc_id == 1  # only doc matching the rare term
+
+
 def test_connected_components_chain_star_and_singleton(spark):
     """Multi-hop chain, star, and an isolated pairless doc: components
     are min-reachable-id, exactly transitive closure."""
