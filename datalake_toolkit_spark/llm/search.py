@@ -250,13 +250,20 @@ class PostingsIndex:
         id_col: str = "doc_id",
         text_col: str = "text",
         auto_compact_after: dict | None = None,
+        prefix_len: int = 2,
     ) -> None:
+        """``prefix_len``: md5-prefix hex chars per bucket — 2 (the
+        default) gives 256 buckets, 1 gives 16. Only consulted when
+        CREATING the index; an existing table's width is inferred from
+        its committed partition values, so a fresh handle can never
+        hash terms into a different layout than the stored rows."""
         from datalake_toolkit_spark.lakehouse import LakeTable
 
         self.spark = spark
         self.path = path
         self.id_col = id_col
         self.text_col = text_col
+        self._creation_prefix_len = prefix_len
         self.postings_t = LakeTable(
             spark,
             os.path.join(path, "postings"),
@@ -270,12 +277,24 @@ class PostingsIndex:
             auto_compact_after=auto_compact_after,
         )
 
+    def _prefix_len(self) -> int:
+        """The committed bucket width, or the creation width for a
+        table that doesn't exist yet."""
+        if self.postings_t.current_version() is None:
+            return self._creation_prefix_len
+        owners = self.postings_t._manifest()["owners"]
+        for key in owners:
+            # "term_prefix=ab" -> 2
+            return len(key.split("=", 1)[1])
+        return self._creation_prefix_len
+
     def add(self, docs: DataFrame, mode: str = "mor") -> int:
         """Index a batch: postings commit first, doc stats second —
         both idempotent upserts, so a crash between them replays
         cleanly. Returns the postings table's committed version."""
+        plen = self._prefix_len()
         post = posting_lists(docs, self.id_col, self.text_col).withColumn(
-            "term_prefix", F.substring(F.md5("term"), 1, 2)
+            "term_prefix", F.substring(F.md5("term"), 1, plen)
         )
         if self.postings_t.current_version() is None:
             v = self.postings_t.write(post, op="postings_build")
@@ -288,7 +307,8 @@ class PostingsIndex:
                 assume_key_unique=True,  # posting_lists groups by (term, doc)
             )
         stats = post.select("doc_id", "dl").distinct().withColumn(
-            "dhash_prefix", F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+            "dhash_prefix",
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, plen),
         )
         if self.doc_stats_t.current_version() is None:
             self.doc_stats_t.write(stats, op="postings_build")
@@ -309,7 +329,7 @@ class PostingsIndex:
         touched = {
             f"term_prefix={r['p']}"
             for r in qterms.select(
-                F.substring(F.md5("term"), 1, 2).alias("p")
+                F.substring(F.md5("term"), 1, self._prefix_len()).alias("p")
             )
             .distinct()
             .collect()

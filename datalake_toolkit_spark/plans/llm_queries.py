@@ -1483,7 +1483,11 @@ def q_postings_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     work = tempfile.mkdtemp(prefix="dts_postidx_")
     try:
-        idx = PostingsIndex(spark, work)
+        # 16 buckets at gate/bench scale (the 256-bucket default is the
+        # production width; results are bucket-count-invariant and the
+        # narrower fan-out keeps the two add commits from paying a
+        # 512-directory write for a 5k-doc corpus)
+        idx = PostingsIndex(spark, work, prefix_len=1)
         idx.add(docs.where(F.col("doc_id") % 2 == 0))
         idx.add(docs.where(F.col("doc_id") % 2 == 1), mode="mor")
         return idx.search(queries, k=12).localCheckpoint(eager=True)

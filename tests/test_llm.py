@@ -674,6 +674,37 @@ def test_postings_index_probe_reads_only_term_buckets(spark, tmp_path):
     assert all(r.n_matched == 1 and r.sum_tf == 1 for r in out)
 
 
+def test_postings_index_prefix_len_inferred_by_fresh_handles(
+    spark, tmp_path
+):
+    """A narrow (16-bucket) index opened by a handle with the DEFAULT
+    width must keep hashing terms into the committed layout — the
+    width is inferred from the stored partition values, never from the
+    constructor of a later handle."""
+    from datalake_toolkit_spark.llm import PostingsIndex
+
+    docs1 = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "beta gamma")], "doc_id bigint, text string"
+    )
+    idx = PostingsIndex(spark, str(tmp_path / "pidx"), prefix_len=1)
+    idx.add(docs1)
+
+    fresh = PostingsIndex(spark, str(tmp_path / "pidx"))  # default width 2
+    assert fresh._prefix_len() == 1
+    docs2 = spark.createDataFrame(
+        [(3, "gamma delta")], "doc_id bigint, text string"
+    )
+    fresh.add(docs2, mode="mor")
+    owners = set(fresh.postings_t._manifest()["owners"])
+    assert all(len(k.split("=", 1)[1]) == 1 for k in owners)
+
+    queries = spark.createDataFrame(
+        [(1, "gamma")], "query_id bigint, query_text string"
+    )
+    got = {r.doc_id for r in fresh.search(queries, k=10).collect()}
+    assert got == {2, 3}  # both eras of the index answer
+
+
 def test_bm25_idf_prefers_rare_terms(spark):
     """A rare-term match must outrank a common-term match with equal
     tf — the idf effect, on a corpus built to isolate it."""
