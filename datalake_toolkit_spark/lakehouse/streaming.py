@@ -285,3 +285,43 @@ def stream_near_dedup_ingest(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_index_ingest(
+    stream_df: DataFrame,
+    index,
+    checkpoint: str,
+    mode: str = "mor",
+    available_now: bool = True,
+    batch_filter=None,
+):
+    """Maintain a retrieval index from a stream: every micro-batch
+    calls ``index.add(batch, mode=mode)``, where ``index`` is a
+    :class:`~datalake_toolkit_spark.llm.search.PostingsIndex` or a
+    :class:`~datalake_toolkit_spark.llm.ann_index.IVFIndex` (anything
+    with that ``add`` contract). Replay safety comes from the indexes
+    themselves — their adds are key-idempotent upserts, so a micro-
+    batch retried after a crash converges instead of duplicating;
+    no side ledger is needed. Construct the index with
+    ``auto_compact_after`` so a steady stream drains its own pending
+    merge-on-read state. ``batch_filter`` (batch -> batch) runs before
+    indexing — quality gates, routing, PII redaction.
+
+    Returns the started ``StreamingQuery`` (``availableNow`` drains
+    and stops by default)."""
+
+    def _apply(batch: DataFrame, _batch_id: int) -> None:
+        if batch_filter is not None:
+            batch = batch_filter(batch)
+        if batch.isEmpty():
+            return
+        index.add(batch, mode=mode)
+
+    writer = (
+        stream_df.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

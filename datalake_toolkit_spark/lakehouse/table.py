@@ -1410,7 +1410,18 @@ class LakeTable:
         saves). Complex predicates silently degrade to filter-only."""
         man = self._manifest(version)
         if partitions is not None:
-            missing = set(partitions) - set(man["owners"])
+            # a partition may exist ONLY in pending merge-on-read
+            # appends (its first rows landed MoR and no rewrite has
+            # localized them yet) — it is readable (the resolved
+            # appends are keys-predicate-scoped below), so it must be
+            # addressable too, or bucket-pruned readers would silently
+            # miss freshly appended buckets
+            pending_parts = {
+                k
+                for e in (man.get("merges") or [])
+                for k in (e.get("parts") or [])
+            }
+            missing = set(partitions) - set(man["owners"]) - pending_parts
             if missing:
                 raise ValueError(
                     f"unknown partitions {sorted(missing)}; "

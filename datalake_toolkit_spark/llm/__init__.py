@@ -39,7 +39,9 @@ from datalake_toolkit_spark.llm.search import (
     PostingsIndex,
     bm25_topk,
     keyword_search_topk,
+    phrase_search,
     posting_lists,
+    rrf_fuse,
 )
 from datalake_toolkit_spark.llm.similarity import (
     cosine_similarity_col,
@@ -55,8 +57,10 @@ __all__ = [
     "bigram_familiarity",
     "bm25_topk",
     "keyword_search_topk",
+    "phrase_search",
     "posting_lists",
     "PostingsIndex",
+    "rrf_fuse",
     "connected_components",
     "cosine_similarity_col",
     "cosine_topk",

@@ -210,9 +210,17 @@ class IVFIndex:
             f"list_id={r['list_id']}"
             for r in q.select("list_id").distinct().collect()
         }
+        # include partitions that live ONLY in pending merge-on-read
+        # appends (an added vector may open a list no rewrite has
+        # localized yet) — owners-only pruning would skip it
         man = self.assignments_t._manifest()
-        known = sorted(probed & set(man["owners"]))
-        if len(known) == len(man["owners"]):
+        existing = set(man["owners"]) | {
+            k
+            for e in (man.get("merges") or [])
+            for k in (e.get("parts") or [])
+        }
+        known = sorted(probed & existing)
+        if len(known) == len(existing):
             cand = self.assignments_t.read()
         else:
             cand = self.assignments_t.read(partitions=known)

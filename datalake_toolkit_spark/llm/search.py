@@ -334,7 +334,15 @@ class PostingsIndex:
             .distinct()
             .collect()
         }
-        existing = set(self.postings_t._manifest()["owners"])
+        # a bucket may live ONLY in pending merge-on-read appends (no
+        # rewrite has localized it into the owners map yet) — pruning
+        # by owners alone would silently miss freshly added terms
+        man = self.postings_t._manifest()
+        existing = set(man["owners"]) | {
+            k
+            for e in (man.get("merges") or [])
+            for k in (e.get("parts") or [])
+        }
         probe = sorted(touched & existing)
         if len(probe) == len(existing):
             return self.postings_t.read()
@@ -420,3 +428,121 @@ class PostingsIndex:
             .where(F.col("rank") <= k)
             .select("query_id", "doc_id", "score", "rank")
         )
+
+
+def phrase_search(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    query_text_col: str = "query_text",
+) -> DataFrame:
+    """Exact PHRASE matching: (query_id, doc_id, n_occurrences, rank)
+    for documents containing the query's tokens ADJACENTLY and in
+    order; occurrences may overlap (every start offset is tested, the
+    shingle convention). Integer-exact end to end.
+
+    Two-phase execution (the classic positional-index shape): phase 1
+    intersects postings — only documents containing ALL the phrase's
+    distinct terms survive, found via the same broadcast semi-filter
+    as the rankers, so the corpus is never window-scanned; phase 2
+    verifies adjacency on the candidates only, as a pure expression
+    (indexed ``transform`` + ``slice`` window compare — per candidate
+    row, no join on positions)."""
+    qp = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        _tokens(query_text_col).alias("phrase"),
+    ).where(F.size("phrase") > 0)
+    qterms = qp.select(
+        "query_id", F.explode(F.array_distinct("phrase")).alias("term")
+    ).distinct()
+    n_terms = qp.select(
+        "query_id", F.size(F.array_distinct("phrase")).alias("n_terms")
+    )
+    cand = (
+        _matched_postings(docs, qterms, id_col, text_col)
+        .join(F.broadcast(qterms), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.count(F.lit(1)).alias("nm"))
+        .join(F.broadcast(n_terms), "query_id")
+        .where(F.col("nm") == F.col("n_terms"))
+        .select("query_id", "doc_id")
+    )
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), _tokens(text_col).alias("w")
+    )
+    m = F.size("phrase")
+    verified = (
+        cand.join(F.broadcast(qp), "query_id")
+        .join(toks, "doc_id")
+        .withColumn(
+            "n_occurrences",
+            F.size(
+                F.filter(
+                    F.transform(
+                        F.col("w"),
+                        lambda x, i: F.when(
+                            i + m <= F.size("w"),
+                            F.slice(F.col("w"), i + 1, m),
+                        ),
+                    ),
+                    lambda s: s.isNotNull() & (s == F.col("phrase")),
+                )
+            ),
+        )
+        .where(F.col("n_occurrences") > 0)
+        .select("query_id", "doc_id", "n_occurrences")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("n_occurrences"), F.asc("doc_id")
+    )
+    return (
+        verified.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "doc_id", "n_occurrences", "rank")
+    )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame], k: int = 10, c: float = 60.0
+) -> DataFrame:
+    """Reciprocal-rank fusion of any number of (query_id, doc_id,
+    rank) rankings: score = sum over lists of 1 / (c + rank), rank
+    counted only where the document appears (the standard union-RRF;
+    c=60 per Cormack et al.). The hybrid-retrieval combiner — lexical
+    and vector rankings fuse without score calibration because only
+    RANKS enter.
+
+    Engine-exact by construction: each contribution is one IEEE
+    division of exact integers and the per-document sum folds the
+    VALUE-SORTED contributions, so the fused scores (not just the
+    order) reproduce bit-for-bit."""
+    from functools import reduce
+
+    tagged = [
+        r.select(
+            "query_id",
+            "doc_id",
+            (F.lit(1.0) / (F.lit(c) + F.col("rank").cast("double"))).alias(
+                "contrib"
+            ),
+        )
+        for r in rankings
+    ]
+    allr = reduce(lambda a, b: a.unionByName(b), tagged)
+    fused = allr.groupBy("query_id", "doc_id").agg(
+        F.aggregate(
+            F.array_sort(F.collect_list("contrib")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("score"),
+        F.count(F.lit(1)).alias("n_lists"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "doc_id", "score", "n_lists", "rank")
+    )

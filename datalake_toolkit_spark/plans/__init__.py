@@ -206,6 +206,17 @@ DEMOTED: tuple[str, ...] = (
     # covered by q_centered_cosine_near_dups (same operator, center
     # superset).
     "q_banded_cosine_near_dups",
+    # r9 sixth wave: q_phrase_search and q_hybrid_search enter (exact
+    # adjacency matching and RRF fusion of the lexical + vector
+    # rankings — never driver-checked). Two 3x-green (r6-r8) shapes
+    # rotate out in exchange: q_funnel_conversion (ordered-sequence
+    # matching — q_phrase_search is the stricter ordered-window form
+    # and q_cohort_retention keeps the event-analytics plane
+    # in-window) and q11_important_stock (group-agg vs scalar
+    # threshold — covered by q20_excess_stock's correlated scalar and
+    # q22's scalar-avg subquery).
+    "q_funnel_conversion",
+    "q11_important_stock",
 )
 
 GATE_WINDOW = 50

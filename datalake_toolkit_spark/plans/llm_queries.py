@@ -1496,6 +1496,153 @@ def q_postings_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_phrase_search",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS w
+      FROM documents),
+    d AS (SELECT doc_id, w FROM toks WHERE len(w) > 0),
+    q AS (SELECT doc_id AS query_id, w[2:4] AS phrase FROM d
+          WHERE doc_id >= 6 AND doc_id < 9 AND len(w) >= 4),
+    occ AS (SELECT q.query_id, d.doc_id,
+            CAST(len(list_filter(
+              list_transform(d.w, (x, i) ->
+                CASE WHEN i + len(q.phrase) - 1 <= len(d.w)
+                     THEN d.w[i:i+len(q.phrase)-1] END),
+              s -> s IS NOT NULL AND s = q.phrase)) AS INTEGER)
+              AS n_occurrences
+            FROM q CROSS JOIN d),
+    r AS (SELECT query_id, doc_id, n_occurrences,
+          CAST(row_number() OVER (PARTITION BY query_id
+            ORDER BY n_occurrences DESC, doc_id) AS INTEGER) AS rank
+          FROM occ WHERE n_occurrences > 0)
+    SELECT query_id, doc_id, n_occurrences, rank FROM r WHERE rank <= 10
+    """,
+)
+def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase matching: tokens 2-4 of docs 6-8 become 3-word
+    phrase queries; two-phase execution (posting intersection ->
+    adjacency verify on candidates only) returns per-document
+    OVERLAPPING occurrence counts — integer-exact, hash-checked
+    against a windowed-compare relational replay."""
+    from datalake_toolkit_spark.llm import phrase_search
+    from datalake_toolkit_spark.llm.search import _tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    w = _tokens("text")
+    queries = docs.where(
+        (F.col("doc_id") >= 6) & (F.col("doc_id") < 9) & (F.size(w) >= 4)
+    ).select(
+        F.col("doc_id").alias("query_id"),
+        F.concat_ws(" ", F.slice(w, 2, 3)).alias("query_text"),
+    )
+    return phrase_search(docs, queries, k=10)
+
+
+@query(
+    "q_hybrid_search",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS w
+      FROM documents),
+    d AS (SELECT doc_id, w FROM toks WHERE len(w) > 0),
+    post AS (SELECT doc_id, term, count(*) AS tf
+             FROM (SELECT doc_id, unnest(w) AS term FROM d)
+             GROUP BY doc_id, term),
+    qt AS (SELECT doc_id AS query_id, unnest(list_distinct(w[1:5])) AS term
+           FROM d WHERE doc_id >= 3 AND doc_id < 6),
+    km AS (SELECT qt.query_id, p.doc_id, count(*) AS n_matched,
+                  CAST(sum(p.tf) AS BIGINT) AS sum_tf
+           FROM qt JOIN post p USING (term) GROUP BY 1, 2),
+    kr AS (SELECT query_id, doc_id,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY n_matched DESC, sum_tf DESC, doc_id) AS rank
+           FROM km),
+    kw AS (SELECT query_id, doc_id, rank FROM kr WHERE rank <= 20),
+    hw AS (SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS t
+           FROM documents WHERE text IS NOT NULL),
+    h AS (SELECT doc_id,
+                 CAST('0x' || substr(md5(t), 1, 8) AS BIGINT) % 32 AS b,
+                 CASE WHEN (CAST('0x' || substr(md5(t), 1, 8) AS BIGINT) >> 8)
+                      & 1 = 1 THEN 1 ELSE -1 END AS s
+          FROM hw),
+    agg AS (SELECT doc_id, b, CAST(sum(s) AS BIGINT) AS v
+            FROM h GROUP BY 1, 2),
+    n2 AS (SELECT doc_id, CAST(sum(v * v) AS DOUBLE) AS nn
+           FROM agg GROUP BY doc_id HAVING sum(v * v) > 0),
+    pairs AS (SELECT qn.doc_id AS query_id, cn.doc_id AS doc_id,
+                     qn.nn AS qn2, cn.nn AS cn2
+              FROM n2 qn CROSS JOIN n2 cn
+              WHERE qn.doc_id >= 3 AND qn.doc_id < 6
+                AND qn.doc_id <> cn.doc_id),
+    dots AS (SELECT p.query_id, p.doc_id, p.qn2, p.cn2,
+                    CAST(coalesce(sum(qa.v * ca.v), 0) AS DOUBLE) AS dot
+             FROM pairs p
+             LEFT JOIN agg qa ON qa.doc_id = p.query_id
+             LEFT JOIN agg ca ON ca.doc_id = p.doc_id AND ca.b = qa.b
+             GROUP BY 1, 2, 3, 4),
+    vr AS (SELECT query_id, doc_id,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY dot / (sqrt(qn2) * sqrt(cn2)) DESC, doc_id) AS rank
+           FROM dots),
+    vec AS (SELECT query_id, doc_id, rank FROM vr WHERE rank <= 20),
+    uni AS (SELECT query_id, doc_id,
+                   1.0 / (60.0 + CAST(rank AS DOUBLE)) AS contrib FROM kw
+            UNION ALL
+            SELECT query_id, doc_id,
+                   1.0 / (60.0 + CAST(rank AS DOUBLE)) AS contrib FROM vec),
+    fused AS (SELECT query_id, doc_id,
+              list_reduce(list_prepend(0.0, list(contrib ORDER BY contrib)),
+                          (acc, e) -> acc + e) AS score,
+              count(*) AS n_lists
+              FROM uni GROUP BY 1, 2),
+    fr AS (SELECT query_id, doc_id, score, n_lists,
+           CAST(row_number() OVER (PARTITION BY query_id
+             ORDER BY score DESC, doc_id) AS INTEGER) AS rank
+           FROM fused)
+    SELECT query_id, doc_id, score, n_lists, rank FROM fr WHERE rank <= 10
+    """,
+)
+def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: reciprocal-rank fusion of the lexical
+    coordination ranking and an exact cosine ranking over the
+    integer-exact hashed document vectors (both top-20 per query,
+    fused top-10). Every layer is engine-exact — integer match stats,
+    integer-dot cosines, and RRF contributions that are single IEEE
+    divisions summed in value order — so the full two-modality stack
+    hash-checks end to end."""
+    from datalake_toolkit_spark.llm import (
+        cosine_topk,
+        hashed_embeddings,
+        keyword_search_topk,
+        rrf_fuse,
+    )
+    from datalake_toolkit_spark.llm.search import _tokens
+    from datalake_toolkit_spark.llm.similarity import _as_double, _fold_sum
+
+    docs = _t(spark, sf_dir, "documents")
+    qdocs = docs.where((F.col("doc_id") >= 3) & (F.col("doc_id") < 6))
+    queries = qdocs.select(
+        F.col("doc_id").alias("query_id"),
+        F.concat_ws(" ", F.slice(_tokens("text"), 1, 5)).alias("query_text"),
+    )
+    kw = keyword_search_topk(docs, queries, k=20)
+
+    emb = hashed_embeddings(docs, dim=32)
+    sq = _fold_sum(F.transform(_as_double("embedding"), lambda x: x * x))
+    emb = emb.where(sq > 0)
+    qemb = emb.where((F.col("doc_id") >= 3) & (F.col("doc_id") < 6))
+    vec = cosine_topk(emb, qemb, k=20, id_col="doc_id").select(
+        F.col("qid").alias("query_id"),
+        F.col("cid").alias("doc_id"),
+        "rank",
+    )
+    return rrf_fuse([kw.select("query_id", "doc_id", "rank"), vec], k=10)
+
+
+@query(
     "q_dup_clusters",
     """
     WITH RECURSIVE e0 AS (

@@ -2712,3 +2712,130 @@ def test_vacuum_reaps_aged_quarantine_dirs(spark, tmp_path):
     t.vacuum(quarantine_max_age_sec=3600.0, now=now + 7200)  # aged: reaped
     assert not any(qroot.iterdir())
     assert {r.id for r in t.read().collect()} == {1}  # data untouched
+
+
+def test_stream_index_ingest_maintains_postings_and_ivf(spark, tmp_path):
+    """Streaming index maintenance: micro-batches add into a
+    PostingsIndex (and the same wrapper drives an IVFIndex); a
+    re-drain with the same checkpoint is a no-op, and a REPLAYED batch
+    (fresh checkpoint, same data) converges instead of duplicating —
+    the add path is key-idempotent, no side ledger."""
+    import json as _json
+
+    from datalake_toolkit_spark.lakehouse import stream_index_ingest
+    from datalake_toolkit_spark.llm import IVFIndex, PostingsIndex
+
+    src = tmp_path / "src"
+    src.mkdir()
+    idx = PostingsIndex(spark, str(tmp_path / "pidx"), prefix_len=1)
+
+    def drop(name, rows):
+        (src / name).write_text("\n".join(_json.dumps(r) for r in rows))
+
+    def drain(ckpt):
+        q = stream_index_ingest(
+            spark.readStream.schema("doc_id bigint, text string")
+            .json(str(src)),
+            idx,
+            checkpoint=str(tmp_path / ckpt),
+        )
+        q.awaitTermination(120)
+
+    drop("b1.json", [
+        {"doc_id": 1, "text": "red fish blue fish"},
+        {"doc_id": 2, "text": "red red red"},
+    ])
+    drain("ckpt")
+    drop("b2.json", [{"doc_id": 3, "text": "blue whale"}])
+    drain("ckpt")
+
+    queries = spark.createDataFrame(
+        [(100, "red fish"), (200, "whale")],
+        "query_id bigint, query_text string",
+    )
+    got = {
+        (r.query_id, r.rank): (r.doc_id, r.n_matched, r.sum_tf)
+        for r in idx.search(queries, k=10).collect()
+    }
+    assert got[(100, 1)] == (1, 2, 3)
+    assert got[(100, 2)] == (2, 1, 3)
+    assert got[(200, 1)] == (3, 1, 1)
+
+    # same-checkpoint re-drain: no new source files, no new version
+    v_before = idx.postings_t.current_version()
+    drain("ckpt")
+    assert idx.postings_t.current_version() == v_before
+
+    # replay with a FRESH checkpoint: adds re-run but converge
+    drain("ckpt2")
+    assert {
+        (r.query_id, r.rank): (r.doc_id, r.n_matched, r.sum_tf)
+        for r in idx.search(queries, k=10).collect()
+    } == got
+    assert idx.doc_stats_t.read().count() == 3
+
+    # the same wrapper maintains a vector index
+    esrc = tmp_path / "esrc"
+    esrc.mkdir()
+    ivf = IVFIndex(spark, str(tmp_path / "ivf"))
+    ivf.build(
+        spark.createDataFrame(
+            [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0, 0.0])],
+            "vec_id bigint, embedding array<double>",
+        ),
+        n_lists=2,
+        lloyd_iters=1,
+        dim=4,
+    )
+    (esrc / "e1.json").write_text(
+        _json.dumps({"vec_id": 5, "embedding": [0.9, 0.1, 0.0, 0.0]})
+    )
+    q = stream_index_ingest(
+        spark.readStream.schema("vec_id bigint, embedding array<double>")
+        .json(str(esrc)),
+        ivf,
+        checkpoint=str(tmp_path / "eckpt"),
+    )
+    q.awaitTermination(120)
+    qdf = spark.createDataFrame(
+        [(99, [1.0, 0.05, 0.0, 0.0])], "vec_id bigint, embedding array<double>"
+    )
+    hits = ivf.search(qdf, k=1, n_probe=2).collect()
+    assert [r.cid for r in hits] == [0]  # streamed vector indexed next to it
+    assert ivf.assignments_t.read().count() == 3
+
+
+def test_read_partition_that_exists_only_in_pending_mor_appends(
+    spark, tmp_path
+):
+    """A merge-on-read append may open a BRAND-NEW partition; until a
+    rewrite localizes it into the owners map, a partition-restricted
+    read must still address it (returning the resolved append rows)
+    instead of raising unknown-partition — and bucket-pruned readers
+    built on read(partitions=...) must see the fresh rows."""
+    import pytest as _pytest
+
+    from datalake_toolkit_spark.lakehouse import LakeTable
+
+    t = LakeTable(spark, str(tmp_path / "t"), partition_by=("seg",))
+    t.write(
+        spark.createDataFrame([(1, "a", 1.0)], "id bigint, seg string, v double")
+    )
+    t.upsert(
+        spark.createDataFrame([(2, "b", 2.0)], "id bigint, seg string, v double"),
+        keys=["id"],
+        mode="mor",
+    )
+    assert "seg=b" not in t._manifest()["owners"]  # still pending
+    rows = t.read(partitions=["seg=b"]).collect()
+    assert [(r.id, r.seg, r.v) for r in rows] == [(2, "b", 2.0)]
+    # restriction still scopes: the owned partition alone has no id 2
+    rows_a = t.read(partitions=["seg=a"]).collect()
+    assert [(r.id, r.seg) for r in rows_a] == [(1, "a")]
+    # truly unknown partitions still fail loudly
+    with _pytest.raises(ValueError, match="unknown partitions"):
+        t.read(partitions=["seg=zzz"])
+    # a rewrite localizes the pending partition into owners
+    t.optimize()
+    assert "seg=b" in t._manifest()["owners"]
+    assert t.read(partitions=["seg=b"]).count() == 1

@@ -705,6 +705,76 @@ def test_postings_index_prefix_len_inferred_by_fresh_handles(
     assert got == {2, 3}  # both eras of the index answer
 
 
+def test_phrase_search_adjacency_order_and_overlap(spark):
+    """Phrase matching is ORDER- and ADJACENCY-sensitive and counts
+    overlapping starts; phase-1 candidates (docs with all terms) that
+    fail adjacency are dropped by the verify."""
+    from datalake_toolkit_spark.llm import phrase_search
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b a"),      # 'a b' twice, 'b a' twice
+            (2, "b a x a b"),      # 'a b' once, terms also reversed
+            (3, "a x b"),          # both terms, never adjacent
+            (4, "b b b"),          # missing 'a' entirely
+        ],
+        "doc_id bigint, text string",
+    )
+    queries = spark.createDataFrame(
+        [(10, "a b"), (20, "b a"), (30, "a a")],
+        "query_id bigint, query_text string",
+    )
+    got = {
+        (r.query_id, r.doc_id): (r.n_occurrences, r.rank)
+        for r in phrase_search(docs, queries, k=10).collect()
+    }
+    assert got[(10, 1)] == (2, 1)
+    assert got[(10, 2)] == (1, 2)
+    assert (10, 3) not in got  # non-adjacent candidate verified away
+    assert (10, 4) not in got
+    assert got[(20, 1)] == (2, 1)
+    assert got[(20, 2)] == (1, 2)
+    # 'a a' never occurs adjacently anywhere (doc1 alternates)
+    assert not any(q == 30 for (q, _) in got)
+
+    # overlapping repeats: 'a a a' holds two overlapping 'a a' starts
+    docs2 = spark.createDataFrame(
+        [(9, "a a a")], "doc_id bigint, text string"
+    )
+    q2 = spark.createDataFrame(
+        [(1, "a a")], "query_id bigint, query_text string"
+    )
+    out = phrase_search(docs2, q2, k=5).collect()
+    assert [(r.doc_id, r.n_occurrences) for r in out] == [(9, 2)]
+
+
+def test_rrf_fuse_union_scores_and_ranks(spark):
+    """RRF: documents in both lists sum both contributions; documents
+    in one list keep one; the fused order follows the summed
+    reciprocal ranks with the doc_id tie-break."""
+    import math
+
+    from datalake_toolkit_spark.llm import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(1, 100, 1), (1, 200, 2), (1, 300, 3)],
+        "query_id bigint, doc_id bigint, rank int",
+    )
+    b = spark.createDataFrame(
+        [(1, 200, 1), (1, 400, 2)],
+        "query_id bigint, doc_id bigint, rank int",
+    )
+    out = {r.doc_id: r for r in rrf_fuse([a, b], k=10).collect()}
+    assert out[200].n_lists == 2 and out[200].rank == 1
+    assert math.isclose(
+        out[200].score, 1 / 61 + 1 / 62, rel_tol=1e-15
+    )
+    assert out[100].n_lists == 1
+    assert math.isclose(out[100].score, 1 / 61, rel_tol=1e-15)
+    # 100 (1/61) vs 400 (1/62) vs 300 (1/63)
+    assert [out[d].rank for d in (200, 100, 400, 300)] == [1, 2, 3, 4]
+
+
 def test_bm25_idf_prefers_rare_terms(spark):
     """A rare-term match must outrank a common-term match with equal
     tf — the idf effect, on a corpus built to isolate it."""

@@ -113,6 +113,12 @@ _NESTED_LOOP_BY_DESIGN = {
     # crossJoin(broadcast(...))): O(n) by design, the candidate join
     # itself is a bucket equi-join — see cosine_near_dup_pairs center=
     "q_centered_cosine_near_dups",
+    # the vector side is cosine_topk's brute-force exact ranking
+    # (join on qid != cid against a 3-query broadcast): O(n_docs x
+    # n_queries) by design with the query batch bounded — the same
+    # owned shape as q_ann_cosine_topk; the lexical side and the RRF
+    # fusion are equi-joins/aggregates
+    "q_hybrid_search",
 }
 
 # Streaming-harness queries execute eagerly (start a stream) inside the
