@@ -154,7 +154,8 @@ def _build_parser() -> argparse.ArgumentParser:
     se.add_argument("--index", default=None, help="PostingsIndex root")
     se.add_argument("--query", default=None, help="whitespace-separated terms")
     se.add_argument("--k", type=int, default=10)
-    se.add_argument("--method", choices=["keyword", "bm25"], default="keyword")
+    se.add_argument("--method", choices=["keyword", "bm25", "phrase"],
+                default="keyword")
     se.add_argument("--mode", choices=["cow", "mor"], default="mor",
                 help="index-add commit mode")
 
@@ -496,6 +497,7 @@ def _cmd_search(args: argparse.Namespace) -> int:
         PostingsIndex,
         bm25_topk,
         keyword_search_topk,
+        phrase_search,
     )
 
     spark = get_spark(app_name="dts-search")
@@ -515,20 +517,22 @@ def _cmd_search(args: argparse.Namespace) -> int:
         if not args.index:
             raise SystemExit("index-query needs --index")
         idx = PostingsIndex(spark, args.index)
-        out = (
-            idx.search(queries, k=args.k)
-            if args.method == "keyword"
-            else idx.search_bm25(queries, k=args.k)
-        )
+        if args.method == "keyword":
+            out = idx.search(queries, k=args.k)
+        elif args.method == "phrase":
+            out = idx.search_phrase(queries, k=args.k)
+        else:
+            out = idx.search_bm25(queries, k=args.k)
     else:
         if not args.docs:
             raise SystemExit("query needs --docs")
         docs = spark.read.parquet(args.docs)
-        out = (
-            keyword_search_topk(docs, queries, k=args.k)
-            if args.method == "keyword"
-            else bm25_topk(docs, queries, k=args.k)
-        )
+        if args.method == "keyword":
+            out = keyword_search_topk(docs, queries, k=args.k)
+        elif args.method == "phrase":
+            out = phrase_search(docs, queries, k=args.k)
+        else:
+            out = bm25_topk(docs, queries, k=args.k)
     for r in out.orderBy("rank").collect():
         print(json.dumps(r.asDict()))
     return 0

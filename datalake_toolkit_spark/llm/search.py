@@ -291,10 +291,26 @@ class PostingsIndex:
     def add(self, docs: DataFrame, mode: str = "mor") -> int:
         """Index a batch: postings commit first, doc stats second —
         both idempotent upserts, so a crash between them replays
-        cleanly. Returns the postings table's committed version."""
+        cleanly. Posting rows are POSITIONAL (sorted token offsets per
+        (term, doc)), so phrase queries serve from the index too.
+        Returns the postings table's committed version."""
         plen = self._prefix_len()
-        post = posting_lists(docs, self.id_col, self.text_col).withColumn(
-            "term_prefix", F.substring(F.md5("term"), 1, plen)
+        toks = docs.select(
+            F.col(self.id_col).alias("doc_id"),
+            _tokens(self.text_col).alias("w"),
+        ).where(F.size("w") > 0)
+        post = (
+            toks.select(
+                "doc_id",
+                F.size("w").alias("dl"),
+                F.posexplode("w").alias("pos", "term"),
+            )
+            .groupBy("term", "doc_id", "dl")
+            .agg(
+                F.count(F.lit(1)).alias("tf"),
+                F.array_sort(F.collect_list("pos")).alias("positions"),
+            )
+            .withColumn("term_prefix", F.substring(F.md5("term"), 1, plen))
         )
         if self.postings_t.current_version() is None:
             v = self.postings_t.write(post, op="postings_build")
@@ -372,6 +388,21 @@ class PostingsIndex:
             matched.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
             .select("query_id", "doc_id", "n_matched", "sum_tf", "rank")
+        )
+
+    def search_phrase(
+        self, queries: DataFrame, k: int = 10,
+        query_id_col: str = "query_id", query_text_col: str = "query_text",
+    ) -> DataFrame:
+        """Exact phrase matching SERVED from the positional index —
+        identical output contract to :func:`phrase_search`, but the
+        corpus is never touched: candidates come from the probed term
+        buckets (a doc must hold every distinct phrase term) and
+        adjacency verifies on the STORED position arrays (an
+        occurrence at p needs p+j in term_j's positions), the
+        positional-index equivalent of the batch window compare."""
+        return _index_phrase_search(
+            self, queries, k, query_id_col, query_text_col
         )
 
     def search_bm25(
@@ -545,4 +576,65 @@ def rrf_fuse(
         fused.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "doc_id", "score", "n_lists", "rank")
+    )
+
+
+def _index_phrase_search(index: "PostingsIndex", queries: DataFrame,
+                         k: int, query_id_col: str, query_text_col: str
+                         ) -> DataFrame:
+    qp = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        _tokens(query_text_col).alias("phrase"),
+    ).where(F.size("phrase") > 0)
+    qterms = qp.select(
+        "query_id", F.explode(F.array_distinct("phrase")).alias("term")
+    ).distinct()
+    n_terms = qp.select(
+        "query_id", F.size(F.array_distinct("phrase")).alias("n_terms")
+    )
+    grouped = (
+        index._probed_postings(qterms)
+        .join(F.broadcast(qterms), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("term", "positions"))
+            ).alias("tpos"),
+            F.count(F.lit(1)).alias("nm"),
+        )
+        .join(F.broadcast(n_terms), "query_id")
+        .where(F.col("nm") == F.col("n_terms"))
+    )
+    m = F.size("phrase")
+    first = F.element_at(F.col("tpos"), F.element_at(F.col("phrase"), 1))
+    adjacency = F.size(
+        F.filter(
+            first,
+            lambda p: F.forall(
+                F.sequence(F.lit(1), m - 1),
+                lambda j: F.array_contains(
+                    F.element_at(
+                        F.col("tpos"), F.element_at(F.col("phrase"), j + 1)
+                    ),
+                    p + j,
+                ),
+            ),
+        )
+    )
+    verified = (
+        grouped.join(F.broadcast(qp), "query_id")
+        .withColumn(
+            "n_occurrences",
+            F.when(m == 1, F.size(first)).otherwise(adjacency),
+        )
+        .where(F.col("n_occurrences") > 0)
+        .select("query_id", "doc_id", "n_occurrences")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("n_occurrences"), F.asc("doc_id")
+    )
+    return (
+        verified.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "doc_id", "n_occurrences", "rank")
     )

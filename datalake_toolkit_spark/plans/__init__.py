@@ -217,6 +217,13 @@ DEMOTED: tuple[str, ...] = (
     # q22's scalar-avg subquery).
     "q_funnel_conversion",
     "q11_important_stock",
+    # r9 seventh wave: q_index_phrase enters (phrase adjacency served
+    # from the positional postings index — never driver-checked).
+    # q16_supplier_count (3x green r6-r8) rotates out in exchange —
+    # its NOT-IN anti-semantics and distinct-count aggregate stay
+    # covered in-window by q21_waiting_suppliers (exists/not-exists
+    # chains) and q22_sales_opportunity (scalar subquery + count agg).
+    "q16_supplier_count",
 )
 
 GATE_WINDOW = 50
@@ -234,6 +241,7 @@ STATEFUL: frozenset[str] = frozenset(
         "q_incremental_semantic",  # two LakeTable commit cycles vs a vector ledger
         "q_persistent_ivf",  # IVF index build + MoR add + probed serve
         "q_postings_search",  # postings index: two add commits + bucket-pruned serve
+        "q_index_phrase",  # positional index: two add commits + phrase serve
         "q_stream_near_dedup",  # two AvailableNow micro-batches through foreachBatch
         "q_stateful_running_status",  # applyInPandasWithState stream replay
         "q_merge_upsert",  # MERGE commit cycle

@@ -1541,6 +1541,63 @@ def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_index_phrase",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS w
+      FROM documents),
+    d AS (SELECT doc_id, w FROM toks WHERE len(w) > 0),
+    q AS (SELECT doc_id AS query_id, w[3:5] AS phrase FROM d
+          WHERE doc_id >= 9 AND doc_id < 12 AND len(w) >= 5),
+    occ AS (SELECT q.query_id, d.doc_id,
+            CAST(len(list_filter(
+              list_transform(d.w, (x, i) ->
+                CASE WHEN i + len(q.phrase) - 1 <= len(d.w)
+                     THEN d.w[i:i+len(q.phrase)-1] END),
+              s -> s IS NOT NULL AND s = q.phrase)) AS INTEGER)
+              AS n_occurrences
+            FROM q CROSS JOIN d),
+    r AS (SELECT query_id, doc_id, n_occurrences,
+          CAST(row_number() OVER (PARTITION BY query_id
+            ORDER BY n_occurrences DESC, doc_id) AS INTEGER) AS rank
+          FROM occ WHERE n_occurrences > 0)
+    SELECT query_id, doc_id, n_occurrences, rank FROM r WHERE rank <= 8
+    """,
+)
+def q_index_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phrase search SERVED from the positional postings index: two
+    incremental add commits (even/odd doc_ids), then adjacency
+    verification against the STORED position arrays of the probed term
+    buckets — the corpus itself is never rescanned at query time. The
+    oracle replays the phrase layer relationally (append-only: index
+    state equals one-shot), so the positional machinery is
+    hash-checked end to end."""
+    import shutil
+    import tempfile
+
+    from datalake_toolkit_spark.llm import PostingsIndex
+    from datalake_toolkit_spark.llm.search import _tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    w = _tokens("text")
+    queries = docs.where(
+        (F.col("doc_id") >= 9) & (F.col("doc_id") < 12) & (F.size(w) >= 5)
+    ).select(
+        F.col("doc_id").alias("query_id"),
+        F.concat_ws(" ", F.slice(w, 3, 3)).alias("query_text"),
+    )
+    work = tempfile.mkdtemp(prefix="dts_phidx_")
+    try:
+        idx = PostingsIndex(spark, work, prefix_len=1)
+        idx.add(docs.where(F.col("doc_id") % 2 == 0))
+        idx.add(docs.where(F.col("doc_id") % 2 == 1), mode="mor")
+        return idx.search_phrase(queries, k=8).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@query(
     "q_hybrid_search",
     r"""
     WITH toks AS (

@@ -1988,3 +1988,40 @@ def test_incremental_dedup_prunes_probe_and_commit_to_touched_buckets(
     assert owned_calls and all(k is not None for k in owned_calls)
     # replay stays a no-op under the scoped path
     assert incremental_dedup(b2, ledger).count() == 0
+
+
+def test_postings_index_phrase_serves_equal_to_batch(spark, sf_dir, tmp_path):
+    """Index-served phrase search (stored position arrays) must equal
+    the batch operator exactly — including overlapping occurrences and
+    repeated-term phrases — over a two-batch incremental build."""
+    from datalake_toolkit_spark.llm import PostingsIndex, phrase_search
+    from datalake_toolkit_spark.llm.search import _tokens
+    from datalake_toolkit_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = _tokens("text")
+    queries = docs.where((F.col("doc_id") < 4) & (F.size(w) >= 4)).select(
+        F.col("doc_id").alias("query_id"),
+        F.concat_ws(" ", F.slice(w, 2, 3)).alias("query_text"),
+    )
+    idx = PostingsIndex(spark, str(tmp_path / "pidx"), prefix_len=1)
+    idx.add(docs.where(F.col("doc_id") % 2 == 0))
+    idx.add(docs.where(F.col("doc_id") % 2 == 1), mode="mor")
+    got = sorted(
+        tuple(r) for r in idx.search_phrase(queries, k=10).collect()
+    )
+    want = sorted(
+        tuple(r) for r in phrase_search(docs, queries, k=10).collect()
+    )
+    assert got and got == want
+
+    # repeated-term phrase against stored positions (overlap counting)
+    extra = spark.createDataFrame(
+        [(990001, "z z z")], "doc_id bigint, text string"
+    )
+    idx.add(extra, mode="mor")
+    rq = spark.createDataFrame(
+        [(1, "z z")], "query_id bigint, query_text string"
+    )
+    out = idx.search_phrase(rq, k=5).collect()
+    assert [(r.doc_id, r.n_occurrences) for r in out] == [(990001, 2)]
