@@ -136,6 +136,8 @@ def stream_dedup_ingest(
     batch_filter: Callable[[DataFrame], DataFrame] | None = None,
     corpus_mode: str = "cow",
     corpus_auto_compact_after: dict | None = None,
+    indexes: Sequence = (),
+    index_mode: str = "mor",
 ):
     """The full continuous-ingestion dedup pipeline: a document stream
     is exact-deduped ACROSS micro-batches (fingerprint ledger
@@ -168,7 +170,15 @@ def stream_dedup_ingest(
     PII redaction, language filters — any deterministic
     DataFrame->DataFrame): it runs BEFORE dedup so rejected rows never
     commit fingerprints, keeping the door open for better duplicates
-    later. Determinism matters: the filter re-runs on crash replay."""
+    later. Determinism matters: the filter re-runs on crash replay.
+
+    ``indexes``: retrieval indexes (PostingsIndex / IVFIndex —
+    anything with ``add(batch, mode=...)``) to maintain over the
+    ADMITTED corpus: each micro-batch's survivors are added right
+    after the corpus merge, still BEFORE the fingerprint commit — a
+    crash replay re-runs the (idempotent) adds instead of losing
+    them, and the indexes only ever hold documents the corpus
+    holds."""
     from datalake_toolkit_spark.llm.dedup import incremental_dedup
 
     def _apply(batch: DataFrame, _batch_id: int) -> None:
@@ -192,6 +202,8 @@ def stream_dedup_ingest(
         def _commit_corpus(survivors: DataFrame) -> None:
             if not survivors.isEmpty():
                 corpus.upsert(survivors, keys=[id_col], mode=corpus_mode)
+                for idx in indexes:
+                    idx.add(survivors, mode=index_mode)
 
         incremental_dedup(
             batch,
@@ -228,6 +240,8 @@ def stream_near_dedup_ingest(
     ledger_partition_by: Sequence[str] = ("key_prefix",),
     corpus_mode: str = "cow",
     corpus_auto_compact_after: dict | None = None,
+    indexes: Sequence = (),
+    index_mode: str = "mor",
 ):
     """:func:`stream_dedup_ingest` with NEAR-duplicate semantics: each
     micro-batch probes the persistent MinHash band ledger, drops docs
@@ -244,7 +258,9 @@ def stream_near_dedup_ingest(
     buckets); pass ``()`` for small corpora where 256 tiny dirs per
     commit cost more than they prune. ``corpus_mode='mor'`` appends
     survivors merge-on-read (O(batch) corpus commits, bounded by
-    ``corpus_auto_compact_after`` — see :func:`stream_dedup_ingest`)."""
+    ``corpus_auto_compact_after``), and ``indexes`` maintains
+    retrieval indexes over the admitted survivors in the same
+    crash-safe window — both per :func:`stream_dedup_ingest`."""
     from datalake_toolkit_spark.llm.dedup import incremental_minhash_dedup
 
     def _apply(batch: DataFrame, _batch_id: int) -> None:
@@ -264,6 +280,8 @@ def stream_near_dedup_ingest(
         def _commit_corpus(survivors: DataFrame) -> None:
             if not survivors.isEmpty():
                 corpus.upsert(survivors, keys=[id_col], mode=corpus_mode)
+                for idx in indexes:
+                    idx.add(survivors, mode=index_mode)
 
         incremental_minhash_dedup(
             batch,

@@ -2839,3 +2839,71 @@ def test_read_partition_that_exists_only_in_pending_mor_appends(
     t.optimize()
     assert "seg=b" in t._manifest()["owners"]
     assert t.read(partitions=["seg=b"]).count() == 1
+
+
+def test_stream_dedup_ingest_maintains_indexes_on_survivors(spark, tmp_path):
+    """indexes= on the streaming dedup pipeline: only ADMITTED
+    survivors reach the retrieval index (dropped duplicates never do),
+    inside the fingerprints-last crash window."""
+    import json as _json
+
+    from datalake_toolkit_spark.lakehouse import (
+        LakeTable,
+        stream_dedup_ingest,
+    )
+    from datalake_toolkit_spark.llm import PostingsIndex
+
+    src = tmp_path / "src"
+    src.mkdir()
+    idx = PostingsIndex(spark, str(tmp_path / "pidx"), prefix_len=1)
+
+    def drain():
+        q = stream_dedup_ingest(
+            spark.readStream.schema("doc_id bigint, text string")
+            .json(str(src)),
+            corpus_path=str(tmp_path / "corpus"),
+            ledger_path=str(tmp_path / "ledger"),
+            checkpoint=str(tmp_path / "ckpt"),
+            indexes=[idx],
+        )
+        q.awaitTermination(120)
+
+    (src / "b1.json").write_text(
+        "\n".join(
+            _json.dumps(r)
+            for r in [
+                {"doc_id": 1, "text": "red fish blue fish"},
+                {"doc_id": 2, "text": "red red red"},
+            ]
+        )
+    )
+    drain()
+    # batch 2: doc 3 duplicates doc 1's text exactly -> dropped
+    # everywhere; doc 4 is fresh
+    (src / "b2.json").write_text(
+        "\n".join(
+            _json.dumps(r)
+            for r in [
+                {"doc_id": 3, "text": "red fish blue fish"},
+                {"doc_id": 4, "text": "blue whale"},
+            ]
+        )
+    )
+    drain()
+
+    corpus_ids = {
+        r.doc_id
+        for r in LakeTable(spark, str(tmp_path / "corpus")).read().collect()
+    }
+    assert corpus_ids == {1, 2, 4}
+    indexed_ids = {
+        r.doc_id for r in idx.doc_stats_t.read().collect()
+    }
+    assert indexed_ids == corpus_ids  # the dup never reached the index
+    queries = spark.createDataFrame(
+        [(7, "whale"), (8, "fish")], "query_id bigint, query_text string"
+    )
+    got = {
+        (r.query_id, r.doc_id) for r in idx.search(queries, k=10).collect()
+    }
+    assert got == {(7, 4), (8, 1)}
