@@ -252,6 +252,51 @@ class IVFIndex:
 
     # -- observability -------------------------------------------------------
 
+    def plan_probe(self, queries: DataFrame, n_probe: int = 4) -> dict:
+        """What a search would OPEN, without scoring anything — the
+        serving analogue of ``LakeTable.plan_scan``: list and file
+        counts before/after the probe restriction, plus the probe
+        fraction. Capacity observability (n_probe/n_lists IS the
+        read fraction; pending MoR appends show up as extra files)."""
+        cents = self.centroids()
+        n_probe = min(n_probe, len(cents))
+        q = self._prep(queries).select(
+            F.explode(
+                ivf_probe_col(cents, n_probe, F.col("vec"))
+            ).alias("list_id")
+        )
+        probed = {
+            f"list_id={r['list_id']}"
+            for r in q.select(F.col("list_id").cast("int").alias("list_id"))
+            .distinct()
+            .collect()
+        }
+        man = self.assignments_t._manifest()
+        existing = set(man["owners"]) | {
+            k
+            for e in (man.get("merges") or [])
+            for k in (e.get("parts") or [])
+        }
+        known = sorted(probed & existing)
+        rep = self.assignments_t.plan_scan(partitions=known)
+        rep.update(
+            lists_total=len(cents),
+            lists_probed=len(known),
+            n_probe=n_probe,
+        )
+        return rep
+
+    def maintain(self, keep_last: int = 5) -> None:
+        """Scheduled maintenance: drain pending merge-on-read adds
+        (scoped rewrite) and vacuum old versions on the assignments
+        table; centroids rewrite wholesale on ``rebuild`` and only
+        need the vacuum."""
+        if self.assignments_t.current_version() is not None:
+            self.assignments_t.optimize()
+            self.assignments_t.vacuum(keep_last=keep_last)
+        if self.centroids_t.current_version() is not None:
+            self.centroids_t.vacuum(keep_last=keep_last)
+
     def list_sizes(self) -> DataFrame:
         """(list_id, n_vectors) — the imbalance monitor that decides
         when ``rebuild`` is due (a hot list degrades probed-search

@@ -364,6 +364,50 @@ class PostingsIndex:
             return self.postings_t.read()
         return self.postings_t.read(partitions=probe)
 
+    def plan_probe(self, queries: DataFrame,
+                   query_id_col: str = "query_id",
+                   query_text_col: str = "query_text") -> dict:
+        """What a search for these queries would OPEN, without running
+        it — the index-serving analogue of ``LakeTable.plan_scan``:
+        bucket and file counts before/after the term-prefix pruning.
+        Planning-time observability for capacity decisions (is the
+        bucket width right? is the pending-MoR read tax due a
+        compaction?)."""
+        qterms = _query_terms(queries, query_id_col, query_text_col)
+        plen = self._prefix_len()
+        touched = {
+            f"term_prefix={r['p']}"
+            for r in qterms.select(
+                F.substring(F.md5("term"), 1, plen).alias("p")
+            )
+            .distinct()
+            .collect()
+        }
+        man = self.postings_t._manifest()
+        existing = set(man["owners"]) | {
+            k
+            for e in (man.get("merges") or [])
+            for k in (e.get("parts") or [])
+        }
+        probe = sorted(touched & existing)
+        rep = self.postings_t.plan_scan(partitions=probe)
+        rep.update(
+            buckets_total=len(existing),
+            buckets_probed=len(probe),
+            prefix_len=plen,
+        )
+        return rep
+
+    def maintain(self, keep_last: int = 5) -> None:
+        """Scheduled maintenance: drain pending merge-on-read state on
+        both tables (scoped rewrites) and vacuum old versions — run it
+        when ``plan_probe`` shows the pending-append read tax growing,
+        exactly like ledger retention."""
+        for t in (self.postings_t, self.doc_stats_t):
+            if t.current_version() is not None:
+                t.optimize()
+                t.vacuum(keep_last=keep_last)
+
     def search(
         self, queries: DataFrame, k: int = 10,
         query_id_col: str = "query_id", query_text_col: str = "query_text",

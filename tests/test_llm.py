@@ -2025,3 +2025,108 @@ def test_postings_index_phrase_serves_equal_to_batch(spark, sf_dir, tmp_path):
     )
     out = idx.search_phrase(rq, k=5).collect()
     assert [(r.doc_id, r.n_occurrences) for r in out] == [(990001, 2)]
+
+
+def test_index_plan_probe_and_maintain(spark, tmp_path):
+    """plan_probe reports the serving cost without running a search
+    (buckets/lists probed < total; pending MoR files visible), and
+    maintain() drains the pending state so the report shrinks."""
+    from datalake_toolkit_spark.llm import IVFIndex, PostingsIndex
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha{i % 17} beta{i % 11} common") for i in range(60)],
+        "doc_id bigint, text string",
+    )
+    pidx = PostingsIndex(spark, str(tmp_path / "pidx"))  # 256 buckets
+    pidx.add(docs.where(F.col("doc_id") < 30))
+    pidx.add(docs.where(F.col("doc_id") >= 30), mode="mor")
+    queries = spark.createDataFrame(
+        [(1, "common alpha3")], "query_id bigint, query_text string"
+    )
+    rep = pidx.plan_probe(queries)
+    assert rep["buckets_probed"] <= 2 < rep["buckets_total"]
+    assert rep["prefix_len"] == 2
+    files_before = rep["files_scanned"]
+    assert files_before > 0
+    pending_before = len(pidx.postings_t._manifest().get("merges") or [])
+    assert pending_before > 0
+    before = {
+        tuple(r) for r in pidx.search(queries, k=50).collect()
+    }
+
+    pidx.maintain(keep_last=3)
+    assert not pidx.postings_t._manifest().get("merges")
+    rep2 = pidx.plan_probe(queries)
+    assert rep2["files_scanned"] <= files_before  # MoR tax drained
+    assert {
+        tuple(r) for r in pidx.search(queries, k=50).collect()
+    } == before  # maintenance never changes answers
+
+    ivf = IVFIndex(spark, str(tmp_path / "ivf"))
+    emb = spark.createDataFrame(
+        [(i, [1.0 * (i % 3 == 0), 1.0 * (i % 3 == 1),
+              1.0 * (i % 3 == 2), 0.25]) for i in range(30)],
+        "vec_id bigint, embedding array<double>",
+    )
+    ivf.build(emb.where(F.col("vec_id") < 20), n_lists=4, lloyd_iters=1,
+              dim=4)
+    ivf.add(emb.where(F.col("vec_id") >= 20))
+    q = spark.createDataFrame(
+        [(99, [1.0, 0.0, 0.0, 0.2])], "vec_id bigint, embedding array<double>"
+    )
+    irep = ivf.plan_probe(q, n_probe=1)
+    assert irep["lists_probed"] == 1 and irep["lists_total"] == 4
+    ihits = {tuple(r) for r in ivf.search(q, k=5, n_probe=1).collect()}
+    ivf.maintain(keep_last=2)
+    assert not ivf.assignments_t._manifest().get("merges")
+    assert {
+        tuple(r) for r in ivf.search(q, k=5, n_probe=1).collect()
+    } == ihits
+
+
+def test_postings_index_random_batching_equals_one_shot(spark, sf_dir):
+    """Model check: ANY batching of the same corpus (random splits,
+    random cow/mor per batch, seeded) must serve identical rankings to
+    the one-shot batch rankers — the append-only contract, pinned over
+    several random interleavings."""
+    import random
+    import tempfile
+
+    from datalake_toolkit_spark.llm import (
+        PostingsIndex,
+        keyword_search_topk,
+        phrase_search,
+    )
+    from datalake_toolkit_spark.llm.search import _tokens
+    from datalake_toolkit_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 120)
+    w = _tokens("text")
+    queries = docs.where((F.col("doc_id") < 3) & (F.size(w) >= 4)).select(
+        F.col("doc_id").alias("query_id"),
+        F.concat_ws(" ", F.slice(w, 1, 4)).alias("query_text"),
+    )
+    want_kw = sorted(
+        tuple(r) for r in keyword_search_topk(docs, queries, k=8).collect()
+    )
+    want_ph = sorted(
+        tuple(r) for r in phrase_search(docs, queries, k=8).collect()
+    )
+
+    rng = random.Random(9)
+    for trial in range(3):
+        n_batches = rng.randint(1, 4)
+        idx = PostingsIndex(
+            spark, tempfile.mkdtemp(prefix="dts_pmodel_"), prefix_len=1
+        )
+        for b in range(n_batches):
+            batch = docs.where(F.col("doc_id") % n_batches == b)
+            idx.add(batch, mode=rng.choice(["cow", "mor"]))
+        got_kw = sorted(
+            tuple(r) for r in idx.search(queries, k=8).collect()
+        )
+        got_ph = sorted(
+            tuple(r) for r in idx.search_phrase(queries, k=8).collect()
+        )
+        assert got_kw == want_kw, f"trial {trial}"
+        assert got_ph == want_ph, f"trial {trial}"
