@@ -144,10 +144,13 @@ def _build_parser() -> argparse.ArgumentParser:
     )
     se.add_argument(
         "action",
-        choices=["query", "index-add", "index-query"],
+        choices=["query", "index-add", "index-query", "index-probe",
+                 "index-maintain"],
         help="query: one-shot over --docs; index-add: build/extend the "
              "persistent index at --index from --docs; index-query: "
-             "serve from --index",
+             "serve from --index; index-probe: report what a query "
+             "would open (no search); index-maintain: drain pending "
+             "MoR state + vacuum",
     )
     se.add_argument("--docs", default=None,
                 help="documents parquet (doc_id, text)")
@@ -158,9 +161,14 @@ def _build_parser() -> argparse.ArgumentParser:
                 default="keyword")
     se.add_argument("--mode", choices=["cow", "mor"], default="mor",
                 help="index-add commit mode")
+    se.add_argument("--keep-last", type=int, default=5,
+                help="index-maintain vacuum retention")
 
     an = sub.add_parser("ann", help="persistent IVF vector index")
-    an.add_argument("action", choices=["build", "add", "search", "sizes"])
+    an.add_argument(
+        "action",
+        choices=["build", "add", "search", "sizes", "probe", "maintain"],
+    )
     an.add_argument("--path", required=True, help="IVFIndex root")
     an.add_argument("--input", default=None,
                 help="embeddings parquet (vec_id, embedding)")
@@ -171,6 +179,8 @@ def _build_parser() -> argparse.ArgumentParser:
     an.add_argument("--n-probe", type=int, default=4)
     an.add_argument("--mode", choices=["cow", "mor"], default="mor",
                 help="add commit mode")
+    an.add_argument("--keep-last", type=int, default=5,
+                help="maintain vacuum retention")
     return p
 
 
@@ -508,11 +518,26 @@ def _cmd_search(args: argparse.Namespace) -> int:
         v = idx.add(spark.read.parquet(args.docs), mode=args.mode)
         print(json.dumps({"version": v, "index": args.index}))
         return 0
+    if args.action == "index-maintain":
+        if not args.index:
+            raise SystemExit("index-maintain needs --index")
+        PostingsIndex(spark, args.index).maintain(keep_last=args.keep_last)
+        print(json.dumps({"maintained": args.index}))
+        return 0
     if not args.query:
         raise SystemExit(f"{args.action} needs --query")
     queries = spark.createDataFrame(
         [(0, args.query)], "query_id bigint, query_text string"
     )
+    if args.action == "index-probe":
+        if not args.index:
+            raise SystemExit("index-probe needs --index")
+        queries_df = spark.createDataFrame(
+            [(0, args.query)], "query_id bigint, query_text string"
+        )
+        print(json.dumps(PostingsIndex(spark, args.index)
+                         .plan_probe(queries_df)))
+        return 0
     if args.action == "index-query":
         if not args.index:
             raise SystemExit("index-query needs --index")
@@ -563,6 +588,16 @@ def _cmd_ann(args: argparse.Namespace) -> int:
     if args.action == "sizes":
         for r in idx.list_sizes().orderBy("list_id").collect():
             print(json.dumps(r.asDict()))
+        return 0
+    if args.action == "maintain":
+        idx.maintain(keep_last=args.keep_last)
+        print(json.dumps({"maintained": args.path}))
+        return 0
+    if args.action == "probe":
+        if not args.input:
+            raise SystemExit("probe needs --input (query vectors parquet)")
+        print(json.dumps(idx.plan_probe(
+            spark.read.parquet(args.input), n_probe=args.n_probe)))
         return 0
     if not args.input:
         raise SystemExit("search needs --input (query vectors parquet)")

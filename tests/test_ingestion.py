@@ -972,3 +972,45 @@ def test_cli_search_and_ann_subcommands(spark, tmp_path, capsys):
     rows = [json_mod.loads(ln) for ln in
             capsys.readouterr().out.strip().splitlines()]
     assert len(rows) == 3 and rows[0]["qid"] == 100
+
+
+def test_cli_index_probe_and_maintain_actions(spark, tmp_path, capsys):
+    """Serving-cost probe and scheduled maintenance are operable from
+    the shell for both index kinds."""
+    import json as json_mod
+
+    from datalake_toolkit_spark.__main__ import main
+
+    docs_path = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(i, f"alpha{i % 7} common") for i in range(20)],
+        "doc_id bigint, text string",
+    ).coalesce(1).write.parquet(docs_path)
+    idx_path = str(tmp_path / "pidx")
+    assert main(["search", "index-add", "--index", idx_path,
+                 "--docs", docs_path]) == 0
+    capsys.readouterr()
+    assert main(["search", "index-probe", "--index", idx_path,
+                 "--query", "common"]) == 0
+    rep = json_mod.loads(capsys.readouterr().out.strip())
+    assert rep["buckets_probed"] == 1 and rep["buckets_total"] >= 1
+    assert main(["search", "index-maintain", "--index", idx_path,
+                 "--keep-last", "2"]) == 0
+    capsys.readouterr()
+
+    emb_path = str(tmp_path / "emb")
+    spark.createDataFrame(
+        [(i, [1.0 * (i % 2), 1.0 * ((i + 1) % 2), 0.0, 1.0])
+         for i in range(10)],
+        "vec_id bigint, embedding array<double>",
+    ).coalesce(1).write.parquet(emb_path)
+    ivf_path = str(tmp_path / "ivf")
+    assert main(["ann", "build", "--path", ivf_path, "--input", emb_path,
+                 "--n-lists", "2", "--lloyd-iters", "1", "--dim", "4"]) == 0
+    capsys.readouterr()
+    assert main(["ann", "probe", "--path", ivf_path, "--input", emb_path,
+                 "--n-probe", "1"]) == 0
+    rep = json_mod.loads(capsys.readouterr().out.strip())
+    assert rep["lists_total"] == 2
+    assert main(["ann", "maintain", "--path", ivf_path]) == 0
+    capsys.readouterr()
