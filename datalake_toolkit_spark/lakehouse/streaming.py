@@ -312,6 +312,8 @@ def stream_index_ingest(
     mode: str = "mor",
     available_now: bool = True,
     batch_filter=None,
+    ts_col: str | None = None,
+    watermark: str = "1 hour",
 ):
     """Maintain a retrieval index from a stream: every micro-batch
     calls ``index.add(batch, mode=mode)``, where ``index`` is a
@@ -325,8 +327,24 @@ def stream_index_ingest(
     merge-on-read state. ``batch_filter`` (batch -> batch) runs before
     indexing — quality gates, routing, PII redaction.
 
+    ``ts_col`` adds the event-time story: the stream is watermarked on
+    it and deduplicated per ``index.id_col`` with
+    ``dropDuplicatesWithinWatermark`` — the same first-wins contract
+    as :func:`~datalake_toolkit_spark.streaming.windows.
+    streaming_dedup` — so a late replayed doc arriving within the
+    ``watermark`` horizon is DROPPED before it costs an index commit,
+    and the dedup state stays bounded by that horizon instead of
+    growing with the stream (the 100 TB failure mode of a plain
+    ``dropDuplicates``). A duplicate arriving PAST the horizon still
+    reaches the index, where the key-idempotent upsert converges it —
+    the watermark bounds cost, the add contract guards correctness.
+
     Returns the started ``StreamingQuery`` (``availableNow`` drains
     and stops by default)."""
+    if ts_col is not None:
+        stream_df = stream_df.withWatermark(
+            ts_col, watermark
+        ).dropDuplicatesWithinWatermark([index.id_col])
 
     def _apply(batch: DataFrame, _batch_id: int) -> None:
         if batch_filter is not None:

@@ -1182,22 +1182,23 @@ class LakeTable:
             [self.spark.createDataFrame([], schema)] if not by_group else []
         )
         for (v, spec), paths in by_group.items():
+            # the EXPLICIT schema does two jobs: dir-derived partition
+            # values parse straight from the raw directory string to
+            # their manifest type (never through partition-type
+            # inference, which corrupts Java-float-literal-shaped
+            # values like '8f' -> 8.0 — see _token_frame), and files
+            # written before a schema evolution read their missing
+            # columns as NULL
             if not spec:
-                piece = self.spark.read.parquet(*sorted(set(paths)))
-            else:
-                piece = self.spark.read.option("basePath", self._vdir(v)).parquet(
+                piece = self.spark.read.schema(schema).parquet(
                     *sorted(set(paths))
                 )
-            # directory-derived partition values come back through
-            # Spark's partition-type inference, which covers
-            # numerics/dates but NOT booleans ('true' stays a string) —
-            # pin each dir-derived column back to its manifest type
-            # BEFORE the union, so a piece whose column is dir-derived
-            # (string-inferred) unions cleanly with a piece storing the
-            # same column physically
-            for c in spec:
-                if c in types and c in piece.columns:
-                    piece = piece.withColumn(c, F.col(c).cast(types[c]))
+            else:
+                piece = (
+                    self.spark.read.schema(schema)
+                    .option("basePath", self._vdir(v))
+                    .parquet(*sorted(set(paths)))
+                )
             # merge-on-read deletes: a delete entry applies to exactly
             # the tokens that existed when it committed — rows written
             # AFTER it (fresh tokens) are immune, and a rewrite of a
@@ -1229,14 +1230,10 @@ class LakeTable:
             parts = []
             for e in pending:
                 # a partitioned append wrote its partition columns into
-                # directory names — reading the token ROOT recovers them
-                # via partition discovery; pin dir-derived types like
-                # the base pieces above
-                p = self.spark.read.parquet(self._vdir(e["token"]))
-                for k in e.get("parts") or []:
-                    for c in _key_spec(k):
-                        if c in types and c in p.columns:
-                            p = p.withColumn(c, F.col(c).cast(types[c]))
+                # directory names — reading the token ROOT recovers
+                # them under the manifest's DECLARED types (explicit
+                # schema, no inference), tombstone marker included
+                p = self._token_frame(e["token"], manifest)
                 parts.append(p.withColumn("_seq", F.lit(e["seq"])))
             appended = reduce(
                 lambda a, b: a.unionByName(b, allowMissingColumns=True),
@@ -1289,6 +1286,37 @@ class LakeTable:
             out = out.select(*names)  # pin manifest column order
         return out
 
+    def _token_frame(
+        self, token: str, man: dict, columns: Sequence[str] | None = None
+    ) -> DataFrame:
+        """Read one append/staging token dir with an EXPLICIT schema,
+        never partition-type inference: inference parses hex bucket
+        values like '8f' as the Java float literal 8.0
+        (``Double.parseDouble`` accepts type suffixes) whenever a
+        token's directory set happens to be all double-parseable —
+        e.g. a one-bucket merge-on-read append — silently corrupting
+        the partition key. With a declared schema the raw directory
+        string casts straight to the manifest type, losslessly.
+
+        ``columns`` narrows the read (key extraction wants keys +
+        partition columns only); partition-layout columns are always
+        kept so their dir values parse under the declared type, and
+        the tombstone marker field rides along so tombstone tokens
+        keep theirs (absent in ordinary files -> NULL -> kept by the
+        coalesce filter, same as before)."""
+        all_fields = T.StructType.fromJson(json.loads(man["schema"])).fields
+        dir_cols = set(man.get("partition_by") or ()) | set(self.partition_by)
+        for key in man.get("owners") or {}:
+            dir_cols.update(_key_spec(key))
+        keep = None if columns is None else set(columns) | dir_cols
+        fields = [
+            f for f in all_fields if keep is None or f.name in keep
+        ]
+        fields.append(T.StructField(self._TOMBSTONE, T.BooleanType(), True))
+        return self.spark.read.schema(T.StructType(fields)).parquet(
+            self._vdir(token)
+        )
+
     def _affected_keys(self, man: dict, touched: DataFrame) -> set[str]:
         """Partition keys a mutation rewriting the ``touched`` rows must
         carry through, under EVERY layout present in the manifest's
@@ -1330,7 +1358,7 @@ class LakeTable:
         out: set[str] = set()
         app_parts = []
         for e in pending:
-            p = self.spark.read.parquet(self._vdir(e["token"]))
+            p = self._token_frame(e["token"], man, columns=mkeys)
             if e.get("parts"):
                 out.update(k for k in e["parts"] if k)
             else:
@@ -1826,7 +1854,9 @@ class LakeTable:
             f"merge lost {self._MAX_COMMIT_RETRIES} version races at {self.path}"
         )
 
-    def _assert_key_unique(self, token: str, keys: list[str]) -> None:
+    def _assert_key_unique(
+        self, token: str, keys: list[str], schema: T.StructType
+    ) -> None:
         """Fail loudly when a merge-on-read batch holds multiple rows
         per key: newest-wins WITHIN a batch has no ordering column, so
         any silent winner choice is partition-layout-dependent and two
@@ -1834,9 +1864,15 @@ class LakeTable:
         same way on multiple matching source rows). Checked on the
         already-WRITTEN token so a non-deterministic source is
         evaluated exactly once; an abort strands the staging dir for
-        vacuum to reap."""
+        vacuum to reap. ``schema`` is the SOURCE schema the token was
+        staged from (there may be no manifest yet on a first commit) —
+        reading with it keeps dir-derived key values off the
+        partition-type-inference path (see ``_token_frame``)."""
+        keep = set(keys) | set(self.partition_by)
+        fields = T.StructType([f for f in schema.fields if f.name in keep])
         dup = (
-            self.spark.read.parquet(self._vdir(token))
+            self.spark.read.schema(fields)
+            .parquet(self._vdir(token))
             .groupBy(*keys)
             .count()
             .where(F.col("count") > 1)
@@ -1880,7 +1916,7 @@ class LakeTable:
                 token = self._new_token()
                 written = self._write_data(source, token)
                 if written and not assume_key_unique:
-                    self._assert_key_unique(token, keys)
+                    self._assert_key_unique(token, keys, source.schema)
                 try:
                     return self._commit(
                         0,
@@ -1945,7 +1981,7 @@ class LakeTable:
                 shutil.rmtree(self._vdir(token), ignore_errors=True)
                 return man["version"]
             if not delete and not assume_key_unique:
-                self._assert_key_unique(token, keys)
+                self._assert_key_unique(token, keys, src.schema)
             seq = max((e["seq"] for e in prior), default=0) + 1
             entry = {"token": token, "keys": keys, "seq": seq}
             if self.partition_by:
@@ -2279,7 +2315,7 @@ class LakeTable:
                 # its own key columns), so selection must be per entry
                 key_parts: dict[tuple, list[DataFrame]] = {}
                 for e in delta:
-                    p = self.spark.read.parquet(self._vdir(e["token"]))
+                    p = self._token_frame(e["token"], m_to, columns=e["keys"])
                     if e.get("parts"):
                         merge_changed |= {k for k in e["parts"] if k}
                     else:

@@ -2907,3 +2907,124 @@ def test_stream_dedup_ingest_maintains_indexes_on_survivors(spark, tmp_path):
         (r.query_id, r.doc_id) for r in idx.search(queries, k=10).collect()
     }
     assert got == {(7, 4), (8, 1)}
+
+
+def test_partition_values_round_trip_despite_java_float_literals(
+    spark, tmp_path
+):
+    """Hex-bucket partition values like '8f' parse as Java float
+    literals (Double.parseDouble('8f') == 8.0), so Spark's partition
+    type inference silently corrupted them whenever a token's
+    directory set was ALL double-parseable — e.g. a one-bucket MoR
+    append. Inference is disabled engine-wide and every dir-derived
+    column is pinned to its manifest type from the raw string; this
+    pins the round trip for base reads, pending-append reads, and the
+    merge-key machinery."""
+    from datalake_toolkit_spark.lakehouse import LakeTable
+
+    t = LakeTable(spark, str(tmp_path / "t"), partition_by=("bucket",))
+    t.write(
+        spark.createDataFrame(
+            [(1, "8f", 10), (2, "1d", 20), (3, "zz", 30)],
+            "id bigint, bucket string, v bigint",
+        )
+    )
+    # the append lands ONLY in double-parseable buckets — the exact
+    # shape that used to trip inference
+    t.upsert(
+        spark.createDataFrame(
+            [(1, "8f", 11), (4, "16", 40)],
+            "id bigint, bucket string, v bigint",
+        ),
+        keys=["id"],
+        mode="mor",
+        assume_key_unique=True,
+    )
+    got = {(r.id, r.bucket, r.v) for r in t.read().collect()}
+    assert got == {(1, "8f", 11), (2, "1d", 20), (3, "zz", 30), (4, "16", 40)}
+    sub = {
+        (r.id, r.bucket, r.v)
+        for r in t.read(partitions=["bucket=8f"]).collect()
+    }
+    assert sub == {(1, "8f", 11)}
+    # a rewrite (optimize) must materialize the same values
+    t.optimize()
+    assert {(r.id, r.bucket, r.v) for r in t.read().collect()} == got
+
+
+def test_stream_index_ingest_watermark_bounds_state_and_commits(
+    spark, tmp_path
+):
+    """Event-time story for streaming index maintenance: with ts_col
+    set, a doc replayed WITHIN the watermark horizon is dropped
+    before it costs an index commit (first wins — its changed text
+    must NOT reach the index), a replay PAST the horizon re-indexes
+    and converges via the key-idempotent upsert, and the dedup state
+    is EVICTED by the watermark instead of growing with the stream."""
+    import json as _json
+
+    from datalake_toolkit_spark.lakehouse import stream_index_ingest
+    from datalake_toolkit_spark.llm import PostingsIndex
+
+    src = tmp_path / "src"
+    src.mkdir()
+    idx = PostingsIndex(spark, str(tmp_path / "pidx"), prefix_len=1)
+
+    def drop(name, rows):
+        (src / name).write_text("\n".join(_json.dumps(r) for r in rows))
+
+    last_progress = {}
+
+    def drain():
+        q = stream_index_ingest(
+            spark.readStream.schema("doc_id bigint, text string, ts timestamp")
+            .json(str(src)),
+            idx,
+            checkpoint=str(tmp_path / "ckpt"),
+            ts_col="ts",
+            watermark="10 minutes",
+        )
+        q.awaitTermination(120)
+        if q.lastProgress:
+            last_progress.update(q.lastProgress)
+
+    def dl_of(doc_id):
+        return {
+            r.doc_id: r.dl for r in idx.doc_stats_t.read().collect()
+        }.get(doc_id)
+
+    drop("b1.json", [
+        {"doc_id": 1, "text": "alpha beta", "ts": "2026-01-01 10:00:00"},
+        {"doc_id": 2, "text": "gamma", "ts": "2026-01-01 10:00:00"},
+    ])
+    drain()
+    assert dl_of(1) == 2 and dl_of(2) == 1
+
+    # replay of doc 1 WITHIN the horizon: dropped pre-index — its
+    # longer text must not land, and no doc_stats commit happens
+    v_before = idx.doc_stats_t.current_version()
+    drop("b2.json", [
+        {"doc_id": 1, "text": "alpha beta gamma delta",
+         "ts": "2026-01-01 10:01:00"},
+        {"doc_id": 3, "text": "epsilon zeta eta", "ts": "2026-01-01 12:00:00"},
+    ])
+    drain()
+    assert dl_of(1) == 2  # first wins inside the watermark
+    assert dl_of(3) == 3
+
+    # replay of doc 1 PAST the horizon (watermark advanced to ~11:50
+    # by doc 3): state evicted, the re-add reaches the index and the
+    # upsert converges it to the new content
+    drop("b3.json", [
+        {"doc_id": 1, "text": "theta iota kappa lambda mu",
+         "ts": "2026-01-01 12:01:00"},
+    ])
+    drain()
+    assert dl_of(1) == 5
+    assert idx.doc_stats_t.read().count() == 3
+    assert v_before is not None
+
+    # bounded state: the b1-era keys are evicted — state holds only
+    # rows inside the current horizon, not every key ever seen
+    ops = last_progress.get("stateOperators") or []
+    assert ops and ops[0]["numRowsTotal"] <= 2
