@@ -145,12 +145,13 @@ def _build_parser() -> argparse.ArgumentParser:
     se.add_argument(
         "action",
         choices=["query", "index-add", "index-query", "index-probe",
-                 "index-maintain"],
+                 "index-maintain", "hybrid"],
         help="query: one-shot over --docs; index-add: build/extend the "
              "persistent index at --index from --docs; index-query: "
              "serve from --index; index-probe: report what a query "
              "would open (no search); index-maintain: drain pending "
-             "MoR state + vacuum",
+             "MoR state + vacuum; hybrid: RRF-fuse --index (lexical) "
+             "with --ann-path (vector) over --queries",
     )
     se.add_argument("--docs", default=None,
                 help="documents parquet (doc_id, text)")
@@ -163,6 +164,15 @@ def _build_parser() -> argparse.ArgumentParser:
                 help="index-add commit mode")
     se.add_argument("--keep-last", type=int, default=5,
                 help="index-maintain vacuum retention")
+    se.add_argument("--ann-path", default=None,
+                help="IVFIndex root for action=hybrid")
+    se.add_argument("--queries", default=None,
+                help="hybrid query parquet (query_id, query_text, "
+                     "query_vec)")
+    se.add_argument("--k-each", type=int, default=20,
+                help="hybrid per-modality depth before fusion")
+    se.add_argument("--n-probe", type=int, default=4,
+                help="hybrid IVF probe width")
 
     an = sub.add_parser("ann", help="persistent IVF vector index")
     an.add_argument(
@@ -181,6 +191,11 @@ def _build_parser() -> argparse.ArgumentParser:
                 help="add commit mode")
     an.add_argument("--keep-last", type=int, default=5,
                 help="maintain vacuum retention")
+    an.add_argument("--quantized", action="store_true",
+                help="search: int8 candidate phase + exact rescore; "
+                     "probe: report the code-vs-vector byte split")
+    an.add_argument("--rescore-factor", type=int, default=4,
+                help="quantized search: candidates kept per result")
     return p
 
 
@@ -511,6 +526,26 @@ def _cmd_search(args: argparse.Namespace) -> int:
     )
 
     spark = get_spark(app_name="dts-search")
+    if args.action == "hybrid":
+        from datalake_toolkit_spark.llm import (
+            IVFIndex,
+            hybrid_search_indexed,
+        )
+
+        if not (args.index and args.ann_path and args.queries):
+            raise SystemExit("hybrid needs --index, --ann-path, --queries")
+        out = hybrid_search_indexed(
+            PostingsIndex(spark, args.index),
+            IVFIndex(spark, args.ann_path),
+            spark.read.parquet(args.queries),
+            k=args.k,
+            k_each=args.k_each,
+            n_probe=args.n_probe,
+            lexical="bm25" if args.method == "bm25" else "keyword",
+        )
+        for r in out.orderBy("query_id", "rank").collect():
+            print(json.dumps(r.asDict()))
+        return 0
     if args.action == "index-add":
         if not (args.index and args.docs):
             raise SystemExit("index-add needs --index and --docs")
@@ -597,13 +632,20 @@ def _cmd_ann(args: argparse.Namespace) -> int:
         if not args.input:
             raise SystemExit("probe needs --input (query vectors parquet)")
         print(json.dumps(idx.plan_probe(
-            spark.read.parquet(args.input), n_probe=args.n_probe)))
+            spark.read.parquet(args.input), n_probe=args.n_probe,
+            quantized=args.quantized)))
         return 0
     if not args.input:
         raise SystemExit("search needs --input (query vectors parquet)")
-    out = idx.search(
-        spark.read.parquet(args.input), k=args.k, n_probe=args.n_probe
-    )
+    if args.quantized:
+        out = idx.search_quantized(
+            spark.read.parquet(args.input), k=args.k,
+            n_probe=args.n_probe, rescore_factor=args.rescore_factor,
+        )
+    else:
+        out = idx.search(
+            spark.read.parquet(args.input), k=args.k, n_probe=args.n_probe
+        )
     for r in out.orderBy("qid", "rank").collect():
         print(json.dumps(r.asDict()))
     return 0

@@ -38,6 +38,7 @@ from datalake_toolkit_spark.llm.ann_index import IVFIndex
 from datalake_toolkit_spark.llm.search import (
     PostingsIndex,
     bm25_topk,
+    hybrid_search_indexed,
     keyword_search_topk,
     phrase_search,
     posting_lists,
@@ -61,6 +62,7 @@ __all__ = [
     "posting_lists",
     "PostingsIndex",
     "rrf_fuse",
+    "hybrid_search_indexed",
     "connected_components",
     "cosine_similarity_col",
     "cosine_topk",

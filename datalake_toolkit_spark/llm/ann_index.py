@@ -96,6 +96,39 @@ class IVFIndex:
             .withColumn("norm", _l2_norm(F.col("vec")))
         )
 
+    @staticmethod
+    def _with_codes(rows: DataFrame) -> DataFrame:
+        """Attach the int8 scalar quantization: per-vector
+        ``scale = max|x| / 127`` (positive — zero-norm rows never get
+        here) and ``code[i] = round(x_i / scale)`` as tinyint, so a
+        dim-float vector stores as dim BYTES plus one double. The
+        codes drive candidate SELECTION only; final ranking always
+        rescores on the exact stored vector, so quantization can
+        never change an answer, only (bounded by ``rescore_factor``)
+        miss one."""
+        scale = (
+            F.array_max(F.transform(F.col("vec"), F.abs)) / F.lit(127.0)
+        )
+        return rows.withColumn("scale", scale).withColumn(
+            "code",
+            F.transform(
+                F.col("vec"),
+                lambda x: F.round(x / F.col("scale")).cast("tinyint"),
+            ),
+        )
+
+    def _has_codes(self) -> bool:
+        """Whether the committed assignments schema carries the int8
+        codes (indexes built before quantization existed don't — they
+        keep working through the exact path; ``rebuild()`` migrates)."""
+        import json
+
+        if self.assignments_t.current_version() is None:
+            return True  # a fresh index will be written with codes
+        man = self.assignments_t._manifest()
+        names = {f["name"] for f in json.loads(man["schema"])["fields"]}
+        return "code" in names and "scale" in names
+
     def centroids(self) -> list[list[float]]:
         """The stored centroid matrix, list_id order. Bounded by
         n_lists — the one collect in the serving path."""
@@ -124,11 +157,13 @@ class IVFIndex:
             src, n_lists=n_lists, id_col="id", vec_col="vec",
             dim=dim, lloyd_iters=lloyd_iters,
         )
-        rows = assigned.select(
-            F.col("vid").alias(self.id_col),
-            F.col("v").alias("vec"),
-            _l2_norm(F.col("v")).alias("norm"),
-            F.col("list_id").cast("int").alias("list_id"),
+        rows = self._with_codes(
+            assigned.select(
+                F.col("vid").alias(self.id_col),
+                F.col("v").alias("vec"),
+                _l2_norm(F.col("v")).alias("norm"),
+                F.col("list_id").cast("int").alias("list_id"),
+            )
         )
         self.assignments_t.write(rows, op="ivf_build")
         self.centroids_t.write(
@@ -155,6 +190,8 @@ class IVFIndex:
             "norm",
             ivf_assign_col(cents, "vec").cast("int").alias("list_id"),
         )
+        if self._has_codes():
+            rows = self._with_codes(rows)
         return self.assignments_t.upsert(rows, keys=[self.id_col], mode=mode)
 
     def rebuild(
@@ -173,23 +210,14 @@ class IVFIndex:
 
     # -- serving -------------------------------------------------------------
 
-    def search(
-        self,
-        queries: DataFrame,
-        k: int = 10,
-        n_probe: int = 4,
-        exclude_self: bool = False,
-    ) -> DataFrame:
-        """Approximate top-k for each query row: (qid, cid, cosine,
-        rank). Each query probes its ``n_probe`` nearest centroids'
-        lists; the scan is restricted to the probed ``list_id``
-        partitions STRUCTURALLY (only those directories are listed),
-        so a small serving batch reads ~n_probe/n_lists of the index.
-        ``n_probe >= n_lists`` is exact search. ``exclude_self`` drops
-        candidates whose id equals the query id (corpus-as-queries
-        evaluation). Queries are broadcast — this is the serving path,
-        sized accordingly; for corpus-scale query sets use
-        :func:`~datalake_toolkit_spark.llm.similarity.ivf_topk`."""
+    def _probe_frames(
+        self, queries: DataFrame, n_probe: int
+    ) -> tuple[DataFrame, DataFrame]:
+        """The shared serve front half: (probe-exploded query frame
+        ``(qid, qv, qn, list_id)``, assignments restricted to the
+        probed ``list_id`` partitions). One bounded collect (<= the
+        batch's distinct probed lists, itself <= n_lists) decides
+        which directories the read lists."""
         cents = self.centroids()
         n_probe = min(n_probe, len(cents))
         q = (
@@ -204,8 +232,6 @@ class IVFIndex:
             )
             .withColumn("list_id", F.col("list_id").cast("int"))
         )
-        # bounded collect (<= queries * n_probe distinct list ids,
-        # itself <= n_lists): which partitions the batch probes
         probed = {
             f"list_id={r['list_id']}"
             for r in q.select("list_id").distinct().collect()
@@ -225,8 +251,28 @@ class IVFIndex:
         else:
             cand = self.assignments_t.read(partitions=known)
         # pending MoR appends are read un-restricted; the equi-join on
-        # list_id below keeps only probed lists, so correctness never
-        # depends on the pruning
+        # list_id downstream keeps only probed lists, so correctness
+        # never depends on the pruning
+        return q, cand
+
+    def search(
+        self,
+        queries: DataFrame,
+        k: int = 10,
+        n_probe: int = 4,
+        exclude_self: bool = False,
+    ) -> DataFrame:
+        """Approximate top-k for each query row: (qid, cid, cosine,
+        rank). Each query probes its ``n_probe`` nearest centroids'
+        lists; the scan is restricted to the probed ``list_id``
+        partitions STRUCTURALLY (only those directories are listed),
+        so a small serving batch reads ~n_probe/n_lists of the index.
+        ``n_probe >= n_lists`` is exact search. ``exclude_self`` drops
+        candidates whose id equals the query id (corpus-as-queries
+        evaluation). Queries are broadcast — this is the serving path,
+        sized accordingly; for corpus-scale query sets use
+        :func:`~datalake_toolkit_spark.llm.similarity.ivf_topk`."""
+        q, cand = self._probe_frames(queries, n_probe)
         scored = (
             cand.hint("shuffle_hash")
             .join(F.broadcast(q), "list_id")
@@ -250,14 +296,110 @@ class IVFIndex:
             .select("qid", "cid", "cosine", "rank")
         )
 
+    def search_quantized(
+        self,
+        queries: DataFrame,
+        k: int = 10,
+        n_probe: int = 4,
+        rescore_factor: int = 4,
+        exclude_self: bool = False,
+    ) -> DataFrame:
+        """Top-k with the int8 fast path: candidate selection scores
+        the probed lists on the stored codes — the scan column-prunes
+        the exact vectors away, reading ~1/8 of the probe bytes (see
+        ``plan_probe(quantized=True)`` for the measured split) — keeps
+        ``k * rescore_factor`` per query by quantized cosine, then
+        RESCORES exactly those candidates against the stored exact
+        vectors. The final (cosine, rank) values are computed by the
+        same expression as :meth:`search`, so answers are
+        bit-identical whenever the true top-k survives candidate
+        selection (int8 keeps relative cosine error ~1e-2; a default
+        4x rescore margin covers it except under adversarially dense
+        near-ties — raise ``rescore_factor`` there). The rescore scan
+        re-reads only the probed partitions' (id, vec) columns and
+        semi-joins the candidate ids, so serving stays bounded by the
+        probe."""
+        if not self._has_codes():
+            raise RuntimeError(
+                "assignments table predates int8 quantization — run "
+                "rebuild() once to store codes (search() still works)"
+            )
+        q, cand = self._probe_frames(queries, n_probe)
+        approx = (
+            cand.select(self.id_col, "list_id", "code", "scale", "norm")
+            .hint("shuffle_hash")
+            .join(F.broadcast(q.drop("qn")), "list_id")
+            .where(
+                F.lit(True)
+                if not exclude_self
+                else F.col("qid") != F.col(self.id_col)
+            )
+            .select(
+                "qid",
+                F.col(self.id_col).alias("cid"),
+                (
+                    F.col("scale")
+                    * _fold_sum(
+                        F.zip_with(
+                            F.col("qv"), F.col("code"), lambda x, c: x * c
+                        )
+                    )
+                    / F.col("norm")
+                ).alias("qdot"),
+            )
+        )
+        wa = Window.partitionBy("qid").orderBy(F.desc("qdot"), F.asc("cid"))
+        picked = (
+            approx.withColumn("arank", F.row_number().over(wa))
+            .where(F.col("arank") <= int(k) * int(rescore_factor))
+            .select("qid", "cid")
+        )
+        # rescore: exact vectors for the candidate rows only — the
+        # candidate set is serving-bounded (queries * k * factor), so
+        # it broadcasts; the vec column is read just for probed lists
+        # (same restricted frame — Catalyst prunes it to (id, vec,
+        # norm) for this branch)
+        exact = (
+            cand.select(
+                F.col(self.id_col).alias("cid"),
+                F.col("vec").alias("cvec"),
+                F.col("norm").alias("cnorm"),
+            )
+            .join(F.broadcast(picked), "cid")
+            .join(
+                F.broadcast(q.drop("list_id").dropDuplicates(["qid"])),
+                "qid",
+            )
+            .select(
+                "qid",
+                "cid",
+                cosine_with_norms(
+                    F.col("qv"), F.col("cvec"), F.col("qn"), F.col("cnorm")
+                ).alias("cosine"),
+            )
+        )
+        w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("cid"))
+        return (
+            exact.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("qid", "cid", "cosine", "rank")
+        )
+
     # -- observability -------------------------------------------------------
 
-    def plan_probe(self, queries: DataFrame, n_probe: int = 4) -> dict:
+    def plan_probe(
+        self, queries: DataFrame, n_probe: int = 4, quantized: bool = False
+    ) -> dict:
         """What a search would OPEN, without scoring anything — the
         serving analogue of ``LakeTable.plan_scan``: list and file
         counts before/after the probe restriction, plus the probe
         fraction. Capacity observability (n_probe/n_lists IS the
-        read fraction; pending MoR appends show up as extra files)."""
+        read fraction; pending MoR appends show up as extra files).
+        ``quantized=True`` additionally sums the probed files'
+        COMPRESSED column-chunk bytes from their parquet footers,
+        splitting the exact-vector column from the int8 code columns —
+        the measured byte saving ``search_quantized``'s candidate
+        phase realizes through column pruning."""
         cents = self.centroids()
         n_probe = min(n_probe, len(cents))
         q = self._prep(queries).select(
@@ -284,7 +426,57 @@ class IVFIndex:
             lists_probed=len(known),
             n_probe=n_probe,
         )
+        if quantized:
+            by_col = self._probed_column_bytes(known)
+            vec_b = by_col.get("vec", 0)
+            code_b = by_col.get("code", 0) + by_col.get("scale", 0)
+            rep.update(
+                bytes_vec_column=vec_b,
+                bytes_code_columns=code_b,
+                code_vs_vec_ratio=(code_b / vec_b) if vec_b else None,
+            )
         return rep
+
+    def _probed_column_bytes(self, known: list[str]) -> dict[str, int]:
+        """Compressed column-chunk bytes of the probed partitions'
+        parquet files, by top-level column — footer metadata only, no
+        Spark job. Covers owned directories AND pending merge-on-read
+        appends (their probed subdirectories)."""
+        import pyarrow.parquet as pq
+
+        man = self.assignments_t._manifest()
+        dirs = []
+        for key in known:
+            tok = man["owners"].get(key)
+            if tok:
+                dirs.append(
+                    os.path.join(self.assignments_t._vdir(tok), key)
+                )
+        for e in man.get("merges") or []:
+            for key in e.get("parts") or []:
+                if key in set(known):
+                    dirs.append(
+                        os.path.join(
+                            self.assignments_t._vdir(e["token"]), key
+                        )
+                    )
+        out: dict[str, int] = {}
+        for d in dirs:
+            if not os.path.isdir(d):
+                continue
+            for f in os.listdir(d):
+                if not f.endswith(".parquet") or f.startswith(("_", ".")):
+                    continue
+                md = pq.ParquetFile(os.path.join(d, f)).metadata
+                for rg in range(md.num_row_groups):
+                    g = md.row_group(rg)
+                    for ci in range(g.num_columns):
+                        col = g.column(ci)
+                        name = col.path_in_schema.split(".")[0]
+                        out[name] = (
+                            out.get(name, 0) + col.total_compressed_size
+                        )
+        return out
 
     def maintain(self, keep_last: int = 5) -> None:
         """Scheduled maintenance: drain pending merge-on-read adds

@@ -160,7 +160,9 @@ def bm25_topk(
     is not correctly-rounded IEEE and measurably differs between libm
     and the JVM), which is why the gate-level oracle pins
     :func:`keyword_search_topk`'s integer layer and this ranker is
-    pinned by tolerance-based tests instead."""
+    pinned by tolerance-based tests instead — SCALING.md "Lexical
+    retrieval" documents the measured 11/200 ULP divergence behind
+    that split."""
     qterms = _query_terms(queries, query_id_col, query_text_col)
     post = _matched_postings(docs, qterms, id_col, text_col)
     # N / avgdl over DOCUMENTS (pre-explode token counts; one narrow
@@ -229,8 +231,16 @@ class PostingsIndex:
       per-term document frequencies are complete within the probed
       read.
     - ``doc_stats`` — (doc_id, dl, dhash_prefix), same 256-bucket
-      layout on the doc id; feeds the corpus-level N / avgdl that
-      BM25 needs (one narrow 2-column aggregate on demand).
+      layout on the doc id; the per-document ground truth behind the
+      corpus stats (and the rebuild source for them).
+    - ``corpus_stats`` — (dhash_prefix, n_docs, total_dl), ONE row per
+      doc_stats bucket (<= 256 rows total), refreshed at ``add`` time
+      for exactly the buckets the batch touched. BM25's N / avgdl are
+      served by summing these rows — an O(1) read, never an O(corpus)
+      doc_stats scan in the query hot path. Refreshing a bucket is a
+      pure function of the committed doc_stats state, so replaying a
+      crashed batch converges to the same stats (idempotent like the
+      other two commits).
 
     ``add`` batches land as merge-on-read upserts with
     ``partition_scoped=True`` (both partition keys are pure functions
@@ -276,6 +286,12 @@ class PostingsIndex:
             partition_by=("dhash_prefix",),
             auto_compact_after=auto_compact_after,
         )
+        # <= 256 rows (one per doc_stats bucket) — unpartitioned,
+        # copy-on-write upserts: rewriting the whole table is cheaper
+        # than any merge bookkeeping at this size
+        self.corpus_stats_t = LakeTable(
+            spark, os.path.join(path, "corpus_stats")
+        )
 
     def _prefix_len(self) -> int:
         """The committed bucket width, or the creation width for a
@@ -289,11 +305,13 @@ class PostingsIndex:
         return self._creation_prefix_len
 
     def add(self, docs: DataFrame, mode: str = "mor") -> int:
-        """Index a batch: postings commit first, doc stats second —
-        both idempotent upserts, so a crash between them replays
-        cleanly. Posting rows are POSITIONAL (sorted token offsets per
-        (term, doc)), so phrase queries serve from the index too.
-        Returns the postings table's committed version."""
+        """Index a batch: postings commit first, doc stats second,
+        corpus stats third — all idempotent (the stats refresh is a
+        pure function of the committed doc_stats buckets), so a crash
+        anywhere in the chain replays cleanly. Posting rows are
+        POSITIONAL (sorted token offsets per (term, doc)), so phrase
+        queries serve from the index too. Returns the postings
+        table's committed version."""
         plen = self._prefix_len()
         toks = docs.select(
             F.col(self.id_col).alias("doc_id"),
@@ -312,31 +330,104 @@ class PostingsIndex:
             )
             .withColumn("term_prefix", F.substring(F.md5("term"), 1, plen))
         )
-        if self.postings_t.current_version() is None:
-            v = self.postings_t.write(post, op="postings_build")
-        else:
-            v = self.postings_t.upsert(
-                post,
-                keys=["term", "doc_id"],
-                mode=mode,
-                partition_scoped=True,
-                assume_key_unique=True,  # posting_lists groups by (term, doc)
+        # the batch's posting rows feed three commits — cache them for
+        # the duration of add() instead of re-tokenizing per commit
+        post = post.persist()
+        try:
+            if self.postings_t.current_version() is None:
+                v = self.postings_t.write(post, op="postings_build")
+            else:
+                v = self.postings_t.upsert(
+                    post,
+                    keys=["term", "doc_id"],
+                    mode=mode,
+                    partition_scoped=True,
+                    assume_key_unique=True,  # posting_lists groups by (term, doc)
+                )
+            stats = post.select("doc_id", "dl").distinct().withColumn(
+                "dhash_prefix",
+                F.substring(F.md5(F.col("doc_id").cast("string")), 1, plen),
             )
-        stats = post.select("doc_id", "dl").distinct().withColumn(
-            "dhash_prefix",
-            F.substring(F.md5(F.col("doc_id").cast("string")), 1, plen),
-        )
-        if self.doc_stats_t.current_version() is None:
-            self.doc_stats_t.write(stats, op="postings_build")
-        else:
-            self.doc_stats_t.upsert(
-                stats,
-                keys=["doc_id"],
-                mode=mode,
-                partition_scoped=True,
-                assume_key_unique=True,
+            if self.doc_stats_t.current_version() is None:
+                self.doc_stats_t.write(stats, op="postings_build")
+            else:
+                self.doc_stats_t.upsert(
+                    stats,
+                    keys=["doc_id"],
+                    mode=mode,
+                    partition_scoped=True,
+                    assume_key_unique=True,
+                )
+            # bounded collect: <= 16^plen bucket keys
+            touched = sorted(
+                f"dhash_prefix={r['p']}"
+                for r in stats.select(
+                    F.col("dhash_prefix").alias("p")
+                ).distinct().collect()
             )
+            self._refresh_corpus_stats(touched)
+        finally:
+            post.unpersist()
         return v
+
+    def _refresh_corpus_stats(self, buckets: list[str]) -> None:
+        """Recompute (n_docs, total_dl) for the given doc_stats
+        buckets from their COMMITTED state and upsert the <= 256
+        result rows into ``corpus_stats``. Pure recomputation (not a
+        delta), so re-added docs, replayed batches, and crash recovery
+        all converge to the truth; cost is O(touched buckets), paid on
+        the write path so serving never scans doc_stats."""
+        if not buckets:
+            return
+        fresh = (
+            self.doc_stats_t.read(partitions=buckets)
+            .groupBy("dhash_prefix")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("dl").alias("total_dl"),
+            )
+        )
+        if self.corpus_stats_t.current_version() is None:
+            self.corpus_stats_t.write(fresh, op="corpus_stats")
+        else:
+            self.corpus_stats_t.upsert(
+                fresh, keys=["dhash_prefix"], assume_key_unique=True
+            )
+
+    def refresh_corpus_stats(self) -> None:
+        """Rebuild ``corpus_stats`` from every doc_stats bucket — the
+        migration path for an index written before corpus stats
+        existed (one full doc_stats pass, then serving is O(1)
+        forever)."""
+        man = self.doc_stats_t._manifest()
+        buckets = sorted(
+            set(man["owners"])
+            | {
+                k
+                for e in (man.get("merges") or [])
+                for k in (e.get("parts") or [])
+            }
+        )
+        self._refresh_corpus_stats(buckets)
+
+    def _corpus_stats(self) -> DataFrame:
+        """One row (n_docs, avgdl) for BM25. Served from the <= 256
+        cached ``corpus_stats`` rows; an index predating the stats
+        table falls back to the doc_stats scan (call
+        :meth:`refresh_corpus_stats` once to migrate). The summed
+        bucket counts are exact integers, so avgdl divides the same
+        two operands either way — bit-identical scores."""
+        if self.corpus_stats_t.current_version() is not None:
+            return self.corpus_stats_t.read().groupBy().agg(
+                F.sum("n_docs").alias("n_docs"),
+                (
+                    F.sum("total_dl") / F.sum("n_docs")
+                ).alias("avgdl"),
+            )
+        return self.doc_stats_t.read().groupBy().agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            (F.sum("dl") / F.count(F.lit(1))).alias("avgdl"),
+        )
 
     def _probed_postings(self, qterms: DataFrame) -> DataFrame:
         """Postings restricted to the buckets the query terms hash
@@ -391,10 +482,20 @@ class PostingsIndex:
         }
         probe = sorted(touched & existing)
         rep = self.postings_t.plan_scan(partitions=probe)
+        has_cached = self.corpus_stats_t.current_version() is not None
         rep.update(
             buckets_total=len(existing),
             buckets_probed=len(probe),
             prefix_len=plen,
+            # what a BM25 serve would read for N/avgdl: the cached
+            # <= 16^prefix_len corpus_stats rows (O(1)), or — legacy
+            # index, pre-migration — a full doc_stats scan
+            corpus_stats_source=(
+                "corpus_stats" if has_cached else "doc_stats_scan"
+            ),
+            corpus_stats_rows=(
+                self.corpus_stats_t.read().count() if has_cached else None
+            ),
         )
         return rep
 
@@ -403,7 +504,7 @@ class PostingsIndex:
         both tables (scoped rewrites) and vacuum old versions — run it
         when ``plan_probe`` shows the pending-append read tax growing,
         exactly like ledger retention."""
-        for t in (self.postings_t, self.doc_stats_t):
+        for t in (self.postings_t, self.doc_stats_t, self.corpus_stats_t):
             if t.current_version() is not None:
                 t.optimize()
                 t.vacuum(keep_last=keep_last)
@@ -455,15 +556,17 @@ class PostingsIndex:
     ) -> DataFrame:
         """BM25 served from the index: df per term is complete within
         the probed buckets (a term's postings never span buckets);
-        N / avgdl aggregate the 2-column doc_stats table."""
+        N / avgdl come from the <= 256 cached ``corpus_stats`` rows —
+        the serve cost is bounded by the probe, never by the corpus
+        (doc_stats is not read at query time). Scores are pinned by
+        tolerance tests, not a cross-engine hash — see the ln()
+        portability note on :func:`bm25_topk` and SCALING.md's "BM25
+        ULP" section for why."""
         qterms = _query_terms(queries, query_id_col, query_text_col)
         post = self._probed_postings(qterms).join(
             F.broadcast(qterms.select("term").distinct()), "term", "left_semi"
         )
-        stats = self.doc_stats_t.read().groupBy().agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            (F.sum("dl") / F.count(F.lit(1))).alias("avgdl"),
-        )
+        stats = self._corpus_stats()
         df_t = post.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
         scored = (
             post.join(F.broadcast(qterms), "term")
@@ -620,6 +723,66 @@ def rrf_fuse(
         fused.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "doc_id", "score", "n_lists", "rank")
+    )
+
+
+def hybrid_search_indexed(
+    postings_index: "PostingsIndex",
+    ivf_index,
+    queries: DataFrame,
+    k: int = 10,
+    k_each: int = 20,
+    n_probe: int = 4,
+    c: float = 60.0,
+    lexical: str = "bm25",
+    k1: float = 1.2,
+    b: float = 0.75,
+    query_id_col: str = "query_id",
+    query_text_col: str = "query_text",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Hybrid retrieval SERVED entirely from the two persistent
+    indexes: the lexical ranking comes from the postings index
+    (``lexical='bm25'`` — probed term buckets + cached corpus stats —
+    or ``'keyword'`` for the integer-exact coordination layer) and the
+    vector ranking from the IVF index (probed ``list_id`` partitions),
+    each top ``k_each`` per query, fused by reciprocal-rank fusion
+    (:func:`rrf_fuse`) into the final top ``k``.
+
+    This is the scale-shaped composition of the batch
+    ``q_hybrid_search`` demo: neither side touches the corpus — the
+    read set is the query terms' buckets plus the probed inverted
+    lists, both structurally pruned, and the joins are broadcast/
+    equi-joins (no nested loop). ``queries`` carries an id, the query
+    text, and the query embedding (``query_vec_col``); only ranks
+    cross into the fusion, so the fused scores are engine-exact
+    regardless of which lexical scorer ran."""
+    if lexical not in ("bm25", "keyword"):
+        raise ValueError(f"lexical must be bm25|keyword, got {lexical!r}")
+    qtext = queries.select(query_id_col, query_text_col)
+    if lexical == "bm25":
+        lex = postings_index.search_bm25(
+            qtext, k=k_each, k1=k1, b=b,
+            query_id_col=query_id_col, query_text_col=query_text_col,
+        )
+    else:
+        lex = postings_index.search(
+            qtext, k=k_each,
+            query_id_col=query_id_col, query_text_col=query_text_col,
+        )
+    qvec = queries.select(
+        F.col(query_id_col).alias(ivf_index.id_col),
+        F.col(query_vec_col).alias(ivf_index.vec_col),
+    )
+    vec = ivf_index.search(
+        qvec, k=k_each, n_probe=n_probe, exclude_self=False
+    ).select(
+        F.col("qid").alias("query_id"),
+        F.col("cid").alias("doc_id"),
+        "rank",
+    )
+    return rrf_fuse(
+        [lex.select("query_id", "doc_id", "rank"), vec], k=k, c=c
     )
 
 

@@ -1305,7 +1305,8 @@ def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _persistent_ivf_oracle(
-    n_lists: int = 8, n_probe: int = 2, dim: int = 64, k: int = 8
+    n_lists: int = 8, n_probe: int = 2, dim: int = 64, k: int = 8,
+    qlo: int = 0, qhi: int = 5,
 ) -> str:
     """DuckDB mirror of the PERSISTENT IVF index lifecycle
     (llm.ann_index.IVFIndex): build on the even vec_ids (literal seed
@@ -1347,7 +1348,8 @@ def _persistent_ivf_oracle(
              ORDER BY list_inner_product(c.v, kk.cv) DESC, kk.list_id) AS rn
            FROM c CROSS JOIN cent1 kk),
     af AS (SELECT vec_id, v, list_id FROM xf WHERE rn = 1),
-    q AS (SELECT vec_id AS qid, v AS qv FROM c WHERE vec_id < 5),
+    q AS (SELECT vec_id AS qid, v AS qv FROM c
+          WHERE vec_id >= {qlo} AND vec_id < {qhi}),
     probe AS (SELECT q.qid, q.qv, kk.list_id,
               row_number() OVER (PARTITION BY q.qid
                 ORDER BY list_inner_product(q.qv, kk.cv) DESC, kk.list_id DESC) AS prn
@@ -1388,6 +1390,42 @@ def q_persistent_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         idx.add(emb.where(F.col("vec_id") % 2 == 1), mode="mor")
         out = idx.search(
             emb.where(F.col("vec_id") < 5), k=8, n_probe=2, exclude_self=True
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@query(
+    "q_ivf_quantized",
+    _persistent_ivf_oracle(n_probe=3, k=6, qlo=5, qhi=10),
+)
+def q_ivf_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The int8-quantized IVF serve: same persistent lifecycle as
+    q_persistent_ivf (build even half, MoR-add odd half), but the
+    search runs the quantized fast path — candidate selection on the
+    stored int8 codes (the scan column-prunes the exact vectors:
+    ~1/8 of the probe bytes), then an exact rescore of the bounded
+    candidate set. The oracle is the UNQUANTIZED relational replay:
+    quantization must change nothing about the answers, only the
+    bytes read — so the hash check pins the rescore contract
+    (bit-identical cosines, ranks, tie-breaks) end to end."""
+    import shutil
+    import tempfile
+
+    from datalake_toolkit_spark.llm import IVFIndex
+
+    emb = _t(spark, sf_dir, "embeddings")
+    work = tempfile.mkdtemp(prefix="dts_ivfq_")
+    try:
+        idx = IVFIndex(spark, work)
+        idx.build(
+            emb.where(F.col("vec_id") % 2 == 0), n_lists=8, lloyd_iters=1
+        )
+        idx.add(emb.where(F.col("vec_id") % 2 == 1), mode="mor")
+        out = idx.search_quantized(
+            emb.where((F.col("vec_id") >= 5) & (F.col("vec_id") < 10)),
+            k=6, n_probe=3, rescore_factor=4, exclude_self=True,
         )
         return out.localCheckpoint(eager=True)
     finally:
@@ -1593,6 +1631,238 @@ def q_index_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
         idx.add(docs.where(F.col("doc_id") % 2 == 0))
         idx.add(docs.where(F.col("doc_id") % 2 == 1), mode="mor")
         return idx.search_phrase(queries, k=8).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def _index_hybrid_oracle(
+    n_lists: int = 8, n_probe: int = 2, dim: int = 64,
+    k_each: int = 20, k: int = 10, lo: int = 12, hi: int = 15,
+    nterms: int = 4, k1: float = 1.2, b: float = 0.75,
+) -> str:
+    """DuckDB mirror of the fully index-served hybrid retrieval:
+    the IVF lifecycle replay (literal seed centroids + one relational
+    Lloyd pass over the even build half, then all-corpus assignment —
+    the q_persistent_ivf machinery) for the vector ranks, a relational
+    BM25 replay (idf/weight expressions parenthesized exactly like the
+    Spark side, per-document scores as VALUE-SORTED folds) for the
+    lexical ranks, and the RRF fusion from q_hybrid_search. Only RANKS
+    cross into the fusion; BM25 scores never leave their CTE, so the
+    one non-portable operation (ln) affects the output only through
+    rank order — scores with distinct integer (tf, dl, df) inputs are
+    separated by far more than the measured ULP divergence."""
+    from datalake_toolkit_spark.llm.similarity import _plane_component
+
+    rows = ",".join(
+        "({}, [{}])".format(
+            p, ",".join(repr(_plane_component(p, d)) for d in range(dim))
+        )
+        for p in range(n_lists)
+    )
+
+    def cos(x: str, y: str) -> str:
+        return (
+            f"list_inner_product({x}, {y}) / "
+            f"(sqrt(list_inner_product({x}, {x})) * "
+            f"sqrt(list_inner_product({y}, {y})))"
+        )
+
+    w_expr = (
+        f"ln(1.0 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))"
+        f" * (p.tf * {k1 + 1.0!r})"
+        f" / (p.tf + {k1!r} * ({1.0 - b!r} + {b!r} * p.dl / s.avgdl))"
+    )
+
+    return f"""
+    WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings
+               WHERE embedding IS NOT NULL
+                 AND list_inner_product(CAST(embedding AS DOUBLE[]),
+                                        CAST(embedding AS DOUBLE[])) > 0),
+    cb AS (SELECT * FROM c WHERE vec_id % 2 = 0),
+    cent0(list_id, cv) AS (VALUES {rows}),
+    {_lloyd_pass_sql('cent0', 'cent1', 0, src='cb')},
+    xf AS (SELECT c.vec_id, c.v, kk.list_id,
+           row_number() OVER (PARTITION BY c.vec_id
+             ORDER BY list_inner_product(c.v, kk.cv) DESC, kk.list_id) AS rn
+           FROM c CROSS JOIN cent1 kk),
+    af AS (SELECT vec_id, v, list_id FROM xf WHERE rn = 1),
+    toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS w
+      FROM documents),
+    d AS (SELECT doc_id, w FROM toks WHERE len(w) > 0),
+    qd AS (SELECT doc_id AS query_id, w FROM d
+           WHERE doc_id >= {lo} AND doc_id < {hi}),
+    q AS (SELECT qd.query_id, c.v AS qv FROM qd
+          JOIN c ON c.vec_id = qd.query_id),
+    probe AS (SELECT q.query_id AS qid, q.qv, kk.list_id,
+              row_number() OVER (PARTITION BY q.query_id
+                ORDER BY list_inner_product(q.qv, kk.cv) DESC,
+                         kk.list_id DESC) AS prn
+              FROM q CROSS JOIN cent1 kk),
+    qp AS (SELECT qid, qv, list_id FROM probe WHERE prn <= {n_probe}),
+    vscored AS (SELECT qp.qid, af.vec_id AS cid,
+                       {cos('qp.qv', 'af.v')} AS cosine
+                FROM qp JOIN af ON qp.list_id = af.list_id),
+    vr AS (SELECT qid AS query_id, cid AS doc_id,
+           row_number() OVER (PARTITION BY qid
+             ORDER BY cosine DESC, cid) AS rank FROM vscored),
+    vec AS (SELECT query_id, doc_id, rank FROM vr WHERE rank <= {k_each}),
+    dd AS (SELECT doc_id, len(w) AS dl, unnest(w) AS term FROM d),
+    post AS (SELECT doc_id, dl, term, count(*) AS tf
+             FROM dd GROUP BY 1, 2, 3),
+    stats AS (SELECT count(*) AS n_docs,
+                     CAST(CAST(sum(len(w)) AS BIGINT) AS DOUBLE)
+                       / CAST(count(*) AS DOUBLE) AS avgdl
+              FROM d),
+    qterms AS (SELECT query_id,
+                      unnest(list_distinct(w[1:{nterms}])) AS term FROM qd),
+    df_t AS (SELECT term, count(*) AS df FROM post
+             WHERE term IN (SELECT term FROM qterms) GROUP BY term),
+    sc AS (SELECT qt.query_id, p.doc_id, {w_expr} AS w
+           FROM qterms qt
+           JOIN post p USING (term)
+           JOIN df_t f USING (term)
+           CROSS JOIN stats s),
+    bscore AS (SELECT query_id, doc_id,
+               list_reduce(list_prepend(0.0, list(w ORDER BY w)),
+                           (acc, e) -> acc + e) AS score
+               FROM sc GROUP BY 1, 2),
+    kr AS (SELECT query_id, doc_id,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY score DESC, doc_id) AS rank FROM bscore),
+    kw AS (SELECT query_id, doc_id, rank FROM kr WHERE rank <= {k_each}),
+    uni AS (SELECT query_id, doc_id,
+                   1.0 / (60.0 + CAST(rank AS DOUBLE)) AS contrib FROM kw
+            UNION ALL
+            SELECT query_id, doc_id,
+                   1.0 / (60.0 + CAST(rank AS DOUBLE)) AS contrib FROM vec),
+    fused AS (SELECT query_id, doc_id,
+              list_reduce(list_prepend(0.0, list(contrib ORDER BY contrib)),
+                          (acc, e) -> acc + e) AS score,
+              count(*) AS n_lists
+              FROM uni GROUP BY 1, 2),
+    fr AS (SELECT query_id, doc_id, score, n_lists,
+           CAST(row_number() OVER (PARTITION BY query_id
+             ORDER BY score DESC, doc_id) AS INTEGER) AS rank
+           FROM fused)
+    SELECT query_id, doc_id, score, n_lists, rank FROM fr WHERE rank <= {k}
+    """
+
+
+@query("q_index_hybrid", _index_hybrid_oracle())
+def q_index_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval served ENTIRELY from the two persistent
+    indexes — the scale-shaped successor of q_hybrid_search's batch
+    demo: BM25 from the postings index (probed term buckets + cached
+    corpus stats) fused by RRF with cosine from the IVF index (probed
+    list_id partitions). Both index lifecycles run incrementally
+    (build/add on the even half, MoR add of the odd half); the serve
+    reads only probed buckets + probed lists, every join is a
+    broadcast equi-join, and the corpus is never rescanned. The
+    fused scores are engine-exact (only ranks enter the fusion), so
+    the whole two-index stack hash-checks end to end."""
+    import os
+    import shutil
+    import tempfile
+
+    from datalake_toolkit_spark.llm import (
+        IVFIndex,
+        PostingsIndex,
+        hybrid_search_indexed,
+    )
+    from datalake_toolkit_spark.llm.search import _tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    w = _tokens("text")
+    qtext = docs.where(
+        (F.col("doc_id") >= 12) & (F.col("doc_id") < 15) & (F.size(w) > 0)
+    ).select(
+        F.col("doc_id").alias("query_id"),
+        F.concat_ws(" ", F.slice(w, 1, 4)).alias("query_text"),
+    )
+    queries = qtext.join(
+        emb.select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        ),
+        "query_id",
+        "left",
+    )
+    work = tempfile.mkdtemp(prefix="dts_hybidx_")
+    try:
+        pidx = PostingsIndex(
+            spark, os.path.join(work, "postings"), prefix_len=1
+        )
+        pidx.add(docs.where(F.col("doc_id") % 2 == 0))
+        pidx.add(docs.where(F.col("doc_id") % 2 == 1), mode="mor")
+        ivf = IVFIndex(spark, os.path.join(work, "ivf"))
+        ivf.build(emb.where(F.col("vec_id") % 2 == 0),
+                  n_lists=8, lloyd_iters=1)
+        ivf.add(emb.where(F.col("vec_id") % 2 == 1), mode="mor")
+        out = hybrid_search_indexed(
+            pidx, ivf, queries, k=10, k_each=20, n_probe=2
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@query(
+    "q_index_corpus_stats",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS w
+      FROM documents),
+    d AS (SELECT doc_id,
+                 CASE WHEN doc_id < 5 THEN 2 * len(w) ELSE len(w) END AS dl
+          FROM toks WHERE len(w) > 0),
+    s AS (SELECT substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS dhash_prefix,
+                 count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS total_dl
+          FROM d GROUP BY 1)
+    SELECT dhash_prefix, n_docs, total_dl FROM s
+    """,
+)
+def q_index_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The postings index's CACHED corpus stats (the <= 16^prefix_len
+    rows BM25's N/avgdl serve from — never a doc_stats scan), after a
+    lifecycle that exercises the hard part: two incremental adds plus
+    a RE-ADD of docs 0-4 with doubled text, so those docs' dl must be
+    replaced (not double-counted) in exactly their buckets. The oracle
+    recomputes the per-bucket truth relationally with last-write-wins
+    dl — integer-exact, so the maintenance-by-recompute contract is
+    hash-checked end to end."""
+    import shutil
+    import tempfile
+
+    from datalake_toolkit_spark.llm import PostingsIndex
+
+    docs = _t(spark, sf_dir, "documents")
+    work = tempfile.mkdtemp(prefix="dts_cstats_")
+    try:
+        idx = PostingsIndex(spark, work, prefix_len=1)
+        idx.add(docs.where(F.col("doc_id") % 2 == 0))
+        idx.add(docs.where(F.col("doc_id") % 2 == 1), mode="mor")
+        idx.add(
+            docs.where(F.col("doc_id") < 5).select(
+                "doc_id",
+                F.concat_ws(" ", "text", "text").alias("text"),
+            ),
+            mode="mor",
+        )
+        # an all-empty corpus never creates the stats table (nothing
+        # was indexed) — the oracle's answer is zero rows
+        if idx.corpus_stats_t.current_version() is None:
+            return spark.createDataFrame(
+                [], "dhash_prefix string, n_docs bigint, total_dl bigint"
+            )
+        out = idx.corpus_stats_t.read().select(
+            "dhash_prefix", "n_docs", "total_dl"
+        )
+        return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 

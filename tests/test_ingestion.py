@@ -1014,3 +1014,62 @@ def test_cli_index_probe_and_maintain_actions(spark, tmp_path, capsys):
     assert rep["lists_total"] == 2
     assert main(["ann", "maintain", "--path", ivf_path]) == 0
     capsys.readouterr()
+
+
+def test_cli_hybrid_and_quantized_actions(spark, tmp_path, capsys):
+    """The round-10 serve paths are operable from the shell: RRF
+    hybrid over both persistent indexes, the int8 quantized ANN
+    search, and the quantized byte-split probe report."""
+    import json as json_mod
+
+    from datalake_toolkit_spark.__main__ import main
+
+    docs_path = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(1, "red fish blue fish"), (2, "red red red"), (3, "blue whale")],
+        "doc_id bigint, text string",
+    ).coalesce(1).write.parquet(docs_path)
+    idx_path = str(tmp_path / "pidx")
+    assert main(["search", "index-add", "--index", idx_path,
+                 "--docs", docs_path]) == 0
+    capsys.readouterr()
+
+    emb_path = str(tmp_path / "emb")
+    spark.createDataFrame(
+        [(1, [1.0, 0.1, 0.0, 1.0]), (2, [0.0, 1.0, 0.2, 1.0]),
+         (3, [0.5, 0.5, 1.0, 1.0])],
+        "vec_id bigint, embedding array<double>",
+    ).coalesce(1).write.parquet(emb_path)
+    ivf_path = str(tmp_path / "ivf")
+    assert main(["ann", "build", "--path", ivf_path, "--input", emb_path,
+                 "--n-lists", "2", "--lloyd-iters", "1", "--dim", "4"]) == 0
+    capsys.readouterr()
+
+    q_path = str(tmp_path / "hq")
+    spark.createDataFrame(
+        [(9, "blue whale", [0.5, 0.4, 1.0, 1.0])],
+        "query_id bigint, query_text string, query_vec array<double>",
+    ).coalesce(1).write.parquet(q_path)
+    assert main(["search", "hybrid", "--index", idx_path,
+                 "--ann-path", ivf_path, "--queries", q_path,
+                 "--method", "bm25", "--k", "3", "--n-probe", "2"]) == 0
+    rows = [json_mod.loads(ln) for ln in
+            capsys.readouterr().out.strip().splitlines()]
+    assert rows and rows[0]["query_id"] == 9 and rows[0]["n_lists"] >= 1
+    # doc 3 ("blue whale", nearest vector) must fuse to the top
+    assert rows[0]["doc_id"] == 3
+
+    qv_path = str(tmp_path / "qv")
+    spark.createDataFrame(
+        [(9, [0.5, 0.4, 1.0, 1.0])],
+        "vec_id bigint, embedding array<double>",
+    ).coalesce(1).write.parquet(qv_path)
+    assert main(["ann", "search", "--path", ivf_path, "--input", qv_path,
+                 "--k", "2", "--n-probe", "2", "--quantized"]) == 0
+    qrows = [json_mod.loads(ln) for ln in
+             capsys.readouterr().out.strip().splitlines()]
+    assert [r["cid"] for r in qrows][:1] == [3]
+    assert main(["ann", "probe", "--path", ivf_path, "--input", qv_path,
+                 "--n-probe", "2", "--quantized"]) == 0
+    rep = json_mod.loads(capsys.readouterr().out.strip())
+    assert rep["bytes_code_columns"] > 0 and rep["bytes_vec_column"] > 0

@@ -2046,6 +2046,10 @@ def test_index_plan_probe_and_maintain(spark, tmp_path):
     rep = pidx.plan_probe(queries)
     assert rep["buckets_probed"] <= 2 < rep["buckets_total"]
     assert rep["prefix_len"] == 2
+    # BM25's N/avgdl serve from the cached corpus_stats rows (O(1),
+    # bounded by the bucket count), never a doc_stats scan
+    assert rep["corpus_stats_source"] == "corpus_stats"
+    assert 0 < rep["corpus_stats_rows"] <= 256
     files_before = rep["files_scanned"]
     assert files_before > 0
     pending_before = len(pidx.postings_t._manifest().get("merges") or [])
@@ -2082,6 +2086,77 @@ def test_index_plan_probe_and_maintain(spark, tmp_path):
     assert {
         tuple(r) for r in ivf.search(q, k=5, n_probe=1).collect()
     } == ihits
+
+
+def test_postings_index_corpus_stats_cached_and_exact(spark, tmp_path):
+    """The cached corpus stats must (a) equal a full doc_stats
+    recompute after incremental adds INCLUDING a re-added doc whose
+    text (hence dl) changed, (b) keep search_bm25 from ever reading
+    doc_stats at serve time, and (c) migrate a legacy index (no
+    corpus_stats table) via refresh_corpus_stats with identical
+    values."""
+    import math
+    import shutil
+
+    from datalake_toolkit_spark.llm import PostingsIndex
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{j % 13}" for j in range(i % 9 + 1)))
+         for i in range(80)],
+        "doc_id bigint, text string",
+    )
+    idx = PostingsIndex(spark, str(tmp_path / "pidx"))
+    idx.add(docs.where(F.col("doc_id") < 40))
+    idx.add(docs.where(F.col("doc_id") >= 40), mode="mor")
+    # re-add doc 7 with a LONGER text: dl changes, n_docs must not
+    idx.add(
+        spark.createDataFrame(
+            [(7, "x1 x2 x3 x4 x5 x6 x7 x8 x9 x10 x11 x12")],
+            "doc_id bigint, text string",
+        ),
+        mode="mor",
+    )
+
+    truth = idx.doc_stats_t.read().groupBy().agg(
+        F.count(F.lit(1)).alias("n"), F.sum("dl").alias("t")
+    ).collect()[0]
+    cached = idx.corpus_stats_t.read().groupBy().agg(
+        F.sum("n_docs").alias("n"), F.sum("total_dl").alias("t")
+    ).collect()[0]
+    assert (cached.n, cached.t) == (truth.n, truth.t) == (80, truth.t)
+
+    # serve path: bm25 never touches doc_stats
+    queries = spark.createDataFrame(
+        [(1, "w1 w5"), (2, "x3 x9")], "query_id bigint, query_text string"
+    )
+    reads = []
+    orig_read = idx.doc_stats_t.read
+    idx.doc_stats_t.read = lambda *a, **k: (
+        reads.append(1), orig_read(*a, **k)
+    )[1]
+    got = idx.search_bm25(queries, k=10).collect()
+    idx.doc_stats_t.read = orig_read
+    assert reads == [] and len(got) > 0
+
+    # legacy index: drop the stats table -> fallback serves the same
+    # scores; refresh_corpus_stats migrates back to the O(1) path
+    shutil.rmtree(str(tmp_path / "pidx" / "corpus_stats"))
+    legacy = PostingsIndex(spark, str(tmp_path / "pidx"))
+    assert legacy.corpus_stats_t.current_version() is None
+    fell_back = {
+        (r.query_id, r.doc_id): (r.score, r.rank)
+        for r in legacy.search_bm25(queries, k=10).collect()
+    }
+    want = {(r.query_id, r.doc_id): (r.score, r.rank) for r in got}
+    assert set(fell_back) == set(want)
+    for key, (s, rk) in want.items():
+        assert fell_back[key][1] == rk
+        assert math.isclose(fell_back[key][0], s, rel_tol=0, abs_tol=0)
+    legacy.refresh_corpus_stats()
+    mig = legacy.corpus_stats_t.read().groupBy().agg(
+        F.sum("n_docs").alias("n"), F.sum("total_dl").alias("t")
+    ).collect()[0]
+    assert (mig.n, mig.t) == (truth.n, truth.t)
 
 
 def test_postings_index_random_batching_equals_one_shot(spark, sf_dir):
@@ -2130,3 +2205,157 @@ def test_postings_index_random_batching_equals_one_shot(spark, sf_dir):
         )
         assert got_kw == want_kw, f"trial {trial}"
         assert got_ph == want_ph, f"trial {trial}"
+
+
+def test_hybrid_search_indexed_equals_component_fusion(spark, tmp_path):
+    """The one-call index-served hybrid must equal fusing its two
+    index rankings by hand (same k_each/n_probe), for both lexical
+    scorers — and reject unknown ones."""
+    import pytest
+
+    from datalake_toolkit_spark.llm import (
+        IVFIndex,
+        PostingsIndex,
+        hybrid_search_indexed,
+        rrf_fuse,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"tok{(i + j) % 7}" for j in range(i % 6 + 2)))
+         for i in range(40)],
+        "doc_id bigint, text string",
+    )
+    emb = spark.createDataFrame(
+        [(i, [1.0 * (i % 4 == 0), 1.0 * (i % 4 == 1),
+              1.0 * (i % 4 == 2), 1.0 * (i % 4 == 3), 0.5])
+         for i in range(40)],
+        "vec_id bigint, embedding array<double>",
+    )
+    pidx = PostingsIndex(spark, str(tmp_path / "p"), prefix_len=1)
+    pidx.add(docs)
+    ivf = IVFIndex(spark, str(tmp_path / "v"))
+    ivf.build(emb, n_lists=4, lloyd_iters=1, dim=5)
+
+    queries = docs.where(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("query_id"),
+        F.col("text").alias("query_text"),
+    ).join(
+        emb.select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        ),
+        "query_id",
+    )
+
+    for lexical in ("bm25", "keyword"):
+        got = {
+            tuple(r)
+            for r in hybrid_search_indexed(
+                pidx, ivf, queries, k=8, k_each=15, n_probe=2,
+                lexical=lexical,
+            ).collect()
+        }
+        lex = (
+            pidx.search_bm25(queries.select("query_id", "query_text"), k=15)
+            if lexical == "bm25"
+            else pidx.search(queries.select("query_id", "query_text"), k=15)
+        )
+        vec = ivf.search(
+            queries.select(
+                F.col("query_id").alias("vec_id"),
+                F.col("query_vec").alias("embedding"),
+            ),
+            k=15, n_probe=2,
+        ).select(
+            F.col("qid").alias("query_id"),
+            F.col("cid").alias("doc_id"),
+            "rank",
+        )
+        want = {
+            tuple(r)
+            for r in rrf_fuse(
+                [lex.select("query_id", "doc_id", "rank"), vec], k=8
+            ).collect()
+        }
+        assert got == want and len(got) > 0
+
+    with pytest.raises(ValueError, match="lexical"):
+        hybrid_search_indexed(pidx, ivf, queries, lexical="nope")
+
+
+def test_ivf_search_quantized_matches_exact(spark, sf_dir, tmp_path):
+    """int8 candidate selection + exact rescore must return
+    BIT-IDENTICAL results to the exact probed search (same probed
+    lists, same tie-breaks) on the real embeddings, across build +
+    MoR add; plan_probe(quantized=True) must show the code columns
+    costing a small fraction of the exact vectors."""
+    from datalake_toolkit_spark.llm import IVFIndex
+    from datalake_toolkit_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = IVFIndex(spark, str(tmp_path / "ivf"))
+    idx.build(emb.where(F.col("vec_id") % 2 == 0), n_lists=8, lloyd_iters=1)
+    idx.add(emb.where(F.col("vec_id") % 2 == 1), mode="mor")
+
+    q = emb.where(F.col("vec_id") < 6)
+    exact = {
+        tuple(r)
+        for r in idx.search(q, k=8, n_probe=2, exclude_self=True).collect()
+    }
+    quant = {
+        tuple(r)
+        for r in idx.search_quantized(
+            q, k=8, n_probe=2, rescore_factor=4, exclude_self=True
+        ).collect()
+    }
+    assert quant == exact and len(exact) > 0
+
+    rep = idx.plan_probe(q, n_probe=2, quantized=True)
+    assert rep["bytes_vec_column"] > 0
+    assert 0 < rep["bytes_code_columns"] < rep["bytes_vec_column"]
+    assert rep["code_vs_vec_ratio"] < 0.35
+
+
+def test_ivf_quantization_legacy_table_and_rebuild_migration(
+    spark, tmp_path
+):
+    """An assignments table written WITHOUT codes (pre-quantization)
+    keeps serving through search(); search_quantized refuses loudly;
+    add() keeps writing the legacy shape (no schema drift); rebuild()
+    migrates the whole index to the coded layout."""
+    import pytest
+
+    from datalake_toolkit_spark.llm import IVFIndex
+
+    emb = spark.createDataFrame(
+        [(i, [1.0 * (i % 3 == 0), 1.0 * (i % 3 == 1),
+              1.0 * (i % 3 == 2), 0.25]) for i in range(30)],
+        "vec_id bigint, embedding array<double>",
+    )
+    idx = IVFIndex(spark, str(tmp_path / "ivf"))
+    idx.build(emb.where(F.col("vec_id") < 20), n_lists=4, lloyd_iters=1,
+              dim=4)
+    # simulate a pre-quantization index: strip the code columns
+    idx.assignments_t.write(
+        idx.assignments_t.read().drop("code", "scale"), op="legacy"
+    )
+    assert not idx._has_codes()
+    idx.add(emb.where(F.col("vec_id") >= 20))  # must not re-introduce codes
+    assert not idx._has_codes()
+    q = spark.createDataFrame(
+        [(99, [1.0, 0.0, 0.0, 0.2])], "vec_id bigint, embedding array<double>"
+    )
+    hits = {tuple(r) for r in idx.search(q, k=5, n_probe=4).collect()}
+    assert len(hits) == 5
+    with pytest.raises(RuntimeError, match="rebuild"):
+        idx.search_quantized(q, k=5)
+    idx.rebuild(lloyd_iters=1)
+    assert idx._has_codes()
+    qhits = {
+        tuple(r)
+        for r in idx.search_quantized(q, k=5, n_probe=4).collect()
+    }
+    # full probe: quantized rescore must equal exact search exactly
+    assert qhits == {
+        tuple(r) for r in idx.search(q, k=5, n_probe=4).collect()
+    }
