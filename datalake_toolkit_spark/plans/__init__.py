@@ -19,17 +19,14 @@ from datalake_toolkit_spark.plans import lakehouse_queries  # noqa: F401  (regis
 # suite (tests/test_oracle_parity.py) every round.
 DEMOTED: tuple[str, ...] = (
     "q4_priority_with_returns",  # r3: semi-join shape kept in-window via q18
-    "q3_shipping_priority",
     "q5_region_revenue",
     "q10_returned_items",
     "q19_disjunctive_revenue",
-    "q6_forecast_revenue",
     "q_retained_customers",
     "q_churned_customers",
     "q_customers_without_orders",
     "q_big_spenders",
     "q_nation_region",
-    "q_all_parties",
     # r4 rotation: q_year_orders / q_escape_props / q_uri_normalize /
     # q_user_event_map return to the window (their shared helpers —
     # events.ts loading, scalar functions — changed in r3/r4); in
@@ -56,10 +53,7 @@ DEMOTED: tuple[str, ...] = (
     "q_jaccard_near_dups",  # exact baseline; q_minhash_near_dups stays in-window
     "q_embedding_norms",
     "q_approx_aggregates",
-    "q_pivot_order_priority",
     "q_rollup_supplier_balance",
-    "q_doc_words_indexed",
-    "q_source_route",
     # r5 second wave: five curation queries enter the window
     # (q_decontaminate, q_repetition_stats, q_pii_redact,
     # q_domain_mixture, q_pack_windows); five 4x-green (r1-r4) shapes
@@ -224,6 +218,28 @@ DEMOTED: tuple[str, ...] = (
     # covered in-window by q21_waiting_suppliers (exists/not-exists
     # chains) and q22_sales_opportunity (scalar subquery + count agg).
     "q16_supplier_count",
+    # r10 rotation: five births enter (q_ivf_quantized, q_index_hybrid,
+    # q_index_corpus_stats, q_grouping_sets_revenue,
+    # q_multi_window_prices — never driver-checked), six r2/r3-stale
+    # shapes RETURN per the staleness discipline (q3_shipping_priority,
+    # q6_forecast_revenue, q_all_parties, q_pivot_order_priority,
+    # q_doc_words_indexed, q_source_route — removed from this tuple
+    # above), and the five r7/r8 lakehouse-lifecycle shapes the births
+    # had silently displaced (q_shallow_clone, q_mor_upsert,
+    # q_mor_delete, q_file_skipping, q_partition_evolution) re-enter.
+    # Eleven multi-green shapes rotate out in exchange, each with its
+    # plan shape still covered in-window:
+    "q18_large_orders",  # 8x; semi-join/agg ~ q9/q15/q20/q21 stay
+    "q_ivf_ann_topk",  # 6x; IVF probe machinery ~ q_persistent_ivf + q_ivf_quantized (incoming)
+    "q_merge_upsert",  # 6x; MERGE commit ~ q_mor_upsert_partitioned + q_mor_upsert (returning)
+    "q_catalog_table_docs",  # 5x; catalog assembly ~ q_catalog_walk stays
+    "q_pii_redact",  # 5x; regex scalars ~ q_sanitize_headers stays, composed by q_curate_corpus_full
+    "q_latest_event_per_user",  # 5x; per-group rank dedup ~ q_multi_window_prices (incoming) + q_cohort_retention
+    "q_asof_forward_tolerance",  # 5x; range-predicate join ~ q_interval_join_left stays
+    "q8_market_share",  # 4x; multi-dim join tree ~ q7 + q9 stay
+    "q_embedding_pool",  # 4x; value-sorted folds ~ q_centered_cosine_near_dups + q_semantic_dedup stay
+    "q_simhash_near_dups",  # 4x; bit-banding ~ q_setsim_near_dups + q_centered_cosine_near_dups stay
+    "q_word_rarity",  # 4x; corpus-grounded text stats ~ q_bigram_familiarity + q_dup_ngram_stats stay
 )
 
 GATE_WINDOW = 50
@@ -240,7 +256,10 @@ STATEFUL: frozenset[str] = frozenset(
         "q_incremental_minhash",  # two LakeTable commit cycles vs a band ledger
         "q_incremental_semantic",  # two LakeTable commit cycles vs a vector ledger
         "q_persistent_ivf",  # IVF index build + MoR add + probed serve
+        "q_ivf_quantized",  # IVF lifecycle + int8 candidate phase + exact rescore
+        "q_index_hybrid",  # both index lifecycles + fused two-modality serve
         "q_postings_search",  # postings index: two add commits + bucket-pruned serve
+        "q_index_corpus_stats",  # three add commits incl. re-add; cached-stats read
         "q_index_phrase",  # positional index: two add commits + phrase serve
         "q_stream_near_dedup",  # two AvailableNow micro-batches through foreachBatch
         "q_stateful_running_status",  # applyInPandasWithState stream replay

@@ -1870,3 +1870,108 @@ def q20_excess_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name")
         .distinct()
     )
+
+
+@query(
+    "q_grouping_sets_revenue",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                 * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE)
+             AS sum_revenue,
+           count(*) AS count_order,
+           CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus)
+                AS INTEGER) AS gid
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                            (l_returnflag), ())
+    """,
+)
+def q_grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS in one pass: detail (flag, status), per-flag
+    subtotals, and the grand total from a single scan — Spark expands
+    the sets and still runs ONE shuffle with map-side partial
+    aggregation, exactly what a 100 TB reporting rollup wants instead
+    of three scans unioned. ``gid`` (from ``grouping()``) separates a
+    real NULL group value from a subtotal row, and money sums ride the
+    exact DECIMAL path so every engine agrees bit-for-bit."""
+    li = _t(spark, sf_dir, "lineitem")
+    gid = (
+        F.grouping("l_returnflag") * F.lit(2) + F.grouping("l_linestatus")
+    ).cast("int")
+    return (
+        li.where(
+            F.col("l_shipdate")
+            <= F.lit("1998-09-02 00:00:00").cast("timestamp")
+        )
+        .groupingSets(
+            [["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
+            "l_returnflag",
+            "l_linestatus",
+        )
+        .agg(
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.round(F.sum(_rev()), 2).cast("double").alias("sum_revenue"),
+            F.count(F.lit(1)).alias("count_order"),
+            gid.alias("gid"),
+        )
+    )
+
+
+@query(
+    "q_multi_window_prices",
+    """
+    WITH w AS (
+      SELECT o_orderkey, o_custkey,
+             CAST(lag(CAST(o_totalprice AS DECIMAL(12,2)))
+                  OVER (PARTITION BY o_custkey
+                        ORDER BY o_orderdate, o_orderkey) AS DOUBLE)
+               AS prev_price,
+             lead(o_orderdate)
+                  OVER (PARTITION BY o_custkey
+                        ORDER BY o_orderdate, o_orderkey) AS next_order_date,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(12,2)))
+                  OVER (PARTITION BY o_custkey
+                        ORDER BY o_orderdate, o_orderkey
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS DOUBLE) AS running_spend,
+             CAST(rank() OVER (PARTITION BY o_custkey
+                               ORDER BY CAST(o_totalprice AS DECIMAL(12,2))
+                                 DESC, o_orderkey) AS INTEGER) AS spend_rank
+      FROM orders)
+    SELECT o_orderkey, o_custkey, prev_price, next_order_date,
+           running_spend, spend_rank
+    FROM w WHERE spend_rank <= 3
+    """,
+)
+def q_multi_window_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Several window frames stacked in ONE plan over orders: lag +
+    lead + a running decimal sum share a single (custkey, orderdate)
+    sort — Spark computes all three in one Window operator after one
+    shuffle — and the differently-ordered rank adds exactly one more
+    sort WITHIN the same partitioning, not another exchange. The
+    filter on rank keeps each customer's top-3 orders with their
+    sequence context. Running money sums are exact decimals; ties
+    break on o_orderkey, so the output is engine-exact."""
+    o = _t(spark, sf_dir, "orders")
+    seq = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    by_spend = Window.partitionBy("o_custkey").orderBy(
+        _dec("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.select(
+            "o_orderkey",
+            "o_custkey",
+            F.lag(_dec("o_totalprice")).over(seq).cast("double")
+            .alias("prev_price"),
+            F.lead("o_orderdate").over(seq).alias("next_order_date"),
+            F.sum(_dec("o_totalprice"))
+            .over(seq.rowsBetween(Window.unboundedPreceding, 0))
+            .cast("double")
+            .alias("running_spend"),
+            F.rank().over(by_spend).alias("spend_rank"),
+        )
+        .where(F.col("spend_rank") <= 3)
+    )
