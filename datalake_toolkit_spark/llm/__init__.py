@@ -102,6 +102,7 @@ from datalake_toolkit_spark.llm.sample import (  # noqa: E402,F401
 from datalake_toolkit_spark.llm.sample import pack_training_windows  # noqa: E402,F401
 from datalake_toolkit_spark.llm.curation import (  # noqa: E402,F401
     decontaminate,
+    decontaminate_indexed,
     mixture_sample,
     redact_pii,
     with_repetition_stats,

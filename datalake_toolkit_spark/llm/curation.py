@@ -20,6 +20,7 @@ from datalake_toolkit_spark.llm.text import shingles_from_words, words
 
 __all__ = [
     "decontaminate",
+    "decontaminate_indexed",
     "with_repetition_stats",
     "with_rarity_scores",
     "with_boilerplate_stats",
@@ -75,6 +76,62 @@ def decontaminate(
             F.coalesce("eval_ngram_hits", F.lit(0)).alias("eval_ngram_hits"),
             (F.coalesce("eval_ngram_hits", F.lit(0)) > 0).alias("contaminated"),
         )
+    )
+
+
+def decontaminate_indexed(
+    index,
+    eval_df: DataFrame,
+    eval_text_col: str = "text",
+    n: int = 5,
+    matched_only: bool = False,
+) -> DataFrame:
+    """:func:`decontaminate` served from a
+    :class:`~datalake_toolkit_spark.llm.search.PostingsIndex` — the
+    corpus TEXT is never rescanned: each distinct eval ``n``-gram
+    probes the index as a phrase (posting intersection in the probed
+    term buckets, adjacency verified on the STORED position arrays),
+    so the scan cost is bounded by the eval grams' buckets, not the
+    corpus. The right shape when the corpus is already indexed and
+    eval sets arrive repeatedly (every new benchmark re-scans 100 TB
+    under the batch operator; here it reads a few hundred bucket
+    directories).
+
+    Output contract matches :func:`decontaminate` over the INDEXED
+    universe: one row per indexed document — ``(doc_id,
+    eval_ngram_hits, contaminated)``, zeros included (the id list
+    comes from the narrow 2-column doc_stats table, the one
+    corpus-sized read, text-free) — or only matched rows with
+    ``matched_only=True``. Token convention is the index's
+    (whitespace split, empty tokens dropped), so texts with leading/
+    repeated whitespace gram slightly differently than the batch
+    operator's unfiltered split."""
+    from datalake_toolkit_spark.llm.search import (
+        _index_phrase_verified,
+        _tokens,
+    )
+
+    grams = (
+        eval_df.select(_tokens(eval_text_col).alias("__w"))
+        .select(F.explode(shingles_from_words("__w", n)).alias("gram"))
+        .distinct()
+    )
+    queries = grams.select(
+        F.col("gram").alias("query_id"), F.col("gram").alias("query_text")
+    )
+    verified = _index_phrase_verified(index, queries, "query_id", "query_text")
+    hits = verified.groupBy("doc_id").agg(
+        F.count_distinct("query_id").alias("eval_ngram_hits")
+    )
+    if matched_only:
+        return hits.select(
+            "doc_id", "eval_ngram_hits", F.lit(True).alias("contaminated")
+        )
+    ids = index.doc_stats_t.read().select("doc_id")
+    return ids.join(hits, ["doc_id"], "left").select(
+        "doc_id",
+        F.coalesce("eval_ngram_hits", F.lit(0)).alias("eval_ngram_hits"),
+        (F.coalesce("eval_ngram_hits", F.lit(0)) > 0).alias("contaminated"),
     )
 
 

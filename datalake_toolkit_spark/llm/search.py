@@ -737,6 +737,8 @@ def hybrid_search_indexed(
     lexical: str = "bm25",
     k1: float = 1.2,
     b: float = 0.75,
+    quantized: bool = False,
+    rescore_factor: int = 4,
     query_id_col: str = "query_id",
     query_text_col: str = "query_text",
     query_vec_col: str = "query_vec",
@@ -756,7 +758,11 @@ def hybrid_search_indexed(
     equi-joins (no nested loop). ``queries`` carries an id, the query
     text, and the query embedding (``query_vec_col``); only ranks
     cross into the fusion, so the fused scores are engine-exact
-    regardless of which lexical scorer ran."""
+    regardless of which lexical scorer ran. ``quantized=True`` runs
+    the vector side through the int8 candidate phase + exact rescore
+    (:meth:`IVFIndex.search_quantized`) — same answers whenever the
+    true top-``k_each`` survives the ``rescore_factor`` margin, at
+    ~1/8 the probe bytes."""
     if lexical not in ("bm25", "keyword"):
         raise ValueError(f"lexical must be bm25|keyword, got {lexical!r}")
     qtext = queries.select(query_id_col, query_text_col)
@@ -774,8 +780,15 @@ def hybrid_search_indexed(
         F.col(query_id_col).alias(ivf_index.id_col),
         F.col(query_vec_col).alias(ivf_index.vec_col),
     )
-    vec = ivf_index.search(
-        qvec, k=k_each, n_probe=n_probe, exclude_self=False
+    vec = (
+        ivf_index.search_quantized(
+            qvec, k=k_each, n_probe=n_probe,
+            rescore_factor=rescore_factor, exclude_self=False,
+        )
+        if quantized
+        else ivf_index.search(
+            qvec, k=k_each, n_probe=n_probe, exclude_self=False
+        )
     ).select(
         F.col("qid").alias("query_id"),
         F.col("cid").alias("doc_id"),
@@ -786,9 +799,15 @@ def hybrid_search_indexed(
     )
 
 
-def _index_phrase_search(index: "PostingsIndex", queries: DataFrame,
-                         k: int, query_id_col: str, query_text_col: str
-                         ) -> DataFrame:
+def _index_phrase_verified(
+    index: "PostingsIndex", queries: DataFrame,
+    query_id_col: str, query_text_col: str,
+) -> DataFrame:
+    """(query_id, doc_id, n_occurrences) for every document whose
+    STORED positions contain the query phrase adjacently — the
+    unranked core shared by :meth:`PostingsIndex.search_phrase`
+    (which ranks and cuts top-k) and index-served decontamination
+    (which needs EVERY match per probe phrase)."""
     qp = queries.select(
         F.col(query_id_col).alias("query_id"),
         _tokens(query_text_col).alias("phrase"),
@@ -828,7 +847,7 @@ def _index_phrase_search(index: "PostingsIndex", queries: DataFrame,
             ),
         )
     )
-    verified = (
+    return (
         grouped.join(F.broadcast(qp), "query_id")
         .withColumn(
             "n_occurrences",
@@ -836,6 +855,14 @@ def _index_phrase_search(index: "PostingsIndex", queries: DataFrame,
         )
         .where(F.col("n_occurrences") > 0)
         .select("query_id", "doc_id", "n_occurrences")
+    )
+
+
+def _index_phrase_search(index: "PostingsIndex", queries: DataFrame,
+                         k: int, query_id_col: str, query_text_col: str
+                         ) -> DataFrame:
+    verified = _index_phrase_verified(
+        index, queries, query_id_col, query_text_col
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("n_occurrences"), F.asc("doc_id")

@@ -240,6 +240,13 @@ DEMOTED: tuple[str, ...] = (
     "q_embedding_pool",  # 4x; value-sorted folds ~ q_centered_cosine_near_dups + q_semantic_dedup stay
     "q_simhash_near_dups",  # 4x; bit-banding ~ q_setsim_near_dups + q_centered_cosine_near_dups stay
     "q_word_rarity",  # 4x; corpus-grounded text stats ~ q_bigram_familiarity + q_dup_ngram_stats stay
+    # r10 second wave: q_index_decontaminate enters (benchmark
+    # decontamination served from the positional index — never
+    # driver-checked). q_cohort_retention (4x green r6-r9) rotates out
+    # in exchange — its sequence-window shape stays covered in-window
+    # by q_multi_window_prices (stacked lag/lead/running/rank) and
+    # q_stateful_running_status.
+    "q_cohort_retention",
 )
 
 GATE_WINDOW = 50
@@ -260,6 +267,7 @@ STATEFUL: frozenset[str] = frozenset(
         "q_index_hybrid",  # both index lifecycles + fused two-modality serve
         "q_postings_search",  # postings index: two add commits + bucket-pruned serve
         "q_index_corpus_stats",  # three add commits incl. re-add; cached-stats read
+        "q_index_decontaminate",  # two add commits + phrase-probe decontamination
         "q_index_phrase",  # positional index: two add commits + phrase serve
         "q_stream_near_dedup",  # two AvailableNow micro-batches through foreachBatch
         "q_stateful_running_status",  # applyInPandasWithState stream replay

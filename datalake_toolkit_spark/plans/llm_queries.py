@@ -1811,6 +1811,67 @@ def q_index_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_index_decontaminate",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS w
+      FROM documents),
+    d AS (SELECT doc_id, w FROM toks WHERE len(w) > 0),
+    ev AS (SELECT w[1:12] AS ew FROM d
+           WHERE doc_id >= 30 AND doc_id < 33),
+    grams AS (SELECT DISTINCT ew[i:i+3] AS gp
+              FROM ev, UNNEST(generate_series(1, len(ew) - 3)) AS u(i)),
+    occ AS (SELECT g.gp, d.doc_id
+            FROM grams g CROSS JOIN d
+            WHERE len(list_filter(
+              list_transform(d.w, (x, i) ->
+                CASE WHEN i + 3 <= len(d.w) THEN d.w[i:i+3] END),
+              s -> s IS NOT NULL AND s = g.gp)) > 0),
+    hits AS (SELECT doc_id, count(DISTINCT gp) AS eval_ngram_hits
+             FROM occ GROUP BY doc_id)
+    SELECT d.doc_id,
+           COALESCE(h.eval_ngram_hits, 0) AS eval_ngram_hits,
+           COALESCE(h.eval_ngram_hits, 0) > 0 AS contaminated
+    FROM d LEFT JOIN hits h USING (doc_id)
+    """,
+)
+def q_index_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination SERVED from the positional postings
+    index: the eval slice's distinct 4-grams (first 12 tokens of docs
+    30-32) probe the index as phrases — posting intersection in the
+    probed term buckets, adjacency against the STORED positions — so
+    the corpus text is never rescanned; the only corpus-sized read is
+    the narrow doc_stats id list that supplies the zero rows. The
+    oracle replays gram extraction + adjacency containment
+    relationally (append-only index state equals one-shot), integer-
+    exact end to end."""
+    import shutil
+    import tempfile
+
+    from datalake_toolkit_spark.llm import (
+        PostingsIndex,
+        decontaminate_indexed,
+    )
+    from datalake_toolkit_spark.llm.search import _tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    w = _tokens("text")
+    eval_df = docs.where(
+        (F.col("doc_id") >= 30) & (F.col("doc_id") < 33)
+    ).select(F.concat_ws(" ", F.slice(w, 1, 12)).alias("text"))
+    work = tempfile.mkdtemp(prefix="dts_decidx_")
+    try:
+        idx = PostingsIndex(spark, work, prefix_len=1)
+        idx.add(docs.where(F.col("doc_id") % 2 == 0))
+        idx.add(docs.where(F.col("doc_id") % 2 == 1), mode="mor")
+        out = decontaminate_indexed(idx, eval_df, n=4)
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@query(
     "q_index_corpus_stats",
     r"""
     WITH toks AS (

@@ -2282,6 +2282,20 @@ def test_hybrid_search_indexed_equals_component_fusion(spark, tmp_path):
     with pytest.raises(ValueError, match="lexical"):
         hybrid_search_indexed(pidx, ivf, queries, lexical="nope")
 
+    # quantized vector side: identical fused output (exact rescore)
+    assert {
+        tuple(r)
+        for r in hybrid_search_indexed(
+            pidx, ivf, queries, k=8, k_each=15, n_probe=2,
+            quantized=True,
+        ).collect()
+    } == {
+        tuple(r)
+        for r in hybrid_search_indexed(
+            pidx, ivf, queries, k=8, k_each=15, n_probe=2,
+        ).collect()
+    }
+
 
 def test_ivf_search_quantized_matches_exact(spark, sf_dir, tmp_path):
     """int8 candidate selection + exact rescore must return
@@ -2359,3 +2373,47 @@ def test_ivf_quantization_legacy_table_and_rebuild_migration(
     assert qhits == {
         tuple(r) for r in idx.search(q, k=5, n_probe=4).collect()
     }
+
+
+def test_decontaminate_indexed_equals_batch(spark, sf_dir, tmp_path):
+    """Index-served decontamination must flag exactly the documents
+    the batch operator flags (same hit counts) over the indexed
+    universe, on clean-whitespace text where the two token conventions
+    agree — and matched_only returns just the contaminated rows."""
+    from datalake_toolkit_spark.llm import (
+        PostingsIndex,
+        decontaminate,
+        decontaminate_indexed,
+    )
+    from datalake_toolkit_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull() & (F.col("doc_id") < 150)
+    )
+    eval_df = docs.where(F.col("doc_id") % 11 == 0)
+    corpus = docs.where(F.col("doc_id") % 11 != 0)
+
+    idx = PostingsIndex(spark, str(tmp_path / "pidx"), prefix_len=1)
+    idx.add(corpus.where(F.col("doc_id") % 2 == 0))
+    idx.add(corpus.where(F.col("doc_id") % 2 == 1), mode="mor")
+
+    got = {
+        r.doc_id: (r.eval_ngram_hits, r.contaminated)
+        for r in decontaminate_indexed(idx, eval_df, n=5).collect()
+    }
+    want = {
+        r.doc_id: (r.eval_ngram_hits, r.contaminated)
+        for r in decontaminate(corpus, eval_df, n=5).collect()
+        # indexed universe = docs with >= 1 token
+        if r.doc_id in got
+    }
+    assert got == want
+    assert any(c for _, c in got.values())  # fixture has real hits
+
+    only = {
+        r.doc_id: r.eval_ngram_hits
+        for r in decontaminate_indexed(
+            idx, eval_df, n=5, matched_only=True
+        ).collect()
+    }
+    assert only == {d: h for d, (h, c) in got.items() if c}
