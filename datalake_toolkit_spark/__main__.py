@@ -534,6 +534,11 @@ def _cmd_search(args: argparse.Namespace) -> int:
 
         if not (args.index and args.ann_path and args.queries):
             raise SystemExit("hybrid needs --index, --ann-path, --queries")
+        if args.method not in ("keyword", "bm25"):
+            raise SystemExit(
+                "hybrid fuses a RANKED lexical list; --method must be "
+                "keyword or bm25 (phrase matching has no ranking to fuse)"
+            )
         out = hybrid_search_indexed(
             PostingsIndex(spark, args.index),
             IVFIndex(spark, args.ann_path),

@@ -319,6 +319,12 @@ class IVFIndex:
         re-reads only the probed partitions' (id, vec) columns and
         semi-joins the candidate ids, so serving stays bounded by the
         probe."""
+        if k < 1 or rescore_factor < 1:
+            raise ValueError(
+                f"k and rescore_factor must be >= 1, got k={k}, "
+                f"rescore_factor={rescore_factor} (a 0 cutoff would "
+                "silently return no rows)"
+            )
         if not self._has_codes():
             raise RuntimeError(
                 "assignments table predates int8 quantization — run "
@@ -427,13 +433,20 @@ class IVFIndex:
             n_probe=n_probe,
         )
         if quantized:
-            by_col = self._probed_column_bytes(known)
+            has_codes = self._has_codes()
+            by_col = self._probed_column_bytes(known) if has_codes else {}
             vec_b = by_col.get("vec", 0)
             code_b = by_col.get("code", 0) + by_col.get("scale", 0)
             rep.update(
+                has_codes=has_codes,
                 bytes_vec_column=vec_b,
                 bytes_code_columns=code_b,
-                code_vs_vec_ratio=(code_b / vec_b) if vec_b else None,
+                # None (not 0.0) when the split is meaningless — a
+                # legacy code-less index would otherwise advertise a
+                # free quantized path that search_quantized refuses
+                code_vs_vec_ratio=(
+                    (code_b / vec_b) if has_codes and vec_b else None
+                ),
             )
         return rep
 

@@ -246,12 +246,17 @@ class PostingsIndex:
     ``partition_scoped=True`` (both partition keys are pure functions
     of the merge keys), so commits are O(batch) and touch only the
     batch's buckets; replaying a crashed batch is idempotent (upserts
-    on (term, doc_id) / (doc_id)). The corpus contract is
-    APPEND-ONLY-by-content: a re-added doc_id updates the (term,
-    doc_id) pairs it still shares and the dl everywhere, but postings
-    for terms the new text DROPPED survive — run exact dedup upstream
-    (``llm.dedup.incremental_dedup``) or rebuild, exactly like a
-    Lucene segment needs a merge after a delete."""
+    on (term, doc_id) / (doc_id)). The default corpus contract is
+    APPEND-ONLY-by-content: a plain re-add of a doc_id updates the
+    (term, doc_id) pairs it still shares and the dl everywhere, but
+    postings for terms the new text DROPPED survive, exactly like a
+    Lucene segment before its merge. The clean paths for mutation:
+    ``add(batch, replace=True)`` (delete-then-add, the Lucene shape)
+    for changed re-adds, and :meth:`remove` for deletions — both are
+    O(metadata) merge-on-read predicate deletes that drain at the
+    next ``maintain()``/``optimize``; for corpus-scale churn, run
+    exact dedup upstream (``llm.dedup.incremental_dedup``) or
+    rebuild."""
 
     def __init__(
         self,
@@ -304,14 +309,34 @@ class PostingsIndex:
             return len(key.split("=", 1)[1])
         return self._creation_prefix_len
 
-    def add(self, docs: DataFrame, mode: str = "mor") -> int:
+    def add(
+        self, docs: DataFrame, mode: str = "mor", replace: bool = False
+    ) -> int:
         """Index a batch: postings commit first, doc stats second,
         corpus stats third — all idempotent (the stats refresh is a
         pure function of the committed doc_stats buckets), so a crash
         anywhere in the chain replays cleanly. Posting rows are
         POSITIONAL (sorted token offsets per (term, doc)), so phrase
         queries serve from the index too. Returns the postings
-        table's committed version."""
+        table's committed version.
+
+        ``replace=True`` is the changed-content re-add path: the
+        batch's doc_ids are :meth:`remove`\\ d first (an O(metadata)
+        predicate delete), so postings for terms the new text DROPPED
+        die instead of serving stale — delete-then-add, the Lucene
+        contract. Costs one bounded collect of the batch's distinct
+        ids (replace batches are update-sized; for corpus-scale
+        rewrites, rebuild). A replay of a crashed replace-add
+        converges: the re-run's delete covers any half-committed
+        appends, and the re-run's appends land after it, immune."""
+        if replace and self.postings_t.current_version() is not None:
+            ids = [
+                r["doc_id"]
+                for r in docs.select(
+                    F.col(self.id_col).alias("doc_id")
+                ).distinct().collect()
+            ]
+            self.remove(ids)
         plen = self._prefix_len()
         toks = docs.select(
             F.col(self.id_col).alias("doc_id"),
@@ -374,9 +399,12 @@ class PostingsIndex:
         """Recompute (n_docs, total_dl) for the given doc_stats
         buckets from their COMMITTED state and upsert the <= 256
         result rows into ``corpus_stats``. Pure recomputation (not a
-        delta), so re-added docs, replayed batches, and crash recovery
-        all converge to the truth; cost is O(touched buckets), paid on
-        the write path so serving never scans doc_stats."""
+        delta), so re-added docs, replayed batches, removals, and
+        crash recovery all converge to the truth; cost is O(touched
+        buckets), paid on the write path so serving never scans
+        doc_stats. A touched bucket that came back EMPTY (every doc
+        removed) upserts an explicit zero row — leaving the old row
+        would silently keep counting the removed docs."""
         if not buckets:
             return
         fresh = (
@@ -387,18 +415,68 @@ class PostingsIndex:
                 F.sum("dl").alias("total_dl"),
             )
         )
+        touched = self.spark.createDataFrame(
+            [(b.split("=", 1)[1],) for b in buckets],
+            "dhash_prefix string",
+        )
+        full = touched.join(fresh, ["dhash_prefix"], "left").select(
+            "dhash_prefix",
+            F.coalesce("n_docs", F.lit(0)).cast("long").alias("n_docs"),
+            F.coalesce("total_dl", F.lit(0)).cast("long").alias("total_dl"),
+        )
         if self.corpus_stats_t.current_version() is None:
-            self.corpus_stats_t.write(fresh, op="corpus_stats")
+            self.corpus_stats_t.write(full, op="corpus_stats")
         else:
             self.corpus_stats_t.upsert(
-                fresh, keys=["dhash_prefix"], assume_key_unique=True
+                full, keys=["dhash_prefix"], assume_key_unique=True
             )
+
+    def remove(self, doc_ids) -> None:
+        """Delete documents from the index: merge-on-read PREDICATE
+        deletes on both postings and doc_stats (O(metadata) commits —
+        reads anti-apply the predicate until ``maintain()``/
+        ``optimize`` materializes it), then the touched buckets'
+        corpus stats recompute. ``doc_ids`` is a bounded id list
+        (update-sized; for corpus-scale deletion, rebuild from the
+        surviving docs). Idempotent: removing an absent id is a
+        no-op."""
+        ids = list(doc_ids)
+        if not ids or self.postings_t.current_version() is None:
+            return
+        pred = "doc_id IN ({})".format(
+            ", ".join(
+                "'{}'".format(str(v).replace("'", "''"))
+                if isinstance(v, str)
+                else str(v)
+                for v in ids
+            )
+        )
+        self.postings_t.delete_where(pred, mode="mor")
+        if self.doc_stats_t.current_version() is None:
+            return
+        self.doc_stats_t.delete_where(pred, mode="mor")
+        import hashlib
+
+        plen = self._prefix_len()
+        touched = {
+            f"dhash_prefix={hashlib.md5(str(i).encode()).hexdigest()[:plen]}"
+            for i in ids
+        }
+        man = self.doc_stats_t._manifest()
+        existing = set(man["owners"]) | {
+            k
+            for e in (man.get("merges") or [])
+            for k in (e.get("parts") or [])
+        }
+        self._refresh_corpus_stats(sorted(touched & existing))
 
     def refresh_corpus_stats(self) -> None:
         """Rebuild ``corpus_stats`` from every doc_stats bucket — the
         migration path for an index written before corpus stats
         existed (one full doc_stats pass, then serving is O(1)
-        forever)."""
+        forever). A no-op on an index that has never committed."""
+        if self.doc_stats_t.current_version() is None:
+            return
         man = self.doc_stats_t._manifest()
         buckets = sorted(
             set(man["owners"])

@@ -1073,3 +1073,12 @@ def test_cli_hybrid_and_quantized_actions(spark, tmp_path, capsys):
                  "--n-probe", "2", "--quantized"]) == 0
     rep = json_mod.loads(capsys.readouterr().out.strip())
     assert rep["bytes_code_columns"] > 0 and rep["bytes_vec_column"] > 0
+
+    # phrase has no ranked list to fuse — the CLI must refuse, not
+    # silently degrade to keyword
+    import pytest
+
+    with pytest.raises(SystemExit, match="keyword or bm25"):
+        main(["search", "hybrid", "--index", idx_path,
+              "--ann-path", ivf_path, "--queries", q_path,
+              "--method", "phrase"])

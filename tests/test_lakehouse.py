@@ -3001,15 +3001,22 @@ def test_stream_index_ingest_watermark_bounds_state_and_commits(
     assert dl_of(1) == 2 and dl_of(2) == 1
 
     # replay of doc 1 WITHIN the horizon: dropped pre-index — its
-    # longer text must not land, and no doc_stats commit happens
+    # longer text must not land, and the dup-only micro-batch costs
+    # ZERO index commits (the cost the watermark exists to avoid)
     v_before = idx.doc_stats_t.current_version()
-    drop("b2.json", [
+    pv_before = idx.postings_t.current_version()
+    drop("b2a.json", [
         {"doc_id": 1, "text": "alpha beta gamma delta",
          "ts": "2026-01-01 10:01:00"},
+    ])
+    drain()
+    assert idx.doc_stats_t.current_version() == v_before
+    assert idx.postings_t.current_version() == pv_before
+    assert dl_of(1) == 2  # first wins inside the watermark
+    drop("b2.json", [
         {"doc_id": 3, "text": "epsilon zeta eta", "ts": "2026-01-01 12:00:00"},
     ])
     drain()
-    assert dl_of(1) == 2  # first wins inside the watermark
     assert dl_of(3) == 3
 
     # replay of doc 1 PAST the horizon (watermark advanced to ~11:50

@@ -2143,6 +2143,8 @@ def test_postings_index_corpus_stats_cached_and_exact(spark, tmp_path):
     shutil.rmtree(str(tmp_path / "pidx" / "corpus_stats"))
     legacy = PostingsIndex(spark, str(tmp_path / "pidx"))
     assert legacy.corpus_stats_t.current_version() is None
+    # migration is a safe no-op on a NEVER-committed index
+    PostingsIndex(spark, str(tmp_path / "fresh")).refresh_corpus_stats()
     fell_back = {
         (r.query_id, r.doc_id): (r.score, r.rank)
         for r in legacy.search_bm25(queries, k=10).collect()
@@ -2325,9 +2327,15 @@ def test_ivf_search_quantized_matches_exact(spark, sf_dir, tmp_path):
     assert quant == exact and len(exact) > 0
 
     rep = idx.plan_probe(q, n_probe=2, quantized=True)
+    assert rep["has_codes"] is True
     assert rep["bytes_vec_column"] > 0
     assert 0 < rep["bytes_code_columns"] < rep["bytes_vec_column"]
     assert rep["code_vs_vec_ratio"] < 0.35
+
+    import pytest
+
+    with pytest.raises(ValueError, match="rescore_factor"):
+        idx.search_quantized(q, k=8, rescore_factor=0)
 
 
 def test_ivf_quantization_legacy_table_and_rebuild_migration(
@@ -2363,6 +2371,9 @@ def test_ivf_quantization_legacy_table_and_rebuild_migration(
     assert len(hits) == 5
     with pytest.raises(RuntimeError, match="rebuild"):
         idx.search_quantized(q, k=5)
+    # the probe must not advertise a free quantized path either
+    rep = idx.plan_probe(q, n_probe=4, quantized=True)
+    assert rep["has_codes"] is False and rep["code_vs_vec_ratio"] is None
     idx.rebuild(lloyd_iters=1)
     assert idx._has_codes()
     qhits = {
@@ -2417,3 +2428,93 @@ def test_decontaminate_indexed_equals_batch(spark, sf_dir, tmp_path):
         ).collect()
     }
     assert only == {d: h for d, (h, c) in got.items() if c}
+
+
+def test_postings_index_replace_add_and_remove(spark, tmp_path):
+    """The mutation contracts, pinned on the reviewer's repro: a
+    plain re-add leaves postings for DROPPED terms serving (the
+    documented append-only contract), add(replace=True) kills them
+    (delete-then-add — the index equals one-shot indexing of the
+    final content), and remove() deletes a doc from search AND the
+    corpus stats, including a bucket emptied entirely."""
+    from datalake_toolkit_spark.llm import PostingsIndex, keyword_search_topk
+
+    docs0 = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "beta delta")],
+        "doc_id bigint, text string",
+    )
+    new1 = spark.createDataFrame(
+        [(1, "zeta eta")], "doc_id bigint, text string"
+    )
+    q_alpha = spark.createDataFrame(
+        [(0, "alpha")], "query_id bigint, query_text string"
+    )
+
+    # plain re-add: stale 'alpha' posting survives (documented)
+    plain = PostingsIndex(spark, str(tmp_path / "plain"), prefix_len=1)
+    plain.add(docs0)
+    plain.add(new1, mode="mor")
+    assert [r.doc_id for r in plain.search(q_alpha, k=5).collect()] == [1]
+
+    # replace=True: dropped terms die; index == one-shot of final text
+    rep = PostingsIndex(spark, str(tmp_path / "rep"), prefix_len=1)
+    rep.add(docs0)
+    rep.add(new1, mode="mor", replace=True)
+    assert rep.search(q_alpha, k=5).collect() == []
+    final = spark.createDataFrame(
+        [(1, "zeta eta"), (2, "beta delta")], "doc_id bigint, text string"
+    )
+    queries = spark.createDataFrame(
+        [(0, "alpha"), (1, "zeta"), (2, "beta delta"), (3, "gamma")],
+        "query_id bigint, query_text string",
+    )
+    got = {
+        (r.query_id, r.doc_id): (r.n_matched, r.sum_tf, r.rank)
+        for r in rep.search(queries, k=10).collect()
+    }
+    want = {
+        (r.query_id, r.doc_id): (r.n_matched, r.sum_tf, r.rank)
+        for r in keyword_search_topk(final, queries, k=10).collect()
+    }
+    assert got == want
+    stats = rep.corpus_stats_t.read().groupBy().agg(
+        F.sum("n_docs").alias("n"), F.sum("total_dl").alias("t")
+    ).collect()[0]
+    assert (stats.n, stats.t) == (2, 4)  # 'zeta eta' + 'beta delta'
+
+    # bm25 served from the replaced index == batch bm25 on final text
+    import math
+
+    from datalake_toolkit_spark.llm import bm25_topk
+
+    got_bm = {
+        (r.query_id, r.doc_id): r.score
+        for r in rep.search_bm25(queries, k=10).collect()
+    }
+    want_bm = {
+        (r.query_id, r.doc_id): r.score
+        for r in bm25_topk(final, queries, k=10).collect()
+    }
+    assert set(got_bm) == set(want_bm)
+    for key, s in want_bm.items():
+        assert math.isclose(got_bm[key], s, rel_tol=1e-12)
+
+    # remove(): doc 2 gone everywhere; its (sole-doc) bucket zeroes
+    rep.remove([2])
+    assert rep.search(
+        spark.createDataFrame(
+            [(0, "delta")], "query_id bigint, query_text string"
+        ),
+        k=5,
+    ).collect() == []
+    stats = rep.corpus_stats_t.read().groupBy().agg(
+        F.sum("n_docs").alias("n"), F.sum("total_dl").alias("t")
+    ).collect()[0]
+    assert (stats.n, stats.t) == (1, 2)
+    # removing an absent id is a no-op
+    rep.remove([999])
+    assert rep.doc_stats_t.read().count() == 1
+    # maintenance drains the predicate deletes with answers unchanged
+    before = {tuple(r) for r in rep.search(queries, k=10).collect()}
+    rep.maintain(keep_last=3)
+    assert {tuple(r) for r in rep.search(queries, k=10).collect()} == before
