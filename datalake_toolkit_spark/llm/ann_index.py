@@ -194,6 +194,31 @@ class IVFIndex:
             rows = self._with_codes(rows)
         return self.assignments_t.upsert(rows, keys=[self.id_col], mode=mode)
 
+    def remove(self, ids) -> int | None:
+        """Delete vectors from the index by id: a merge-on-read KEY
+        TOMBSTONE append — O(ids) metadata+data, no partition rewrite;
+        reads resolve the tombstoned keys to nothing until
+        ``maintain()``/``optimize`` materializes the deletion (the
+        Hudi delete-record shape, and the same key set the add path
+        merges on, so tombstones and appends stack cleanly). Removing
+        an absent id is a no-op. Returns the committed version, or
+        None when there was nothing to do."""
+        ids = list(ids)
+        if not ids or self.assignments_t.current_version() is None:
+            return None
+        id_type = (
+            "string" if isinstance(ids[0], str) else "bigint"
+        )
+        keys = self.spark.createDataFrame(
+            [(i,) for i in ids], f"{self.id_col} {id_type}"
+        )
+        return self.assignments_t.upsert(
+            keys,
+            keys=[self.id_col],
+            when_matched="delete",
+            mode="mor",
+        )
+
     def rebuild(
         self, n_lists: int | None = None, lloyd_iters: int = 2
     ) -> "IVFIndex":
@@ -255,12 +280,28 @@ class IVFIndex:
         # never depends on the pruning
         return q, cand
 
+    @staticmethod
+    def _apply_id_filter(cand: DataFrame, id_filter, id_col: str) -> DataFrame:
+        """Restrict candidates to an allow-list of ids (filtered
+        vector search — 'nearest among docs matching X'). The filter
+        frame's FIRST column is the id; it broadcasts, so it is meant
+        for serving-bounded sets (a keyword result, a metadata
+        selection) — corpus-scale filters belong upstream of the
+        index."""
+        if id_filter is None:
+            return cand
+        allow = id_filter.select(
+            F.col(id_filter.columns[0]).alias(id_col)
+        ).distinct()
+        return cand.join(F.broadcast(allow), id_col, "left_semi")
+
     def search(
         self,
         queries: DataFrame,
         k: int = 10,
         n_probe: int = 4,
         exclude_self: bool = False,
+        id_filter: DataFrame | None = None,
     ) -> DataFrame:
         """Approximate top-k for each query row: (qid, cid, cosine,
         rank). Each query probes its ``n_probe`` nearest centroids'
@@ -271,8 +312,12 @@ class IVFIndex:
         candidates whose id equals the query id (corpus-as-queries
         evaluation). Queries are broadcast — this is the serving path,
         sized accordingly; for corpus-scale query sets use
-        :func:`~datalake_toolkit_spark.llm.similarity.ivf_topk`."""
+        :func:`~datalake_toolkit_spark.llm.similarity.ivf_topk`.
+        ``id_filter`` restricts candidates to an id allow-list
+        (filtered vector search) — top-k is computed WITHIN the
+        filtered set."""
         q, cand = self._probe_frames(queries, n_probe)
+        cand = self._apply_id_filter(cand, id_filter, self.id_col)
         scored = (
             cand.hint("shuffle_hash")
             .join(F.broadcast(q), "list_id")
@@ -303,6 +348,7 @@ class IVFIndex:
         n_probe: int = 4,
         rescore_factor: int = 4,
         exclude_self: bool = False,
+        id_filter: DataFrame | None = None,
     ) -> DataFrame:
         """Top-k with the int8 fast path: candidate selection scores
         the probed lists on the stored codes — the scan column-prunes
@@ -331,6 +377,10 @@ class IVFIndex:
                 "rebuild() once to store codes (search() still works)"
             )
         q, cand = self._probe_frames(queries, n_probe)
+        # filter BEFORE candidate selection so the rescore margin is
+        # spent inside the allowed set (filtered-ANN semantics: top-k
+        # among allowed, not allowed among top-k)
+        cand = self._apply_id_filter(cand, id_filter, self.id_col)
         approx = (
             cand.select(self.id_col, "list_id", "code", "scale", "norm")
             .hint("shuffle_hash")

@@ -247,6 +247,12 @@ DEMOTED: tuple[str, ...] = (
     # by q_multi_window_prices (stacked lag/lead/running/rank) and
     # q_stateful_running_status.
     "q_cohort_retention",
+    # r10 third wave: q_filtered_ann enters (metadata-filtered
+    # quantized vector search — never driver-checked).
+    # q7_volume_shipping (4x green r6-r9) rotates out in exchange —
+    # its multi-dim join-tree shape stays covered in-window by
+    # q9_product_profit and q21_waiting_suppliers.
+    "q7_volume_shipping",
 )
 
 GATE_WINDOW = 50
@@ -264,6 +270,7 @@ STATEFUL: frozenset[str] = frozenset(
         "q_incremental_semantic",  # two LakeTable commit cycles vs a vector ledger
         "q_persistent_ivf",  # IVF index build + MoR add + probed serve
         "q_ivf_quantized",  # IVF lifecycle + int8 candidate phase + exact rescore
+        "q_filtered_ann",  # IVF lifecycle + filtered int8 serve
         "q_index_hybrid",  # both index lifecycles + fused two-modality serve
         "q_postings_search",  # postings index: two add commits + bucket-pruned serve
         "q_index_corpus_stats",  # three add commits incl. re-add; cached-stats read

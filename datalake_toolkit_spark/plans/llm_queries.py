@@ -1306,7 +1306,7 @@ def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _persistent_ivf_oracle(
     n_lists: int = 8, n_probe: int = 2, dim: int = 64, k: int = 8,
-    qlo: int = 0, qhi: int = 5,
+    qlo: int = 0, qhi: int = 5, cand_pred: str = "TRUE",
 ) -> str:
     """DuckDB mirror of the PERSISTENT IVF index lifecycle
     (llm.ann_index.IVFIndex): build on the even vec_ids (literal seed
@@ -1358,12 +1358,50 @@ def _persistent_ivf_oracle(
     scored AS (SELECT qp.qid, af.vec_id AS cid,
                       {cos('qp.qv', 'af.v')} AS cosine
                FROM qp JOIN af ON qp.list_id = af.list_id
-               WHERE qp.qid <> af.vec_id),
+               WHERE qp.qid <> af.vec_id AND ({cand_pred})),
     ranked AS (SELECT qid, cid, cosine,
                CAST(row_number() OVER (PARTITION BY qid
                  ORDER BY cosine DESC, cid) AS INTEGER) AS rank FROM scored)
     SELECT qid, cid, cosine, rank FROM ranked WHERE rank <= {k}
     """
+
+
+@query(
+    "q_filtered_ann",
+    _persistent_ivf_oracle(
+        n_probe=3, k=5, qlo=10, qhi=14, cand_pred="af.vec_id % 3 = 0"
+    ),
+)
+def q_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED vector search through the quantized fast path: the
+    same persistent lifecycle (build even half, MoR-add odd half),
+    but candidates are restricted to a metadata allow-list (vec_id %
+    3 == 0 — a stand-in for any selection) BEFORE the int8 candidate
+    phase, so top-k is computed WITHIN the allowed set and the
+    rescore margin is spent inside it. The oracle is the unquantized
+    relational replay with the same predicate — quantization plus
+    filtering must change nothing about the answers."""
+    import shutil
+    import tempfile
+
+    from datalake_toolkit_spark.llm import IVFIndex
+
+    emb = _t(spark, sf_dir, "embeddings")
+    work = tempfile.mkdtemp(prefix="dts_ivff_")
+    try:
+        idx = IVFIndex(spark, work)
+        idx.build(
+            emb.where(F.col("vec_id") % 2 == 0), n_lists=8, lloyd_iters=1
+        )
+        idx.add(emb.where(F.col("vec_id") % 2 == 1), mode="mor")
+        out = idx.search_quantized(
+            emb.where((F.col("vec_id") >= 10) & (F.col("vec_id") < 14)),
+            k=5, n_probe=3, rescore_factor=4, exclude_self=True,
+            id_filter=emb.where(F.col("vec_id") % 3 == 0).select("vec_id"),
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
 
 
 @query("q_persistent_ivf", _persistent_ivf_oracle())

@@ -2518,3 +2518,54 @@ def test_postings_index_replace_add_and_remove(spark, tmp_path):
     before = {tuple(r) for r in rep.search(queries, k=10).collect()}
     rep.maintain(keep_last=3)
     assert {tuple(r) for r in rep.search(queries, k=10).collect()} == before
+
+
+def test_ivf_remove_and_filtered_search(spark, sf_dir, tmp_path):
+    """IVF deletion (key tombstones) and filtered search: a removed
+    vector vanishes from both serve paths until maintenance
+    materializes the delete; id_filter computes top-k WITHIN the
+    allow-list on both paths, identically."""
+    from datalake_toolkit_spark.llm import IVFIndex
+    from datalake_toolkit_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = IVFIndex(spark, str(tmp_path / "ivf"))
+    idx.build(emb.where(F.col("vec_id") % 2 == 0), n_lists=8, lloyd_iters=1)
+    idx.add(emb.where(F.col("vec_id") % 2 == 1), mode="mor")
+    q = emb.where(F.col("vec_id") < 4)
+
+    top = idx.search(q, k=3, n_probe=8, exclude_self=True).collect()
+    victim = top[0].cid
+    idx.remove([victim])
+    for hits in (
+        idx.search(q, k=50, n_probe=8, exclude_self=True).collect(),
+        idx.search_quantized(
+            q, k=50, n_probe=8, exclude_self=True
+        ).collect(),
+    ):
+        assert victim not in {r.cid for r in hits} and len(hits) > 0
+    n_after = idx.assignments_t.read().count()
+    idx.maintain(keep_last=3)  # materialize the tombstone
+    assert idx.assignments_t.read().count() == n_after
+    assert victim not in {
+        r.cid
+        for r in idx.search(q, k=50, n_probe=8, exclude_self=True).collect()
+    }
+    assert idx.remove([]) is None  # no-op contracts
+    assert idx.remove([99999999]) is not None  # absent id: harmless
+
+    allow = emb.where(F.col("vec_id") % 5 == 0).select("vec_id")
+    exact = {
+        (r.qid, r.cid, r.cosine, r.rank)
+        for r in idx.search(
+            q, k=6, n_probe=8, exclude_self=True, id_filter=allow
+        ).collect()
+    }
+    assert exact and all(c % 5 == 0 for _, c, _, _ in exact)
+    quant = {
+        (r.qid, r.cid, r.cosine, r.rank)
+        for r in idx.search_quantized(
+            q, k=6, n_probe=8, exclude_self=True, id_filter=allow
+        ).collect()
+    }
+    assert quant == exact
