@@ -145,7 +145,7 @@ def _build_parser() -> argparse.ArgumentParser:
     se.add_argument(
         "action",
         choices=["query", "index-add", "index-query", "index-probe",
-                 "index-maintain", "hybrid"],
+                 "index-maintain", "index-remove", "hybrid"],
         help="query: one-shot over --docs; index-add: build/extend the "
              "persistent index at --index from --docs; index-query: "
              "serve from --index; index-probe: report what a query "
@@ -164,6 +164,10 @@ def _build_parser() -> argparse.ArgumentParser:
                 help="index-add commit mode")
     se.add_argument("--keep-last", type=int, default=5,
                 help="index-maintain vacuum retention")
+    se.add_argument("--replace", action="store_true",
+                help="index-add: delete-then-add (changed re-adds)")
+    se.add_argument("--ids", default=None,
+                help="index-remove: comma-separated doc ids")
     se.add_argument("--ann-path", default=None,
                 help="IVFIndex root for action=hybrid")
     se.add_argument("--queries", default=None,
@@ -177,7 +181,8 @@ def _build_parser() -> argparse.ArgumentParser:
     an = sub.add_parser("ann", help="persistent IVF vector index")
     an.add_argument(
         "action",
-        choices=["build", "add", "search", "sizes", "probe", "maintain"],
+        choices=["build", "add", "search", "sizes", "probe", "maintain",
+                 "remove"],
     )
     an.add_argument("--path", required=True, help="IVFIndex root")
     an.add_argument("--input", default=None,
@@ -196,6 +201,8 @@ def _build_parser() -> argparse.ArgumentParser:
                      "probe: report the code-vs-vector byte split")
     an.add_argument("--rescore-factor", type=int, default=4,
                 help="quantized search: candidates kept per result")
+    an.add_argument("--ids", default=None,
+                help="remove: comma-separated vector ids")
     return p
 
 
@@ -555,8 +562,19 @@ def _cmd_search(args: argparse.Namespace) -> int:
         if not (args.index and args.docs):
             raise SystemExit("index-add needs --index and --docs")
         idx = PostingsIndex(spark, args.index)
-        v = idx.add(spark.read.parquet(args.docs), mode=args.mode)
+        v = idx.add(
+            spark.read.parquet(args.docs), mode=args.mode,
+            replace=args.replace,
+        )
         print(json.dumps({"version": v, "index": args.index}))
+        return 0
+    if args.action == "index-remove":
+        if not (args.index and args.ids):
+            raise SystemExit("index-remove needs --index and --ids")
+        ids = [int(v) if v.lstrip("-").isdigit() else v
+               for v in args.ids.split(",") if v]
+        PostingsIndex(spark, args.index).remove(ids)
+        print(json.dumps({"removed": len(ids), "index": args.index}))
         return 0
     if args.action == "index-maintain":
         if not args.index:
@@ -632,6 +650,14 @@ def _cmd_ann(args: argparse.Namespace) -> int:
     if args.action == "maintain":
         idx.maintain(keep_last=args.keep_last)
         print(json.dumps({"maintained": args.path}))
+        return 0
+    if args.action == "remove":
+        if not args.ids:
+            raise SystemExit("remove needs --ids")
+        ids = [int(v) if v.lstrip("-").isdigit() else v
+               for v in args.ids.split(",") if v]
+        idx.remove(ids)
+        print(json.dumps({"removed": len(ids), "index": args.path}))
         return 0
     if args.action == "probe":
         if not args.input:

@@ -1082,3 +1082,30 @@ def test_cli_hybrid_and_quantized_actions(spark, tmp_path, capsys):
         main(["search", "hybrid", "--index", idx_path,
               "--ann-path", ivf_path, "--queries", q_path,
               "--method", "phrase"])
+
+    # mutation from the shell: remove a doc, replace-add a changed one
+    assert main(["search", "index-remove", "--index", idx_path,
+                 "--ids", "2"]) == 0
+    capsys.readouterr()
+    assert main(["search", "index-query", "--index", idx_path,
+                 "--query", "red"]) == 0
+    rows = [json_mod.loads(ln) for ln in
+            capsys.readouterr().out.strip().splitlines()]
+    assert {r["doc_id"] for r in rows} == {1}  # doc 2 tombstoned
+    repl_path = str(tmp_path / "repl")
+    spark.createDataFrame(
+        [(1, "green turtle")], "doc_id bigint, text string"
+    ).coalesce(1).write.parquet(repl_path)
+    assert main(["search", "index-add", "--index", idx_path,
+                 "--docs", repl_path, "--replace"]) == 0
+    capsys.readouterr()
+    assert main(["search", "index-query", "--index", idx_path,
+                 "--query", "red"]) == 0
+    assert capsys.readouterr().out.strip() == ""  # dropped term died
+    assert main(["ann", "remove", "--path", ivf_path, "--ids", "2"]) == 0
+    capsys.readouterr()
+    assert main(["ann", "search", "--path", ivf_path, "--input", qv_path,
+                 "--k", "5", "--n-probe", "2"]) == 0
+    arows = [json_mod.loads(ln) for ln in
+             capsys.readouterr().out.strip().splitlines()]
+    assert 2 not in {r["cid"] for r in arows} and arows
