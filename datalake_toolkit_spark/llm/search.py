@@ -293,9 +293,12 @@ class PostingsIndex:
         )
         # <= 256 rows (one per doc_stats bucket) — unpartitioned,
         # copy-on-write upserts: rewriting the whole table is cheaper
-        # than any merge bookkeeping at this size
+        # than any merge bookkeeping at this size. Per-file min/max
+        # stats are disabled: the table is always read whole, so
+        # collecting footer stats on every add commit is pure
+        # write-path tax
         self.corpus_stats_t = LakeTable(
-            spark, os.path.join(path, "corpus_stats")
+            spark, os.path.join(path, "corpus_stats"), stats_columns=()
         )
 
     def _prefix_len(self) -> int:
@@ -375,6 +378,15 @@ class PostingsIndex:
             )
             if self.doc_stats_t.current_version() is None:
                 self.doc_stats_t.write(stats, op="postings_build")
+                # first build: the batch IS the full bucket state —
+                # derive the stats directly, no read-back needed
+                self.corpus_stats_t.write(
+                    stats.groupBy("dhash_prefix").agg(
+                        F.count(F.lit(1)).alias("n_docs"),
+                        F.sum("dl").alias("total_dl"),
+                    ),
+                    op="corpus_stats",
+                )
             else:
                 self.doc_stats_t.upsert(
                     stats,
@@ -383,14 +395,14 @@ class PostingsIndex:
                     partition_scoped=True,
                     assume_key_unique=True,
                 )
-            # bounded collect: <= 16^plen bucket keys
-            touched = sorted(
-                f"dhash_prefix={r['p']}"
-                for r in stats.select(
-                    F.col("dhash_prefix").alias("p")
-                ).distinct().collect()
-            )
-            self._refresh_corpus_stats(touched)
+                # bounded collect: <= 16^plen bucket keys
+                touched = sorted(
+                    f"dhash_prefix={r['p']}"
+                    for r in stats.select(
+                        F.col("dhash_prefix").alias("p")
+                    ).distinct().collect()
+                )
+                self._refresh_corpus_stats(touched)
         finally:
             post.unpersist()
         return v
