@@ -26,6 +26,20 @@ from datalake_toolkit_spark.config import resolve_params
 from datalake_toolkit_spark.session import get_spark
 
 
+
+def _parse_ids(raw: str) -> list:
+    """--ids parser: strip each comma token; homogeneous INT list only
+    when every token is an integer, else every token stays a string —
+    a mixed list would crash the typed key frame, and an unstripped
+    ' 2' would silently match nothing."""
+    toks = [t.strip() for t in raw.split(",") if t.strip()]
+    if not toks:
+        raise SystemExit("--ids is empty")
+    if all(t.lstrip("-").isdigit() for t in toks):
+        return [int(t) for t in toks]
+    return toks
+
+
 def _build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="datalake_toolkit_spark")
     sub = p.add_subparsers(dest="command", required=True)
@@ -571,8 +585,7 @@ def _cmd_search(args: argparse.Namespace) -> int:
     if args.action == "index-remove":
         if not (args.index and args.ids):
             raise SystemExit("index-remove needs --index and --ids")
-        ids = [int(v) if v.lstrip("-").isdigit() else v
-               for v in args.ids.split(",") if v]
+        ids = _parse_ids(args.ids)
         PostingsIndex(spark, args.index).remove(ids)
         print(json.dumps({"removed": len(ids), "index": args.index}))
         return 0
@@ -654,8 +667,7 @@ def _cmd_ann(args: argparse.Namespace) -> int:
     if args.action == "remove":
         if not args.ids:
             raise SystemExit("remove needs --ids")
-        ids = [int(v) if v.lstrip("-").isdigit() else v
-               for v in args.ids.split(",") if v]
+        ids = _parse_ids(args.ids)
         idx.remove(ids)
         print(json.dumps({"removed": len(ids), "index": args.path}))
         return 0

@@ -128,6 +128,20 @@ def _unescape_partition_value(s: str) -> str:
     return _PCT_RE.sub(lambda m: chr(int(m.group(1), 16)), s)
 
 
+def live_partition_keys(manifest: dict) -> set[str]:
+    """Partition keys with live data under ``manifest``: the owners
+    map plus partitions that exist ONLY in pending merge-on-read
+    appends (no rewrite has localized them into owners yet) — pruning
+    or bucket enumeration against owners alone silently misses
+    freshly appended keys. The single source of truth for every
+    index/serve path that enumerates a table's live partitions."""
+    return set(manifest.get("owners") or {}) | {
+        k
+        for e in (manifest.get("merges") or [])
+        for k in (e.get("parts") or [])
+    }
+
+
 def _stats_eligible(schema: T.StructType) -> list[str]:
     """Top-level columns file stats can be kept for: orderable
     primitives whose parquet footer min/max round-trip to JSON-safe

@@ -41,6 +41,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from datalake_toolkit_spark.lakehouse import LakeTable
+from datalake_toolkit_spark.lakehouse.table import live_partition_keys
 from datalake_toolkit_spark.llm.similarity import (
     _as_double,
     _fold_sum,
@@ -264,12 +265,7 @@ class IVFIndex:
         # include partitions that live ONLY in pending merge-on-read
         # appends (an added vector may open a list no rewrite has
         # localized yet) — owners-only pruning would skip it
-        man = self.assignments_t._manifest()
-        existing = set(man["owners"]) | {
-            k
-            for e in (man.get("merges") or [])
-            for k in (e.get("parts") or [])
-        }
+        existing = live_partition_keys(self.assignments_t._manifest())
         known = sorted(probed & existing)
         if len(known) == len(existing):
             cand = self.assignments_t.read()
@@ -469,12 +465,7 @@ class IVFIndex:
             .distinct()
             .collect()
         }
-        man = self.assignments_t._manifest()
-        existing = set(man["owners"]) | {
-            k
-            for e in (man.get("merges") or [])
-            for k in (e.get("parts") or [])
-        }
+        existing = live_partition_keys(self.assignments_t._manifest())
         known = sorted(probed & existing)
         rep = self.assignments_t.plan_scan(partitions=known)
         rep.update(

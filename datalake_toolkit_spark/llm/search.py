@@ -27,6 +27,8 @@ import os
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from datalake_toolkit_spark.lakehouse.table import live_partition_keys
+
 
 def _tokens(text_col: str) -> Column:
     # split('') yields [''] and leading whitespace yields a leading ''
@@ -332,6 +334,7 @@ class PostingsIndex:
         rewrites, rebuild). A replay of a crashed replace-add
         converges: the re-run's delete covers any half-committed
         appends, and the re-run's appends land after it, immune."""
+        removed_buckets: list[str] = []
         if replace and self.postings_t.current_version() is not None:
             ids = [
                 r["doc_id"]
@@ -339,7 +342,7 @@ class PostingsIndex:
                     F.col(self.id_col).alias("doc_id")
                 ).distinct().collect()
             ]
-            self.remove(ids)
+            removed_buckets = self._remove(ids)
         plen = self._prefix_len()
         toks = docs.select(
             F.col(self.id_col).alias("doc_id"),
@@ -395,14 +398,18 @@ class PostingsIndex:
                     partition_scoped=True,
                     assume_key_unique=True,
                 )
-                # bounded collect: <= 16^plen bucket keys
-                touched = sorted(
+                # bounded collect: <= 16^plen bucket keys; a
+                # replace-add folds the removed ids' buckets in, so
+                # the recompute happens ONCE over the union
+                touched = {
                     f"dhash_prefix={r['p']}"
                     for r in stats.select(
                         F.col("dhash_prefix").alias("p")
                     ).distinct().collect()
+                }
+                self._refresh_corpus_stats(
+                    sorted(touched | set(removed_buckets))
                 )
-                self._refresh_corpus_stats(touched)
         finally:
             post.unpersist()
         return v
@@ -419,6 +426,15 @@ class PostingsIndex:
         would silently keep counting the removed docs."""
         if not buckets:
             return
+        if self.corpus_stats_t.current_version() is None:
+            # never SEED a partial stats table: a legacy index whose
+            # first stats commit came from a remove()/replace-add
+            # would otherwise cover one bucket, and _corpus_stats
+            # would trust the fragment — backfill every live bucket
+            buckets = sorted(
+                set(buckets)
+                | live_partition_keys(self.doc_stats_t._manifest())
+            )
         fresh = (
             self.doc_stats_t.read(partitions=buckets)
             .groupBy("dhash_prefix")
@@ -452,20 +468,33 @@ class PostingsIndex:
         (update-sized; for corpus-scale deletion, rebuild from the
         surviving docs). Idempotent: removing an absent id is a
         no-op."""
+        buckets = self._remove(doc_ids)
+        self._refresh_corpus_stats(buckets)
+
+    def _remove(self, doc_ids) -> list[str]:
+        """:meth:`remove` minus the stats refresh — returns the
+        removed ids' live doc_stats bucket keys so ``add(replace=
+        True)`` can fold them into ITS refresh (one bucket scan
+        instead of two; a replaced doc whose NEW text is empty still
+        gets its bucket recounted that way). String ids escape both
+        quote and backslash — Spark's string literals are
+        backslash-escaped, so quote-doubling alone would let an id
+        like ``a\\`` swallow the quote and silently neuter the
+        predicate."""
         ids = list(doc_ids)
         if not ids or self.postings_t.current_version() is None:
-            return
-        pred = "doc_id IN ({})".format(
-            ", ".join(
-                "'{}'".format(str(v).replace("'", "''"))
-                if isinstance(v, str)
-                else str(v)
-                for v in ids
-            )
-        )
+            return []
+
+        def lit(v) -> str:
+            if isinstance(v, str):
+                escaped = v.replace("\\", "\\\\").replace("'", "\\'")
+                return f"'{escaped}'"
+            return str(v)
+
+        pred = "doc_id IN ({})".format(", ".join(lit(v) for v in ids))
         self.postings_t.delete_where(pred, mode="mor")
         if self.doc_stats_t.current_version() is None:
-            return
+            return []
         self.doc_stats_t.delete_where(pred, mode="mor")
         import hashlib
 
@@ -474,13 +503,8 @@ class PostingsIndex:
             f"dhash_prefix={hashlib.md5(str(i).encode()).hexdigest()[:plen]}"
             for i in ids
         }
-        man = self.doc_stats_t._manifest()
-        existing = set(man["owners"]) | {
-            k
-            for e in (man.get("merges") or [])
-            for k in (e.get("parts") or [])
-        }
-        self._refresh_corpus_stats(sorted(touched & existing))
+        live = live_partition_keys(self.doc_stats_t._manifest())
+        return sorted(touched & live)
 
     def refresh_corpus_stats(self) -> None:
         """Rebuild ``corpus_stats`` from every doc_stats bucket — the
@@ -489,16 +513,9 @@ class PostingsIndex:
         forever). A no-op on an index that has never committed."""
         if self.doc_stats_t.current_version() is None:
             return
-        man = self.doc_stats_t._manifest()
-        buckets = sorted(
-            set(man["owners"])
-            | {
-                k
-                for e in (man.get("merges") or [])
-                for k in (e.get("parts") or [])
-            }
+        self._refresh_corpus_stats(
+            sorted(live_partition_keys(self.doc_stats_t._manifest()))
         )
-        self._refresh_corpus_stats(buckets)
 
     def _corpus_stats(self) -> DataFrame:
         """One row (n_docs, avgdl) for BM25. Served from the <= 256
@@ -534,12 +551,7 @@ class PostingsIndex:
         # a bucket may live ONLY in pending merge-on-read appends (no
         # rewrite has localized it into the owners map yet) — pruning
         # by owners alone would silently miss freshly added terms
-        man = self.postings_t._manifest()
-        existing = set(man["owners"]) | {
-            k
-            for e in (man.get("merges") or [])
-            for k in (e.get("parts") or [])
-        }
+        existing = live_partition_keys(self.postings_t._manifest())
         probe = sorted(touched & existing)
         if len(probe) == len(existing):
             return self.postings_t.read()
@@ -564,12 +576,7 @@ class PostingsIndex:
             .distinct()
             .collect()
         }
-        man = self.postings_t._manifest()
-        existing = set(man["owners"]) | {
-            k
-            for e in (man.get("merges") or [])
-            for k in (e.get("parts") or [])
-        }
+        existing = live_partition_keys(self.postings_t._manifest())
         probe = sorted(touched & existing)
         rep = self.postings_t.plan_scan(partitions=probe)
         has_cached = self.corpus_stats_t.current_version() is not None

@@ -2569,3 +2569,53 @@ def test_ivf_remove_and_filtered_search(spark, sf_dir, tmp_path):
         ).collect()
     }
     assert quant == exact
+
+
+def test_postings_remove_escaping_and_legacy_seed(spark, tmp_path):
+    """Two review-found hazards pinned: (a) string doc ids containing
+    quotes/backslashes must delete exactly themselves (Spark string
+    literals are backslash-escaped — quote-doubling alone neuters the
+    predicate); (b) the FIRST corpus-stats commit on a legacy index
+    must backfill every live bucket, never seed a partial table a
+    later BM25 serve would trust."""
+    import shutil
+
+    from datalake_toolkit_spark.llm import PostingsIndex
+
+    # (a) hostile string ids
+    docs = spark.createDataFrame(
+        [("o'brien", "alpha beta"), ("a\\", "alpha gamma"),
+         ("plain", "alpha delta")],
+        "doc_id string, text string",
+    )
+    idx = PostingsIndex(spark, str(tmp_path / "s"), prefix_len=1)
+    idx.add(docs)
+    idx.remove(["o'brien", "a\\"])
+    q = spark.createDataFrame(
+        [(0, "alpha")], "query_id bigint, query_text string"
+    )
+    assert [r.doc_id for r in idx.search(q, k=10).collect()] == ["plain"]
+    assert idx.doc_stats_t.read().count() == 1
+    stats = idx.corpus_stats_t.read().groupBy().agg(
+        F.sum("n_docs").alias("n")
+    ).collect()[0]
+    assert stats.n == 1
+
+    # (b) legacy index: first stats commit via remove() must cover ALL
+    # buckets, not just the removed id's
+    docs2 = spark.createDataFrame(
+        [(i, f"tok{i % 5} common") for i in range(60)],
+        "doc_id bigint, text string",
+    )
+    idx2 = PostingsIndex(spark, str(tmp_path / "l"), prefix_len=1)
+    idx2.add(docs2)
+    shutil.rmtree(str(tmp_path / "l" / "corpus_stats"))
+    legacy = PostingsIndex(spark, str(tmp_path / "l"))
+    legacy.remove([3])
+    truth = legacy.doc_stats_t.read().groupBy().agg(
+        F.count(F.lit(1)).alias("n"), F.sum("dl").alias("t")
+    ).collect()[0]
+    cached = legacy.corpus_stats_t.read().groupBy().agg(
+        F.sum("n_docs").alias("n"), F.sum("total_dl").alias("t")
+    ).collect()[0]
+    assert (cached.n, cached.t) == (truth.n, truth.t) == (59, truth.t)
