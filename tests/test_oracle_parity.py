@@ -1,7 +1,7 @@
 """Every queries() entry with an oracle must match DuckDB exactly —
 the local predictor of the driver's CORRECTNESS gate.
 
-Two scales: the FULL registered-query suite (129 at round 9) runs at the default test SF
+Two scales: the FULL registered-query suite (136 at round 10) runs at the default test SF
 (sf0.001, override with ``SPARK_GRAFT_TEST_SF_DIR``), and the 50
 queries inside the driver's gate window additionally run at the
 driver's OWN scale (sf0.01) — float-sum rounding boundaries only show
