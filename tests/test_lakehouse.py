@@ -3031,7 +3031,20 @@ def test_stream_index_ingest_watermark_bounds_state_and_commits(
     assert idx.doc_stats_t.read().count() == 3
     assert v_before is not None
 
+    # MANY dup-only micro-batches: each must cost zero index commits
+    v0 = idx.doc_stats_t.current_version()
+    p0 = idx.postings_t.current_version()
+    for i in range(3):
+        drop(f"dup{i}.json", [
+            {"doc_id": 3, "text": f"spam{i} spam{i}",
+             "ts": f"2026-01-01 12:0{2 + i}:00"},
+        ])
+        drain()
+        assert idx.doc_stats_t.current_version() == v0
+        assert idx.postings_t.current_version() == p0
+    assert dl_of(3) == 3  # original content untouched
+
     # bounded state: the b1-era keys are evicted — state holds only
     # rows inside the current horizon, not every key ever seen
     ops = last_progress.get("stateOperators") or []
-    assert ops and ops[0]["numRowsTotal"] <= 2
+    assert ops and ops[0]["numRowsTotal"] <= 3

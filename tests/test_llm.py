@@ -2619,3 +2619,48 @@ def test_postings_remove_escaping_and_legacy_seed(spark, tmp_path):
         F.sum("n_docs").alias("n"), F.sum("total_dl").alias("t")
     ).collect()[0]
     assert (cached.n, cached.t) == (truth.n, truth.t) == (59, truth.t)
+
+
+def test_postings_corpus_stats_random_mutation_model(spark, tmp_path):
+    """Model check: after ANY seeded sequence of add / mor-add /
+    replace-add / remove (including re-adds with changed text and
+    empty-text replacements), the cached corpus stats must equal the
+    doc_stats ground truth exactly — the recompute-not-delta contract
+    under operation interleaving, not just the hand-picked cases."""
+    import random
+
+    from datalake_toolkit_spark.llm import PostingsIndex
+
+    rng = random.Random(20260815)
+
+    def batch(ids):
+        rows = []
+        for i in ids:
+            n = rng.randint(0, 6)  # 0 => empty text (not indexable)
+            rows.append((i, " ".join(f"w{rng.randint(0, 9)}" for _ in range(n))))
+        return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    idx = PostingsIndex(spark, str(tmp_path / "m"), prefix_len=1)
+    idx.add(batch(range(30)))
+    live = set(range(30))
+    for step in range(5):
+        op = rng.choice(["add", "mor", "replace", "remove"])
+        ids = rng.sample(sorted(live) + [100 + step], rng.randint(1, 6))
+        if op == "remove":
+            idx.remove(ids)
+        else:
+            idx.add(
+                batch(ids),
+                mode="cow" if op == "add" else "mor",
+                replace=(op == "replace"),
+            )
+        truth = idx.doc_stats_t.read().groupBy().agg(
+            F.count(F.lit(1)).alias("n"), F.sum("dl").alias("t")
+        ).collect()[0]
+        cached = idx.corpus_stats_t.read().groupBy().agg(
+            F.sum("n_docs").alias("n"), F.sum("total_dl").alias("t")
+        ).collect()[0]
+        assert (cached.n, cached.t or 0) == (truth.n, truth.t or 0), (
+            f"step {step} op {op}: cached {(cached.n, cached.t)} != "
+            f"truth {(truth.n, truth.t)}"
+        )
