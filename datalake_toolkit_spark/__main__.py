@@ -32,10 +32,14 @@ def _parse_ids(raw: str) -> list:
     when every token is an integer, else every token stays a string —
     a mixed list would crash the typed key frame, and an unstripped
     ' 2' would silently match nothing."""
+    import re
+
     toks = [t.strip() for t in raw.split(",") if t.strip()]
     if not toks:
         raise SystemExit("--ids is empty")
-    if all(t.lstrip("-").isdigit() for t in toks):
+    # re.fullmatch, not lstrip+isdigit: '--5' survives the lstrip but
+    # int('--5') would raise a raw ValueError traceback
+    if all(re.fullmatch(r"-?\d+", t) for t in toks):
         return [int(t) for t in toks]
     return toks
 

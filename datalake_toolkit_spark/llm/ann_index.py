@@ -207,9 +207,17 @@ class IVFIndex:
         ids = list(ids)
         if not ids or self.assignments_t.current_version() is None:
             return None
-        id_type = (
-            "string" if isinstance(ids[0], str) else "bigint"
-        )
+        # validate homogeneity up front — a mixed str/int list would
+        # die inside createDataFrame with an opaque Spark type error
+        if all(isinstance(i, str) for i in ids):
+            id_type = "string"
+        elif all(isinstance(i, int) and not isinstance(i, bool) for i in ids):
+            id_type = "bigint"
+        else:
+            raise ValueError(
+                "remove() ids must be all-str or all-int, got types "
+                f"{sorted({type(i).__name__ for i in ids})}"
+            )
         keys = self.spark.createDataFrame(
             [(i,) for i in ids], f"{self.id_col} {id_type}"
         )
@@ -291,6 +299,26 @@ class IVFIndex:
         ).distinct()
         return cand.join(F.broadcast(allow), id_col, "left_semi")
 
+    @staticmethod
+    def _apply_pair_filter(
+        joined: DataFrame, pair_filter, id_col: str
+    ) -> DataFrame:
+        """Restrict (query, candidate) PAIRS to a per-query allow
+        frame — 'nearest among THIS query's allowed docs' (tenant,
+        language, date filters that differ per query). The filter
+        frame's first column is the query id, second the candidate
+        id; it broadcasts, so it is meant for serving-bounded sets.
+        Applied to the probe-joined frame BEFORE any top-k / candidate
+        cutoff, so ranks are computed within each query's allowed
+        set."""
+        if pair_filter is None:
+            return joined
+        allow = pair_filter.select(
+            F.col(pair_filter.columns[0]).alias("qid"),
+            F.col(pair_filter.columns[1]).alias(id_col),
+        ).distinct()
+        return joined.join(F.broadcast(allow), ["qid", id_col], "left_semi")
+
     def search(
         self,
         queries: DataFrame,
@@ -298,6 +326,7 @@ class IVFIndex:
         n_probe: int = 4,
         exclude_self: bool = False,
         id_filter: DataFrame | None = None,
+        pair_filter: DataFrame | None = None,
     ) -> DataFrame:
         """Approximate top-k for each query row: (qid, cid, cosine,
         rank). Each query probes its ``n_probe`` nearest centroids'
@@ -309,15 +338,20 @@ class IVFIndex:
         evaluation). Queries are broadcast — this is the serving path,
         sized accordingly; for corpus-scale query sets use
         :func:`~datalake_toolkit_spark.llm.similarity.ivf_topk`.
-        ``id_filter`` restricts candidates to an id allow-list
-        (filtered vector search) — top-k is computed WITHIN the
-        filtered set."""
+        ``id_filter`` restricts candidates to a GLOBAL id allow-list;
+        ``pair_filter`` is its per-query form — a (query_id, doc_id)
+        allow frame, so each query ranks within its OWN allowed set
+        (both may combine; top-k is computed WITHIN the filtered
+        set)."""
         q, cand = self._probe_frames(queries, n_probe)
         cand = self._apply_id_filter(cand, id_filter, self.id_col)
+        joined = self._apply_pair_filter(
+            cand.hint("shuffle_hash").join(F.broadcast(q), "list_id"),
+            pair_filter,
+            self.id_col,
+        )
         scored = (
-            cand.hint("shuffle_hash")
-            .join(F.broadcast(q), "list_id")
-            .where(
+            joined.where(
                 F.lit(True)
                 if not exclude_self
                 else F.col("qid") != F.col(self.id_col)
@@ -345,6 +379,7 @@ class IVFIndex:
         rescore_factor: int = 4,
         exclude_self: bool = False,
         id_filter: DataFrame | None = None,
+        pair_filter: DataFrame | None = None,
     ) -> DataFrame:
         """Top-k with the int8 fast path: candidate selection scores
         the probed lists on the stored codes — the scan column-prunes
@@ -375,12 +410,17 @@ class IVFIndex:
         q, cand = self._probe_frames(queries, n_probe)
         # filter BEFORE candidate selection so the rescore margin is
         # spent inside the allowed set (filtered-ANN semantics: top-k
-        # among allowed, not allowed among top-k)
+        # among allowed, not allowed among top-k); the per-query
+        # pair_filter applies the same way, after the probe join
         cand = self._apply_id_filter(cand, id_filter, self.id_col)
         approx = (
-            cand.select(self.id_col, "list_id", "code", "scale", "norm")
-            .hint("shuffle_hash")
-            .join(F.broadcast(q.drop("qn")), "list_id")
+            self._apply_pair_filter(
+                cand.select(self.id_col, "list_id", "code", "scale", "norm")
+                .hint("shuffle_hash")
+                .join(F.broadcast(q.drop("qn")), "list_id"),
+                pair_filter,
+                self.id_col,
+            )
             .where(
                 F.lit(True)
                 if not exclude_self
@@ -499,6 +539,7 @@ class IVFIndex:
         import pyarrow.parquet as pq
 
         man = self.assignments_t._manifest()
+        known_set = set(known)
         dirs = []
         for key in known:
             tok = man["owners"].get(key)
@@ -508,7 +549,7 @@ class IVFIndex:
                 )
         for e in man.get("merges") or []:
             for key in e.get("parts") or []:
-                if key in set(known):
+                if key in known_set:
                     dirs.append(
                         os.path.join(
                             self.assignments_t._vdir(e["token"]), key

@@ -63,6 +63,26 @@ def _query_terms(
     ).distinct()
 
 
+def _apply_pair_filter(
+    ranked: DataFrame, pair_filter: DataFrame | None
+) -> DataFrame:
+    """Per-query filtered retrieval: keep only (query_id, doc_id)
+    pairs present in the allow frame (first column = query id, second
+    = doc id — tenant/language/date selections that differ per query).
+    Broadcast semi-join, so it is meant for serving-bounded allow
+    sets; corpus-scale restrictions belong upstream of the index.
+    Callers apply it BEFORE their top-k window, so ranks are computed
+    within each query's allowed set; per-(query, doc) scores don't
+    depend on other candidates, so filtering commutes with scoring."""
+    if pair_filter is None:
+        return ranked
+    allow = pair_filter.select(
+        F.col(pair_filter.columns[0]).alias("query_id"),
+        F.col(pair_filter.columns[1]).alias("doc_id"),
+    ).distinct()
+    return ranked.join(F.broadcast(allow), ["query_id", "doc_id"], "left_semi")
+
+
 def posting_lists(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
@@ -452,7 +472,14 @@ class PostingsIndex:
             F.coalesce("n_docs", F.lit(0)).cast("long").alias("n_docs"),
             F.coalesce("total_dl", F.lit(0)).cast("long").alias("total_dl"),
         )
-        if self.corpus_stats_t.current_version() is None:
+        if self.corpus_stats_t.current_version() is None or set(
+            buckets
+        ) >= live_partition_keys(self.doc_stats_t._manifest()):
+            # recomputing EVERY live bucket means `full` is the complete
+            # stats table — snapshot-write it instead of paying the
+            # upsert's read-merge of the previous version (common at
+            # small bucket widths, where any real batch touches all
+            # buckets; still pure recomputation, so replay-safe)
             self.corpus_stats_t.write(full, op="corpus_stats")
         else:
             self.corpus_stats_t.upsert(
@@ -609,19 +636,25 @@ class PostingsIndex:
     def search(
         self, queries: DataFrame, k: int = 10,
         query_id_col: str = "query_id", query_text_col: str = "query_text",
+        pair_filter: DataFrame | None = None,
     ) -> DataFrame:
         """Exact coordination ranking served from the index —
         identical output contract to :func:`keyword_search_topk`, but
-        the scan is the probed term buckets instead of the corpus."""
+        the scan is the probed term buckets instead of the corpus.
+        ``pair_filter`` (first column query id, second doc id)
+        restricts each query to ITS allowed documents before the
+        top-k cut — per-query filtered retrieval; match counts are
+        per-pair facts, so filtering commutes with the scoring."""
         qterms = _query_terms(queries, query_id_col, query_text_col)
-        matched = (
+        matched = _apply_pair_filter(
             self._probed_postings(qterms)
             .join(F.broadcast(qterms), "term")
             .groupBy("query_id", "doc_id")
             .agg(
                 F.count(F.lit(1)).alias("n_matched"),
                 F.sum("tf").alias("sum_tf"),
-            )
+            ),
+            pair_filter,
         )
         w = Window.partitionBy("query_id").orderBy(
             F.desc("n_matched"), F.desc("sum_tf"), F.asc("doc_id")
@@ -650,6 +683,7 @@ class PostingsIndex:
     def search_bm25(
         self, queries: DataFrame, k: int = 10, k1: float = 1.2, b: float = 0.75,
         query_id_col: str = "query_id", query_text_col: str = "query_text",
+        pair_filter: DataFrame | None = None,
     ) -> DataFrame:
         """BM25 served from the index: df per term is complete within
         the probed buckets (a term's postings never span buckets);
@@ -658,7 +692,11 @@ class PostingsIndex:
         (doc_stats is not read at query time). Scores are pinned by
         tolerance tests, not a cross-engine hash — see the ln()
         portability note on :func:`bm25_topk` and SCALING.md's "BM25
-        ULP" section for why."""
+        ULP" section for why. ``pair_filter`` restricts each query to
+        its own allowed documents before the top-k cut; the scoring
+        statistics (df, N, avgdl) stay corpus-global — the standard
+        filtered-search contract, so a document scores identically
+        filtered or not."""
         qterms = _query_terms(queries, query_id_col, query_text_col)
         post = self._probed_postings(qterms).join(
             F.broadcast(qterms.select("term").distinct()), "term", "left_semi"
@@ -688,12 +726,15 @@ class PostingsIndex:
                 ),
             )
         )
-        agg = scored.groupBy("query_id", "doc_id").agg(
-            F.aggregate(
-                F.array_sort(F.collect_list("w")),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ).alias("score")
+        agg = _apply_pair_filter(
+            scored.groupBy("query_id", "doc_id").agg(
+                F.aggregate(
+                    F.array_sort(F.collect_list("w")),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ).alias("score")
+            ),
+            pair_filter,
         )
         w = Window.partitionBy("query_id").orderBy(
             F.desc("score"), F.asc("doc_id")
@@ -839,6 +880,7 @@ def hybrid_search_indexed(
     query_id_col: str = "query_id",
     query_text_col: str = "query_text",
     query_vec_col: str = "query_vec",
+    pair_filter: DataFrame | None = None,
 ) -> DataFrame:
     """Hybrid retrieval SERVED entirely from the two persistent
     indexes: the lexical ranking comes from the postings index
@@ -859,7 +901,11 @@ def hybrid_search_indexed(
     the vector side through the int8 candidate phase + exact rescore
     (:meth:`IVFIndex.search_quantized`) — same answers whenever the
     true top-``k_each`` survives the ``rescore_factor`` margin, at
-    ~1/8 the probe bytes."""
+    ~1/8 the probe bytes. ``pair_filter`` is a per-query
+    (query_id, doc_id) allow frame applied to BOTH modalities before
+    their top-``k_each`` cuts, so the fusion ranks within each
+    query's own allowed set — per-tenant / per-language filtered
+    hybrid retrieval."""
     if lexical not in ("bm25", "keyword"):
         raise ValueError(f"lexical must be bm25|keyword, got {lexical!r}")
     qtext = queries.select(query_id_col, query_text_col)
@@ -867,11 +913,13 @@ def hybrid_search_indexed(
         lex = postings_index.search_bm25(
             qtext, k=k_each, k1=k1, b=b,
             query_id_col=query_id_col, query_text_col=query_text_col,
+            pair_filter=pair_filter,
         )
     else:
         lex = postings_index.search(
             qtext, k=k_each,
             query_id_col=query_id_col, query_text_col=query_text_col,
+            pair_filter=pair_filter,
         )
     qvec = queries.select(
         F.col(query_id_col).alias(ivf_index.id_col),
@@ -881,10 +929,12 @@ def hybrid_search_indexed(
         ivf_index.search_quantized(
             qvec, k=k_each, n_probe=n_probe,
             rescore_factor=rescore_factor, exclude_self=False,
+            pair_filter=pair_filter,
         )
         if quantized
         else ivf_index.search(
-            qvec, k=k_each, n_probe=n_probe, exclude_self=False
+            qvec, k=k_each, n_probe=n_probe, exclude_self=False,
+            pair_filter=pair_filter,
         )
     ).select(
         F.col("qid").alias("query_id"),

@@ -1404,6 +1404,74 @@ def q_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
+@query(
+    "q_filtered_ann_per_query",
+    "WITH base AS ({})\n"
+    "SELECT qid, cid, cosine, rank, 'exact' AS path FROM base\n"
+    "UNION ALL\n"
+    "SELECT qid, cid, cosine, rank, 'quantized' AS path FROM base".format(
+        _persistent_ivf_oracle(
+            n_probe=3, k=5, qlo=10, qhi=14,
+            cand_pred="(af.vec_id + qp.qid) % 3 = 0",
+        )
+    ),
+)
+def q_filtered_ann_per_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-QUERY filtered vector search: each query carries its OWN
+    allow set — (qid + cid) % 3 == 0, expressed as a broadcast
+    equi-join on the mod-3 residue (no cartesian) — so query 10 and
+    query 11 rank within different candidate universes, the thing a
+    global id_filter cannot express. Served through BOTH paths from
+    one persistent lifecycle (build even half, MoR-add odd half): the
+    exact probe and the int8 candidate phase + exact rescore, with
+    the pair filter applied BEFORE candidate selection so the rescore
+    margin is spent inside each query's allowed set. The oracle is
+    one unquantized relational replay with the same pair predicate,
+    read twice — both paths must be bit-identical to it, which pins
+    filtered-ANN semantics (top-k within the per-query allowed set)
+    AND exact/quantized equivalence under filtering."""
+    import shutil
+    import tempfile
+
+    from datalake_toolkit_spark.llm import IVFIndex
+
+    emb = _t(spark, sf_dir, "embeddings")
+    work = tempfile.mkdtemp(prefix="dts_ivfpq_")
+    try:
+        idx = IVFIndex(spark, work)
+        idx.build(
+            emb.where(F.col("vec_id") % 2 == 0), n_lists=8, lloyd_iters=1
+        )
+        idx.add(emb.where(F.col("vec_id") % 2 == 1), mode="mor")
+        queries = emb.where((F.col("vec_id") >= 10) & (F.col("vec_id") < 14))
+        # (qid + cid) % 3 == 0  <=>  cid % 3 == (3 - qid % 3) % 3:
+        # an equi-join on the residue, broadcast from the query side
+        pairs = (
+            queries.select(
+                F.col("vec_id").alias("qid"),
+                ((F.lit(3) - F.col("vec_id") % 3) % 3).alias("m"),
+            )
+            .join(
+                emb.select(
+                    F.col("vec_id").alias("cid"),
+                    (F.col("vec_id") % 3).alias("m"),
+                ),
+                "m",
+            )
+            .select("qid", "cid")
+        )
+        exact = idx.search(
+            queries, k=5, n_probe=3, exclude_self=True, pair_filter=pairs
+        ).withColumn("path", F.lit("exact"))
+        quant = idx.search_quantized(
+            queries, k=5, n_probe=3, rescore_factor=4,
+            exclude_self=True, pair_filter=pairs,
+        ).withColumn("path", F.lit("quantized"))
+        return exact.unionByName(quant).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 @query("q_persistent_ivf", _persistent_ivf_oracle())
 def q_persistent_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Persistent IVF index lifecycle, end to end: build on the even

@@ -2571,6 +2571,183 @@ def test_ivf_remove_and_filtered_search(spark, sf_dir, tmp_path):
     assert quant == exact
 
 
+def _rerank_pairs(rows, allowed, k):
+    """Reference re-rank: filter (qid, cid) pairs then re-rank by
+    (cosine desc, cid asc) per qid — the per-query filtered-search
+    contract computed independently of the engine."""
+    from collections import defaultdict
+
+    by_q = defaultdict(list)
+    for r in rows:
+        if (r.qid, r.cid) in allowed:
+            by_q[r.qid].append(r)
+    out = set()
+    for qid, rs in by_q.items():
+        rs.sort(key=lambda r: (-r.cosine, r.cid))
+        for i, r in enumerate(rs[:k], start=1):
+            out.add((qid, r.cid, r.cosine, i))
+    return out
+
+
+def test_ivf_per_query_pair_filter(spark, sf_dir, tmp_path):
+    """Per-query filtered ANN: a (query_id, doc_id) allow frame means
+    each query ranks within ITS OWN allowed set (different per query),
+    on both the exact and the quantized path, bit-identically; the
+    pair filter composes with the global id_filter."""
+    from datalake_toolkit_spark.llm import IVFIndex
+    from datalake_toolkit_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = IVFIndex(spark, str(tmp_path / "ivf"))
+    idx.build(emb.where(F.col("vec_id") % 2 == 0), n_lists=8, lloyd_iters=1)
+    idx.add(emb.where(F.col("vec_id") % 2 == 1), mode="mor")
+    q = emb.where(F.col("vec_id") < 4)
+
+    # per-query allow sets: (qid + cid) % 3 == 0 — deliberately
+    # DIFFERENT per query, the thing a global id_filter can't express
+    pairs = (
+        q.select(F.col("vec_id").alias("qid"))
+        .crossJoin(emb.select(F.col("vec_id").alias("cid")))
+        .where((F.col("qid") + F.col("cid")) % 3 == 0)
+    )
+    allowed = {(r.qid, r.cid) for r in pairs.collect()}
+
+    # reference: unfiltered full-probe search, filtered + re-ranked
+    # outside the engine
+    full = idx.search(q, k=10_000, n_probe=8, exclude_self=True).collect()
+    want = _rerank_pairs(full, allowed, k=5)
+    assert want and len({qid for qid, *_ in want}) == 4
+
+    got = {
+        (r.qid, r.cid, r.cosine, r.rank)
+        for r in idx.search(
+            q, k=5, n_probe=8, exclude_self=True, pair_filter=pairs
+        ).collect()
+    }
+    assert got == want
+    # quantized path: same answers bit-for-bit (full probe, ample
+    # rescore margin — the filter applies BEFORE candidate selection)
+    quant = {
+        (r.qid, r.cid, r.cosine, r.rank)
+        for r in idx.search_quantized(
+            q, k=5, n_probe=8, exclude_self=True,
+            rescore_factor=8, pair_filter=pairs,
+        ).collect()
+    }
+    assert quant == want
+
+    # composes with the global id_filter: intersection semantics
+    allow_even = emb.where(F.col("vec_id") % 2 == 0).select("vec_id")
+    both = {
+        (r.qid, r.cid)
+        for r in idx.search(
+            q, k=5, n_probe=8, exclude_self=True,
+            id_filter=allow_even, pair_filter=pairs,
+        ).collect()
+    }
+    assert both and all(
+        (qid, cid) in allowed and cid % 2 == 0 for qid, cid in both
+    )
+
+
+def test_lexical_and_hybrid_pair_filter(spark, tmp_path):
+    """Per-query filtered lexical + hybrid retrieval: pair_filter
+    restricts each query to its own allowed docs before the top-k cut
+    on keyword, BM25, and the fused hybrid serve; scores equal the
+    unfiltered scores (corpus-global stats — the standard
+    filtered-search contract)."""
+    from datalake_toolkit_spark.llm import IVFIndex, PostingsIndex
+    from datalake_toolkit_spark.llm.search import (
+        hybrid_search_indexed,
+        rrf_fuse,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple banana cherry"),
+            (2, "apple banana"),
+            (3, "apple cherry"),
+            (4, "banana cherry date"),
+            (5, "apple date"),
+        ],
+        "doc_id bigint, text string",
+    )
+    vecs = {
+        1: [1.0, 0.0, 0.1], 2: [0.9, 0.1, 0.0], 3: [0.0, 1.0, 0.1],
+        4: [0.1, 0.9, 0.0], 5: [0.5, 0.5, 0.0],
+    }
+    emb = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()],
+        "doc_id bigint, embedding array<double>",
+    )
+    pidx = PostingsIndex(spark, str(tmp_path / "p"), prefix_len=1)
+    pidx.add(docs)
+    ivf = IVFIndex(
+        spark, str(tmp_path / "v"), id_col="doc_id", vec_col="embedding"
+    )
+    ivf.build(emb, n_lists=2, lloyd_iters=1, dim=3)
+
+    queries = spark.createDataFrame(
+        [(10, "apple banana", [1.0, 0.0, 0.0]),
+         (11, "apple banana", [0.0, 1.0, 0.0])],
+        "query_id bigint, query_text string, query_vec array<double>",
+    )
+    # query 10 may see odd docs, query 11 even docs — per-query sets
+    pairs = spark.createDataFrame(
+        [(10, d) for d in (1, 3, 5)] + [(11, d) for d in (2, 4)],
+        "query_id bigint, doc_id bigint",
+    )
+    allowed = {(10, 1), (10, 3), (10, 5), (11, 2), (11, 4)}
+
+    for method in ("search", "search_bm25"):
+        unf = {
+            (r.query_id, r.doc_id): r
+            for r in getattr(pidx, method)(queries, k=10).collect()
+        }
+        got = getattr(pidx, method)(
+            queries, k=10, pair_filter=pairs
+        ).collect()
+        assert got and all((r.query_id, r.doc_id) in allowed for r in got)
+        for r in got:  # scores unchanged by filtering, ranks re-cut
+            u = unf[(r.query_id, r.doc_id)]
+            if method == "search":
+                assert (r.n_matched, r.sum_tf) == (u.n_matched, u.sum_tf)
+            else:
+                assert r.score == u.score
+        # ranks are dense within the allowed set
+        by_q = {}
+        for r in got:
+            by_q.setdefault(r.query_id, []).append(r.rank)
+        assert all(sorted(v) == list(range(1, len(v) + 1))
+                   for v in by_q.values())
+
+    # hybrid == rrf of the two individually pair-filtered rankings
+    lex = pidx.search(queries, k=10, pair_filter=pairs).select(
+        "query_id", "doc_id", "rank"
+    )
+    vec = ivf.search(
+        queries.select(
+            F.col("query_id").alias("doc_id"),
+            F.col("query_vec").alias("embedding"),
+        ),
+        k=10, n_probe=2, pair_filter=pairs,
+    ).select(
+        F.col("qid").alias("query_id"), F.col("cid").alias("doc_id"), "rank"
+    )
+    want = {
+        tuple(r) for r in rrf_fuse([lex, vec], k=5).collect()
+    }
+    got = {
+        tuple(r)
+        for r in hybrid_search_indexed(
+            pidx, ivf, queries, k=5, k_each=10, n_probe=2,
+            lexical="keyword", pair_filter=pairs,
+        ).collect()
+    }
+    assert got == want and got
+    assert all((r[0], r[1]) in allowed for r in got)
+
+
 def test_postings_remove_escaping_and_legacy_seed(spark, tmp_path):
     """Two review-found hazards pinned: (a) string doc ids containing
     quotes/backslashes must delete exactly themselves (Spark string
@@ -2643,16 +2820,24 @@ def test_postings_corpus_stats_random_mutation_model(spark, tmp_path):
     idx = PostingsIndex(spark, str(tmp_path / "m"), prefix_len=1)
     idx.add(batch(range(30)))
     live = set(range(30))
-    for step in range(5):
-        op = rng.choice(["add", "mor", "replace", "remove"])
+    # the seeded draw below happens to never pick replace_cow, so steps
+    # are (seeded op, forced op): the forced tail guarantees the
+    # cow-mode replace path (delete-then-add against a partition-scoped
+    # copy-on-write rewrite, i.e. carried deletes) is exercised every
+    # run regardless of the seed
+    forced = [None, None, None, None, None, "replace_cow"]
+    for step in range(6):
+        op = forced[step] or rng.choice(
+            ["add", "mor", "replace", "replace_cow", "remove"]
+        )
         ids = rng.sample(sorted(live) + [100 + step], rng.randint(1, 6))
         if op == "remove":
             idx.remove(ids)
         else:
             idx.add(
                 batch(ids),
-                mode="cow" if op == "add" else "mor",
-                replace=(op == "replace"),
+                mode="cow" if op in ("add", "replace_cow") else "mor",
+                replace=op.startswith("replace"),
             )
         truth = idx.doc_stats_t.read().groupBy().agg(
             F.count(F.lit(1)).alias("n"), F.sum("dl").alias("t")
