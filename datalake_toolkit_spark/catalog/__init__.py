@@ -21,6 +21,8 @@ from datalake_toolkit_spark.catalog.search import (
     catalog_walk_documents,
     catalog_search_documents,
     lake_table_documents,
+    raw_file_documents,
+    raw_file_search_documents,
     register_star_schema,
     search_catalog,
 )
@@ -35,6 +37,8 @@ __all__ = [
     "catalog_sql",
     "catalog_search_documents",
     "lake_table_documents",
+    "raw_file_documents",
+    "raw_file_search_documents",
     "catalog_walk_documents",
     "explode_catalog_tables",
     "flatten_catalog_tables",

@@ -112,6 +112,81 @@ def lake_table_documents(
     )
 
 
+def raw_file_documents(spark: SparkSession, ledger_path: str) -> DataFrame:
+    """Per-file RAW-ZONE search documents from the ingestion ledger —
+    the reference indexes every ingested raw file into ES index
+    ``datalake-raw`` with id md5(key) and the file's ingestion facts
+    (lambda/common.py:286-316, plugins/default.py:84-100). Here the
+    ledger (streaming/ingestion.py) already holds those facts as a
+    MERGE-maintained LakeTable; this flattens its current snapshot
+    into one searchable doc per file:
+
+    (doc_id=md5(path), s3_object_name, object_name=basename,
+    data_source=routed plugin, file_status, n_rows, raw_timestamp,
+    batch_id) — the datalake-raw doc shape minus the S3-only HTTP
+    headers. Pure Catalyst expressions over the ledger read; cost is
+    O(ledger), which is O(files ever ingested) metadata, never data.
+    A pipeline that has never committed a ledger (nothing ingested
+    yet) yields an empty frame, not an error — an empty raw zone is
+    a normal catalog state."""
+    from datalake_toolkit_spark.lakehouse import LakeTable
+    from datalake_toolkit_spark.streaming.ingestion import (
+        LEDGER_SCHEMA,
+        read_ledger,
+    )
+
+    if LakeTable(spark, ledger_path).current_version() is None:
+        led = spark.createDataFrame([], LEDGER_SCHEMA)
+    else:
+        led = read_ledger(spark, ledger_path)
+    return led.select(
+        F.md5("s3_object_name").alias("doc_id"),
+        "s3_object_name",
+        F.element_at(F.split("s3_object_name", "/"), -1).alias("object_name"),
+        F.col("plugin").alias("data_source"),
+        "file_status",
+        "n_rows",
+        F.col("updated_at").alias("raw_timestamp"),
+        "batch_id",
+    )
+
+
+def raw_file_search_documents(
+    spark: SparkSession, ledger_path: str
+) -> DataFrame:
+    """The raw-zone files in the SAME search-document shape as
+    ``catalog_search_documents`` / ``lake_table_documents``, so one
+    ``search_catalog`` call runs over a MIXED catalog — Hive tables,
+    lakehouse tables and raw files side by side, the engine's
+    equivalent of the reference's datalake-hive + datalake-raw ES
+    indexes answering one search. database is ``raw``; the searchable
+    tags are the file's name, routed plugin and status; ``columns``
+    carries the ingestion facts as displayable attributes."""
+    d = raw_file_documents(spark, ledger_path)
+    return d.select(
+        F.lit("raw").alias("database"),
+        F.col("object_name").alias("table"),
+        F.array("object_name", "data_source", "file_status").alias(
+            "column_tags"
+        ),
+        F.array("s3_object_name").alias("comment_tags"),
+        F.map_from_arrays(
+            F.array(
+                F.lit("doc_id"),
+                F.lit("data_source"),
+                F.lit("file_status"),
+                F.lit("n_rows"),
+            ),
+            F.array(
+                "doc_id",
+                "data_source",
+                "file_status",
+                F.col("n_rows").cast("string"),
+            ),
+        ).alias("columns"),
+    )
+
+
 def search_catalog(docs: DataFrame, pattern: str) -> DataFrame:
     """The ES fuzzy-lookup plane over the search documents
     (odl_catalog_hive_metadata_es.py:211-224): case-insensitive

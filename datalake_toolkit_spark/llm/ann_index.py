@@ -118,22 +118,63 @@ class IVFIndex:
             ),
         )
 
-    def _has_codes(self) -> bool:
+    def _has_codes(self, at: dict | None = None) -> bool:
         """Whether the committed assignments schema carries the int8
         codes (indexes built before quantization existed don't — they
-        keep working through the exact path; ``rebuild()`` migrates)."""
+        keep working through the exact path; ``rebuild()`` migrates).
+        With a pin, answers for the PINNED schema — a snapshot taken
+        before the quantization migration refuses the fast path even
+        after the live table migrated."""
         import json
 
-        if self.assignments_t.current_version() is None:
+        v = self._pin(at, "assignments")
+        if v is None and self.assignments_t.current_version() is None:
             return True  # a fresh index will be written with codes
-        man = self.assignments_t._manifest()
+        man = self.assignments_t._manifest(v)
         names = {f["name"] for f in json.loads(man["schema"])["fields"]}
         return "code" in names and "scale" in names
 
-    def centroids(self) -> list[list[float]]:
+    @staticmethod
+    def _pin(at: dict | None, table: str) -> int | None:
+        """Resolve a snapshot pin for one table. ``at`` is the dict
+        :meth:`snapshot` returned; None means serve current state.
+        A pin of None INSIDE the dict means the table had never
+        committed at snapshot time — loud error, because read(None)
+        would silently serve the live state instead."""
+        if at is None:
+            return None
+        if table not in at:
+            raise ValueError(f"snapshot pin is missing {table!r}: {at}")
+        v = at[table]
+        if v is None:
+            raise ValueError(
+                f"snapshot pins {table}=None (table had never committed "
+                "when the snapshot was taken) — nothing to serve"
+            )
+        return int(v)
+
+    def snapshot(self) -> dict:
+        """Pin the CURRENT index state for version-stable serving:
+        a dict of per-table versions to pass as ``at=`` to
+        :meth:`search` / :meth:`search_quantized` / :meth:`centroids`.
+        Later adds/removes/rebuilds don't disturb a pinned serve —
+        the time-travel contract the underlying LakeTables already
+        have, lifted to the multi-table index so centroids and
+        assignments always come from ONE consistent commit point."""
+        return {
+            "assignments": self.assignments_t.current_version(),
+            "centroids": self.centroids_t.current_version(),
+        }
+
+    def centroids(self, at: dict | None = None) -> list[list[float]]:
         """The stored centroid matrix, list_id order. Bounded by
-        n_lists — the one collect in the serving path."""
-        rows = self.centroids_t.read().orderBy("list_id").collect()
+        n_lists — the one collect in the serving path. ``at`` pins a
+        :meth:`snapshot`."""
+        rows = (
+            self.centroids_t.read(version=self._pin(at, "centroids"))
+            .orderBy("list_id")
+            .collect()
+        )
         if not rows:
             raise RuntimeError(f"IVF index at {self.path} is empty")
         return [list(r["centroid"]) for r in rows]
@@ -245,14 +286,17 @@ class IVFIndex:
     # -- serving -------------------------------------------------------------
 
     def _probe_frames(
-        self, queries: DataFrame, n_probe: int
+        self, queries: DataFrame, n_probe: int, at: dict | None = None
     ) -> tuple[DataFrame, DataFrame]:
         """The shared serve front half: (probe-exploded query frame
         ``(qid, qv, qn, list_id)``, assignments restricted to the
         probed ``list_id`` partitions). One bounded collect (<= the
         batch's distinct probed lists, itself <= n_lists) decides
-        which directories the read lists."""
-        cents = self.centroids()
+        which directories the read lists. ``at`` pins BOTH tables to
+        a :meth:`snapshot` — centroids and assignments from one
+        consistent commit point."""
+        cents = self.centroids(at)
+        v = self._pin(at, "assignments") if at is not None else None
         n_probe = min(n_probe, len(cents))
         q = (
             self._prep(queries)
@@ -273,12 +317,12 @@ class IVFIndex:
         # include partitions that live ONLY in pending merge-on-read
         # appends (an added vector may open a list no rewrite has
         # localized yet) — owners-only pruning would skip it
-        existing = live_partition_keys(self.assignments_t._manifest())
+        existing = live_partition_keys(self.assignments_t._manifest(v))
         known = sorted(probed & existing)
         if len(known) == len(existing):
-            cand = self.assignments_t.read()
+            cand = self.assignments_t.read(version=v)
         else:
-            cand = self.assignments_t.read(partitions=known)
+            cand = self.assignments_t.read(version=v, partitions=known)
         # pending MoR appends are read un-restricted; the equi-join on
         # list_id downstream keeps only probed lists, so correctness
         # never depends on the pruning
@@ -327,6 +371,7 @@ class IVFIndex:
         exclude_self: bool = False,
         id_filter: DataFrame | None = None,
         pair_filter: DataFrame | None = None,
+        at: dict | None = None,
     ) -> DataFrame:
         """Approximate top-k for each query row: (qid, cid, cosine,
         rank). Each query probes its ``n_probe`` nearest centroids'
@@ -342,8 +387,10 @@ class IVFIndex:
         ``pair_filter`` is its per-query form — a (query_id, doc_id)
         allow frame, so each query ranks within its OWN allowed set
         (both may combine; top-k is computed WITHIN the filtered
-        set)."""
-        q, cand = self._probe_frames(queries, n_probe)
+        set). ``at`` pins a :meth:`snapshot` — the serve reads that
+        version of centroids AND assignments, undisturbed by later
+        adds/removes/rebuilds (index time travel)."""
+        q, cand = self._probe_frames(queries, n_probe, at)
         cand = self._apply_id_filter(cand, id_filter, self.id_col)
         joined = self._apply_pair_filter(
             cand.hint("shuffle_hash").join(F.broadcast(q), "list_id"),
@@ -380,6 +427,7 @@ class IVFIndex:
         exclude_self: bool = False,
         id_filter: DataFrame | None = None,
         pair_filter: DataFrame | None = None,
+        at: dict | None = None,
     ) -> DataFrame:
         """Top-k with the int8 fast path: candidate selection scores
         the probed lists on the stored codes — the scan column-prunes
@@ -402,12 +450,12 @@ class IVFIndex:
                 f"rescore_factor={rescore_factor} (a 0 cutoff would "
                 "silently return no rows)"
             )
-        if not self._has_codes():
+        if not self._has_codes(at):
             raise RuntimeError(
                 "assignments table predates int8 quantization — run "
                 "rebuild() once to store codes (search() still works)"
             )
-        q, cand = self._probe_frames(queries, n_probe)
+        q, cand = self._probe_frames(queries, n_probe, at)
         # filter BEFORE candidate selection so the rescore margin is
         # spent inside the allowed set (filtered-ANN semantics: top-k
         # among allowed, not allowed among top-k); the per-query

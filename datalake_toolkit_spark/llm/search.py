@@ -323,12 +323,46 @@ class PostingsIndex:
             spark, os.path.join(path, "corpus_stats"), stats_columns=()
         )
 
-    def _prefix_len(self) -> int:
+    @staticmethod
+    def _pin(at: dict | None, table: str) -> int | None:
+        """Resolve a snapshot pin for one table (see
+        :meth:`IVFIndex._pin` — same contract: None dict means live
+        state, a None INSIDE the dict is a loud error because
+        read(None) would silently serve live state)."""
+        if at is None:
+            return None
+        if table not in at:
+            raise ValueError(f"snapshot pin is missing {table!r}: {at}")
+        v = at[table]
+        if v is None:
+            raise ValueError(
+                f"snapshot pins {table}=None (table had never committed "
+                "when the snapshot was taken) — nothing to serve"
+            )
+        return int(v)
+
+    def snapshot(self) -> dict:
+        """Pin the CURRENT index state for version-stable serving: a
+        dict of per-table versions to pass as ``at=`` to the search
+        methods. Postings, doc stats and corpus stats are then served
+        from ONE consistent commit point, undisturbed by later adds /
+        removes / maintenance — the time-travel contract the
+        underlying LakeTables already have, lifted to the index."""
+        return {
+            "postings": self.postings_t.current_version(),
+            "doc_stats": self.doc_stats_t.current_version(),
+            "corpus_stats": self.corpus_stats_t.current_version(),
+        }
+
+    def _prefix_len(self, at: dict | None = None) -> int:
         """The committed bucket width, or the creation width for a
-        table that doesn't exist yet."""
-        if self.postings_t.current_version() is None:
+        table that doesn't exist yet. With a pin, the PINNED layout —
+        a snapshot taken before a re-bucketing keeps hashing query
+        terms into the buckets that version stored."""
+        v = self._pin(at, "postings") if at is not None else None
+        if v is None and self.postings_t.current_version() is None:
             return self._creation_prefix_len
-        owners = self.postings_t._manifest()["owners"]
+        owners = self.postings_t._manifest(v)["owners"]
         for key in owners:
             # "term_prefix=ab" -> 2
             return len(key.split("=", 1)[1])
@@ -544,13 +578,30 @@ class PostingsIndex:
             sorted(live_partition_keys(self.doc_stats_t._manifest()))
         )
 
-    def _corpus_stats(self) -> DataFrame:
+    def _corpus_stats(self, at: dict | None = None) -> DataFrame:
         """One row (n_docs, avgdl) for BM25. Served from the <= 256
         cached ``corpus_stats`` rows; an index predating the stats
         table falls back to the doc_stats scan (call
         :meth:`refresh_corpus_stats` once to migrate). The summed
         bucket counts are exact integers, so avgdl divides the same
-        two operands either way — bit-identical scores."""
+        two operands either way — bit-identical scores. A pin whose
+        corpus_stats had never committed (pre-migration snapshot)
+        falls back to the PINNED doc_stats scan — never the live
+        state."""
+        if at is not None:
+            if at.get("corpus_stats") is not None:
+                return self.corpus_stats_t.read(
+                    version=self._pin(at, "corpus_stats")
+                ).groupBy().agg(
+                    F.sum("n_docs").alias("n_docs"),
+                    (F.sum("total_dl") / F.sum("n_docs")).alias("avgdl"),
+                )
+            return self.doc_stats_t.read(
+                version=self._pin(at, "doc_stats")
+            ).groupBy().agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                (F.sum("dl") / F.count(F.lit(1))).alias("avgdl"),
+            )
         if self.corpus_stats_t.current_version() is not None:
             return self.corpus_stats_t.read().groupBy().agg(
                 F.sum("n_docs").alias("n_docs"),
@@ -563,14 +614,18 @@ class PostingsIndex:
             (F.sum("dl") / F.count(F.lit(1))).alias("avgdl"),
         )
 
-    def _probed_postings(self, qterms: DataFrame) -> DataFrame:
+    def _probed_postings(
+        self, qterms: DataFrame, at: dict | None = None
+    ) -> DataFrame:
         """Postings restricted to the buckets the query terms hash
         into — the read lists only those directories (bounded collect:
-        <= 256 prefixes)."""
+        <= 256 prefixes). ``at`` pins a :meth:`snapshot` — bucket
+        layout, pruning AND rows all come from the pinned version."""
+        v = self._pin(at, "postings") if at is not None else None
         touched = {
             f"term_prefix={r['p']}"
             for r in qterms.select(
-                F.substring(F.md5("term"), 1, self._prefix_len()).alias("p")
+                F.substring(F.md5("term"), 1, self._prefix_len(at)).alias("p")
             )
             .distinct()
             .collect()
@@ -578,11 +633,11 @@ class PostingsIndex:
         # a bucket may live ONLY in pending merge-on-read appends (no
         # rewrite has localized it into the owners map yet) — pruning
         # by owners alone would silently miss freshly added terms
-        existing = live_partition_keys(self.postings_t._manifest())
+        existing = live_partition_keys(self.postings_t._manifest(v))
         probe = sorted(touched & existing)
         if len(probe) == len(existing):
-            return self.postings_t.read()
-        return self.postings_t.read(partitions=probe)
+            return self.postings_t.read(version=v)
+        return self.postings_t.read(version=v, partitions=probe)
 
     def plan_probe(self, queries: DataFrame,
                    query_id_col: str = "query_id",
@@ -637,6 +692,7 @@ class PostingsIndex:
         self, queries: DataFrame, k: int = 10,
         query_id_col: str = "query_id", query_text_col: str = "query_text",
         pair_filter: DataFrame | None = None,
+        at: dict | None = None,
     ) -> DataFrame:
         """Exact coordination ranking served from the index —
         identical output contract to :func:`keyword_search_topk`, but
@@ -644,10 +700,12 @@ class PostingsIndex:
         ``pair_filter`` (first column query id, second doc id)
         restricts each query to ITS allowed documents before the
         top-k cut — per-query filtered retrieval; match counts are
-        per-pair facts, so filtering commutes with the scoring."""
+        per-pair facts, so filtering commutes with the scoring.
+        ``at`` pins a :meth:`snapshot` (serve that version,
+        undisturbed by later adds/removes — index time travel)."""
         qterms = _query_terms(queries, query_id_col, query_text_col)
         matched = _apply_pair_filter(
-            self._probed_postings(qterms)
+            self._probed_postings(qterms, at)
             .join(F.broadcast(qterms), "term")
             .groupBy("query_id", "doc_id")
             .agg(
@@ -668,6 +726,7 @@ class PostingsIndex:
     def search_phrase(
         self, queries: DataFrame, k: int = 10,
         query_id_col: str = "query_id", query_text_col: str = "query_text",
+        at: dict | None = None,
     ) -> DataFrame:
         """Exact phrase matching SERVED from the positional index —
         identical output contract to :func:`phrase_search`, but the
@@ -675,15 +734,17 @@ class PostingsIndex:
         buckets (a doc must hold every distinct phrase term) and
         adjacency verifies on the STORED position arrays (an
         occurrence at p needs p+j in term_j's positions), the
-        positional-index equivalent of the batch window compare."""
+        positional-index equivalent of the batch window compare.
+        ``at`` pins a :meth:`snapshot`."""
         return _index_phrase_search(
-            self, queries, k, query_id_col, query_text_col
+            self, queries, k, query_id_col, query_text_col, at
         )
 
     def search_bm25(
         self, queries: DataFrame, k: int = 10, k1: float = 1.2, b: float = 0.75,
         query_id_col: str = "query_id", query_text_col: str = "query_text",
         pair_filter: DataFrame | None = None,
+        at: dict | None = None,
     ) -> DataFrame:
         """BM25 served from the index: df per term is complete within
         the probed buckets (a term's postings never span buckets);
@@ -696,12 +757,13 @@ class PostingsIndex:
         its own allowed documents before the top-k cut; the scoring
         statistics (df, N, avgdl) stay corpus-global — the standard
         filtered-search contract, so a document scores identically
-        filtered or not."""
+        filtered or not. ``at`` pins a :meth:`snapshot` — postings,
+        df and N/avgdl all from one consistent commit point."""
         qterms = _query_terms(queries, query_id_col, query_text_col)
-        post = self._probed_postings(qterms).join(
+        post = self._probed_postings(qterms, at).join(
             F.broadcast(qterms.select("term").distinct()), "term", "left_semi"
         )
-        stats = self._corpus_stats()
+        stats = self._corpus_stats(at)
         df_t = post.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
         scored = (
             post.join(F.broadcast(qterms), "term")
@@ -881,6 +943,8 @@ def hybrid_search_indexed(
     query_text_col: str = "query_text",
     query_vec_col: str = "query_vec",
     pair_filter: DataFrame | None = None,
+    at_lexical: dict | None = None,
+    at_vector: dict | None = None,
 ) -> DataFrame:
     """Hybrid retrieval SERVED entirely from the two persistent
     indexes: the lexical ranking comes from the postings index
@@ -905,7 +969,8 @@ def hybrid_search_indexed(
     (query_id, doc_id) allow frame applied to BOTH modalities before
     their top-``k_each`` cuts, so the fusion ranks within each
     query's own allowed set — per-tenant / per-language filtered
-    hybrid retrieval."""
+    hybrid retrieval. ``at_lexical`` / ``at_vector`` pin each index's
+    :meth:`snapshot` so the whole hybrid serve is version-stable."""
     if lexical not in ("bm25", "keyword"):
         raise ValueError(f"lexical must be bm25|keyword, got {lexical!r}")
     qtext = queries.select(query_id_col, query_text_col)
@@ -913,13 +978,13 @@ def hybrid_search_indexed(
         lex = postings_index.search_bm25(
             qtext, k=k_each, k1=k1, b=b,
             query_id_col=query_id_col, query_text_col=query_text_col,
-            pair_filter=pair_filter,
+            pair_filter=pair_filter, at=at_lexical,
         )
     else:
         lex = postings_index.search(
             qtext, k=k_each,
             query_id_col=query_id_col, query_text_col=query_text_col,
-            pair_filter=pair_filter,
+            pair_filter=pair_filter, at=at_lexical,
         )
     qvec = queries.select(
         F.col(query_id_col).alias(ivf_index.id_col),
@@ -929,12 +994,12 @@ def hybrid_search_indexed(
         ivf_index.search_quantized(
             qvec, k=k_each, n_probe=n_probe,
             rescore_factor=rescore_factor, exclude_self=False,
-            pair_filter=pair_filter,
+            pair_filter=pair_filter, at=at_vector,
         )
         if quantized
         else ivf_index.search(
             qvec, k=k_each, n_probe=n_probe, exclude_self=False,
-            pair_filter=pair_filter,
+            pair_filter=pair_filter, at=at_vector,
         )
     ).select(
         F.col("qid").alias("query_id"),
@@ -949,6 +1014,7 @@ def hybrid_search_indexed(
 def _index_phrase_verified(
     index: "PostingsIndex", queries: DataFrame,
     query_id_col: str, query_text_col: str,
+    at: dict | None = None,
 ) -> DataFrame:
     """(query_id, doc_id, n_occurrences) for every document whose
     STORED positions contain the query phrase adjacently — the
@@ -966,7 +1032,7 @@ def _index_phrase_verified(
         "query_id", F.size(F.array_distinct("phrase")).alias("n_terms")
     )
     grouped = (
-        index._probed_postings(qterms)
+        index._probed_postings(qterms, at)
         .join(F.broadcast(qterms), "term")
         .groupBy("query_id", "doc_id")
         .agg(
@@ -1006,10 +1072,10 @@ def _index_phrase_verified(
 
 
 def _index_phrase_search(index: "PostingsIndex", queries: DataFrame,
-                         k: int, query_id_col: str, query_text_col: str
-                         ) -> DataFrame:
+                         k: int, query_id_col: str, query_text_col: str,
+                         at: dict | None = None) -> DataFrame:
     verified = _index_phrase_verified(
-        index, queries, query_id_col, query_text_col
+        index, queries, query_id_col, query_text_col, at
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("n_occurrences"), F.asc("doc_id")

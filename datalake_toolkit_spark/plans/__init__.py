@@ -18,15 +18,18 @@ from datalake_toolkit_spark.plans import lakehouse_queries  # noqa: F401  (regis
 # for operators added this round. They still run in the local parity
 # suite (tests/test_oracle_parity.py) every round.
 DEMOTED: tuple[str, ...] = (
-    "q4_priority_with_returns",  # r3: semi-join shape kept in-window via q18
-    "q5_region_revenue",
-    "q10_returned_items",
-    "q19_disjunctive_revenue",
+    # r11 staleness rotation: six r2-stale shapes RETURN to the window
+    # (q4_priority_with_returns, q5_region_revenue, q10_returned_items,
+    # q19_disjunctive_revenue, q_nation_region,
+    # q_rollup_supplier_balance — removed from this tuple), plus the
+    # three r11 births enter (q_filtered_ann_per_query,
+    # q_index_time_travel, q_raw_file_docs — never driver-checked).
+    # Nine multi-green shapes rotate out in exchange (tagged "r11"
+    # below), each with its plan shape still covered in-window.
     "q_retained_customers",
     "q_churned_customers",
     "q_customers_without_orders",
     "q_big_spenders",
-    "q_nation_region",
     # r4 rotation: q_year_orders / q_escape_props / q_uri_normalize /
     # q_user_event_map return to the window (their shared helpers —
     # events.ts loading, scalar functions — changed in r3/r4); in
@@ -53,7 +56,6 @@ DEMOTED: tuple[str, ...] = (
     "q_jaccard_near_dups",  # exact baseline; q_minhash_near_dups stays in-window
     "q_embedding_norms",
     "q_approx_aggregates",
-    "q_rollup_supplier_balance",
     # r5 second wave: five curation queries enter the window
     # (q_decontaminate, q_repetition_stats, q_pii_redact,
     # q_domain_mixture, q_pack_windows); five 4x-green (r1-r4) shapes
@@ -253,6 +255,17 @@ DEMOTED: tuple[str, ...] = (
     # its multi-dim join-tree shape stays covered in-window by
     # q9_product_profit and q21_waiting_suppliers.
     "q7_volume_shipping",
+    # r11 rotation (see the header comment): nine multi-green shapes
+    # out for the three births + six stale returns.
+    "q3_shipping_priority",  # 3x (r1,r2,r10); join-agg-topk ~ q5/q10 returning
+    "q6_forecast_revenue",  # 3x (r1,r2,r10); filter-agg ~ q19 returning
+    "q_source_route",  # 2x (r3,r10); regex routing runs INSIDE q_raw_file_docs' real pipeline
+    "q_incremental_minhash",  # 4x (r7-r10); band-keyed ledger ~ q_stream_near_dedup + q_incremental_semantic
+    "q_centered_cosine_near_dups",  # 4x (r7-r10); banded-cosine pairing composed by q_semantic_dedup
+    "q_persistent_ivf",  # 2x (r9,r10); IVF lifecycle+serve ~ q_ivf_quantized + q_filtered_ann(+_per_query)
+    "q_keyword_search",  # 2x (r9,r10); same output contract served by q_postings_search
+    "q_phrase_search",  # 2x (r9,r10); batch phrase ~ q_index_phrase (positions-served superset)
+    "q_hybrid_search",  # 2x (r9,r10); batch fusion ~ q_index_hybrid (index-served superset)
 )
 
 GATE_WINDOW = 50

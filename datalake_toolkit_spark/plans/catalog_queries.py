@@ -478,3 +478,82 @@ def q_catalog_skewed_info(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("locmap_str"),
     )
+
+
+@query(
+    "q_raw_file_docs",
+    """
+    WITH base AS (
+      SELECT 'docs_even.csv' AS object_name, 'docs' AS data_source,
+             'LOADED' AS file_status,
+             (SELECT count(*) FROM documents WHERE doc_id % 2 = 0) AS n_rows
+      UNION ALL
+      SELECT 'ignore_odd.csv', 'skip_file', 'SKIPPED',
+             (SELECT count(*) FROM documents WHERE doc_id % 2 = 1)
+      UNION ALL
+      SELECT 'mystery.tsv', '__unmatched__', 'UNMATCHED',
+             (SELECT count(*) FROM documents WHERE doc_id < 5)
+    )
+    SELECT object_name, data_source, file_status, n_rows FROM base
+    """,
+)
+def q_raw_file_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-file RAW-ZONE search documents, end to end: three staged
+    files (a routed load, a skip-plugin match, an unmatched quarantine)
+    drain through the REAL IngestionPipeline — checkpointed discovery,
+    regex routing, ledger state machine — and the committed ledger
+    flattens into the datalake-raw-shaped docs
+    (catalog.raw_file_documents; reference parity
+    lambda/common.py:286-316, one ES doc per ingested file with
+    id=md5(key)). The gate hash-checks the deterministic doc columns
+    (name, routed plugin, terminal status, row count) against the
+    relational expectation; the md5 id and mixed-catalog search shape
+    are pinned by pytest (paths are temp-dir-relative here)."""
+    import os
+    import shutil
+    import tempfile
+
+    from datalake_toolkit_spark.catalog import raw_file_documents
+    from datalake_toolkit_spark.streaming.ingestion import (
+        IngestionPipeline,
+        RoutePlugin,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    work = tempfile.mkdtemp(prefix="dts_rawdocs_")
+    try:
+        src = os.path.join(work, "incoming")
+        os.mkdir(src)
+
+        def stage(df, name: str) -> None:
+            d = os.path.join(work, "_" + name)
+            df.coalesce(1).write.option("header", "false").csv(d)
+            part = next(
+                f for f in os.listdir(d)
+                if f.startswith("part-") and f.endswith(".csv")
+            )
+            shutil.move(os.path.join(d, part), os.path.join(src, name))
+
+        stage(docs.where(F.col("doc_id") % 2 == 0), "docs_even.csv")
+        stage(docs.where(F.col("doc_id") % 2 == 1), "ignore_odd.csv")
+        stage(docs.where(F.col("doc_id") < 5), "mystery.tsv")
+
+        pipeline = IngestionPipeline(
+            spark=spark,
+            source_dir=src,
+            schema="doc_id bigint, source string",
+            output_path=os.path.join(work, "out"),
+            ledger_path=os.path.join(work, "ledger"),
+            checkpoint_dir=os.path.join(work, "ckpt"),
+            plugins=[
+                RoutePlugin("skip_file", r"ignore_.*\.csv$", skip=True),
+                RoutePlugin("docs", r"docs_.*\.csv$"),
+            ],
+        )
+        pipeline.run_available_now()
+        out = raw_file_documents(spark, os.path.join(work, "ledger")).select(
+            "object_name", "data_source", "file_status", "n_rows"
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

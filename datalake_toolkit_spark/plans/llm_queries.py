@@ -1640,6 +1640,64 @@ def q_postings_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_index_time_travel",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS w
+      FROM documents),
+    d AS (SELECT doc_id, w FROM toks WHERE len(w) > 0),
+    corpus AS (SELECT doc_id, w FROM d WHERE doc_id % 2 = 0),
+    post AS (SELECT doc_id, term, count(*) AS tf
+             FROM (SELECT doc_id, unnest(w) AS term FROM corpus)
+             GROUP BY doc_id, term),
+    q AS (SELECT doc_id AS query_id, unnest(list_distinct(w[1:6])) AS term
+          FROM d WHERE doc_id >= 3 AND doc_id < 6),
+    m AS (SELECT q.query_id, p.doc_id, count(*) AS n_matched,
+                 CAST(sum(p.tf) AS BIGINT) AS sum_tf
+          FROM q JOIN post p USING (term) GROUP BY 1, 2),
+    r AS (SELECT query_id, doc_id, n_matched, sum_tf,
+          CAST(row_number() OVER (PARTITION BY query_id
+            ORDER BY n_matched DESC, sum_tf DESC, doc_id) AS INTEGER)
+            AS rank
+          FROM m)
+    SELECT query_id, doc_id, n_matched, sum_tf, rank FROM r WHERE rank <= 12
+    """,
+)
+def q_index_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VERSION-PINNED index serving: index the even doc_ids, pin that
+    state with ``snapshot()``, then mutate the live index hard — the
+    odd half lands as a MoR add AND two even docs are removed — and
+    serve the pinned snapshot. The pinned serve must equal a
+    relational replay over the even half ONLY (the removed docs still
+    present, the odd half invisible): postings, doc stats and bucket
+    layout all come from one consistent commit point, the time-travel
+    contract the LakeTables already have lifted to the multi-table
+    index. Integer-exact outputs (n_matched, sum_tf), so hash-gated."""
+    import shutil
+    import tempfile
+
+    from datalake_toolkit_spark.llm import PostingsIndex
+    from datalake_toolkit_spark.llm.search import _tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    queries = docs.where((F.col("doc_id") >= 3) & (F.col("doc_id") < 6)).select(
+        F.col("doc_id").alias("query_id"),
+        F.concat_ws(" ", F.slice(_tokens("text"), 1, 6)).alias("query_text"),
+    )
+    work = tempfile.mkdtemp(prefix="dts_idxtt_")
+    try:
+        idx = PostingsIndex(spark, work, prefix_len=1)
+        idx.add(docs.where(F.col("doc_id") % 2 == 0))
+        snap = idx.snapshot()
+        idx.add(docs.where(F.col("doc_id") % 2 == 1), mode="mor")
+        idx.remove([0, 2])
+        return idx.search(queries, k=12, at=snap).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@query(
     "q_phrase_search",
     """
     WITH toks AS (

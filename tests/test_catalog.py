@@ -298,6 +298,73 @@ def test_lake_table_documents_mixed_search(spark, tmp_path, sf_dir):
     assert hits == {"orders": "o_custkey", "cust_lake": "c_custkey"}
 
 
+def test_raw_file_documents_and_mixed_search(spark, tmp_path, sf_dir):
+    """Raw-zone per-file docs (reference: ES index datalake-raw,
+    id=md5(key), lambda/common.py:286-316): the ingestion ledger
+    flattens into one doc per file with the md5 id, and those docs
+    join Hive table docs in ONE search_catalog call (mixed catalog)."""
+    import hashlib
+    import os
+
+    from datalake_toolkit_spark.catalog import (
+        catalog_search_documents,
+        raw_file_documents,
+        raw_file_search_documents,
+        register_star_schema,
+        search_catalog,
+    )
+    from datalake_toolkit_spark.streaming.ingestion import (
+        IngestionPipeline,
+        RoutePlugin,
+    )
+
+    src = tmp_path / "incoming"
+    src.mkdir()
+    (src / "orders_a.csv").write_text("1,x\n2,y\n")
+    (src / "junk.dat").write_text("3,z\n")
+    IngestionPipeline(
+        spark=spark,
+        source_dir=str(src),
+        schema="id bigint, v string",
+        output_path=str(tmp_path / "out"),
+        ledger_path=str(tmp_path / "ledger"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        plugins=[RoutePlugin("orders_files", r"orders_.*\.csv$")],
+    ).run_available_now()
+
+    docs = {
+        r.object_name: r
+        for r in raw_file_documents(spark, str(tmp_path / "ledger")).collect()
+    }
+    assert set(docs) == {"orders_a.csv", "junk.dat"}
+    a = docs["orders_a.csv"]
+    # id parity: md5 of the full file key, like the reference's es_id
+    assert a.doc_id == hashlib.md5(a.s3_object_name.encode()).hexdigest()
+    assert os.path.basename(a.s3_object_name) == "orders_a.csv"
+    assert (a.data_source, a.file_status, a.n_rows) == (
+        "orders_files", "LOADED", 2,
+    )
+    assert (docs["junk.dat"].file_status, docs["junk.dat"].n_rows) == (
+        "UNMATCHED", 1,
+    )
+
+    # mixed search: one query over Hive table docs + raw-file docs
+    register_star_schema(spark, sf_dir)
+    mixed = catalog_search_documents(spark, ["orders", "nation"]).unionByName(
+        raw_file_search_documents(spark, str(tmp_path / "ledger")),
+        allowMissingColumns=True,
+    )
+    hits = {
+        r.table_name: r.matched_columns
+        for r in search_catalog(mixed, "orders").collect()
+    }
+    assert "orders_a.csv" in hits and "orders" in hits
+    assert "orders_files" in hits["orders_a.csv"]
+    # status is a searchable tag too (find everything quarantined)
+    unm = {r.table_name for r in search_catalog(mixed, "UNMATCHED").collect()}
+    assert unm == {"junk.dat"}
+
+
 def test_catalog_walk_bulk_matches_sql(spark, sf_dir):
     """The native bulk walk produces byte-identical documents to the
     parity SQL-passthrough walk while never entering the passthrough

@@ -2748,6 +2748,109 @@ def test_lexical_and_hybrid_pair_filter(spark, tmp_path):
     assert all((r[0], r[1]) in allowed for r in got)
 
 
+def test_index_snapshot_serving(spark, tmp_path):
+    """Version-pinned index serving: snapshot() pins a consistent
+    per-table version set; searches with at=pin serve exactly the
+    pinned state — later adds, removes and replace-adds change
+    nothing — while unpinned searches see live state. Covers keyword
+    / BM25 / phrase on the postings index and exact / quantized on
+    the IVF index; pins to never-committed tables fail loudly."""
+    import math
+
+    import pytest
+
+    from datalake_toolkit_spark.llm import IVFIndex, PostingsIndex
+
+    batch1 = spark.createDataFrame(
+        [(1, "apple banana cherry"), (2, "apple banana apple"),
+         (3, "cherry date")],
+        "doc_id bigint, text string",
+    )
+    batch2 = spark.createDataFrame(
+        [(4, "apple apple apple"), (1, "banana date")],
+        "doc_id bigint, text string",
+    )
+    queries = spark.createDataFrame(
+        [(0, "apple banana"), (1, "cherry date")],
+        "query_id bigint, query_text string",
+    )
+
+    idx = PostingsIndex(spark, str(tmp_path / "p"), prefix_len=1)
+    # a fresh index's snapshot pins None — using it must be loud
+    with pytest.raises(ValueError, match="never committed"):
+        idx._probed_postings(
+            spark.createDataFrame([("apple",)], "term string"),
+            at=idx.snapshot(),
+        )
+    idx.add(batch1)
+    snap = idx.snapshot()
+    # reference: an index holding ONLY batch1
+    ref = PostingsIndex(spark, str(tmp_path / "ref"), prefix_len=1)
+    ref.add(batch1)
+    # mutate live state heavily: re-add doc 1 with changed text, a new
+    # doc, and remove doc 3
+    idx.add(batch2, mode="mor", replace=True)
+    idx.remove([3])
+
+    got_kw = {tuple(r) for r in idx.search(queries, k=10, at=snap).collect()}
+    want_kw = {tuple(r) for r in ref.search(queries, k=10).collect()}
+    assert got_kw == want_kw and got_kw
+    # live serve differs (doc 3 gone, doc 4 present, doc 1 changed)
+    live_kw = {tuple(r) for r in idx.search(queries, k=10).collect()}
+    assert live_kw != got_kw
+    assert 4 in {d for _, d, *_ in live_kw} and 3 not in {
+        d for _, d, *_ in live_kw
+    }
+
+    got_bm = {
+        (r.query_id, r.doc_id, r.rank): r.score
+        for r in idx.search_bm25(queries, k=10, at=snap).collect()
+    }
+    want_bm = {
+        (r.query_id, r.doc_id, r.rank): r.score
+        for r in ref.search_bm25(queries, k=10).collect()
+    }
+    assert set(got_bm) == set(want_bm) and got_bm
+    for key, s in want_bm.items():
+        assert math.isclose(got_bm[key], s, rel_tol=1e-12)
+
+    phrase_q = spark.createDataFrame(
+        [(0, "apple banana")], "query_id bigint, query_text string"
+    )
+    got_ph = {
+        tuple(r) for r in idx.search_phrase(phrase_q, k=10, at=snap).collect()
+    }
+    want_ph = {tuple(r) for r in ref.search_phrase(phrase_q, k=10).collect()}
+    assert got_ph == want_ph and got_ph
+
+    # IVF: pin build-state, then add + remove; pinned serve unchanged
+    vecs = [(i, [float(i == j) + 0.1 * j for j in range(4)]) for i in range(6)]
+    emb = spark.createDataFrame(vecs, "vec_id bigint, embedding array<double>")
+    ivf = IVFIndex(spark, str(tmp_path / "v"))
+    ivf.build(emb.where(F.col("vec_id") < 4), n_lists=2, lloyd_iters=1, dim=4)
+    vsnap = ivf.snapshot()
+    vref = IVFIndex(spark, str(tmp_path / "vref"))
+    vref.build(emb.where(F.col("vec_id") < 4), n_lists=2, lloyd_iters=1, dim=4)
+    ivf.add(emb.where(F.col("vec_id") >= 4), mode="mor")
+    ivf.remove([0])
+    q = emb.where(F.col("vec_id") < 2)
+    for method in ("search", "search_quantized"):
+        got = {
+            tuple(r)
+            for r in getattr(ivf, method)(q, k=10, n_probe=2, at=vsnap).collect()
+        }
+        want = {
+            tuple(r) for r in getattr(vref, method)(q, k=10, n_probe=2).collect()
+        }
+        assert got == want and got
+        live = {
+            tuple(r) for r in getattr(ivf, method)(q, k=10, n_probe=2).collect()
+        }
+        assert live != got  # vec 0 removed + 4,5 added live
+    with pytest.raises(ValueError, match="missing"):
+        ivf.search(q, k=3, at={"assignments": 0})
+
+
 def test_postings_remove_escaping_and_legacy_seed(spark, tmp_path):
     """Two review-found hazards pinned: (a) string doc ids containing
     quotes/backslashes must delete exactly themselves (Spark string
