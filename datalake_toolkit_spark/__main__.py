@@ -163,13 +163,16 @@ def _build_parser() -> argparse.ArgumentParser:
     se.add_argument(
         "action",
         choices=["query", "index-add", "index-query", "index-probe",
-                 "index-maintain", "index-remove", "hybrid"],
+                 "index-maintain", "index-remove", "index-rebucket",
+                 "hybrid"],
         help="query: one-shot over --docs; index-add: build/extend the "
              "persistent index at --index from --docs; index-query: "
              "serve from --index; index-probe: report what a query "
              "would open (no search); index-maintain: drain pending "
-             "MoR state + vacuum; hybrid: RRF-fuse --index (lexical) "
-             "with --ann-path (vector) over --queries",
+             "MoR state + vacuum; index-rebucket: re-hash to "
+             "--prefix-len buckets (answers unchanged, probe cost "
+             "re-sized); hybrid: RRF-fuse --index (lexical) with "
+             "--ann-path (vector) over --queries",
     )
     se.add_argument("--docs", default=None,
                 help="documents parquet (doc_id, text)")
@@ -186,6 +189,9 @@ def _build_parser() -> argparse.ArgumentParser:
                 help="index-add: delete-then-add (changed re-adds)")
     se.add_argument("--ids", default=None,
                 help="index-remove: comma-separated doc ids")
+    se.add_argument("--prefix-len", type=int, default=None,
+                help="index-rebucket: new bucket width in hex chars "
+                     "(1 -> 16 buckets, 2 -> 256)")
     se.add_argument("--ann-path", default=None,
                 help="IVFIndex root for action=hybrid")
     se.add_argument("--queries", default=None,
@@ -598,6 +604,14 @@ def _cmd_search(args: argparse.Namespace) -> int:
             raise SystemExit("index-maintain needs --index")
         PostingsIndex(spark, args.index).maintain(keep_last=args.keep_last)
         print(json.dumps({"maintained": args.index}))
+        return 0
+    if args.action == "index-rebucket":
+        if not (args.index and args.prefix_len):
+            raise SystemExit("index-rebucket needs --index and --prefix-len")
+        PostingsIndex(spark, args.index).rebucket(args.prefix_len)
+        print(json.dumps(
+            {"rebucketed": args.index, "prefix_len": args.prefix_len}
+        ))
         return 0
     if not args.query:
         raise SystemExit(f"{args.action} needs --query")

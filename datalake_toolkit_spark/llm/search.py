@@ -567,6 +567,55 @@ class PostingsIndex:
         live = live_partition_keys(self.doc_stats_t._manifest())
         return sorted(touched & live)
 
+    def bucket_sizes(self) -> DataFrame:
+        """(term_prefix, n_postings) — the bucket-width monitor that
+        decides when :meth:`rebucket` is due (the postings analogue of
+        ``IVFIndex.list_sizes``): when the hot buckets' p95 grows past
+        what one query should read, re-hash to a wider prefix."""
+        return (
+            self.postings_t.read()
+            .groupBy("term_prefix")
+            .agg(F.count(F.lit(1)).alias("n_postings"))
+        )
+
+    def rebucket(self, prefix_len: int) -> None:
+        """Re-hash the index to a different bucket width — the
+        governance lever for corpus growth: a width that gave tidy
+        buckets at 1 TB makes every query read 1/16 of a 100 TB
+        corpus, so widen (1 -> 2 hex chars = 16 -> 256 buckets) when
+        :meth:`bucket_sizes` shows the probe cost drifting up.
+
+        One full O(index) maintenance pass, scheduled like ``rebuild``
+        / ledger retention, never per-batch: both partitioned tables
+        re-hash their bucket column from the SAME stored rows and
+        snapshot-write (which also materializes any pending
+        merge-on-read state — a rebucket doubles as a compaction), and
+        the corpus stats recompute wholesale from the new doc_stats
+        layout. Serve answers are unchanged by construction — bucket
+        assignment never enters scoring, only pruning — and pinned
+        (``at=``) serves taken BEFORE the rebucket keep reading the
+        old layout, because ``_prefix_len(at)`` resolves the width
+        from the pinned manifest."""
+        if not 1 <= int(prefix_len) <= 8:
+            raise ValueError(f"prefix_len must be in 1..8, got {prefix_len}")
+        if self.postings_t.current_version() is None:
+            self._creation_prefix_len = int(prefix_len)
+            return
+        plen = int(prefix_len)
+        post = self.postings_t.read().withColumn(
+            "term_prefix", F.substring(F.md5("term"), 1, plen)
+        )
+        self.postings_t.write(post, op=f"rebucket({plen})")
+        if self.doc_stats_t.current_version() is not None:
+            stats = self.doc_stats_t.read().withColumn(
+                "dhash_prefix",
+                F.substring(F.md5(F.col("doc_id").cast("string")), 1, plen),
+            )
+            self.doc_stats_t.write(stats, op=f"rebucket({plen})")
+            self._refresh_corpus_stats(
+                sorted(live_partition_keys(self.doc_stats_t._manifest()))
+            )
+
     def refresh_corpus_stats(self) -> None:
         """Rebuild ``corpus_stats`` from every doc_stats bucket — the
         migration path for an index written before corpus stats

@@ -1109,3 +1109,22 @@ def test_cli_hybrid_and_quantized_actions(spark, tmp_path, capsys):
     arows = [json_mod.loads(ln) for ln in
              capsys.readouterr().out.strip().splitlines()]
     assert 2 not in {r["cid"] for r in arows} and arows
+
+    # governance from the shell: rebucket to a wider prefix — answers
+    # unchanged, probe report shows the new width
+    assert main(["search", "index-query", "--index", idx_path,
+                 "--query", "green"]) == 0
+    pre = capsys.readouterr().out.strip()
+    assert main(["search", "index-rebucket", "--index", idx_path,
+                 "--prefix-len", "2"]) == 0
+    capsys.readouterr()
+    assert main(["search", "index-query", "--index", idx_path,
+                 "--query", "green"]) == 0
+    assert capsys.readouterr().out.strip() == pre
+    assert main(["search", "index-probe", "--index", idx_path,
+                 "--query", "green"]) == 0
+    assert json_mod.loads(capsys.readouterr().out.strip())["prefix_len"] == 2
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit, match="prefix-len"):
+        main(["search", "index-rebucket", "--index", idx_path])

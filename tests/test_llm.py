@@ -2901,6 +2901,106 @@ def test_postings_remove_escaping_and_legacy_seed(spark, tmp_path):
     assert (cached.n, cached.t) == (truth.n, truth.t) == (59, truth.t)
 
 
+def test_postings_rebucket_governance(spark, tmp_path):
+    """rebucket(): re-hash the index to a wider prefix — serve answers
+    unchanged across the rebucket (keyword, bm25, phrase), probe cost
+    reduced (the probed buckets hold fewer unrelated postings), corpus
+    stats still truth-equal under the new layout, a snapshot pinned
+    BEFORE the rebucket still serves the OLD layout, and post-rebucket
+    adds hash into the new one."""
+    import math
+
+    from datalake_toolkit_spark.llm import PostingsIndex
+    from datalake_toolkit_spark.llm.search import _query_terms
+
+    docs = spark.createDataFrame(
+        [(i, f"common shared w{i % 7} filler{i}") for i in range(80)],
+        "doc_id bigint, text string",
+    )
+    queries = spark.createDataFrame(
+        [(0, "w3 shared"), (1, "filler5 common")],
+        "query_id bigint, query_text string",
+    )
+    idx = PostingsIndex(spark, str(tmp_path / "rb"), prefix_len=1)
+    idx.add(docs.where(F.col("doc_id") < 50))
+    idx.add(docs.where(F.col("doc_id") >= 50), mode="mor")  # pending MoR
+    snap = idx.snapshot()
+
+    qterms = _query_terms(queries, "query_id", "query_text")
+    before_kw = {tuple(r) for r in idx.search(queries, k=10).collect()}
+    before_bm = {
+        (r.query_id, r.doc_id, r.rank): r.score
+        for r in idx.search_bm25(queries, k=10).collect()
+    }
+    before_ph = {
+        tuple(r)
+        for r in idx.search_phrase(
+            spark.createDataFrame(
+                [(0, "common shared")], "query_id bigint, query_text string"
+            ),
+            k=10,
+        ).collect()
+    }
+    rows_before = idx._probed_postings(qterms).count()
+    rep_before = idx.plan_probe(queries)
+    assert rep_before["prefix_len"] == 1 and rep_before["buckets_total"] <= 16
+
+    idx.rebucket(2)
+    rep_after = idx.plan_probe(queries)
+    assert rep_after["prefix_len"] == 2
+    assert rep_after["buckets_total"] > rep_before["buckets_total"]
+    # the probed read now carries fewer unrelated postings
+    rows_after = idx._probed_postings(qterms).count()
+    assert rows_after < rows_before
+
+    assert {tuple(r) for r in idx.search(queries, k=10).collect()} == before_kw
+    after_bm = {
+        (r.query_id, r.doc_id, r.rank): r.score
+        for r in idx.search_bm25(queries, k=10).collect()
+    }
+    assert set(after_bm) == set(before_bm)
+    for key, s in before_bm.items():
+        assert math.isclose(after_bm[key], s, rel_tol=1e-12)
+    assert {
+        tuple(r)
+        for r in idx.search_phrase(
+            spark.createDataFrame(
+                [(0, "common shared")], "query_id bigint, query_text string"
+            ),
+            k=10,
+        ).collect()
+    } == before_ph
+    # corpus stats recomputed under the new layout, still the truth
+    truth = idx.doc_stats_t.read().groupBy().agg(
+        F.count(F.lit(1)).alias("n"), F.sum("dl").alias("t")
+    ).collect()[0]
+    cached = idx.corpus_stats_t.read().groupBy().agg(
+        F.sum("n_docs").alias("n"), F.sum("total_dl").alias("t")
+    ).collect()[0]
+    assert (cached.n, cached.t) == (truth.n, truth.t)
+    # a pre-rebucket snapshot still serves the OLD layout, same answers
+    assert {
+        tuple(r) for r in idx.search(queries, k=10, at=snap).collect()
+    } == before_kw
+    # post-rebucket adds hash into the new layout and serve correctly
+    idx.add(
+        spark.createDataFrame(
+            [(200, "brandnew shared")], "doc_id bigint, text string"
+        ),
+        mode="mor",
+    )
+    hits = {
+        r.doc_id
+        for r in idx.search(
+            spark.createDataFrame(
+                [(9, "brandnew")], "query_id bigint, query_text string"
+            ),
+            k=5,
+        ).collect()
+    }
+    assert hits == {200}
+
+
 def test_postings_corpus_stats_random_mutation_model(spark, tmp_path):
     """Model check: after ANY seeded sequence of add / mor-add /
     replace-add / remove (including re-adds with changed text and
