@@ -608,7 +608,18 @@ def _cmd_search(args: argparse.Namespace) -> int:
     if args.action == "index-rebucket":
         if not (args.index and args.prefix_len):
             raise SystemExit("index-rebucket needs --index and --prefix-len")
-        PostingsIndex(spark, args.index).rebucket(args.prefix_len)
+        idx = PostingsIndex(spark, args.index)
+        # the library no-op (set the creation width on an in-process
+        # instance) persists NOTHING from a CLI process — refuse
+        # instead of printing a success for a table that doesn't exist
+        if idx.postings_t.current_version() is None:
+            raise SystemExit(
+                f"index at {args.index} has never been created — the "
+                "bucket width of a new index is set by the first "
+                "index-add (PostingsIndex(prefix_len=...)), not by "
+                "rebucket"
+            )
+        idx.rebucket(args.prefix_len)
         print(json.dumps(
             {"rebucketed": args.index, "prefix_len": args.prefix_len}
         ))

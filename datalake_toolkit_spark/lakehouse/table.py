@@ -142,6 +142,29 @@ def live_partition_keys(manifest: dict) -> set[str]:
     }
 
 
+def resolve_pin(at: dict | None, table: str) -> int | None:
+    """Resolve one table's version from a multi-table snapshot pin
+    (the dict an index's ``snapshot()`` returns). ``at=None`` means
+    serve live state (returns None, i.e. read latest). A pin that is
+    MISSING the table, or that pins it to None (the table had never
+    committed when the snapshot was taken), errors loudly — passing
+    None through to ``read(version=None)`` would silently serve the
+    live state instead of the snapshot. Shared by every multi-table
+    index (PostingsIndex, IVFIndex) so the pin contract can't
+    diverge between them."""
+    if at is None:
+        return None
+    if table not in at:
+        raise ValueError(f"snapshot pin is missing {table!r}: {at}")
+    v = at[table]
+    if v is None:
+        raise ValueError(
+            f"snapshot pins {table}=None (table had never committed "
+            "when the snapshot was taken) — nothing to serve"
+        )
+    return int(v)
+
+
 def _stats_eligible(schema: T.StructType) -> list[str]:
     """Top-level columns file stats can be kept for: orderable
     primitives whose parquet footer min/max round-trip to JSON-safe

@@ -41,7 +41,10 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from datalake_toolkit_spark.lakehouse import LakeTable
-from datalake_toolkit_spark.lakehouse.table import live_partition_keys
+from datalake_toolkit_spark.lakehouse.table import (
+    live_partition_keys,
+    resolve_pin,
+)
 from datalake_toolkit_spark.llm.similarity import (
     _as_double,
     _fold_sum,
@@ -134,24 +137,8 @@ class IVFIndex:
         names = {f["name"] for f in json.loads(man["schema"])["fields"]}
         return "code" in names and "scale" in names
 
-    @staticmethod
-    def _pin(at: dict | None, table: str) -> int | None:
-        """Resolve a snapshot pin for one table. ``at`` is the dict
-        :meth:`snapshot` returned; None means serve current state.
-        A pin of None INSIDE the dict means the table had never
-        committed at snapshot time — loud error, because read(None)
-        would silently serve the live state instead."""
-        if at is None:
-            return None
-        if table not in at:
-            raise ValueError(f"snapshot pin is missing {table!r}: {at}")
-        v = at[table]
-        if v is None:
-            raise ValueError(
-                f"snapshot pins {table}=None (table had never committed "
-                "when the snapshot was taken) — nothing to serve"
-            )
-        return int(v)
+    # the shared multi-table pin contract (lakehouse.table.resolve_pin)
+    _pin = staticmethod(resolve_pin)
 
     def snapshot(self) -> dict:
         """Pin the CURRENT index state for version-stable serving:
@@ -245,15 +232,24 @@ class IVFIndex:
         merges on, so tombstones and appends stack cleanly). Removing
         an absent id is a no-op. Returns the committed version, or
         None when there was nothing to do."""
+        import numbers
+
         ids = list(ids)
         if not ids or self.assignments_t.current_version() is None:
             return None
         # validate homogeneity up front — a mixed str/int list would
-        # die inside createDataFrame with an opaque Spark type error
+        # die inside createDataFrame with an opaque Spark type error.
+        # Integral covers numpy/arrow integer scalars too (coerced to
+        # plain int below — createDataFrame rejects np.int64 rows);
+        # bool is excluded (it IS Integral, but a True id is a bug)
         if all(isinstance(i, str) for i in ids):
             id_type = "string"
-        elif all(isinstance(i, int) and not isinstance(i, bool) for i in ids):
+        elif all(
+            isinstance(i, numbers.Integral) and not isinstance(i, bool)
+            for i in ids
+        ):
             id_type = "bigint"
+            ids = [int(i) for i in ids]
         else:
             raise ValueError(
                 "remove() ids must be all-str or all-int, got types "

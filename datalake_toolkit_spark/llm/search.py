@@ -27,7 +27,10 @@ import os
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from datalake_toolkit_spark.lakehouse.table import live_partition_keys
+from datalake_toolkit_spark.lakehouse.table import (
+    live_partition_keys,
+    resolve_pin,
+)
 
 
 def _tokens(text_col: str) -> Column:
@@ -323,23 +326,8 @@ class PostingsIndex:
             spark, os.path.join(path, "corpus_stats"), stats_columns=()
         )
 
-    @staticmethod
-    def _pin(at: dict | None, table: str) -> int | None:
-        """Resolve a snapshot pin for one table (see
-        :meth:`IVFIndex._pin` — same contract: None dict means live
-        state, a None INSIDE the dict is a loud error because
-        read(None) would silently serve live state)."""
-        if at is None:
-            return None
-        if table not in at:
-            raise ValueError(f"snapshot pin is missing {table!r}: {at}")
-        v = at[table]
-        if v is None:
-            raise ValueError(
-                f"snapshot pins {table}=None (table had never committed "
-                "when the snapshot was taken) — nothing to serve"
-            )
-        return int(v)
+    # the shared multi-table pin contract (lakehouse.table.resolve_pin)
+    _pin = staticmethod(resolve_pin)
 
     def snapshot(self) -> dict:
         """Pin the CURRENT index state for version-stable serving: a
@@ -355,10 +343,11 @@ class PostingsIndex:
         }
 
     def _prefix_len(self, at: dict | None = None) -> int:
-        """The committed bucket width, or the creation width for a
-        table that doesn't exist yet. With a pin, the PINNED layout —
-        a snapshot taken before a re-bucketing keeps hashing query
-        terms into the buckets that version stored."""
+        """The POSTINGS table's committed bucket width, or the
+        creation width for a table that doesn't exist yet. With a
+        pin, the PINNED layout — a snapshot taken before a
+        re-bucketing keeps hashing query terms into the buckets that
+        version stored."""
         v = self._pin(at, "postings") if at is not None else None
         if v is None and self.postings_t.current_version() is None:
             return self._creation_prefix_len
@@ -367,6 +356,24 @@ class PostingsIndex:
             # "term_prefix=ab" -> 2
             return len(key.split("=", 1)[1])
         return self._creation_prefix_len
+
+    def _doc_prefix_len(self) -> int:
+        """The DOC_STATS table's committed bucket width. Derived from
+        its OWN manifest, never assumed equal to the postings width:
+        a crash between :meth:`rebucket`'s two snapshot writes leaves
+        the tables at different widths, and as long as every doc_stats
+        key computation uses THIS width (adds, removes, stats
+        refreshes) both tables stay individually consistent and a
+        re-run of ``rebucket`` repairs the split. Falls back to the
+        postings width (then the creation width) before the first
+        doc_stats commit, so a fresh index lays both tables out
+        alike."""
+        if self.doc_stats_t.current_version() is None:
+            return self._prefix_len()
+        owners = self.doc_stats_t._manifest()["owners"]
+        for key in owners:
+            return len(key.split("=", 1)[1])
+        return self._prefix_len()
 
     def add(
         self, docs: DataFrame, mode: str = "mor", replace: bool = False
@@ -429,9 +436,16 @@ class PostingsIndex:
                     partition_scoped=True,
                     assume_key_unique=True,  # posting_lists groups by (term, doc)
                 )
+            # doc_stats keys hash at doc_stats' OWN committed width
+            # (== plen except mid-rebucket-crash states, which this
+            # keeps per-table consistent — see _doc_prefix_len)
             stats = post.select("doc_id", "dl").distinct().withColumn(
                 "dhash_prefix",
-                F.substring(F.md5(F.col("doc_id").cast("string")), 1, plen),
+                F.substring(
+                    F.md5(F.col("doc_id").cast("string")),
+                    1,
+                    self._doc_prefix_len(),
+                ),
             )
             if self.doc_stats_t.current_version() is None:
                 self.doc_stats_t.write(stats, op="postings_build")
@@ -559,9 +573,9 @@ class PostingsIndex:
         self.doc_stats_t.delete_where(pred, mode="mor")
         import hashlib
 
-        plen = self._prefix_len()
+        dplen = self._doc_prefix_len()
         touched = {
-            f"dhash_prefix={hashlib.md5(str(i).encode()).hexdigest()[:plen]}"
+            f"dhash_prefix={hashlib.md5(str(i).encode()).hexdigest()[:dplen]}"
             for i in ids
         }
         live = live_partition_keys(self.doc_stats_t._manifest())
@@ -595,7 +609,14 @@ class PostingsIndex:
         assignment never enters scoring, only pruning — and pinned
         (``at=``) serves taken BEFORE the rebucket keep reading the
         old layout, because ``_prefix_len(at)`` resolves the width
-        from the pinned manifest."""
+        from the pinned manifest.
+
+        Crash safety: the two snapshot writes are separate commits, so
+        a crash between them leaves the tables at DIFFERENT widths —
+        a state every code path tolerates because each table's keys
+        are always computed at that table's own committed width
+        (``_prefix_len`` / ``_doc_prefix_len``); re-running
+        ``rebucket`` converges both."""
         if not 1 <= int(prefix_len) <= 8:
             raise ValueError(f"prefix_len must be in 1..8, got {prefix_len}")
         if self.postings_t.current_version() is None:
@@ -753,15 +774,22 @@ class PostingsIndex:
         ``at`` pins a :meth:`snapshot` (serve that version,
         undisturbed by later adds/removes — index time travel)."""
         qterms = _query_terms(queries, query_id_col, query_text_col)
-        matched = _apply_pair_filter(
-            self._probed_postings(qterms, at)
-            .join(F.broadcast(qterms), "term")
+        # pair filter BEFORE the aggregation: n_matched/sum_tf are
+        # per-pair facts, so filtering commutes — applying it to the
+        # joined posting rows skips shuffling/aggregating pairs the
+        # top-k would never see
+        matched = (
+            _apply_pair_filter(
+                self._probed_postings(qterms, at).join(
+                    F.broadcast(qterms), "term"
+                ),
+                pair_filter,
+            )
             .groupBy("query_id", "doc_id")
             .agg(
                 F.count(F.lit(1)).alias("n_matched"),
                 F.sum("tf").alias("sum_tf"),
-            ),
-            pair_filter,
+            )
         )
         w = Window.partitionBy("query_id").orderBy(
             F.desc("n_matched"), F.desc("sum_tf"), F.asc("doc_id")
@@ -837,15 +865,18 @@ class PostingsIndex:
                 ),
             )
         )
-        agg = _apply_pair_filter(
-            scored.groupBy("query_id", "doc_id").agg(
+        # pair filter BEFORE the aggregation (per-pair scores commute
+        # with filtering; skips the sorted-fold agg for excluded pairs)
+        agg = (
+            _apply_pair_filter(scored, pair_filter)
+            .groupBy("query_id", "doc_id")
+            .agg(
                 F.aggregate(
                     F.array_sort(F.collect_list("w")),
                     F.lit(0.0),
                     lambda acc, x: acc + x,
                 ).alias("score")
-            ),
-            pair_filter,
+            )
         )
         w = Window.partitionBy("query_id").orderBy(
             F.desc("score"), F.asc("doc_id")

@@ -284,6 +284,9 @@ STATEFUL: frozenset[str] = frozenset(
         "q_persistent_ivf",  # IVF index build + MoR add + probed serve
         "q_ivf_quantized",  # IVF lifecycle + int8 candidate phase + exact rescore
         "q_filtered_ann",  # IVF lifecycle + filtered int8 serve
+        "q_filtered_ann_per_query",  # IVF lifecycle + per-query-filtered serve, both paths
+        "q_index_time_travel",  # two add commits + remove + version-pinned serve
+        "q_raw_file_docs",  # full AvailableNow ingestion pipeline + ledger flatten
         "q_index_hybrid",  # both index lifecycles + fused two-modality serve
         "q_postings_search",  # postings index: two add commits + bucket-pruned serve
         "q_index_corpus_stats",  # three add commits incl. re-add; cached-stats read

@@ -2,9 +2,11 @@
 
 VERDICT r10 flagged q_postings_search (+36%), q_stream_near_dedup
 (+26%), q_stateful_running_status (+43%) and ingest_mb_s (209->161)
-as regressions vs r9 that were never re-measured. This script runs
-exactly those four metrics n=N times (default 3) at sf0.1 and prints
-per-run timings + medians so the delta can be attributed to load
+as regressions vs r9 that were never re-measured; its regression
+table also listed q_semantic_dedup (5.14 -> 6.35) as "dissolved on
+re-run", so it is included to settle that claim too. This script
+runs those five metrics n=N times (default 3) at sf0.1 and prints
+per-run timings + medians so each delta can be attributed to load
 noise or a real plan change.
 """
 

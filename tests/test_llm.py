@@ -3001,6 +3001,95 @@ def test_postings_rebucket_governance(spark, tmp_path):
     assert hits == {200}
 
 
+def test_postings_rebucket_crash_split_width_consistent(spark, tmp_path):
+    """A crash BETWEEN rebucket()'s two snapshot writes leaves
+    postings and doc_stats at different widths. Every path must stay
+    per-table consistent in that state (keys computed at each table's
+    OWN width): serve answers right, remove() still zeroes the right
+    stats, add() lands doc_stats in the old layout without duplicating
+    docs — and re-running rebucket converges both tables."""
+    from datalake_toolkit_spark.llm import PostingsIndex
+
+    docs = spark.createDataFrame(
+        [(i, f"shared tok{i % 4}") for i in range(20)],
+        "doc_id bigint, text string",
+    )
+    idx = PostingsIndex(spark, str(tmp_path / "c"), prefix_len=1)
+    idx.add(docs)
+    q = spark.createDataFrame(
+        [(0, "shared")], "query_id bigint, query_text string"
+    )
+    before = {tuple(r) for r in idx.search(q, k=30).collect()}
+
+    # simulate the crash: the postings half of rebucket(2) committed,
+    # the doc_stats half didn't
+    idx.postings_t.write(
+        idx.postings_t.read().withColumn(
+            "term_prefix", F.substring(F.md5("term"), 1, 2)
+        ),
+        op="rebucket(2)",
+    )
+    assert idx._prefix_len() == 2 and idx._doc_prefix_len() == 1
+
+    # serve is still exact in the split state
+    assert {tuple(r) for r in idx.search(q, k=30).collect()} == before
+    # remove() must hit the WIDTH-1 doc_stats bucket (a width-2 key
+    # would miss it and leave the stats counting the removed doc)
+    idx.remove([3])
+    truth = idx.doc_stats_t.read().groupBy().agg(
+        F.count(F.lit(1)).alias("n"), F.sum("dl").alias("t")
+    ).collect()[0]
+    cached = idx.corpus_stats_t.read().groupBy().agg(
+        F.sum("n_docs").alias("n"), F.sum("total_dl").alias("t")
+    ).collect()[0]
+    assert (cached.n, cached.t) == (truth.n, truth.t) == (19, truth.t)
+    # a replace-add in the split state must not duplicate the doc
+    idx.add(
+        spark.createDataFrame(
+            [(5, "shared tok9")], "doc_id bigint, text string"
+        ),
+        mode="mor",
+        replace=True,
+    )
+    assert idx.doc_stats_t.read().where("doc_id = 5").count() == 1
+    # re-running the rebucket converges both tables; answers unchanged
+    idx.rebucket(2)
+    assert idx._prefix_len() == 2 and idx._doc_prefix_len() == 2
+    got = {r.doc_id for r in idx.search(q, k=30).collect()}
+    assert got == {i for i in range(20) if i != 3}
+    truth = idx.doc_stats_t.read().groupBy().agg(
+        F.count(F.lit(1)).alias("n"), F.sum("dl").alias("t")
+    ).collect()[0]
+    cached = idx.corpus_stats_t.read().groupBy().agg(
+        F.sum("n_docs").alias("n"), F.sum("total_dl").alias("t")
+    ).collect()[0]
+    assert (cached.n, cached.t) == (truth.n, truth.t)
+
+
+def test_ivf_remove_accepts_numpy_integral_ids(spark, tmp_path):
+    """remove() takes numpy integer scalars (Integral, coerced to
+    int) — the shape id lists naturally have when they come off a
+    numpy/arrow pipeline — and still rejects genuinely mixed lists."""
+    import numpy as np
+    import pytest
+
+    from datalake_toolkit_spark.llm import IVFIndex
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(6)],
+        "vec_id bigint, embedding array<double>",
+    )
+    idx = IVFIndex(spark, str(tmp_path / "np"))
+    idx.build(emb, n_lists=2, lloyd_iters=1, dim=2)
+    idx.remove(list(np.array([1, 2], dtype=np.int64)))
+    left = {r.vec_id for r in idx.assignments_t.read().collect()}
+    assert left == {0, 3, 4, 5}
+    with pytest.raises(ValueError, match="all-str or all-int"):
+        idx.remove([1, "2"])
+    with pytest.raises(ValueError, match="all-str or all-int"):
+        idx.remove([True])
+
+
 def test_postings_corpus_stats_random_mutation_model(spark, tmp_path):
     """Model check: after ANY seeded sequence of add / mor-add /
     replace-add / remove (including re-adds with changed text and
