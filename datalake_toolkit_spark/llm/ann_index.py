@@ -524,7 +524,11 @@ class IVFIndex:
     # -- observability -------------------------------------------------------
 
     def plan_probe(
-        self, queries: DataFrame, n_probe: int = 4, quantized: bool = False
+        self,
+        queries: DataFrame,
+        n_probe: int = 4,
+        quantized: bool = False,
+        at: dict | None = None,
     ) -> dict:
         """What a search would OPEN, without scoring anything — the
         serving analogue of ``LakeTable.plan_scan``: list and file
@@ -535,8 +539,11 @@ class IVFIndex:
         COMPRESSED column-chunk bytes from their parquet footers,
         splitting the exact-vector column from the int8 code columns —
         the measured byte saving ``search_quantized``'s candidate
-        phase realizes through column pruning."""
-        cents = self.centroids()
+        phase realizes through column pruning. ``at`` plans the probe
+        against a pinned :meth:`snapshot` — what a version-pinned
+        serve would open, not the live state."""
+        v = self._pin(at, "assignments") if at is not None else None
+        cents = self.centroids(at)
         n_probe = min(n_probe, len(cents))
         q = self._prep(queries).select(
             F.explode(
@@ -549,17 +556,19 @@ class IVFIndex:
             .distinct()
             .collect()
         }
-        existing = live_partition_keys(self.assignments_t._manifest())
+        existing = live_partition_keys(self.assignments_t._manifest(v))
         known = sorted(probed & existing)
-        rep = self.assignments_t.plan_scan(partitions=known)
+        rep = self.assignments_t.plan_scan(version=v, partitions=known)
         rep.update(
             lists_total=len(cents),
             lists_probed=len(known),
             n_probe=n_probe,
         )
         if quantized:
-            has_codes = self._has_codes()
-            by_col = self._probed_column_bytes(known) if has_codes else {}
+            has_codes = self._has_codes(at)
+            by_col = (
+                self._probed_column_bytes(known, v) if has_codes else {}
+            )
             vec_b = by_col.get("vec", 0)
             code_b = by_col.get("code", 0) + by_col.get("scale", 0)
             rep.update(
@@ -575,14 +584,16 @@ class IVFIndex:
             )
         return rep
 
-    def _probed_column_bytes(self, known: list[str]) -> dict[str, int]:
+    def _probed_column_bytes(
+        self, known: list[str], version: int | None = None
+    ) -> dict[str, int]:
         """Compressed column-chunk bytes of the probed partitions'
         parquet files, by top-level column — footer metadata only, no
         Spark job. Covers owned directories AND pending merge-on-read
         appends (their probed subdirectories)."""
         import pyarrow.parquet as pq
 
-        man = self.assignments_t._manifest()
+        man = self.assignments_t._manifest(version)
         known_set = set(known)
         dirs = []
         for key in known:

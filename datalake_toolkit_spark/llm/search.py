@@ -711,15 +711,19 @@ class PostingsIndex:
 
     def plan_probe(self, queries: DataFrame,
                    query_id_col: str = "query_id",
-                   query_text_col: str = "query_text") -> dict:
+                   query_text_col: str = "query_text",
+                   at: dict | None = None) -> dict:
         """What a search for these queries would OPEN, without running
         it — the index-serving analogue of ``LakeTable.plan_scan``:
         bucket and file counts before/after the term-prefix pruning.
         Planning-time observability for capacity decisions (is the
         bucket width right? is the pending-MoR read tax due a
-        compaction?)."""
+        compaction?). ``at`` plans against a pinned :meth:`snapshot` —
+        what a version-pinned serve would open, including that
+        version's bucket layout."""
+        v = self._pin(at, "postings") if at is not None else None
         qterms = _query_terms(queries, query_id_col, query_text_col)
-        plen = self._prefix_len()
+        plen = self._prefix_len(at)
         touched = {
             f"term_prefix={r['p']}"
             for r in qterms.select(
@@ -728,10 +732,23 @@ class PostingsIndex:
             .distinct()
             .collect()
         }
-        existing = live_partition_keys(self.postings_t._manifest())
+        existing = live_partition_keys(self.postings_t._manifest(v))
         probe = sorted(touched & existing)
-        rep = self.postings_t.plan_scan(partitions=probe)
-        has_cached = self.corpus_stats_t.current_version() is not None
+        rep = self.postings_t.plan_scan(version=v, partitions=probe)
+        if at is not None:
+            has_cached = at.get("corpus_stats") is not None
+            stats_rows = (
+                self.corpus_stats_t.read(
+                    version=self._pin(at, "corpus_stats")
+                ).count()
+                if has_cached
+                else None
+            )
+        else:
+            has_cached = self.corpus_stats_t.current_version() is not None
+            stats_rows = (
+                self.corpus_stats_t.read().count() if has_cached else None
+            )
         rep.update(
             buckets_total=len(existing),
             buckets_probed=len(probe),
@@ -742,9 +759,7 @@ class PostingsIndex:
             corpus_stats_source=(
                 "corpus_stats" if has_cached else "doc_stats_scan"
             ),
-            corpus_stats_rows=(
-                self.corpus_stats_t.read().count() if has_cached else None
-            ),
+            corpus_stats_rows=stats_rows,
         )
         return rep
 

@@ -3001,6 +3001,53 @@ def test_postings_rebucket_governance(spark, tmp_path):
     assert hits == {200}
 
 
+def test_plan_probe_pinned_snapshot(spark, tmp_path):
+    """plan_probe(at=pin) reports what a VERSION-PINNED serve would
+    open — the pinned bucket layout and file set, not the live one
+    (here: live state rebucketed 1 -> 2 after the pin, and the IVF
+    side grew by a MoR add)."""
+    from datalake_toolkit_spark.llm import IVFIndex, PostingsIndex
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha tok{i}") for i in range(40)],  # wide vocabulary
+        "doc_id bigint, text string",
+    )
+    idx = PostingsIndex(spark, str(tmp_path / "pp"), prefix_len=1)
+    idx.add(docs)
+    snap = idx.snapshot()
+    q = spark.createDataFrame(
+        [(0, "alpha")], "query_id bigint, query_text string"
+    )
+    pinned_before = idx.plan_probe(q, at=snap)
+    idx.rebucket(2)
+    live = idx.plan_probe(q)
+    pinned = idx.plan_probe(q, at=snap)
+    assert live["prefix_len"] == 2 and pinned["prefix_len"] == 1
+    assert pinned == pinned_before  # the pin's cost plan is stable
+    assert live["buckets_total"] > pinned["buckets_total"]
+    assert pinned["corpus_stats_source"] == "corpus_stats"
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(8)],
+        "vec_id bigint, embedding array<double>",
+    )
+    ivf = IVFIndex(spark, str(tmp_path / "pv"))
+    ivf.build(emb.where(F.col("vec_id") < 4), n_lists=2, lloyd_iters=1, dim=2)
+    vsnap = ivf.snapshot()
+    qv = emb.where(F.col("vec_id") < 1)
+    pinned_v = ivf.plan_probe(qv, n_probe=2, quantized=True, at=vsnap)
+    ivf.add(emb.where(F.col("vec_id") >= 4), mode="mor")
+    ivf.assignments_t.optimize()  # localize the MoR growth into owners
+    live_v = ivf.plan_probe(qv, n_probe=2, quantized=True)
+    again = ivf.plan_probe(qv, n_probe=2, quantized=True, at=vsnap)
+    assert again == pinned_v  # post-pin growth invisible to the pin
+    assert (
+        live_v["bytes_vec_column"] + live_v["bytes_code_columns"]
+        > pinned_v["bytes_vec_column"] + pinned_v["bytes_code_columns"]
+    )
+    assert pinned_v["bytes_code_columns"] > 0
+
+
 def test_postings_rebucket_crash_split_width_consistent(spark, tmp_path):
     """A crash BETWEEN rebucket()'s two snapshot writes leaves
     postings and doc_stats at different widths. Every path must stay
