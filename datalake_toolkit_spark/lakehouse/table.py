@@ -1513,18 +1513,20 @@ class LakeTable:
         _, report = self._select_files(man, partitions, conjs)
         # pending merge-on-read appends are always read in full (no
         # stats are kept for them until a rewrite localizes) — count
-        # them so the report reflects what the scan actually opens
+        # them so the report reflects what the scan actually opens.
+        # The walk covers PARTITIONED pending appends too (their files
+        # live in key subdirectories, not the token root)
         for e in man.get("merges") or []:
             d = self._vdir(e["token"])
-            n = (
-                sum(
-                    1
-                    for f in os.listdir(d)
-                    if f.endswith(".parquet") and not f.startswith(("_", "."))
-                )
-                if os.path.isdir(d)
-                else 0
-            )
+            n = 0
+            if os.path.isdir(d):
+                for root, _dirs, files in os.walk(d):
+                    n += sum(
+                        1
+                        for f in files
+                        if f.endswith(".parquet")
+                        and not f.startswith(("_", "."))
+                    )
             report["files_total"] += n
             report["files_scanned"] += n
         report["prunable"] = bool(conjs)

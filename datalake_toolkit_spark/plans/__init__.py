@@ -266,6 +266,12 @@ DEMOTED: tuple[str, ...] = (
     "q_keyword_search",  # 2x (r9,r10); same output contract served by q_postings_search
     "q_phrase_search",  # 2x (r9,r10); batch phrase ~ q_index_phrase (positions-served superset)
     "q_hybrid_search",  # 2x (r9,r10); batch fusion ~ q_index_hybrid (index-served superset)
+    # r11 late births PARKED at birth (the window is already exactly
+    # 50 with this round's three births + six stale returns; the r5
+    # precedent): both run in local parity + bench every round and
+    # are first in line for the r12 window.
+    "q_index_hybrid_filtered",  # per-query-filtered two-index fusion
+    "q_index_rebucket",  # 16->256 re-hash lifecycle, answers invariant
 )
 
 GATE_WINDOW = 50
@@ -288,6 +294,8 @@ STATEFUL: frozenset[str] = frozenset(
         "q_index_time_travel",  # two add commits + remove + version-pinned serve
         "q_raw_file_docs",  # full AvailableNow ingestion pipeline + ledger flatten
         "q_index_hybrid",  # both index lifecycles + fused two-modality serve
+        "q_index_hybrid_filtered",  # both lifecycles + per-query-filtered fusion
+        "q_index_rebucket",  # two add commits + full re-hash + serve
         "q_postings_search",  # postings index: two add commits + bucket-pruned serve
         "q_index_corpus_stats",  # three add commits incl. re-add; cached-stats read
         "q_index_decontaminate",  # two add commits + phrase-probe decontamination

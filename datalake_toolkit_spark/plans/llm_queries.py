@@ -1799,10 +1799,44 @@ def q_index_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def _lex_cte(lexical: str, w_expr: str, k_each: int, pair_pred: str) -> str:
+    """The lexical half of the hybrid oracle as CTE text ending in
+    ``kw`` (query_id, doc_id, rank): BM25 (value-sorted score folds)
+    or the integer-exact coordination ranking, with an optional
+    per-(query, doc) pair predicate applied BEFORE the top-k cut —
+    the relational mirror of ``pair_filter``."""
+    if lexical == "keyword":
+        return f"""lxmatch AS (SELECT qt.query_id, p.doc_id,
+               count(*) AS n_matched, sum(p.tf) AS sum_tf
+           FROM qterms qt JOIN post p USING (term)
+           WHERE ({pair_pred}) GROUP BY 1, 2),
+    kr AS (SELECT query_id, doc_id,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY n_matched DESC, sum_tf DESC, doc_id) AS rank
+           FROM lxmatch),
+    kw AS (SELECT query_id, doc_id, rank FROM kr WHERE rank <= {k_each}),"""
+    return f"""sc AS (SELECT qt.query_id, p.doc_id, {w_expr} AS w
+           FROM qterms qt
+           JOIN post p USING (term)
+           JOIN df_t f USING (term)
+           CROSS JOIN stats s
+           WHERE ({pair_pred})),
+    bscore AS (SELECT query_id, doc_id,
+               list_reduce(list_prepend(0.0, list(w ORDER BY w)),
+                           (acc, e) -> acc + e) AS score
+               FROM sc GROUP BY 1, 2),
+    kr AS (SELECT query_id, doc_id,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY score DESC, doc_id) AS rank FROM bscore),
+    kw AS (SELECT query_id, doc_id, rank FROM kr WHERE rank <= {k_each}),"""
+
+
 def _index_hybrid_oracle(
     n_lists: int = 8, n_probe: int = 2, dim: int = 64,
     k_each: int = 20, k: int = 10, lo: int = 12, hi: int = 15,
     nterms: int = 4, k1: float = 1.2, b: float = 0.75,
+    lexical: str = "bm25",
+    pair_pred_vec: str = "TRUE", pair_pred_lex: str = "TRUE",
 ) -> str:
     """DuckDB mirror of the fully index-served hybrid retrieval:
     the IVF lifecycle replay (literal seed centroids + one relational
@@ -1868,7 +1902,8 @@ def _index_hybrid_oracle(
     qp AS (SELECT qid, qv, list_id FROM probe WHERE prn <= {n_probe}),
     vscored AS (SELECT qp.qid, af.vec_id AS cid,
                        {cos('qp.qv', 'af.v')} AS cosine
-                FROM qp JOIN af ON qp.list_id = af.list_id),
+                FROM qp JOIN af ON qp.list_id = af.list_id
+                WHERE ({pair_pred_vec})),
     vr AS (SELECT qid AS query_id, cid AS doc_id,
            row_number() OVER (PARTITION BY qid
              ORDER BY cosine DESC, cid) AS rank FROM vscored),
@@ -1884,19 +1919,7 @@ def _index_hybrid_oracle(
                       unnest(list_distinct(w[1:{nterms}])) AS term FROM qd),
     df_t AS (SELECT term, count(*) AS df FROM post
              WHERE term IN (SELECT term FROM qterms) GROUP BY term),
-    sc AS (SELECT qt.query_id, p.doc_id, {w_expr} AS w
-           FROM qterms qt
-           JOIN post p USING (term)
-           JOIN df_t f USING (term)
-           CROSS JOIN stats s),
-    bscore AS (SELECT query_id, doc_id,
-               list_reduce(list_prepend(0.0, list(w ORDER BY w)),
-                           (acc, e) -> acc + e) AS score
-               FROM sc GROUP BY 1, 2),
-    kr AS (SELECT query_id, doc_id,
-           row_number() OVER (PARTITION BY query_id
-             ORDER BY score DESC, doc_id) AS rank FROM bscore),
-    kw AS (SELECT query_id, doc_id, rank FROM kr WHERE rank <= {k_each}),
+    {_lex_cte(lexical, w_expr, k_each, pair_pred_lex)}
     uni AS (SELECT query_id, doc_id,
                    1.0 / (60.0 + CAST(rank AS DOUBLE)) AS contrib FROM kw
             UNION ALL
@@ -1970,6 +1993,140 @@ def q_index_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
             pidx, ivf, queries, k=10, k_each=20, n_probe=2
         )
         return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@query(
+    "q_index_hybrid_filtered",
+    _index_hybrid_oracle(
+        lexical="keyword",
+        pair_pred_vec="(af.vec_id + qp.qid) % 2 = 0",
+        pair_pred_lex="(p.doc_id + qt.query_id) % 2 = 0",
+    ),
+)
+def q_index_hybrid_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-QUERY FILTERED hybrid retrieval served from both persistent
+    indexes: a (query_id, doc_id) allow frame — (qid + did) % 2 == 0,
+    i.e. same parity, expressed as an equi-join on the residue — is
+    applied to BOTH modalities before their top-k_each cuts, so the
+    RRF fusion ranks within each query's own allowed set. Lexical is
+    the integer-exact coordination layer (keyword), so every input to
+    the fusion — and therefore the fused scores themselves (value-
+    sorted folds of exact rank reciprocals) — hash-checks end to
+    end."""
+    import os
+    import shutil
+    import tempfile
+
+    from datalake_toolkit_spark.llm import (
+        IVFIndex,
+        PostingsIndex,
+        hybrid_search_indexed,
+    )
+    from datalake_toolkit_spark.llm.search import _tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    w = _tokens("text")
+    qtext = docs.where(
+        (F.col("doc_id") >= 12) & (F.col("doc_id") < 15) & (F.size(w) > 0)
+    ).select(
+        F.col("doc_id").alias("query_id"),
+        F.concat_ws(" ", F.slice(w, 1, 4)).alias("query_text"),
+    )
+    queries = qtext.join(
+        emb.select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        ),
+        "query_id",
+        "left",
+    )
+    # (qid + did) % 2 == 0  <=>  same parity: equi-join on the residue
+    pairs = (
+        qtext.select(
+            F.col("query_id"), (F.col("query_id") % 2).alias("m")
+        )
+        .join(
+            docs.select(
+                F.col("doc_id"), (F.col("doc_id") % 2).alias("m")
+            ),
+            "m",
+        )
+        .select("query_id", "doc_id")
+    )
+    work = tempfile.mkdtemp(prefix="dts_hybflt_")
+    try:
+        pidx = PostingsIndex(
+            spark, os.path.join(work, "postings"), prefix_len=1
+        )
+        pidx.add(docs.where(F.col("doc_id") % 2 == 0))
+        pidx.add(docs.where(F.col("doc_id") % 2 == 1), mode="mor")
+        ivf = IVFIndex(spark, os.path.join(work, "ivf"))
+        ivf.build(emb.where(F.col("vec_id") % 2 == 0),
+                  n_lists=8, lloyd_iters=1)
+        ivf.add(emb.where(F.col("vec_id") % 2 == 1), mode="mor")
+        out = hybrid_search_indexed(
+            pidx, ivf, queries, k=10, k_each=20, n_probe=2,
+            lexical="keyword", pair_filter=pairs,
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@query(
+    "q_index_rebucket",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS w
+      FROM documents),
+    d AS (SELECT doc_id, w FROM toks WHERE len(w) > 0),
+    post AS (SELECT doc_id, term, count(*) AS tf
+             FROM (SELECT doc_id, unnest(w) AS term FROM d)
+             GROUP BY doc_id, term),
+    q AS (SELECT doc_id AS query_id, unnest(list_distinct(w[1:6])) AS term
+          FROM d WHERE doc_id >= 6 AND doc_id < 9),
+    m AS (SELECT q.query_id, p.doc_id, count(*) AS n_matched,
+                 CAST(sum(p.tf) AS BIGINT) AS sum_tf
+          FROM q JOIN post p USING (term) GROUP BY 1, 2),
+    r AS (SELECT query_id, doc_id, n_matched, sum_tf,
+          CAST(row_number() OVER (PARTITION BY query_id
+            ORDER BY n_matched DESC, sum_tf DESC, doc_id) AS INTEGER)
+            AS rank
+          FROM m)
+    SELECT query_id, doc_id, n_matched, sum_tf, rank FROM r WHERE rank <= 10
+    """,
+)
+def q_index_rebucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket-width governance, end to end: build the index at 16
+    buckets (even half, then odd half as a MoR add so the rebucket
+    also materializes pending state), REBUCKET to 256, then serve.
+    The oracle is the plain relational replay of the corpus — a
+    rebucket must change NOTHING about answers (bucket assignment is
+    pruning, never scoring), only the probe economics, so the whole
+    re-hash lifecycle hash-checks against the same SQL an un-rebucketed
+    index would."""
+    import shutil
+    import tempfile
+
+    from datalake_toolkit_spark.llm import PostingsIndex
+    from datalake_toolkit_spark.llm.search import _tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    queries = docs.where((F.col("doc_id") >= 6) & (F.col("doc_id") < 9)).select(
+        F.col("doc_id").alias("query_id"),
+        F.concat_ws(" ", F.slice(_tokens("text"), 1, 6)).alias("query_text"),
+    )
+    work = tempfile.mkdtemp(prefix="dts_rbidx_")
+    try:
+        idx = PostingsIndex(spark, work, prefix_len=1)
+        idx.add(docs.where(F.col("doc_id") % 2 == 0))
+        idx.add(docs.where(F.col("doc_id") % 2 == 1), mode="mor")
+        idx.rebucket(2)
+        return idx.search(queries, k=10).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 

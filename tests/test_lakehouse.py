@@ -1299,6 +1299,25 @@ def test_stats_survive_restore_and_time_travel(spark, tmp_path, base_df):
     assert t.read(version=1, where="id >= 20").count() == 0
 
 
+def test_plan_scan_counts_partitioned_pending_appends(spark, tmp_path, base_df):
+    """plan_scan must count pending merge-on-read append FILES for
+    PARTITIONED tables too — their parquet lives in key subdirectories
+    of the staging token, and the old top-level listing reported 0
+    pending files (a probe report claiming less I/O than the read
+    does)."""
+    t = LakeTable(spark, str(tmp_path / "t"), partition_by=("seg",))
+    t.write(base_df)
+    owned = t.plan_scan()["files_scanned"]
+    assert owned > 0
+    extra = base_df.where(F.col("id") < 3).withColumn(
+        "id", F.col("id") + 1000
+    )
+    t.upsert(extra, keys=["id"], mode="mor")
+    rep = t.plan_scan()
+    assert rep["files_scanned"] > owned  # pending append files counted
+    assert t.read().count() == base_df.count() + 3
+
+
 def test_stats_disabled(spark, tmp_path, base_df):
     t = LakeTable(spark, str(tmp_path / "t"), stats_columns=())
     t.write(base_df)
