@@ -164,7 +164,7 @@ def _build_parser() -> argparse.ArgumentParser:
         "action",
         choices=["query", "index-add", "index-query", "index-probe",
                  "index-maintain", "index-remove", "index-rebucket",
-                 "hybrid"],
+                 "index-sync", "hybrid"],
         help="query: one-shot over --docs; index-add: build/extend the "
              "persistent index at --index from --docs; index-query: "
              "serve from --index; index-probe: report what a query "
@@ -192,6 +192,12 @@ def _build_parser() -> argparse.ArgumentParser:
     se.add_argument("--prefix-len", type=int, default=None,
                 help="index-rebucket: new bucket width in hex chars "
                      "(1 -> 16 buckets, 2 -> 256)")
+    se.add_argument("--table", default=None,
+                help="index-sync: LakeTable root holding (doc_id, text) "
+                     "rows; the index follows its change feed")
+    se.add_argument("--from-version", type=int, default=None,
+                help="index-sync: override the persisted cursor "
+                     "(omit: resume from cursor, bootstrap if none)")
     se.add_argument("--ann-path", default=None,
                 help="IVFIndex root for action=hybrid")
     se.add_argument("--queries", default=None,
@@ -206,7 +212,7 @@ def _build_parser() -> argparse.ArgumentParser:
     an.add_argument(
         "action",
         choices=["build", "add", "search", "sizes", "probe", "maintain",
-                 "remove"],
+                 "remove", "sync"],
     )
     an.add_argument("--path", required=True, help="IVFIndex root")
     an.add_argument("--input", default=None,
@@ -227,6 +233,12 @@ def _build_parser() -> argparse.ArgumentParser:
                 help="quantized search: candidates kept per result")
     an.add_argument("--ids", default=None,
                 help="remove: comma-separated vector ids")
+    an.add_argument("--table", default=None,
+                help="sync: LakeTable root holding (vec_id, embedding) "
+                     "rows; the index follows its change feed")
+    an.add_argument("--from-version", type=int, default=None,
+                help="sync: override the persisted cursor "
+                     "(omit: resume from cursor, bootstrap if none)")
     return p
 
 
@@ -624,6 +636,20 @@ def _cmd_search(args: argparse.Namespace) -> int:
             {"rebucketed": args.index, "prefix_len": args.prefix_len}
         ))
         return 0
+    if args.action == "index-sync":
+        from datalake_toolkit_spark.lakehouse import LakeTable
+        from datalake_toolkit_spark.llm import sync_postings_from_table
+
+        if not (args.index and args.table):
+            raise SystemExit("index-sync needs --index and --table")
+        rep = sync_postings_from_table(
+            PostingsIndex(spark, args.index),
+            LakeTable(spark, args.table),
+            from_version=args.from_version,
+            mode=args.mode,
+        )
+        print(json.dumps({"index": args.index, "table": args.table, **rep}))
+        return 0
     if not args.query:
         raise SystemExit(f"{args.action} needs --query")
     queries = spark.createDataFrame(
@@ -706,6 +732,20 @@ def _cmd_ann(args: argparse.Namespace) -> int:
         print(json.dumps(idx.plan_probe(
             spark.read.parquet(args.input), n_probe=args.n_probe,
             quantized=args.quantized)))
+        return 0
+    if args.action == "sync":
+        from datalake_toolkit_spark.lakehouse import LakeTable
+        from datalake_toolkit_spark.llm import sync_ivf_from_table
+
+        if not args.table:
+            raise SystemExit("sync needs --table")
+        rep = sync_ivf_from_table(
+            idx,
+            LakeTable(spark, args.table),
+            from_version=args.from_version,
+            mode=args.mode,
+        )
+        print(json.dumps({"index": args.path, "table": args.table, **rep}))
         return 0
     if not args.input:
         raise SystemExit("search needs --input (query vectors parquet)")

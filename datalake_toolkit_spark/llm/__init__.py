@@ -52,6 +52,8 @@ from datalake_toolkit_spark.llm.similarity import (
     pool_embeddings,
     embedding_norms,
     lsh_bucketed_topk,
+    project_embeddings,
+    projection_matrix,
 )
 
 __all__ = [
@@ -85,6 +87,8 @@ __all__ = [
     "minhash_signature",
     "set_similarity_join",
     "pool_embeddings",
+    "project_embeddings",
+    "projection_matrix",
     "simhash",
     "with_fingerprints",
     "with_language_id",
@@ -118,3 +122,8 @@ from datalake_toolkit_spark.llm.bpe import (  # noqa: E402,F401
     word_frequencies,
 )
 from datalake_toolkit_spark.llm.text import tfidf_embeddings  # noqa: E402,F401
+from datalake_toolkit_spark.llm.sync import (  # noqa: E402,F401
+    sync_cursor,
+    sync_ivf_from_table,
+    sync_postings_from_table,
+)

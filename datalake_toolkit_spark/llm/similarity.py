@@ -155,6 +155,65 @@ def _matrix_lit(m: list[list[float]]) -> Column:
     return F.expr(f"array({body})")
 
 
+def projection_matrix(
+    out_dim: int, in_dim: int, plane_offset: int = 100_000
+) -> list[list[float]]:
+    """The deterministic Johnson-Lindenstrauss projection matrix:
+    ``out_dim`` pseudo-hyperplane rows from the same md5 derivation as
+    the LSH planes (:func:`_plane_component`), offset far past them so
+    projection and bucketing never share a direction. Entries are
+    ~uniform in [-1, 1] (variance 1/3); rows are scaled by
+    ``sqrt(3 / out_dim)`` at apply time so projected vectors preserve
+    squared norm in expectation."""
+    return [
+        [_plane_component(plane_offset + j, d) for d in range(in_dim)]
+        for j in range(out_dim)
+    ]
+
+
+def project_embeddings(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_dim: int = 16,
+    in_dim: int = 64,
+    plane_offset: int = 100_000,
+) -> DataFrame:
+    """Johnson-Lindenstrauss random projection: compress an embedding
+    column to ``out_dim`` dimensions with a deterministic seeded
+    matrix — the standard pre-ANN footprint lever (64 -> 16 dims is
+    4x fewer probe bytes and 4x cheaper cosines, with pairwise
+    distances preserved within the JL bound). One narrow projection
+    per row, fully inside Catalyst: y_j = <x, R_j> * sqrt(3/out_dim),
+    the matrix a single literal node (one py4j round trip). NULL
+    vectors project to NULL; the same md5 derivation is reproducible
+    in SQL, so projections hash-check exactly across engines.
+
+    Scale shape: O(rows * out_dim * in_dim) multiply-adds with no
+    shuffle, no UDF, no state — a map-only stage that pipelines into
+    whatever consumes it (typically ``IVFIndex.build`` on the
+    projected column)."""
+    import math
+
+    scale = math.sqrt(3.0 / out_dim)
+    mat = _matrix_lit(projection_matrix(out_dim, in_dim, plane_offset))
+    # materialize the cast array first: a non-trivial expression
+    # referenced inside the transform lambda would re-cast the input
+    # per OUTPUT element (the documented HOF pitfall)
+    base = df.select(F.col(id_col), _as_double(vec_col).alias("_v"))
+    proj = F.transform(
+        mat,
+        lambda row: _fold_sum(
+            F.zip_with(F.col("_v"), row, lambda x, w: x * w)
+        )
+        * F.lit(scale),
+    )
+    # without the guard a NULL input projects to an array of NULLs
+    # (transform iterates the non-null matrix), not a NULL array
+    proj = F.when(F.col("_v").isNull(), F.lit(None)).otherwise(proj)
+    return base.select(F.col(id_col), proj.alias(vec_col))
+
+
 def hyperplane_bucket(
     vec_col: Column | str,
     n_planes: int = 8,

@@ -272,6 +272,10 @@ DEMOTED: tuple[str, ...] = (
     # are first in line for the r12 window.
     "q_index_hybrid_filtered",  # per-query-filtered two-index fusion
     "q_index_rebucket",  # 16->256 re-hash lifecycle, answers invariant
+    "q_ivf_rebuild",  # add+remove+retrain lifecycle, both serve paths
+    "q_index_sync",  # CDF -> index sync: bootstrap, MoR merge+delete, serve
+    "q_ann_sync",  # CDF -> IVF sync: stored-centroid assignment, both paths
+    "q_jl_projection",  # seeded JL matrix, per-component hash-exact
 )
 
 GATE_WINDOW = 50
@@ -296,6 +300,9 @@ STATEFUL: frozenset[str] = frozenset(
         "q_index_hybrid",  # both index lifecycles + fused two-modality serve
         "q_index_hybrid_filtered",  # both lifecycles + per-query-filtered fusion
         "q_index_rebucket",  # two add commits + full re-hash + serve
+        "q_ivf_rebuild",  # build+MoR-add+remove+retrain commits, both paths
+        "q_index_sync",  # table commits + CDF diff + index replace-add/remove
+        "q_ann_sync",  # vector table commits + CDF diff + IVF merge/tombstone
         "q_postings_search",  # postings index: two add commits + bucket-pruned serve
         "q_index_corpus_stats",  # three add commits incl. re-add; cached-stats read
         "q_index_decontaminate",  # two add commits + phrase-probe decontamination

@@ -688,6 +688,59 @@ def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_norms(_t(spark, sf_dir, "embeddings"))
 
 
+def _jl_oracle(
+    out_dim: int = 16, in_dim: int = 64, plane_offset: int = 100_000
+) -> str:
+    """DuckDB mirror of llm.similarity.project_embeddings: the same
+    md5-derived matrix as literal rows, each component one
+    list_inner_product times the sqrt(3/out_dim) scale — IEEE sqrt is
+    correctly rounded, so the Python-computed literal and the fold
+    order make every projected component bit-identical."""
+    import math
+
+    from datalake_toolkit_spark.llm.similarity import _plane_component
+
+    rows = ",".join(
+        "({}, [{}])".format(
+            j,
+            ",".join(
+                repr(_plane_component(plane_offset + j, d))
+                for d in range(in_dim)
+            ),
+        )
+        for j in range(out_dim)
+    )
+    return f"""
+    WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings WHERE embedding IS NOT NULL),
+    m(j, r) AS (VALUES {rows}),
+    p AS (SELECT c.vec_id, m.j,
+                 list_inner_product(c.v, m.r)
+                   * {math.sqrt(3.0 / out_dim)!r} AS component
+          FROM c CROSS JOIN m)
+    SELECT vec_id, CAST(j AS INTEGER) AS dim_idx, component FROM p
+    """
+
+
+@query("q_jl_projection", _jl_oracle())
+def q_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss dimensionality reduction (64 -> 16), the
+    pre-ANN footprint lever, exploded to one row per projected
+    component so every output double hash-checks exactly against the
+    literal-matrix SQL replay. Map-only: no shuffle, no UDF — the
+    plan is a scan plus one projection."""
+    from datalake_toolkit_spark.llm import project_embeddings
+
+    emb = _t(spark, sf_dir, "embeddings").where(
+        F.col("embedding").isNotNull()
+    )
+    proj = project_embeddings(emb, out_dim=16, in_dim=64)
+    return proj.select(
+        "vec_id",
+        F.posexplode("embedding").alias("dim_idx", "component"),
+    )
+
+
 def _lsh_bucket_sql(
     n_planes: int, dim: int, plane_offset: int = 0, var: str = "v"
 ) -> str:
@@ -1307,6 +1360,7 @@ def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _persistent_ivf_oracle(
     n_lists: int = 8, n_probe: int = 2, dim: int = 64, k: int = 8,
     qlo: int = 0, qhi: int = 5, cand_pred: str = "TRUE",
+    corpus_pred: str = "TRUE", build_pred: str = "vec_id % 2 = 0",
 ) -> str:
     """DuckDB mirror of the PERSISTENT IVF index lifecycle
     (llm.ann_index.IVFIndex): build on the even vec_ids (literal seed
@@ -1317,7 +1371,12 @@ def _persistent_ivf_oracle(
     positive-norm vectors (the index drops direction-free rows on
     both build and add). Probe/rank replicate ivf_topk's tie-breaks;
     cosine is spelled dot / (sqrt(a.a) * sqrt(b.b)) — the
-    cosine_with_norms form the Spark side computes."""
+    cosine_with_norms form the Spark side computes.
+
+    ``corpus_pred`` restricts the INDEXED corpus (mirrors removed
+    ids); ``build_pred`` selects the Lloyd training rows from that
+    corpus — ``TRUE`` mirrors :meth:`IVFIndex.rebuild`, which retrains
+    from everything currently indexed."""
     from datalake_toolkit_spark.llm.similarity import _plane_component
 
     rows = ",".join(
@@ -1339,8 +1398,9 @@ def _persistent_ivf_oracle(
                FROM embeddings
                WHERE embedding IS NOT NULL
                  AND list_inner_product(CAST(embedding AS DOUBLE[]),
-                                        CAST(embedding AS DOUBLE[])) > 0),
-    cb AS (SELECT * FROM c WHERE vec_id % 2 = 0),
+                                        CAST(embedding AS DOUBLE[])) > 0
+                 AND ({corpus_pred})),
+    cb AS (SELECT * FROM c WHERE {build_pred}),
     cent0(list_id, cv) AS (VALUES {rows}),
     {_lloyd_pass_sql('cent0', 'cent1', 0, src='cb')},
     xf AS (SELECT c.vec_id, c.v, kk.list_id,
@@ -1472,6 +1532,134 @@ def q_filtered_ann_per_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def _ann_sync_oracle(
+    n_lists: int = 8, n_probe: int = 2, dim: int = 64, k: int = 6,
+    qlo: int = 22, qhi: int = 26,
+) -> str:
+    """DuckDB mirror of the CDF -> IVF sync lifecycle: centroids are
+    trained on the ORIGINAL even snapshot (the build; sync never
+    retrains), while the served corpus is the FINAL table state —
+    odds inserted, every %10 vector negated (an update that must MOVE
+    its row to the opposite list), %9 ids deleted. Assignment is one
+    argmax of the final corpus against those stale-by-design
+    centroids — exactly what incremental adds against stored
+    centroids produce."""
+    from datalake_toolkit_spark.llm.similarity import _plane_component
+
+    rows = ",".join(
+        "({}, [{}])".format(
+            p, ",".join(repr(_plane_component(p, d)) for d in range(dim))
+        )
+        for p in range(n_lists)
+    )
+
+    def cos(x: str, y: str) -> str:
+        return (
+            f"list_inner_product({x}, {y}) / "
+            f"(sqrt(list_inner_product({x}, {x})) * "
+            f"sqrt(list_inner_product({y}, {y})))"
+        )
+
+    return f"""
+    WITH c0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                FROM embeddings
+                WHERE embedding IS NOT NULL
+                  AND list_inner_product(CAST(embedding AS DOUBLE[]),
+                                         CAST(embedding AS DOUBLE[])) > 0),
+    cb AS (SELECT * FROM c0 WHERE vec_id % 2 = 0),
+    cent0(list_id, cv) AS (VALUES {rows}),
+    {_lloyd_pass_sql('cent0', 'cent1', 0, src='cb')},
+    cf AS (SELECT vec_id,
+                  CASE WHEN vec_id % 10 = 0
+                       THEN list_transform(v, x -> -x) ELSE v END AS v
+           FROM c0 WHERE vec_id % 9 <> 0),
+    xf AS (SELECT cf.vec_id, cf.v, kk.list_id,
+           row_number() OVER (PARTITION BY cf.vec_id
+             ORDER BY list_inner_product(cf.v, kk.cv) DESC, kk.list_id) AS rn
+           FROM cf CROSS JOIN cent1 kk),
+    af AS (SELECT vec_id, v, list_id FROM xf WHERE rn = 1),
+    q AS (SELECT vec_id AS qid, v AS qv FROM c0
+          WHERE vec_id >= {qlo} AND vec_id < {qhi}),
+    probe AS (SELECT q.qid, q.qv, kk.list_id,
+              row_number() OVER (PARTITION BY q.qid
+                ORDER BY list_inner_product(q.qv, kk.cv) DESC, kk.list_id DESC) AS prn
+              FROM q CROSS JOIN cent1 kk),
+    qp AS (SELECT qid, qv, list_id FROM probe WHERE prn <= {n_probe}),
+    scored AS (SELECT qp.qid, af.vec_id AS cid,
+                      {cos('qp.qv', 'af.v')} AS cosine
+               FROM qp JOIN af ON qp.list_id = af.list_id
+               WHERE qp.qid <> af.vec_id),
+    ranked AS (SELECT qid, cid, cosine,
+               CAST(row_number() OVER (PARTITION BY qid
+                 ORDER BY cosine DESC, cid) AS INTEGER) AS rank FROM scored)
+    SELECT qid, cid, cosine, rank FROM ranked WHERE rank <= {k}
+    """
+
+
+@query(
+    "q_ann_sync",
+    "WITH base AS ({})\n"
+    "SELECT qid, cid, cosine, rank, 'exact' AS path FROM base\n"
+    "UNION ALL\n"
+    "SELECT qid, cid, cosine, rank, 'quantized' AS path FROM base".format(
+        _ann_sync_oracle()
+    ),
+)
+def q_ann_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDF -> IVF sync, end to end (the vector twin of q_index_sync):
+    a vector LakeTable takes the even embeddings as its base, the
+    index builds on that snapshot and bootstraps a sync cursor; the
+    table then mutates — one MoR MERGE inserting the odds and
+    NEGATING every %10 vector (same norm, opposite direction: the
+    update must MOVE its row across lists, not stack a stale twin),
+    one MoR predicate delete of the %9 ids — and the incremental sync
+    applies the net diff as key merges + tombstones. Served through
+    BOTH paths against a relational replay whose centroids come from
+    the ORIGINAL build snapshot but whose corpus is the FINAL table
+    state — pinning that sync assigns against stored centroids and
+    that updates/deletes land exactly."""
+    import os
+    import shutil
+    import tempfile
+
+    from datalake_toolkit_spark.lakehouse import LakeTable
+    from datalake_toolkit_spark.llm import IVFIndex, sync_ivf_from_table
+
+    emb = _t(spark, sf_dir, "embeddings")
+    work = tempfile.mkdtemp(prefix="dts_annsync_")
+    try:
+        t = LakeTable(spark, os.path.join(work, "vecs"))
+        t.write(
+            emb.where(F.col("vec_id") % 2 == 0).select("vec_id", "embedding")
+        )
+        idx = IVFIndex(spark, os.path.join(work, "idx"))
+        idx.build(t.read(), n_lists=8, lloyd_iters=1)
+        sync_ivf_from_table(idx, t)  # bootstrap: converging re-merge
+        negated = emb.where(F.col("vec_id") % 10 == 0).select(
+            "vec_id",
+            F.transform(F.col("embedding"), lambda x: -x).alias("embedding"),
+        )
+        t.upsert(
+            emb.where(F.col("vec_id") % 2 == 1)
+            .select("vec_id", "embedding")
+            .unionByName(negated),
+            keys=["vec_id"],
+            mode="mor",
+        )
+        t.delete_where("vec_id % 9 = 0", mode="mor")
+        sync_ivf_from_table(idx, t)  # incremental: cursor -> head
+        queries = emb.where((F.col("vec_id") >= 22) & (F.col("vec_id") < 26))
+        exact = idx.search(
+            queries, k=6, n_probe=2, exclude_self=True
+        ).withColumn("path", F.lit("exact"))
+        quant = idx.search_quantized(
+            queries, k=6, n_probe=2, rescore_factor=4, exclude_self=True
+        ).withColumn("path", F.lit("quantized"))
+        return exact.unionByName(quant).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 @query("q_persistent_ivf", _persistent_ivf_oracle())
 def q_persistent_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Persistent IVF index lifecycle, end to end: build on the even
@@ -1534,6 +1722,58 @@ def q_ivf_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
             k=6, n_probe=3, rescore_factor=4, exclude_self=True,
         )
         return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@query(
+    "q_ivf_rebuild",
+    "WITH base AS ({})\n"
+    "SELECT qid, cid, cosine, rank, 'exact' AS path FROM base\n"
+    "UNION ALL\n"
+    "SELECT qid, cid, cosine, rank, 'quantized' AS path FROM base".format(
+        _persistent_ivf_oracle(
+            n_probe=2, k=6, qlo=22, qhi=26,
+            corpus_pred="vec_id NOT IN (0, 7, 14, 21, 28, 35)",
+            build_pred="TRUE",
+        )
+    ),
+)
+def q_ivf_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centroid-drift governance, end to end — the vector-plane
+    analogue of q_index_rebucket: build on the even half, MoR-add the
+    odd half, TOMBSTONE six ids, then ``rebuild()`` — which must
+    drain the pending MoR append AND the tombstones into the retrain
+    (a resurrected or lost vector changes the centroid means, so the
+    hash would catch it), re-seed from the same md5 planes, and run
+    Lloyd over everything still indexed. Served through BOTH paths
+    (rebuild regenerates the int8 codes): the oracle is ONE
+    relational replay — Lloyd src = the surviving corpus, assignment
+    vs the retrained centroids — read twice, so exact and quantized
+    must both be bit-identical to the post-rebuild math."""
+    import shutil
+    import tempfile
+
+    from datalake_toolkit_spark.llm import IVFIndex
+
+    emb = _t(spark, sf_dir, "embeddings")
+    work = tempfile.mkdtemp(prefix="dts_ivfrb_")
+    try:
+        idx = IVFIndex(spark, work)
+        idx.build(
+            emb.where(F.col("vec_id") % 2 == 0), n_lists=8, lloyd_iters=1
+        )
+        idx.add(emb.where(F.col("vec_id") % 2 == 1), mode="mor")
+        idx.remove([0, 7, 14, 21, 28, 35])
+        idx.rebuild(lloyd_iters=1)
+        queries = emb.where((F.col("vec_id") >= 22) & (F.col("vec_id") < 26))
+        exact = idx.search(
+            queries, k=6, n_probe=2, exclude_self=True
+        ).withColumn("path", F.lit("exact"))
+        quant = idx.search_quantized(
+            queries, k=6, n_probe=2, rescore_factor=4, exclude_self=True
+        ).withColumn("path", F.lit("quantized"))
+        return exact.unionByName(quant).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -2126,6 +2366,97 @@ def q_index_rebucket(spark: SparkSession, sf_dir: str) -> DataFrame:
         idx.add(docs.where(F.col("doc_id") % 2 == 0))
         idx.add(docs.where(F.col("doc_id") % 2 == 1), mode="mor")
         idx.rebucket(2)
+        return idx.search(queries, k=10).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@query(
+    "q_index_sync",
+    r"""
+    WITH raw AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 10 = 0 THEN text || ' freshly edited'
+                  ELSE text END AS text
+      FROM documents WHERE doc_id % 9 <> 0),
+    toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS w
+      FROM raw),
+    d AS (SELECT doc_id, w FROM toks WHERE len(w) > 0),
+    post AS (SELECT doc_id, term, count(*) AS tf
+             FROM (SELECT doc_id, unnest(w) AS term FROM d)
+             GROUP BY doc_id, term),
+    qt AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS w
+      FROM documents WHERE doc_id >= 6 AND doc_id < 9),
+    q AS (SELECT doc_id AS query_id, unnest(list_distinct(w[1:6])) AS term
+          FROM qt WHERE len(w) > 0),
+    m AS (SELECT q.query_id, p.doc_id, count(*) AS n_matched,
+                 CAST(sum(p.tf) AS BIGINT) AS sum_tf
+          FROM q JOIN post p USING (term) GROUP BY 1, 2),
+    r AS (SELECT query_id, doc_id, n_matched, sum_tf,
+          CAST(row_number() OVER (PARTITION BY query_id
+            ORDER BY n_matched DESC, sum_tf DESC, doc_id) AS INTEGER)
+            AS rank
+          FROM m)
+    SELECT query_id, doc_id, n_matched, sum_tf, rank FROM r WHERE rank <= 10
+    """,
+)
+def q_index_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-feed -> index synchronization, end to end — the
+    lakehouse analogue of the reference's DynamoDB-stream -> ES
+    propagation: a docs LakeTable takes the even half as its base,
+    bootstraps a PostingsIndex through ``sync_postings_from_table``,
+    then MUTATES — one MoR MERGE inserting the odd half and editing
+    every %10 text, one MoR predicate delete of the %9 ids — and a
+    second sync consumes ``changes()`` between the cursor and the
+    head: edits arrive as replace-adds (dropped terms die), net
+    deletes as index removes, and rows inserted-then-deleted inside
+    the window never reach the index at all. The serve is
+    hash-checked against the relational replay of the FINAL table
+    content, so the whole mutate -> diff -> apply chain must land
+    exactly."""
+    import os
+    import shutil
+    import tempfile
+
+    from datalake_toolkit_spark.lakehouse import LakeTable
+    from datalake_toolkit_spark.llm import (
+        PostingsIndex,
+        sync_postings_from_table,
+    )
+    from datalake_toolkit_spark.llm.search import _tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    work = tempfile.mkdtemp(prefix="dts_sync_")
+    try:
+        t = LakeTable(spark, os.path.join(work, "docs"))
+        t.write(docs.where(F.col("doc_id") % 2 == 0).select("doc_id", "text"))
+        idx = PostingsIndex(spark, os.path.join(work, "idx"), prefix_len=1)
+        sync_postings_from_table(idx, t)  # bootstrap: whole snapshot
+        edited = docs.where(F.col("doc_id") % 10 == 0).select(
+            "doc_id",
+            F.concat(F.col("text"), F.lit(" freshly edited")).alias("text"),
+        )
+        t.upsert(
+            docs.where(F.col("doc_id") % 2 == 1)
+            .select("doc_id", "text")
+            .unionByName(edited),
+            keys=["doc_id"],
+            mode="mor",
+        )
+        t.delete_where("doc_id % 9 = 0", mode="mor")
+        sync_postings_from_table(idx, t)  # incremental: cursor -> head
+        queries = docs.where(
+            (F.col("doc_id") >= 6) & (F.col("doc_id") < 9)
+        ).select(
+            F.col("doc_id").alias("query_id"),
+            F.concat_ws(" ", F.slice(_tokens("text"), 1, 6)).alias(
+                "query_text"
+            ),
+        )
         return idx.search(queries, k=10).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(work, ignore_errors=True)

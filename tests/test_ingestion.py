@@ -1128,3 +1128,65 @@ def test_cli_hybrid_and_quantized_actions(spark, tmp_path, capsys):
 
     with _pytest.raises(SystemExit, match="prefix-len"):
         main(["search", "index-rebucket", "--index", idx_path])
+
+
+def test_cli_index_sync_actions(spark, tmp_path, capsys):
+    """CDF -> index sync from the shell: `search index-sync` bootstraps
+    from a LakeTable, a second call after table mutation applies the
+    net changes, and `ann sync` follows a vector table the same way."""
+    import json as json_mod
+
+    from datalake_toolkit_spark.__main__ import main
+    from datalake_toolkit_spark.lakehouse import LakeTable
+
+    t_path = str(tmp_path / "t")
+    t = LakeTable(spark, t_path)
+    t.write(spark.createDataFrame(
+        [(1, "red fish"), (2, "blue whale")], "doc_id bigint, text string"
+    ))
+    idx_path = str(tmp_path / "pidx")
+    assert main(["search", "index-sync", "--index", idx_path,
+                 "--table", t_path]) == 0
+    rep = json_mod.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["upserts"] == 2 and rep["from_version"] is None
+    t.upsert(spark.createDataFrame(
+        [(3, "red red")], "doc_id bigint, text string"
+    ), keys=["doc_id"], mode="mor")
+    t.delete_where("doc_id = 2", mode="mor")
+    assert main(["search", "index-sync", "--index", idx_path,
+                 "--table", t_path]) == 0
+    rep = json_mod.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["upserts"] == 1 and rep["removes"] == 1
+    assert main(["search", "index-query", "--index", idx_path,
+                 "--query", "red whale"]) == 0
+    rows = [json_mod.loads(ln) for ln in
+            capsys.readouterr().out.strip().splitlines()]
+    assert sorted(r["doc_id"] for r in rows) == [1, 3]
+
+    vt_path = str(tmp_path / "vt")
+    vt = LakeTable(spark, vt_path)
+    vt.write(spark.createDataFrame(
+        [(i, [1.0 * (i % 2), 1.0 * ((i + 1) % 2), 1.0]) for i in range(8)],
+        "vec_id bigint, embedding array<double>",
+    ))
+    ivf_path = str(tmp_path / "ivf")
+    emb0 = str(tmp_path / "emb0")
+    vt.read().coalesce(1).write.parquet(emb0)
+    assert main(["ann", "build", "--path", ivf_path, "--input", emb0,
+                 "--n-lists", "2", "--lloyd-iters", "1", "--dim", "3"]) == 0
+    capsys.readouterr()
+    assert main(["ann", "sync", "--path", ivf_path, "--table", vt_path]) == 0
+    capsys.readouterr()
+    vt.delete_where("vec_id = 0", mode="mor")
+    assert main(["ann", "sync", "--path", ivf_path, "--table", vt_path]) == 0
+    rep = json_mod.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["removes"] == 1 and rep["upserts"] == 0
+    q = str(tmp_path / "q")
+    spark.createDataFrame(
+        [(100, [0.0, 1.0, 1.0])], "vec_id bigint, embedding array<double>"
+    ).coalesce(1).write.parquet(q)
+    assert main(["ann", "search", "--path", ivf_path, "--input", q,
+                 "--k", "10", "--n-probe", "2"]) == 0
+    rows = [json_mod.loads(ln) for ln in
+            capsys.readouterr().out.strip().splitlines()]
+    assert 0 not in {r["cid"] for r in rows} and len(rows) == 7

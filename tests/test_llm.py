@@ -3188,3 +3188,209 @@ def test_postings_corpus_stats_random_mutation_model(spark, tmp_path):
             f"step {step} op {op}: cached {(cached.n, cached.t)} != "
             f"truth {(truth.n, truth.t)}"
         )
+
+
+def test_sync_postings_from_table(spark, tmp_path):
+    """CDF -> postings sync: bootstrap indexes the whole snapshot; an
+    incremental sync applies net upserts as replace-adds (dropped
+    terms die) and net deletes as removes; a row inserted AND deleted
+    inside the window never reaches the index; answers equal a fresh
+    index built from the final snapshot for keyword AND bm25; a
+    replay of the same window converges; the cursor advances."""
+    from datalake_toolkit_spark.lakehouse import LakeTable
+    from datalake_toolkit_spark.llm import (
+        PostingsIndex,
+        sync_cursor,
+        sync_postings_from_table,
+    )
+
+    t = LakeTable(spark, str(tmp_path / "t"))
+    t.write(
+        spark.createDataFrame(
+            [(1, "apple banana cherry"), (2, "apple banana apple"),
+             (3, "cherry date")],
+            "doc_id bigint, text string",
+        )
+    )
+    idx = PostingsIndex(spark, str(tmp_path / "p"), prefix_len=1)
+    r1 = sync_postings_from_table(idx, t)
+    assert r1["from_version"] is None and r1["upserts"] == 3
+    v0 = sync_cursor(idx, t)
+    assert v0 == t.current_version()
+
+    # update doc 1 (drops banana+cherry, gains elder), insert 4 and 5,
+    # then delete 3 and the just-inserted 5 — 5 must net out entirely
+    t.upsert(
+        spark.createDataFrame(
+            [(1, "apple elder"), (4, "banana banana"), (5, "ghost doc")],
+            "doc_id bigint, text string",
+        ),
+        keys=["doc_id"],
+        mode="mor",
+    )
+    t.delete_where("doc_id IN (3, 5)", mode="mor")
+    r2 = sync_postings_from_table(idx, t)
+    assert r2["from_version"] == v0
+    assert r2["removes"] == 1  # doc 3 only; 5 netted out in-window
+    assert r2["upserts"] == 2  # docs 1 and 4
+    assert sync_cursor(idx, t) == t.current_version()
+
+    queries = spark.createDataFrame(
+        [(0, "apple banana"), (1, "cherry elder ghost")],
+        "query_id bigint, query_text string",
+    )
+    ref = PostingsIndex(spark, str(tmp_path / "ref"), prefix_len=1)
+    ref.add(t.read())
+    want = {}
+    for serve in ("search", "search_bm25"):
+        got = sorted(
+            map(tuple, getattr(idx, serve)(queries, k=10).collect())
+        )
+        want[serve] = sorted(
+            map(tuple, getattr(ref, serve)(queries, k=10).collect())
+        )
+        assert got == want[serve], serve
+    hits = {
+        (row.query_id, row.doc_id)
+        for row in idx.search(queries, k=10).collect()
+    }
+    assert (1, 3) not in hits  # removed doc gone
+    assert (1, 5) not in hits  # netted-out doc never indexed
+    assert (0, 1) in hits  # updated doc still matches via 'apple'
+    # replace-add killed the dropped term: doc 1 matches query 1 via
+    # 'elder' ONLY — a stale 'cherry' posting would make n_matched 2
+    (n_matched,) = [
+        row.n_matched
+        for row in idx.search(queries, k=10).collect()
+        if row.query_id == 1 and row.doc_id == 1
+    ]
+    assert n_matched == 1
+
+    # replaying the same window is convergent, not duplicating
+    sync_postings_from_table(idx, t, from_version=v0)
+    again = sorted(map(tuple, idx.search(queries, k=10).collect()))
+    assert again == want["search"]
+
+
+def test_sync_ivf_from_table(spark, tmp_path):
+    """CDF -> IVF sync: net upserts merge on key, net deletes
+    tombstone, and an update that turns a vector NON-indexable (NULL)
+    demotes to a remove instead of serving the stale old vector.
+    Full-probe serve equals a fresh index built from the final
+    snapshot (full probe == content, whatever the centroids), and a
+    window replay converges."""
+    from datalake_toolkit_spark.lakehouse import LakeTable
+    from datalake_toolkit_spark.llm import (
+        IVFIndex,
+        sync_cursor,
+        sync_ivf_from_table,
+    )
+
+    rows = [
+        (i, [float(i % 5 + 1), float((i * 7) % 11 + 1),
+             float((i * 3) % 13 + 1)])
+        for i in range(20)
+    ]
+    t = LakeTable(spark, str(tmp_path / "t"))
+    t.write(
+        spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    )
+    idx = IVFIndex(spark, str(tmp_path / "v"))
+    idx.build(t.read(), n_lists=4, lloyd_iters=1, dim=3)
+    sync_ivf_from_table(idx, t)  # bootstrap re-merge converges
+    v0 = sync_cursor(idx, t)
+    assert v0 == t.current_version()
+
+    # update 1, NULL-out 2 (demotion), insert 20 and 21, delete 3 and
+    # the just-inserted 21
+    t.upsert(
+        spark.createDataFrame(
+            [(1, [9.0, 1.0, 1.0]), (2, None),
+             (20, [1.0, 2.0, 3.0]), (21, [4.0, 4.0, 4.0])],
+            "vec_id bigint, embedding array<double>",
+        ),
+        keys=["vec_id"],
+        mode="mor",
+    )
+    t.delete_where("vec_id IN (3, 21)", mode="mor")
+    r = sync_ivf_from_table(idx, t)
+    assert r["removes"] == 2  # net-deleted 3 + demoted 2
+    assert r["upserts"] == 2  # updated 1 + inserted 20
+
+    queries = spark.createDataFrame(
+        [(100, [1.0, 1.0, 1.0]), (101, [9.0, 1.0, 2.0])],
+        "vec_id bigint, embedding array<double>",
+    )
+    ref = IVFIndex(spark, str(tmp_path / "ref"))
+    ref.build(t.read(), n_lists=4, lloyd_iters=1, dim=3)
+    got = sorted(
+        map(tuple, idx.search(queries, k=50, n_probe=4).collect())
+    )
+    want = sorted(
+        map(tuple, ref.search(queries, k=50, n_probe=4).collect())
+    )
+    assert got == want
+    cids = {c for _, c, _, _ in got}
+    assert cids == ({i for i in range(20)} | {20}) - {2, 3}
+
+    sync_ivf_from_table(idx, t, from_version=v0)  # window replay
+    again = sorted(
+        map(tuple, idx.search(queries, k=50, n_probe=4).collect())
+    )
+    assert again == want
+
+
+def test_project_embeddings_jl_contract(spark):
+    """JL projection: deterministic (same matrix every call), NULL in
+    -> NULL out (not an array of NULLs), expected-norm preservation
+    within a loose JL bound on average, and the projected column
+    composes with IVFIndex.build (the intended consumer)."""
+    import math
+    import random
+
+    from datalake_toolkit_spark.llm import (
+        IVFIndex,
+        project_embeddings,
+        projection_matrix,
+    )
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(64)]) for i in range(200)
+    ] + [(999, None)]
+    df = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>"
+    )
+    out = project_embeddings(df, out_dim=16, in_dim=64)
+    got = {r.vec_id: r.embedding for r in out.collect()}
+    assert got[999] is None
+    assert all(len(v) == 16 for k, v in got.items() if k != 999)
+    # determinism: a second call reproduces bit-identical components
+    again = {r.vec_id: r.embedding for r in
+             project_embeddings(df, out_dim=16, in_dim=64).collect()}
+    assert got == again
+    # the matrix itself is reproducible on the driver
+    m = projection_matrix(16, 64)
+    x = dict(rows)[0]
+    scale = math.sqrt(3.0 / 16)
+    y0 = [sum(xi * wi for xi, wi in zip(x, row)) * scale for row in m]
+    assert all(abs(a - b) < 1e-9 for a, b in zip(y0, got[0]))
+    # norm preservation in expectation: mean squared-norm ratio ~ 1
+    ratios = [
+        sum(c * c for c in got[i]) / sum(c * c for c in dict(rows)[i])
+        for i in range(200)
+    ]
+    assert 0.7 < sum(ratios) / len(ratios) < 1.3
+    # composes with the ANN index: build + full-probe serve works on
+    # the 16-dim column
+    import tempfile, shutil
+
+    work = tempfile.mkdtemp(prefix="dts_jl_")
+    try:
+        idx = IVFIndex(spark, work)
+        idx.build(out.where(F.col("embedding").isNotNull()),
+                  n_lists=4, lloyd_iters=1, dim=16)
+        res = idx.search(out.where(F.col("vec_id") < 3), k=5, n_probe=4)
+        assert res.count() == 15
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
