@@ -1,5 +1,8 @@
 """Benchmark harness: run every registered query at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) and print ONE JSON line.
+(default /root/testdata/sf0.1) and print ONE JSON line (compact:
+aggregates + the 50-query gate window, sized to survive the round
+driver's 2000-char stdout tail capture intact); the full per-query
+payload is written to bench_latest.json next to this file.
 
 Each query executes to completion through the ``noop`` sink (full JVM
 execution, no driver-side row collection skewing the numbers). A warmup
@@ -25,7 +28,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from datalake_toolkit_spark.plans import QUERIES, STATEFUL
+from datalake_toolkit_spark.plans import DEMOTED, QUERIES, STATEFUL
 from datalake_toolkit_spark.session import get_spark
 
 
@@ -77,25 +80,60 @@ def run() -> None:
         sum(v for n, v in timings.items() if n in STATEFUL and isinstance(v, float)),
         3,
     )
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_sec",
-                "value": total,
-                "unit": "sec",
-                "timing": "median-of-3 (queries_best = min-of-3, "
-                "comparable to rounds <= 10's best-of-2)",
-                "queries": timings,
-                "queries_best": best,
-                "sf": sf,
-                "ingest_mb_s": ingest_mb_s,
-                "stateful_queries": sorted(n for n in timings if n in STATEFUL),
-                "stateful_query_sec": stateful_sec,
-                "plan_query_sec": round(total - stateful_sec, 3),
-                **({"errors": errors} if errors else {}),
-            }
-        )
-    )
+    # The round driver archives only the LAST ~2000 characters of
+    # stdout and json-parses that window (every BENCH_r*.json since r1
+    # shows parsed:None — the one-line payload outgrew 2000 chars the
+    # moment the query count did). So: the FULL payload goes to
+    # bench_latest.json (committed with the round), and stdout gets a
+    # compact line kept under ~1900 chars — aggregates plus as much of
+    # the driver's 50-query gate window as fits — so the archived tail
+    # is finally machine-parseable end to end.
+    payload = {
+        "metric": "total_query_sec",
+        "unit": "sec",
+        "timing": "median-of-3 (queries_best = min-of-3, "
+        "comparable to rounds <= 10's best-of-2)",
+        "stateful_queries": sorted(n for n in timings if n in STATEFUL),
+        "queries_best": best,
+        "queries_all": timings,
+        **({"errors": errors} if errors else {}),
+        "sf": sf,
+        "ingest_mb_s": ingest_mb_s,
+        "stateful_query_sec": stateful_sec,
+        "plan_query_sec": round(total - stateful_sec, 3),
+        "n_queries": len(timings),
+        "value": total,
+    }
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "bench_latest.json"),
+        "w",
+    ) as f:
+        json.dump(payload, f, indent=1)
+
+    compact = {
+        "metric": "total_query_sec",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "timing": "median-of-3",
+        "n_queries": len(timings),
+        "ingest_mb_s": ingest_mb_s,
+        "stateful_query_sec": stateful_sec,
+        "plan_query_sec": round(total - stateful_sec, 3),
+        **({"errors": sorted(errors)} if errors else {}),
+        "detail": "bench_latest.json",
+        "queries": {},
+    }
+    window = [n for n in QUERIES if n not in DEMOTED][:50]
+    for n in window:
+        if n not in timings:
+            continue
+        compact["queries"][n] = timings[n]
+        if len(json.dumps(compact)) > 1880:
+            del compact["queries"][n]
+            break
+    print(json.dumps(compact))
 
 
 def _ingest_throughput(spark, sf_dir: str) -> float:
