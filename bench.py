@@ -28,7 +28,12 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from datalake_toolkit_spark.plans import DEMOTED, QUERIES, STATEFUL
+from datalake_toolkit_spark.plans import (
+    DEMOTED,
+    GATE_WINDOW,
+    QUERIES,
+    STATEFUL,
+)
 from datalake_toolkit_spark.session import get_spark
 
 
@@ -121,11 +126,17 @@ def run() -> None:
         "ingest_mb_s": ingest_mb_s,
         "stateful_query_sec": stateful_sec,
         "plan_query_sec": round(total - stateful_sec, 3),
-        **({"errors": sorted(errors)} if errors else {}),
+        # cap the error list: a catastrophic run (many errs) must not
+        # push the line back over the driver's tail capture
+        **(
+            {"n_errors": len(errors), "errors": sorted(errors)[:10]}
+            if errors
+            else {}
+        ),
         "detail": "bench_latest.json",
         "queries": {},
     }
-    window = [n for n in QUERIES if n not in DEMOTED][:50]
+    window = [n for n in QUERIES if n not in DEMOTED][:GATE_WINDOW]
     for n in window:
         if n not in timings:
             continue

@@ -208,9 +208,25 @@ def project_embeddings(
         )
         * F.lit(scale),
     )
-    # without the guard a NULL input projects to an array of NULLs
-    # (transform iterates the non-null matrix), not a NULL array
-    proj = F.when(F.col("_v").isNull(), F.lit(None)).otherwise(proj)
+    # without the guards a NULL input projects to an array of NULLs
+    # (transform iterates the non-null matrix), and a WRONG-LENGTH
+    # input zip_pads to the same silent NULL components — which
+    # downstream index builds would then silently drop. NULL stays
+    # NULL; a dimension mismatch fails loudly.
+    proj = (
+        F.when(F.col("_v").isNull(), F.lit(None))
+        .when(F.size("_v") == F.lit(in_dim), proj)
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"project_embeddings: expected in_dim={in_dim}, got "
+                    ),
+                    F.size("_v").cast("string"),
+                )
+            )
+        )
+    )
     return base.select(F.col(id_col), proj.alias(vec_col))
 
 

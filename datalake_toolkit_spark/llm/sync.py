@@ -70,7 +70,10 @@ def _net_changes(
     the mutation size — the sync window's deleted keys — the same
     update-sized contract the indexes' own ``remove`` documents; for
     corpus-scale rewrites, rebuild instead of syncing."""
-    ch = table.changes(from_version, to_version)
+    # pin the two-snapshot diff ONCE: it is mutation-sized, and both
+    # the removed-ids collect and the caller's add would otherwise
+    # each re-run the full diff (the dominant sync cost)
+    ch = table.changes(from_version, to_version).localCheckpoint(eager=True)
     ins = ch.where(F.col("_change_type") == "insert").drop("_change_type")
     # one id can diff as several insert rows when the table holds
     # duplicate keys; the indexes treat id as a key, so keep one
@@ -120,6 +123,9 @@ def sync_postings_from_table(
     out = {"from_version": from_v, "to_version": to_v,
            "upserts": 0, "removes": 0}
     if from_v is None:
+        # deliberately NOT checkpointed: bootstrap is corpus-sized, so
+        # pinning it would copy the whole corpus to executor storage —
+        # the count's second parquet scan is the cheaper price
         snap = table.read(version=to_v).select(index.id_col, index.text_col)
         out["upserts"] = snap.count()
         # add unconditionally: an EMPTY snapshot must still CREATE the
@@ -131,11 +137,7 @@ def sync_postings_from_table(
     if from_v == to_v:
         return out
     upserts, removed = _net_changes(table, from_v, to_v, index.id_col)
-    # mutation-sized: pin it so the count and the add don't re-run
-    # the two-snapshot diff
-    upserts = upserts.select(index.id_col, index.text_col).localCheckpoint(
-        eager=True
-    )
+    upserts = upserts.select(index.id_col, index.text_col)
     out["removes"] = len(removed)
     if removed:
         index.remove(removed)
@@ -167,6 +169,8 @@ def sync_ivf_from_table(
     out = {"from_version": from_v, "to_version": to_v,
            "upserts": 0, "removes": 0}
     if from_v is None:
+        # NOT checkpointed — corpus-sized, same trade as the postings
+        # bootstrap
         snap = table.read(version=to_v).select(index.id_col, index.vec_col)
         out["upserts"] = index._prep(snap).count()
         if out["upserts"]:
@@ -176,11 +180,7 @@ def sync_ivf_from_table(
     if from_v == to_v:
         return out
     upserts, removed = _net_changes(table, from_v, to_v, index.id_col)
-    # mutation-sized: pin it so the indexable split, the count and
-    # the add don't each re-run the two-snapshot diff
-    upserts = upserts.select(index.id_col, index.vec_col).localCheckpoint(
-        eager=True
-    )
+    upserts = upserts.select(index.id_col, index.vec_col)
     indexable = index._prep(upserts)
     demoted = (
         upserts.select(F.col(index.id_col).alias("id"))

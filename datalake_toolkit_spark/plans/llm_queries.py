@@ -1607,8 +1607,8 @@ def _ann_sync_oracle(
 )
 def q_ann_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDF -> IVF sync, end to end (the vector twin of q_index_sync):
-    a vector LakeTable takes the even embeddings as its base, the
-    index builds on that snapshot and bootstraps a sync cursor; the
+    a vector LakeTable takes the even embeddings as its base and the
+    index builds on that snapshot version; the
     table then mutates — one MoR MERGE inserting the odds and
     NEGATING every %10 vector (same norm, opposite direction: the
     update must MOVE its row across lists, not stack a stale twin),
@@ -1634,7 +1634,10 @@ def q_ann_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         idx = IVFIndex(spark, os.path.join(work, "idx"))
         idx.build(t.read(), n_lists=8, lloyd_iters=1)
-        sync_ivf_from_table(idx, t)  # bootstrap: converging re-merge
+        # the post-build idiom: sync from the version the build read
+        # (a bootstrap would redundantly re-merge the whole snapshot;
+        # that path is pinned by test_sync_ivf_from_table instead)
+        v0 = t.current_version()
         negated = emb.where(F.col("vec_id") % 10 == 0).select(
             "vec_id",
             F.transform(F.col("embedding"), lambda x: -x).alias("embedding"),
@@ -1647,7 +1650,7 @@ def q_ann_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
             mode="mor",
         )
         t.delete_where("vec_id % 9 = 0", mode="mor")
-        sync_ivf_from_table(idx, t)  # incremental: cursor -> head
+        sync_ivf_from_table(idx, t, from_version=v0)  # one net diff
         queries = emb.where((F.col("vec_id") >= 22) & (F.col("vec_id") < 26))
         exact = idx.search(
             queries, k=6, n_probe=2, exclude_self=True

@@ -3364,6 +3364,15 @@ def test_project_embeddings_jl_contract(spark):
     out = project_embeddings(df, out_dim=16, in_dim=64)
     got = {r.vec_id: r.embedding for r in out.collect()}
     assert got[999] is None
+    # a wrong-length vector fails LOUDLY (zip-padding would otherwise
+    # emit silent NULL components that index builds silently drop)
+    import pytest
+
+    bad = spark.createDataFrame(
+        [(1, [1.0, 2.0])], "vec_id bigint, embedding array<double>"
+    )
+    with pytest.raises(Exception, match="project_embeddings"):
+        project_embeddings(bad, out_dim=16, in_dim=64).collect()
     assert all(len(v) == 16 for k, v in got.items() if k != 999)
     # determinism: a second call reproduces bit-identical components
     again = {r.vec_id: r.embedding for r in
