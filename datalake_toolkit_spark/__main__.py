@@ -212,7 +212,7 @@ def _build_parser() -> argparse.ArgumentParser:
     an.add_argument(
         "action",
         choices=["build", "add", "search", "sizes", "probe", "maintain",
-                 "remove", "sync"],
+                 "remove", "sync", "recall"],
     )
     an.add_argument("--path", required=True, help="IVFIndex root")
     an.add_argument("--input", default=None,
@@ -732,6 +732,15 @@ def _cmd_ann(args: argparse.Namespace) -> int:
         print(json.dumps(idx.plan_probe(
             spark.read.parquet(args.input), n_probe=args.n_probe,
             quantized=args.quantized)))
+        return 0
+    if args.action == "recall":
+        if not args.input:
+            raise SystemExit("recall needs --input (query vectors parquet)")
+        out = idx.recall(
+            spark.read.parquet(args.input), k=args.k, n_probe=args.n_probe
+        )
+        for r in out.orderBy("qid").collect():
+            print(json.dumps(r.asDict()))
         return 0
     if args.action == "sync":
         from datalake_toolkit_spark.lakehouse import LakeTable

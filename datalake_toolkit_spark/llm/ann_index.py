@@ -648,3 +648,50 @@ class IVFIndex:
             .groupBy("list_id")
             .agg(F.count(F.lit(1)).alias("n_vectors"))
         )
+
+    def recall(
+        self,
+        queries: DataFrame,
+        k: int = 10,
+        n_probe: int = 4,
+        exclude_self: bool = False,
+        at: dict | None = None,
+    ) -> DataFrame:
+        """Measured recall@k of the probed serve against the exact
+        answer over the SAME index state: (qid, n_hits, n_exact,
+        recall) where ``n_exact = min(k, candidates)`` and
+        ``recall = n_hits / n_exact``. The n_probe tuning loop in one
+        call — run it on a sampled query batch before widening or
+        narrowing probes, instead of guessing. Cost: one probed serve
+        plus one full-probe serve over the probed queries (exact by
+        construction — ``n_probe >= n_lists`` probes every list), so
+        size the query sample, not the corpus."""
+        n_lists = len(self.centroids(at))
+        approx = self.search(
+            queries, k=k, n_probe=n_probe,
+            exclude_self=exclude_self, at=at,
+        ).select("qid", "cid")
+        exact = self.search(
+            queries, k=k, n_probe=n_lists,
+            exclude_self=exclude_self, at=at,
+        ).select("qid", "cid")
+        n_exact = exact.groupBy("qid").agg(
+            F.count(F.lit(1)).alias("n_exact")
+        )
+        hits = (
+            exact.join(approx, ["qid", "cid"])
+            .groupBy("qid")
+            .agg(F.count(F.lit(1)).alias("n_hits"))
+        )
+        return (
+            n_exact.join(hits, "qid", "left")
+            .select(
+                "qid",
+                F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+                "n_exact",
+                (
+                    F.coalesce("n_hits", F.lit(0))
+                    / F.col("n_exact")
+                ).alias("recall"),
+            )
+        )

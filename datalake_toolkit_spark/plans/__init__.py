@@ -276,6 +276,7 @@ DEMOTED: tuple[str, ...] = (
     "q_index_sync",  # CDF -> index sync: bootstrap, MoR merge+delete, serve
     "q_ann_sync",  # CDF -> IVF sync: stored-centroid assignment, both paths
     "q_jl_projection",  # seeded JL matrix, per-component hash-exact
+    "q_ivf_recall",  # probed-vs-exact recall, measurement hash-exact
 )
 
 GATE_WINDOW = 50
@@ -303,6 +304,7 @@ STATEFUL: frozenset[str] = frozenset(
         "q_ivf_rebuild",  # build+MoR-add+remove+retrain commits, both paths
         "q_index_sync",  # table commits + CDF diff + index replace-add/remove
         "q_ann_sync",  # vector table commits + CDF diff + IVF merge/tombstone
+        "q_ivf_recall",  # IVF lifecycle + probed AND full-probe serves
         "q_postings_search",  # postings index: two add commits + bucket-pruned serve
         "q_index_corpus_stats",  # three add commits incl. re-add; cached-stats read
         "q_index_decontaminate",  # two add commits + phrase-probe decontamination

@@ -1663,6 +1663,105 @@ def q_ann_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def _ivf_recall_oracle(
+    n_lists: int = 8, n_probe: int = 2, dim: int = 64, k: int = 8,
+    qlo: int = 0, qhi: int = 8,
+) -> str:
+    """DuckDB mirror of IVFIndex.recall over the persistent lifecycle:
+    the probed top-k (q_persistent_ivf machinery) intersected with the
+    brute-force top-k over the same indexed content; recall is BIGINT
+    count / BIGINT count — one correctly-rounded double division on
+    both engines."""
+    from datalake_toolkit_spark.llm.similarity import _plane_component
+
+    rows = ",".join(
+        "({}, [{}])".format(
+            p, ",".join(repr(_plane_component(p, d)) for d in range(dim))
+        )
+        for p in range(n_lists)
+    )
+
+    def cos(x: str, y: str) -> str:
+        return (
+            f"list_inner_product({x}, {y}) / "
+            f"(sqrt(list_inner_product({x}, {x})) * "
+            f"sqrt(list_inner_product({y}, {y})))"
+        )
+
+    return f"""
+    WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings
+               WHERE embedding IS NOT NULL
+                 AND list_inner_product(CAST(embedding AS DOUBLE[]),
+                                        CAST(embedding AS DOUBLE[])) > 0),
+    cb AS (SELECT * FROM c WHERE vec_id % 2 = 0),
+    cent0(list_id, cv) AS (VALUES {rows}),
+    {_lloyd_pass_sql('cent0', 'cent1', 0, src='cb')},
+    xf AS (SELECT c.vec_id, c.v, kk.list_id,
+           row_number() OVER (PARTITION BY c.vec_id
+             ORDER BY list_inner_product(c.v, kk.cv) DESC, kk.list_id) AS rn
+           FROM c CROSS JOIN cent1 kk),
+    af AS (SELECT vec_id, v, list_id FROM xf WHERE rn = 1),
+    q AS (SELECT vec_id AS qid, v AS qv FROM c
+          WHERE vec_id >= {qlo} AND vec_id < {qhi}),
+    probe AS (SELECT q.qid, q.qv, kk.list_id,
+              row_number() OVER (PARTITION BY q.qid
+                ORDER BY list_inner_product(q.qv, kk.cv) DESC, kk.list_id DESC) AS prn
+              FROM q CROSS JOIN cent1 kk),
+    qp AS (SELECT qid, qv, list_id FROM probe WHERE prn <= {n_probe}),
+    aps AS (SELECT qp.qid, af.vec_id AS cid,
+                   {cos('qp.qv', 'af.v')} AS cosine
+            FROM qp JOIN af ON qp.list_id = af.list_id
+            WHERE qp.qid <> af.vec_id),
+    apr AS (SELECT qid, cid, row_number() OVER (PARTITION BY qid
+              ORDER BY cosine DESC, cid) AS r FROM aps),
+    ap AS (SELECT qid, cid FROM apr WHERE r <= {k}),
+    exs AS (SELECT q.qid, af.vec_id AS cid,
+                   {cos('q.qv', 'af.v')} AS cosine
+            FROM q CROSS JOIN af WHERE q.qid <> af.vec_id),
+    exr AS (SELECT qid, cid, row_number() OVER (PARTITION BY qid
+              ORDER BY cosine DESC, cid) AS r FROM exs),
+    ex AS (SELECT qid, cid FROM exr WHERE r <= {k}),
+    ne AS (SELECT qid, count(*) AS n_exact FROM ex GROUP BY qid),
+    nh AS (SELECT e.qid, count(*) AS n_hits
+           FROM ex e JOIN ap a USING (qid, cid) GROUP BY e.qid)
+    SELECT ne.qid, COALESCE(nh.n_hits, 0) AS n_hits, ne.n_exact,
+           COALESCE(nh.n_hits, 0) / ne.n_exact AS recall
+    FROM ne LEFT JOIN nh USING (qid)
+    """
+
+
+@query("q_ivf_recall", _ivf_recall_oracle())
+def q_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall observability as a first-class served metric: the same
+    persistent lifecycle as q_persistent_ivf (build evens, MoR-add
+    odds), then ``recall(k=8, n_probe=2)`` — probed top-k intersected
+    with the exact answer per query. Even the MEASUREMENT is
+    hash-exact: both sides replay relationally, so the tuning surface
+    a user consults before widening n_probe can never drift from what
+    the index actually serves."""
+    import shutil
+    import tempfile
+
+    from datalake_toolkit_spark.llm import IVFIndex
+
+    emb = _t(spark, sf_dir, "embeddings")
+    work = tempfile.mkdtemp(prefix="dts_ivfrc_")
+    try:
+        idx = IVFIndex(spark, work)
+        idx.build(
+            emb.where(F.col("vec_id") % 2 == 0), n_lists=8, lloyd_iters=1
+        )
+        idx.add(emb.where(F.col("vec_id") % 2 == 1), mode="mor")
+        out = idx.recall(
+            emb.where(F.col("vec_id") < 8), k=8, n_probe=2,
+            exclude_self=True,
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 @query("q_persistent_ivf", _persistent_ivf_oracle())
 def q_persistent_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Persistent IVF index lifecycle, end to end: build on the even

@@ -1190,3 +1190,9 @@ def test_cli_index_sync_actions(spark, tmp_path, capsys):
     rows = [json_mod.loads(ln) for ln in
             capsys.readouterr().out.strip().splitlines()]
     assert 0 not in {r["cid"] for r in rows} and len(rows) == 7
+    # recall at full probe is exact by construction
+    assert main(["ann", "recall", "--path", ivf_path, "--input", q,
+                 "--k", "5", "--n-probe", "2"]) == 0
+    rows = [json_mod.loads(ln) for ln in
+            capsys.readouterr().out.strip().splitlines()]
+    assert rows[0]["recall"] == 1.0 and rows[0]["n_exact"] == 5

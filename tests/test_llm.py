@@ -3403,3 +3403,47 @@ def test_project_embeddings_jl_contract(spark):
         assert res.count() == 15
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+def test_ivf_recall_contract(spark, tmp_path):
+    """recall(): full probe is exactly 1.0 for every query, probed
+    recall is within [0, 1] and weakly improves as n_probe widens,
+    and n_exact respects min(k, candidates)."""
+    import random
+
+    from datalake_toolkit_spark.llm import IVFIndex
+
+    rng = random.Random(3)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(60)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>"
+    )
+    idx = IVFIndex(spark, str(tmp_path / "v"))
+    idx.build(df, n_lists=6, lloyd_iters=1, dim=8)
+    qs = df.where(F.col("vec_id") < 5)
+
+    full = {r.qid: r for r in
+            idx.recall(qs, k=10, n_probe=6, exclude_self=True).collect()}
+    assert len(full) == 5
+    assert all(r.recall == 1.0 and r.n_exact == 10 for r in full.values())
+
+    by_probe = []
+    for np_ in (1, 3, 6):
+        rs = idx.recall(qs, k=10, n_probe=np_, exclude_self=True).collect()
+        assert all(0.0 <= r.recall <= 1.0 for r in rs)
+        by_probe.append(sum(r.recall for r in rs) / len(rs))
+    assert by_probe[0] <= by_probe[1] + 1e-9 <= by_probe[2] + 2e-9
+
+    # k larger than the candidate pool: n_exact = candidates, not k
+    tiny = spark.createDataFrame(
+        rows[:4], "vec_id bigint, embedding array<double>"
+    )
+    idx2 = IVFIndex(spark, str(tmp_path / "v2"))
+    idx2.build(tiny, n_lists=2, lloyd_iters=1, dim=8)
+    r = idx2.recall(
+        tiny.where(F.col("vec_id") == 0), k=10, n_probe=2,
+        exclude_self=True,
+    ).collect()[0]
+    assert r.n_exact == 3 and r.recall == 1.0
