@@ -164,7 +164,7 @@ def _build_parser() -> argparse.ArgumentParser:
         "action",
         choices=["query", "index-add", "index-query", "index-probe",
                  "index-maintain", "index-remove", "index-rebucket",
-                 "index-sync", "hybrid"],
+                 "index-sync", "index-audit", "hybrid"],
         help="query: one-shot over --docs; index-add: build/extend the "
              "persistent index at --index from --docs; index-query: "
              "serve from --index; index-probe: report what a query "
@@ -212,7 +212,7 @@ def _build_parser() -> argparse.ArgumentParser:
     an.add_argument(
         "action",
         choices=["build", "add", "search", "sizes", "probe", "maintain",
-                 "remove", "sync", "recall"],
+                 "remove", "sync", "recall", "audit"],
     )
     an.add_argument("--path", required=True, help="IVFIndex root")
     an.add_argument("--input", default=None,
@@ -636,6 +636,12 @@ def _cmd_search(args: argparse.Namespace) -> int:
             {"rebucketed": args.index, "prefix_len": args.prefix_len}
         ))
         return 0
+    if args.action == "index-audit":
+        if not args.index:
+            raise SystemExit("index-audit needs --index")
+        for r in PostingsIndex(spark, args.index).audit().collect():
+            print(json.dumps(r.asDict()))
+        return 0
     if args.action == "index-sync":
         from datalake_toolkit_spark.lakehouse import LakeTable
         from datalake_toolkit_spark.llm import sync_postings_from_table
@@ -732,6 +738,10 @@ def _cmd_ann(args: argparse.Namespace) -> int:
         print(json.dumps(idx.plan_probe(
             spark.read.parquet(args.input), n_probe=args.n_probe,
             quantized=args.quantized)))
+        return 0
+    if args.action == "audit":
+        for r in idx.audit(deep=True).collect():
+            print(json.dumps(r.asDict()))
         return 0
     if args.action == "recall":
         if not args.input:

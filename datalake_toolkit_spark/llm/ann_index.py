@@ -649,6 +649,94 @@ class IVFIndex:
             .agg(F.count(F.lit(1)).alias("n_vectors"))
         )
 
+    def audit(self, deep: bool = False) -> DataFrame:
+        """Integrity audit: (check, n_violations) rows, all zeros on a
+        healthy index. The post-migration / post-incident validation
+        pass — one read of each table, aggregations only, no state
+        mutated. Checks: ``orphan_list`` (assignment to a list no
+        centroid defines), ``duplicate_id`` (key resolution must yield
+        one row per id), ``bad_norm`` (null/non-positive or not the
+        recomputed L2 of the stored vector — recompute is the same
+        expression, so equality is bit-exact), ``code_drift`` (stored
+        int8 codes differ from re-quantizing the stored vector; only
+        when the schema carries codes). ``deep=True`` adds
+        ``misassigned`` — list_id differs from the argmax against the
+        STORED centroids (O(index x n_lists): schedule it, don't serve
+        it)."""
+        from functools import reduce
+
+        rows = self.assignments_t.read()
+        cents = self.centroids()
+
+        def _count(name: str, df: DataFrame) -> DataFrame:
+            return (
+                df.agg(F.count(F.lit(1)).alias("n_violations"))
+                .select(F.lit(name).alias("check"), "n_violations")
+            )
+
+        checks = [
+            _count(
+                "orphan_list",
+                rows.where(
+                    ~F.col("list_id").isin(list(range(len(cents))))
+                ),
+            ),
+            _count(
+                "duplicate_id",
+                rows.groupBy(self.id_col)
+                .agg(F.count(F.lit(1)).alias("n"))
+                .where(F.col("n") > 1),
+            ),
+            _count(
+                "bad_norm",
+                rows.where(
+                    F.col("vec").isNull()
+                    | F.col("norm").isNull()
+                    | (F.col("norm") <= 0)
+                    | (F.col("norm") != _l2_norm(F.col("vec")))
+                ),
+            ),
+        ]
+        if self._has_codes():
+            checks.append(
+                _count(
+                    "code_drift",
+                    rows.where(
+                        F.col("scale").isNull()
+                        | F.col("code").isNull()
+                        | (F.col("scale") <= 0)
+                        | (F.size("code") != F.size("vec"))
+                        | (
+                            F.col("code")
+                            != F.transform(
+                                F.col("vec"),
+                                lambda x: F.round(
+                                    x / F.col("scale")
+                                ).cast("tinyint"),
+                            )
+                        )
+                        | (
+                            F.col("scale")
+                            != F.array_max(
+                                F.transform(F.col("vec"), F.abs)
+                            )
+                            / F.lit(127.0)
+                        )
+                    ),
+                )
+            )
+        if deep:
+            checks.append(
+                _count(
+                    "misassigned",
+                    rows.where(
+                        F.col("list_id")
+                        != ivf_assign_col(cents, "vec").cast("int")
+                    ),
+                )
+            )
+        return reduce(lambda a, b: a.unionByName(b), checks)
+
     def recall(
         self,
         queries: DataFrame,

@@ -637,6 +637,110 @@ class PostingsIndex:
                 sorted(live_partition_keys(self.doc_stats_t._manifest()))
             )
 
+    def audit(self) -> DataFrame:
+        """Integrity audit: (check, n_violations) rows, all zeros on a
+        healthy index — the post-rebucket / post-incident validation
+        pass, read-only. Checks: ``bucket_mismatch`` (a posting stored
+        under a bucket that is not md5(term)'s prefix — serving would
+        never probe it), ``doc_bucket_mismatch`` (same for doc_stats),
+        ``bad_positions`` (tf != len(positions), unsorted positions,
+        or a position outside [0, dl)), ``dl_mismatch`` (postings dl
+        disagrees with doc_stats dl for the same doc),
+        ``orphan_posting_doc`` (postings doc absent from doc_stats),
+        ``orphan_doc_stat`` (doc_stats doc with no postings),
+        ``corpus_stats_drift`` (cached (n_docs, total_dl) differs from
+        recomputing the bucket — a zero row for an emptied bucket is
+        healthy; a missing row for a live one is not)."""
+        from functools import reduce
+
+        post = self.postings_t.read()
+        stats = self.doc_stats_t.read()
+        plen = self._prefix_len()
+        dplen = self._doc_prefix_len()
+
+        def _count(name: str, df: DataFrame) -> DataFrame:
+            return (
+                df.agg(F.count(F.lit(1)).alias("n_violations"))
+                .select(F.lit(name).alias("check"), "n_violations")
+            )
+
+        pos_ok = (
+            (F.col("tf") == F.size("positions"))
+            & (F.col("positions") == F.array_sort("positions"))
+            & (F.array_min("positions") >= 0)
+            & (F.array_max("positions") < F.col("dl"))
+        )
+        pdoc = post.select(F.col("doc_id").alias("d")).distinct()
+        sdoc = stats.select(F.col("doc_id").alias("d")).distinct()
+        recomputed = stats.groupBy("dhash_prefix").agg(
+            F.count(F.lit(1)).alias("rn"), F.sum("dl").alias("rdl")
+        )
+        if self.corpus_stats_t.current_version() is not None:
+            cached = self.corpus_stats_t.read()
+        else:
+            # legacy (pre-stats-table) index: serving recomputes from
+            # doc_stats, so the cache can't drift by construction
+            cached = recomputed.select(
+                "dhash_prefix",
+                F.col("rn").alias("n_docs"),
+                F.col("rdl").alias("total_dl"),
+            )
+        drift = (
+            cached
+            .join(recomputed, "dhash_prefix", "full_outer")
+            .where(
+                (
+                    F.coalesce("n_docs", F.lit(-1))
+                    != F.coalesce("rn", F.lit(0))
+                )
+                | (
+                    F.coalesce("total_dl", F.lit(-1))
+                    != F.coalesce("rdl", F.lit(0))
+                )
+            )
+        )
+        checks = [
+            _count(
+                "bucket_mismatch",
+                post.where(
+                    F.col("term_prefix")
+                    != F.substring(F.md5("term"), 1, plen)
+                ),
+            ),
+            _count(
+                "doc_bucket_mismatch",
+                stats.where(
+                    F.col("dhash_prefix")
+                    != F.substring(
+                        F.md5(F.col("doc_id").cast("string")), 1, dplen
+                    )
+                ),
+            ),
+            _count(
+                "bad_positions",
+                post.where(
+                    F.col("positions").isNull()
+                    | (F.size("positions") == 0)
+                    | ~pos_ok
+                ),
+            ),
+            _count(
+                "dl_mismatch",
+                post.select("doc_id", F.col("dl").alias("pdl"))
+                .distinct()
+                .join(stats.select("doc_id", "dl"), "doc_id")
+                .where(F.col("pdl") != F.col("dl")),
+            ),
+            _count(
+                "orphan_posting_doc", pdoc.join(sdoc, "d", "left_anti")
+            ),
+            _count(
+                "orphan_doc_stat", sdoc.join(pdoc, "d", "left_anti")
+            ),
+            _count("corpus_stats_drift", drift),
+        ]
+        return reduce(lambda a, b: a.unionByName(b), checks)
+
     def refresh_corpus_stats(self) -> None:
         """Rebuild ``corpus_stats`` from every doc_stats bucket — the
         migration path for an index written before corpus stats

@@ -1196,3 +1196,35 @@ def test_cli_index_sync_actions(spark, tmp_path, capsys):
     rows = [json_mod.loads(ln) for ln in
             capsys.readouterr().out.strip().splitlines()]
     assert rows[0]["recall"] == 1.0 and rows[0]["n_exact"] == 5
+
+
+def test_cli_audit_actions(spark, tmp_path, capsys):
+    """`search index-audit` and `ann audit` print per-check JSON rows,
+    all zeros on healthy indexes."""
+    import json as json_mod
+
+    from datalake_toolkit_spark.__main__ import main
+    from datalake_toolkit_spark.llm import IVFIndex, PostingsIndex
+
+    pidx = PostingsIndex(spark, str(tmp_path / "p"), prefix_len=1)
+    pidx.add(spark.createDataFrame(
+        [(1, "red fish"), (2, "blue whale")], "doc_id bigint, text string"
+    ))
+    assert main(["search", "index-audit",
+                 "--index", str(tmp_path / "p")]) == 0
+    rows = [json_mod.loads(ln) for ln in
+            capsys.readouterr().out.strip().splitlines()]
+    assert {r["check"] for r in rows} >= {"bucket_mismatch",
+                                          "corpus_stats_drift"}
+    assert all(r["n_violations"] == 0 for r in rows)
+
+    ivf = IVFIndex(spark, str(tmp_path / "v"))
+    ivf.build(spark.createDataFrame(
+        [(i, [1.0, 0.5 * i, 1.0]) for i in range(8)],
+        "vec_id bigint, embedding array<double>",
+    ), n_lists=2, lloyd_iters=1, dim=3)
+    assert main(["ann", "audit", "--path", str(tmp_path / "v")]) == 0
+    rows = [json_mod.loads(ln) for ln in
+            capsys.readouterr().out.strip().splitlines()]
+    assert {r["check"] for r in rows} >= {"orphan_list", "misassigned"}
+    assert all(r["n_violations"] == 0 for r in rows)

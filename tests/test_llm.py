@@ -3447,3 +3447,71 @@ def test_ivf_recall_contract(spark, tmp_path):
         exclude_self=True,
     ).collect()[0]
     assert r.n_exact == 3 and r.recall == 1.0
+
+
+def test_index_audits(spark, tmp_path):
+    """audit(): all-zero on healthy indexes; injected corruption rows
+    (wrong bucket, orphan doc, orphan list, wrong norm/codes) are
+    counted by the right checks."""
+    from datalake_toolkit_spark.llm import IVFIndex, PostingsIndex
+
+    idx = PostingsIndex(spark, str(tmp_path / "p"), prefix_len=1)
+    idx.add(spark.createDataFrame(
+        [(1, "apple banana cherry"), (2, "apple banana apple")],
+        "doc_id bigint, text string",
+    ))
+    idx.add(spark.createDataFrame(
+        [(3, "cherry date")], "doc_id bigint, text string",
+    ), mode="mor")
+    audit = {r.check: r.n_violations for r in idx.audit().collect()}
+    assert set(audit) == {
+        "bucket_mismatch", "doc_bucket_mismatch", "bad_positions",
+        "dl_mismatch", "orphan_posting_doc", "orphan_doc_stat",
+        "corpus_stats_drift",
+    }
+    assert all(v == 0 for v in audit.values()), audit
+    # inject: a posting for an unknown doc under a wrong bucket
+    import hashlib
+
+    wrong = "0" if hashlib.md5(b"zzz").hexdigest()[0] != "0" else "1"
+    idx.postings_t.upsert(
+        spark.createDataFrame(
+            [("zzz", 99, 3, 1, [0], wrong)],
+            "term string, doc_id bigint, dl int, tf bigint, "
+            "positions array<int>, term_prefix string",
+        ),
+        keys=["term", "doc_id"],
+    )
+    audit = {r.check: r.n_violations for r in idx.audit().collect()}
+    assert audit["bucket_mismatch"] == 1
+    assert audit["orphan_posting_doc"] == 1
+    assert audit["dl_mismatch"] == 0
+
+    vec = IVFIndex(spark, str(tmp_path / "v"))
+    vec.build(spark.createDataFrame(
+        [(i, [1.0 * (i % 3), 1.0, 0.5 * i]) for i in range(12)],
+        "vec_id bigint, embedding array<double>",
+    ), n_lists=3, lloyd_iters=1, dim=3)
+    vaudit = {r.check: r.n_violations
+              for r in vec.audit(deep=True).collect()}
+    assert set(vaudit) == {
+        "orphan_list", "duplicate_id", "bad_norm", "code_drift",
+        "misassigned",
+    }
+    assert all(v == 0 for v in vaudit.values()), vaudit
+    # inject: orphan list, wrong norm, wrong-length codes
+    vec.assignments_t.upsert(
+        spark.createDataFrame(
+            [(100, [1.0, 2.0, 2.0], 99.0, 99, 1.0, [1])],
+            "vec_id bigint, vec array<double>, norm double, "
+            "list_id int, scale double, code array<tinyint>",
+        ),
+        keys=["vec_id"],
+    )
+    vaudit = {r.check: r.n_violations
+              for r in vec.audit(deep=True).collect()}
+    assert vaudit["orphan_list"] == 1
+    assert vaudit["bad_norm"] == 1
+    assert vaudit["code_drift"] == 1
+    assert vaudit["misassigned"] == 1
+    assert vaudit["duplicate_id"] == 0
