@@ -181,6 +181,9 @@ def _build_parser() -> argparse.ArgumentParser:
     se.add_argument("--k", type=int, default=10)
     se.add_argument("--method", choices=["keyword", "bm25", "phrase"],
                 default="keyword")
+    se.add_argument("--slop", type=int, default=0,
+                help="phrase: ordered-proximity budget (extra tokens "
+                     "interleaved across the whole phrase; 0 = exact)")
     se.add_argument("--mode", choices=["cow", "mor"], default="mor",
                 help="index-add commit mode")
     se.add_argument("--keep-last", type=int, default=5,
@@ -677,7 +680,7 @@ def _cmd_search(args: argparse.Namespace) -> int:
         if args.method == "keyword":
             out = idx.search(queries, k=args.k)
         elif args.method == "phrase":
-            out = idx.search_phrase(queries, k=args.k)
+            out = idx.search_phrase(queries, k=args.k, slop=args.slop)
         else:
             out = idx.search_bm25(queries, k=args.k)
     else:

@@ -922,7 +922,7 @@ class PostingsIndex:
     def search_phrase(
         self, queries: DataFrame, k: int = 10,
         query_id_col: str = "query_id", query_text_col: str = "query_text",
-        at: dict | None = None,
+        at: dict | None = None, slop: int = 0,
     ) -> DataFrame:
         """Exact phrase matching SERVED from the positional index —
         identical output contract to :func:`phrase_search`, but the
@@ -931,9 +931,12 @@ class PostingsIndex:
         adjacency verifies on the STORED position arrays (an
         occurrence at p needs p+j in term_j's positions), the
         positional-index equivalent of the batch window compare.
-        ``at`` pins a :meth:`snapshot`."""
+        ``slop > 0`` relaxes adjacency to ordered proximity: at most
+        ``slop`` extra tokens interleaved across the whole phrase
+        (Lucene's ordered sloppy-phrase contract), still verified
+        purely on stored positions. ``at`` pins a :meth:`snapshot`."""
         return _index_phrase_search(
-            self, queries, k, query_id_col, query_text_col, at
+            self, queries, k, query_id_col, query_text_col, at, slop=slop
         )
 
     def search_bm25(
@@ -1213,13 +1216,21 @@ def hybrid_search_indexed(
 def _index_phrase_verified(
     index: "PostingsIndex", queries: DataFrame,
     query_id_col: str, query_text_col: str,
-    at: dict | None = None,
+    at: dict | None = None, slop: int = 0,
 ) -> DataFrame:
     """(query_id, doc_id, n_occurrences) for every document whose
-    STORED positions contain the query phrase adjacently — the
-    unranked core shared by :meth:`PostingsIndex.search_phrase`
-    (which ranks and cuts top-k) and index-served decontamination
-    (which needs EVERY match per probe phrase)."""
+    STORED positions contain the query phrase — adjacently at
+    ``slop=0``, else as an ordered proximity match: terms in phrase
+    order with at most ``slop`` extra tokens interleaved in total
+    (span - phrase_len <= slop, the Lucene ordered-sloppy contract).
+    Occurrences count distinct starting positions of term 1 whose
+    GREEDY chain (each next term at its smallest position after the
+    previous) fits the budget — greedy minimizes the span for a fixed
+    start, so 'exists a chain' and 'greedy chain fits' coincide and
+    the count is deterministic. The unranked core shared by
+    :meth:`PostingsIndex.search_phrase` (which ranks and cuts top-k)
+    and index-served decontamination (which needs EVERY match per
+    probe phrase)."""
     qp = queries.select(
         F.col(query_id_col).alias("query_id"),
         _tokens(query_text_col).alias("phrase"),
@@ -1245,25 +1256,59 @@ def _index_phrase_verified(
     )
     m = F.size("phrase")
     first = F.element_at(F.col("tpos"), F.element_at(F.col("phrase"), 1))
-    adjacency = F.size(
-        F.filter(
-            first,
-            lambda p: F.forall(
-                F.sequence(F.lit(1), m - 1),
-                lambda j: F.array_contains(
-                    F.element_at(
-                        F.col("tpos"), F.element_at(F.col("phrase"), j + 1)
+    if slop == 0:
+        matched = F.size(
+            F.filter(
+                first,
+                lambda p: F.forall(
+                    F.sequence(F.lit(1), m - 1),
+                    lambda j: F.array_contains(
+                        F.element_at(
+                            F.col("tpos"),
+                            F.element_at(F.col("phrase"), j + 1),
+                        ),
+                        p + j,
                     ),
-                    p + j,
                 ),
-            ),
+            )
         )
-    )
+    else:
+        # greedy chain end for a start p: fold j = 2..m, each step the
+        # smallest stored position of term_j strictly after the
+        # accumulator (F.get is null out-of-range, so a broken chain
+        # propagates null); match iff end - p - (m-1) <= slop
+        def _chain_end(p):
+            return F.aggregate(
+                F.sequence(F.lit(2), m),
+                p,
+                lambda acc, j: F.get(
+                    F.filter(
+                        F.element_at(
+                            F.col("tpos"), F.element_at(F.col("phrase"), j)
+                        ),
+                        lambda q: q > acc,
+                    ),
+                    F.lit(0),
+                ),
+            )
+
+        matched = F.size(
+            F.filter(
+                F.transform(
+                    first,
+                    lambda p: F.struct(
+                        p.alias("p"), _chain_end(p).alias("e")
+                    ),
+                ),
+                lambda s: s["e"].isNotNull()
+                & ((s["e"] - s["p"] - (m - 1)) <= F.lit(slop)),
+            )
+        )
     return (
         grouped.join(F.broadcast(qp), "query_id")
         .withColumn(
             "n_occurrences",
-            F.when(m == 1, F.size(first)).otherwise(adjacency),
+            F.when(m == 1, F.size(first)).otherwise(matched),
         )
         .where(F.col("n_occurrences") > 0)
         .select("query_id", "doc_id", "n_occurrences")
@@ -1272,9 +1317,9 @@ def _index_phrase_verified(
 
 def _index_phrase_search(index: "PostingsIndex", queries: DataFrame,
                          k: int, query_id_col: str, query_text_col: str,
-                         at: dict | None = None) -> DataFrame:
+                         at: dict | None = None, slop: int = 0) -> DataFrame:
     verified = _index_phrase_verified(
-        index, queries, query_id_col, query_text_col, at
+        index, queries, query_id_col, query_text_col, at, slop=slop
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("n_occurrences"), F.asc("doc_id")

@@ -277,6 +277,7 @@ DEMOTED: tuple[str, ...] = (
     "q_ann_sync",  # CDF -> IVF sync: stored-centroid assignment, both paths
     "q_jl_projection",  # seeded JL matrix, per-component hash-exact
     "q_ivf_recall",  # probed-vs-exact recall, measurement hash-exact
+    "q_index_phrase_slop",  # ordered proximity phrases, greedy chains
 )
 
 GATE_WINDOW = 50
@@ -309,6 +310,7 @@ STATEFUL: frozenset[str] = frozenset(
         "q_index_corpus_stats",  # three add commits incl. re-add; cached-stats read
         "q_index_decontaminate",  # two add commits + phrase-probe decontamination
         "q_index_phrase",  # positional index: two add commits + phrase serve
+        "q_index_phrase_slop",  # two add commits + sloppy-phrase serve
         "q_stream_near_dedup",  # two AvailableNow micro-batches through foreachBatch
         "q_stateful_running_status",  # applyInPandasWithState stream replay
         "q_merge_upsert",  # MERGE commit cycle

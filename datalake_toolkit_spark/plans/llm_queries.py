@@ -2141,6 +2141,74 @@ def q_index_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
+@query(
+    "q_index_phrase_slop",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS w
+      FROM documents),
+    d AS (SELECT doc_id, w FROM toks WHERE len(w) > 0),
+    q AS (SELECT doc_id AS query_id, w[3] AS t1, w[4] AS t2, w[5] AS t3
+          FROM d WHERE doc_id >= 13 AND doc_id < 16 AND len(w) >= 5),
+    pos AS (SELECT doc_id, w[i] AS term, i - 1 AS p
+            FROM d, UNNEST(generate_series(1, len(w))) AS u(i)),
+    s1 AS (SELECT q.query_id, q.t2, q.t3, p.doc_id, p.p AS p1
+           FROM q JOIN pos p ON p.term = q.t1),
+    s2 AS (SELECT s1.query_id, s1.t3, s1.doc_id, s1.p1, min(p.p) AS p2
+           FROM s1 JOIN pos p ON p.doc_id = s1.doc_id AND p.term = s1.t2
+                              AND p.p > s1.p1
+           GROUP BY 1, 2, 3, 4),
+    s3 AS (SELECT s2.query_id, s2.doc_id, s2.p1, min(p.p) AS p3
+           FROM s2 JOIN pos p ON p.doc_id = s2.doc_id AND p.term = s2.t3
+                              AND p.p > s2.p2
+           GROUP BY 1, 2, 3),
+    occ AS (SELECT query_id, doc_id,
+            CAST(count(*) AS INTEGER) AS n_occurrences
+            FROM s3 WHERE p3 - p1 - 2 <= 1 GROUP BY 1, 2),
+    r AS (SELECT query_id, doc_id, n_occurrences,
+          CAST(row_number() OVER (PARTITION BY query_id
+            ORDER BY n_occurrences DESC, doc_id) AS INTEGER) AS rank
+          FROM occ WHERE n_occurrences > 0)
+    SELECT query_id, doc_id, n_occurrences, rank FROM r WHERE rank <= 8
+    """,
+)
+def q_index_phrase_slop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered sloppy-phrase search served from the positional index:
+    3-term phrases with slop=1 (at most one extra token interleaved
+    across the whole span, terms in order). Occurrences count distinct
+    starts whose GREEDY chain — each next term at its smallest stored
+    position after the previous — fits the budget; greedy minimizes
+    the span for a fixed start, so the count is deterministic and the
+    oracle replays it relationally (min-position chains over token
+    positions from the raw text). Same two-commit lifecycle as
+    q_index_phrase; still zero corpus access at query time."""
+    import shutil
+    import tempfile
+
+    from datalake_toolkit_spark.llm import PostingsIndex
+    from datalake_toolkit_spark.llm.search import _tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    w = _tokens("text")
+    queries = docs.where(
+        (F.col("doc_id") >= 13) & (F.col("doc_id") < 16) & (F.size(w) >= 5)
+    ).select(
+        F.col("doc_id").alias("query_id"),
+        F.concat_ws(" ", F.slice(w, 3, 3)).alias("query_text"),
+    )
+    work = tempfile.mkdtemp(prefix="dts_phslop_")
+    try:
+        idx = PostingsIndex(spark, work, prefix_len=1)
+        idx.add(docs.where(F.col("doc_id") % 2 == 0))
+        idx.add(docs.where(F.col("doc_id") % 2 == 1), mode="mor")
+        return idx.search_phrase(queries, k=8, slop=1).localCheckpoint(
+            eager=True
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def _lex_cte(lexical: str, w_expr: str, k_each: int, pair_pred: str) -> str:
     """The lexical half of the hybrid oracle as CTE text ending in
     ``kw`` (query_id, doc_id, rank): BM25 (value-sorted score folds)

@@ -3515,3 +3515,47 @@ def test_index_audits(spark, tmp_path):
     assert vaudit["code_drift"] == 1
     assert vaudit["misassigned"] == 1
     assert vaudit["duplicate_id"] == 0
+
+
+def test_search_phrase_slop_semantics(spark, tmp_path):
+    """Ordered sloppy phrases on stored positions: span budget is
+    TOTAL extra tokens across the phrase, terms stay ordered, greedy
+    chains count overlapping occurrences deterministically, and
+    slop=0 equals exact adjacency."""
+    from datalake_toolkit_spark.llm import PostingsIndex
+
+    idx = PostingsIndex(spark, str(tmp_path / "p"), prefix_len=1)
+    idx.add(spark.createDataFrame(
+        [
+            (1, "a x b c"),        # one extra token between a and b
+            (2, "a b x c"),        # one extra token between b and c
+            (3, "a x x b c"),      # two extra tokens total
+            (4, "a b c"),          # exact
+            (5, "a b c a b c"),    # two exact occurrences
+            (6, "c b a"),          # right terms, wrong ORDER
+        ],
+        "doc_id bigint, text string",
+    ))
+    q = spark.createDataFrame(
+        [(0, "a b c")], "query_id bigint, query_text string"
+    )
+
+    def hits(slop):
+        return {
+            r.doc_id: r.n_occurrences
+            for r in idx.search_phrase(q, k=10, slop=slop).collect()
+        }
+
+    assert hits(0) == {4: 1, 5: 2}
+    assert hits(1) == {1: 1, 2: 1, 4: 1, 5: 2}
+    assert hits(2) == {1: 1, 2: 1, 3: 1, 4: 1, 5: 2}
+    # order is never relaxed, whatever the budget
+    assert 6 not in hits(10)
+    # single-term phrases ignore slop (occurrence = position count)
+    one = spark.createDataFrame(
+        [(0, "a")], "query_id bigint, query_text string"
+    )
+    assert {
+        r.doc_id: r.n_occurrences
+        for r in idx.search_phrase(one, k=10, slop=3).collect()
+    }[5] == 2
