@@ -242,6 +242,10 @@ def _build_parser() -> argparse.ArgumentParser:
     an.add_argument("--from-version", type=int, default=None,
                 help="sync: override the persisted cursor "
                      "(omit: resume from cursor, bootstrap if none)")
+    an.add_argument("--deep", action="store_true",
+                help="audit: also re-argmax every assignment against "
+                     "the stored centroids (O(index x n_lists) — "
+                     "schedule it, don't serve it)")
     return p
 
 
@@ -661,6 +665,11 @@ def _cmd_search(args: argparse.Namespace) -> int:
         return 0
     if not args.query:
         raise SystemExit(f"{args.action} needs --query")
+    if args.action == "query" and args.slop:
+        raise SystemExit(
+            "--slop is served from the positional index only; use "
+            "index-add then index-query --method phrase --slop N"
+        )
     queries = spark.createDataFrame(
         [(0, args.query)], "query_id bigint, query_text string"
     )
@@ -743,7 +752,7 @@ def _cmd_ann(args: argparse.Namespace) -> int:
             quantized=args.quantized)))
         return 0
     if args.action == "audit":
-        for r in idx.audit(deep=True).collect():
+        for r in idx.audit(deep=args.deep).collect():
             print(json.dumps(r.asDict()))
         return 0
     if args.action == "recall":

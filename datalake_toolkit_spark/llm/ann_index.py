@@ -652,90 +652,67 @@ class IVFIndex:
     def audit(self, deep: bool = False) -> DataFrame:
         """Integrity audit: (check, n_violations) rows, all zeros on a
         healthy index. The post-migration / post-incident validation
-        pass — one read of each table, aggregations only, no state
-        mutated. Checks: ``orphan_list`` (assignment to a list no
-        centroid defines), ``duplicate_id`` (key resolution must yield
-        one row per id), ``bad_norm`` (null/non-positive or not the
-        recomputed L2 of the stored vector — recompute is the same
-        expression, so equality is bit-exact), ``code_drift`` (stored
-        int8 codes differ from re-quantizing the stored vector; only
-        when the schema carries codes). ``deep=True`` adds
-        ``misassigned`` — list_id differs from the argmax against the
-        STORED centroids (O(index x n_lists): schedule it, don't serve
-        it)."""
-        from functools import reduce
+        pass — the row-level checks share ONE scan of the assignments
+        (conditional sums), plus one grouped pass for the duplicate
+        check; nothing is mutated. Every predicate is NULL-safe: a
+        NULLed list_id / vec / scale counts as the violation it is
+        instead of vanishing from the report. Checks: ``orphan_list``
+        (assignment to a list no centroid defines, NULL included),
+        ``duplicate_id`` (key resolution must yield one row per id),
+        ``bad_norm`` (null/non-positive, or not null-safely equal to
+        the recomputed L2 of the stored vector — same expression, so
+        equality is bit-exact), ``code_drift`` (stored int8 codes
+        differ from re-quantizing the stored vector, compared in
+        DOUBLE so a corrupt scale reports instead of raising ANSI
+        CAST_OVERFLOW; only when the schema carries codes).
+        ``deep=True`` adds ``misassigned`` — list_id not null-safely
+        equal to the argmax against the STORED centroids, which also
+        catches vectors whose dimension disagrees with the centroids
+        (O(index x n_lists): schedule it, don't serve it)."""
+        from datalake_toolkit_spark.llm.audit_util import (
+            predicate_counts,
+            row_count,
+            union_reports,
+        )
 
         rows = self.assignments_t.read()
         cents = self.centroids()
-
-        def _count(name: str, df: DataFrame) -> DataFrame:
-            return (
-                df.agg(F.count(F.lit(1)).alias("n_violations"))
-                .select(F.lit(name).alias("check"), "n_violations")
-            )
-
-        checks = [
-            _count(
-                "orphan_list",
-                rows.where(
-                    ~F.col("list_id").isin(list(range(len(cents))))
-                ),
-            ),
-            _count(
-                "duplicate_id",
-                rows.groupBy(self.id_col)
-                .agg(F.count(F.lit(1)).alias("n"))
-                .where(F.col("n") > 1),
-            ),
-            _count(
-                "bad_norm",
-                rows.where(
-                    F.col("vec").isNull()
-                    | F.col("norm").isNull()
-                    | (F.col("norm") <= 0)
-                    | (F.col("norm") != _l2_norm(F.col("vec")))
-                ),
-            ),
-        ]
+        preds = {
+            "orphan_list": F.col("list_id").isNull()
+            | ~F.col("list_id").isin(list(range(len(cents)))),
+            "bad_norm": F.col("norm").isNull()
+            | (F.col("norm") <= 0)
+            | ~F.col("norm").eqNullSafe(_l2_norm(F.col("vec"))),
+        }
         if self._has_codes():
-            checks.append(
-                _count(
-                    "code_drift",
-                    rows.where(
-                        F.col("scale").isNull()
-                        | F.col("code").isNull()
-                        | (F.col("scale") <= 0)
-                        | (F.size("code") != F.size("vec"))
-                        | (
-                            F.col("code")
-                            != F.transform(
-                                F.col("vec"),
-                                lambda x: F.round(
-                                    x / F.col("scale")
-                                ).cast("tinyint"),
-                            )
-                        )
-                        | (
-                            F.col("scale")
-                            != F.array_max(
-                                F.transform(F.col("vec"), F.abs)
-                            )
-                            / F.lit(127.0)
-                        )
-                    ),
+            requant = F.transform(
+                F.col("vec"), lambda x: F.round(x / F.col("scale"))
+            )
+            preds["code_drift"] = (
+                F.col("scale").isNull()
+                | F.col("code").isNull()
+                | (F.col("scale") <= 0)
+                | ~F.size("code").eqNullSafe(F.size("vec"))
+                | ~F.transform(
+                    F.col("code"), lambda c: c.cast("double")
+                ).eqNullSafe(requant)
+                | ~F.col("scale").eqNullSafe(
+                    F.array_max(F.transform(F.col("vec"), F.abs))
+                    / F.lit(127.0)
                 )
             )
         if deep:
-            checks.append(
-                _count(
-                    "misassigned",
-                    rows.where(
-                        F.col("list_id")
-                        != ivf_assign_col(cents, "vec").cast("int")
-                    ),
-                )
+            preds["misassigned"] = ~F.col("list_id").eqNullSafe(
+                ivf_assign_col(cents, "vec").cast("int")
             )
-        return reduce(lambda a, b: a.unionByName(b), checks)
+        dups = (
+            rows.groupBy(self.id_col)
+            .agg(F.count(F.lit(1)).alias("n"))
+            .where(F.col("n") > 1)
+        )
+        return union_reports(
+            [predicate_counts(rows, preds), row_count("duplicate_id", dups)]
+        )
 
     def recall(
         self,
@@ -771,15 +748,24 @@ class IVFIndex:
             .groupBy("qid")
             .agg(F.count(F.lit(1)).alias("n_hits"))
         )
+        # left-join FROM the query frame: a query whose exact
+        # candidate set is empty (e.g. the only indexed vector with
+        # exclude_self) must still report a row — n_exact 0, recall
+        # NULL (undefined, not 1.0) — so a tuning run over N sampled
+        # queries always returns N rows
+        base = self._prep(queries).select(
+            F.col("id").alias("qid")
+        ).distinct()
         return (
-            n_exact.join(hits, "qid", "left")
+            base.join(n_exact, "qid", "left")
+            .join(hits, "qid", "left")
             .select(
                 "qid",
                 F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
-                "n_exact",
-                (
-                    F.coalesce("n_hits", F.lit(0))
-                    / F.col("n_exact")
+                F.coalesce("n_exact", F.lit(0)).alias("n_exact"),
+                F.when(
+                    F.coalesce("n_exact", F.lit(0)) > 0,
+                    F.coalesce("n_hits", F.lit(0)) / F.col("n_exact"),
                 ).alias("recall"),
             )
         )

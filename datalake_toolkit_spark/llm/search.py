@@ -640,29 +640,31 @@ class PostingsIndex:
     def audit(self) -> DataFrame:
         """Integrity audit: (check, n_violations) rows, all zeros on a
         healthy index — the post-rebucket / post-incident validation
-        pass, read-only. Checks: ``bucket_mismatch`` (a posting stored
-        under a bucket that is not md5(term)'s prefix — serving would
-        never probe it), ``doc_bucket_mismatch`` (same for doc_stats),
-        ``bad_positions`` (tf != len(positions), unsorted positions,
-        or a position outside [0, dl)), ``dl_mismatch`` (postings dl
-        disagrees with doc_stats dl for the same doc),
-        ``orphan_posting_doc`` (postings doc absent from doc_stats),
-        ``orphan_doc_stat`` (doc_stats doc with no postings),
-        ``corpus_stats_drift`` (cached (n_docs, total_dl) differs from
-        recomputing the bucket — a zero row for an emptied bucket is
-        healthy; a missing row for a live one is not)."""
-        from functools import reduce
+        pass, read-only. Row-level checks share one scan per source
+        table (conditional sums); every predicate is NULL-safe, so a
+        NULLed prefix / dl / position element counts as the violation
+        it is instead of vanishing. Checks: ``bucket_mismatch`` (a
+        posting stored under a bucket that is not md5(term)'s prefix —
+        serving would never probe it), ``doc_bucket_mismatch`` (same
+        for doc_stats), ``bad_positions`` (tf != len(positions),
+        unsorted/NULLed positions, or a position outside [0, dl)),
+        ``dl_mismatch`` (postings dl disagrees with doc_stats dl for
+        the same doc), ``orphan_posting_doc`` (postings doc absent
+        from doc_stats), ``orphan_doc_stat`` (doc_stats doc with no
+        postings), ``corpus_stats_drift`` (cached (n_docs, total_dl)
+        differs from recomputing the bucket — a zero row for an
+        emptied bucket is healthy; a missing row for a live one is
+        not)."""
+        from datalake_toolkit_spark.llm.audit_util import (
+            predicate_counts,
+            row_count,
+            union_reports,
+        )
 
         post = self.postings_t.read()
         stats = self.doc_stats_t.read()
         plen = self._prefix_len()
         dplen = self._doc_prefix_len()
-
-        def _count(name: str, df: DataFrame) -> DataFrame:
-            return (
-                df.agg(F.count(F.lit(1)).alias("n_violations"))
-                .select(F.lit(name).alias("check"), "n_violations")
-            )
 
         pos_ok = (
             (F.col("tf") == F.size("positions"))
@@ -670,6 +672,26 @@ class PostingsIndex:
             & (F.array_min("positions") >= 0)
             & (F.array_max("positions") < F.col("dl"))
         )
+        post_preds = {
+            "bucket_mismatch": F.col("term").isNull()
+            | ~F.col("term_prefix").eqNullSafe(
+                F.substring(F.md5("term"), 1, plen)
+            ),
+            "bad_positions": F.col("tf").isNull()
+            | F.col("dl").isNull()
+            | F.col("positions").isNull()
+            | (F.size("positions") == 0)
+            | F.exists("positions", lambda x: x.isNull())
+            | ~pos_ok,
+        }
+        stats_preds = {
+            "doc_bucket_mismatch": F.col("doc_id").isNull()
+            | ~F.col("dhash_prefix").eqNullSafe(
+                F.substring(
+                    F.md5(F.col("doc_id").cast("string")), 1, dplen
+                )
+            ),
+        }
         pdoc = post.select(F.col("doc_id").alias("d")).distinct()
         sdoc = stats.select(F.col("doc_id").alias("d")).distinct()
         recomputed = stats.groupBy("dhash_prefix").agg(
@@ -699,47 +721,27 @@ class PostingsIndex:
                 )
             )
         )
-        checks = [
-            _count(
-                "bucket_mismatch",
-                post.where(
-                    F.col("term_prefix")
-                    != F.substring(F.md5("term"), 1, plen)
+        return union_reports(
+            [
+                predicate_counts(post, post_preds),
+                predicate_counts(stats, stats_preds),
+                row_count(
+                    "dl_mismatch",
+                    post.select("doc_id", F.col("dl").alias("pdl"))
+                    .distinct()
+                    .join(stats.select("doc_id", "dl"), "doc_id")
+                    .where(~F.col("pdl").eqNullSafe(F.col("dl"))),
                 ),
-            ),
-            _count(
-                "doc_bucket_mismatch",
-                stats.where(
-                    F.col("dhash_prefix")
-                    != F.substring(
-                        F.md5(F.col("doc_id").cast("string")), 1, dplen
-                    )
+                row_count(
+                    "orphan_posting_doc",
+                    pdoc.join(sdoc, "d", "left_anti"),
                 ),
-            ),
-            _count(
-                "bad_positions",
-                post.where(
-                    F.col("positions").isNull()
-                    | (F.size("positions") == 0)
-                    | ~pos_ok
+                row_count(
+                    "orphan_doc_stat", sdoc.join(pdoc, "d", "left_anti")
                 ),
-            ),
-            _count(
-                "dl_mismatch",
-                post.select("doc_id", F.col("dl").alias("pdl"))
-                .distinct()
-                .join(stats.select("doc_id", "dl"), "doc_id")
-                .where(F.col("pdl") != F.col("dl")),
-            ),
-            _count(
-                "orphan_posting_doc", pdoc.join(sdoc, "d", "left_anti")
-            ),
-            _count(
-                "orphan_doc_stat", sdoc.join(pdoc, "d", "left_anti")
-            ),
-            _count("corpus_stats_drift", drift),
-        ]
-        return reduce(lambda a, b: a.unionByName(b), checks)
+                row_count("corpus_stats_drift", drift),
+            ]
+        )
 
     def refresh_corpus_stats(self) -> None:
         """Rebuild ``corpus_stats`` from every doc_stats bucket — the

@@ -268,8 +268,8 @@ DEMOTED: tuple[str, ...] = (
     "q_hybrid_search",  # 2x (r9,r10); batch fusion ~ q_index_hybrid (index-served superset)
     # r11 late births PARKED at birth (the window is already exactly
     # 50 with this round's three births + six stale returns; the r5
-    # precedent): both run in local parity + bench every round and
-    # are first in line for the r12 window.
+    # precedent): all run in local parity + bench every round and are
+    # first in line for the r12 window, in this order.
     "q_index_hybrid_filtered",  # per-query-filtered two-index fusion
     "q_index_rebucket",  # 16->256 re-hash lifecycle, answers invariant
     "q_ivf_rebuild",  # add+remove+retrain lifecycle, both serve paths

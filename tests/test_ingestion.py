@@ -1223,8 +1223,14 @@ def test_cli_audit_actions(spark, tmp_path, capsys):
         [(i, [1.0, 0.5 * i, 1.0]) for i in range(8)],
         "vec_id bigint, embedding array<double>",
     ), n_lists=2, lloyd_iters=1, dim=3)
-    assert main(["ann", "audit", "--path", str(tmp_path / "v")]) == 0
+    assert main(["ann", "audit", "--path", str(tmp_path / "v"),
+                 "--deep"]) == 0
     rows = [json_mod.loads(ln) for ln in
             capsys.readouterr().out.strip().splitlines()]
     assert {r["check"] for r in rows} >= {"orphan_list", "misassigned"}
     assert all(r["n_violations"] == 0 for r in rows)
+    # without --deep the O(index x n_lists) re-argmax is not run
+    assert main(["ann", "audit", "--path", str(tmp_path / "v")]) == 0
+    rows = [json_mod.loads(ln) for ln in
+            capsys.readouterr().out.strip().splitlines()]
+    assert "misassigned" not in {r["check"] for r in rows}

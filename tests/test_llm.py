@@ -3448,6 +3448,17 @@ def test_ivf_recall_contract(spark, tmp_path):
     ).collect()[0]
     assert r.n_exact == 3 and r.recall == 1.0
 
+    # a query with an EMPTY exact set still reports its row:
+    # n_exact 0, recall NULL (undefined, not silently dropped)
+    solo = spark.createDataFrame(
+        rows[:1], "vec_id bigint, embedding array<double>"
+    )
+    idx3 = IVFIndex(spark, str(tmp_path / "v3"))
+    idx3.build(solo, n_lists=1, lloyd_iters=1, dim=8)
+    r = idx3.recall(solo, k=5, n_probe=1, exclude_self=True).collect()
+    assert len(r) == 1
+    assert r[0].n_exact == 0 and r[0].n_hits == 0 and r[0].recall is None
+
 
 def test_index_audits(spark, tmp_path):
     """audit(): all-zero on healthy indexes; injected corruption rows
@@ -3515,6 +3526,47 @@ def test_index_audits(spark, tmp_path):
     assert vaudit["code_drift"] == 1
     assert vaudit["misassigned"] == 1
     assert vaudit["duplicate_id"] == 0
+    # NULL corruption must COUNT, not vanish behind three-valued
+    # logic: a NULLed list_id row is exactly the 'silently unserved'
+    # class (the probe equi-join drops it)
+    vec.assignments_t.upsert(
+        spark.createDataFrame(
+            [(101, [1.0, 1.0, 1.0], None, None, None, None)],
+            "vec_id bigint, vec array<double>, norm double, "
+            "list_id int, scale double, code array<tinyint>",
+        ),
+        keys=["vec_id"],
+    )
+    vaudit = {r.check: r.n_violations
+              for r in vec.audit(deep=True).collect()}
+    assert vaudit["orphan_list"] == 2
+    assert vaudit["bad_norm"] == 2
+    assert vaudit["code_drift"] == 2
+    assert vaudit["misassigned"] == 2
+    # a corrupt near-zero scale REPORTS as drift instead of raising
+    # ANSI CAST_OVERFLOW inside the audit
+    vec.assignments_t.upsert(
+        spark.createDataFrame(
+            [(102, [1.0, 2.0, 2.0], 3.0, 0, 1e-6, [1, 2, 2])],
+            "vec_id bigint, vec array<double>, norm double, "
+            "list_id int, scale double, code array<tinyint>",
+        ),
+        keys=["vec_id"],
+    )
+    vaudit = {r.check: r.n_violations
+              for r in vec.audit().collect()}
+    assert vaudit["code_drift"] == 3
+    # postings: a NULLed term_prefix counts too
+    idx.postings_t.upsert(
+        spark.createDataFrame(
+            [("yyy", 98, 2, 1, [0], None)],
+            "term string, doc_id bigint, dl int, tf bigint, "
+            "positions array<int>, term_prefix string",
+        ),
+        keys=["term", "doc_id"],
+    )
+    audit = {r.check: r.n_violations for r in idx.audit().collect()}
+    assert audit["bucket_mismatch"] == 2
 
 
 def test_search_phrase_slop_semantics(spark, tmp_path):
