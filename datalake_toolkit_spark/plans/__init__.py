@@ -26,10 +26,17 @@ DEMOTED: tuple[str, ...] = (
     # q_index_time_travel, q_raw_file_docs — never driver-checked).
     # Nine multi-green shapes rotate out in exchange (tagged "r11"
     # below), each with its plan shape still covered in-window.
-    "q_retained_customers",
-    "q_churned_customers",
-    "q_customers_without_orders",
-    "q_big_spenders",
+    #
+    # r12 rotation (the r11 verdict's #1 ask): the eight r11 births
+    # parked at the bottom of this tuple are PROMOTED (removed below),
+    # and the full r2/r3-stale cohort RETURNS per the staleness
+    # discipline — q_retained_customers, q_churned_customers,
+    # q_customers_without_orders, q_big_spenders, q_embedding_norms,
+    # q_approx_aggregates (last green r2) and q_fingerprints,
+    # q_lang_id, q_simhash, q_ddb_json_roundtrip (last green r3) — all
+    # removed from this tuple. Eighteen multi-green shapes rotate out
+    # in exchange (tagged "r12" below), each with its plan shape still
+    # covered in-window or pinned by local parity + dedicated tests.
     # r4 rotation: q_year_orders / q_escape_props / q_uri_normalize /
     # q_user_event_map return to the window (their shared helpers —
     # events.ts loading, scalar functions — changed in r3/r4); in
@@ -38,10 +45,6 @@ DEMOTED: tuple[str, ...] = (
     # q_skewed_list_parse (string parse ~ q_ddb_json_roundtrip),
     # q_fingerprints + q_lang_id (expression-only text scalars ~
     # q_text_stats).
-    "q_fingerprints",
-    "q_lang_id",
-    "q_simhash",  # r4: makes room for q_stratified_sample; explode+hash-agg shape stays covered by q_minhash_near_dups
-    "q_ddb_json_roundtrip",  # r4: makes room for q_interval_join; string-codec shape green in r3, stays in local parity
     # r5 rotation: the four r4 queries parked here before ever seeing a
     # driver window (q_doc_chunks, q_token_shards, q_embedding_pool,
     # q_profile_orders) are PROMOTED, plus three new queries enter
@@ -54,8 +57,6 @@ DEMOTED: tuple[str, ...] = (
     "q_media_resize",  # binary mapInPandas ~ q_multimodal_features/q_video_frames
     "q_cosine_near_dups",  # exact baseline; LSH-blocked variant stays in-window
     "q_jaccard_near_dups",  # exact baseline; q_minhash_near_dups stays in-window
-    "q_embedding_norms",
-    "q_approx_aggregates",
     # r5 second wave: five curation queries enter the window
     # (q_decontaminate, q_repetition_stats, q_pii_redact,
     # q_domain_mixture, q_pack_windows); five 4x-green (r1-r4) shapes
@@ -266,18 +267,31 @@ DEMOTED: tuple[str, ...] = (
     "q_keyword_search",  # 2x (r9,r10); same output contract served by q_postings_search
     "q_phrase_search",  # 2x (r9,r10); batch phrase ~ q_index_phrase (positions-served superset)
     "q_hybrid_search",  # 2x (r9,r10); batch fusion ~ q_index_hybrid (index-served superset)
-    # r11 late births PARKED at birth (the window is already exactly
-    # 50 with this round's three births + six stale returns; the r5
-    # precedent): all run in local parity + bench every round and are
-    # first in line for the r12 window, in this order.
-    "q_index_hybrid_filtered",  # per-query-filtered two-index fusion
-    "q_index_rebucket",  # 16->256 re-hash lifecycle, answers invariant
-    "q_ivf_rebuild",  # add+remove+retrain lifecycle, both serve paths
-    "q_index_sync",  # CDF -> index sync: bootstrap, MoR merge+delete, serve
-    "q_ann_sync",  # CDF -> IVF sync: stored-centroid assignment, both paths
-    "q_jl_projection",  # seeded JL matrix, per-component hash-exact
-    "q_ivf_recall",  # probed-vs-exact recall, measurement hash-exact
-    "q_index_phrase_slop",  # ordered proximity phrases, greedy chains
+    # (r11's eight parked births were PROMOTED into the r12 window —
+    # removed from this tuple per the discipline above.)
+    #
+    # r12 rotation out-list: eighteen multi-green shapes make room for
+    # the eight promoted births + the ten-query r2/r3-stale cohort.
+    # Green counts from CORRECTNESS_r01..r11; every shape stays in the
+    # local parity suite (tests/test_oracle_parity.py) every round.
+    "q_video_frames",  # 9x (r3-r11); binary mapInPandas shape pinned by tests/test_multimodal.py
+    "q1_pricing_summary",  # 8x; lineitem agg core ~ q_approx_aggregates (returning) + q4/q19 stay
+    "q_consecutive_part_ids",  # 7x; X5 seeded-id two-pass pinned by its equivalence test
+    "q_customer_struct_roundtrip",  # 7x; P6/P7 struct pack/unpack ~ property test + parity
+    "q_interval_join_left",  # 7x; stream-stream interval join ~ q_stream_near_dedup + windows tests stay
+    "q15_top_supplier",  # 6x; W2 scalar-max ranking ~ q_multi_window_prices stays
+    "q21_waiting_suppliers",  # 6x; exists/not-exists chains ~ q20/q22 stay
+    "q9_product_profit",  # 6x; multi-join agg tree ~ q5_region_revenue + q10 stay
+    "q_catalog_walk",  # 6x; catalog 3-level walk ~ bulk-variant equality test + r≤10 catalog set
+    "q_stateful_running_status",  # 6x; applyInPandasWithState replay pinned by streaming tests
+    "q_shallow_clone",  # 5x; clone+divergent-MERGE ~ q_mor_upsert_partitioned stays
+    "q_mor_upsert",  # 5x; MoR MERGE ~ q_mor_upsert_partitioned stays
+    "q_mor_delete",  # 5x; MoR predicate delete ~ q_mor_delete_by_key stays
+    "q_file_skipping",  # 5x; manifest-stats pruning pinned by lakehouse tests
+    "q_partition_evolution",  # 5x; evolve+MERGE lifecycle ~ q_mor_upsert_partitioned stays
+    "q_curate_corpus_full",  # 5x; composes decon/pii/mixture — components parity-green, plan-shape test stays
+    "q_semantic_dedup",  # 5x; LSH-blocked semantic dedup ~ q_incremental_semantic stays
+    "q_setsim_near_dups",  # 5x; prefix-filtered set-sim join ~ q_stream_near_dedup band probe stays
 )
 
 GATE_WINDOW = 50
