@@ -160,6 +160,44 @@ def keyword_search_topk(
     )
 
 
+def _bm25_idf() -> Column:
+    """Lucene's idf over in-scope ``df`` / ``n_docs`` columns. One
+    shared expression tree for the exact and max-score-pruned serve
+    paths: bit-identical floats require operation-identical plans."""
+    return F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+
+
+def _bm25_w(tf: Column, dl: Column, k1: float, b: float) -> Column:
+    """Per-term BM25 weight from an in-scope ``idf``/``avgdl`` and the
+    given tf/dl columns. Monotone increasing in tf and decreasing in
+    dl (real arithmetic), which is what makes evaluating it at
+    (max_tf, min_dl) a per-term upper bound for the pruned path."""
+    return (
+        F.col("idf")
+        * (tf * F.lit(k1 + 1.0))
+        / (
+            tf
+            + F.lit(k1)
+            * (F.lit(1.0 - b) + F.lit(b) * dl / F.col("avgdl"))
+        )
+    )
+
+
+def _bm25_fold() -> Column:
+    """Sum the in-scope per-term weights ``w`` VALUE-SORTED, so
+    repeated runs (and the pruned vs exact plans) fold the same floats
+    in the same order — run-to-run and path-to-path bit equality."""
+    return F.aggregate(
+        F.array_sort(F.collect_list("w")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
 def bm25_topk(
     docs: DataFrame,
     queries: DataFrame,
@@ -325,6 +363,23 @@ class PostingsIndex:
         self.corpus_stats_t = LakeTable(
             spark, os.path.join(path, "corpus_stats"), stats_columns=()
         )
+        # (term, df, max_tf, min_dl, term_prefix) — one row per term,
+        # bucketed exactly like postings, feeding the max-score pruned
+        # BM25 serve (:meth:`search_bm25` ``prune="auto"``). Refreshed
+        # per touched bucket at ``add`` (a pure recompute of the
+        # bucket's committed postings — idempotent like corpus_stats)
+        # and TRUNCATED by ``remove``/``add(replace=True)``: removals
+        # can only shrink df/max_tf and grow min_dl, which would make
+        # a stale idf bound UNDERestimate — instead of tracking decay,
+        # the serve falls back to the exact unpruned path until
+        # :meth:`refresh_term_stats`/:meth:`rebucket` restores
+        # coverage, keeping ``remove`` O(metadata).
+        self.term_stats_t = LakeTable(
+            spark,
+            os.path.join(path, "term_stats"),
+            partition_by=("term_prefix",),
+            auto_compact_after=auto_compact_after,
+        )
 
     # the shared multi-table pin contract (lakehouse.table.resolve_pin)
     _pin = staticmethod(resolve_pin)
@@ -340,6 +395,7 @@ class PostingsIndex:
             "postings": self.postings_t.current_version(),
             "doc_stats": self.doc_stats_t.current_version(),
             "corpus_stats": self.corpus_stats_t.current_version(),
+            "term_stats": self.term_stats_t.current_version(),
         }
 
     def _prefix_len(self, at: dict | None = None) -> int:
@@ -458,6 +514,14 @@ class PostingsIndex:
                     ),
                     op="corpus_stats",
                 )
+                self.term_stats_t.write(
+                    post.groupBy("term", "term_prefix").agg(
+                        F.count(F.lit(1)).cast("long").alias("df"),
+                        F.max("tf").cast("long").alias("max_tf"),
+                        F.min("dl").cast("long").alias("min_dl"),
+                    ),
+                    op="term_stats",
+                )
             else:
                 self.doc_stats_t.upsert(
                     stats,
@@ -478,6 +542,20 @@ class PostingsIndex:
                 self._refresh_corpus_stats(
                     sorted(touched | set(removed_buckets))
                 )
+                # bounded collect: <= 16^plen postings bucket keys.
+                # On a replace-add this lands AFTER the truncation in
+                # _remove, so stats coverage shrinks to exactly the
+                # re-added buckets — which is what the per-bucket
+                # coverage check serves correctly
+                tbuckets = sorted(
+                    {
+                        f"term_prefix={r['p']}"
+                        for r in post.select(
+                            F.col("term_prefix").alias("p")
+                        ).distinct().collect()
+                    }
+                )
+                self._refresh_term_stats(tbuckets)
         finally:
             post.unpersist()
         return v
@@ -534,6 +612,72 @@ class PostingsIndex:
                 full, keys=["dhash_prefix"], assume_key_unique=True
             )
 
+    def _refresh_term_stats(self, buckets: list[str]) -> None:
+        """Recompute (df, max_tf, min_dl) per term for the given
+        POSTINGS buckets from their COMMITTED state and upsert the
+        results into ``term_stats``. Pure recomputation (not a delta),
+        so replayed/crashed batches converge; cost is O(touched
+        buckets), paid on the write path. A term's postings never span
+        buckets, so a refreshed bucket's stats are complete for every
+        term it holds — which is what lets the serve-side coverage
+        check (:meth:`_term_stats_probe`) trust per-bucket presence."""
+        if not buckets:
+            return
+        fresh = (
+            self.postings_t.read(partitions=buckets)
+            .groupBy("term", "term_prefix")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("df"),
+                F.max("tf").cast("long").alias("max_tf"),
+                F.min("dl").cast("long").alias("min_dl"),
+            )
+        )
+        if self.term_stats_t.current_version() is None or set(
+            buckets
+        ) >= live_partition_keys(self.postings_t._manifest()):
+            # covering every live postings bucket means `fresh` is the
+            # complete stats table — snapshot-write instead of paying
+            # the upsert's read-merge (also the restore path after a
+            # truncation, where the previous version is empty anyway)
+            self.term_stats_t.write(fresh, op="term_stats")
+        else:
+            self.term_stats_t.upsert(
+                fresh,
+                keys=["term"],
+                partition_scoped=True,
+                assume_key_unique=True,
+            )
+
+    def refresh_term_stats(self) -> None:
+        """Rebuild ``term_stats`` from every live postings bucket —
+        the migration path for an index written before the stats table
+        existed, and the scheduled restore after ``remove`` /
+        ``add(replace=True)`` truncated it (removals would otherwise
+        decay the stored df into an idf UNDER-estimate, breaking the
+        max-score bound — see the table comment in ``__init__``).
+        One full postings pass; a no-op on an empty index."""
+        if self.postings_t.current_version() is None:
+            return
+        self._refresh_term_stats(
+            sorted(live_partition_keys(self.postings_t._manifest()))
+        )
+
+    def _truncate_term_stats(self) -> None:
+        """Drop every term-stats row (one O(1) empty-snapshot commit):
+        the removal hook that converts 'stats may now over-count df'
+        into 'stats absent — serve exactly', until
+        :meth:`refresh_term_stats` restores them."""
+        if self.term_stats_t.current_version() is None:
+            return
+        if not live_partition_keys(self.term_stats_t._manifest()):
+            return  # already empty
+        empty = self.spark.createDataFrame(
+            [],
+            "term string, term_prefix string, "
+            "df long, max_tf long, min_dl long",
+        )
+        self.term_stats_t.write(empty, op="term_stats_truncate")
+
     def remove(self, doc_ids) -> None:
         """Delete documents from the index: merge-on-read PREDICATE
         deletes on both postings and doc_stats (O(metadata) commits —
@@ -568,6 +712,11 @@ class PostingsIndex:
 
         pred = "doc_id IN ({})".format(", ".join(lit(v) for v in ids))
         self.postings_t.delete_where(pred, mode="mor")
+        # removals shrink df/max_tf and grow min_dl — a stale stats
+        # row would UNDERestimate idf and break the max-score bound,
+        # so drop the stats wholesale (O(1) commit; pruned serving
+        # falls back to exact until refresh_term_stats())
+        self._truncate_term_stats()
         if self.doc_stats_t.current_version() is None:
             return []
         self.doc_stats_t.delete_where(pred, mode="mor")
@@ -627,6 +776,12 @@ class PostingsIndex:
             "term_prefix", F.substring(F.md5("term"), 1, plen)
         )
         self.postings_t.write(post, op=f"rebucket({plen})")
+        # recompute term stats at the new layout (also restores a
+        # truncated stats table — the rebucket already pays the full
+        # postings pass, so the recompute rides along)
+        self._refresh_term_stats(
+            sorted(live_partition_keys(self.postings_t._manifest()))
+        )
         if self.doc_stats_t.current_version() is not None:
             stats = self.doc_stats_t.read().withColumn(
                 "dhash_prefix",
@@ -874,7 +1029,12 @@ class PostingsIndex:
         both tables (scoped rewrites) and vacuum old versions — run it
         when ``plan_probe`` shows the pending-append read tax growing,
         exactly like ledger retention."""
-        for t in (self.postings_t, self.doc_stats_t, self.corpus_stats_t):
+        for t in (
+            self.postings_t,
+            self.doc_stats_t,
+            self.corpus_stats_t,
+            self.term_stats_t,
+        ):
             if t.current_version() is not None:
                 t.optimize()
                 t.vacuum(keep_last=keep_last)
@@ -941,11 +1101,60 @@ class PostingsIndex:
             self, queries, k, query_id_col, query_text_col, at, slop=slop
         )
 
+    def _term_stats_probe(
+        self, qterms: DataFrame, at: dict | None = None
+    ) -> DataFrame | None:
+        """(term, df, max_tf, min_dl) for the query's terms, or None
+        when the stats don't cover the probe — coverage is checked
+        PER BUCKET (a term's postings never span buckets, and a
+        refresh recomputes whole buckets, so a bucket key present in
+        the stats manifest vouches for every term it holds). Returns
+        None — never a partially-trusted frame — after a truncation
+        (``remove``/replace-add), for a pre-stats legacy index, for a
+        snapshot pinned before the stats table existed, and in the
+        mid-rebucket crash window where the two tables sit at
+        different widths (the key strings then never intersect)."""
+        if at is not None:
+            v = at.get("term_stats")
+            if v is None:
+                return None
+            v = int(v)
+            pv = self._pin(at, "postings")
+        else:
+            if self.term_stats_t.current_version() is None:
+                return None
+            v = None
+            pv = None
+        plen = self._prefix_len(at)
+        touched = {
+            f"term_prefix={r['p']}"
+            for r in qterms.select(
+                F.substring(F.md5("term"), 1, plen).alias("p")
+            )
+            .distinct()
+            .collect()
+        }
+        existing = live_partition_keys(self.postings_t._manifest(pv))
+        probe = sorted(touched & existing)
+        covered = live_partition_keys(self.term_stats_t._manifest(v))
+        if not set(probe) <= covered:
+            return None
+        stats = (
+            self.term_stats_t.read(version=v)
+            if len(probe) == len(covered)
+            else self.term_stats_t.read(version=v, partitions=probe)
+        )
+        return stats.join(
+            F.broadcast(qterms.select("term").distinct()), "term", "left_semi"
+        ).select("term", "df", "max_tf", "min_dl")
+
     def search_bm25(
         self, queries: DataFrame, k: int = 10, k1: float = 1.2, b: float = 0.75,
         query_id_col: str = "query_id", query_text_col: str = "query_text",
         pair_filter: DataFrame | None = None,
         at: dict | None = None,
+        prune: str | bool = "auto",
+        seed_df_budget: int | None = None,
     ) -> DataFrame:
         """BM25 served from the index: df per term is complete within
         the probed buckets (a term's postings never span buckets);
@@ -959,8 +1168,31 @@ class PostingsIndex:
         statistics (df, N, avgdl) stay corpus-global — the standard
         filtered-search contract, so a document scores identically
         filtered or not. ``at`` pins a :meth:`snapshot` — postings,
-        df and N/avgdl all from one consistent commit point."""
+        df and N/avgdl all from one consistent commit point.
+
+        ``prune="auto"`` (the default) bounds the candidate cost on
+        common terms with a MAXSCORE-family two-phase plan (seed the
+        rarest terms -> k-th partial score as a threshold -> split
+        terms into essential/non-essential by summed upper bounds ->
+        complete scores only for documents holding an essential term).
+        The pruned result is EXACTLY the unpruned result — excluded
+        documents are provably below the returned top-k (see
+        :meth:`_bm25_pruned_frames` for the bound) — and the path is
+        taken only when the term-stats coverage check passes
+        (:meth:`_term_stats_probe`); otherwise, and with
+        ``prune=False``/"off", the exact single-phase plan runs.
+        ``seed_df_budget`` caps the seed phase's posting reads
+        (default ``max(64, 4 * k)`` rarest-first postings per
+        query)."""
         qterms = _query_terms(queries, query_id_col, query_text_col)
+        if prune not in (False, "off"):
+            tstats = self._term_stats_probe(qterms, at)
+            if tstats is not None:
+                frames = self._bm25_pruned_frames(
+                    qterms, k, k1, b, pair_filter, at, tstats,
+                    seed_df_budget,
+                )
+                return frames["topk"]
         post = self._probed_postings(qterms, at).join(
             F.broadcast(qterms.select("term").distinct()), "term", "left_semi"
         )
@@ -970,37 +1202,15 @@ class PostingsIndex:
             post.join(F.broadcast(qterms), "term")
             .join(F.broadcast(df_t), "term")
             .crossJoin(F.broadcast(stats))
-            .withColumn(
-                "idf",
-                F.log(
-                    F.lit(1.0)
-                    + (F.col("n_docs") - F.col("df") + F.lit(0.5))
-                    / (F.col("df") + F.lit(0.5))
-                ),
-            )
-            .withColumn(
-                "w",
-                F.col("idf")
-                * (F.col("tf") * F.lit(k1 + 1.0))
-                / (
-                    F.col("tf")
-                    + F.lit(k1)
-                    * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
-                ),
-            )
+            .withColumn("idf", _bm25_idf())
+            .withColumn("w", _bm25_w(F.col("tf"), F.col("dl"), k1, b))
         )
         # pair filter BEFORE the aggregation (per-pair scores commute
         # with filtering; skips the sorted-fold agg for excluded pairs)
         agg = (
             _apply_pair_filter(scored, pair_filter)
             .groupBy("query_id", "doc_id")
-            .agg(
-                F.aggregate(
-                    F.array_sort(F.collect_list("w")),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                ).alias("score")
-            )
+            .agg(_bm25_fold().alias("score"))
         )
         w = Window.partitionBy("query_id").orderBy(
             F.desc("score"), F.asc("doc_id")
@@ -1010,6 +1220,244 @@ class PostingsIndex:
             .where(F.col("rank") <= k)
             .select("query_id", "doc_id", "score", "rank")
         )
+
+    def _bm25_pruned_frames(
+        self,
+        qterms: DataFrame,
+        k: int,
+        k1: float,
+        b: float,
+        pair_filter: DataFrame | None,
+        at: dict | None,
+        tstats: DataFrame,
+        seed_df_budget: int | None = None,
+    ) -> dict:
+        """The max-score pruned BM25 pipeline, returned as its named
+        intermediate frames (``topk`` is the result; the rest feed
+        :meth:`bm25_prune_report`). Exactness argument, for the
+        record:
+
+        - ``w_ub(t) = idf(df_t) * S(max_tf_t, min_dl_t)`` bounds every
+          document's per-term contribution (the weight is monotone up
+          in tf, down in dl; df/max_tf/min_dl are exact under the
+          coverage check — adds refresh touched buckets in the same
+          ``add`` call, removals truncate the stats wholesale).
+        - Phase A scores ONLY the per-query rarest terms (ascending
+          df until ``seed_df_budget`` postings); ``theta`` = the k-th
+          best partial score, a lower bound on the k-th best FULL
+          score (partials only undercount).
+        - Non-essential terms: the maximal ascending-``w_ub`` prefix
+          whose inclusive running sum stays strictly below
+          ``theta * (1 - 1e-9)`` (the margin absorbs float-rounding
+          slack in the monotonicity argument). A document containing
+          no essential term scores at most that sum < theta, while at
+          least k documents (phase A's witnesses, which always hold
+          an essential term — their partials would otherwise exceed
+          their own bound) score >= theta: excluded documents can
+          never reach the top k, ties included (strict inequality
+          beats the doc_id tiebreak).
+        - Completion re-scores candidate documents over ALL query
+          terms with expression-identical arithmetic (same sorted
+          fold, df from the stats longs), so surviving scores are
+          bit-identical to the unpruned plan's.
+
+        Plan shape at scale: phase A reads ONLY the seed terms'
+        buckets; the completion scan is bucket-pruned to the query's
+        terms and its shuffle carries candidate matches only (the
+        common terms' O(df) posting rows die at the broadcast
+        candidate semi-join instead of feeding the aggregation)."""
+        budget = int(seed_df_budget) if seed_df_budget else max(64, 4 * k)
+        stats = self._corpus_stats(at)
+        # per-(query, term) upper bounds — query-batch-sized, broadcast
+        ub = (
+            qterms.join(F.broadcast(tstats), "term")
+            .crossJoin(F.broadcast(stats))
+            .withColumn("idf", _bm25_idf())
+            .withColumn(
+                "w_ub", _bm25_w(F.col("max_tf"), F.col("min_dl"), k1, b)
+            )
+            .select("query_id", "term", "df", "w_ub")
+        )
+        # seed = rarest-first terms until the budget of posting reads
+        # is spent (the rarest term always seeds: its preceding sum is
+        # 0) — enough docs to land a real theta, bounded phase-A cost
+        wseed = (
+            Window.partitionBy("query_id")
+            .orderBy(F.asc("df"), F.asc("term"))
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        seed = (
+            ub.withColumn(
+                "df_before", F.coalesce(F.sum("df").over(wseed), F.lit(0))
+            )
+            .where(
+                # rarest term always seeds; after that a term joins
+                # only if its postings still FIT the budget — a common
+                # term must never ride in on the rare ones' small
+                # preceding sum (ascending df makes this a prefix)
+                (F.col("df_before") == 0)
+                | (F.col("df_before") + F.col("df") <= F.lit(budget))
+            )
+            .select("query_id", "term", "df")
+        )
+        # phase A: score the seed terms only — the postings read is
+        # pruned to the SEED terms' buckets
+        seed_post = self._probed_postings(seed, at).join(
+            F.broadcast(seed), "term"
+        )
+        partial = (
+            _apply_pair_filter(
+                seed_post.crossJoin(F.broadcast(stats))
+                .withColumn("idf", _bm25_idf())
+                .withColumn("w", _bm25_w(F.col("tf"), F.col("dl"), k1, b)),
+                pair_filter,
+            )
+            .groupBy("query_id", "doc_id")
+            .agg(_bm25_fold().alias("pscore"))
+        )
+        wk = Window.partitionBy("query_id").orderBy(
+            F.desc("pscore"), F.asc("doc_id")
+        )
+        theta = (
+            partial.withColumn("rn", F.row_number().over(wk))
+            .where(F.col("rn") == k)
+            .select("query_id", F.col("pscore").alias("theta"))
+        )
+        # essential split: ascending-w_ub inclusive running sum vs
+        # theta (queries that seeded fewer than k docs get theta=0 —
+        # every term essential, the plan degrades to the exact path)
+        wcum = (
+            Window.partitionBy("query_id")
+            .orderBy(F.asc("w_ub"), F.asc("term"))
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        essential = (
+            ub.withColumn("cum_ub", F.sum("w_ub").over(wcum))
+            .join(F.broadcast(theta), "query_id", "left")
+            .where(
+                ~(
+                    F.col("cum_ub")
+                    < F.coalesce(F.col("theta"), F.lit(0.0))
+                    * F.lit(1.0 - 1e-9)
+                )
+            )
+            .select("query_id", "term")
+        )
+        # candidates: documents holding at least one essential term
+        post_all = self._probed_postings(qterms, at)
+        cand = _apply_pair_filter(
+            post_all.join(F.broadcast(essential), "term").select(
+                "query_id", "doc_id"
+            ),
+            pair_filter,
+        ).distinct()
+        # completion: full scores for candidates only — common terms'
+        # posting rows die at this semi-join instead of feeding the
+        # sorted-fold aggregation (no broadcast hint: candidate-set
+        # size is data-dependent, so AQE picks the strategy at runtime)
+        full = (
+            post_all.join(F.broadcast(qterms), "term")
+            .join(
+                F.broadcast(ub.select("query_id", "term", "df")),
+                ["query_id", "term"],
+            )
+            .join(cand, ["query_id", "doc_id"], "left_semi")
+            .crossJoin(F.broadcast(stats))
+            .withColumn("idf", _bm25_idf())
+            .withColumn("w", _bm25_w(F.col("tf"), F.col("dl"), k1, b))
+        )
+        agg = (
+            _apply_pair_filter(full, pair_filter)
+            .groupBy("query_id", "doc_id")
+            .agg(_bm25_fold().alias("score"))
+        )
+        wr = Window.partitionBy("query_id").orderBy(
+            F.desc("score"), F.asc("doc_id")
+        )
+        topk = (
+            agg.withColumn("rank", F.row_number().over(wr))
+            .where(F.col("rank") <= k)
+            .select("query_id", "doc_id", "score", "rank")
+        )
+        return {
+            "ub": ub,
+            "seed": seed,
+            "theta": theta,
+            "essential": essential,
+            "candidates": cand,
+            "topk": topk,
+        }
+
+    def bm25_prune_report(
+        self, queries: DataFrame, k: int = 10,
+        k1: float = 1.2, b: float = 0.75,
+        query_id_col: str = "query_id", query_text_col: str = "query_text",
+        at: dict | None = None,
+        seed_df_budget: int | None = None,
+    ) -> DataFrame:
+        """Observability for the pruned serve: one row per query —
+        (query_id, n_terms, n_seed, n_essential, rows_full,
+        rows_seed, rows_completed, n_candidates). ``rows_full`` is
+        what the UNpruned plan aggregates (the summed df of every
+        query term); ``rows_seed + rows_completed`` is what the pruned
+        plan aggregates instead — the ratio is the candidate-cost
+        shrink the max-score split bought. Runs real jobs (it counts
+        the intermediate frames); raises if the stats don't cover the
+        probe, since there is then no pruned plan to report on."""
+        qterms = _query_terms(queries, query_id_col, query_text_col)
+        tstats = self._term_stats_probe(qterms, at)
+        if tstats is None:
+            raise ValueError(
+                "term stats do not cover this probe (truncated by a "
+                "remove/replace-add, legacy index, or pre-stats "
+                "snapshot) — run refresh_term_stats() first"
+            )
+        fr = self._bm25_pruned_frames(
+            qterms, k, k1, b, None, at, tstats, seed_df_budget
+        )
+        per_term = fr["ub"].select("query_id", "term", "df")
+        full = per_term.groupBy("query_id").agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.sum("df").alias("rows_full"),
+        )
+        seed = fr["seed"].groupBy("query_id").agg(
+            F.count(F.lit(1)).alias("n_seed"),
+            F.sum("df").alias("rows_seed"),
+        )
+        ess = fr["essential"].groupBy("query_id").agg(
+            F.count(F.lit(1)).alias("n_essential")
+        )
+        cand = fr["candidates"].groupBy("query_id").agg(
+            F.count(F.lit(1)).alias("n_candidates")
+        )
+        # completion aggregates one row per (candidate doc, query term
+        # the doc holds) — count them exactly as the plan builds them
+        post_all = self._probed_postings(qterms, at)
+        comp = (
+            post_all.join(F.broadcast(qterms), "term")
+            .join(fr["candidates"], ["query_id", "doc_id"], "left_semi")
+            .groupBy("query_id")
+            .agg(F.count(F.lit(1)).alias("rows_completed"))
+        )
+        out = (
+            full.join(seed, "query_id", "left")
+            .join(ess, "query_id", "left")
+            .join(cand, "query_id", "left")
+            .join(comp, "query_id", "left")
+            .select(
+                "query_id",
+                "n_terms",
+                F.coalesce("n_seed", F.lit(0)).alias("n_seed"),
+                F.coalesce("n_essential", F.lit(0)).alias("n_essential"),
+                F.coalesce("rows_full", F.lit(0)).alias("rows_full"),
+                F.coalesce("rows_seed", F.lit(0)).alias("rows_seed"),
+                F.coalesce("rows_completed", F.lit(0)).alias(
+                    "rows_completed"
+                ),
+                F.coalesce("n_candidates", F.lit(0)).alias("n_candidates"),
+            )
+        )
+        return out
 
 
 def phrase_search(

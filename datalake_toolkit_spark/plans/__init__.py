@@ -292,6 +292,12 @@ DEMOTED: tuple[str, ...] = (
     "q_curate_corpus_full",  # 5x; composes decon/pii/mixture — components parity-green, plan-shape test stays
     "q_semantic_dedup",  # 5x; LSH-blocked semantic dedup ~ q_incremental_semantic stays
     "q_setsim_near_dups",  # 5x; prefix-filtered set-sim join ~ q_stream_near_dedup band probe stays
+    # r12 second wave: q_index_bm25_pruned enters (max-score pruned
+    # BM25 serve, the r11 verdict's #2 ask — never driver-checked);
+    # q_mor_delete_by_key (4x green r8-r11) rotates out in exchange —
+    # its partitioned-tombstone shape stays covered in-window by
+    # q_mor_upsert_partitioned and by the lakehouse test suite.
+    "q_mor_delete_by_key",
 )
 
 GATE_WINDOW = 50
@@ -324,6 +330,7 @@ STATEFUL: frozenset[str] = frozenset(
         "q_index_corpus_stats",  # three add commits incl. re-add; cached-stats read
         "q_index_decontaminate",  # two add commits + phrase-probe decontamination
         "q_index_phrase",  # positional index: two add commits + phrase serve
+        "q_index_bm25_pruned",  # two add commits + max-score pruned BM25 serve (vs exact in-query)
         "q_index_phrase_slop",  # two add commits + sloppy-phrase serve
         "q_stream_near_dedup",  # two AvailableNow micro-batches through foreachBatch
         "q_stateful_running_status",  # applyInPandasWithState stream replay

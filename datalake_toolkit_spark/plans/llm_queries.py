@@ -3662,3 +3662,128 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+def _bm25_pruned_oracle(
+    lo: int = 12, hi: int = 15, nterms: int = 4, k: int = 10,
+    k1: float = 1.2, b: float = 0.75,
+) -> str:
+    """Relational BM25 top-k over the full corpus — the pruned serve
+    must be output-identical to this by the MAXSCORE exactness
+    argument (llm/search.py ``_bm25_pruned_frames``), so the oracle
+    never models the pruning at all. Queries are the first ``nterms``
+    tokens of docs [lo, hi) with the corpus' MOST FREQUENT token
+    appended — forcing a stopword into every query, the exact shape
+    the pruning exists for. Only integer-derived RANKS are selected
+    (the ln() portability split documented on q_index_hybrid)."""
+    w_expr = (
+        f"ln(1.0 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))"
+        f" * (p.tf * {k1 + 1.0!r})"
+        f" / (p.tf + {k1!r} * ({1.0 - b!r} + {b!r} * p.dl / s.avgdl))"
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS w
+      FROM documents),
+    d AS (SELECT doc_id, w FROM toks WHERE len(w) > 0),
+    dd AS (SELECT doc_id, len(w) AS dl, unnest(w) AS term FROM d),
+    post AS (SELECT doc_id, dl, term, count(*) AS tf
+             FROM dd GROUP BY 1, 2, 3),
+    stats AS (SELECT count(*) AS n_docs,
+                     CAST(CAST(sum(len(w)) AS BIGINT) AS DOUBLE)
+                       / CAST(count(*) AS DOUBLE) AS avgdl
+              FROM d),
+    top1 AS (SELECT term FROM post
+             GROUP BY term ORDER BY sum(tf) DESC, term LIMIT 1),
+    qd AS (SELECT doc_id AS query_id, w FROM d
+           WHERE doc_id >= {lo} AND doc_id < {hi}),
+    qterms AS (SELECT query_id,
+               unnest(list_distinct(
+                 list_append(w[1:{nterms}], (SELECT term FROM top1))))
+                 AS term
+               FROM qd),
+    df_t AS (SELECT term, count(*) AS df FROM post
+             WHERE term IN (SELECT term FROM qterms) GROUP BY term),
+    sc AS (SELECT qt.query_id, p.doc_id, {w_expr} AS w
+           FROM qterms qt
+           JOIN post p USING (term)
+           JOIN df_t f USING (term)
+           CROSS JOIN stats s),
+    bscore AS (SELECT query_id, doc_id,
+               list_reduce(list_prepend(0.0, list(w ORDER BY w)),
+                           (acc, e) -> acc + e) AS score
+               FROM sc GROUP BY 1, 2),
+    kr AS (SELECT query_id, doc_id,
+           CAST(row_number() OVER (PARTITION BY query_id
+             ORDER BY score DESC, doc_id) AS INTEGER) AS rank
+           FROM bscore)
+    SELECT query_id, doc_id, rank FROM kr WHERE rank <= {k}
+    """
+
+
+@query("q_index_bm25_pruned", _bm25_pruned_oracle())
+def q_index_bm25_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAXSCORE-pruned BM25 served from the persistent postings index
+    (the r11 verdict's #2 ask): every query carries the corpus' most
+    frequent token, the degenerate O(df) case, and the serve bounds
+    its candidate cost with the term-stats upper-bound split — seed
+    the rarest terms, take the k-th partial as a threshold, skip
+    documents that hold only provably-sub-threshold terms. The query
+    ASSERTS the pruned path engaged (term stats cover the probe) and
+    that it returns bit-identical rows to ``prune="off"`` before
+    emitting ranks; the oracle replays plain unbounded BM25, so the
+    hash check IS the exactness proof at driver scale."""
+    import shutil
+    import tempfile
+
+    from datalake_toolkit_spark.llm import PostingsIndex
+    from datalake_toolkit_spark.llm.search import _query_terms, _tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    w = _tokens("text")
+    # the corpus' most frequent token (ties broken by term) — one-row
+    # bounded collect, mirrored by the oracle's top1 CTE
+    top = (
+        docs.select(F.explode(w).alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("t"))
+        .limit(1)
+        .collect()[0]["t"]
+    )
+    queries = docs.where(
+        (F.col("doc_id") >= 12) & (F.col("doc_id") < 15) & (F.size(w) > 0)
+    ).select(
+        F.col("doc_id").alias("query_id"),
+        F.concat_ws(
+            " ", F.concat_ws(" ", F.slice(w, 1, 4)), F.lit(top)
+        ).alias("query_text"),
+    )
+    work = tempfile.mkdtemp(prefix="dts_bm25pr_")
+    try:
+        idx = PostingsIndex(spark, work, prefix_len=1)
+        idx.add(docs.where(F.col("doc_id") % 2 == 0))
+        idx.add(docs.where(F.col("doc_id") % 2 == 1), mode="mor")
+        qterms = _query_terms(queries, "query_id", "query_text")
+        assert idx._term_stats_probe(qterms) is not None, (
+            "term stats must cover the probe — the pruned path is the "
+            "point of this gate"
+        )
+        pruned = idx.search_bm25(queries, k=10, prune="auto")
+        exact = idx.search_bm25(queries, k=10, prune="off")
+        got = {
+            (r.query_id, r.doc_id): (r.score, r.rank)
+            for r in pruned.collect()
+        }
+        want = {
+            (r.query_id, r.doc_id): (r.score, r.rank)
+            for r in exact.collect()
+        }
+        assert got == want, "pruned serve diverged from the exact plan"
+        return (
+            pruned.select("query_id", "doc_id", "rank")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

@@ -3611,3 +3611,151 @@ def test_search_phrase_slop_semantics(spark, tmp_path):
         r.doc_id: r.n_occurrences
         for r in idx.search_phrase(one, k=10, slop=3).collect()
     }[5] == 2
+
+
+def _bm25_rows(df):
+    return {
+        (r.query_id, r.doc_id): (r.score, r.rank) for r in df.collect()
+    }
+
+
+def test_bm25_maxscore_prune_exact_and_bounded(spark, tmp_path):
+    """The max-score pruned serve on a stopword-heavy corpus must
+    (a) actually take the pruned path, (b) return BIT-identical rows
+    to ``prune="off"``, and (c) aggregate >= 10x fewer posting rows
+    than the unpruned plan per :meth:`bm25_prune_report` — the r11
+    verdict's acceptance bar for bounding the O(df) candidate cost."""
+    from datalake_toolkit_spark.llm import PostingsIndex
+
+    # every doc carries the stopword 'the'; a handful carry the rare
+    # needles — the classic mixed query where exact BM25 should not
+    # pay for the stopword's posting list
+    rows = []
+    for i in range(400):
+        extra = f"filler{i % 40}"
+        needle = " zebra" if i % 133 == 0 else (
+            " quokka" if i % 80 == 0 else ""
+        )
+        rows.append((i, f"the the {extra}{needle}"))
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    idx = PostingsIndex(spark, str(tmp_path / "pidx"))
+    idx.add(docs)
+
+    queries = spark.createDataFrame(
+        [(1, "the zebra quokka"), (2, "the zebra")],
+        "query_id bigint, query_text string",
+    )
+    # the stats must cover this probe (fresh index, no removals)
+    qt = idx.search_bm25  # noqa: F841  (readability)
+    assert idx._term_stats_probe(
+        spark.createDataFrame(
+            [(1, "the"), (1, "zebra"), (1, "quokka")],
+            "query_id bigint, term string",
+        )
+    ) is not None
+
+    pruned = _bm25_rows(idx.search_bm25(queries, k=3, prune="auto"))
+    exact = _bm25_rows(idx.search_bm25(queries, k=3, prune="off"))
+    assert pruned == exact and len(pruned) == 6  # bit-identical floats
+
+    rep = {
+        r.query_id: r
+        for r in idx.bm25_prune_report(queries, k=3).collect()
+    }
+    for qid in (1, 2):
+        r = rep[qid]
+        assert r.rows_full >= 400  # the stopword's df dominates
+        assert (r.rows_seed + r.rows_completed) * 10 <= r.rows_full
+        assert r.n_essential < r.n_terms  # 'the' was proven skippable
+
+
+def test_bm25_prune_fallback_and_restore_after_remove(spark, tmp_path):
+    """remove()/replace-add must truncate the term stats (a stale df
+    would UNDER-estimate idf and break the upper bound): the serve
+    falls back to the exact path and stays correct; refresh_term_stats
+    restores pruning with answers unchanged."""
+    from datalake_toolkit_spark.llm import PostingsIndex
+
+    docs = spark.createDataFrame(
+        [(i, f"the w{i % 31} " + ("rare" if i % 97 == 0 else "x"))
+         for i in range(300)],
+        "doc_id bigint, text string",
+    )
+    idx = PostingsIndex(spark, str(tmp_path / "pidx"))
+    idx.add(docs)
+    queries = spark.createDataFrame(
+        [(1, "the rare"), (2, "w3 rare the")],
+        "query_id bigint, query_text string",
+    )
+    before = _bm25_rows(idx.search_bm25(queries, k=4))
+
+    idx.remove([0, 97])
+    qterms = spark.createDataFrame(
+        [(1, "the"), (1, "rare")], "query_id bigint, term string"
+    )
+    assert idx._term_stats_probe(qterms) is None  # truncated
+    with pytest.raises(ValueError):
+        idx.bm25_prune_report(queries, k=4)
+    after_exact = _bm25_rows(idx.search_bm25(queries, k=4, prune="off"))
+    after_auto = _bm25_rows(idx.search_bm25(queries, k=4, prune="auto"))
+    assert after_auto == after_exact  # auto fell back, same answers
+    assert after_auto != before  # the removal really changed results
+
+    idx.refresh_term_stats()
+    assert idx._term_stats_probe(qterms) is not None
+    assert _bm25_rows(idx.search_bm25(queries, k=4, prune="auto")) == (
+        after_exact
+    )
+
+
+def test_bm25_prune_pinned_and_pair_filtered(spark, tmp_path):
+    """Pruning must compose with the other serve contracts: a pinned
+    snapshot serves the pinned corpus state pruned == exact, a
+    pre-stats pin (no term_stats key) falls back instead of erroring,
+    and per-query pair filters commute with the pruned plan."""
+    from datalake_toolkit_spark.llm import PostingsIndex
+
+    docs = spark.createDataFrame(
+        [(i, f"the common{i % 7} " + ("needle" if i % 50 == 3 else "pad"))
+         for i in range(250)],
+        "doc_id bigint, text string",
+    )
+    idx = PostingsIndex(spark, str(tmp_path / "pidx"))
+    idx.add(docs)
+    snap = idx.snapshot()
+    assert snap["term_stats"] is not None
+    idx.add(
+        spark.createDataFrame(
+            [(1000 + i, "needle the flood") for i in range(40)],
+            "doc_id bigint, text string",
+        ),
+        mode="mor",
+    )
+    queries = spark.createDataFrame(
+        [(1, "the needle")], "query_id bigint, query_text string"
+    )
+    pinned_pruned = _bm25_rows(idx.search_bm25(queries, k=5, at=snap))
+    pinned_exact = _bm25_rows(
+        idx.search_bm25(queries, k=5, at=snap, prune="off")
+    )
+    assert pinned_pruned == pinned_exact
+    assert not any(d >= 1000 for (_, d) in pinned_pruned)  # pre-add pin
+
+    # a legacy pin without the stats key falls back, never errors
+    legacy_pin = {k: v for k, v in snap.items() if k != "term_stats"}
+    assert _bm25_rows(
+        idx.search_bm25(queries, k=5, at={**legacy_pin, "term_stats": None})
+    ) == pinned_exact
+
+    # pair filter: query 1 may only see even doc ids
+    allowed = spark.createDataFrame(
+        [(1, d) for d in range(0, 1100, 2)], "query_id bigint, doc_id bigint"
+    )
+    filt_pruned = _bm25_rows(
+        idx.search_bm25(queries, k=5, pair_filter=allowed)
+    )
+    filt_exact = _bm25_rows(
+        idx.search_bm25(queries, k=5, pair_filter=allowed, prune="off")
+    )
+    assert filt_pruned == filt_exact
+    assert all(d % 2 == 0 for (_, d) in filt_pruned)
