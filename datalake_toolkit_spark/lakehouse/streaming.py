@@ -361,3 +361,78 @@ def stream_index_ingest(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_sync_search_plane(
+    stream_df: DataFrame,
+    table_path: str,
+    keys: Sequence[str],
+    checkpoint: str,
+    postings_index,
+    ivf_index,
+    partition_by: Sequence[str] = (),
+    order_by: Sequence[Column] = (),
+    mode: str = "cow",
+    sync_mode: str = "mor",
+    available_now: bool = True,
+    on_violation: str = "reject",
+    auto_compact_after: dict | None = None,
+):
+    """Continuous ingestion with a FOLLOWING search plane: each
+    micro-batch MERGEs into the LakeTable (:func:`merge_batch`) and
+    then advances BOTH retrieval indexes to the table's new head via
+    CDF sync (:func:`~datalake_toolkit_spark.llm.sync.
+    sync_search_plane`) — so the postings and IVF indexes track a
+    streaming-upserted table end to end, and every micro-batch leaves
+    a fresh mutually consistent combined pin on disk
+    (``latest_plane_pin``) for version-stable hybrid serving during
+    ingestion.
+
+    This composes with :func:`stream_index_ingest` rather than
+    replacing it: ingest-to-index is the right shape when the stream
+    IS the corpus; this follower is the right shape when the corpus
+    of record is a mutating TABLE (upserts can drop terms, rows can
+    be deleted by other writers between triggers) — the CDF diff
+    nets in-window churn and converts updates into replace-adds /
+    key merges the plain add path can't express.
+
+    Replay safety stacks three idempotent layers: Structured
+    Streaming replays whole micro-batches, the MERGE is key-
+    idempotent, and the sync window replays convergently from its
+    crash-safe cursor — a batch that died anywhere re-applies to the
+    same end state.
+
+    ``ivf_index`` must be ``build``-initialized (its sync assigns
+    against the stored centroids; train on a seed sample — or an
+    empty frame for pure cold-start — before starting the stream).
+    Returns the started ``StreamingQuery``."""
+    from datalake_toolkit_spark.llm.sync import sync_search_plane
+
+    spark = stream_df.sparkSession
+
+    def _apply(batch: DataFrame, _batch_id: int) -> None:
+        merge_batch(
+            batch,
+            table_path,
+            keys=keys,
+            partition_by=partition_by,
+            order_by=order_by,
+            on_violation=on_violation,
+            mode=mode,
+            auto_compact_after=auto_compact_after,
+        )
+        t = LakeTable(spark, table_path, partition_by=partition_by)
+        if t.current_version() is None:
+            return  # empty first batch: nothing committed, nothing to sync
+        sync_search_plane(
+            postings_index, ivf_index, t, mode=sync_mode
+        )
+
+    writer = (
+        stream_df.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

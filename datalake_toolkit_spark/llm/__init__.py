@@ -123,7 +123,10 @@ from datalake_toolkit_spark.llm.bpe import (  # noqa: E402,F401
 )
 from datalake_toolkit_spark.llm.text import tfidf_embeddings  # noqa: E402,F401
 from datalake_toolkit_spark.llm.sync import (  # noqa: E402,F401
+    latest_plane_pin,
+    search_plane_snapshot,
     sync_cursor,
     sync_ivf_from_table,
     sync_postings_from_table,
+    sync_search_plane,
 )

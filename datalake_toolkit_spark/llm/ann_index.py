@@ -49,11 +49,23 @@ from datalake_toolkit_spark.llm.similarity import (
     _as_double,
     _fold_sum,
     _l2_norm,
+    centroid_matrix_frame,
     cosine_with_norms,
     ivf_assign_col,
+    ivf_assign_with_frame,
     ivf_assignments,
+    ivf_assignments_frames,
     ivf_probe_col,
+    ivf_probe_with_frame,
 )
+
+# Above this many lists, centroids stop riding in plans as literal
+# expressions (which strain Catalyst analysis/codegen well before
+# n_lists reaches the ~sqrt(N) a 100 TB corpus wants) and switch to
+# the matrix-as-data path: one broadcast row + O(1) expression nodes,
+# with Lloyd refinement staying fully distributed. Both paths share
+# the same expression trees, so results are bit-identical either way.
+_FRAME_CENTROIDS_FROM = 512
 
 
 class IVFIndex:
@@ -84,6 +96,10 @@ class IVFIndex:
             partition_by=("list_id",),
             auto_compact_after=auto_compact_after,
         )
+        # list-count per centroids VERSION (versions are immutable, so
+        # the cache can never serve a stale count) — the literal-vs-
+        # frame path selector, consulted on every serve
+        self._nl_cache: dict[int | None, int] = {}
 
     # -- internals -----------------------------------------------------------
 
@@ -166,6 +182,34 @@ class IVFIndex:
             raise RuntimeError(f"IVF index at {self.path} is empty")
         return [list(r["centroid"]) for r in rows]
 
+    def _n_lists(self, at: dict | None = None) -> int:
+        """Committed list count WITHOUT collecting the matrix — the
+        path selector between literal and matrix-as-data serving.
+        Cached per centroids version (immutable)."""
+        v = (
+            self._pin(at, "centroids")
+            if at is not None
+            else self.centroids_t.current_version()
+        )
+        if v not in self._nl_cache:
+            self._nl_cache[v] = self.centroids_t.read(version=v).count()
+        return self._nl_cache[v]
+
+    def _cent_matrix(self, at: dict | None = None):
+        """(mode, payload): the centroid matrix as a Python literal
+        below ``_FRAME_CENTROIDS_FROM`` lists — one driver collect,
+        one plan literal, the cheap path for serving-sized k — else
+        as the ONE-row broadcast matrix frame
+        (:func:`~datalake_toolkit_spark.llm.similarity.
+        centroid_matrix_frame`): no k x dim literal ever enters the
+        plan, the large-n_lists path."""
+        if self._n_lists(at) < _FRAME_CENTROIDS_FROM:
+            return "literal", self.centroids(at)
+        df = self.centroids_t.read(
+            version=self._pin(at, "centroids") if at is not None else None
+        ).select("list_id", "centroid")
+        return "frame", centroid_matrix_frame(df)
+
     # -- lifecycle -----------------------------------------------------------
 
     def build(
@@ -180,12 +224,31 @@ class IVFIndex:
         :func:`~datalake_toolkit_spark.llm.similarity.ivf_assignments`),
         then snapshot-write both tables. Replaces any prior index
         state as two ordinary versioned commits — time travel still
-        reaches the old index."""
+        reaches the old index.
+
+        ``n_lists >= _FRAME_CENTROIDS_FROM`` trains and writes through
+        the matrix-as-data path (centroids stay a DataFrame end to
+        end, Lloyd means never collect) — bit-identical results,
+        no k x dim literal in any plan."""
         src = self._prep(corpus)
-        assigned, cents = ivf_assignments(
-            src, n_lists=n_lists, id_col="id", vec_col="vec",
-            dim=dim, lloyd_iters=lloyd_iters,
-        )
+        if n_lists >= _FRAME_CENTROIDS_FROM:
+            assigned, cents_df = ivf_assignments_frames(
+                src, n_lists=n_lists, id_col="id", vec_col="vec",
+                dim=dim, lloyd_iters=lloyd_iters,
+            )
+            cents_rows = cents_df.select(
+                F.col("list_id").cast("int").alias("list_id"),
+                "centroid",
+            )
+        else:
+            assigned, cents = ivf_assignments(
+                src, n_lists=n_lists, id_col="id", vec_col="vec",
+                dim=dim, lloyd_iters=lloyd_iters,
+            )
+            cents_rows = self.spark.createDataFrame(
+                [(i, c) for i, c in enumerate(cents)],
+                "list_id int, centroid array<double>",
+            )
         rows = self._with_codes(
             assigned.select(
                 F.col("vid").alias(self.id_col),
@@ -195,13 +258,8 @@ class IVFIndex:
             )
         )
         self.assignments_t.write(rows, op="ivf_build")
-        self.centroids_t.write(
-            self.spark.createDataFrame(
-                [(i, c) for i, c in enumerate(cents)],
-                "list_id int, centroid array<double>",
-            ),
-            op="ivf_build",
-        )
+        self.centroids_t.write(cents_rows, op="ivf_build")
+        self._nl_cache.clear()
         return self
 
     def add(self, batch: DataFrame, mode: str = "mor") -> int:
@@ -212,13 +270,18 @@ class IVFIndex:
         ``mode='mor'`` (default) makes the commit O(batch); the
         table's ``auto_compact_after`` policy (constructor) bounds the
         accumulated read tax. Returns the committed version."""
-        cents = self.centroids()
-        rows = self._prep(batch).select(
-            F.col("id").alias(self.id_col),
-            "vec",
-            "norm",
-            ivf_assign_col(cents, "vec").cast("int").alias("list_id"),
+        mode_c, cents = self._cent_matrix()
+        prep = self._prep(batch).select(
+            F.col("id").alias(self.id_col), "vec", "norm"
         )
+        if mode_c == "literal":
+            rows = prep.withColumn(
+                "list_id", ivf_assign_col(cents, "vec").cast("int")
+            )
+        else:
+            rows = ivf_assign_with_frame(prep, cents, "vec").withColumn(
+                "list_id", F.col("list_id").cast("int")
+            )
         if self._has_codes():
             rows = self._with_codes(rows)
         return self.assignments_t.upsert(rows, keys=[self.id_col], mode=mode)
@@ -275,8 +338,12 @@ class IVFIndex:
         cur = self.assignments_t.read().select(
             F.col(self.id_col), F.col("vec").alias(self.vec_col)
         )
-        k = n_lists if n_lists is not None else len(self.centroids())
-        dim = len(self.centroids()[0])
+        k = n_lists if n_lists is not None else self._n_lists()
+        dim = int(
+            self.centroids_t.read()
+            .select(F.size("centroid").alias("d"))
+            .first()["d"]
+        )
         return self.build(cur, n_lists=k, lloyd_iters=lloyd_iters, dim=dim)
 
     # -- serving -------------------------------------------------------------
@@ -291,21 +358,25 @@ class IVFIndex:
         which directories the read lists. ``at`` pins BOTH tables to
         a :meth:`snapshot` — centroids and assignments from one
         consistent commit point."""
-        cents = self.centroids(at)
+        mode_c, cents = self._cent_matrix(at)
         v = self._pin(at, "assignments") if at is not None else None
-        n_probe = min(n_probe, len(cents))
-        q = (
-            self._prep(queries)
-            .select(
-                F.col("id").alias("qid"),
-                F.col("vec").alias("qv"),
-                F.col("norm").alias("qn"),
-            )
-            .withColumn(
+        n_probe = min(n_probe, self._n_lists(at))
+        prep = self._prep(queries).select(
+            F.col("id").alias("qid"),
+            F.col("vec").alias("qv"),
+            F.col("norm").alias("qn"),
+        )
+        if mode_c == "literal":
+            q = prep.withColumn(
                 "list_id", F.explode(ivf_probe_col(cents, n_probe, "qv"))
             )
-            .withColumn("list_id", F.col("list_id").cast("int"))
-        )
+        else:
+            q = (
+                ivf_probe_with_frame(prep, cents, n_probe, "qv")
+                .withColumn("list_id", F.explode("probe_lists"))
+                .drop("probe_lists")
+            )
+        q = q.withColumn("list_id", F.col("list_id").cast("int"))
         probed = {
             f"list_id={r['list_id']}"
             for r in q.select("list_id").distinct().collect()
@@ -543,13 +614,21 @@ class IVFIndex:
         against a pinned :meth:`snapshot` — what a version-pinned
         serve would open, not the live state."""
         v = self._pin(at, "assignments") if at is not None else None
-        cents = self.centroids(at)
-        n_probe = min(n_probe, len(cents))
-        q = self._prep(queries).select(
-            F.explode(
-                ivf_probe_col(cents, n_probe, F.col("vec"))
-            ).alias("list_id")
-        )
+        mode_c, cents = self._cent_matrix(at)
+        nl = self._n_lists(at)
+        n_probe = min(n_probe, nl)
+        prep = self._prep(queries)
+        if mode_c == "literal":
+            q = prep.select(
+                F.explode(
+                    ivf_probe_col(cents, n_probe, F.col("vec"))
+                ).alias("list_id")
+            )
+        else:
+            q = (
+                ivf_probe_with_frame(prep, cents, n_probe, F.col("vec"))
+                .select(F.explode("probe_lists").alias("list_id"))
+            )
         probed = {
             f"list_id={r['list_id']}"
             for r in q.select(F.col("list_id").cast("int").alias("list_id"))
@@ -560,7 +639,7 @@ class IVFIndex:
         known = sorted(probed & existing)
         rep = self.assignments_t.plan_scan(version=v, partitions=known)
         rep.update(
-            lists_total=len(cents),
+            lists_total=nl,
             lists_probed=len(known),
             n_probe=n_probe,
         )
@@ -668,18 +747,59 @@ class IVFIndex:
         ``deep=True`` adds ``misassigned`` — list_id not null-safely
         equal to the argmax against the STORED centroids, which also
         catches vectors whose dimension disagrees with the centroids
-        (O(index x n_lists): schedule it, don't serve it)."""
+        (O(index x n_lists): schedule it, don't serve it).
+
+        Both tables are read from ONE :meth:`snapshot` taken at entry,
+        so a concurrent add/rebuild between the two reads can't
+        manufacture spurious violations; and the centroids table is
+        validated FIRST (``centroid_bad_id`` — NULL or out-of-range
+        list_id; ``centroid_duplicate_id``; ``centroid_missing_id`` —
+        a gap in 0..n-1), because the assignment checks index into
+        the centroid set and a broken set would misattribute their
+        violations."""
         from datalake_toolkit_spark.llm.audit_util import (
             predicate_counts,
             row_count,
             union_reports,
         )
 
-        rows = self.assignments_t.read()
-        cents = self.centroids()
+        if (
+            self.assignments_t.current_version() is None
+            or self.centroids_t.current_version() is None
+        ):
+            raise RuntimeError(
+                f"IVF index at {self.path} is empty — nothing to audit"
+            )
+        snap = self.snapshot()
+        rows = self.assignments_t.read(version=snap["assignments"])
+        mode_c, cents = self._cent_matrix(snap)
+        nl = self._n_lists(snap)
+        cent_rows = self.centroids_t.read(version=snap["centroids"])
+        cent_preds = {
+            "centroid_bad_id": F.col("list_id").isNull()
+            | ~F.col("list_id").between(0, nl - 1),
+        }
+        cent_dups = (
+            cent_rows.groupBy("list_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .where(F.col("n") > 1)
+        )
+        cent_missing = self.spark.range(nl).select(
+            F.col("id").cast("int").alias("list_id")
+        ).join(
+            cent_rows.where(F.col("list_id").isNotNull()),
+            "list_id",
+            "left_anti",
+        )
+        if deep and mode_c == "frame":
+            # matrix-as-data: attach the expected assignment as a
+            # column (one broadcast row) instead of a k x dim literal
+            rows = ivf_assign_with_frame(
+                rows, cents, "vec", out_col="_expected"
+            )
         preds = {
             "orphan_list": F.col("list_id").isNull()
-            | ~F.col("list_id").isin(list(range(len(cents)))),
+            | ~F.col("list_id").between(0, nl - 1),
             "bad_norm": F.col("norm").isNull()
             | (F.col("norm") <= 0)
             | ~F.col("norm").eqNullSafe(_l2_norm(F.col("vec"))),
@@ -703,7 +823,9 @@ class IVFIndex:
             )
         if deep:
             preds["misassigned"] = ~F.col("list_id").eqNullSafe(
-                ivf_assign_col(cents, "vec").cast("int")
+                F.col("_expected").cast("int")
+                if mode_c == "frame"
+                else ivf_assign_col(cents, "vec").cast("int")
             )
         dups = (
             rows.groupBy(self.id_col)
@@ -711,7 +833,13 @@ class IVFIndex:
             .where(F.col("n") > 1)
         )
         return union_reports(
-            [predicate_counts(rows, preds), row_count("duplicate_id", dups)]
+            [
+                predicate_counts(rows, preds),
+                row_count("duplicate_id", dups),
+                predicate_counts(cent_rows, cent_preds),
+                row_count("centroid_duplicate_id", cent_dups),
+                row_count("centroid_missing_id", cent_missing),
+            ]
         )
 
     def recall(
@@ -731,7 +859,7 @@ class IVFIndex:
         plus one full-probe serve over the probed queries (exact by
         construction — ``n_probe >= n_lists`` probes every list), so
         size the query sample, not the corpus."""
-        n_lists = len(self.centroids(at))
+        n_lists = self._n_lists(at)
         approx = self.search(
             queries, k=k, n_probe=n_probe,
             exclude_self=exclude_self, at=at,

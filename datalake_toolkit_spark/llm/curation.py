@@ -85,6 +85,8 @@ def decontaminate_indexed(
     eval_text_col: str = "text",
     n: int = 5,
     matched_only: bool = False,
+    slop: int = 0,
+    at: dict | None = None,
 ) -> DataFrame:
     """:func:`decontaminate` served from a
     :class:`~datalake_toolkit_spark.llm.search.PostingsIndex` — the
@@ -105,7 +107,16 @@ def decontaminate_indexed(
     ``matched_only=True``. Token convention is the index's
     (whitespace split, empty tokens dropped), so texts with leading/
     repeated whitespace gram slightly differently than the batch
-    operator's unfiltered split."""
+    operator's unfiltered split.
+
+    ``slop > 0`` relaxes each eval gram from exact adjacency to
+    ORDERED PROXIMITY (at most ``slop`` extra tokens interleaved
+    across the gram, the Lucene sloppy-phrase contract, verified on
+    the stored positions) — catching near-verbatim contamination
+    where small edits pushed the benchmark text off the exact n-gram
+    lattice. ``at`` pins an index :meth:`snapshot` so a
+    decontamination report is reproducible against one corpus
+    state."""
     from datalake_toolkit_spark.llm.search import (
         _index_phrase_verified,
         _tokens,
@@ -119,7 +130,9 @@ def decontaminate_indexed(
     queries = grams.select(
         F.col("gram").alias("query_id"), F.col("gram").alias("query_text")
     )
-    verified = _index_phrase_verified(index, queries, "query_id", "query_text")
+    verified = _index_phrase_verified(
+        index, queries, "query_id", "query_text", at=at, slop=slop
+    )
     hits = verified.groupBy("doc_id").agg(
         F.count_distinct("query_id").alias("eval_ngram_hits")
     )
@@ -127,7 +140,9 @@ def decontaminate_indexed(
         return hits.select(
             "doc_id", "eval_ngram_hits", F.lit(True).alias("contaminated")
         )
-    ids = index.doc_stats_t.read().select("doc_id")
+    ids = index.doc_stats_t.read(
+        version=index._pin(at, "doc_stats") if at is not None else None
+    ).select("doc_id")
     return ids.join(hits, ["doc_id"], "left").select(
         "doc_id",
         F.coalesce("eval_ngram_hits", F.lit(0)).alias("eval_ngram_hits"),

@@ -1597,6 +1597,7 @@ def hybrid_search_indexed(
     pair_filter: DataFrame | None = None,
     at_lexical: dict | None = None,
     at_vector: dict | None = None,
+    at: dict | None = None,
 ) -> DataFrame:
     """Hybrid retrieval SERVED entirely from the two persistent
     indexes: the lexical ranking comes from the postings index
@@ -1622,9 +1623,29 @@ def hybrid_search_indexed(
     their top-``k_each`` cuts, so the fusion ranks within each
     query's own allowed set — per-tenant / per-language filtered
     hybrid retrieval. ``at_lexical`` / ``at_vector`` pin each index's
-    :meth:`snapshot` so the whole hybrid serve is version-stable."""
+    :meth:`snapshot` so the whole hybrid serve is version-stable;
+    ``at`` takes a COMBINED pin instead — the
+    ``{"lexical": ..., "vector": ...}`` dict
+    :func:`~datalake_toolkit_spark.llm.sync.sync_search_plane` /
+    ``search_plane_snapshot`` return — so both modalities are
+    guaranteed to serve ONE mutually consistent corpus state (the
+    per-side params can silently fuse two different states during
+    maintenance; prefer ``at``)."""
     if lexical not in ("bm25", "keyword"):
         raise ValueError(f"lexical must be bm25|keyword, got {lexical!r}")
+    if at is not None:
+        if at_lexical is not None or at_vector is not None:
+            raise ValueError(
+                "pass either the combined at= pin or at_lexical/"
+                "at_vector, not both"
+            )
+        if "lexical" not in at or "vector" not in at:
+            raise ValueError(
+                "a combined at= pin must carry 'lexical' and 'vector' "
+                f"keys (got {sorted(at)}) — use sync_search_plane() / "
+                "search_plane_snapshot()"
+            )
+        at_lexical, at_vector = at["lexical"], at["vector"]
     qtext = queries.select(query_id_col, query_text_col)
     if lexical == "bm25":
         lex = postings_index.search_bm25(

@@ -192,7 +192,11 @@ def project_embeddings(
     Scale shape: O(rows * out_dim * in_dim) multiply-adds with no
     shuffle, no UDF, no state — a map-only stage that pipelines into
     whatever consumes it (typically ``IVFIndex.build`` on the
-    projected column)."""
+    projected column).
+
+    Every OTHER column of the input passes through untouched (labels,
+    partition keys, filter metadata ride along); only ``vec_col`` is
+    replaced by its projection."""
     import math
 
     scale = math.sqrt(3.0 / out_dim)
@@ -200,7 +204,10 @@ def project_embeddings(
     # materialize the cast array first: a non-trivial expression
     # referenced inside the transform lambda would re-cast the input
     # per OUTPUT element (the documented HOF pitfall)
-    base = df.select(F.col(id_col), _as_double(vec_col).alias("_v"))
+    passthrough = [c for c in df.columns if c not in (id_col, vec_col)]
+    base = df.select(
+        F.col(id_col), _as_double(vec_col).alias("_v"), *passthrough
+    )
     proj = F.transform(
         mat,
         lambda row: _fold_sum(
@@ -227,7 +234,7 @@ def project_embeddings(
             )
         )
     )
-    return base.select(F.col(id_col), proj.alias(vec_col))
+    return base.select(F.col(id_col), proj.alias(vec_col), *passthrough)
 
 
 def hyperplane_bucket(
@@ -309,23 +316,19 @@ def hyperplane_probe_buckets(
     return F.concat(F.array(base), flips)
 
 
-def ivf_assign_col(
-    cents: list[list[float]], vec_col: Column | str = "v"
-) -> Column:
-    """Nearest-centroid (max inner product) list id as a pure
-    expression over a literal centroid matrix — argmax spelled as
-    ``array_max`` over (dot, -list_id) structs: one transform, size
-    linear in n_lists. A chained ``when(dot > best)`` argmax embeds
-    the running best twice per step and the tree grows O(2^n_lists) —
-    at 16 lists that alone costs seconds of analysis/codegen per
-    pass. Negated id keeps the smallest list id on ties. Shared by
-    :func:`ivf_assignments` (build/refine passes) and
-    :class:`~datalake_toolkit_spark.llm.ann_index.IVFIndex.add`
-    (incremental assignment against STORED centroids) so the two can
-    never drift."""
-    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+def _ivf_assign_expr(mat: Column, v: Column) -> Column:
+    """Nearest-centroid (max inner product) list id over a matrix
+    COLUMN — argmax spelled as ``array_max`` over (dot, -list_id)
+    structs: one transform, size linear in n_lists. A chained
+    ``when(dot > best)`` argmax embeds the running best twice per
+    step and the tree grows O(2^n_lists) — at 16 lists that alone
+    costs seconds of analysis/codegen per pass. Negated id keeps the
+    smallest list id on ties. One expression tree shared by the
+    literal path (:func:`ivf_assign_col`) and the matrix-as-data path
+    (:func:`ivf_assign_with_frame`), so the two can never drift —
+    the floats go through identical op sequences either way."""
     dots = F.transform(
-        _matrix_lit(cents),
+        mat,
         lambda c, i: F.struct(
             _fold_sum(F.zip_with(v, c, lambda x, w: x * w)).alias("dot"),
             (-i).alias("neg_id"),
@@ -334,19 +337,13 @@ def ivf_assign_col(
     return -F.array_max(dots).getField("neg_id")
 
 
-def ivf_probe_col(
-    cents: list[list[float]],
-    n_probe: int,
-    vec_col: Column | str = "qv",
-) -> Column:
-    """The query-side complement of :func:`ivf_assign_col`: the
+def _ivf_probe_expr(mat: Column, n_probe: int, v: Column) -> Column:
+    """The query-side complement of :func:`_ivf_assign_expr`: the
     ``n_probe`` nearest centroids' list ids (inner product, largest
     list id on ties — ``reverse(array_sort)`` over (dot, list_id)
-    structs) as an array expression. Shared by :func:`ivf_topk` and
-    :class:`~datalake_toolkit_spark.llm.ann_index.IVFIndex.search`."""
-    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    structs) as an array expression over a matrix column."""
     dots = F.transform(
-        _matrix_lit(cents),
+        mat,
         lambda c, i: F.struct(
             _fold_sum(F.zip_with(v, c, lambda x, w: x * w)).alias("dot"),
             i.alias("list_id"),
@@ -355,6 +352,88 @@ def ivf_probe_col(
     ranked = F.reverse(F.array_sort(dots))
     return F.transform(
         F.slice(ranked, 1, n_probe), lambda s: s.getField("list_id")
+    )
+
+
+def ivf_assign_col(
+    cents: list[list[float]], vec_col: Column | str = "v"
+) -> Column:
+    """:func:`_ivf_assign_expr` over a LITERAL centroid matrix — the
+    small-n_lists path (one Catalyst literal node; fine to a few
+    hundred lists, see :func:`ivf_assign_with_frame` for the scale
+    path). Shared by :func:`ivf_assignments` (build/refine passes)
+    and :class:`~datalake_toolkit_spark.llm.ann_index.IVFIndex.add`
+    (incremental assignment against STORED centroids)."""
+    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    return _ivf_assign_expr(_matrix_lit(cents), v)
+
+
+def ivf_probe_col(
+    cents: list[list[float]],
+    n_probe: int,
+    vec_col: Column | str = "qv",
+) -> Column:
+    """:func:`_ivf_probe_expr` over a LITERAL centroid matrix.
+    Shared by :func:`ivf_topk` and
+    :class:`~datalake_toolkit_spark.llm.ann_index.IVFIndex.search`."""
+    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    return _ivf_probe_expr(_matrix_lit(cents), n_probe, v)
+
+
+def centroid_matrix_frame(cents_df: DataFrame) -> DataFrame:
+    """ONE-row ``(cmat)`` frame holding the centroid matrix in
+    list_id order as plain DATA — the large-n_lists alternative to
+    ``_matrix_lit``, whose k x dim literal strains Catalyst analysis
+    well before k reaches the ~sqrt(N) lists a 100 TB corpus wants.
+    Broadcast-joined into a plan, the matrix costs O(1) expression
+    nodes however large k grows; the collect_list is bounded by
+    n_lists (the same bound the driver-side collect had), but the
+    values never leave the cluster."""
+    return cents_df.groupBy().agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("list_id"), F.col("centroid")))
+            ),
+            lambda s: s.getField("centroid"),
+        ).alias("cmat")
+    )
+
+
+def ivf_assign_with_frame(
+    df: DataFrame,
+    cents_mat: DataFrame,
+    vec_col: Column | str = "v",
+    out_col: str = "list_id",
+) -> DataFrame:
+    """Assign every row's vector to its nearest centroid with the
+    matrix-as-data path: cross-join the ONE-row broadcast matrix
+    frame (:func:`centroid_matrix_frame`) and evaluate the shared
+    argmax expression. Map-only — no shuffle, no k x dim literal —
+    and bit-identical to :func:`ivf_assign_col` (same expression
+    tree over the same doubles)."""
+    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    return (
+        df.crossJoin(F.broadcast(cents_mat))
+        .withColumn(out_col, _ivf_assign_expr(F.col("cmat"), v))
+        .drop("cmat")
+    )
+
+
+def ivf_probe_with_frame(
+    df: DataFrame,
+    cents_mat: DataFrame,
+    n_probe: int,
+    vec_col: Column | str = "qv",
+    out_col: str = "probe_lists",
+) -> DataFrame:
+    """Query-side complement of :func:`ivf_assign_with_frame`: attach
+    the ``n_probe`` nearest list ids as an ARRAY column (callers
+    explode), matrix-as-data, map-only."""
+    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    return (
+        df.crossJoin(F.broadcast(cents_mat))
+        .withColumn(out_col, _ivf_probe_expr(F.col("cmat"), n_probe, v))
+        .drop("cmat")
     )
 
 
@@ -439,6 +518,91 @@ def ivf_assignments(
     return (
         staged.select("vid", "v", assign(centroids).alias("list_id")),
         centroids,
+    )
+
+
+def ivf_assignments_frames(
+    corpus: DataFrame,
+    n_lists: int = 4096,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    lloyd_iters: int = 2,
+) -> tuple[DataFrame, DataFrame]:
+    """Large-n_lists IVF quantization: the same contract (and the
+    same bit-level results) as :func:`ivf_assignments`, but centroids
+    live in a DataFrame END TO END — no k x dim literal ever enters a
+    plan and the Lloyd refinement never collects corpus-derived
+    values to the driver. This is the path a 100 TB index wants,
+    where n_lists ~ sqrt(N) reaches 10^4-10^5 and a literal
+    array-of-arrays per pass strains Catalyst (the r11 verdict's
+    scale ceiling #3).
+
+    Per pass: assignment is the map-only matrix-as-data cross-join
+    (:func:`ivf_assign_with_frame`); the deterministic two-level
+    value-sorted mean (identical fold structure to the literal path)
+    stays a DataFrame, per-list rows are rebuilt by a sorted
+    collect over the dim components (every assigned list has all
+    components; empty lists KEEP their previous centroid row, the
+    same rule the driver-side merge applied), and the k-row result is
+    ``localCheckpoint``-ed to cut the per-iteration lineage — the
+    only materialization, k x dim doubles spread over the cluster.
+
+    Seed directions are generated on the driver (pure function of
+    (p, d), bounded by n_lists x dim — no corpus data round-trips)
+    so both paths start from identical floats.
+
+    Returns (assignments (vid, v, list_id), centroids (list_id,
+    centroid))."""
+    spark = corpus.sparkSession
+    staged = ensure_min_partitions(
+        corpus.select(
+            F.col(id_col).alias("vid"), _as_double(vec_col).alias("v")
+        )
+    )
+    if lloyd_iters > 0:
+        staged = staged.persist()
+    cents = spark.createDataFrame(
+        [
+            (p, [_plane_component(p, d) for d in range(dim)])
+            for p in range(n_lists)
+        ],
+        "list_id int, centroid array<double>",
+    )
+    _MEAN_BUCKETS = 256
+    for _ in range(lloyd_iters):
+        assigned = ivf_assign_with_frame(
+            staged, centroid_matrix_frame(cents), "v"
+        )
+        means = (
+            assigned.select(
+                "list_id",
+                F.pmod("vid", F.lit(_MEAN_BUCKETS)).alias("b"),
+                F.posexplode("v").alias("d", "x"),
+            )
+            .groupBy("list_id", "d", "b")
+            .agg(
+                _fold_sum(F.array_sort(F.collect_list("x"))).alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .groupBy("list_id", "d")
+            .agg(
+                (
+                    _fold_sum(F.array_sort(F.collect_list("s"))) / F.sum("n")
+                ).alias("m")
+            )
+        )
+        moved = means.groupBy("list_id").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(F.col("d"), F.col("m")))),
+                lambda s: s.getField("m"),
+            ).alias("centroid")
+        )
+        kept = cents.join(moved, "list_id", "left_anti")
+        cents = moved.unionByName(kept).localCheckpoint(eager=True)
+    return (
+        ivf_assign_with_frame(staged, centroid_matrix_frame(cents), "v"),
+        cents,
     )
 
 

@@ -34,12 +34,41 @@ import tempfile
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["sync_postings_from_table", "sync_ivf_from_table", "sync_cursor"]
+__all__ = [
+    "sync_postings_from_table",
+    "sync_ivf_from_table",
+    "sync_cursor",
+    "sync_search_plane",
+    "search_plane_snapshot",
+    "latest_plane_pin",
+]
 
 
 def _cursor_path(index_path: str, table_path: str) -> str:
-    key = hashlib.md5(os.path.abspath(table_path).encode()).hexdigest()
+    # realpath, not abspath: the same table reached via a relative
+    # path, a different cwd, or a symlink must key the SAME cursor —
+    # a second key would silently re-bootstrap and keep serving ids
+    # that left the table before the bootstrap
+    key = hashlib.md5(os.path.realpath(table_path).encode()).hexdigest()
     return os.path.join(index_path, "_sync", f"{key}.json")
+
+
+def _warn_if_bootstrap_over_populated(index, populated: bool) -> None:
+    """A bootstrap (no cursor) over a PRE-POPULATED index converges
+    only for ids still in the table snapshot — rows whose ids left
+    the table beforehand are never discovered and keep serving.
+    That's documented, but it's also the path of least resistance
+    (the CLI's default from_version=None), so make it loud."""
+    if populated:
+        import warnings
+
+        warnings.warn(
+            f"bootstrapping sync over a non-empty index at {index.path}: "
+            "ids that left the table before this bootstrap stay in the "
+            "index. Start from an empty index, or sync from a real "
+            "from_version.",
+            stacklevel=3,
+        )
 
 
 def sync_cursor(index, table) -> int | None:
@@ -76,10 +105,26 @@ def _net_changes(
     ch = table.changes(from_version, to_version).localCheckpoint(eager=True)
     ins = ch.where(F.col("_change_type") == "insert").drop("_change_type")
     # one id can diff as several insert rows when the table holds
-    # duplicate keys; the indexes treat id as a key, so keep one
-    # deterministic winner and leave enforcing uniqueness to the
-    # table's own merge discipline
-    upserts = ins.dropDuplicates([id_col])
+    # duplicate keys; the indexes treat id as a key, so keep ONE
+    # DETERMINISTIC winner — the row greatest under the total order
+    # of its remaining columns (descending, schema order) — and leave
+    # enforcing uniqueness to the table's own merge discipline.
+    # (dropDuplicates keeps an ARBITRARY row, which would let the
+    # synced index content differ run to run.)
+    others = [c for c in ins.columns if c != id_col]
+    if others:
+        from pyspark.sql import Window
+
+        wdet = Window.partitionBy(id_col).orderBy(
+            *[F.desc(c) for c in others]
+        )
+        upserts = (
+            ins.withColumn("_rn", F.row_number().over(wdet))
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+    else:
+        upserts = ins.dropDuplicates([id_col])
     removed = (
         ch.where(F.col("_change_type") == "delete")
         .select(id_col)
@@ -123,6 +168,11 @@ def sync_postings_from_table(
     out = {"from_version": from_v, "to_version": to_v,
            "upserts": 0, "removes": 0}
     if from_v is None:
+        _warn_if_bootstrap_over_populated(
+            index,
+            index.postings_t.current_version() is not None
+            and bool(index.postings_t.read().limit(1).take(1)),
+        )
         # deliberately NOT checkpointed: bootstrap is corpus-sized, so
         # pinning it would copy the whole corpus to executor storage —
         # the count's second parquet scan is the cheaper price
@@ -169,6 +219,11 @@ def sync_ivf_from_table(
     out = {"from_version": from_v, "to_version": to_v,
            "upserts": 0, "removes": 0}
     if from_v is None:
+        _warn_if_bootstrap_over_populated(
+            index,
+            index.assignments_t.current_version() is not None
+            and bool(index.assignments_t.read().limit(1).take(1)),
+        )
         # NOT checkpointed — corpus-sized, same trade as the postings
         # bootstrap
         snap = table.read(version=to_v).select(index.id_col, index.vec_col)
@@ -196,3 +251,94 @@ def sync_ivf_from_table(
         index.add(upserts, mode=mode)
     _advance_cursor(index, table, to_v)
     return out
+
+
+def search_plane_snapshot(postings_index, ivf_index) -> dict:
+    """ONE pin across both retrieval modalities —
+    ``{"lexical": PostingsIndex.snapshot(), "vector":
+    IVFIndex.snapshot()}`` — accepted whole by
+    :func:`~datalake_toolkit_spark.llm.search.hybrid_search_indexed`
+    ``at=``. Taken between mutations (the single-writer maintenance
+    contract the LakeTables already assume), it freezes one corpus
+    state across indexes; :func:`sync_search_plane` returns one taken
+    at a KNOWN table version, which is the stronger guarantee a
+    serving tier should prefer."""
+    return {
+        "lexical": postings_index.snapshot(),
+        "vector": ivf_index.snapshot(),
+    }
+
+
+def _plane_pin_path(postings_index, ivf_index, table) -> str:
+    key = hashlib.md5(
+        (
+            os.path.realpath(table.path)
+            + "|"
+            + os.path.realpath(ivf_index.path)
+        ).encode()
+    ).hexdigest()
+    return os.path.join(postings_index.path, "_sync", f"plane_{key}.json")
+
+
+def latest_plane_pin(postings_index, ivf_index, table) -> dict | None:
+    """The most recent combined pin :func:`sync_search_plane`
+    persisted for this (postings, ivf, table) triple, or None —
+    ``{"table_version": v, "pin": {"lexical": ..., "vector": ...}}``.
+    A serving tier reads this instead of racing live index state
+    during maintenance."""
+    p = _plane_pin_path(postings_index, ivf_index, table)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
+
+
+def sync_search_plane(
+    postings_index,
+    ivf_index,
+    table,
+    from_version: int | None = None,
+    to_version: int | None = None,
+    mode: str = "mor",
+) -> dict:
+    """Advance BOTH indexes to the SAME pinned table version and hand
+    back a mutually consistent combined pin — the r11 verdict's
+    missing primitive: without it a hybrid serve during maintenance
+    can fuse two different corpus states (lexical ranks from one
+    snapshot, vector ranks from another).
+
+    The target version is resolved ONCE up front, so both syncs apply
+    the same window even while the table keeps committing; each
+    index's snapshot is taken IMMEDIATELY after its own sync (before
+    the other side runs), so each pinned state is exactly table@to_v
+    for that modality under the single-writer maintenance contract.
+    The combined pin is persisted next to the sync cursors
+    (crash-safe tmp+rename) for :func:`latest_plane_pin`.
+
+    Returns ``{"table_version", "lexical", "vector", "pin"}`` where
+    ``pin`` goes straight into ``hybrid_search_indexed(at=...)``."""
+    cur = table.current_version()
+    if cur is None:
+        raise ValueError(
+            f"table at {table.path} has no commits to sync from"
+        )
+    to_v = cur if to_version is None else to_version
+    lex = sync_postings_from_table(
+        postings_index, table, from_version, to_v, mode
+    )
+    lex_pin = postings_index.snapshot()
+    vec = sync_ivf_from_table(ivf_index, table, from_version, to_v, mode)
+    vec_pin = ivf_index.snapshot()
+    pin = {"lexical": lex_pin, "vector": vec_pin}
+    p = _plane_pin_path(postings_index, ivf_index, table)
+    os.makedirs(os.path.dirname(p), exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=os.path.dirname(p), suffix=".tmp")
+    with os.fdopen(fd, "w") as f:
+        json.dump({"table_version": to_v, "pin": pin}, f)
+    os.replace(tmp, p)
+    return {
+        "table_version": to_v,
+        "lexical": lex,
+        "vector": vec,
+        "pin": pin,
+    }

@@ -298,6 +298,14 @@ DEMOTED: tuple[str, ...] = (
     # its partitioned-tombstone shape stays covered in-window by
     # q_mor_upsert_partitioned and by the lakehouse test suite.
     "q_mor_delete_by_key",
+    # r12 third wave: q_index_decontaminate_slop enters (near-verbatim
+    # decontamination over the positional index, the r11 verdict's
+    # stretch #7 — never driver-checked); q_dup_ngram_stats (5x green
+    # r7-r11) rotates out in exchange — its n-gram extraction
+    # machinery stays covered in-window by q_index_decontaminate and
+    # the incoming slop variant, and the span-dup composition stays
+    # in local parity.
+    "q_dup_ngram_stats",
 )
 
 GATE_WINDOW = 50
@@ -329,6 +337,7 @@ STATEFUL: frozenset[str] = frozenset(
         "q_postings_search",  # postings index: two add commits + bucket-pruned serve
         "q_index_corpus_stats",  # three add commits incl. re-add; cached-stats read
         "q_index_decontaminate",  # two add commits + phrase-probe decontamination
+        "q_index_decontaminate_slop",  # two add commits + sloppy-phrase decontamination probe
         "q_index_phrase",  # positional index: two add commits + phrase serve
         "q_index_bm25_pruned",  # two add commits + max-score pruned BM25 serve (vs exact in-query)
         "q_index_phrase_slop",  # two add commits + sloppy-phrase serve

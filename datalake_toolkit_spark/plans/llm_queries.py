@@ -3787,3 +3787,82 @@ def q_index_bm25_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@query(
+    "q_index_decontaminate_slop",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS w
+      FROM documents),
+    d AS (SELECT doc_id, w FROM toks WHERE len(w) > 0),
+    ev AS (SELECT [w[4], w[5], w[7], w[8]] AS gp FROM d
+           WHERE doc_id >= 20 AND doc_id < 25 AND len(w) >= 8),
+    grams AS (SELECT DISTINCT array_to_string(gp, ' ') AS gid, gp FROM ev),
+    pos AS (SELECT doc_id, w[i] AS term, i - 1 AS p
+            FROM d, UNNEST(generate_series(1, len(w))) AS u(i)),
+    s1 AS (SELECT g.gid, g.gp, p.doc_id, p.p AS p1
+           FROM grams g JOIN pos p ON p.term = g.gp[1]),
+    s2 AS (SELECT s1.gid, s1.gp, s1.doc_id, s1.p1, min(p.p) AS p2
+           FROM s1 JOIN pos p ON p.doc_id = s1.doc_id
+                              AND p.term = s1.gp[2] AND p.p > s1.p1
+           GROUP BY 1, 2, 3, 4),
+    s3 AS (SELECT s2.gid, s2.gp, s2.doc_id, s2.p1, min(p.p) AS p3
+           FROM s2 JOIN pos p ON p.doc_id = s2.doc_id
+                              AND p.term = s2.gp[3] AND p.p > s2.p2
+           GROUP BY 1, 2, 3, 4),
+    s4 AS (SELECT s3.gid, s3.doc_id, s3.p1, min(p.p) AS p4
+           FROM s3 JOIN pos p ON p.doc_id = s3.doc_id
+                              AND p.term = s3.gp[4] AND p.p > s3.p3
+           GROUP BY 1, 2, 3),
+    hit AS (SELECT DISTINCT gid, doc_id FROM s4 WHERE p4 - p1 - 3 <= 1),
+    hits AS (SELECT doc_id,
+                    CAST(count(DISTINCT gid) AS BIGINT) AS eval_ngram_hits
+             FROM hit GROUP BY doc_id)
+    SELECT d.doc_id,
+           COALESCE(h.eval_ngram_hits, 0) AS eval_ngram_hits,
+           COALESCE(h.eval_ngram_hits, 0) > 0 AS contaminated
+    FROM d LEFT JOIN hits h USING (doc_id)
+    """,
+)
+def q_index_decontaminate_slop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR-VERBATIM decontamination served from the positional index
+    (the r11 verdict's stretch #7): each eval text is a corpus doc's
+    token run with ONE TOKEN DELETED (1-based tokens 4,5,7,8 — 6 is
+    dropped), so its 4-gram misses the exact phrase lattice entirely
+    and only the ordered sloppy-phrase probe (slop=1: one extra token
+    interleaved, verified on stored positions) catches the source.
+    The oracle replays the greedy min-position chains relationally;
+    integer-exact end to end, zeros included."""
+    import shutil
+    import tempfile
+
+    from datalake_toolkit_spark.llm import (
+        PostingsIndex,
+        decontaminate_indexed,
+    )
+    from datalake_toolkit_spark.llm.search import _tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    w = _tokens("text")
+    eval_df = docs.where(
+        (F.col("doc_id") >= 20) & (F.col("doc_id") < 25) & (F.size(w) >= 8)
+    ).select(
+        F.concat_ws(
+            " ",
+            F.element_at(w, 4),
+            F.element_at(w, 5),
+            F.element_at(w, 7),
+            F.element_at(w, 8),
+        ).alias("text")
+    )
+    work = tempfile.mkdtemp(prefix="dts_decslp_")
+    try:
+        idx = PostingsIndex(spark, work, prefix_len=1)
+        idx.add(docs.where(F.col("doc_id") % 2 == 0))
+        idx.add(docs.where(F.col("doc_id") % 2 == 1), mode="mor")
+        out = decontaminate_indexed(idx, eval_df, n=4, slop=1)
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

@@ -3759,3 +3759,454 @@ def test_bm25_prune_pinned_and_pair_filtered(spark, tmp_path):
     )
     assert filt_pruned == filt_exact
     assert all(d % 2 == 0 for (_, d) in filt_pruned)
+
+
+def test_ivf_frame_path_equals_literal_path(spark, sf_dir, tmp_path, monkeypatch):
+    """The matrix-as-data centroid path (r11 verdict #3) must be
+    BIT-identical to the literal path: same build assignments, same
+    add assignments, same search rows — the two share one expression
+    tree, only the matrix's transport differs."""
+    from datalake_toolkit_spark.llm import ann_index
+    from datalake_toolkit_spark.llm.ann_index import IVFIndex
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    even = emb.where(F.col("vec_id") % 2 == 0)
+    odd = emb.where(F.col("vec_id") % 2 == 1)
+    queries = emb.where(F.col("vec_id") < 6)
+
+    lit = IVFIndex(spark, str(tmp_path / "lit")).build(
+        even, n_lists=8, lloyd_iters=2
+    )
+    lit.add(odd, mode="mor")
+    # force the frame path for the SAME n_lists by dropping the
+    # threshold below it
+    monkeypatch.setattr(ann_index, "_FRAME_CENTROIDS_FROM", 4)
+    frm = IVFIndex(spark, str(tmp_path / "frm")).build(
+        even, n_lists=8, lloyd_iters=2
+    )
+    frm.add(odd, mode="mor")
+
+    def cents(ix):
+        return {
+            r.list_id: list(r.centroid)
+            for r in ix.centroids_t.read().collect()
+        }
+
+    assert cents(lit) == cents(frm)
+
+    def assigns(ix):
+        return {
+            r.vec_id: r.list_id for r in ix.assignments_t.read().collect()
+        }
+
+    assert assigns(lit) == assigns(frm)
+
+    def serve(ix, **kw):
+        return {
+            (r.qid, r.cid): (r.cosine, r.rank)
+            for r in ix.search(queries, k=5, n_probe=3, **kw).collect()
+        }
+
+    assert serve(lit) == serve(frm)
+    qs = {
+        (r.qid, r.cid): r.rank
+        for r in frm.search_quantized(queries, k=5, n_probe=3).collect()
+    }
+    ql = {
+        (r.qid, r.cid): r.rank
+        for r in lit.search_quantized(queries, k=5, n_probe=3).collect()
+    }
+    assert qs == ql
+    # deep audit runs clean through the frame path too
+    rep = {r.check: r.n_violations for r in frm.audit(deep=True).collect()}
+    assert rep and all(v == 0 for v in rep.values())
+
+
+def test_ivf_large_nlists_no_literal_and_pruned(spark, sf_dir, tmp_path):
+    """n_lists=4096 — the 100 TB shape (~sqrt(N) lists): build, add
+    and search must run through the matrix-as-data path with NO
+    4096-element literal in any plan (the analyzed search plan stays
+    O(1) in n_lists) while the probe still prunes to n_probe lists'
+    partitions."""
+    from datalake_toolkit_spark.llm.ann_index import IVFIndex
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = IVFIndex(spark, str(tmp_path / "big")).build(
+        emb.where(F.col("vec_id") % 2 == 0), n_lists=4096, lloyd_iters=1
+    )
+    idx.add(emb.where(F.col("vec_id") % 2 == 1), mode="mor")
+    assert idx._n_lists() == 4096
+    assert idx._cent_matrix()[0] == "frame"
+
+    queries = emb.where(F.col("vec_id") < 4)
+    out = idx.search(queries, k=5, n_probe=8)
+    plan = out._jdf.queryExecution().analyzed().toString()
+    # a literal matrix would be ~4096 * 64 * ~20 chars; the frame
+    # path's plan must stay orders of magnitude below that
+    assert len(plan) < 100_000
+    got = out.collect()
+    assert len(got) > 0
+    # the serve opens only the probed lists, not the whole index
+    rep = idx.plan_probe(queries, n_probe=8)
+    assert rep["lists_total"] == 4096
+    assert 0 < rep["lists_probed"] <= 4 * 8
+    # recall against the full probe is exact-by-construction and must
+    # come back 1.0 when probing every list
+    full = idx.recall(queries, k=5, n_probe=4096)
+    assert all(
+        r.recall == 1.0 for r in full.collect() if r.n_exact and r.n_exact > 0
+    )
+
+
+def test_sync_cursor_realpath_and_deterministic_winner(spark, tmp_path):
+    """Cursor keys must be path-identity-stable (symlink/relative
+    routes to the same table share one cursor — no silent
+    re-bootstraps) and a duplicate-key change window must sync ONE
+    deterministic winner (the row greatest under its remaining
+    columns), not an arbitrary one."""
+    import os
+    import warnings
+
+    from datalake_toolkit_spark.lakehouse import LakeTable
+    from datalake_toolkit_spark.llm import PostingsIndex
+    from datalake_toolkit_spark.llm.sync import (
+        _cursor_path,
+        sync_postings_from_table,
+    )
+
+    real = tmp_path / "tbl"
+    real.mkdir()
+    link = tmp_path / "lnk"
+    os.symlink(real, link)
+    assert _cursor_path("/ix", str(real)) == _cursor_path("/ix", str(link))
+    assert _cursor_path("/ix", str(real)) == _cursor_path(
+        "/ix", str(tmp_path / ".." / tmp_path.name / "tbl")
+    )
+
+    t = LakeTable(spark, str(tmp_path / "docs"))
+    t.write(
+        spark.createDataFrame(
+            [(1, "alpha base")], "doc_id bigint, text string"
+        )
+    )
+    idx = PostingsIndex(spark, str(tmp_path / "pidx"), prefix_len=1)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # empty index: no warning
+        sync_postings_from_table(idx, t)
+    # duplicate-key window: two rows for doc 2 — 'zz wins' > 'aa loses'
+    t.write(
+        t.read().unionByName(
+            spark.createDataFrame(
+                [(2, "aa loses"), (2, "zz wins")],
+                "doc_id bigint, text string",
+            )
+        ),
+        op="dup_append",
+    )
+    sync_postings_from_table(idx, t)
+    terms = {
+        r.term
+        for r in idx.postings_t.read().where(F.col("doc_id") == 2).collect()
+    }
+    assert terms == {"zz", "wins"}
+
+    # bootstrap over a POPULATED index warns (stale-id hazard)
+    fresh = PostingsIndex(spark, str(tmp_path / "pidx2"), prefix_len=1)
+    fresh.add(
+        spark.createDataFrame([(99, "ghost")], "doc_id bigint, text string")
+    )
+    with pytest.warns(UserWarning, match="non-empty index"):
+        sync_postings_from_table(fresh, t)
+
+
+def test_project_embeddings_passthrough_columns(spark):
+    """Non-vector columns ride through the JL projection unchanged."""
+    from datalake_toolkit_spark.llm import project_embeddings
+
+    df = spark.createDataFrame(
+        [(1, [float(i) for i in range(64)], "en", 7)],
+        "vec_id bigint, embedding array<double>, lang string, grp int",
+    )
+    out = project_embeddings(df, out_dim=16, in_dim=64)
+    assert out.columns == ["vec_id", "embedding", "lang", "grp"]
+    r = out.collect()[0]
+    assert (r.lang, r.grp) == ("en", 7) and len(r.embedding) == 16
+
+
+def test_sync_search_plane_combined_pin(spark, tmp_path):
+    """The coordinated search-plane snapshot (r11 verdict #5): one
+    call advances BOTH indexes to the same table version and returns
+    a combined pin; a hybrid serve at that pin equals the RRF fusion
+    of the two individually-pinned sides, stays frozen while both
+    indexes keep mutating underneath, and the latest pin is readable
+    from disk. Mixing the combined pin with per-side pins errors."""
+    from datalake_toolkit_spark.lakehouse import LakeTable
+    from datalake_toolkit_spark.llm import (
+        IVFIndex,
+        PostingsIndex,
+        hybrid_search_indexed,
+        latest_plane_pin,
+        sync_search_plane,
+    )
+    from datalake_toolkit_spark.llm.search import rrf_fuse
+
+    def vec(seed):
+        return [float((seed * (d + 3)) % 11 - 5) for d in range(8)]
+
+    rows = [(i, f"w{i % 5} w{i % 7} common", vec(i + 1)) for i in range(24)]
+    t = LakeTable(spark, str(tmp_path / "t"))
+    t.write(
+        spark.createDataFrame(
+            rows, "doc_id bigint, text string, embedding array<double>"
+        )
+    )
+    pidx = PostingsIndex(spark, str(tmp_path / "p"), prefix_len=1)
+    ivf = IVFIndex(
+        spark, str(tmp_path / "v"), id_col="doc_id", vec_col="embedding"
+    ).build(
+        t.read().select("doc_id", "embedding"),
+        n_lists=4,
+        lloyd_iters=1,
+        dim=8,
+    )
+    with pytest.warns(UserWarning, match="non-empty index"):
+        r0 = sync_search_plane(pidx, ivf, t)
+    assert r0["table_version"] == t.current_version()
+
+    queries = spark.createDataFrame(
+        [(100, "w1 common", vec(2)), (101, "w3 w4", vec(7))],
+        "query_id bigint, query_text string, query_vec array<double>",
+    )
+
+    def serve(**kw):
+        return sorted(
+            map(
+                tuple,
+                hybrid_search_indexed(
+                    pidx, ivf, queries, k=6, k_each=8, n_probe=2, **kw
+                ).collect(),
+            )
+        )
+
+    # first mutation window -> pin1
+    t.upsert(
+        spark.createDataFrame(
+            [(1, "w1 w1 common boosted", vec(50))],
+            "doc_id bigint, text string, embedding array<double>",
+        ),
+        keys=["doc_id"],
+        mode="mor",
+    )
+    t.delete_where("doc_id = 3", mode="mor")
+    r1 = sync_search_plane(pidx, ivf, t)
+    pin1 = r1["pin"]
+    at_pin1 = serve(at=pin1)
+    # the combined pin must equal fusing the two individually-pinned
+    # sides (same pins, same fusion)
+    lex = pidx.search_bm25(
+        queries.select("query_id", "query_text"), k=8, at=pin1["lexical"]
+    ).select("query_id", "doc_id", "rank")
+    v = (
+        ivf.search(
+            queries.select(
+                F.col("query_id").alias("doc_id_q"),
+                F.col("query_vec").alias("embedding"),
+            ).select(
+                F.col("doc_id_q").alias("doc_id"), "embedding"
+            ),
+            k=8,
+            n_probe=2,
+            at=pin1["vector"],
+        )
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("cid").alias("doc_id"),
+            "rank",
+        )
+    )
+    want = sorted(map(tuple, rrf_fuse([lex, v], k=6).collect()))
+    assert at_pin1 == want
+
+    # second mutation window: both indexes move on, the pin must not
+    t.upsert(
+        spark.createDataFrame(
+            [(1, "nothing matches anymore", vec(9)),
+             (30, "w1 w3 common fresh", vec(2))],
+            "doc_id bigint, text string, embedding array<double>",
+        ),
+        keys=["doc_id"],
+        mode="mor",
+    )
+    r2 = sync_search_plane(pidx, ivf, t)
+    assert serve(at=pin1) == at_pin1  # frozen
+    live = serve(at=r2["pin"])
+    assert live != at_pin1  # the world really moved
+    assert serve() == live  # live serve == latest pin's state
+
+    stored = latest_plane_pin(pidx, ivf, t)
+    assert stored["table_version"] == t.current_version()
+    assert serve(at=stored["pin"]) == live
+
+    with pytest.raises(ValueError, match="not both"):
+        serve(at=pin1, at_lexical=pin1["lexical"])
+    with pytest.raises(ValueError, match="lexical"):
+        serve(at={"vector": pin1["vector"]})
+
+
+def test_decontaminate_indexed_slop_and_pin(spark, tmp_path):
+    """slop widens decontamination to near-verbatim matches (one
+    deleted token escapes the exact lattice but not slop=1), and a
+    pinned report stays frozen while the index mutates."""
+    from datalake_toolkit_spark.llm import (
+        PostingsIndex,
+        decontaminate_indexed,
+    )
+
+    idx = PostingsIndex(spark, str(tmp_path / "i"), prefix_len=1)
+    idx.add(
+        spark.createDataFrame(
+            [(1, "a b c d e f g h"), (2, "x y z w q r s t")],
+            "doc_id bigint, text string",
+        )
+    )
+    # eval gram = doc 1's tokens 4,5,7,8 ('d e g h') — 'f' deleted
+    ev = spark.createDataFrame([("d e g h",)], "text string")
+    exact = {r.doc_id: r.eval_ngram_hits
+             for r in decontaminate_indexed(idx, ev, n=4).collect()}
+    sloppy = {r.doc_id: r.eval_ngram_hits
+              for r in decontaminate_indexed(idx, ev, n=4, slop=1).collect()}
+    assert exact == {1: 0, 2: 0}
+    assert sloppy == {1: 1, 2: 0}
+
+    pin = idx.snapshot()
+    idx.add(
+        spark.createDataFrame(
+            [(3, "d e q g h")], "doc_id bigint, text string"
+        ),
+        mode="mor",
+    )
+    pinned = {r.doc_id: r.eval_ngram_hits
+              for r in decontaminate_indexed(
+                  idx, ev, n=4, slop=1, at=pin
+              ).collect()}
+    assert pinned == sloppy  # doc 3 invisible at the pin
+    live = {r.doc_id: r.eval_ngram_hits
+            for r in decontaminate_indexed(idx, ev, n=4, slop=1).collect()}
+    assert live == {1: 1, 2: 0, 3: 1}
+
+
+def test_stream_sync_search_plane_follows_table(spark, tmp_path):
+    """End-to-end streaming search plane (r11 verdict stretch #8): a
+    micro-batched stream MERGEs into a LakeTable and the CDF sync
+    advances BOTH indexes inside the same foreachBatch — after every
+    drain the served answers equal a fresh index built from the
+    table's current snapshot, and the persisted combined pin tracks
+    the table head."""
+    import json as json_mod
+    import warnings
+
+    from datalake_toolkit_spark.lakehouse import (
+        LakeTable,
+        stream_sync_search_plane,
+    )
+    from datalake_toolkit_spark.llm import (
+        IVFIndex,
+        PostingsIndex,
+        latest_plane_pin,
+    )
+
+    def vec(seed):
+        return [float((seed * (d + 2)) % 7 - 3) for d in range(8)]
+
+    seed_vecs = spark.createDataFrame(
+        [(900 + i, vec(40 + i)) for i in range(4)],
+        "doc_id bigint, embedding array<double>",
+    )
+
+    def mk_ivf(name):
+        return IVFIndex(
+            spark, str(tmp_path / name), id_col="doc_id",
+            vec_col="embedding",
+        ).build(seed_vecs, n_lists=4, lloyd_iters=1, dim=8)
+
+    ivf = mk_ivf("ivf")
+    pidx = PostingsIndex(spark, str(tmp_path / "pidx"), prefix_len=1)
+
+    src = tmp_path / "src"
+    src.mkdir()
+    rows1 = [
+        {"doc_id": i, "text": f"alpha w{i} beta{i % 3}", "embedding": vec(i)}
+        for i in range(6)
+    ]
+    (src / "b1.json").write_text(
+        "\n".join(json_mod.dumps(r) for r in rows1)
+    )
+
+    def drain(ckpt_ok: str):
+        stream = (
+            spark.readStream.schema(
+                "doc_id long, text string, embedding array<double>"
+            ).json(str(src))
+        )
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")  # expected IVF bootstrap note
+            q = stream_sync_search_plane(
+                stream, str(tmp_path / "t"), ["doc_id"],
+                str(tmp_path / ckpt_ok), pidx, ivf,
+            )
+            q.awaitTermination(300)
+
+    drain("ckpt")
+    t = LakeTable(spark, str(tmp_path / "t"))
+
+    queries = spark.createDataFrame(
+        [(500, "alpha beta1 w0"), (501, "w3 beta0")],
+        "query_id bigint, query_text string",
+    )
+    qv = spark.createDataFrame(
+        [(500, vec(3)), (501, vec(5))],
+        "doc_id bigint, embedding array<double>",
+    )
+
+    def check_equal():
+        ref_p = PostingsIndex(
+            spark, str(tmp_path / f"refp{t.current_version()}"),
+            prefix_len=1,
+        )
+        ref_p.add(t.read().select("doc_id", "text"))
+        ref_v = mk_ivf(f"refv{t.current_version()}")
+        ref_v.add(t.read().select("doc_id", "embedding"), mode="mor")
+        for serve in ("search", "search_bm25"):
+            got = sorted(map(tuple, getattr(pidx, serve)(
+                queries, k=10).collect()))
+            want = sorted(map(tuple, getattr(ref_p, serve)(
+                queries, k=10).collect()))
+            assert got == want, serve
+        gv = sorted(map(tuple, ivf.search(qv, k=5, n_probe=4).collect()))
+        wv = sorted(map(tuple, ref_v.search(qv, k=5, n_probe=4).collect()))
+        assert gv == wv
+
+    check_equal()
+    pin1 = latest_plane_pin(pidx, ivf, t)
+    assert pin1["table_version"] == t.current_version()
+
+    # second window: doc 0 drops 'alpha' and moves in vector space;
+    # doc 6 arrives
+    rows2 = [
+        {"doc_id": 0, "text": "gamma only now", "embedding": vec(33)},
+        {"doc_id": 6, "text": "alpha w6 beta0", "embedding": vec(6)},
+    ]
+    (src / "b2.json").write_text(
+        "\n".join(json_mod.dumps(r) for r in rows2)
+    )
+    drain("ckpt")  # same checkpoint: only the new file processes
+    assert t.current_version() > pin1["table_version"]
+    check_equal()
+    pin2 = latest_plane_pin(pidx, ivf, t)
+    assert pin2["table_version"] == t.current_version()
+    # the dropped term really died (replace-add through the sync)
+    hits = {
+        (r.query_id, r.doc_id)
+        for r in pidx.search(queries, k=10).collect()
+    }
+    assert (500, 0) not in hits
