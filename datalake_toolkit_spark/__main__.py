@@ -164,7 +164,8 @@ def _build_parser() -> argparse.ArgumentParser:
         "action",
         choices=["query", "index-add", "index-query", "index-probe",
                  "index-maintain", "index-remove", "index-rebucket",
-                 "index-sync", "index-audit", "hybrid"],
+                 "index-sync", "index-audit", "index-refresh-stats",
+                 "index-prune-report", "plane-sync", "hybrid"],
         help="query: one-shot over --docs; index-add: build/extend the "
              "persistent index at --index from --docs; index-query: "
              "serve from --index; index-probe: report what a query "
@@ -210,6 +211,10 @@ def _build_parser() -> argparse.ArgumentParser:
                 help="hybrid per-modality depth before fusion")
     se.add_argument("--n-probe", type=int, default=4,
                 help="hybrid IVF probe width")
+    se.add_argument("--pinned", action="store_true",
+                help="hybrid: serve at the latest combined pin "
+                     "plane-sync persisted (needs --table) instead of "
+                     "live index state")
 
     an = sub.add_parser("ann", help="persistent IVF vector index")
     an.add_argument(
@@ -589,14 +594,33 @@ def _cmd_search(args: argparse.Namespace) -> int:
                 "hybrid fuses a RANKED lexical list; --method must be "
                 "keyword or bm25 (phrase matching has no ranking to fuse)"
             )
+        pidx = PostingsIndex(spark, args.index)
+        ivf = IVFIndex(spark, args.ann_path)
+        at = None
+        if args.pinned:
+            from datalake_toolkit_spark.lakehouse import LakeTable
+            from datalake_toolkit_spark.llm import latest_plane_pin
+
+            if not args.table:
+                raise SystemExit("--pinned needs --table (the pin is "
+                                 "keyed per synced table)")
+            stored = latest_plane_pin(
+                pidx, ivf, LakeTable(spark, args.table)
+            )
+            if stored is None:
+                raise SystemExit(
+                    "no combined pin persisted yet — run plane-sync first"
+                )
+            at = stored["pin"]
         out = hybrid_search_indexed(
-            PostingsIndex(spark, args.index),
-            IVFIndex(spark, args.ann_path),
+            pidx,
+            ivf,
             spark.read.parquet(args.queries),
             k=args.k,
             k_each=args.k_each,
             n_probe=args.n_probe,
             lexical="bm25" if args.method == "bm25" else "keyword",
+            at=at,
         )
         for r in out.orderBy("query_id", "rank").collect():
             print(json.dumps(r.asDict()))
@@ -662,6 +686,41 @@ def _cmd_search(args: argparse.Namespace) -> int:
             mode=args.mode,
         )
         print(json.dumps({"index": args.index, "table": args.table, **rep}))
+        return 0
+    if args.action == "index-refresh-stats":
+        if not args.index:
+            raise SystemExit("index-refresh-stats needs --index")
+        PostingsIndex(spark, args.index).refresh_term_stats()
+        print(json.dumps({"refreshed_term_stats": args.index}))
+        return 0
+    if args.action == "plane-sync":
+        from datalake_toolkit_spark.lakehouse import LakeTable
+        from datalake_toolkit_spark.llm import IVFIndex, sync_search_plane
+
+        if not (args.index and args.ann_path and args.table):
+            raise SystemExit(
+                "plane-sync needs --index, --ann-path and --table"
+            )
+        rep = sync_search_plane(
+            PostingsIndex(spark, args.index),
+            IVFIndex(spark, args.ann_path),
+            LakeTable(spark, args.table),
+            from_version=args.from_version,
+            mode=args.mode,
+        )
+        print(json.dumps(rep))
+        return 0
+    if args.action == "index-prune-report":
+        if not (args.index and args.query):
+            raise SystemExit("index-prune-report needs --index and --query")
+        rep_df = PostingsIndex(spark, args.index).bm25_prune_report(
+            spark.createDataFrame(
+                [(0, args.query)], "query_id bigint, query_text string"
+            ),
+            k=args.k,
+        )
+        for r in rep_df.collect():
+            print(json.dumps(r.asDict()))
         return 0
     if not args.query:
         raise SystemExit(f"{args.action} needs --query")

@@ -255,14 +255,54 @@ def _parse_conjuncts(where: str) -> list[tuple[str, str, object]]:
     yields [] — pruning silently degrades to a full scan and the
     filter itself is ALWAYS applied to the result, so parsing can
     never affect correctness, only skipping."""
-    if "(" in where or ")" in where:
+    # IN-list conjuncts carry the only parens/IN we prune on: extract
+    # `col IN (lit, ...)` clauses FIRST (op "in", value = tuple), then
+    # hold the remainder to the simple-comparison grammar. Any IN list
+    # that doesn't parse cleanly (unbalanced quotes from a ')' inside
+    # a string, commas inside values, non-literals) bails the WHOLE
+    # parse — pruning degrades, the filter still applies.
+    in_out: list[tuple[str, str, object]] = []
+    def _in_repl(m: "re.Match[str]") -> str:
+        vals = []
+        for item in m.group(2).split(","):
+            item = item.strip()
+            if "\\" in item:
+                # Spark unescapes backslash sequences in string
+                # literals; this parser doesn't — a mismatch between
+                # filter and pruning semantics could WRONGLY skip a
+                # file, so backslash-bearing values poison the parse
+                return "\0"
+            if re.fullmatch(r"'(?:[^']|'')*'", item):
+                vals.append(item[1:-1].replace("''", "'"))
+            elif re.fullmatch(r"-?\d+\.\d+", item):
+                vals.append(float(item))
+            elif re.fullmatch(r"-?\d+", item):
+                vals.append(int(item))
+            else:
+                return "\0"  # poison: unparsable IN list
+        if not vals:
+            return "\0"
+        in_out.append((m.group(1), "in", tuple(vals)))
+        return " 1=1 "  # neutral placeholder keeps the AND structure
+
+    stripped = re.sub(
+        r"\b([A-Za-z_][A-Za-z_0-9]*)\s+IN\s+\(([^()]*)\)",
+        _in_repl,
+        where,
+        flags=re.IGNORECASE,
+    )
+    if "\0" in stripped:
         return []
-    if re.search(r"\b(OR|NOT|IN|BETWEEN|LIKE|IS)\b", where, re.IGNORECASE):
+    if "(" in stripped or ")" in stripped:
         return []
-    out = []
-    for part in _WHERE_AND_RE.split(where):
+    if re.search(r"\b(OR|NOT|IN|BETWEEN|LIKE|IS)\b", stripped, re.IGNORECASE):
+        return []
+    out: list[tuple[str, str, object]] = list(in_out)
+    for part in _WHERE_AND_RE.split(stripped):
         if part.count("'") % 2:
             return []  # AND split inside a quoted string
+        if part.strip() == "1=1":
+            continue  # an extracted IN clause's placeholder
         m = _WHERE_CMP_RE.match(part)
         if not m:
             continue  # unparsable conjunct: no pruning on it
@@ -352,6 +392,13 @@ def _normalize_temporal_conjuncts(
     out = []
     for col, op, val in conjuncts:
         t = types.get(col)
+        temporal = isinstance(
+            t, (T.DateType, T.TimestampType, T.TimestampNTZType)
+        )
+        if op == "in" and temporal:
+            # IN lists over temporal columns stay filter-only — each
+            # member would need its own normalization; conservative
+            continue
         if isinstance(t, T.DateType):
             val = _normalize_date_literal(val)
         elif isinstance(t, (T.TimestampType, T.TimestampNTZType)):
@@ -373,6 +420,10 @@ def _cmp_compatible(a, b) -> bool:
 
 def _range_excludes(mn, mx, op: str, val) -> bool:
     """True iff NO value in [mn, mx] can satisfy ``x op val``."""
+    if op == "in":
+        # an IN conjunct excludes the file only when EVERY listed
+        # value falls outside [mn, mx]
+        return all(_range_excludes(mn, mx, "=", v) for v in val)
     if not (_cmp_compatible(mn, val) and _cmp_compatible(mx, val)):
         return False
     if op == "=":
@@ -390,6 +441,8 @@ def _range_excludes(mn, mx, op: str, val) -> bool:
 
 def _point_excludes(pv, op: str, val) -> bool:
     """True iff the single partition value ``pv`` fails ``pv op val``."""
+    if op == "in":
+        return all(_point_excludes(pv, "=", v) for v in val)
     if not _cmp_compatible(pv, val):
         return False
     if op == "=":
@@ -1091,13 +1144,19 @@ class LakeTable:
         # Driver-side footer seeks, so a shared budget caps the probe
         # count; past it, files are simply kept (evidence-based).
         bloom_cols = set(manifest.get("bloom_columns") or [])
+        # each entry is (col, candidate values): a conjunct excludes a
+        # file only when EVERY candidate is bloom-absent — one value
+        # for "=", the whole list for "in"
         bloom_eq = [
-            (c, val)
+            (c, (val,) if op == "=" else tuple(val))
             for c, op, val in conjuncts
-            if op == "="
+            if op in ("=", "in")
             and c in bloom_cols
-            and isinstance(val, str)
             and isinstance(types.get(c), T.StringType)
+            and all(
+                isinstance(v, str)
+                for v in ((val,) if op == "=" else val)
+            )
         ]
         bloom_budget = self._BLOOM_PROBE_MAX_FILES if bloom_eq else 0
         report = {
@@ -1135,7 +1194,10 @@ class LakeTable:
                 if bloom_budget > 0:
                     bloom_budget -= 1
                     if any(
-                        self._bloom_excludes(full, c, v) for c, v in bloom_eq
+                        all(
+                            self._bloom_excludes(full, c, v) for v in vals
+                        )
+                        for c, vals in bloom_eq
                     ):
                         report["files_bloom_skipped"] += 1
                         continue

@@ -945,30 +945,59 @@ class PostingsIndex:
             (F.sum("dl") / F.count(F.lit(1))).alias("avgdl"),
         )
 
+    # past this many distinct query terms, the IN-list file-skipping
+    # predicate stops being pushed (a thousand-literal IN bloats the
+    # plan for little skipping) — bucket pruning alone carries it
+    _TERM_PUSHDOWN_MAX = 256
+
     def _probed_postings(
         self, qterms: DataFrame, at: dict | None = None
     ) -> DataFrame:
         """Postings restricted to the buckets the query terms hash
         into — the read lists only those directories (bounded collect:
-        <= 256 prefixes). ``at`` pins a :meth:`snapshot` — bucket
-        layout, pruning AND rows all come from the pinned version."""
+        the batch's distinct terms, the same bound the prefix hashing
+        always had). WITHIN the probed buckets, a ``term IN (...)``
+        predicate rides the read (<= ``_TERM_PUSHDOWN_MAX`` terms):
+        manifest min/max stats skip whole files (tight after a
+        term-sorted ``maintain``) and parquet row-group stats skip
+        inside the kept ones — the common term's bucket no longer
+        decodes every OTHER term's postings to serve one query.
+        ``at`` pins a :meth:`snapshot` — bucket layout, pruning AND
+        rows all come from the pinned version."""
+        import hashlib
+
         v = self._pin(at, "postings") if at is not None else None
+        plen = self._prefix_len(at)
+        terms = [
+            r["term"]
+            for r in qterms.select("term").distinct().collect()
+        ]
         touched = {
-            f"term_prefix={r['p']}"
-            for r in qterms.select(
-                F.substring(F.md5("term"), 1, self._prefix_len(at)).alias("p")
-            )
-            .distinct()
-            .collect()
+            "term_prefix="
+            + hashlib.md5(t.encode()).hexdigest()[:plen]
+            for t in terms
+            if t is not None
         }
+        where = None
+        if terms and len(terms) <= self._TERM_PUSHDOWN_MAX and all(
+            isinstance(t, str) for t in terms
+        ):
+
+            def lit(t: str) -> str:
+                escaped = t.replace("\\", "\\\\").replace("'", "\\'")
+                return f"'{escaped}'"
+
+            where = "term IN ({})".format(
+                ", ".join(lit(t) for t in sorted(terms))
+            )
         # a bucket may live ONLY in pending merge-on-read appends (no
         # rewrite has localized it into the owners map yet) — pruning
         # by owners alone would silently miss freshly added terms
         existing = live_partition_keys(self.postings_t._manifest(v))
         probe = sorted(touched & existing)
         if len(probe) == len(existing):
-            return self.postings_t.read(version=v)
-        return self.postings_t.read(version=v, partitions=probe)
+            return self.postings_t.read(version=v, where=where)
+        return self.postings_t.read(version=v, partitions=probe, where=where)
 
     def plan_probe(self, queries: DataFrame,
                    query_id_col: str = "query_id",
@@ -982,20 +1011,37 @@ class PostingsIndex:
         compaction?). ``at`` plans against a pinned :meth:`snapshot` —
         what a version-pinned serve would open, including that
         version's bucket layout."""
+        import hashlib
+
         v = self._pin(at, "postings") if at is not None else None
         qterms = _query_terms(queries, query_id_col, query_text_col)
         plen = self._prefix_len(at)
+        terms = [
+            r["term"] for r in qterms.select("term").distinct().collect()
+        ]
         touched = {
-            f"term_prefix={r['p']}"
-            for r in qterms.select(
-                F.substring(F.md5("term"), 1, plen).alias("p")
-            )
-            .distinct()
-            .collect()
+            "term_prefix=" + hashlib.md5(t.encode()).hexdigest()[:plen]
+            for t in terms
+            if t is not None
         }
+        where = None
+        if terms and len(terms) <= self._TERM_PUSHDOWN_MAX and all(
+            isinstance(t, str) for t in terms
+        ):
+            esc = [
+                t.replace("\\", "\\\\").replace("'", "\\'")
+                for t in sorted(terms)
+            ]
+            where = "term IN ({})".format(
+                ", ".join(f"'{t}'" for t in esc)
+            )
         existing = live_partition_keys(self.postings_t._manifest(v))
         probe = sorted(touched & existing)
-        rep = self.postings_t.plan_scan(version=v, partitions=probe)
+        # same predicate the serve pushes — the report shows the
+        # file-level skipping term-sorted compaction buys
+        rep = self.postings_t.plan_scan(
+            where=where, version=v, partitions=probe
+        )
         if at is not None:
             has_cached = at.get("corpus_stats") is not None
             stats_rows = (
@@ -1029,8 +1075,14 @@ class PostingsIndex:
         both tables (scoped rewrites) and vacuum old versions — run it
         when ``plan_probe`` shows the pending-append read tax growing,
         exactly like ledger retention."""
+        if self.postings_t.current_version() is not None:
+            # term-sorted files give every file a TIGHT term min/max,
+            # so the serve's `term IN (...)` pushdown skips most of a
+            # bucket's files instead of decoding the whole directory —
+            # the postings analogue of OPTIMIZE ... ZORDER
+            self.postings_t.optimize(sort_by=["term"])
+            self.postings_t.vacuum(keep_last=keep_last)
         for t in (
-            self.postings_t,
             self.doc_stats_t,
             self.corpus_stats_t,
             self.term_stats_t,

@@ -3067,3 +3067,98 @@ def test_stream_index_ingest_watermark_bounds_state_and_commits(
     # rows inside the current horizon, not every key ever seen
     ops = last_progress.get("stateOperators") or []
     assert ops and ops[0]["numRowsTotal"] <= 3
+
+
+def test_in_list_data_skipping(spark, tmp_path):
+    """`col IN (...)` prunes like a disjunction of equalities: whole
+    partitions whose key value is outside the list, and files whose
+    min/max exclude EVERY listed value — with the filter always
+    applied, so unparsable lists only lose skipping, never rows."""
+    from datalake_toolkit_spark.lakehouse import LakeTable
+
+    t = LakeTable(spark, str(tmp_path / "t"))
+    rows = [(i, f"g{i % 4}", f"k{i:03d}") for i in range(400)]
+    df = spark.createDataFrame(rows, "id bigint, grp string, k string")
+    t.write(df)
+    # range-cluster on k so each file carries a tight k min/max
+    # (AQE would coalesce this toy table into ONE file and leave
+    # nothing to skip — real tables hit the 64 MB advisory size)
+    coal = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try:
+        t.optimize(sort_by=["k"])
+    finally:
+        spark.conf.set(
+            "spark.sql.adaptive.coalescePartitions.enabled", coal
+        )
+
+    got = {
+        r.id
+        for r in t.read(where="k IN ('k007', 'k123')").collect()
+    }
+    assert got == {7, 123}
+    rep = t.plan_scan(where="k IN ('k007', 'k123')")
+    assert rep["prunable"]
+    assert rep["partitions_scanned"] <= rep["partitions_total"]
+    assert 0 < rep["files_scanned"] < rep["files_total"]
+
+    # partition-key IN prunes whole directories
+    tp = LakeTable(spark, str(tmp_path / "tp"), partition_by=("grp",))
+    tp.write(df)
+    rep2 = tp.plan_scan(where="grp IN ('g1', 'g2')")
+    assert rep2["partitions_scanned"] == 2 and rep2["partitions_total"] == 4
+    assert {
+        r.grp for r in tp.read(where="grp IN ('g1','g2')").collect()
+    } == {"g1", "g2"}
+
+    # numeric IN on a stats column skips files too
+    rep3 = t.plan_scan(where="id IN (3, 397)")
+    assert rep3["prunable"]
+    assert {r.id for r in t.read(where="id IN (3, 397)").collect()} == {
+        3,
+        397,
+    }
+
+    # a value list the parser must refuse: filter still correct,
+    # pruning reported off
+    tricky = t.plan_scan(where="k IN ('k007', 'a)b')")
+    assert not tricky["prunable"]
+    assert {
+        r.id for r in t.read(where="k IN ('k007', 'a)b')").collect()
+    } == {7}
+
+
+def test_postings_term_pushdown_skips_files(spark, tmp_path):
+    """After a term-sorted maintain(), a query's `term IN` pushdown
+    skips most of a bucket's files at the manifest level — and the
+    serve answers are unchanged (same rows, predicate is a superset
+    filter of the downstream term join)."""
+    from datalake_toolkit_spark.llm import PostingsIndex
+
+    docs = spark.createDataFrame(
+        [(i, f"t{i % 97:02d} t{(i + 1) % 97:02d} filler{i % 13}")
+         for i in range(600)],
+        "doc_id bigint, text string",
+    )
+    idx = PostingsIndex(spark, str(tmp_path / "p"), prefix_len=1)
+    idx.add(docs)
+    queries = spark.createDataFrame(
+        [(1, "t03 t04 filler5")], "query_id bigint, query_text string"
+    )
+    before = sorted(map(tuple, idx.search(queries, k=10).collect()))
+    bm_before = sorted(map(tuple, idx.search_bm25(queries, k=10).collect()))
+    coal = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try:
+        idx.maintain()  # term-sorted compaction
+    finally:
+        spark.conf.set(
+            "spark.sql.adaptive.coalescePartitions.enabled", coal
+        )
+    rep = idx.plan_probe(queries)
+    assert rep["prunable"]
+    assert rep["files_scanned"] < rep["files_total"]
+    assert sorted(map(tuple, idx.search(queries, k=10).collect())) == before
+    assert sorted(
+        map(tuple, idx.search_bm25(queries, k=10).collect())
+    ) == bm_before
