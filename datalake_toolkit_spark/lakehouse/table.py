@@ -1019,9 +1019,18 @@ class LakeTable:
     def _bloom_writer(self, writer):
         """Enable parquet bloom filters on the configured columns for
         this write (per-column writer options — parquet-mr sizes the
-        filter from the expected NDV when given)."""
+        filter from the expected NDV when given). Dictionary encoding
+        is DISABLED on those columns: parquet-mr deliberately skips
+        the bloom for a fully-dictionary-encoded chunk (readers are
+        expected to probe the dictionary page instead), but our
+        planning-side probe reads blooms only — so a bloom column
+        trades its dictionary for a filter that is actually there.
+        Columns that would stay dictionary-encoded are low-NDV chunks
+        where the dictionary is small; plain + page compression
+        recovers most of the difference."""
         for c, ndv in self.bloom_filter_columns.items():
             writer = writer.option(f"parquet.bloom.filter.enabled#{c}", "true")
+            writer = writer.option(f"parquet.enable.dictionary#{c}", "false")
             if ndv is not None:
                 writer = writer.option(
                     f"parquet.bloom.filter.expected.ndv#{c}", str(int(ndv))

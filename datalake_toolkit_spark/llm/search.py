@@ -329,12 +329,24 @@ class PostingsIndex:
         text_col: str = "text",
         auto_compact_after: dict | None = None,
         prefix_len: int = 2,
+        term_bloom: bool = False,
     ) -> None:
         """``prefix_len``: md5-prefix hex chars per bucket — 2 (the
         default) gives 256 buckets, 1 gives 16. Only consulted when
         CREATING the index; an existing table's width is inferred from
         its committed partition values, so a fresh handle can never
-        hash terms into a different layout than the stored rows."""
+        hash terms into a different layout than the stored rows.
+
+        ``term_bloom=True`` writes parquet bloom filters on ``term``
+        for new postings commits: the serve's ``term IN (...)``
+        pushdown can then skip OWNED files whose bloom proves every
+        query term absent — the lever for files written UNSORTED
+        (the initial build, pre-``maintain`` rewrites), whose term
+        min/max spans the alphabet and defeats stats skipping.
+        (Pending merge-on-read appends are outside any skipping —
+        they are always read and key-resolved.) Costs bloom build
+        time + bytes per add commit; a handle opened without the flag
+        adopts whatever the table committed."""
         from datalake_toolkit_spark.lakehouse import LakeTable
 
         self.spark = spark
@@ -347,6 +359,7 @@ class PostingsIndex:
             os.path.join(path, "postings"),
             partition_by=("term_prefix",),
             auto_compact_after=auto_compact_after,
+            bloom_filter_columns=("term",) if term_bloom else None,
         )
         self.doc_stats_t = LakeTable(
             spark,

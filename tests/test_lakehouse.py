@@ -3162,3 +3162,82 @@ def test_postings_term_pushdown_skips_files(spark, tmp_path):
     assert sorted(
         map(tuple, idx.search_bm25(queries, k=10).collect())
     ) == bm_before
+
+
+def test_postings_term_bloom_skips_unsorted_owned_files(spark, tmp_path):
+    """term_bloom=True lets the `term IN` pushdown bloom-skip OWNED
+    files written unsorted (the initial build), where term min/max
+    spans the alphabet and stats skipping is blind — answers
+    unchanged, and a handle without the flag adopts the committed
+    config."""
+    from datalake_toolkit_spark.llm import PostingsIndex
+
+    idx = PostingsIndex(
+        spark, str(tmp_path / "p"), prefix_len=1, term_bloom=True
+    )
+    # the build lands unsorted owned files; force several files per
+    # bucket so blooms have something to skip
+    coal = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try:
+        idx.add(
+            spark.createDataFrame(
+                [(i, f"w{i % 400:03d} filler{i % 7}"
+                  + (" zebraneedle" if i == 77 else ""))
+                 for i in range(2000)],
+                "doc_id bigint, text string",
+            ).repartition(8)
+        )
+    finally:
+        spark.conf.set(
+            "spark.sql.adaptive.coalescePartitions.enabled", coal
+        )
+    assert "term" in (
+        idx.postings_t._manifest().get("bloom_columns") or []
+    )
+    # a RARE term: its postings live in one file of its bucket, so
+    # the bucket's other unsorted files are bloom-provably absent
+    queries = spark.createDataFrame(
+        [(1, "zebraneedle")], "query_id bigint, query_text string"
+    )
+    got = sorted(map(tuple, idx.search(queries, k=10).collect()))
+    assert [d for (_, d, *_rest) in got] == [77]
+    rep = idx.plan_probe(queries)
+    assert rep["prunable"]
+    # at toy scale the rebalance writes ONE file per bucket, so there
+    # is nothing in-bucket to skip — the bloom SKIPPING mechanics for
+    # IN lists are pinned by test_bloom_in_list_membership below; here
+    # the contract is plumbing + unchanged answers
+    # a handle opened WITHOUT the flag adopts the committed config
+    again = PostingsIndex(spark, str(tmp_path / "p"), prefix_len=1)
+    assert sorted(
+        map(tuple, again.search(queries, k=10).collect())
+    ) == got
+
+
+def test_bloom_in_list_membership(spark, tmp_path):
+    """`col IN (...)` excludes a file via blooms only when EVERY
+    listed value is bloom-absent — one present value keeps it."""
+    t = LakeTable(
+        spark, str(tmp_path / "t"), bloom_filter_columns={"uid": 256}
+    )
+    rows_a = [(i, f"uid_{i:03d}") for i in range(0, 200, 2)]
+    rows_b = [(i, f"uid_{i:03d}") for i in range(1, 200, 2)]
+    df_a = spark.createDataFrame(rows_a, "id bigint, uid string").coalesce(1)
+    df_b = spark.createDataFrame(rows_b, "id bigint, uid string").coalesce(1)
+    t.write(df_a.unionByName(df_b).repartitionByRange(2, (F.col("id") % 2)))
+    # both evens: the odd file bloom-skips
+    rep = t.plan_scan(where="uid IN ('uid_004', 'uid_008')")
+    assert rep["files_total"] == 2
+    assert rep["files_bloom_skipped"] == 1 and rep["files_scanned"] == 1
+    assert {
+        r.id for r in t.read(where="uid IN ('uid_004','uid_008')").collect()
+    } == {4, 8}
+    # one even + one odd: no file can be excluded
+    rep2 = t.plan_scan(where="uid IN ('uid_004', 'uid_005')")
+    assert rep2["files_bloom_skipped"] == 0 and rep2["files_scanned"] == 2
+    # values INSIDE both files' [min, max] but present in neither:
+    # stats keep both, blooms skip both, read returns empty
+    rep3 = t.plan_scan(where="uid IN ('uid_004x', 'uid_005x')")
+    assert rep3["files_bloom_skipped"] == 2 and rep3["files_scanned"] == 0
+    assert t.read(where="uid IN ('uid_004x','uid_005x')").count() == 0
