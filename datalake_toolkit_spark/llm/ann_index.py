@@ -804,7 +804,7 @@ class IVFIndex:
             | (F.col("norm") <= 0)
             | ~F.col("norm").eqNullSafe(_l2_norm(F.col("vec"))),
         }
-        if self._has_codes():
+        if self._has_codes(snap):
             requant = F.transform(
                 F.col("vec"), lambda x: F.round(x / F.col("scale"))
             )

@@ -1109,6 +1109,8 @@ class PostingsIndex:
         query_id_col: str = "query_id", query_text_col: str = "query_text",
         pair_filter: DataFrame | None = None,
         at: dict | None = None,
+        prune: str | bool = "auto",
+        seed_df_budget: int | None = None,
     ) -> DataFrame:
         """Exact coordination ranking served from the index —
         identical output contract to :func:`keyword_search_topk`, but
@@ -1118,8 +1120,21 @@ class PostingsIndex:
         top-k cut — per-query filtered retrieval; match counts are
         per-pair facts, so filtering commutes with the scoring.
         ``at`` pins a :meth:`snapshot` (serve that version,
-        undisturbed by later adds/removes — index time travel)."""
+        undisturbed by later adds/removes — index time travel).
+
+        ``prune="auto"`` (default) bounds common-term candidate cost
+        with the integer MAXSCORE split (see
+        :meth:`_keyword_pruned_frames`) whenever the term stats cover
+        the probe — EXACTLY lossless here: the ranking key
+        (n_matched, sum_tf) is integer-lexicographic, so the
+        exclusion argument needs no float margin at all."""
         qterms = _query_terms(queries, query_id_col, query_text_col)
+        if prune not in (False, "off"):
+            tstats = self._term_stats_probe(qterms, at)
+            if tstats is not None:
+                return self._keyword_pruned_frames(
+                    qterms, k, pair_filter, at, tstats, seed_df_budget
+                )["topk"]
         # pair filter BEFORE the aggregation: n_matched/sum_tf are
         # per-pair facts, so filtering commutes — applying it to the
         # joined posting rows skips shuffling/aggregating pairs the
@@ -1145,6 +1160,120 @@ class PostingsIndex:
             .where(F.col("rank") <= k)
             .select("query_id", "doc_id", "n_matched", "sum_tf", "rank")
         )
+
+    def _keyword_pruned_frames(
+        self,
+        qterms: DataFrame,
+        k: int,
+        pair_filter: DataFrame | None,
+        at: dict | None,
+        tstats: DataFrame,
+        seed_df_budget: int | None = None,
+    ) -> dict:
+        """The coordination layer's MAXSCORE split — integer twin of
+        :meth:`_bm25_pruned_frames`, exactly lossless:
+
+        - Phase A scores only the per-query rarest terms (ascending
+          df within the seed budget); theta = the k-th best partial
+          (n_matched, sum_tf) under the serve ordering.
+        - A document holding terms only from a set NE has n_matched
+          <= |NE|; choosing NE = the (theta_n - 1) COMMONEST terms
+          makes every such document STRICTLY below theta on the
+          leading key — no tf or tiebreak can save it — while the k
+          theta-witnesses each hold an essential term (their partial
+          match counts already exceed |NE|). With fewer than k phase-A
+          docs theta_n = 0, NE is empty, and the plan degrades to the
+          exact path.
+        - Completion scores candidates (docs holding an essential
+          term) over ALL query terms with the exact path's integer
+          aggregation — identical rows out."""
+        budget = int(seed_df_budget) if seed_df_budget else max(64, 4 * k)
+        ub = qterms.join(F.broadcast(tstats), "term").select(
+            "query_id", "term", "df"
+        )
+        wseed = (
+            Window.partitionBy("query_id")
+            .orderBy(F.asc("df"), F.asc("term"))
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        seed = (
+            ub.withColumn(
+                "df_before", F.coalesce(F.sum("df").over(wseed), F.lit(0))
+            )
+            .where(
+                (F.col("df_before") == 0)
+                | (F.col("df_before") + F.col("df") <= F.lit(budget))
+            )
+            .select("query_id", "term")
+        )
+        partial = (
+            _apply_pair_filter(
+                self._probed_postings(seed, at).join(
+                    F.broadcast(seed), "term"
+                ),
+                pair_filter,
+            )
+            .groupBy("query_id", "doc_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_m"),
+                F.sum("tf").alias("s_tf"),
+            )
+        )
+        wk = Window.partitionBy("query_id").orderBy(
+            F.desc("n_m"), F.desc("s_tf"), F.asc("doc_id")
+        )
+        theta = (
+            partial.withColumn("rn", F.row_number().over(wk))
+            .where(F.col("rn") == k)
+            .select("query_id", F.col("n_m").alias("theta_n"))
+        )
+        # essential = all but the (theta_n - 1) commonest terms
+        wdf = Window.partitionBy("query_id").orderBy(
+            F.desc("df"), F.asc("term")
+        )
+        essential = (
+            ub.withColumn("common_rank", F.row_number().over(wdf))
+            .join(F.broadcast(theta), "query_id", "left")
+            .where(
+                F.col("common_rank")
+                > F.coalesce(F.col("theta_n"), F.lit(1)) - F.lit(1)
+            )
+            .select("query_id", "term")
+        )
+        post_all = self._probed_postings(qterms, at)
+        cand = _apply_pair_filter(
+            post_all.join(F.broadcast(essential), "term").select(
+                "query_id", "doc_id"
+            ),
+            pair_filter,
+        ).distinct()
+        matched = (
+            _apply_pair_filter(
+                post_all.join(F.broadcast(qterms), "term"), pair_filter
+            )
+            .join(cand, ["query_id", "doc_id"], "left_semi")
+            .groupBy("query_id", "doc_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_matched"),
+                F.sum("tf").alias("sum_tf"),
+            )
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("n_matched"), F.desc("sum_tf"), F.asc("doc_id")
+        )
+        topk = (
+            matched.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "doc_id", "n_matched", "sum_tf", "rank")
+        )
+        return {
+            "ub": ub,
+            "seed": seed,
+            "theta": theta,
+            "essential": essential,
+            "candidates": cand,
+            "topk": topk,
+        }
 
     def search_phrase(
         self, queries: DataFrame, k: int = 10,

@@ -626,7 +626,49 @@ def ivf_topk(
     Raising n_probe trades work for recall; n_probe = n_lists is
     exact. The standard middle ground between brute force and LSH
     when the corpus has cluster structure.
+
+    Above 512 lists the quantization and the query probe run through
+    the matrix-as-data path (no k x dim literal in any plan, fully
+    distributed Lloyd) — same selection rule as the persistent
+    ``IVFIndex``, bit-identical results either way.
     """
+    if n_lists >= 512:
+        assigned, cents_df = ivf_assignments_frames(
+            corpus, n_lists, id_col, vec_col, dim, lloyd_iters
+        )
+        mat = centroid_matrix_frame(cents_df)
+        q = ivf_probe_with_frame(
+            queries.select(
+                F.col(id_col).alias("qid"), _as_double(vec_col).alias("qv")
+            ).withColumn("qn", _l2_norm(F.col("qv"))),
+            mat,
+            n_probe,
+            "qv",
+        ).select(
+            "qid", "qv", "qn",
+            F.explode_outer("probe_lists").alias("list_id"),
+        )
+        scored = (
+            assigned.withColumn("vn", _l2_norm(F.col("v")))
+            .hint("shuffle_hash")
+            .join(F.broadcast(q), "list_id")
+            .where(F.col("qid") != F.col("vid"))
+            .select(
+                "qid",
+                F.col("vid").alias("cid"),
+                cosine_with_norms(
+                    F.col("qv"), F.col("v"), F.col("qn"), F.col("vn")
+                ).alias("cosine"),
+            )
+        )
+        w = Window.partitionBy("qid").orderBy(
+            F.desc("cosine"), F.asc("cid")
+        )
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("qid", "cid", "cosine", "rank")
+        )
     assigned, centroids = ivf_assignments(
         corpus, n_lists, id_col, vec_col, dim, lloyd_iters
     )

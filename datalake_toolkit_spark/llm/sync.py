@@ -111,7 +111,21 @@ def _net_changes(
     # enforcing uniqueness to the table's own merge discipline.
     # (dropDuplicates keeps an ARBITRARY row, which would let the
     # synced index content differ run to run.)
-    others = [c for c in ins.columns if c != id_col]
+    from pyspark.sql import types as T
+
+    def _orderable(dt) -> bool:
+        if isinstance(dt, T.MapType):
+            return False
+        if isinstance(dt, T.ArrayType):
+            return _orderable(dt.elementType)
+        if isinstance(dt, T.StructType):
+            return all(_orderable(f.dataType) for f in dt.fields)
+        return True
+
+    orderable = {
+        f.name for f in ins.schema.fields if _orderable(f.dataType)
+    }
+    others = [c for c in ins.columns if c != id_col and c in orderable]
     if others:
         from pyspark.sql import Window
 
@@ -124,6 +138,8 @@ def _net_changes(
             .drop("_rn")
         )
     else:
+        # no orderable non-key columns (or none at all): the winner
+        # is arbitrary-but-single; uniqueness is the table's job
         upserts = ins.dropDuplicates([id_col])
     removed = (
         ch.where(F.col("_change_type") == "delete")

@@ -3744,14 +3744,18 @@ def q_index_bm25_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = _tokens("text")
     # the corpus' most frequent token (ties broken by term) — one-row
     # bounded collect, mirrored by the oracle's top1 CTE
-    top = (
+    top_rows = (
         docs.select(F.explode(w).alias("t"))
         .groupBy("t")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.desc("n"), F.asc("t"))
         .limit(1)
-        .collect()[0]["t"]
+        .collect()
     )
+    # an all-NULL/empty corpus has no top token: the empty-string
+    # fallback tokenizes to nothing, and every downstream frame is
+    # empty on both engines
+    top = top_rows[0]["t"] if top_rows else ""
     queries = docs.where(
         (F.col("doc_id") >= 12) & (F.col("doc_id") < 15) & (F.size(w) > 0)
     ).select(

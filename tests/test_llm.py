@@ -2941,6 +2941,11 @@ def test_postings_rebucket_governance(spark, tmp_path):
             k=10,
         ).collect()
     }
+    # isolate STRUCTURAL bucket pruning for the row-count comparison:
+    # the term IN pushdown (r12) filters both layouts to the same
+    # query-term rows, hiding exactly the unrelated-postings cost this
+    # test measures
+    idx._TERM_PUSHDOWN_MAX = 0
     rows_before = idx._probed_postings(qterms).count()
     rep_before = idx.plan_probe(queries)
     assert rep_before["prefix_len"] == 1 and rep_before["buckets_total"] <= 16
@@ -3507,7 +3512,8 @@ def test_index_audits(spark, tmp_path):
               for r in vec.audit(deep=True).collect()}
     assert set(vaudit) == {
         "orphan_list", "duplicate_id", "bad_norm", "code_drift",
-        "misassigned",
+        "misassigned", "centroid_bad_id", "centroid_duplicate_id",
+        "centroid_missing_id",
     }
     assert all(v == 0 for v in vaudit.values()), vaudit
     # inject: orphan list, wrong norm, wrong-length codes
@@ -3646,7 +3652,6 @@ def test_bm25_maxscore_prune_exact_and_bounded(spark, tmp_path):
         "query_id bigint, query_text string",
     )
     # the stats must cover this probe (fresh index, no removals)
-    qt = idx.search_bm25  # noqa: F841  (readability)
     assert idx._term_stats_probe(
         spark.createDataFrame(
             [(1, "the"), (1, "zebra"), (1, "quokka")],
@@ -4210,3 +4215,73 @@ def test_stream_sync_search_plane_follows_table(spark, tmp_path):
         for r in pidx.search(queries, k=10).collect()
     }
     assert (500, 0) not in hits
+
+
+def test_ivf_topk_large_nlists_exact_at_full_probe(spark, sf_dir):
+    """The batch ivf_topk's large-n_lists (matrix-as-data) path:
+    probing every list is exact search, so at n_probe = n_lists the
+    result must equal brute-force cosine top-k — and the analyzed
+    plan stays O(1) in n_lists (no 600-wide literal)."""
+    from datalake_toolkit_spark.llm.similarity import cosine_topk, ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings").where(
+        F.col("embedding").isNotNull()
+    )
+    q = emb.where(F.col("vec_id") < 5)
+    out = ivf_topk(emb, q, k=5, n_lists=600, n_probe=600, lloyd_iters=1)
+    assert len(out._jdf.queryExecution().analyzed().toString()) < 100_000
+    got = {(r.qid, r.cid): r.rank for r in out.collect()}
+    want = {
+        (r.qid, r.cid): r.rank
+        for r in cosine_topk(emb, q, k=5).collect()
+    }
+    assert got == want
+
+
+def test_keyword_maxscore_prune_exact(spark, tmp_path):
+    """The coordination layer's integer MAXSCORE split returns rows
+    IDENTICAL to the exact plan — stopword-heavy, filtered, pinned,
+    and degenerate (< k matches) cases — and falls back after a
+    removal truncates the stats."""
+    from datalake_toolkit_spark.llm import PostingsIndex
+
+    rows = []
+    for i in range(400):
+        needle = " zebra" if i % 133 == 0 else (
+            " quokka" if i % 80 == 0 else ""
+        )
+        rows.append((i, f"the the filler{i % 40}{needle}"))
+    idx = PostingsIndex(spark, str(tmp_path / "p"), prefix_len=1)
+    idx.add(spark.createDataFrame(rows, "doc_id bigint, text string"))
+    queries = spark.createDataFrame(
+        [(1, "the zebra quokka"), (2, "the zebra"), (3, "absentterm"),
+         (4, "zebra")],
+        "query_id bigint, query_text string",
+    )
+
+    def rows_of(**kw):
+        return sorted(map(tuple, idx.search(queries, k=3, **kw).collect()))
+
+    assert rows_of(prune="auto") == rows_of(prune="off")
+
+    allowed = spark.createDataFrame(
+        [(q, d) for q in (1, 2, 3, 4) for d in range(0, 400, 2)],
+        "query_id bigint, doc_id bigint",
+    )
+    assert rows_of(prune="auto", pair_filter=allowed) == rows_of(
+        prune="off", pair_filter=allowed
+    )
+
+    pin = idx.snapshot()
+    idx.add(
+        spark.createDataFrame(
+            [(900, "zebra the")], "doc_id bigint, text string"
+        ),
+        mode="mor",
+    )
+    assert sorted(
+        map(tuple, idx.search(queries, k=3, at=pin).collect())
+    ) == sorted(map(tuple, idx.search(queries, k=3, at=pin,
+                                      prune="off").collect()))
+    idx.remove([0])
+    assert rows_of(prune="auto") == rows_of(prune="off")  # fallback

@@ -560,7 +560,18 @@ def test_parse_conjuncts_shapes():
     # anything non-conjunctive degrades to no pruning at all
     assert _parse_conjuncts("a = 1 OR b = 2") == []
     assert _parse_conjuncts("(a = 1) AND b = 2") == []
-    assert _parse_conjuncts("a IN (1, 2)") == []
+    # IN lists prune as a disjunction of equalities (round 12)...
+    assert _parse_conjuncts("a IN (1, 2)") == [("a", "in", (1, 2))]
+    assert _parse_conjuncts("k IN ('x', 'it''s') AND b < 2") == [
+        ("k", "in", ("x", "it's")),
+        ("b", "<", 2),
+    ]
+    # ...but any unparsable member poisons the whole parse: a quote
+    # swallowing the paren, commas/backslashes in values, empty lists
+    assert _parse_conjuncts("k IN ('a)b', 'c')") == []
+    assert _parse_conjuncts(r"k IN ('a\'s')") == []
+    assert _parse_conjuncts("k IN ()") == []
+    assert _parse_conjuncts("name = 'k IN (y)'") == []
     assert _parse_conjuncts("a IS NULL") == []
     assert _parse_conjuncts("name = 'x AND y'") == []  # AND inside quotes
     # parens anywhere: bail out entirely (function calls, grouping)
