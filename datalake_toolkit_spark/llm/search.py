@@ -330,6 +330,7 @@ class PostingsIndex:
         auto_compact_after: dict | None = None,
         prefix_len: int = 2,
         term_bloom: bool = False,
+        stats_refresh: str = "add",
     ) -> None:
         """``prefix_len``: md5-prefix hex chars per bucket — 2 (the
         default) gives 256 buckets, 1 gives 16. Only consulted when
@@ -346,8 +347,26 @@ class PostingsIndex:
         (Pending merge-on-read appends are outside any skipping —
         they are always read and key-resolved.) Costs bloom build
         time + bytes per add commit; a handle opened without the flag
-        adopts whatever the table committed."""
+        adopts whatever the table committed.
+
+        ``stats_refresh`` decides WHEN the per-term MAXSCORE stats
+        refresh runs: ``"add"`` (default) refreshes the touched
+        buckets inside every ``add`` — pruning is always live, and
+        the add pays the recompute scan (measured ~2x on a lifecycle
+        that adds half the corpus per commit; proportionally small at
+        production add:corpus ratios). ``"maintain"`` defers the
+        refresh to :meth:`maintain`/:meth:`refresh_term_stats` — adds
+        stay lean and the serve falls back to the EXACT plan while
+        stats are stale (the freshness sidecar below makes staleness
+        detection exact), the Lucene model of stats freshness tied to
+        maintenance cycles."""
         from datalake_toolkit_spark.lakehouse import LakeTable
+
+        if stats_refresh not in ("add", "maintain"):
+            raise ValueError(
+                f"stats_refresh must be add|maintain, got {stats_refresh!r}"
+            )
+        self.stats_refresh = stats_refresh
 
         self.spark = spark
         self.path = path
@@ -408,7 +427,14 @@ class PostingsIndex:
             "postings": self.postings_t.current_version(),
             "doc_stats": self.doc_stats_t.current_version(),
             "corpus_stats": self.corpus_stats_t.current_version(),
-            "term_stats": self.term_stats_t.current_version(),
+            # pinned only when provably fresh AT CAPTURE — versions
+            # are immutable afterwards, so a pinned serve can trust
+            # the pair without re-checking the live sidecar
+            "term_stats": (
+                self.term_stats_t.current_version()
+                if self._stats_fresh()
+                else None
+            ),
         }
 
     def _prefix_len(self, at: dict | None = None) -> int:
@@ -535,6 +561,7 @@ class PostingsIndex:
                     ),
                     op="term_stats",
                 )
+                self._mark_stats_fresh()
             else:
                 self.doc_stats_t.upsert(
                     stats,
@@ -560,15 +587,19 @@ class PostingsIndex:
                 # _remove, so stats coverage shrinks to exactly the
                 # re-added buckets — which is what the per-bucket
                 # coverage check serves correctly
-                tbuckets = sorted(
-                    {
-                        f"term_prefix={r['p']}"
-                        for r in post.select(
-                            F.col("term_prefix").alias("p")
-                        ).distinct().collect()
-                    }
-                )
-                self._refresh_term_stats(tbuckets)
+                if self.stats_refresh == "add":
+                    tbuckets = sorted(
+                        {
+                            f"term_prefix={r['p']}"
+                            for r in post.select(
+                                F.col("term_prefix").alias("p")
+                            ).distinct().collect()
+                        }
+                    )
+                    self._refresh_term_stats(tbuckets, batch_terms=post)
+                # "maintain": stats go stale here and the freshness
+                # record no longer matches — the serve falls back to
+                # the exact plan until maintain()/refresh_term_stats()
         finally:
             post.unpersist()
         return v
@@ -625,41 +656,137 @@ class PostingsIndex:
                 full, keys=["dhash_prefix"], assume_key_unique=True
             )
 
-    def _refresh_term_stats(self, buckets: list[str]) -> None:
+    def _stats_fresh_path(self) -> str:
+        return os.path.join(self.path, "term_stats", "_fresh_at.json")
+
+    def _mark_stats_fresh(self) -> None:
+        """Record, crash-safe (tmp+rename), WHICH postings version the
+        committed term stats describe. The serve prunes only when the
+        record matches the CURRENT versions of both tables — so a
+        crash between a postings commit and its stats refresh, a
+        deferred-mode add, or any out-of-band mutation degrades to
+        the exact plan instead of trusting silently-stale bounds."""
+        import json as json_mod
+        import tempfile
+
+        p = self._stats_fresh_path()
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        fd, tmp = tempfile.mkstemp(dir=os.path.dirname(p), suffix=".tmp")
+        with os.fdopen(fd, "w") as f:
+            json_mod.dump(
+                {
+                    "postings_version": self.postings_t.current_version(),
+                    "stats_version": self.term_stats_t.current_version(),
+                },
+                f,
+            )
+        os.replace(tmp, p)
+
+    def _stats_fresh(self) -> bool:
+        """True iff the freshness record matches the live versions of
+        both tables (see :meth:`_mark_stats_fresh`)."""
+        import json as json_mod
+
+        p = self._stats_fresh_path()
+        if not os.path.exists(p):
+            return False
+        try:
+            with open(p) as f:
+                rec = json_mod.load(f)
+        except (OSError, ValueError):
+            return False
+        return (
+            rec.get("postings_version")
+            == self.postings_t.current_version()
+            and rec.get("stats_version")
+            == self.term_stats_t.current_version()
+        )
+
+    def _refresh_term_stats(
+        self, buckets: list[str], batch_terms: DataFrame | None = None
+    ) -> None:
         """Recompute (df, max_tf, min_dl) per term for the given
         POSTINGS buckets from their COMMITTED state and upsert the
         results into ``term_stats``. Pure recomputation (not a delta),
-        so replayed/crashed batches converge; cost is O(touched
-        buckets), paid on the write path. A term's postings never span
-        buckets, so a refreshed bucket's stats are complete for every
-        term it holds — which is what lets the serve-side coverage
-        check (:meth:`_term_stats_probe`) trust per-bucket presence."""
+        so replayed/crashed batches converge. A term's postings never
+        span buckets, so a refreshed bucket's stats are complete for
+        every term it holds — which is what lets the serve-side
+        coverage check (:meth:`_term_stats_probe`) trust per-bucket
+        presence.
+
+        ``batch_terms`` (a frame with a ``term`` column — the add
+        batch's vocabulary) bounds the write-path cost: a bucket whose
+        stats are ALREADY live only recomputes the batch's terms (an
+        add can only have changed those), so a steady-state add costs
+        O(batch terms' postings), not O(bucket). Buckets NOT yet
+        covered (first rows, post-truncation) always recompute in
+        full — partial stats in a bucket the coverage check then
+        trusts would silently drop the other terms' postings from the
+        pruned serve."""
         if not buckets:
+            self._mark_stats_fresh()
             return
-        fresh = (
-            self.postings_t.read(partitions=buckets)
-            .groupBy("term", "term_prefix")
-            .agg(
+        covered: set[str] = (
+            self._stats_covered_buckets()
+            if self.term_stats_t.current_version() is not None
+            else set()
+        )
+        if batch_terms is None:
+            full_b, scoped_b = list(buckets), []
+        else:
+            full_b = [b for b in buckets if b not in covered]
+            scoped_b = [b for b in buckets if b in covered]
+
+        def _agg(df: DataFrame) -> DataFrame:
+            return df.groupBy("term", "term_prefix").agg(
                 F.count(F.lit(1)).cast("long").alias("df"),
                 F.max("tf").cast("long").alias("max_tf"),
                 F.min("dl").cast("long").alias("min_dl"),
             )
-        )
-        if self.term_stats_t.current_version() is None or set(
-            buckets
-        ) >= live_partition_keys(self.postings_t._manifest()):
-            # covering every live postings bucket means `fresh` is the
-            # complete stats table — snapshot-write instead of paying
-            # the upsert's read-merge (also the restore path after a
-            # truncation, where the previous version is empty anyway)
+
+        pieces = []
+        if full_b:
+            pieces.append(_agg(self.postings_t.read(partitions=full_b)))
+        if scoped_b:
+            pieces.append(
+                _agg(
+                    self.postings_t.read(partitions=scoped_b).join(
+                        F.broadcast(batch_terms.select("term").distinct()),
+                        "term",
+                        "left_semi",
+                    )
+                )
+            )
+        if not pieces:
+            self._mark_stats_fresh()
+            return
+        fresh = pieces[0]
+        for p in pieces[1:]:
+            fresh = fresh.unionByName(p)
+        if self.term_stats_t.current_version() is None or (
+            batch_terms is None
+            and set(buckets)
+            >= live_partition_keys(self.postings_t._manifest())
+        ):
+            # `fresh` is the complete stats table (no prior state, or
+            # a full recompute covering every live bucket) —
+            # snapshot-write instead of paying the upsert's
+            # read-merge (also the restore path after a truncation)
             self.term_stats_t.write(fresh, op="term_stats")
         else:
+            # merge-on-read: the refresh commit is O(batch terms) —
+            # an append, not a read-merge-rewrite of the stats
+            # buckets; serve-time reads resolve newest-append-wins
+            # and maintain() drains the pending state like the
+            # postings' own MoR adds
             self.term_stats_t.upsert(
                 fresh,
                 keys=["term"],
+                mode="mor",
                 partition_scoped=True,
                 assume_key_unique=True,
             )
+        self._mark_stats_fresh()
 
     def refresh_term_stats(self) -> None:
         """Rebuild ``term_stats`` from every live postings bucket —
@@ -690,6 +817,10 @@ class PostingsIndex:
             "df long, max_tf long, min_dl long",
         )
         self.term_stats_t.write(empty, op="term_stats_truncate")
+        try:
+            os.remove(self._stats_fresh_path())
+        except OSError:
+            pass
 
     def remove(self, doc_ids) -> None:
         """Delete documents from the index: merge-on-read PREDICATE
@@ -969,22 +1100,29 @@ class PostingsIndex:
         """Postings restricted to the buckets the query terms hash
         into — the read lists only those directories (bounded collect:
         the batch's distinct terms, the same bound the prefix hashing
-        always had). WITHIN the probed buckets, a ``term IN (...)``
-        predicate rides the read (<= ``_TERM_PUSHDOWN_MAX`` terms):
-        manifest min/max stats skip whole files (tight after a
-        term-sorted ``maintain``) and parquet row-group stats skip
-        inside the kept ones — the common term's bucket no longer
-        decodes every OTHER term's postings to serve one query.
-        ``at`` pins a :meth:`snapshot` — bucket layout, pruning AND
-        rows all come from the pinned version."""
-        import hashlib
-
-        v = self._pin(at, "postings") if at is not None else None
-        plen = self._prefix_len(at)
+        always had). ``at`` pins a :meth:`snapshot` — bucket layout,
+        pruning AND rows all come from the pinned version."""
         terms = [
             r["term"]
             for r in qterms.select("term").distinct().collect()
         ]
+        return self._probed_postings_for(terms, at)
+
+    def _probed_postings_for(
+        self, terms: list, at: dict | None = None
+    ) -> DataFrame:
+        """:meth:`_probed_postings` over an ALREADY-COLLECTED term
+        list (the pruned serves hold them driver-side anyway — no
+        extra job). WITHIN the probed buckets, a ``term IN (...)``
+        predicate rides the read (<= ``_TERM_PUSHDOWN_MAX`` terms):
+        manifest min/max stats skip whole files (tight after a
+        term-sorted ``maintain``) and parquet row-group stats skip
+        inside the kept ones — the common term's bucket no longer
+        decodes every OTHER term's postings to serve one query."""
+        import hashlib
+
+        v = self._pin(at, "postings") if at is not None else None
+        plen = self._prefix_len(at)
         touched = {
             "term_prefix="
             + hashlib.md5(t.encode()).hexdigest()[:plen]
@@ -1088,6 +1226,7 @@ class PostingsIndex:
         both tables (scoped rewrites) and vacuum old versions — run it
         when ``plan_probe`` shows the pending-append read tax growing,
         exactly like ledger retention."""
+        was_fresh = self._stats_fresh()
         if self.postings_t.current_version() is not None:
             # term-sorted files give every file a TIGHT term min/max,
             # so the serve's `term IN (...)` pushdown skips most of a
@@ -1103,6 +1242,14 @@ class PostingsIndex:
             if t.current_version() is not None:
                 t.optimize()
                 t.vacuum(keep_last=keep_last)
+        # the optimizes bumped versions without changing content: a
+        # previously-fresh record carries over; stale stats (deferred
+        # mode, crashed add) recompute here — maintenance is where
+        # that cost belongs
+        if was_fresh:
+            self._mark_stats_fresh()
+        elif self.postings_t.current_version() is not None:
+            self.refresh_term_stats()
 
     def search(
         self, queries: DataFrame, k: int = 10,
@@ -1130,10 +1277,10 @@ class PostingsIndex:
         exclusion argument needs no float margin at all."""
         qterms = _query_terms(queries, query_id_col, query_text_col)
         if prune not in (False, "off"):
-            tstats = self._term_stats_probe(qterms, at)
-            if tstats is not None:
+            inputs = self._pruned_serve_inputs(qterms, at)
+            if inputs is not None:
                 return self._keyword_pruned_frames(
-                    qterms, k, pair_filter, at, tstats, seed_df_budget
+                    qterms, k, pair_filter, at, inputs, seed_df_budget
                 )["topk"]
         # pair filter BEFORE the aggregation: n_matched/sum_tf are
         # per-pair facts, so filtering commutes — applying it to the
@@ -1167,49 +1314,47 @@ class PostingsIndex:
         k: int,
         pair_filter: DataFrame | None,
         at: dict | None,
-        tstats: DataFrame,
+        inputs: dict,
         seed_df_budget: int | None = None,
     ) -> dict:
         """The coordination layer's MAXSCORE split — integer twin of
-        :meth:`_bm25_pruned_frames`, exactly lossless:
+        :meth:`_bm25_pruned_frames`, exactly lossless (no float
+        margin: the ranking key (n_matched, sum_tf) is integer-
+        lexicographic). Selection is driver-side over the collected
+        inputs; the completion aggregation is the exact path's.
 
         - Phase A scores only the per-query rarest terms (ascending
-          df within the seed budget); theta = the k-th best partial
-          (n_matched, sum_tf) under the serve ordering.
+          df within the seed budget); theta_n = the k-th best
+          partial's n_matched under the serve ordering.
         - A document holding terms only from a set NE has n_matched
           <= |NE|; choosing NE = the (theta_n - 1) COMMONEST terms
           makes every such document STRICTLY below theta on the
           leading key — no tf or tiebreak can save it — while the k
           theta-witnesses each hold an essential term (their partial
-          match counts already exceed |NE|). With fewer than k phase-A
-          docs theta_n = 0, NE is empty, and the plan degrades to the
-          exact path.
-        - Completion scores candidates (docs holding an essential
-          term) over ALL query terms with the exact path's integer
-          aggregation — identical rows out."""
+          match counts already exceed |NE|). Fewer than k phase-A
+          docs => theta_n = 0 => NE empty => the exact plan."""
         budget = int(seed_df_budget) if seed_df_budget else max(64, 4 * k)
-        ub = qterms.join(F.broadcast(tstats), "term").select(
-            "query_id", "term", "df"
-        )
-        wseed = (
-            Window.partitionBy("query_id")
-            .orderBy(F.asc("df"), F.asc("term"))
-            .rowsBetween(Window.unboundedPreceding, -1)
-        )
-        seed = (
-            ub.withColumn(
-                "df_before", F.coalesce(F.sum("df").over(wseed), F.lit(0))
-            )
-            .where(
-                (F.col("df_before") == 0)
-                | (F.col("df_before") + F.col("df") <= F.lit(budget))
-            )
-            .select("query_id", "term")
-        )
+        qpairs, tstats = inputs["qpairs"], inputs["stats"]
+        byq: dict = {}
+        for qid, t in qpairs:
+            if t in tstats:
+                byq.setdefault(qid, []).append(t)
+        seed_pairs: list = []
+        for qid, terms in byq.items():
+            run = 0
+            for i, t in enumerate(
+                sorted(terms, key=lambda t: (tstats[t][0], t))
+            ):
+                df = tstats[t][0]
+                if i == 0 or run + df <= budget:
+                    seed_pairs.append((qid, t))
+                run += df
+        seedf = self._select_pairs(qterms, seed_pairs)
+        seed_terms = sorted({t for _, t in seed_pairs})
         partial = (
             _apply_pair_filter(
-                self._probed_postings(seed, at).join(
-                    F.broadcast(seed), "term"
+                self._probed_postings_for(seed_terms, at).join(
+                    F.broadcast(seedf), "term"
                 ),
                 pair_filter,
             )
@@ -1222,27 +1367,26 @@ class PostingsIndex:
         wk = Window.partitionBy("query_id").orderBy(
             F.desc("n_m"), F.desc("s_tf"), F.asc("doc_id")
         )
-        theta = (
-            partial.withColumn("rn", F.row_number().over(wk))
+        theta_n = {
+            r["query_id"]: r["n_m"]
+            for r in partial.withColumn("rn", F.row_number().over(wk))
             .where(F.col("rn") == k)
-            .select("query_id", F.col("n_m").alias("theta_n"))
-        )
+            .select("query_id", "n_m")
+            .collect()
+        }
         # essential = all but the (theta_n - 1) commonest terms
-        wdf = Window.partitionBy("query_id").orderBy(
-            F.desc("df"), F.asc("term")
-        )
-        essential = (
-            ub.withColumn("common_rank", F.row_number().over(wdf))
-            .join(F.broadcast(theta), "query_id", "left")
-            .where(
-                F.col("common_rank")
-                > F.coalesce(F.col("theta_n"), F.lit(1)) - F.lit(1)
+        ess_pairs: list = []
+        for qid, terms in byq.items():
+            ne = max(0, theta_n.get(qid, 1) - 1)
+            ordered = sorted(
+                terms, key=lambda t: (-tstats[t][0], t)
             )
-            .select("query_id", "term")
-        )
-        post_all = self._probed_postings(qterms, at)
+            ess_pairs.extend((qid, t) for t in ordered[ne:])
+        all_terms = sorted({t for _, t in qpairs if t in tstats})
+        post_all = self._probed_postings_for(all_terms, at)
+        essf = self._select_pairs(qterms, ess_pairs)
         cand = _apply_pair_filter(
-            post_all.join(F.broadcast(essential), "term").select(
+            post_all.join(F.broadcast(essf), "term").select(
                 "query_id", "doc_id"
             ),
             pair_filter,
@@ -1266,14 +1410,7 @@ class PostingsIndex:
             .where(F.col("rank") <= k)
             .select("query_id", "doc_id", "n_matched", "sum_tf", "rank")
         )
-        return {
-            "ub": ub,
-            "seed": seed,
-            "theta": theta,
-            "essential": essential,
-            "candidates": cand,
-            "topk": topk,
-        }
+        return {"candidates": cand, "topk": topk}
 
     def search_phrase(
         self, queries: DataFrame, k: int = 10,
@@ -1299,15 +1436,58 @@ class PostingsIndex:
         self, qterms: DataFrame, at: dict | None = None
     ) -> DataFrame | None:
         """(term, df, max_tf, min_dl) for the query's terms, or None
-        when the stats don't cover the probe — coverage is checked
-        PER BUCKET (a term's postings never span buckets, and a
-        refresh recomputes whole buckets, so a bucket key present in
-        the stats manifest vouches for every term it holds). Returns
-        None — never a partially-trusted frame — after a truncation
+        when the stats don't cover the probe — the DataFrame face of
+        :meth:`_pruned_serve_inputs` (same coverage rules)."""
+        inputs = self._pruned_serve_inputs(qterms, at)
+        if inputs is None:
+            return None
+        rows = [
+            (t, int(v[0]), int(v[1]), int(v[2]))
+            for t, v in sorted(inputs["stats"].items())
+        ]
+        return self.spark.createDataFrame(
+            rows, "term string, df long, max_tf long, min_dl long"
+        )
+
+    def _stats_covered_buckets(self, v: int | None = None) -> set[str]:
+        """Bucket keys the term-stats table covers at version ``v`` —
+        owners PLUS partitions living only in pending merge-on-read
+        appends (the refresh commits MoR; a fresh bucket's stats sit
+        in pending state until maintain() localizes them, and they
+        are fully readable there)."""
+        man = self.term_stats_t._manifest(v)
+        pending = {
+            k
+            for e in (man.get("merges") or [])
+            for k in (e.get("parts") or [])
+        }
+        return live_partition_keys(man) | pending
+
+    def _pruned_serve_inputs(
+        self, qterms: DataFrame, at: dict | None = None
+    ) -> dict | None:
+        """The bounded driver-side inputs both MAXSCORE serves share:
+        ``{"qpairs": [(query_id, term), ...], "stats": {term: (df,
+        max_tf, min_dl)}}`` — or None when the stats don't cover the
+        probe. Coverage is checked PER BUCKET (a term's postings
+        never span buckets, and a refresh keeps a covered bucket
+        complete, so a bucket key present in the stats manifest
+        vouches for every term it holds). Returns None — never a
+        partially-trusted result — after a truncation
         (``remove``/replace-add), for a pre-stats legacy index, for a
         snapshot pinned before the stats table existed, and in the
         mid-rebucket crash window where the two tables sit at
-        different widths (the key strings then never intersect)."""
+        different widths (the key strings then never intersect).
+
+        Cost: ONE collect of the query-term frame and ONE
+        bucket-pruned stats read — both query-batch-bounded, the same
+        contract every serve path already assumes when it broadcasts
+        the query side. Holding these driver-side is what keeps the
+        pruned plans to a fixed small job count (selection happens in
+        Python; SCORING stays in-plan with the exact path's
+        expression trees)."""
+        import hashlib
+
         if at is not None:
             v = at.get("term_stats")
             if v is None:
@@ -1315,32 +1495,68 @@ class PostingsIndex:
             v = int(v)
             pv = self._pin(at, "postings")
         else:
-            if self.term_stats_t.current_version() is None:
+            # freshness record must match BOTH live versions: a
+            # crashed add, a deferred-mode add, or any out-of-band
+            # mutation falls back to the exact plan instead of
+            # trusting silently-stale bounds
+            if (
+                self.term_stats_t.current_version() is None
+                or not self._stats_fresh()
+            ):
                 return None
             v = None
             pv = None
+        qpairs = [
+            (r["query_id"], r["term"])
+            for r in qterms.collect()
+            if r["term"] is not None
+        ]
+        terms = sorted({t for _, t in qpairs})
+        if not terms:
+            return {"qpairs": qpairs, "stats": {}}
         plen = self._prefix_len(at)
         touched = {
-            f"term_prefix={r['p']}"
-            for r in qterms.select(
-                F.substring(F.md5("term"), 1, plen).alias("p")
-            )
-            .distinct()
-            .collect()
+            "term_prefix=" + hashlib.md5(t.encode()).hexdigest()[:plen]
+            for t in terms
         }
         existing = live_partition_keys(self.postings_t._manifest(pv))
         probe = sorted(touched & existing)
-        covered = live_partition_keys(self.term_stats_t._manifest(v))
+        covered = self._stats_covered_buckets(v)
         if not set(probe) <= covered:
             return None
-        stats = (
+        tdf = (
             self.term_stats_t.read(version=v)
             if len(probe) == len(covered)
             else self.term_stats_t.read(version=v, partitions=probe)
         )
-        return stats.join(
-            F.broadcast(qterms.select("term").distinct()), "term", "left_semi"
-        ).select("term", "df", "max_tf", "min_dl")
+        rows = tdf.where(F.col("term").isin(terms)).collect()
+        return {
+            "qpairs": qpairs,
+            "stats": {
+                r["term"]: (r["df"], r["max_tf"], r["min_dl"])
+                for r in rows
+            },
+        }
+
+    def _select_pairs(
+        self, qterms: DataFrame, pairs: list
+    ) -> DataFrame:
+        """qterms restricted to the given (query_id, term) pairs —
+        selection computed driver-side, types preserved by a
+        broadcast string-keyed semi-join against the ORIGINAL frame
+        (the output query_id keeps the caller's type, which the
+        hash-gated schema check depends on)."""
+        if not pairs:
+            return qterms.where(F.lit(False))
+        sel = self.spark.createDataFrame(
+            [(str(q), t) for q, t in pairs], "q string, t string"
+        )
+        return qterms.join(
+            F.broadcast(sel),
+            (F.col("query_id").cast("string") == F.col("q"))
+            & (F.col("term") == F.col("t")),
+            "left_semi",
+        )
 
     def search_bm25(
         self, queries: DataFrame, k: int = 10, k1: float = 1.2, b: float = 0.75,
@@ -1380,10 +1596,10 @@ class PostingsIndex:
         query)."""
         qterms = _query_terms(queries, query_id_col, query_text_col)
         if prune not in (False, "off"):
-            tstats = self._term_stats_probe(qterms, at)
-            if tstats is not None:
+            inputs = self._pruned_serve_inputs(qterms, at)
+            if inputs is not None:
                 frames = self._bm25_pruned_frames(
-                    qterms, k, k1, b, pair_filter, at, tstats,
+                    qterms, k, k1, b, pair_filter, at, inputs,
                     seed_df_budget,
                 )
                 return frames["topk"]
@@ -1423,15 +1639,18 @@ class PostingsIndex:
         b: float,
         pair_filter: DataFrame | None,
         at: dict | None,
-        tstats: DataFrame,
+        inputs: dict,
         seed_df_budget: int | None = None,
     ) -> dict:
-        """The max-score pruned BM25 pipeline, returned as its named
-        intermediate frames (``topk`` is the result; the rest feed
-        :meth:`bm25_prune_report`). Exactness argument, for the
-        record:
+        """The max-score pruned BM25 pipeline. SELECTION (seed terms,
+        the essential/non-essential split) happens DRIVER-SIDE over
+        the bounded collected inputs — a fixed small job count per
+        serve (one theta aggregation plus the returned completion
+        plan), instead of a cascade of stats-scan subplans; SCORING
+        stays in-plan with the exact path's expression trees, so
+        surviving rows are bit-identical. Exactness argument:
 
-        - ``w_ub(t) = idf(df_t) * S(max_tf_t, min_dl_t)`` bounds every
+        - ``w_ub(t) = idf(df_t) * w(max_tf_t, min_dl_t)`` bounds every
           document's per-term contribution (the weight is monotone up
           in tf, down in dl; df/max_tf/min_dl are exact under the
           coverage check — adds refresh touched buckets in the same
@@ -1443,65 +1662,74 @@ class PostingsIndex:
         - Non-essential terms: the maximal ascending-``w_ub`` prefix
           whose inclusive running sum stays strictly below
           ``theta * (1 - 1e-9)`` (the margin absorbs float-rounding
-          slack in the monotonicity argument). A document containing
-          no essential term scores at most that sum < theta, while at
-          least k documents (phase A's witnesses, which always hold
-          an essential term — their partials would otherwise exceed
-          their own bound) score >= theta: excluded documents can
-          never reach the top k, ties included (strict inequality
-          beats the doc_id tiebreak).
+          slack, including the Python-vs-JVM libm ULP in the
+          driver-computed bounds — theta itself is collected from the
+          Spark aggregation, so the threshold side is engine-exact).
+          A document containing no essential term scores at most that
+          sum < theta, while at least k documents (phase A's
+          witnesses) score >= theta: excluded documents can never
+          reach the top k, ties included.
         - Completion re-scores candidate documents over ALL query
-          terms with expression-identical arithmetic (same sorted
-          fold, df from the stats longs), so surviving scores are
-          bit-identical to the unpruned plan's.
+          terms (df from the stats longs, same sorted fold) — the
+          common terms' O(df) posting rows die at the candidate
+          semi-join instead of feeding the aggregation."""
+        import math
 
-        Plan shape at scale: phase A reads ONLY the seed terms'
-        buckets; the completion scan is bucket-pruned to the query's
-        terms and its shuffle carries candidate matches only (the
-        common terms' O(df) posting rows die at the broadcast
-        candidate semi-join instead of feeding the aggregation)."""
         budget = int(seed_df_budget) if seed_df_budget else max(64, 4 * k)
+        qpairs, tstats = inputs["qpairs"], inputs["stats"]
         stats = self._corpus_stats(at)
-        # per-(query, term) upper bounds — query-batch-sized, broadcast
-        ub = (
-            qterms.join(F.broadcast(tstats), "term")
-            .crossJoin(F.broadcast(stats))
-            .withColumn("idf", _bm25_idf())
-            .withColumn(
-                "w_ub", _bm25_w(F.col("max_tf"), F.col("min_dl"), k1, b)
+        cs_rows = stats.collect()
+        n_docs = cs_rows[0]["n_docs"] if cs_rows else None
+        avgdl = cs_rows[0]["avgdl"] if cs_rows else None
+
+        byq: dict = {}
+        for qid, t in qpairs:
+            if t in tstats:
+                byq.setdefault(qid, []).append(t)
+
+        def w_ub(t: str) -> float:
+            df, max_tf, min_dl = tstats[t]
+            idf = math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+            return (
+                idf
+                * (max_tf * (k1 + 1.0))
+                / (max_tf + k1 * (1.0 - b + b * min_dl / avgdl))
             )
-            .select("query_id", "term", "df", "w_ub")
-        )
-        # seed = rarest-first terms until the budget of posting reads
-        # is spent (the rarest term always seeds: its preceding sum is
-        # 0) — enough docs to land a real theta, bounded phase-A cost
-        wseed = (
-            Window.partitionBy("query_id")
-            .orderBy(F.asc("df"), F.asc("term"))
-            .rowsBetween(Window.unboundedPreceding, -1)
-        )
-        seed = (
-            ub.withColumn(
-                "df_before", F.coalesce(F.sum("df").over(wseed), F.lit(0))
-            )
-            .where(
-                # rarest term always seeds; after that a term joins
-                # only if its postings still FIT the budget — a common
-                # term must never ride in on the rare ones' small
-                # preceding sum (ascending df makes this a prefix)
-                (F.col("df_before") == 0)
-                | (F.col("df_before") + F.col("df") <= F.lit(budget))
-            )
-            .select("query_id", "term", "df")
-        )
-        # phase A: score the seed terms only — the postings read is
-        # pruned to the SEED terms' buckets
-        seed_post = self._probed_postings(seed, at).join(
-            F.broadcast(seed), "term"
-        )
+
+        seed_pairs: list = []
+        seeds_by_q: dict = {}
+        for qid, terms in byq.items():
+            run = 0
+            chosen = []
+            for i, t in enumerate(
+                sorted(terms, key=lambda t: (tstats[t][0], t))
+            ):
+                df = tstats[t][0]
+                if i == 0 or run + df <= budget:
+                    chosen.append(t)
+                    run += df
+                else:
+                    run += df
+            seeds_by_q[qid] = chosen
+            seed_pairs.extend((qid, t) for t in chosen)
+
+        seedf = self._select_pairs(qterms, seed_pairs)
+        seed_terms = sorted({t for _, t in seed_pairs})
         partial = (
             _apply_pair_filter(
-                seed_post.crossJoin(F.broadcast(stats))
+                self._probed_postings_for(seed_terms, at)
+                .join(F.broadcast(seedf), "term")
+                .join(
+                    F.broadcast(
+                        self.spark.createDataFrame(
+                            [(t, int(tstats[t][0])) for t in seed_terms]
+                            or [],
+                            "term string, df long",
+                        )
+                    ),
+                    "term",
+                )
+                .crossJoin(F.broadcast(stats))
                 .withColumn("idf", _bm25_idf())
                 .withColumn("w", _bm25_w(F.col("tf"), F.col("dl"), k1, b)),
                 pair_filter,
@@ -1512,49 +1740,50 @@ class PostingsIndex:
         wk = Window.partitionBy("query_id").orderBy(
             F.desc("pscore"), F.asc("doc_id")
         )
-        theta = (
-            partial.withColumn("rn", F.row_number().over(wk))
+        theta = {
+            r["query_id"]: r["pscore"]
+            for r in partial.withColumn("rn", F.row_number().over(wk))
             .where(F.col("rn") == k)
-            .select("query_id", F.col("pscore").alias("theta"))
-        )
-        # essential split: ascending-w_ub inclusive running sum vs
-        # theta (queries that seeded fewer than k docs get theta=0 —
-        # every term essential, the plan degrades to the exact path)
-        wcum = (
-            Window.partitionBy("query_id")
-            .orderBy(F.asc("w_ub"), F.asc("term"))
-            .rowsBetween(Window.unboundedPreceding, 0)
-        )
-        essential = (
-            ub.withColumn("cum_ub", F.sum("w_ub").over(wcum))
-            .join(F.broadcast(theta), "query_id", "left")
-            .where(
-                ~(
-                    F.col("cum_ub")
-                    < F.coalesce(F.col("theta"), F.lit(0.0))
-                    * F.lit(1.0 - 1e-9)
-                )
-            )
-            .select("query_id", "term")
-        )
-        # candidates: documents holding at least one essential term
-        post_all = self._probed_postings(qterms, at)
+            .select("query_id", "pscore")
+            .collect()
+        }
+
+        ess_pairs: list = []
+        ne_count: dict = {}
+        for qid, terms in byq.items():
+            th = theta.get(qid, 0.0)
+            cum = 0.0
+            ne = 0
+            for t in sorted(terms, key=lambda t: (w_ub(t), t)):
+                cum += w_ub(t)
+                if cum < th * (1.0 - 1e-9):
+                    ne += 1
+                else:
+                    break
+            ordered = sorted(terms, key=lambda t: (w_ub(t), t))
+            ess_pairs.extend((qid, t) for t in ordered[ne:])
+            ne_count[qid] = ne
+
+        all_terms = sorted({t for _, t in qpairs if t in tstats})
+        post_all = self._probed_postings_for(all_terms, at)
+        essf = self._select_pairs(qterms, ess_pairs)
         cand = _apply_pair_filter(
-            post_all.join(F.broadcast(essential), "term").select(
+            post_all.join(F.broadcast(essf), "term").select(
                 "query_id", "doc_id"
             ),
             pair_filter,
         ).distinct()
+        dff = self.spark.createDataFrame(
+            [(t, int(tstats[t][0])) for t in all_terms] or [],
+            "term string, df long",
+        )
         # completion: full scores for candidates only — common terms'
         # posting rows die at this semi-join instead of feeding the
-        # sorted-fold aggregation (no broadcast hint: candidate-set
-        # size is data-dependent, so AQE picks the strategy at runtime)
+        # sorted-fold aggregation (no broadcast hint on cand: its size
+        # is data-dependent, AQE picks the strategy at runtime)
         full = (
             post_all.join(F.broadcast(qterms), "term")
-            .join(
-                F.broadcast(ub.select("query_id", "term", "df")),
-                ["query_id", "term"],
-            )
+            .join(F.broadcast(dff), "term")
             .join(cand, ["query_id", "doc_id"], "left_semi")
             .crossJoin(F.broadcast(stats))
             .withColumn("idf", _bm25_idf())
@@ -1574,11 +1803,14 @@ class PostingsIndex:
             .select("query_id", "doc_id", "score", "rank")
         )
         return {
-            "ub": ub,
-            "seed": seed,
+            "byq": byq,
+            "seeds_by_q": seeds_by_q,
             "theta": theta,
-            "essential": essential,
+            "ne_count": ne_count,
+            "stats": tstats,
             "candidates": cand,
+            "post_all": post_all,
+            "qterms": qterms,
             "topk": topk,
         }
 
@@ -1596,63 +1828,58 @@ class PostingsIndex:
         query term); ``rows_seed + rows_completed`` is what the pruned
         plan aggregates instead — the ratio is the candidate-cost
         shrink the max-score split bought. Runs real jobs (it counts
-        the intermediate frames); raises if the stats don't cover the
+        the completion frames); raises if the stats don't cover the
         probe, since there is then no pruned plan to report on."""
         qterms = _query_terms(queries, query_id_col, query_text_col)
-        tstats = self._term_stats_probe(qterms, at)
-        if tstats is None:
+        inputs = self._pruned_serve_inputs(qterms, at)
+        if inputs is None:
             raise ValueError(
                 "term stats do not cover this probe (truncated by a "
                 "remove/replace-add, legacy index, or pre-stats "
                 "snapshot) — run refresh_term_stats() first"
             )
         fr = self._bm25_pruned_frames(
-            qterms, k, k1, b, None, at, tstats, seed_df_budget
+            qterms, k, k1, b, None, at, inputs, seed_df_budget
         )
-        per_term = fr["ub"].select("query_id", "term", "df")
-        full = per_term.groupBy("query_id").agg(
-            F.count(F.lit(1)).alias("n_terms"),
-            F.sum("df").alias("rows_full"),
-        )
-        seed = fr["seed"].groupBy("query_id").agg(
-            F.count(F.lit(1)).alias("n_seed"),
-            F.sum("df").alias("rows_seed"),
-        )
-        ess = fr["essential"].groupBy("query_id").agg(
-            F.count(F.lit(1)).alias("n_essential")
-        )
-        cand = fr["candidates"].groupBy("query_id").agg(
-            F.count(F.lit(1)).alias("n_candidates")
-        )
-        # completion aggregates one row per (candidate doc, query term
-        # the doc holds) — count them exactly as the plan builds them
-        post_all = self._probed_postings(qterms, at)
-        comp = (
-            post_all.join(F.broadcast(qterms), "term")
+        tstats = fr["stats"]
+        cand_counts = {
+            r["query_id"]: r["n"]
+            for r in fr["candidates"]
+            .groupBy("query_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        comp_counts = {
+            r["query_id"]: r["n"]
+            for r in fr["post_all"]
+            .join(F.broadcast(fr["qterms"]), "term")
             .join(fr["candidates"], ["query_id", "doc_id"], "left_semi")
             .groupBy("query_id")
-            .agg(F.count(F.lit(1)).alias("rows_completed"))
-        )
-        out = (
-            full.join(seed, "query_id", "left")
-            .join(ess, "query_id", "left")
-            .join(cand, "query_id", "left")
-            .join(comp, "query_id", "left")
-            .select(
-                "query_id",
-                "n_terms",
-                F.coalesce("n_seed", F.lit(0)).alias("n_seed"),
-                F.coalesce("n_essential", F.lit(0)).alias("n_essential"),
-                F.coalesce("rows_full", F.lit(0)).alias("rows_full"),
-                F.coalesce("rows_seed", F.lit(0)).alias("rows_seed"),
-                F.coalesce("rows_completed", F.lit(0)).alias(
-                    "rows_completed"
-                ),
-                F.coalesce("n_candidates", F.lit(0)).alias("n_candidates"),
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        rows = []
+        for qid, terms in sorted(fr["byq"].items(), key=lambda x: str(x[0])):
+            seeds = fr["seeds_by_q"].get(qid, [])
+            rows.append(
+                (
+                    qid,
+                    len(terms),
+                    len(seeds),
+                    len(terms) - fr["ne_count"].get(qid, 0),
+                    int(sum(tstats[t][0] for t in terms)),
+                    int(sum(tstats[t][0] for t in seeds)),
+                    int(comp_counts.get(qid, 0)),
+                    int(cand_counts.get(qid, 0)),
+                )
             )
+        qtype = dict(fr["qterms"].dtypes).get("query_id", "string")
+        return self.spark.createDataFrame(
+            rows,
+            f"query_id {qtype}, n_terms long, n_seed long, "
+            "n_essential long, rows_full long, rows_seed long, "
+            "rows_completed long, n_candidates long",
         )
-        return out
-
 
 def phrase_search(
     docs: DataFrame,

@@ -4285,3 +4285,68 @@ def test_keyword_maxscore_prune_exact(spark, tmp_path):
                                       prune="off").collect()))
     idx.remove([0])
     assert rows_of(prune="auto") == rows_of(prune="off")  # fallback
+
+
+def test_stats_refresh_maintain_mode_and_crash_window(spark, tmp_path):
+    """stats_refresh='maintain': adds stay lean (no stats refresh),
+    the serve provably detects staleness and falls back exact, and
+    maintain() restores pruning. The freshness sidecar also closes
+    the crash window: stats committed for an OLDER postings version
+    never prune."""
+    from datalake_toolkit_spark.llm import PostingsIndex
+    from datalake_toolkit_spark.llm.search import _query_terms
+
+    docs1 = spark.createDataFrame(
+        [(i, f"the w{i % 9} " + ("rare" if i == 7 else "pad"))
+         for i in range(120)],
+        "doc_id bigint, text string",
+    )
+    idx = PostingsIndex(
+        spark, str(tmp_path / "p"), prefix_len=1, stats_refresh="maintain"
+    )
+    idx.add(docs1)  # first build DOES seed stats (one direct write)
+    queries = spark.createDataFrame(
+        [(1, "the rare")], "query_id bigint, query_text string"
+    )
+    qt = _query_terms(queries, "query_id", "query_text")
+    assert idx._pruned_serve_inputs(qt) is not None  # fresh after build
+
+    idx.add(
+        spark.createDataFrame(
+            [(500, "rare rare the")], "doc_id bigint, text string"
+        ),
+        mode="mor",
+    )
+    # deferred mode: stats now stale -> pruning off, answers exact
+    assert idx._pruned_serve_inputs(qt) is None
+    auto = sorted(map(tuple, idx.search_bm25(queries, k=5).collect()))
+    off = sorted(
+        map(tuple, idx.search_bm25(queries, k=5, prune="off").collect())
+    )
+    assert auto == off and any(d == 500 for (_, d, *_r) in auto)
+    # a snapshot taken while stale must NOT pin the stats
+    assert idx.snapshot()["term_stats"] is None
+
+    idx.maintain()  # refresh belongs to maintenance in this mode
+    assert idx._pruned_serve_inputs(qt) is not None
+    assert sorted(
+        map(tuple, idx.search_bm25(queries, k=5).collect())
+    ) == off
+    assert idx.snapshot()["term_stats"] is not None
+
+    # crash-window simulation in DEFAULT mode: commit postings behind
+    # the index's back (an out-of-band writer / a crash before the
+    # refresh) -> freshness record mismatches -> exact fallback
+    idx2 = PostingsIndex(spark, str(tmp_path / "p2"), prefix_len=1)
+    idx2.add(docs1)
+    assert idx2._pruned_serve_inputs(qt) is not None
+    idx2.postings_t.upsert(
+        idx2.postings_t.read().limit(1),  # content no-op, version bump
+        keys=["term", "doc_id"],
+        mode="mor",
+        partition_scoped=True,
+        assume_key_unique=True,
+    )
+    assert idx2._pruned_serve_inputs(qt) is None
+    idx2.refresh_term_stats()
+    assert idx2._pruned_serve_inputs(qt) is not None
