@@ -587,7 +587,12 @@ class PostingsIndex:
                 # _remove, so stats coverage shrinks to exactly the
                 # re-added buckets — which is what the per-bucket
                 # coverage check serves correctly
-                if self.stats_refresh == "add":
+                # a replace-add just TRUNCATED the stats: refreshing
+                # only this batch's buckets would leave a mostly-
+                # uncovered table that can't serve pruning anyway —
+                # skip the cost and leave restoration to maintain()/
+                # refresh_term_stats(), like the deferred mode
+                if self.stats_refresh == "add" and not replace:
                     tbuckets = sorted(
                         {
                             f"term_prefix={r['p']}"
