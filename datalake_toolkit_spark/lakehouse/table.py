@@ -263,6 +263,13 @@ def _parse_conjuncts(where: str) -> list[tuple[str, str, object]]:
     # parse — pruning degrades, the filter still applies.
     in_out: list[tuple[str, str, object]] = []
     def _in_repl(m: "re.Match[str]") -> str:
+        if where.count("'", 0, m.start()) % 2:
+            # the "IN (...)" text sits INSIDE a string literal (odd
+            # number of quotes before it): it is literal data, not a
+            # conjunct — extracting it would prune on a phantom
+            # predicate and silently skip matching files. Poison the
+            # whole parse; the filter still applies unpruned.
+            return "\0"
         vals = []
         for item in m.group(2).split(","):
             item = item.strip()
@@ -285,6 +292,11 @@ def _parse_conjuncts(where: str) -> list[tuple[str, str, object]]:
         in_out.append((m.group(1), "in", tuple(vals)))
         return " 1=1 "  # neutral placeholder keeps the AND structure
 
+    if "\\" in where:
+        # Spark unescapes backslash sequences in string literals; this
+        # parser doesn't — quote-parity checks and value extraction
+        # both become unreliable, so degrade to an unpruned scan
+        return []
     stripped = re.sub(
         r"\b([A-Za-z_][A-Za-z_0-9]*)\s+IN\s+\(([^()]*)\)",
         _in_repl,

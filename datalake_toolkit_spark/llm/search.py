@@ -423,16 +423,24 @@ class PostingsIndex:
         from ONE consistent commit point, undisturbed by later adds /
         removes / maintenance — the time-travel contract the
         underlying LakeTables already have, lifted to the index."""
+        pv = self.postings_t.current_version()
+        # pinned only when provably fresh AT CAPTURE — versions are
+        # immutable afterwards, so a pinned serve can trust the pair
+        # without re-checking the live sidecar. The record is read
+        # ONCE and paired against the postings version CAPTURED ABOVE
+        # (not the live one): a concurrent add landing mid-snapshot
+        # would otherwise pair an older postings pin with newer,
+        # larger-df stats, under-estimating w_ub for the pinned
+        # corpus. On match, the record's OWN stats_version is the
+        # certified partner — never the live table's.
+        rec = self._stats_fresh_record()
         return {
-            "postings": self.postings_t.current_version(),
+            "postings": pv,
             "doc_stats": self.doc_stats_t.current_version(),
             "corpus_stats": self.corpus_stats_t.current_version(),
-            # pinned only when provably fresh AT CAPTURE — versions
-            # are immutable afterwards, so a pinned serve can trust
-            # the pair without re-checking the live sidecar
             "term_stats": (
-                self.term_stats_t.current_version()
-                if self._stats_fresh()
+                rec.get("stats_version")
+                if rec is not None and rec.get("postings_version") == pv
                 else None
             ),
         }
@@ -490,6 +498,18 @@ class PostingsIndex:
         rewrites, rebuild). A replay of a crashed replace-add
         converges: the re-run's delete covers any half-committed
         appends, and the re-run's appends land after it, immune."""
+        # Captured BEFORE any commit bumps versions: the scoped
+        # (batch-terms-only) refresh below is only sound when the
+        # prior stats state was provably consistent. If stats were
+        # already stale at entry (a crashed prior add between its
+        # postings commit and its refresh, adds through a
+        # stats_refresh="maintain" handle, any out-of-band commit),
+        # recomputing just THIS batch's terms would leave other
+        # terms' df/max_tf/min_dl at pre-gap values — and marking
+        # fresh would then under-estimate their MAXSCORE bounds and
+        # silently drop true top-k docs. Stale-at-entry adds repair
+        # with a FULL refresh instead (see below).
+        fresh_before = self._stats_fresh()
         removed_buckets: list[str] = []
         if replace and self.postings_t.current_version() is not None:
             ids = [
@@ -521,7 +541,8 @@ class PostingsIndex:
         # the duration of add() instead of re-tokenizing per commit
         post = post.persist()
         try:
-            if self.postings_t.current_version() is None:
+            postings_first = self.postings_t.current_version() is None
+            if postings_first:
                 v = self.postings_t.write(post, op="postings_build")
             else:
                 v = self.postings_t.upsert(
@@ -553,15 +574,24 @@ class PostingsIndex:
                     ),
                     op="corpus_stats",
                 )
-                self.term_stats_t.write(
-                    post.groupBy("term", "term_prefix").agg(
-                        F.count(F.lit(1)).cast("long").alias("df"),
-                        F.max("tf").cast("long").alias("max_tf"),
-                        F.min("dl").cast("long").alias("min_dl"),
-                    ),
-                    op="term_stats",
-                )
-                self._mark_stats_fresh()
+                if postings_first:
+                    self.term_stats_t.write(
+                        post.groupBy("term", "term_prefix").agg(
+                            F.count(F.lit(1)).cast("long").alias("df"),
+                            F.max("tf").cast("long").alias("max_tf"),
+                            F.min("dl").cast("long").alias("min_dl"),
+                        ),
+                        op="term_stats",
+                    )
+                    self._mark_stats_fresh()
+                else:
+                    # postings pre-existed this handle's first
+                    # doc_stats commit (a crashed first add replayed
+                    # with a DIFFERENT batch): the batch is NOT the
+                    # corpus, so batch-derived term stats would be
+                    # stale-as-fresh — rebuild from the committed
+                    # buckets instead
+                    self.refresh_term_stats()
             else:
                 self.doc_stats_t.upsert(
                     stats,
@@ -593,15 +623,25 @@ class PostingsIndex:
                 # skip the cost and leave restoration to maintain()/
                 # refresh_term_stats(), like the deferred mode
                 if self.stats_refresh == "add" and not replace:
-                    tbuckets = sorted(
-                        {
-                            f"term_prefix={r['p']}"
-                            for r in post.select(
-                                F.col("term_prefix").alias("p")
-                            ).distinct().collect()
-                        }
-                    )
-                    self._refresh_term_stats(tbuckets, batch_terms=post)
+                    if fresh_before:
+                        tbuckets = sorted(
+                            {
+                                f"term_prefix={r['p']}"
+                                for r in post.select(
+                                    F.col("term_prefix").alias("p")
+                                ).distinct().collect()
+                            }
+                        )
+                        self._refresh_term_stats(
+                            tbuckets, batch_terms=post
+                        )
+                    else:
+                        # stats were stale at entry: a scoped
+                        # recompute can't certify the whole table, so
+                        # restore from every live bucket — the same
+                        # repair maintain() runs, pulled forward so
+                        # the default mode keeps pruning always-live
+                        self.refresh_term_stats()
                 # "maintain": stats go stale here and the freshness
                 # record no longer matches — the serve falls back to
                 # the exact plan until maintain()/refresh_term_stats()
@@ -687,21 +727,27 @@ class PostingsIndex:
             )
         os.replace(tmp, p)
 
-    def _stats_fresh(self) -> bool:
-        """True iff the freshness record matches the live versions of
-        both tables (see :meth:`_mark_stats_fresh`)."""
+    def _stats_fresh_record(self) -> dict | None:
+        """The freshness sidecar's (postings_version, stats_version)
+        record, or None when absent/corrupt — one read, so callers
+        pair the two fields atomically."""
         import json as json_mod
 
         p = self._stats_fresh_path()
-        if not os.path.exists(p):
-            return False
         try:
             with open(p) as f:
                 rec = json_mod.load(f)
         except (OSError, ValueError):
-            return False
+            return None
+        return rec if isinstance(rec, dict) else None
+
+    def _stats_fresh(self) -> bool:
+        """True iff the freshness record matches the live versions of
+        both tables (see :meth:`_mark_stats_fresh`)."""
+        rec = self._stats_fresh_record()
         return (
-            rec.get("postings_version")
+            rec is not None
+            and rec.get("postings_version")
             == self.postings_t.current_version()
             and rec.get("stats_version")
             == self.term_stats_t.current_version()
@@ -729,7 +775,14 @@ class PostingsIndex:
         trusts would silently drop the other terms' postings from the
         pruned serve."""
         if not buckets:
-            self._mark_stats_fresh()
+            # nothing live to describe: an EMPTY stats table trivially
+            # matches empty live postings, but a non-empty one cannot
+            # be certified from here — marking it fresh would stamp
+            # whatever rows it holds as live bounds
+            if self.term_stats_t.current_version() is None or not (
+                live_partition_keys(self.term_stats_t._manifest())
+            ):
+                self._mark_stats_fresh()
             return
         covered: set[str] = (
             self._stats_covered_buckets()
@@ -762,8 +815,7 @@ class PostingsIndex:
                     )
                 )
             )
-        if not pieces:
-            self._mark_stats_fresh()
+        if not pieces:  # unreachable: full_b | scoped_b == buckets
             return
         fresh = pieces[0]
         for p in pieces[1:]:

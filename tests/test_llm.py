@@ -4350,3 +4350,99 @@ def test_stats_refresh_maintain_mode_and_crash_window(spark, tmp_path):
     assert idx2._pruned_serve_inputs(qt) is None
     idx2.refresh_term_stats()
     assert idx2._pruned_serve_inputs(qt) is not None
+
+
+def test_add_after_stale_gap_restores_full_stats(spark, tmp_path):
+    """A later add() must never stamp stale term stats as fresh
+    (ADVICE r12, high): if stats were stale at add() entry (a crashed
+    prior add committed postings but died before its refresh), the
+    scoped batch-terms recompute cannot certify the other terms'
+    bounds — stale max_tf/df UNDER-estimate w_ub and the MAXSCORE
+    split would silently drop true top-k docs. add() must instead
+    restore with a FULL refresh, leaving pruning live AND correct."""
+    import hashlib
+
+    from datalake_toolkit_spark.llm import PostingsIndex
+    from datalake_toolkit_spark.llm.search import _query_terms
+
+    docs1 = spark.createDataFrame(
+        [(i, f"the w{i % 9} " + ("rare" if i == 7 else "pad"))
+         for i in range(60)],
+        "doc_id bigint, text string",
+    )
+    idx = PostingsIndex(spark, str(tmp_path / "p"), prefix_len=1)
+    idx.add(docs1)
+    queries = spark.createDataFrame(
+        [(1, "the rare")], "query_id bigint, query_text string"
+    )
+    qt = _query_terms(queries, "query_id", "query_text")
+    base = idx._pruned_serve_inputs(qt)
+    assert base is not None and base["stats"]["rare"][0] == 1
+
+    # crashed-add simulation: postings for TWO more "rare" docs land
+    # (df 1 -> 3, max_tf 1 -> 4) but the refresh never runs
+    pref = hashlib.md5(b"rare").hexdigest()[:1]
+    gap = spark.createDataFrame(
+        [("rare", 900, 4, 4, [0, 1, 2, 3], pref),
+         ("rare", 901, 1, 1, [0], pref)],
+        "term string, doc_id bigint, dl int, tf long, "
+        "positions array<int>, term_prefix string",
+    )
+    idx.postings_t.upsert(
+        gap, keys=["term", "doc_id"], mode="mor",
+        partition_scoped=True, assume_key_unique=True,
+    )
+    assert idx._pruned_serve_inputs(qt) is None  # stale detected
+
+    # a NEW add of UNRELATED terms: pre-fix this scoped-refreshed only
+    # its own terms and marked everything fresh — serving df=1/max_tf=1
+    # for "rare" as live bounds. Post-fix the add restores in full.
+    idx.add(spark.createDataFrame(
+        [(950, "zebra quokka")], "doc_id bigint, text string"
+    ))
+    inputs = idx._pruned_serve_inputs(qt)
+    assert inputs is not None  # pruning is live again...
+    assert inputs["stats"]["rare"] == (3, 4, 1)  # ...with TRUE bounds
+
+
+def test_snapshot_pins_record_paired_stats_version(spark, tmp_path):
+    """snapshot() pairs term_stats with the postings version via the
+    freshness RECORD, read once (ADVICE r12, low): an uncertified
+    newer stats version (out-of-band commit) must not be pinned, but
+    the record's own certified partner still serves the pin."""
+    from datalake_toolkit_spark.llm import PostingsIndex
+    from datalake_toolkit_spark.llm.search import _query_terms
+
+    docs = spark.createDataFrame(
+        [(i, f"the w{i % 7} pad") for i in range(40)],
+        "doc_id bigint, text string",
+    )
+    idx = PostingsIndex(spark, str(tmp_path / "p"), prefix_len=1)
+    idx.add(docs)
+    certified = idx.term_stats_t.current_version()
+
+    # out-of-band stats commit: live stats version moves past the
+    # record; postings unchanged, so the RECORD's pairing still holds
+    idx.term_stats_t.upsert(
+        idx.term_stats_t.read().limit(1),
+        keys=["term"], mode="mor",
+        partition_scoped=True, assume_key_unique=True,
+    )
+    assert idx.term_stats_t.current_version() != certified
+    assert not idx._stats_fresh()
+
+    snap = idx.snapshot()
+    assert snap["term_stats"] == certified  # the certified partner
+
+    queries = spark.createDataFrame(
+        [(1, "the w3")], "query_id bigint, query_text string"
+    )
+    qt = _query_terms(queries, "query_id", "query_text")
+    assert idx._pruned_serve_inputs(qt, at=snap) is not None
+    pinned = sorted(map(tuple, idx.search_bm25(
+        queries, k=5, at=snap
+    ).collect()))
+    exact = sorted(map(tuple, idx.search_bm25(
+        queries, k=5, at=snap, prune="off"
+    ).collect()))
+    assert [r[:2] for r in pinned] == [r[:2] for r in exact]

@@ -572,6 +572,20 @@ def test_parse_conjuncts_shapes():
     assert _parse_conjuncts(r"k IN ('a\'s')") == []
     assert _parse_conjuncts("k IN ()") == []
     assert _parse_conjuncts("name = 'k IN (y)'") == []
+    # ADVICE r12 (medium): "col IN (lit)"-shaped text INSIDE a string
+    # literal must not become a phantom prunable conjunct — files
+    # whose x-stats exclude 3 hold rows matching the REAL filter
+    assert _parse_conjuncts("note = 'x IN (3)'") == []
+    assert _parse_conjuncts("note = 'x IN (3)' AND b = 2") == []
+    assert _parse_conjuncts("note = 'x IN (''a'')'") == []
+    # backslash escapes diverge between Spark literals and this
+    # parser: degrade everywhere, not only inside IN values
+    assert _parse_conjuncts(r"a = 'x\' AND y IN (3)'") == []
+    # ...while a legitimate IN after a quote-balanced literal prunes
+    assert _parse_conjuncts("a = 'it''s' AND b IN (3)") == [
+        ("b", "in", (3,)),
+        ("a", "=", "it's"),
+    ]
     assert _parse_conjuncts("a IS NULL") == []
     assert _parse_conjuncts("name = 'x AND y'") == []  # AND inside quotes
     # parens anywhere: bail out entirely (function calls, grouping)
