@@ -49,20 +49,13 @@ DEMOTED: tuple[str, ...] = (
     # driver window (q_doc_chunks, q_token_shards, q_embedding_pool,
     # q_profile_orders) are PROMOTED, plus three new queries enter
     # (q_catalog_search, q_interval_join_left, q_asof_forward_tolerance).
-    # Seven twice-green (r3+r4) shapes rotate out in exchange, each with
-    # its plan shape still covered in-window:
-    "q14_promo_share",  # agg-share ~ q1/q12
-    "q2_cheapest_per_type",  # per-group min ~ q_top_parts_by_revenue (W2)
-    "q_catalog_columns",  # schema walk ~ q_catalog_search (same machinery)
-    "q_media_resize",  # binary mapInPandas ~ q_multimodal_features/q_video_frames
-    "q_cosine_near_dups",  # exact baseline; LSH-blocked variant stays in-window
-    "q_jaccard_near_dups",  # exact baseline; q_minhash_near_dups stays in-window
-    # r5 second wave: five curation queries enter the window
-    # (q_decontaminate, q_repetition_stats, q_pii_redact,
-    # q_domain_mixture, q_pack_windows); five 4x-green (r1-r4) shapes
-    # rotate out, each still covered in-window:
-    "q_windowed_event_counts",  # streaming windows ~ q_sessionized_users
-    "q_quality_filter_pipeline",  # quality filter ~ q_text_stats + q_repetition_stats
+    # Seven twice-green (r3+r4) shapes rotated out in exchange.
+    # (r13 staleness rotation: the r4-stale cohort parked here —
+    # q14_promo_share, q2_cheapest_per_type, q_catalog_columns,
+    # q_media_resize, q_cosine_near_dups, q_jaccard_near_dups,
+    # q_windowed_event_counts, q_quality_filter_pipeline — RETURNS to
+    # the window per the r12 verdict's #1 ask; removed from this
+    # tuple.)
     # r6 rotation: ALL 18 never-driver-checked queries enter the window
     # (the 11 TPC-H tail shapes q7/q8/q9/q11/q13/q15/q16/q17/q20/q21/q22
     # plus q_word_rarity, q_boilerplate, q_simhash_near_dups,
@@ -70,24 +63,14 @@ DEMOTED: tuple[str, ...] = (
     # q_hashed_embeddings) together with the new q_catalog_walk. In
     # exchange, 19 shapes green in 3+ driver rounds rotate out, each with
     # its plan shape still covered in-window:
-    "q_order_parts_sorted",  # 5x; A2 sorted collect ~ q_embedding_pool (collect_sorted_array)
-    "q_sessionized_users",  # 5x; streaming windows ~ q_stream_dedup + q_interval_join stay
-    "q_text_stats",  # 5x; text expressions ~ q_word_rarity / q_repetition_stats
-    "q_dedup_exact",  # 5x; hash-agg dedup ~ q16_supplier_count distinct-agg + q_hashed_embeddings
-    "q_minhash_near_dups",  # 5x; banded self-join ~ q_simhash_near_dups (incoming)
-    "q_ann_cosine_topk",  # 5x; exact ANN baseline ~ q_lsh_ann_topk + q_ivf_ann_topk stay
-    "q_multimodal_features",  # 5x; binary mapInPandas ~ q_video_frames stays
-    "q_corpus_curation",  # 5x; curation composition ~ q_decontaminate/q_pii_redact/q_domain_mixture
-    "q_top_parts_by_revenue",  # 5x; W2 per-group top-k ~ q15_top_supplier (incoming)
-    "q_year_orders",  # 4x; trivial date agg ~ q12 stays
-    "q_user_event_map",  # 4x; A1 kv->map last-wins; winner rule pinned by property test
-    "q_asof_join",  # 4x; same operator as q_asof_forward_tolerance (stays)
-    "q_uri_normalize",  # 4x; scalar expressions ~ q_pii_redact regex path
-    "q_escape_props",  # 4x; same family
-    "q_time_functions",  # 4x; same family + TPC-H date arithmetic incoming
-    "q_catalog_roundtrip_ids",  # 3x; same machinery
-    "q_catalog_skewed_info",  # 3x; same machinery
-    "q_show_tables",  # 3x; subsumed by q_catalog_walk (full 3-level walk)
+    # (r13 staleness rotation: the r5-stale cohort parked here —
+    # q_order_parts_sorted, q_sessionized_users, q_text_stats,
+    # q_dedup_exact, q_minhash_near_dups, q_ann_cosine_topk,
+    # q_multimodal_features, q_corpus_curation, q_top_parts_by_revenue,
+    # q_year_orders, q_user_event_map, q_asof_join, q_uri_normalize,
+    # q_escape_props, q_time_functions, q_catalog_roundtrip_ids,
+    # q_catalog_skewed_info, q_show_tables — RETURNS to the window per
+    # the r12 verdict's #1 ask; removed from this tuple.)
     # r7 rotation: the four r6-born flagships (q_curate_corpus_full,
     # q_semantic_dedup, q_banded_cosine_near_dups, q_incremental_minhash)
     # are PROMOTED out of this tuple into the window, together with the
@@ -306,6 +289,38 @@ DEMOTED: tuple[str, ...] = (
     # the incoming slop variant, and the span-dup composition stays
     # in local parity.
     "q_dup_ngram_stats",
+    # r13 rotation (the r12 verdict's #1 ask): the full r4/r5-stale
+    # cohort RETURNS to the window — 8 queries last driver-green in r4
+    # and 18 in r5, all listed in the two r13 notes above. Twenty-six
+    # multi-green shapes rotate out in exchange, each with its plan
+    # shape still covered in-window or pinned by local parity + tests
+    # (green counts from CORRECTNESS_r01..r12):
+    "q22_sales_opportunity",  # 7x (r6-r12); scalar-avg subquery ~ q20-family shapes via q2_cheapest_per_type (returning correlated min)
+    "q20_excess_stock",  # 7x (r6-r12); correlated scalar subquery ~ q2_cheapest_per_type (returning)
+    "q_bigram_familiarity",  # 6x (r7-r12); corpus-grounded text stats ~ q_text_stats (returning)
+    "q_bpe_train",  # 6x (r7-r12); iterative merge loop pinned by tests/test_llm.py BPE suite
+    "q_stream_near_dedup",  # 6x (r7-r12); foreachBatch ledger replay ~ q_raw_file_docs stays + streaming plane gate (r13 birth)
+    "q_pivot_order_priority",  # 5x; pivot ~ q_grouping_sets_revenue stays
+    "q_all_parties",  # 5x; union/selectExpr ~ q_big_spenders + returning cohort scans
+    "q_doc_words_indexed",  # 5x; posexplode collect ~ q_order_parts_sorted (returning A2 shape)
+    "q_sanitize_headers",  # 5x; regex projection ~ q_escape_props + q_uri_normalize (returning)
+    "q_skewed_list_parse",  # 5x; string parse ~ q_ddb_json_roundtrip stays
+    "q_mor_upsert_partitioned",  # 5x; MoR MERGE ~ index lifecycles (q_index_rebucket/q_index_sync) stay + lakehouse tests
+    "q5_region_revenue",  # 4x; join-agg ~ q10_returned_items family via returning q_top_parts_by_revenue
+    "q10_returned_items",  # 4x; join-agg-topk ~ q_top_parts_by_revenue (returning W2)
+    "q_rollup_supplier_balance",  # 4x; rollup ~ q_grouping_sets_revenue stays
+    "q4_priority_with_returns",  # 4x; exists-semi agg ~ q_retained_customers stays
+    "q19_disjunctive_revenue",  # 4x; disjunctive filter-agg ~ q14_promo_share (returning)
+    "q_nation_region",  # 4x; broadcast dim join ~ q5-family via returning cohort
+    "q_lang_id",  # 4x; expression-only text scalars ~ q_text_stats (returning)
+    "q_fingerprints",  # 4x; rolling-hash scalars ~ q_text_stats (returning)
+    "q_simhash",  # 4x; bit-fold scalars ~ q_minhash_near_dups (returning)
+    "q_incremental_semantic",  # 4x; band/vector ledger ~ q_ann_sync + q_index_sync stay
+    "q_postings_search",  # 4x; postings lifecycle ~ q_index_bm25_pruned + q_index_time_travel + q_index_corpus_stats stay
+    "q_index_phrase",  # 4x; positional serve ~ q_index_phrase_slop (superset) stays
+    "q_embedding_norms",  # 3x; array folds ~ q_jl_projection + q_ann_cosine_topk (returning)
+    "q_churned_customers",  # 3x; anti-join family ~ q_retained_customers stays
+    "q_customers_without_orders",  # 3x; same anti-join family ~ q_retained_customers stays
 )
 
 GATE_WINDOW = 50
