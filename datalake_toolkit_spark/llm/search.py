@@ -399,13 +399,16 @@ class PostingsIndex:
         # bucketed exactly like postings, feeding the max-score pruned
         # BM25 serve (:meth:`search_bm25` ``prune="auto"``). Refreshed
         # per touched bucket at ``add`` (a pure recompute of the
-        # bucket's committed postings — idempotent like corpus_stats)
-        # and TRUNCATED by ``remove``/``add(replace=True)``: removals
-        # can only shrink df/max_tf and grow min_dl, which would make
-        # a stale idf bound UNDERestimate — instead of tracking decay,
-        # the serve falls back to the exact unpruned path until
+        # bucket's committed postings — idempotent like corpus_stats).
+        # Removals can only shrink df/max_tf and grow min_dl — stale
+        # rows would UNDERestimate the idf bound — so ``remove``/
+        # ``add(replace=True)`` either incrementally recompute exactly
+        # the removed docs' terms (fresh-at-entry, stats_refresh=
+        # "add": pruning stays live, see
+        # :meth:`_refresh_term_stats_for_terms`) or TRUNCATE the table
+        # and serve the exact unpruned plan until
         # :meth:`refresh_term_stats`/:meth:`rebucket` restores
-        # coverage, keeping ``remove`` O(metadata).
+        # coverage (the lean deferred contract).
         self.term_stats_t = LakeTable(
             spark,
             os.path.join(path, "term_stats"),
@@ -518,7 +521,16 @@ class PostingsIndex:
                     F.col(self.id_col).alias("doc_id")
                 ).distinct().collect()
             ]
-            removed_buckets = self._remove(ids)
+            # fresh-at-entry replace-adds maintain the removed ids'
+            # term stats incrementally, so pruning survives the whole
+            # replace cycle (the CDF-sync hot path); stale ones keep
+            # the lean truncate + deferred-restore contract
+            removed_buckets = self._remove(
+                ids,
+                maintain_stats=(
+                    self.stats_refresh == "add" and fresh_before
+                ),
+            )
         plen = self._prefix_len()
         toks = docs.select(
             F.col(self.id_col).alias("doc_id"),
@@ -612,18 +624,16 @@ class PostingsIndex:
                 self._refresh_corpus_stats(
                     sorted(touched | set(removed_buckets))
                 )
-                # bounded collect: <= 16^plen postings bucket keys.
-                # On a replace-add this lands AFTER the truncation in
-                # _remove, so stats coverage shrinks to exactly the
-                # re-added buckets — which is what the per-bucket
-                # coverage check serves correctly
-                # a replace-add just TRUNCATED the stats: refreshing
-                # only this batch's buckets would leave a mostly-
-                # uncovered table that can't serve pruning anyway —
-                # skip the cost and leave restoration to maintain()/
-                # refresh_term_stats(), like the deferred mode
-                if self.stats_refresh == "add" and not replace:
+                # bounded collect: <= 16^plen postings bucket keys
+                if self.stats_refresh == "add":
                     if fresh_before:
+                        # fresh at entry: the scoped recompute of the
+                        # batch's terms certifies the table — on a
+                        # replace-add the removal side already
+                        # recomputed the removed ids' terms
+                        # incrementally (see _remove), so the only
+                        # stats this commit can have changed are the
+                        # batch's own
                         tbuckets = sorted(
                             {
                                 f"term_prefix={r['p']}"
@@ -635,13 +645,18 @@ class PostingsIndex:
                         self._refresh_term_stats(
                             tbuckets, batch_terms=post
                         )
-                    else:
+                    elif not replace:
                         # stats were stale at entry: a scoped
                         # recompute can't certify the whole table, so
                         # restore from every live bucket — the same
                         # repair maintain() runs, pulled forward so
                         # the default mode keeps pruning always-live
                         self.refresh_term_stats()
+                    # stale replace-add: _remove just truncated the
+                    # stats — restoring here would put a full
+                    # postings pass on the sync hot path; leave it to
+                    # maintain()/refresh_term_stats(), the deferred
+                    # contract (serving stays exact meanwhile)
                 # "maintain": stats go stale here and the freshness
                 # record no longer matches — the serve falls back to
                 # the exact plan until maintain()/refresh_term_stats()
@@ -879,6 +894,75 @@ class PostingsIndex:
         except OSError:
             pass
 
+    def _refresh_term_stats_for_terms(self, affected: DataFrame) -> None:
+        """Recompute (df, max_tf, min_dl) for exactly the given
+        ``(term, term_prefix)`` rows from the COMMITTED (post-delete)
+        postings and upsert them — the incremental removal hook that
+        keeps MAXSCORE pruning live across deletes. Sound because a
+        removal only changes the stats of the removed docs' OWN terms:
+        every other term's (df, max_tf, min_dl) is untouched, so a
+        table that was fresh before the delete stays complete once the
+        affected rows are replaced. A term whose last posting died
+        upserts an explicit zero row (df=0, max_tf=0): its w_ub bound
+        is then 0 and the pruned serve correctly treats it as
+        contributing nothing, while the bucket's coverage stays whole.
+        Caller contract: only invoke when the stats were provably
+        fresh at mutation entry (the caller gates on that) — an
+        incremental recompute cannot certify a table that was already
+        stale."""
+        terms = affected.select("term", "term_prefix").distinct()
+        buckets = sorted(
+            {
+                f"term_prefix={r['p']}"
+                for r in terms.select(
+                    F.col("term_prefix").alias("p")
+                ).distinct().collect()
+            }
+        )
+        if not buckets:
+            # the removed ids held no postings: stats content is
+            # unchanged — re-pair the record with the bumped versions
+            self._mark_stats_fresh()
+            return
+        zeros = [
+            F.lit(0).cast("long").alias(c)
+            for c in ("df", "max_tf", "min_dl")
+        ]
+        live = live_partition_keys(self.postings_t._manifest())
+        if set(buckets) & live:
+            fresh = (
+                self.postings_t.read(
+                    partitions=sorted(set(buckets) & live)
+                )
+                .join(terms.select("term"), "term", "left_semi")
+                .groupBy("term", "term_prefix")
+                .agg(
+                    F.count(F.lit(1)).cast("long").alias("df"),
+                    F.max("tf").cast("long").alias("max_tf"),
+                    F.min("dl").cast("long").alias("min_dl"),
+                )
+            )
+            full = terms.join(
+                fresh, ["term", "term_prefix"], "left"
+            ).select(
+                "term",
+                "term_prefix",
+                *[
+                    F.coalesce(c, F.lit(0)).cast("long").alias(c)
+                    for c in ("df", "max_tf", "min_dl")
+                ],
+            )
+        else:  # every affected bucket died with the delete
+            full = terms.select("term", "term_prefix", *zeros)
+        self.term_stats_t.upsert(
+            full,
+            keys=["term"],
+            mode="mor",
+            partition_scoped=True,
+            assume_key_unique=True,
+        )
+        self._mark_stats_fresh()
+
     def remove(self, doc_ids) -> None:
         """Delete documents from the index: merge-on-read PREDICATE
         deletes on both postings and doc_stats (O(metadata) commits —
@@ -887,12 +971,26 @@ class PostingsIndex:
         corpus stats recompute. ``doc_ids`` is a bounded id list
         (update-sized; for corpus-scale deletion, rebuild from the
         surviving docs). Idempotent: removing an absent id is a
-        no-op."""
-        buckets = self._remove(doc_ids)
+        no-op.
+
+        Term stats: when this handle maintains stats on the write
+        path (``stats_refresh="add"``) and they were fresh at entry,
+        the removal incrementally recomputes exactly the removed
+        docs' terms (see :meth:`_refresh_term_stats_for_terms`), so
+        MAXSCORE pruning stays live across deletes — no
+        ``maintain()`` needed. Otherwise the stats truncate and the
+        serve falls back to the exact plan (the lean deferred-mode
+        contract)."""
+        buckets = self._remove(
+            doc_ids,
+            maintain_stats=(
+                self.stats_refresh == "add" and self._stats_fresh()
+            ),
+        )
         self._refresh_corpus_stats(buckets)
 
-    def _remove(self, doc_ids) -> list[str]:
-        """:meth:`remove` minus the stats refresh — returns the
+    def _remove(self, doc_ids, maintain_stats: bool = False) -> list[str]:
+        """:meth:`remove` minus the corpus-stats refresh — returns the
         removed ids' live doc_stats bucket keys so ``add(replace=
         True)`` can fold them into ITS refresh (one bucket scan
         instead of two; a replaced doc whose NEW text is empty still
@@ -900,7 +998,15 @@ class PostingsIndex:
         quote and backslash — Spark's string literals are
         backslash-escaped, so quote-doubling alone would let an id
         like ``a\\`` swallow the quote and silently neuter the
-        predicate."""
+        predicate.
+
+        ``maintain_stats=True`` (caller certifies the term stats were
+        FRESH at mutation entry) captures the removed ids' terms
+        before the delete — one column-pruned postings pass over
+        (term, term_prefix, doc_id) — and incrementally recomputes
+        just those terms' stats afterwards, keeping pruning live.
+        With ``False`` the stats truncate wholesale (O(1)) and
+        serving degrades to the exact plan until a refresh."""
         ids = list(doc_ids)
         if not ids or self.postings_t.current_version() is None:
             return []
@@ -912,12 +1018,26 @@ class PostingsIndex:
             return str(v)
 
         pred = "doc_id IN ({})".format(", ".join(lit(v) for v in ids))
+        affected = None
+        if maintain_stats:
+            # captured (and pinned by the checkpoint inside
+            # _refresh_term_stats_for_terms via this eager one) BEFORE
+            # the delete commits — afterwards the rows are gone
+            affected = self.postings_t.read().where(
+                F.col("doc_id").isin(ids)
+            ).select("term", "term_prefix").distinct().localCheckpoint(
+                eager=True
+            )
         self.postings_t.delete_where(pred, mode="mor")
-        # removals shrink df/max_tf and grow min_dl — a stale stats
-        # row would UNDERestimate idf and break the max-score bound,
-        # so drop the stats wholesale (O(1) commit; pruned serving
-        # falls back to exact until refresh_term_stats())
-        self._truncate_term_stats()
+        if affected is not None:
+            self._refresh_term_stats_for_terms(affected)
+        else:
+            # removals shrink df/max_tf and grow min_dl — a stale
+            # stats row would UNDERestimate idf and break the
+            # max-score bound, so drop the stats wholesale (O(1)
+            # commit; pruned serving falls back to exact until
+            # refresh_term_stats())
+            self._truncate_term_stats()
         if self.doc_stats_t.current_version() is None:
             return []
         self.doc_stats_t.delete_where(pred, mode="mor")

@@ -3675,10 +3675,13 @@ def test_bm25_maxscore_prune_exact_and_bounded(spark, tmp_path):
 
 
 def test_bm25_prune_fallback_and_restore_after_remove(spark, tmp_path):
-    """remove()/replace-add must truncate the term stats (a stale df
-    would UNDER-estimate idf and break the upper bound): the serve
-    falls back to the exact path and stays correct; refresh_term_stats
-    restores pruning with answers unchanged."""
+    """On a handle that does NOT maintain stats on the write path
+    (stats_refresh='maintain'), remove() truncates the term stats (a
+    stale df would UNDER-estimate idf and break the upper bound): the
+    serve falls back to the exact path and stays correct;
+    refresh_term_stats restores pruning with answers unchanged.
+    (Default-mode handles instead keep pruning live across removes —
+    test_remove_and_sync_keep_pruning_live.)"""
     from datalake_toolkit_spark.llm import PostingsIndex
 
     docs = spark.createDataFrame(
@@ -3686,7 +3689,9 @@ def test_bm25_prune_fallback_and_restore_after_remove(spark, tmp_path):
          for i in range(300)],
         "doc_id bigint, text string",
     )
-    idx = PostingsIndex(spark, str(tmp_path / "pidx"))
+    idx = PostingsIndex(
+        spark, str(tmp_path / "pidx"), stats_refresh="maintain"
+    )
     idx.add(docs)
     queries = spark.createDataFrame(
         [(1, "the rare"), (2, "w3 rare the")],
@@ -4446,3 +4451,131 @@ def test_snapshot_pins_record_paired_stats_version(spark, tmp_path):
         queries, k=5, at=snap, prune="off"
     ).collect()))
     assert [r[:2] for r in pinned] == [r[:2] for r in exact]
+
+
+def test_remove_and_sync_keep_pruning_live(spark, tmp_path):
+    """The r12 verdict's #3 ask: on a default (stats_refresh='add')
+    handle with fresh stats, remove() and a CDF sync window
+    (remove + replace-add) must BOTH keep the MAXSCORE pruned path
+    engaged with bit-identical results — no full maintain() /
+    refresh_term_stats() in between. The incremental recompute
+    touches exactly the removed docs' terms; a term whose last
+    posting died serves a zero bound."""
+    from datalake_toolkit_spark.lakehouse import LakeTable
+    from datalake_toolkit_spark.llm import (
+        PostingsIndex,
+        sync_postings_from_table,
+    )
+    from datalake_toolkit_spark.llm.search import _query_terms
+
+    docs = spark.createDataFrame(
+        [(i, f"the w{i % 13} " + ("rare" if i % 50 == 0 else "x")
+          + (" unique7" if i == 7 else ""))
+         for i in range(200)],
+        "doc_id bigint, text string",
+    )
+    idx = PostingsIndex(spark, str(tmp_path / "p"), prefix_len=1)
+    idx.add(docs)
+    queries = spark.createDataFrame(
+        [(1, "the rare"), (2, "unique7 w3 the")],
+        "query_id bigint, query_text string",
+    )
+    qt = _query_terms(queries, "query_id", "query_text")
+
+    # 1) remove-then-serve, including the ONLY doc holding "unique7":
+    #    stays fresh, pruned == exact, bounds are the recomputed truth
+    idx.remove([0, 7, 50])
+    assert idx._stats_fresh()  # no truncation happened
+    inputs = idx._pruned_serve_inputs(qt)
+    assert inputs is not None  # pruning still engaged
+    assert inputs["stats"]["unique7"][:2] == (0, 0)  # vanished term
+    truth = {
+        r["term"]: (r["df"], r["max_tf"], r["min_dl"])
+        for r in idx.postings_t.read()
+        .where(F.col("term").isin(["the", "rare", "w3"]))
+        .groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.max("tf").alias("max_tf"),
+            F.min("dl").alias("min_dl"),
+        )
+        .collect()
+    }
+    for term, want in truth.items():
+        assert inputs["stats"][term] == want, term
+    assert _bm25_rows(
+        idx.search_bm25(queries, k=5, prune="auto")
+    ) == _bm25_rows(idx.search_bm25(queries, k=5, prune="off"))
+
+    # 2) sync-then-serve: a mutating table drives the index through
+    #    remove + replace-add; pruning never drops
+    t = LakeTable(spark, str(tmp_path / "t"))
+    t.write(docs)
+    idx2 = PostingsIndex(spark, str(tmp_path / "p2"), prefix_len=1)
+    sync_postings_from_table(idx2, t)
+    assert idx2._stats_fresh()
+    t.upsert(
+        spark.createDataFrame(
+            [(7, "fresh text no unique"), (900, "the rare newdoc")],
+            "doc_id bigint, text string",
+        ),
+        keys=["doc_id"],
+        mode="mor",
+    )
+    t.delete_where("doc_id IN (0, 50)", mode="mor")
+    sync_postings_from_table(idx2, t)
+    assert idx2._stats_fresh()
+    inputs2 = idx2._pruned_serve_inputs(qt)
+    assert inputs2 is not None
+    assert inputs2["stats"]["unique7"][:2] == (0, 0)
+    assert _bm25_rows(
+        idx2.search_bm25(queries, k=5, prune="auto")
+    ) == _bm25_rows(idx2.search_bm25(queries, k=5, prune="off"))
+    # the synced pruned serve equals a fresh-built index's serve
+    ref = PostingsIndex(spark, str(tmp_path / "ref"), prefix_len=1)
+    ref.add(t.read())
+    assert _bm25_rows(
+        idx2.search_bm25(queries, k=5, prune="auto")
+    ) == _bm25_rows(ref.search_bm25(queries, k=5, prune="auto"))
+
+
+def test_scoped_refresh_writes_only_batch_terms(spark, tmp_path):
+    """The steady-state add's stats cost is O(batch), not O(bucket):
+    a small add into a built index commits term-stats rows for
+    EXACTLY the batch's vocabulary (covered buckets recompute only
+    the batch's terms) — pinned through the stats table's own change
+    feed, the write-side half of the production-ratio economics the
+    r12 verdict asked to prove."""
+    from datalake_toolkit_spark.llm import PostingsIndex
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha w{i % 23} beta pad{i % 7}") for i in range(150)],
+        "doc_id bigint, text string",
+    )
+    idx = PostingsIndex(spark, str(tmp_path / "p"), prefix_len=1)
+    idx.add(docs)
+    v0 = idx.term_stats_t.current_version()
+
+    batch = spark.createDataFrame(
+        [(900, "alpha zulu beta"), (901, "zulu w3")],
+        "doc_id bigint, text string",
+    )
+    idx.add(batch, mode="mor")
+    assert idx._stats_fresh()
+    v1 = idx.term_stats_t.current_version()
+    changed = {
+        r["term"]
+        for r in idx.term_stats_t.changes(v0, v1)
+        .select("term").distinct().collect()
+    }
+    assert changed == {"alpha", "zulu", "beta", "w3"}
+    # and the recomputed rows are the committed truth
+    stats = {
+        (r["term"]): (r["df"], r["max_tf"], r["min_dl"])
+        for r in idx.term_stats_t.read()
+        .where(F.col("term").isin(["alpha", "zulu", "w3"]))
+        .collect()
+    }
+    assert stats["alpha"] == (151, 1, 3)
+    assert stats["zulu"] == (2, 1, 2)
+    assert stats["w3"][0] == 8  # 7 from build (i%23==3) + doc 901
