@@ -1013,8 +1013,18 @@ class LakeTable:
             # partition dirs and parquet row-group min/max stats are
             # tight on the sort key — the data-skipping property
             # OPTIMIZE ZORDER buys. Skip the rebalance hint: it would
-            # re-shuffle away the clustering.
-            cluster = [*self.partition_by, *cluster_by]
+            # re-shuffle away the clustering. A "-col" entry sorts
+            # that column DESCENDING (impact-ordered layouts: e.g.
+            # postings clustered by (term, -tf) give later files of a
+            # term run a small tf max, which block-max skipping can
+            # then prune on the manifest stats).
+            cluster = [
+                *[F.col(c) for c in self.partition_by],
+                *[
+                    F.col(c[1:]).desc() if c.startswith("-") else F.col(c)
+                    for c in cluster_by
+                ],
+            ]
             df = df.repartitionByRange(*cluster).sortWithinPartitions(*cluster)
         if self.partition_by:
             keys = self._partition_keys(df)

@@ -350,11 +350,13 @@ class PostingsIndex:
         adopts whatever the table committed.
 
         ``stats_refresh`` decides WHEN the per-term MAXSCORE stats
-        refresh runs: ``"add"`` (default) refreshes the touched
-        buckets inside every ``add`` — pruning is always live, and
-        the add pays the recompute scan (measured ~2x on a lifecycle
-        that adds half the corpus per commit; proportionally small at
-        production add:corpus ratios). ``"maintain"`` defers the
+        refresh runs: ``"add"`` (default) maintains the stats inside
+        every ``add`` — pruning is always live. Pure-insert batches
+        (the production hot path) pay an O(batch) delta merge plus a
+        fixed stats-commit constant, never a postings scan (see
+        :meth:`_merge_term_stats_pure_insert` and SCALING.md
+        "production-ratio add economics"); re-adds and replace-adds
+        pay a scoped recompute. ``"maintain"`` defers the
         refresh to :meth:`maintain`/:meth:`refresh_term_stats` — adds
         stay lean and the serve falls back to the EXACT plan while
         stats are stale (the freshness sidecar below makes staleness
@@ -409,6 +411,10 @@ class PostingsIndex:
         # and serve the exact unpruned plan until
         # :meth:`refresh_term_stats`/:meth:`rebucket` restores
         # coverage (the lean deferred contract).
+        # NOTE: per-file stats stay ON here (unlike corpus_stats) —
+        # the partition-scoped MoR upsert's key-range match probe
+        # reads them; disabling was measured 4-6x SLOWER per add at
+        # sf0.1, not faster
         self.term_stats_t = LakeTable(
             spark,
             os.path.join(path, "term_stats"),
@@ -605,6 +611,44 @@ class PostingsIndex:
                     # buckets instead
                     self.refresh_term_stats()
             else:
+                # bounded collect: <= 16^plen bucket keys; a
+                # replace-add folds the removed ids' buckets in, so
+                # the recompute happens ONCE over the union. Computed
+                # BEFORE the doc_stats upsert so the pure-insert probe
+                # below can read the PRE-commit state.
+                touched = {
+                    f"dhash_prefix={r['p']}"
+                    for r in stats.select(
+                        F.col("dhash_prefix").alias("p")
+                    ).distinct().collect()
+                }
+                # pure-insert detection against PRE-upsert doc_stats:
+                # a batch none of whose ids already exist can merge
+                # term-stat DELTAS (O(batch) — no postings scan at
+                # all); any pre-existing id means pairs may be
+                # overwritten, where only a recompute keeps df exact.
+                # The probe reads just the batch's doc buckets of the
+                # doc-stats table (one row per doc — tiny next to
+                # postings).
+                pure_insert = False
+                if (
+                    self.stats_refresh == "add"
+                    and fresh_before
+                    and not replace
+                ):
+                    live_doc = live_partition_keys(
+                        self.doc_stats_t._manifest()
+                    )
+                    probe_b = sorted(touched & live_doc)
+                    pure_insert = not probe_b or not (
+                        self.doc_stats_t.read(partitions=probe_b)
+                        .join(
+                            stats.select("doc_id").distinct(),
+                            "doc_id",
+                            "left_semi",
+                        )
+                        .take(1)
+                    )
                 self.doc_stats_t.upsert(
                     stats,
                     keys=["doc_id"],
@@ -612,21 +656,18 @@ class PostingsIndex:
                     partition_scoped=True,
                     assume_key_unique=True,
                 )
-                # bounded collect: <= 16^plen bucket keys; a
-                # replace-add folds the removed ids' buckets in, so
-                # the recompute happens ONCE over the union
-                touched = {
-                    f"dhash_prefix={r['p']}"
-                    for r in stats.select(
-                        F.col("dhash_prefix").alias("p")
-                    ).distinct().collect()
-                }
                 self._refresh_corpus_stats(
                     sorted(touched | set(removed_buckets))
                 )
                 # bounded collect: <= 16^plen postings bucket keys
                 if self.stats_refresh == "add":
-                    if fresh_before:
+                    if fresh_before and pure_insert:
+                        # the production hot path: no batch pair can
+                        # overwrite a committed one, so df adds and
+                        # max_tf/min_dl merge — one term-stats read +
+                        # one batch aggregation, never a postings scan
+                        self._merge_term_stats_pure_insert(post)
+                    elif fresh_before:
                         # fresh at entry: the scoped recompute of the
                         # batch's terms certifies the table — on a
                         # replace-add the removal side already
@@ -663,6 +704,71 @@ class PostingsIndex:
         finally:
             post.unpersist()
         return v
+
+    def _merge_term_stats_pure_insert(self, post: DataFrame) -> None:
+        """O(batch) term-stats maintenance for a PURE-INSERT add (the
+        caller proved none of the batch's doc_ids pre-exist, and the
+        stats were fresh at entry): since no committed (term, doc)
+        pair can be overwritten, the batch's per-term aggregates merge
+        EXACTLY with the committed rows — df adds, max_tf takes the
+        greatest, min_dl the least (a df=0 row left by the incremental
+        removal path counts as absent, so its stale extrema don't
+        leak). Cost: one read of the batch terms' term-stats buckets
+        (one row per term — tiny next to postings) plus one batch
+        aggregation; the postings table is never scanned. Bit-equal
+        to a full recompute (test_pure_insert_delta_equals_recompute).
+
+        Buckets the stats table does NOT yet cover (first rows after a
+        truncation) fall back to the scoped recompute — merging into
+        a bucket whose other terms are missing would let the coverage
+        check vouch for an incomplete bucket."""
+        batch = post.groupBy("term", "term_prefix").agg(
+            F.count(F.lit(1)).cast("long").alias("df_b"),
+            F.max("tf").cast("long").alias("max_tf_b"),
+            F.min("dl").cast("long").alias("min_dl_b"),
+        )
+        tbuckets = sorted(
+            {
+                f"term_prefix={r['p']}"
+                for r in post.select(
+                    F.col("term_prefix").alias("p")
+                ).distinct().collect()
+            }
+        )
+        if not tbuckets:
+            self._mark_stats_fresh()  # empty batch on a fresh table
+            return
+        covered = self._stats_covered_buckets()
+        if not set(tbuckets) <= covered:
+            self._refresh_term_stats(tbuckets, batch_terms=post)
+            return
+        old = self.term_stats_t.read(partitions=tbuckets).select(
+            "term",
+            "term_prefix",
+            F.col("df").alias("df_o"),
+            F.col("max_tf").alias("max_tf_o"),
+            F.col("min_dl").alias("min_dl_o"),
+        )
+        absent = F.coalesce("df_o", F.lit(0)) == 0
+        merged = batch.join(old, ["term", "term_prefix"], "left").select(
+            "term",
+            "term_prefix",
+            (F.coalesce("df_o", F.lit(0)) + F.col("df_b")).alias("df"),
+            F.when(absent, F.col("max_tf_b"))
+            .otherwise(F.greatest("max_tf_o", "max_tf_b"))
+            .alias("max_tf"),
+            F.when(absent, F.col("min_dl_b"))
+            .otherwise(F.least("min_dl_o", "min_dl_b"))
+            .alias("min_dl"),
+        )
+        self.term_stats_t.upsert(
+            merged,
+            keys=["term"],
+            mode="mor",
+            partition_scoped=True,
+            assume_key_unique=True,
+        )
+        self._mark_stats_fresh()
 
     def _refresh_corpus_stats(self, buckets: list[str]) -> None:
         """Recompute (n_docs, total_dl) for the given doc_stats

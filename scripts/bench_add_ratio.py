@@ -38,7 +38,7 @@ from datalake_toolkit_spark.sources import load_table
 
 
 def main() -> None:
-    n = int(os.environ.get("REMEASURE_N", "3"))
+    n = int(os.environ.get("REMEASURE_N", "4"))  # 1 warmup + n-1 counted
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark(app_name="dts-bench-add-ratio")
     spark.sparkContext.setLogLevel("ERROR")
@@ -67,7 +67,10 @@ def main() -> None:
         "batch_docs": batch_sz,
         "modes": {},
     }
-    for mode in ("add", "maintain"):
+    mode_order = ("add", "maintain")
+    if os.environ.get("ADD_RATIO_REVERSED"):
+        mode_order = ("maintain", "add")
+    for mode in mode_order:
         root = tempfile.mkdtemp(prefix=f"addratio_{mode}_")
         try:
             idx = PostingsIndex(
@@ -77,7 +80,12 @@ def main() -> None:
             idx.add(docs.where(docs.doc_id.isin(base_ids)))
             build_s = time.time() - t0
             adds = []
-            for b in batches_ids:
+            # warmup add (uncounted): first-add codegen/JIT and the
+            # session's broadcast warmup are fixed cost, not add cost
+            idx.add(
+                docs.where(docs.doc_id.isin(batches_ids[0])), mode="mor"
+            )
+            for b in batches_ids[1:]:
                 t0 = time.time()
                 idx.add(docs.where(docs.doc_id.isin(b)), mode="mor")
                 adds.append(round(time.time() - t0, 3))

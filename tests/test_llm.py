@@ -4579,3 +4579,65 @@ def test_scoped_refresh_writes_only_batch_terms(spark, tmp_path):
     assert stats["alpha"] == (151, 1, 3)
     assert stats["zulu"] == (2, 1, 2)
     assert stats["w3"][0] == 8  # 7 from build (i%23==3) + doc 901
+
+
+def test_pure_insert_delta_equals_recompute(spark, tmp_path):
+    """The O(batch) pure-insert delta merge must be BIT-EQUAL to a
+    full recompute — df adds, max_tf/min_dl merge, removal-path zero
+    rows count as absent — and a batch that RE-ADDS an existing id
+    must take the recompute path instead (a delta would over-count
+    df for overwritten pairs)."""
+    from datalake_toolkit_spark.llm import PostingsIndex
+    from datalake_toolkit_spark.llm.search import _query_terms
+
+    def all_stats(ix):
+        return {
+            r["term"]: (r["df"], r["max_tf"], r["min_dl"])
+            for r in ix.term_stats_t.read().collect()
+        }
+
+    docs = spark.createDataFrame(
+        [(i, f"the w{i % 11} pad") for i in range(120)],
+        "doc_id bigint, text string",
+    )
+    idx = PostingsIndex(spark, str(tmp_path / "p"), prefix_len=1)
+    idx.add(docs)
+    # a removal leaves a zero row for "solo"; the later merge must
+    # treat it as absent, not fold min_dl=0 into the merged extrema
+    idx.add(spark.createDataFrame(
+        [(500, "solo the")], "doc_id bigint, text string"
+    ))
+    idx.remove([500])
+    assert idx._stats_fresh()
+
+    # pure-insert batch: new ids, mixes new and existing terms
+    idx.add(spark.createDataFrame(
+        [(600, "the the the w3 solo"), (601, "brandnew w3")],
+        "doc_id bigint, text string",
+    ), mode="mor")
+    assert idx._stats_fresh()
+    got = all_stats(idx)
+    assert got["solo"] == (1, 1, 5)  # revived past the zero row
+    idx.refresh_term_stats()  # ground truth: full recompute
+    assert all_stats(idx) == got
+
+    # re-add of an existing id: delta would over-count df — the
+    # recompute path must keep stats exact
+    idx.add(spark.createDataFrame(
+        [(600, "the changed"), (700, "fresh doc")],
+        "doc_id bigint, text string",
+    ), mode="mor")
+    assert idx._stats_fresh()
+    got2 = all_stats(idx)
+    idx.refresh_term_stats()
+    assert all_stats(idx) == got2
+    # serve equality end to end
+    queries = spark.createDataFrame(
+        [(1, "the w3 solo brandnew")],
+        "query_id bigint, query_text string",
+    )
+    qt = _query_terms(queries, "query_id", "query_text")
+    assert idx._pruned_serve_inputs(qt) is not None
+    assert _bm25_rows(
+        idx.search_bm25(queries, k=5, prune="auto")
+    ) == _bm25_rows(idx.search_bm25(queries, k=5, prune="off"))
