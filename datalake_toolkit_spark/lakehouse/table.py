@@ -1138,12 +1138,20 @@ class LakeTable:
         manifest: dict,
         keys: Sequence[str] | None,
         conjuncts: Sequence[tuple],
+        exclude_files: "set[str] | None" = None,
     ) -> tuple[dict, dict]:
         """File-level scan selection under predicate pruning: for each
         owned partition, drop the whole directory if its key values
         exclude a conjunct, then drop individual files whose manifest
         min/max stats exclude one. Files without stats are always
-        kept — skipping is strictly evidence-based."""
+        kept — skipping is strictly evidence-based.
+
+        ``exclude_files`` (absolute paths) drops named OWNED files in
+        addition — CALLER-OWNED correctness, for callers that computed
+        their own evidence from the manifest stats (e.g. the postings
+        index's block-max candidate skip). Pending merge-on-read
+        appends are outside any selection and always read, so an
+        exclusion can never hide unresolved MoR state."""
         owners: dict[str, str] = manifest["owners"]
         if keys is not None:
             owners = {k: v for k, v in owners.items() if k in set(keys)}
@@ -1196,6 +1204,8 @@ class LakeTable:
             "files_total": 0,
             "files_scanned": 0,
             "files_bloom_skipped": 0,
+            "files_stats_skipped": 0,
+            "files_excluded": 0,
         }
         by_group: dict[tuple, list[str]] = {}
         for key, tok in owners.items():
@@ -1220,8 +1230,12 @@ class LakeTable:
                     c in st and _range_excludes(st[c][0], st[c][1], op, val)
                     for c, op, val in conjuncts
                 ):
+                    report["files_stats_skipped"] += 1
                     continue
                 full = os.path.join(d, f)
+                if exclude_files and full in exclude_files:
+                    report["files_excluded"] += 1
+                    continue
                 if bloom_budget > 0:
                     bloom_budget -= 1
                     if any(
@@ -1275,6 +1289,7 @@ class LakeTable:
         keys: Sequence[str] | None = None,
         conjuncts: Sequence[tuple] | None = None,
         merge_scope: str = "restrict",
+        exclude_files: "set[str] | None" = None,
     ) -> DataFrame:
         """Assemble a snapshot (optionally restricted to ``keys``) by
         listing exactly the directories each owning version holds for
@@ -1290,8 +1305,10 @@ class LakeTable:
         # basePath so dir-derived columns resolve under its own layout,
         # and unionByName merges the mixed shapes.
         by_group: dict[tuple, list[str]] = {}
-        if conjuncts is not None:
-            by_group, _ = self._select_files(manifest, keys, conjuncts)
+        if conjuncts is not None or exclude_files:
+            by_group, _ = self._select_files(
+                manifest, keys, conjuncts or [], exclude_files
+            )
         else:
             owners: dict[str, str] = manifest["owners"]
             if keys is not None:
@@ -1553,6 +1570,7 @@ class LakeTable:
         version: int | None = None,
         partitions: Sequence[str] | None = None,
         where: str | None = None,
+        exclude_files: "set[str] | None" = None,
     ) -> DataFrame:
         """Snapshot read, optionally restricted to named partition keys
         (``"dt=2024-01-01"`` form): structural pruning — only the
@@ -1565,7 +1583,14 @@ class LakeTable:
         simple comparisons, partition values and manifest file stats
         prune whole directories and files before Spark lists them
         (data skipping — see ``plan_scan`` for what a predicate
-        saves). Complex predicates silently degrade to filter-only."""
+        saves). Complex predicates silently degrade to filter-only.
+
+        ``exclude_files`` drops named OWNED data files from the scan —
+        CALLER-OWNED correctness for callers holding their own
+        manifest-stats evidence (the block-max candidate skip); rows
+        living only in those files silently vanish from the result,
+        so never pass paths you can't prove irrelevant. Pending MoR
+        appends are always resolved regardless."""
         man = self._manifest(version)
         if partitions is not None:
             # a partition may exist ONLY in pending merge-on-read
@@ -1586,7 +1611,12 @@ class LakeTable:
                     f"table has {sorted(man['owners'])}"
                 )
         conjs = _parse_conjuncts(where) if where else []
-        df = self._read_owned(man, keys=partitions, conjuncts=conjs or None)
+        df = self._read_owned(
+            man,
+            keys=partitions,
+            conjuncts=conjs or None,
+            exclude_files=exclude_files,
+        )
         if where:
             df = df.where(F.expr(where))
         return df

@@ -1392,7 +1392,10 @@ class PostingsIndex:
         return self._probed_postings_for(terms, at)
 
     def _probed_postings_for(
-        self, terms: list, at: dict | None = None
+        self,
+        terms: list,
+        at: dict | None = None,
+        exclude_files: "set[str] | None" = None,
     ) -> DataFrame:
         """:meth:`_probed_postings` over an ALREADY-COLLECTED term
         list (the pruned serves hold them driver-side anyway — no
@@ -1430,8 +1433,15 @@ class PostingsIndex:
         existing = live_partition_keys(self.postings_t._manifest(v))
         probe = sorted(touched & existing)
         if len(probe) == len(existing):
-            return self.postings_t.read(version=v, where=where)
-        return self.postings_t.read(version=v, partitions=probe, where=where)
+            return self.postings_t.read(
+                version=v, where=where, exclude_files=exclude_files
+            )
+        return self.postings_t.read(
+            version=v,
+            partitions=probe,
+            where=where,
+            exclude_files=exclude_files,
+        )
 
     def plan_probe(self, queries: DataFrame,
                    query_id_col: str = "query_id",
@@ -1514,8 +1524,12 @@ class PostingsIndex:
             # term-sorted files give every file a TIGHT term min/max,
             # so the serve's `term IN (...)` pushdown skips most of a
             # bucket's files instead of decoding the whole directory —
-            # the postings analogue of OPTIMIZE ... ZORDER
-            self.postings_t.optimize(sort_by=["term"])
+            # the postings analogue of OPTIMIZE ... ZORDER. The
+            # SECONDARY descending-tf sort impact-orders each term's
+            # run: later files of a common term carry a small tf max,
+            # which the BM25 block-max candidate skip then prunes on
+            # the manifest stats (see _blockmax_excludes)
+            self.postings_t.optimize(sort_by=["term", "-tf"])
             self.postings_t.vacuum(keep_last=keep_last)
         for t in (
             self.doc_stats_t,
@@ -1668,10 +1682,15 @@ class PostingsIndex:
         all_terms = sorted({t for _, t in qpairs if t in tstats})
         post_all = self._probed_postings_for(all_terms, at)
         essf = self._select_pairs(qterms, ess_pairs)
+        # candidate generation probes only the essential terms'
+        # buckets/files (non-essential rows die at the essf join) —
+        # same rows, narrower IN pushdown and fewer files opened
         cand = _apply_pair_filter(
-            post_all.join(F.broadcast(essf), "term").select(
-                "query_id", "doc_id"
-            ),
+            self._probed_postings_for(
+                sorted({t for _, t in ess_pairs}), at
+            )
+            .join(F.broadcast(essf), "term")
+            .select("query_id", "doc_id"),
             pair_filter,
         ).distinct()
         matched = (
@@ -1914,6 +1933,147 @@ class PostingsIndex:
             .select("query_id", "doc_id", "score", "rank")
         )
 
+    def _blockmax_excludes(
+        self,
+        ess_by_q: dict,
+        tstats: dict,
+        theta: dict,
+        ne_sum: dict,
+        n_docs,
+        avgdl,
+        k1: float,
+        b: float,
+        at: dict | None = None,
+    ) -> tuple[set, dict]:
+        """Block-max candidate skipping: which OWNED postings files
+        the CANDIDATE-GENERATION scan may drop, computed driver-side
+        from the manifest's per-file (term, tf, dl) min/max stats —
+        no job runs. Returns ``(exclude_paths, per_query_files)``
+        where the per-query dict maps query_id -> (files whose term
+        range holds one of ITS essential terms, files of those kept).
+
+        Soundness (hash-identical top-k): a doc that fails to become
+        a candidate has, for each essential term t of query q, its
+        (t, doc) posting only in skipped files — contributing at most
+        ``s(t) = max over skipped files of w_ub_file(t)``, where
+        ``w_ub_file`` uses the FILE's tf max / dl min instead of the
+        term's global extrema. Files are admitted to the skip set by
+        GREEDY WATER-FILLING (ascending per-file bound): a file is
+        dropped only while ``sum over E(q) of s(t) + ne_sum(q) <
+        theta(q)*(1-1e-9)`` stays STRICTLY true for every query whose
+        essential terms the file's [term_min, term_max] range could
+        hold — an excluded doc then provably scores below the k-th
+        phase-A witness, ties included, no matter how its postings
+        spread over skipped files. Phase-A witnesses score >= theta
+        and therefore always survive. Files without stats are never
+        dropped (evidence-based, like every skipping layer); the
+        COMPLETION scan never takes exclusions — candidates' full
+        scores read every file, so surviving scores stay
+        bit-identical. The skip only bites on impact-ordered layouts
+        (``maintain`` compacts by (term, -tf), so a common term's
+        low-tf tail files carry a small tf max)."""
+        import hashlib
+        import math
+
+        slack: dict = {}
+        term_queries: dict = {}
+        for qid, terms in ess_by_q.items():
+            th = theta.get(qid)
+            slack[qid] = (
+                th * (1.0 - 1e-9) - ne_sum.get(qid, 0.0)
+                if th is not None
+                else 0.0
+            )
+            for t in terms:
+                term_queries.setdefault(t, []).append(qid)
+        if not term_queries or all(v <= 0.0 for v in slack.values()):
+            return set(), {}
+
+        v = self._pin(at, "postings") if at is not None else None
+        man = self.postings_t._manifest(v)
+        stats = man.get("stats") or {}
+        owners = man["owners"]
+        plen = self._prefix_len(at)
+
+        def w_ub_file(t: str, tf_max, dl_min) -> float:
+            df = tstats[t][0]
+            idf = math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+            return (
+                idf
+                * (tf_max * (k1 + 1.0))
+                / (tf_max + k1 * (1.0 - b + b * dl_min / avgdl))
+            )
+
+        by_bucket: dict = {}
+        for t in term_queries:
+            key = (
+                "term_prefix="
+                + hashlib.md5(t.encode()).hexdigest()[:plen]
+            )
+            by_bucket.setdefault(key, []).append(t)
+        cands: list = []  # (max bound, path, {term: bound})
+        file_terms: dict = {}  # abs path -> essential terms in range
+        for key, terms in by_bucket.items():
+            tok = owners.get(key)
+            if tok is None:
+                continue
+            prefix = f"{tok}/{key}/"
+            for rel, st in stats.items():
+                if not rel.startswith(prefix):
+                    continue
+                trange, tfs, dls = (
+                    st.get("term"), st.get("tf"), st.get("dl")
+                )
+                mine = (
+                    [t for t in terms if trange[0] <= t <= trange[1]]
+                    if trange
+                    else []
+                )
+                if not mine:
+                    continue
+                full = os.path.join(
+                    self.postings_t._vdir(tok), key, rel[len(prefix):]
+                )
+                file_terms[full] = mine
+                if not tfs or not dls:
+                    continue  # no evidence: keep
+                bounds = {
+                    t: w_ub_file(t, tfs[1], dls[0]) for t in mine
+                }
+                cands.append((max(bounds.values()), full, bounds))
+        # greedy water-filling: cheapest files first; admit one only
+        # while every query's exclusion invariant stays strict
+        s: dict = {}
+        exclude: set = set()
+        for _, full, bounds in sorted(cands, key=lambda x: (x[0], x[1])):
+            new_s = {t: max(s.get(t, 0.0), wb) for t, wb in bounds.items()}
+            ok = True
+            for t in bounds:
+                for qid in term_queries[t]:
+                    tot = sum(
+                        new_s.get(u, s.get(u, 0.0))
+                        for u in ess_by_q[qid]
+                    )
+                    if not tot < slack[qid]:
+                        ok = False
+                        break
+                if not ok:
+                    break
+            if ok:
+                exclude.add(full)
+                s.update(new_s)
+        per_query: dict = {}
+        for qid, terms in ess_by_q.items():
+            ts = set(terms)
+            fs = [
+                p for p, mine in file_terms.items() if ts & set(mine)
+            ]
+            per_query[qid] = (
+                len(fs),
+                sum(1 for p in fs if p not in exclude),
+            )
+        return exclude, per_query
+
     def _bm25_pruned_frames(
         self,
         qterms: DataFrame,
@@ -2033,25 +2193,41 @@ class PostingsIndex:
 
         ess_pairs: list = []
         ne_count: dict = {}
+        ne_sum: dict = {}
+        ess_by_q: dict = {}
         for qid, terms in byq.items():
             th = theta.get(qid, 0.0)
             cum = 0.0
             ne = 0
             for t in sorted(terms, key=lambda t: (w_ub(t), t)):
-                cum += w_ub(t)
-                if cum < th * (1.0 - 1e-9):
+                if cum + w_ub(t) < th * (1.0 - 1e-9):
+                    cum += w_ub(t)
                     ne += 1
                 else:
                     break
             ordered = sorted(terms, key=lambda t: (w_ub(t), t))
             ess_pairs.extend((qid, t) for t in ordered[ne:])
             ne_count[qid] = ne
+            ne_sum[qid] = cum  # sum of the ne non-essential bounds
+            ess_by_q[qid] = ordered[ne:]
 
         all_terms = sorted({t for _, t in qpairs if t in tstats})
         post_all = self._probed_postings_for(all_terms, at)
+        # candidate generation probes ONLY the essential terms'
+        # buckets/files (the non-essential rows would die at the essf
+        # join anyway), with the block-max file skip on top — the
+        # completion below keeps the full unskipped probe, so
+        # candidate scores stay bit-identical
+        ess_terms = sorted({t for _, t in ess_pairs})
+        excl, bm_files = self._blockmax_excludes(
+            ess_by_q, tstats, theta, ne_sum, n_docs, avgdl, k1, b, at
+        )
+        post_ess = self._probed_postings_for(
+            ess_terms, at, exclude_files=excl or None
+        )
         essf = self._select_pairs(qterms, ess_pairs)
         cand = _apply_pair_filter(
-            post_all.join(F.broadcast(essf), "term").select(
+            post_ess.join(F.broadcast(essf), "term").select(
                 "query_id", "doc_id"
             ),
             pair_filter,
@@ -2095,6 +2271,10 @@ class PostingsIndex:
             "post_all": post_all,
             "qterms": qterms,
             "topk": topk,
+            # block-max observability: per-query (files whose term
+            # range holds an essential term, files of those kept)
+            "blockmax_files": bm_files,
+            "blockmax_excluded": len(excl),
         }
 
     def bm25_prune_report(
@@ -2144,6 +2324,7 @@ class PostingsIndex:
         rows = []
         for qid, terms in sorted(fr["byq"].items(), key=lambda x: str(x[0])):
             seeds = fr["seeds_by_q"].get(qid, [])
+            bm = fr["blockmax_files"].get(qid, (0, 0))
             rows.append(
                 (
                     qid,
@@ -2154,6 +2335,8 @@ class PostingsIndex:
                     int(sum(tstats[t][0] for t in seeds)),
                     int(comp_counts.get(qid, 0)),
                     int(cand_counts.get(qid, 0)),
+                    int(bm[0]),
+                    int(bm[1]),
                 )
             )
         qtype = dict(fr["qterms"].dtypes).get("query_id", "string")
@@ -2161,7 +2344,8 @@ class PostingsIndex:
             rows,
             f"query_id {qtype}, n_terms long, n_seed long, "
             "n_essential long, rows_full long, rows_seed long, "
-            "rows_completed long, n_candidates long",
+            "rows_completed long, n_candidates long, "
+            "files_essential long, files_essential_kept long",
         )
 
 def phrase_search(

@@ -2063,9 +2063,10 @@ def test_partition_scoped_upsert_never_scans_the_table(spark, tmp_path):
     reads = []
     orig = scoped._read_owned
 
-    def spy(man, keys=None, conjuncts=None, merge_scope="restrict"):
+    def spy(man, keys=None, conjuncts=None, merge_scope="restrict", **kw):
         reads.append(keys)
-        return orig(man, keys=keys, conjuncts=conjuncts, merge_scope=merge_scope)
+        return orig(man, keys=keys, conjuncts=conjuncts,
+                    merge_scope=merge_scope, **kw)
 
     scoped._read_owned = spy
     try:
@@ -2105,9 +2106,10 @@ def test_cdf_after_partitioned_mor_append_is_scoped_and_complete(
     reads = []
     orig = t._read_owned
 
-    def spy(man, keys=None, conjuncts=None, merge_scope="restrict"):
+    def spy(man, keys=None, conjuncts=None, merge_scope="restrict", **kw):
         reads.append(keys)
-        return orig(man, keys=keys, conjuncts=conjuncts, merge_scope=merge_scope)
+        return orig(man, keys=keys, conjuncts=conjuncts,
+                    merge_scope=merge_scope, **kw)
 
     t._read_owned = spy
     try:
@@ -2145,9 +2147,10 @@ def test_cdf_after_partitioned_mor_append_is_scoped_and_complete(
     reads2 = []
     orig2 = t2._read_owned
 
-    def spy2(man, keys=None, conjuncts=None, merge_scope="restrict"):
+    def spy2(man, keys=None, conjuncts=None, merge_scope="restrict", **kw):
         reads2.append(keys)
-        return orig2(man, keys=keys, conjuncts=conjuncts, merge_scope=merge_scope)
+        return orig2(man, keys=keys, conjuncts=conjuncts,
+                    merge_scope=merge_scope, **kw)
 
     t2._read_owned = spy2
     try:
