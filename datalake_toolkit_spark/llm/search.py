@@ -28,6 +28,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from datalake_toolkit_spark.lakehouse.table import (
+    _parse_conjuncts,
     live_partition_keys,
     resolve_pin,
 )
@@ -2275,6 +2276,8 @@ class PostingsIndex:
             # range holds an essential term, files of those kept)
             "blockmax_files": bm_files,
             "blockmax_excluded": len(excl),
+            "blockmax_paths": excl,
+            "ess_by_q": ess_by_q,
         }
 
     def bm25_prune_report(
@@ -2346,6 +2349,122 @@ class PostingsIndex:
             "n_essential long, rows_full long, rows_seed long, "
             "rows_completed long, n_candidates long, "
             "files_essential long, files_essential_kept long",
+        )
+
+    def skip_report(
+        self, queries: DataFrame, k: int = 10,
+        k1: float = 1.2, b: float = 0.75,
+        query_id_col: str = "query_id", query_text_col: str = "query_text",
+        at: dict | None = None,
+        seed_df_budget: int | None = None,
+    ) -> DataFrame:
+        """The skipping stack as an observable contract (the r12
+        verdict's #7 ask): one row per query showing what each
+        pruning layer would drop from THIS pruned BM25 serve's
+        candidate scan — (partition layer) buckets_total vs
+        buckets_probed, then within the probed buckets of the
+        query's ESSENTIAL terms (file layer) files_total vs
+        files_kept with the per-layer skip counts: manifest term
+        min/max (``files_minmax_skipped``, tight after a term-sorted
+        ``maintain``), parquet bloom probes
+        (``files_bloom_skipped``, only on ``term_bloom`` tables),
+        and the block-max impact bound
+        (``files_blockmax_excluded``). ``pending_appends`` counts
+        merge-on-read entries the scan must always resolve — the
+        read tax ``maintain()`` drains. Row-group stats skip INSIDE
+        kept files at execution time (a Spark-side layer this
+        driver-side report cannot count).
+
+        Selection is recomputed driver-side from the manifest (the
+        same code path the real read takes); the only job is phase
+        A's theta aggregation. Raises when the stats don't cover the
+        probe — there is then no pruned plan to report on. The
+        corpus-derived columns (n_terms, rows_full, buckets_*) are
+        layout-independent — the driver gate ``q_skip_report``
+        hash-checks them against a relational oracle; the file-layer
+        columns depend on physical layout and are pinned by pytest
+        instead."""
+        import hashlib
+
+        qterms = _query_terms(queries, query_id_col, query_text_col)
+        inputs = self._pruned_serve_inputs(qterms, at)
+        if inputs is None:
+            raise ValueError(
+                "term stats do not cover this probe (truncated by a "
+                "remove/replace-add, legacy index, or pre-stats "
+                "snapshot) — run refresh_term_stats() first"
+            )
+        fr = self._bm25_pruned_frames(
+            qterms, k, k1, b, None, at, inputs, seed_df_budget
+        )
+        tstats = fr["stats"]
+        v = self._pin(at, "postings") if at is not None else None
+        man = self.postings_t._manifest(v)
+        existing = live_partition_keys(man)
+        plen = self._prefix_len(at)
+        pending = len(man.get("merges") or [])
+        # ALL query terms probe buckets (absent terms can still hash
+        # into an existing bucket — the serve lists it, finds no rows)
+        all_terms_by_q: dict = {}
+        for qid, t in inputs["qpairs"]:
+            all_terms_by_q.setdefault(qid, set()).add(t)
+
+        def lit(t: str) -> str:
+            escaped = t.replace("\\", "\\\\").replace("'", "\\'")
+            return f"'{escaped}'"
+
+        rows = []
+        for qid, terms in sorted(fr["byq"].items(), key=lambda x: str(x[0])):
+            probed = {
+                "term_prefix="
+                + hashlib.md5(t.encode()).hexdigest()[:plen]
+                for t in all_terms_by_q.get(qid, set())
+            } & existing
+            ess = fr["ess_by_q"].get(qid, [])
+            ess_probed = sorted(
+                {
+                    "term_prefix="
+                    + hashlib.md5(t.encode()).hexdigest()[:plen]
+                    for t in ess
+                }
+                & existing
+            )
+            conjs = (
+                _parse_conjuncts(
+                    "term IN ({})".format(
+                        ", ".join(lit(t) for t in sorted(ess))
+                    )
+                )
+                if ess and len(ess) <= self._TERM_PUSHDOWN_MAX
+                else []
+            )
+            _, sel = self.postings_t._select_files(
+                man, ess_probed, conjs,
+                exclude_files=fr["blockmax_paths"] or None,
+            )
+            rows.append(
+                (
+                    qid,
+                    len(terms),
+                    int(sum(tstats[t][0] for t in terms)),
+                    len(existing),
+                    len(probed),
+                    int(sel["files_total"]),
+                    int(sel["files_scanned"]),
+                    int(sel["files_stats_skipped"]),
+                    int(sel["files_bloom_skipped"]),
+                    int(sel["files_excluded"]),
+                    pending,
+                )
+            )
+        qtype = dict(fr["qterms"].dtypes).get("query_id", "string")
+        return self.spark.createDataFrame(
+            rows,
+            f"query_id {qtype}, n_terms long, rows_full long, "
+            "buckets_total long, buckets_probed long, "
+            "files_total long, files_kept long, "
+            "files_minmax_skipped long, files_bloom_skipped long, "
+            "files_blockmax_excluded long, pending_appends long",
         )
 
 def phrase_search(

@@ -321,6 +321,13 @@ DEMOTED: tuple[str, ...] = (
     "q_embedding_norms",  # 3x; array folds ~ q_jl_projection + q_ann_cosine_topk (returning)
     "q_churned_customers",  # 3x; anti-join family ~ q_retained_customers stays
     "q_customers_without_orders",  # 3x; same anti-join family ~ q_retained_customers stays
+    # r13 second wave: q_skip_report enters (the skipping stack as a
+    # hash-checked observable contract, the r12 verdict's #7 ask —
+    # never driver-checked). q_index_hybrid (3x green r10-r12)
+    # rotates out in exchange — its fused two-modality serve stays
+    # covered in-window by q_index_hybrid_filtered (the per-query-
+    # filtered superset of the same lifecycle and fusion).
+    "q_index_hybrid",
 )
 
 GATE_WINDOW = 50
@@ -355,6 +362,7 @@ STATEFUL: frozenset[str] = frozenset(
         "q_index_decontaminate_slop",  # two add commits + sloppy-phrase decontamination probe
         "q_index_phrase",  # positional index: two add commits + phrase serve
         "q_index_bm25_pruned",  # two add commits + max-score pruned BM25 serve (vs exact in-query)
+        "q_skip_report",  # two add commits + maintain + per-layer skip observability
         "q_index_phrase_slop",  # two add commits + sloppy-phrase serve
         "q_stream_near_dedup",  # two AvailableNow micro-batches through foreachBatch
         "q_stateful_running_status",  # applyInPandasWithState stream replay

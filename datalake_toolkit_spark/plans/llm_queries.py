@@ -3793,6 +3793,125 @@ def q_index_bm25_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def _skip_report_oracle(lo: int = 20, hi: int = 24, nterms: int = 4) -> str:
+    """The LAYOUT-INDEPENDENT half of ``PostingsIndex.skip_report``,
+    relationally: per query — corpus-present term count, their summed
+    df (what the unpruned candidate scan aggregates), and the
+    partition-layer counts (live md5-prefix buckets total vs probed).
+    DuckDB's md5() matches hashlib's, so the bucket arithmetic is
+    checkable end to end; the FILE-layer columns depend on physical
+    layout and are pinned by pytest
+    (test_skip_report_layers_consistent_and_engaged) instead."""
+    return f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS w
+      FROM documents),
+    d AS (SELECT doc_id, w FROM toks WHERE len(w) > 0),
+    dd AS (SELECT doc_id, len(w) AS dl, unnest(w) AS term FROM d),
+    post AS (SELECT doc_id, dl, term, count(*) AS tf
+             FROM dd GROUP BY 1, 2, 3),
+    top1 AS (SELECT term FROM post
+             GROUP BY term ORDER BY sum(tf) DESC, term LIMIT 1),
+    qd AS (SELECT doc_id AS query_id, w FROM d
+           WHERE doc_id >= {lo} AND doc_id < {hi}),
+    qterms AS (SELECT query_id,
+               unnest(list_distinct(
+                 list_append(w[1:{nterms}], (SELECT term FROM top1))))
+                 AS term
+               FROM qd),
+    corpus_terms AS (SELECT DISTINCT term FROM post),
+    present AS (SELECT DISTINCT qt.query_id, qt.term
+                FROM qterms qt JOIN corpus_terms USING (term)),
+    df_t AS (SELECT term, count(*) AS df FROM post
+             WHERE term IN (SELECT term FROM qterms) GROUP BY term),
+    cp AS (SELECT DISTINCT substr(md5(term), 1, 1) AS p
+           FROM corpus_terms),
+    qp AS (SELECT DISTINCT query_id, substr(md5(term), 1, 1) AS p
+           FROM qterms),
+    probed AS (SELECT query_id, CAST(count(*) AS BIGINT) AS buckets_probed
+               FROM (SELECT DISTINCT qp.query_id, qp.p
+                     FROM qp JOIN cp USING (p))
+               GROUP BY 1),
+    nt AS (SELECT p.query_id, CAST(count(*) AS BIGINT) AS n_terms,
+                  CAST(sum(f.df) AS BIGINT) AS rows_full
+           FROM present p JOIN df_t f USING (term) GROUP BY 1),
+    bt AS (SELECT CAST(count(*) AS BIGINT) AS buckets_total FROM cp)
+    SELECT nt.query_id, nt.n_terms, nt.rows_full,
+           bt.buckets_total, probed.buckets_probed
+    FROM nt JOIN probed USING (query_id) CROSS JOIN bt
+    """
+
+
+@query("q_skip_report", _skip_report_oracle())
+def q_skip_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skipping stack as an observable, hash-checked contract
+    (the r12 verdict's #7 ask): build the postings index, compact it
+    impact-ordered, and run ``skip_report`` for stopword-bearing
+    queries — per query, what each pruning layer (partition buckets,
+    manifest term min/max, bloom, block-max) would drop from the
+    pruned serve's candidate scan. The query ASSERTS the file-layer
+    counts partition the total (kept + minmax + bloom + blockmax ==
+    files_total, pending appends drained by maintain) and then emits
+    the LAYOUT-INDEPENDENT columns — corpus-present term count,
+    summed df, live-vs-probed md5-prefix buckets — which the oracle
+    recomputes relationally, md5 arithmetic included."""
+    import shutil
+    import tempfile
+
+    from datalake_toolkit_spark.llm import PostingsIndex
+    from datalake_toolkit_spark.llm.search import _tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    w = _tokens("text")
+    top_rows = (
+        docs.select(F.explode(w).alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("t"))
+        .limit(1)
+        .collect()
+    )
+    top = top_rows[0]["t"] if top_rows else ""
+    queries = docs.where(
+        (F.col("doc_id") >= 20) & (F.col("doc_id") < 24) & (F.size(w) > 0)
+    ).select(
+        F.col("doc_id").alias("query_id"),
+        F.concat_ws(
+            " ", F.concat_ws(" ", F.slice(w, 1, 4)), F.lit(top)
+        ).alias("query_text"),
+    )
+    work = tempfile.mkdtemp(prefix="dts_skiprep_")
+    try:
+        idx = PostingsIndex(spark, work, prefix_len=1)
+        idx.add(docs.where(F.col("doc_id") % 2 == 0))
+        idx.add(docs.where(F.col("doc_id") % 2 == 1), mode="mor")
+        idx.maintain()  # impact-ordered files + drained MoR state
+        rep = idx.skip_report(queries, k=10)
+        rows = rep.collect()
+        assert rows, "no report rows — queries vanished"
+        for r in rows:
+            assert (
+                r["files_kept"]
+                + r["files_minmax_skipped"]
+                + r["files_bloom_skipped"]
+                + r["files_blockmax_excluded"]
+                == r["files_total"]
+            ), f"skip layers don't partition the file total: {r}"
+            assert r["pending_appends"] == 0, (
+                "maintain() left pending merge-on-read state"
+            )
+        return (
+            rep.select(
+                "query_id", "n_terms", "rows_full",
+                "buckets_total", "buckets_probed",
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 @query(
     "q_index_decontaminate_slop",
     r"""

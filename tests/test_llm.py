@@ -4714,3 +4714,66 @@ def test_blockmax_skips_low_impact_files_exactly(spark, tmp_path):
             "spark.sql.adaptive.coalescePartitions.enabled", coal
         )
         spark.conf.set("spark.sql.shuffle.partitions", parts)
+
+
+def test_skip_report_layers_consistent_and_engaged(spark, tmp_path):
+    """skip_report (the r12 verdict's #7 ask) must expose every
+    pruning layer consistently: the per-layer skip counts partition
+    the file total, buckets probed never exceed the live buckets,
+    and on an impact-ordered corpus both the min/max layer AND the
+    block-max layer actually engage."""
+    from datalake_toolkit_spark.llm import PostingsIndex
+
+    coal = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled")
+    parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    try:
+        rows = [
+            (
+                i,
+                ("common " if i % 2 else "common common ")
+                + f"f{i} g{i}",
+            )
+            for i in range(400)
+        ]
+        rows += [
+            (1000, " ".join(["common"] * 20) + " tail pad"),
+            (1001, " ".join(["common"] * 19) + " tail pad"),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+        idx = PostingsIndex(spark, str(tmp_path / "p"), prefix_len=1)
+        idx.add(docs)
+        idx.maintain()
+
+        queries = spark.createDataFrame(
+            [(1, "common"), (2, "common tail zzznotoken")],
+            "query_id bigint, query_text string",
+        )
+        rep = {r["query_id"]: r for r in idx.skip_report(queries, k=2).collect()}
+        for qid, r in rep.items():
+            assert (
+                r["files_kept"]
+                + r["files_minmax_skipped"]
+                + r["files_bloom_skipped"]
+                + r["files_blockmax_excluded"]
+                == r["files_total"]
+            ), dict(r.asDict())
+            assert r["buckets_probed"] <= r["buckets_total"]
+            assert r["pending_appends"] == 0  # maintain() drained MoR
+        assert rep[1]["files_blockmax_excluded"] > 0
+        assert rep[2]["files_minmax_skipped"] > 0
+        assert rep[2]["n_terms"] == 2  # absent token not counted...
+        # ...but its bucket may still be probed (serve semantics)
+        assert rep[2]["buckets_probed"] >= rep[1]["buckets_probed"]
+        # MoR visibility: an unmaintained add shows up as pending
+        idx.add(spark.createDataFrame(
+            [(5000, "common fresh")], "doc_id bigint, text string"
+        ), mode="mor")
+        rep2 = idx.skip_report(queries, k=2).collect()[0]
+        assert rep2["pending_appends"] > 0
+    finally:
+        spark.conf.set(
+            "spark.sql.adaptive.coalescePartitions.enabled", coal
+        )
+        spark.conf.set("spark.sql.shuffle.partitions", parts)
