@@ -328,6 +328,14 @@ DEMOTED: tuple[str, ...] = (
     # covered in-window by q_index_hybrid_filtered (the per-query-
     # filtered superset of the same lifecycle and fusion).
     "q_index_hybrid",
+    # r13 third wave: q_stream_plane_sync enters (the streaming
+    # search-plane follower promoted from pytest into a driver gate,
+    # the r12 verdict's stretch #8 — never driver-checked).
+    # q_index_decontaminate (3x green r10-r12) rotates out in
+    # exchange — its phrase-probe decontamination shape stays
+    # covered in-window by q_index_decontaminate_slop (the sloppy
+    # superset of the same index-served probe).
+    "q_index_decontaminate",
 )
 
 GATE_WINDOW = 50
@@ -363,6 +371,7 @@ STATEFUL: frozenset[str] = frozenset(
         "q_index_phrase",  # positional index: two add commits + phrase serve
         "q_index_bm25_pruned",  # two add commits + max-score pruned BM25 serve (vs exact in-query)
         "q_skip_report",  # two add commits + maintain + per-layer skip observability
+        "q_stream_plane_sync",  # two streamed windows: MERGE + dual CDF sync + pinned hybrid serve
         "q_index_phrase_slop",  # two add commits + sloppy-phrase serve
         "q_stream_near_dedup",  # two AvailableNow micro-batches through foreachBatch
         "q_stateful_running_status",  # applyInPandasWithState stream replay

@@ -2407,6 +2407,131 @@ def q_index_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
+@query("q_stream_plane_sync", _index_hybrid_oracle())
+def q_stream_plane_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING search plane end to end (the r12 verdict's
+    stretch #8, promoted from pytest into a driver gate): a
+    micro-batched stream MERGEs into the corpus LakeTable and the
+    same foreachBatch advances BOTH persistent indexes via CDF sync,
+    leaving a mutually consistent combined pin per drain. Window 1
+    delivers deliberately STALE rows (text truncated to two tokens
+    plus a marker term, vectors reversed); window 2 delivers the true
+    rows — so the stream exercises genuine updates end to end
+    (replace-adds kill dropped terms, key merges move vectors), while
+    the FINAL table state equals the parquet corpus exactly. The
+    hybrid serve then runs AT THE PERSISTED PIN and must hash-match
+    the same relational replay q_index_hybrid uses — the oracle never
+    models the stream at all, which is the point: a follower whose
+    end state diverged from the table would fail the hash."""
+    import os
+    import shutil
+    import tempfile
+    import warnings
+
+    from datalake_toolkit_spark.lakehouse import (
+        LakeTable,
+        stream_sync_search_plane,
+    )
+    from datalake_toolkit_spark.llm import (
+        IVFIndex,
+        PostingsIndex,
+        hybrid_search_indexed,
+        latest_plane_pin,
+    )
+    from datalake_toolkit_spark.llm.search import _tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    w = _tokens("text")
+    joined = docs.join(
+        emb.select(F.col("vec_id").alias("doc_id"), "embedding"),
+        "doc_id",
+        "left",
+    ).select("doc_id", "text", "embedding")
+    qtext = docs.where(
+        (F.col("doc_id") >= 12) & (F.col("doc_id") < 15) & (F.size(w) > 0)
+    ).select(
+        F.col("doc_id").alias("query_id"),
+        F.concat_ws(" ", F.slice(w, 1, 4)).alias("query_text"),
+    )
+    queries = qtext.join(
+        emb.select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        ),
+        "query_id",
+        "left",
+    )
+    work = tempfile.mkdtemp(prefix="dts_splane_")
+    src = os.path.join(work, "src")
+    try:
+        pidx = PostingsIndex(
+            spark, os.path.join(work, "postings"), prefix_len=1
+        )
+        ivf = IVFIndex(
+            spark, os.path.join(work, "ivf"),
+            id_col="doc_id", vec_col="embedding",
+        )
+        ivf.build(
+            emb.where(F.col("vec_id") % 2 == 0).select(
+                F.col("vec_id").alias("doc_id"), "embedding"
+            ),
+            n_lists=8,
+            lloyd_iters=1,
+        )
+
+        # window 1: stale rows — truncated text + a marker term the
+        # final corpus does NOT contain, vectors reversed
+        joined.select(
+            "doc_id",
+            F.concat_ws(
+                " ",
+                F.concat_ws(" ", F.slice(_tokens("text"), 1, 2)),
+                F.lit("zzstalemarker"),
+            ).alias("text"),
+            F.reverse("embedding").alias("embedding"),
+        ).write.mode("overwrite").json(src)
+
+        def drain():
+            stream = (
+                spark.readStream.schema(
+                    "doc_id long, text string, embedding array<float>"
+                ).json(src)
+            )
+            with warnings.catch_warnings():
+                warnings.simplefilter("ignore")  # IVF bootstrap note
+                q = stream_sync_search_plane(
+                    stream, os.path.join(work, "t"), ["doc_id"],
+                    os.path.join(work, "ckpt"), pidx, ivf,
+                )
+                q.awaitTermination(600)
+
+        drain()
+        # window 2: the true rows land as updates through the MERGE
+        joined.write.mode("append").json(src)
+        drain()
+
+        t = LakeTable(spark, os.path.join(work, "t"))
+        pin = latest_plane_pin(pidx, ivf, t)
+        assert pin is not None and (
+            pin["table_version"] == t.current_version()
+        ), "combined pin must track the table head after the drain"
+        # the stale marker term must have died through the replace-add
+        probe = spark.createDataFrame(
+            [(0, "zzstalemarker")], "query_id bigint, query_text string"
+        )
+        assert not pidx.search(
+            probe, k=1, at=pin["pin"]["lexical"]
+        ).take(1), "window-1 marker term survived the update sync"
+        out = hybrid_search_indexed(
+            pidx, ivf, queries, k=10, k_each=20, n_probe=2,
+            at=pin["pin"],
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 @query(
     "q_index_hybrid_filtered",
     _index_hybrid_oracle(
