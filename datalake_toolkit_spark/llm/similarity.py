@@ -606,6 +606,293 @@ def ivf_assignments_frames(
     )
 
 
+def two_level_centroid_frames(
+    cents: DataFrame, dim: int, n_cells: int | None = None,
+    lloyd_iters: int = 1,
+) -> dict:
+    """Two-level coarse quantizer over a FINE centroid frame
+    (list_id, centroid) — the n_lists >= ~10^4 lever the flat
+    matrix-as-data path stops short of (its one-row broadcast is
+    O(n_lists x dim) and every vector pays n_lists dot products).
+    Cluster the fine centroids themselves into ``n_cells``
+    (default ceil(sqrt(k))) coarse cells with the same deterministic
+    seed + Lloyd machinery (a k-row job — tiny), then group the fine
+    matrix per cell. Returns ``{"coarse": one-row coarse matrix
+    frame (O(sqrt(k) x dim) broadcast), "cells": (cell_id, fids,
+    fmat) — one row per cell, the fine centroids as DATA, "n_cells"}``.
+    Assignment/probing against these frames costs O(sqrt(k)) coarse
+    dots plus O(k / sqrt(k)) fine dots per probed cell instead of
+    O(k), and no plan node or broadcast ever scales with k."""
+    import math
+
+    k = cents.count()
+    n_cells = n_cells or max(1, math.isqrt(max(1, k - 1)) + 1)
+    assigned, coarse = ivf_assignments_frames(
+        cents.select(
+            F.col("list_id").alias("vec_id"),
+            F.col("centroid").alias("embedding"),
+        ),
+        n_lists=n_cells,
+        dim=dim,
+        lloyd_iters=lloyd_iters,
+    )
+    cells = (
+        assigned.select(
+            F.col("list_id").alias("cell_id"),
+            F.col("vid").alias("fid"),
+            F.col("v").alias("fc"),
+        )
+        .groupBy("cell_id")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("fid"), F.col("fc")))
+                ),
+                lambda s: s.getField("fid"),
+            ).alias("fids"),
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("fid"), F.col("fc")))
+                ),
+                lambda s: s.getField("fc"),
+            ).alias("fmat"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    return {
+        "coarse": centroid_matrix_frame(coarse),
+        "cells": cells,
+        "n_cells": n_cells,
+    }
+
+
+def _cell_dots_expr(fmat: Column, fids: Column, v: Column) -> Column:
+    """(dot, neg_id) structs for a vector against ONE cell's fine
+    centroids — the same fold/zip arithmetic as
+    :func:`_ivf_assign_expr`, with the cell's REAL list ids riding
+    along, so a max over the union of every cell's structs is the
+    flat argmax bit for bit."""
+    return F.transform(
+        fmat,
+        lambda c, i: F.struct(
+            _fold_sum(F.zip_with(v, c, lambda x, w: x * w)).alias("dot"),
+            (-F.element_at(fids, i + 1)).alias("neg_id"),
+        ),
+    )
+
+
+def two_level_assign(
+    df: DataFrame,
+    frames: dict,
+    n_probe_cells: int = 1,
+    vec_col: str = "v",
+    id_col: str = "vid",
+) -> DataFrame:
+    """Assign each vector to its nearest FINE centroid, two-level:
+    probe the ``n_probe_cells`` nearest coarse cells (map-only,
+    O(sqrt(k) x dim) broadcast), then argmax over only those cells'
+    fine centroids (equi-join on cell_id — the fine matrices arrive
+    partitioned, never broadcast whole). Approximate for
+    n_probe_cells < n_cells (the true nearest fine centroid can sit
+    in an unprobed cell — the standard IMI trade); at n_probe_cells
+    = n_cells the union of probed cells is the full matrix and the
+    result is BIT-IDENTICAL to the flat path
+    (test_two_level_full_probe_equals_flat). Returns (id_col,
+    vec_col, list_id)."""
+    probed = ivf_probe_with_frame(
+        df.select(id_col, vec_col),
+        frames["coarse"],
+        n_probe_cells,
+        vec_col,
+        "cells",
+    )
+    ex = probed.select(
+        id_col, vec_col, F.explode("cells").alias("cell_id")
+    )
+    per_cell = ex.join(frames["cells"], "cell_id").select(
+        id_col,
+        vec_col,
+        F.array_max(
+            _cell_dots_expr(
+                F.col("fmat"), F.col("fids"), F.col(vec_col)
+            )
+        ).alias("best"),
+    )
+    if n_probe_cells == 1:
+        return per_cell.select(
+            id_col, vec_col, (-F.col("best.neg_id")).alias("list_id")
+        )
+    return (
+        per_cell.groupBy(id_col)
+        .agg(
+            F.max("best").alias("best"),
+            F.first(vec_col).alias(vec_col),  # replicas are identical
+        )
+        .select(id_col, vec_col, (-F.col("best.neg_id")).alias("list_id"))
+    )
+
+
+def two_level_probe(
+    queries: DataFrame,
+    frames: dict,
+    n_probe: int,
+    n_probe_cells: int = 1,
+    vec_col: str = "qv",
+    id_col: str = "qid",
+) -> DataFrame:
+    """Query-side complement: the ``n_probe`` nearest FINE list ids
+    (largest id on ties, matching :func:`_ivf_probe_expr`) found
+    inside the ``n_probe_cells`` nearest coarse cells. Per (query,
+    cell) only the cell's top ``n_probe`` structs survive, so the
+    cross-cell merge handles <= n_probe_cells x n_probe rows per
+    query. Returns (id_col, probe_lists array<int>)."""
+    probed = ivf_probe_with_frame(
+        queries.select(id_col, vec_col),
+        frames["coarse"],
+        n_probe_cells,
+        vec_col,
+        "cells",
+    )
+    ex = probed.select(
+        id_col, vec_col, F.explode("cells").alias("cell_id")
+    )
+    per_cell = ex.join(frames["cells"], "cell_id").select(
+        id_col,
+        F.slice(
+            F.reverse(
+                F.array_sort(
+                    F.transform(
+                        _cell_dots_expr(
+                            F.col("fmat"), F.col("fids"), F.col(vec_col)
+                        ),
+                        lambda s: F.struct(
+                            s.getField("dot").alias("dot"),
+                            (-s.getField("neg_id")).alias("list_id"),
+                        ),
+                    )
+                )
+            ),
+            1,
+            n_probe,
+        ).alias("tops"),
+    )
+    return (
+        per_cell.select(id_col, F.explode("tops").alias("s"))
+        .groupBy(id_col)
+        .agg(
+            F.transform(
+                F.slice(
+                    F.reverse(F.array_sort(F.collect_list("s"))),
+                    1,
+                    n_probe,
+                ),
+                lambda s: s.getField("list_id"),
+            ).alias("probe_lists")
+        )
+    )
+
+
+def ivf_topk_two_level(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_lists: int = 16384,
+    n_probe: int = 64,
+    n_probe_cells: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "vec_id",
+    query_vec_col: str = "embedding",
+    dim: int = 64,
+    lloyd_iters: int = 1,
+) -> DataFrame:
+    """IVF cosine top-k at two-level scale (the r12 verdict's #6):
+    train the fine centroids with Lloyd passes whose ASSIGNMENT step
+    runs two-level (coarse structure rebuilt over the moving fine
+    centroids each pass), assign the corpus two-level, probe
+    queries two-level, score exact cosine inside the probed lists.
+    No plan node, literal, or broadcast scales with ``n_lists`` —
+    the coarse matrix broadcast is O(sqrt(n_lists) x dim) and the
+    fine matrices travel as a partitioned (cell_id, fmat) frame.
+    Recall contract: at ``n_probe_cells = n_cells`` and ``n_probe =
+    n_lists`` the serve is exact (bit-equal assignment to the flat
+    path plus a full probe — recall 1.0, pinned in tests); below
+    that, recall degrades with both knobs exactly like the flat
+    path's n_probe knob, the documented IVF trade."""
+    staged = ensure_min_partitions(
+        corpus.select(
+            F.col(id_col).alias("vid"), _as_double(vec_col).alias("v")
+        )
+    ).persist()
+    cents = corpus.sparkSession.createDataFrame(
+        [
+            (p, [_plane_component(p, d) for d in range(dim)])
+            for p in range(n_lists)
+        ],
+        "list_id int, centroid array<double>",
+    )
+    _MEAN_BUCKETS = 256
+    for _ in range(lloyd_iters):
+        frames = two_level_centroid_frames(cents, dim=dim)
+        assigned = two_level_assign(staged, frames, n_probe_cells)
+        means = (
+            assigned.select(
+                "list_id",
+                F.pmod("vid", F.lit(_MEAN_BUCKETS)).alias("b"),
+                F.posexplode("v").alias("d", "x"),
+            )
+            .groupBy("list_id", "d", "b")
+            .agg(
+                _fold_sum(F.array_sort(F.collect_list("x"))).alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .groupBy("list_id", "d")
+            .agg(
+                (
+                    _fold_sum(F.array_sort(F.collect_list("s"))) / F.sum("n")
+                ).alias("m")
+            )
+        )
+        moved = means.groupBy("list_id").agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("d"), F.col("m")))
+                ),
+                lambda s: s.getField("m"),
+            ).alias("centroid")
+        )
+        kept = cents.join(moved, "list_id", "left_anti")
+        cents = moved.unionByName(kept).localCheckpoint(eager=True)
+    frames = two_level_centroid_frames(cents, dim=dim)
+    assigned = two_level_assign(staged, frames, n_probe_cells)
+    q = queries.select(
+        F.col(query_id_col).alias("qid"),
+        _as_double(query_vec_col).alias("qv"),
+    )
+    probes = two_level_probe(q, frames, n_probe, n_probe_cells)
+    cand = (
+        q.join(probes, "qid")
+        .select("qid", "qv", F.explode("probe_lists").alias("list_id"))
+        .join(assigned, "list_id")
+        .where(F.col("qid") != F.col("vid"))  # self excluded, like cosine_topk
+        .select(
+            "qid",
+            F.col("vid").alias("cid"),
+            cosine_similarity_col(F.col("qv"), F.col("v")).alias(
+                "cosine"
+            ),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.desc("cosine"), F.asc("cid")
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("qid", "cid", "cosine", "rank")
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -4777,3 +4777,94 @@ def test_skip_report_layers_consistent_and_engaged(spark, tmp_path):
             "spark.sql.adaptive.coalescePartitions.enabled", coal
         )
         spark.conf.set("spark.sql.shuffle.partitions", parts)
+
+
+def test_two_level_full_probe_equals_flat(spark, sf_dir):
+    """Two-level quantizer machinery (the r12 verdict's #6): probing
+    EVERY coarse cell makes the union of per-cell fine matrices the
+    full matrix, so assignment AND query probing must be BIT-equal to
+    the flat matrix-as-data path — same fold/zip arithmetic, same tie
+    rules — which pins that the only approximation is the cell-probe
+    cut itself."""
+    from datalake_toolkit_spark.llm.similarity import (
+        _as_double,
+        centroid_matrix_frame,
+        ivf_assignments_frames,
+        ivf_probe_with_frame,
+        two_level_assign,
+        two_level_centroid_frames,
+        two_level_probe,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").where(
+        F.col("embedding").isNotNull()
+    )
+    flat, cents = ivf_assignments_frames(
+        emb, n_lists=64, dim=64, lloyd_iters=1
+    )
+    frames = two_level_centroid_frames(cents, dim=64)
+    staged = emb.select(
+        F.col("vec_id").alias("vid"), _as_double("embedding").alias("v")
+    )
+    two = two_level_assign(
+        staged, frames, n_probe_cells=frames["n_cells"]
+    )
+    want = {r["vid"]: r["list_id"] for r in flat.collect()}
+    got = {r["vid"]: r["list_id"] for r in two.collect()}
+    assert got == want
+
+    q = emb.where(F.col("vec_id") < 6).select(
+        F.col("vec_id").alias("qid"), _as_double("embedding").alias("qv")
+    )
+    flat_probe = {
+        r["qid"]: list(r["probe_lists"])
+        for r in ivf_probe_with_frame(
+            q, centroid_matrix_frame(cents), 7, "qv", "probe_lists"
+        ).collect()
+    }
+    two_probe = {
+        r["qid"]: list(r["probe_lists"])
+        for r in two_level_probe(
+            q, frames, 7, n_probe_cells=frames["n_cells"]
+        ).collect()
+    }
+    assert two_probe == flat_probe
+
+
+def test_ivf_two_level_16384_no_literal_exact_at_full_probe(spark, sf_dir):
+    """The two-level serve at n_lists=16384: the analyzed plan holds
+    no n_lists-sized literal (the coarse broadcast is O(sqrt(k) x
+    dim); the fine matrices ride as a partitioned frame), and at a
+    FULL probe (every cell, every list) the result equals brute-force
+    cosine top-k — the same recall-1.0-at-full-probe contract the
+    flat frame path documents; below that the cell/list knobs trade
+    recall exactly like flat n_probe."""
+    from datalake_toolkit_spark.llm.similarity import (
+        cosine_topk,
+        ivf_topk_two_level,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").where(
+        F.col("embedding").isNotNull()
+    )
+    q = emb.where(F.col("vec_id") < 4)
+    out = ivf_topk_two_level(
+        emb, q, k=5, n_lists=16384, n_probe=16384,
+        n_probe_cells=129, lloyd_iters=0,
+    )
+    assert len(out._jdf.queryExecution().analyzed().toString()) < 150_000
+    got = {(r.qid, r.cid): r.rank for r in out.collect()}
+    want = {
+        (r.qid, r.cid): r.rank for r in cosine_topk(emb, q, k=5).collect()
+    }
+    assert got == want
+    # partial probe still returns k ranked rows per query
+    part = ivf_topk_two_level(
+        emb, q, k=5, n_lists=16384, n_probe=64,
+        n_probe_cells=2, lloyd_iters=0,
+    )
+    by_q = {}
+    for r in part.collect():
+        by_q.setdefault(r.qid, []).append(r.rank)
+    assert by_q and all(sorted(v) == list(range(1, len(v) + 1))
+                        for v in by_q.values())
