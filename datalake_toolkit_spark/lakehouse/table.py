@@ -1565,6 +1565,34 @@ class LakeTable:
             f"write lost {self._MAX_COMMIT_RETRIES} version races at {self.path}"
         )
 
+    def _row_count_from_footers(self, version: int | None = None) -> int | None:
+        """Exact committed row count summed from parquet footer
+        metadata — driver-side, zero Spark jobs. Returns None (caller
+        falls back to a count() job) when pending merge-on-read state
+        (appends or deletes) makes footer sums wrong, or any footer
+        is unreadable. The cheap path for small metadata tables whose
+        row count gates a plan-shape decision (e.g. the IVF
+        literal-vs-frame centroid switch)."""
+        import pyarrow.parquet as pq
+
+        man = self._manifest(version)
+        if man.get("merges") or man.get("deletes"):
+            return None
+        total = 0
+        for key, tok in man["owners"].items():
+            d = os.path.join(self._vdir(tok), key) if key else self._vdir(tok)
+            if not os.path.isdir(d):
+                return None
+            for f in os.listdir(d):
+                if f.endswith(".parquet") and not f.startswith(("_", ".")):
+                    try:
+                        total += pq.read_metadata(
+                            os.path.join(d, f)
+                        ).num_rows
+                    except Exception:
+                        return None
+        return total
+
     def read(
         self,
         version: int | None = None,

@@ -192,7 +192,15 @@ class IVFIndex:
             else self.centroids_t.current_version()
         )
         if v not in self._nl_cache:
-            self._nl_cache[v] = self.centroids_t.read(version=v).count()
+            # footer metadata first (driver-side, zero jobs — the
+            # centroids table is snapshot-written, so footer sums are
+            # exact); a count() job only as the fallback
+            n = self.centroids_t._row_count_from_footers(v)
+            self._nl_cache[v] = (
+                n
+                if n is not None
+                else self.centroids_t.read(version=v).count()
+            )
         return self._nl_cache[v]
 
     def _cent_matrix(self, at: dict | None = None):
