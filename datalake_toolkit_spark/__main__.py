@@ -165,7 +165,8 @@ def _build_parser() -> argparse.ArgumentParser:
         choices=["query", "index-add", "index-query", "index-probe",
                  "index-maintain", "index-remove", "index-rebucket",
                  "index-sync", "index-audit", "index-refresh-stats",
-                 "index-prune-report", "plane-sync", "hybrid"],
+                 "index-prune-report", "index-skip-report", "plane-sync",
+                 "hybrid"],
         help="query: one-shot over --docs; index-add: build/extend the "
              "persistent index at --index from --docs; index-query: "
              "serve from --index; index-probe: report what a query "
@@ -710,10 +711,16 @@ def _cmd_search(args: argparse.Namespace) -> int:
         )
         print(json.dumps(rep))
         return 0
-    if args.action == "index-prune-report":
+    if args.action in ("index-prune-report", "index-skip-report"):
         if not (args.index and args.query):
-            raise SystemExit("index-prune-report needs --index and --query")
-        rep_df = PostingsIndex(spark, args.index).bm25_prune_report(
+            raise SystemExit(f"{args.action} needs --index and --query")
+        idx = PostingsIndex(spark, args.index)
+        method = (
+            idx.bm25_prune_report
+            if args.action == "index-prune-report"
+            else idx.skip_report  # per-layer files-total vs kept
+        )
+        rep_df = method(
             spark.createDataFrame(
                 [(0, args.query)], "query_id bigint, query_text string"
             ),

@@ -1353,24 +1353,28 @@ class PostingsIndex:
                     version=self._pin(at, "corpus_stats")
                 ).groupBy().agg(
                     F.sum("n_docs").alias("n_docs"),
-                    (F.sum("total_dl") / F.sum("n_docs")).alias("avgdl"),
+                    F.try_divide(
+                        F.sum("total_dl"), F.sum("n_docs")
+                    ).alias("avgdl"),
                 )
             return self.doc_stats_t.read(
                 version=self._pin(at, "doc_stats")
             ).groupBy().agg(
                 F.count(F.lit(1)).alias("n_docs"),
-                (F.sum("dl") / F.count(F.lit(1))).alias("avgdl"),
+                F.try_divide(
+                    F.sum("dl"), F.count(F.lit(1))
+                ).alias("avgdl"),
             )
         if self.corpus_stats_t.current_version() is not None:
             return self.corpus_stats_t.read().groupBy().agg(
                 F.sum("n_docs").alias("n_docs"),
-                (
-                    F.sum("total_dl") / F.sum("n_docs")
+                F.try_divide(
+                    F.sum("total_dl"), F.sum("n_docs")
                 ).alias("avgdl"),
             )
         return self.doc_stats_t.read().groupBy().agg(
             F.count(F.lit(1)).alias("n_docs"),
-            (F.sum("dl") / F.count(F.lit(1))).alias("avgdl"),
+            F.try_divide(F.sum("dl"), F.count(F.lit(1))).alias("avgdl"),
         )
 
     # past this many distinct query terms, the IN-list file-skipping

@@ -2306,8 +2306,8 @@ def test_cdf_shadow_probe_is_stat_pruned(spark, tmp_path):
     reports = []
     orig = t._select_files
 
-    def spy(man, keys, conjuncts):
-        bg, rep = orig(man, keys, conjuncts)
+    def spy(man, keys, conjuncts, exclude_files=None):
+        bg, rep = orig(man, keys, conjuncts, exclude_files)
         reports.append((conjuncts, rep))
         return bg, rep
 
