@@ -489,7 +489,11 @@ class PostingsIndex:
         return self._prefix_len()
 
     def add(
-        self, docs: DataFrame, mode: str = "mor", replace: bool = False
+        self,
+        docs: DataFrame,
+        mode: str = "mor",
+        replace: bool = False,
+        replaced_old: DataFrame | None = None,
     ) -> int:
         """Index a batch: postings commit first, doc stats second,
         corpus stats third — all idempotent (the stats refresh is a
@@ -507,7 +511,21 @@ class PostingsIndex:
         ids (replace batches are update-sized; for corpus-scale
         rewrites, rebuild). A replay of a crashed replace-add
         converges: the re-run's delete covers any half-committed
-        appends, and the re-run's appends land after it, immune."""
+        appends, and the re-run's appends land after it, immune.
+
+        ``replaced_old`` (only with ``replace=True``): an
+        ``(id_col, text_col)`` frame holding the batch docs' LAST
+        INDEXED content — e.g. the delete side of a CDF window. When
+        given, the incremental removal-stats path derives the
+        affected terms by tokenizing it (O(batch)) instead of
+        scanning the postings table for the ids' rows (O(corpus
+        columns)) — the lever that keeps CDF-sync windows free of
+        any postings scan. CALLER-OWNED correctness, same class as
+        ``partition_scoped``: rows must reflect what the index
+        actually holds for those ids — a hint that misses indexed
+        terms would leave their df over-counted, silently
+        UNDER-estimating the MAXSCORE bound. The sync paths satisfy
+        it by construction (the index follows the table)."""
         # Captured BEFORE any commit bumps versions: the scoped
         # (batch-terms-only) refresh below is only sound when the
         # prior stats state was provably consistent. If stats were
@@ -536,6 +554,11 @@ class PostingsIndex:
                 ids,
                 maintain_stats=(
                     self.stats_refresh == "add" and fresh_before
+                ),
+                affected_terms=(
+                    self._terms_of(replaced_old)
+                    if replaced_old is not None
+                    else None
                 ),
             )
         plen = self._prefix_len()
@@ -1070,7 +1093,23 @@ class PostingsIndex:
         )
         self._mark_stats_fresh()
 
-    def remove(self, doc_ids) -> None:
+    def _terms_of(self, docs: DataFrame) -> DataFrame:
+        """(term, term_prefix) vocabulary of an (id, text) frame at
+        the postings table's committed bucket width — the O(batch)
+        source of removal-affected terms when the caller supplies the
+        removed docs' last indexed content (see ``replaced_old`` /
+        ``removed_docs``)."""
+        plen = self._prefix_len()
+        return (
+            docs.select(_tokens(self.text_col).alias("w"))
+            .select(F.explode("w").alias("term"))
+            .distinct()
+            .withColumn(
+                "term_prefix", F.substring(F.md5("term"), 1, plen)
+            )
+        )
+
+    def remove(self, doc_ids, removed_docs: DataFrame | None = None) -> None:
         """Delete documents from the index: merge-on-read PREDICATE
         deletes on both postings and doc_stats (O(metadata) commits —
         reads anti-apply the predicate until ``maintain()``/
@@ -1087,16 +1126,33 @@ class PostingsIndex:
         MAXSCORE pruning stays live across deletes — no
         ``maintain()`` needed. Otherwise the stats truncate and the
         serve falls back to the exact plan (the lean deferred-mode
-        contract)."""
+        contract).
+
+        ``removed_docs``: optional ``(id_col, text_col)`` frame of
+        the removed ids' LAST INDEXED content (a CDF window's delete
+        side). Derives the affected terms by tokenizing it —
+        O(batch) — instead of scanning the postings for the ids'
+        rows. CALLER-OWNED correctness (must match what the index
+        holds; see :meth:`add`'s ``replaced_old``)."""
         buckets = self._remove(
             doc_ids,
             maintain_stats=(
                 self.stats_refresh == "add" and self._stats_fresh()
             ),
+            affected_terms=(
+                self._terms_of(removed_docs)
+                if removed_docs is not None
+                else None
+            ),
         )
         self._refresh_corpus_stats(buckets)
 
-    def _remove(self, doc_ids, maintain_stats: bool = False) -> list[str]:
+    def _remove(
+        self,
+        doc_ids,
+        maintain_stats: bool = False,
+        affected_terms: DataFrame | None = None,
+    ) -> list[str]:
         """:meth:`remove` minus the corpus-stats refresh — returns the
         removed ids' live doc_stats bucket keys so ``add(replace=
         True)`` can fold them into ITS refresh (one bucket scan
@@ -1110,10 +1166,12 @@ class PostingsIndex:
         ``maintain_stats=True`` (caller certifies the term stats were
         FRESH at mutation entry) captures the removed ids' terms
         before the delete — one column-pruned postings pass over
-        (term, term_prefix, doc_id) — and incrementally recomputes
-        just those terms' stats afterwards, keeping pruning live.
-        With ``False`` the stats truncate wholesale (O(1)) and
-        serving degrades to the exact plan until a refresh."""
+        (term, term_prefix, doc_id), or O(batch) tokenization when
+        ``affected_terms`` supplies the vocabulary (see
+        :meth:`_terms_of`) — and incrementally recomputes just those
+        terms' stats afterwards, keeping pruning live. With
+        ``False`` the stats truncate wholesale (O(1)) and serving
+        degrades to the exact plan until a refresh."""
         ids = list(doc_ids)
         if not ids or self.postings_t.current_version() is None:
             return []
@@ -1126,7 +1184,12 @@ class PostingsIndex:
 
         pred = "doc_id IN ({})".format(", ".join(lit(v) for v in ids))
         affected = None
-        if maintain_stats:
+        if maintain_stats and affected_terms is not None:
+            # caller-supplied vocabulary (last indexed content):
+            # derived from the caller's own frame, untouched by the
+            # delete below — no postings scan at all
+            affected = affected_terms
+        elif maintain_stats:
             # captured (and pinned by the checkpoint inside
             # _refresh_term_stats_for_terms via this eager one) BEFORE
             # the delete commits — afterwards the rows are gone

@@ -93,12 +93,16 @@ def _advance_cursor(index, table, version: int) -> None:
 
 def _net_changes(
     table, from_version: int, to_version: int, id_col: str
-) -> tuple[DataFrame, list]:
+) -> tuple[DataFrame, list, DataFrame]:
     """(after-image rows of ids present in the target snapshot's
-    change set, ids to delete). The removed-id collect is bounded by
-    the mutation size — the sync window's deleted keys — the same
-    update-sized contract the indexes' own ``remove`` documents; for
-    corpus-scale rewrites, rebuild instead of syncing."""
+    change set, ids to delete, BEFORE-image rows — the delete side of
+    the window). The removed-id collect is bounded by the mutation
+    size — the sync window's deleted keys — the same update-sized
+    contract the indexes' own ``remove`` documents; for corpus-scale
+    rewrites, rebuild instead of syncing. The before-images feed the
+    postings index's O(batch) removal-stats hint: under the
+    follower contract (the index tracks this table), a deleted row's
+    old content IS what the index holds for that id."""
     # pin the two-snapshot diff ONCE: it is mutation-sized, and both
     # the removed-ids collect and the caller's add would otherwise
     # each re-run the full diff (the dominant sync cost)
@@ -141,14 +145,16 @@ def _net_changes(
         # no orderable non-key columns (or none at all): the winner
         # is arbitrary-but-single; uniqueness is the table's job
         upserts = ins.dropDuplicates([id_col])
+    old = ch.where(F.col("_change_type") == "delete").drop(
+        "_change_type"
+    )
     removed = (
-        ch.where(F.col("_change_type") == "delete")
-        .select(id_col)
+        old.select(id_col)
         .distinct()
         .join(ins.select(id_col).distinct(), id_col, "left_anti")
         .collect()
     )
-    return upserts, [r[0] for r in removed]
+    return upserts, [r[0] for r in removed], old
 
 
 def _window(index, table, from_version, to_version) -> tuple[int, int | None]:
@@ -202,14 +208,32 @@ def sync_postings_from_table(
         return out
     if from_v == to_v:
         return out
-    upserts, removed = _net_changes(table, from_v, to_v, index.id_col)
+    upserts, removed, old = _net_changes(
+        table, from_v, to_v, index.id_col
+    )
     upserts = upserts.select(index.id_col, index.text_col)
+    old = old.select(index.id_col, index.text_col)
     out["removes"] = len(removed)
     if removed:
-        index.remove(removed)
+        # the before-images ARE the removed ids' indexed content
+        # under the follower contract — O(batch) stats maintenance,
+        # no postings scan
+        index.remove(
+            removed,
+            removed_docs=old.where(
+                F.col(index.id_col).isin(removed)
+            ),
+        )
     out["upserts"] = upserts.count()
     if out["upserts"]:
-        index.add(upserts, mode=mode, replace=True)
+        index.add(
+            upserts,
+            mode=mode,
+            replace=True,
+            replaced_old=old.join(
+                upserts.select(index.id_col), index.id_col, "left_semi"
+            ),
+        )
     _advance_cursor(index, table, to_v)
     return out
 
@@ -250,7 +274,9 @@ def sync_ivf_from_table(
         return out
     if from_v == to_v:
         return out
-    upserts, removed = _net_changes(table, from_v, to_v, index.id_col)
+    upserts, removed, _old = _net_changes(
+        table, from_v, to_v, index.id_col
+    )
     upserts = upserts.select(index.id_col, index.vec_col)
     indexable = index._prep(upserts)
     demoted = (

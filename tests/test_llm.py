@@ -4525,11 +4525,43 @@ def test_remove_and_sync_keep_pruning_live(spark, tmp_path):
         mode="mor",
     )
     t.delete_where("doc_id IN (0, 50)", mode="mor")
-    sync_postings_from_table(idx2, t)
+    # the incremental window's stats maintenance must never scan the
+    # postings table unrestricted: the CDF before-images supply the
+    # removed ids' vocabulary (O(batch) tokenization), and every
+    # remaining postings read is bucket- or predicate-scoped
+    unscoped = []
+    orig_read = idx2.postings_t.read
+
+    def spy_read(version=None, partitions=None, where=None, **kw):
+        if partitions is None and where is None:
+            unscoped.append(version)
+        return orig_read(
+            version=version, partitions=partitions, where=where, **kw
+        )
+
+    idx2.postings_t.read = spy_read
+    try:
+        sync_postings_from_table(idx2, t)
+    finally:
+        idx2.postings_t.read = orig_read
+    assert not unscoped, "sync scanned the postings table unrestricted"
     assert idx2._stats_fresh()
     inputs2 = idx2._pruned_serve_inputs(qt)
     assert inputs2 is not None
     assert inputs2["stats"]["unique7"][:2] == (0, 0)
+    # hint-path stats are the committed truth, bit for bit
+    synced = {
+        (r["term"]): (r["df"], r["max_tf"], r["min_dl"])
+        for r in idx2.term_stats_t.read().collect()
+        if r["df"] > 0  # zero rows are hint-side extras, checked above
+    }
+    idx2.refresh_term_stats()
+    truth2 = {
+        (r["term"]): (r["df"], r["max_tf"], r["min_dl"])
+        for r in idx2.term_stats_t.read().collect()
+        if r["df"] > 0
+    }
+    assert synced == truth2
     assert _bm25_rows(
         idx2.search_bm25(queries, k=5, prune="auto")
     ) == _bm25_rows(idx2.search_bm25(queries, k=5, prune="off"))
