@@ -433,27 +433,45 @@ class PostingsIndex:
         from ONE consistent commit point, undisturbed by later adds /
         removes / maintenance — the time-travel contract the
         underlying LakeTables already have, lifted to the index."""
-        pv = self.postings_t.current_version()
-        # pinned only when provably fresh AT CAPTURE — versions are
-        # immutable afterwards, so a pinned serve can trust the pair
-        # without re-checking the live sidecar. The record is read
-        # ONCE and paired against the postings version CAPTURED ABOVE
-        # (not the live one): a concurrent add landing mid-snapshot
-        # would otherwise pair an older postings pin with newer,
-        # larger-df stats, under-estimating w_ub for the pinned
-        # corpus. On match, the record's OWN stats_version is the
-        # certified partner — never the live table's.
-        rec = self._stats_fresh_record()
-        return {
-            "postings": pv,
-            "doc_stats": self.doc_stats_t.current_version(),
-            "corpus_stats": self.corpus_stats_t.current_version(),
-            "term_stats": (
-                rec.get("stats_version")
-                if rec is not None and rec.get("postings_version") == pv
-                else None
-            ),
-        }
+        # All four versions must come from ONE commit point: a
+        # concurrent add landing between any two reads would pair an
+        # older postings pin with newer doc/corpus stats whose
+        # n_docs/avgdl disagree with the pinned postings (r13 ADVICE
+        # #4 — the same hazard the term_stats pairing already
+        # guarded). Capture everything, then re-read the postings
+        # version: if it moved, a writer raced us — retry. Bounded
+        # retries suffice because the index is single-writer by
+        # contract (concurrent WRITERS are unsupported everywhere
+        # else too); the loop only defends the snapshot-vs-one-writer
+        # interleaving.
+        for _ in range(5):
+            pv = self.postings_t.current_version()
+            dv = self.doc_stats_t.current_version()
+            cv = self.corpus_stats_t.current_version()
+            # pinned only when provably fresh AT CAPTURE — versions
+            # are immutable afterwards, so a pinned serve can trust
+            # the pair without re-checking the live sidecar. The
+            # record is paired against the postings version CAPTURED
+            # ABOVE (not the live one); on match, the record's OWN
+            # stats_version is the certified partner — never the
+            # live table's.
+            rec = self._stats_fresh_record()
+            if self.postings_t.current_version() == pv:
+                return {
+                    "postings": pv,
+                    "doc_stats": dv,
+                    "corpus_stats": cv,
+                    "term_stats": (
+                        rec.get("stats_version")
+                        if rec is not None
+                        and rec.get("postings_version") == pv
+                        else None
+                    ),
+                }
+        raise RuntimeError(
+            "snapshot(): postings version kept moving across 5 "
+            "capture attempts — a writer is racing the snapshot"
+        )
 
     def _prefix_len(self, at: dict | None = None) -> int:
         """The POSTINGS table's committed bucket width, or the
@@ -2064,6 +2082,10 @@ class PostingsIndex:
         plen = self._prefix_len(at)
 
         def w_ub_file(t: str, tf_max, dl_min) -> float:
+            if not tf_max:
+                # committed postings carry tf >= 1, but guard the
+                # same b=1.0 zero denominator as w_ub (r13 ADVICE #2)
+                return 0.0
             df = tstats[t][0]
             idf = math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
             return (
@@ -2200,6 +2222,12 @@ class PostingsIndex:
 
         def w_ub(t: str) -> float:
             df, max_tf, min_dl = tstats[t]
+            if max_tf == 0:
+                # fully-removed term: _refresh_term_stats_for_terms
+                # writes an explicit (df=0, max_tf=0, min_dl=0) row;
+                # its true contribution is 0 and at b=1.0 the
+                # denominator below would be exactly 0 (r13 ADVICE #2)
+                return 0.0
             idf = math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
             return (
                 idf

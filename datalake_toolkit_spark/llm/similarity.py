@@ -622,8 +622,20 @@ def two_level_centroid_frames(
     fmat) — one row per cell, the fine centroids as DATA, "n_cells"}``.
     Assignment/probing against these frames costs O(sqrt(k)) coarse
     dots plus O(k / sqrt(k)) fine dots per probed cell instead of
-    O(k), and no plan node or broadcast ever scales with k."""
+    O(k), and no plan node or broadcast ever scales with k.
+
+    The coarse matrix holds ONLY non-empty cells, their ids remapped
+    contiguously so the index-as-id contract of
+    :func:`centroid_matrix_frame` still holds (r13 ADVICE #1: empty
+    cells kept their seed positions in the matrix, so a vector whose
+    n_probe_cells nearest coarse centroids were ALL empty inner-joined
+    against nothing and silently vanished from the assignment — data
+    loss, not a recall trade). Every fine centroid lands in some
+    cell, so the non-empty cells partition the full fine matrix and
+    full-cell probes stay bit-equal to the flat path."""
     import math
+
+    from pyspark.sql import Window
 
     k = cents.count()
     n_cells = n_cells or max(1, math.isqrt(max(1, k - 1)) + 1)
@@ -636,9 +648,24 @@ def two_level_centroid_frames(
         dim=dim,
         lloyd_iters=lloyd_iters,
     )
+    # <= n_cells rows: the one-partition window is metadata-sized
+    remap = (
+        assigned.select(F.col("list_id").alias("old_cell"))
+        .distinct()
+        .withColumn(
+            "cell_id",
+            F.row_number().over(Window.orderBy("old_cell")) - 1,
+        )
+    )
+    coarse = coarse.join(
+        remap, coarse["list_id"] == remap["old_cell"]
+    ).select(F.col("cell_id").alias("list_id"), "centroid")
     cells = (
-        assigned.select(
-            F.col("list_id").alias("cell_id"),
+        assigned.join(
+            remap, assigned["list_id"] == remap["old_cell"]
+        )
+        .select(
+            "cell_id",
             F.col("vid").alias("fid"),
             F.col("v").alias("fc"),
         )

@@ -2504,7 +2504,11 @@ def q_stream_plane_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
                     stream, os.path.join(work, "t"), ["doc_id"],
                     os.path.join(work, "ckpt"), pidx, ivf,
                 )
-                q.awaitTermination(600)
+                # a timed-out drain would leave the stream live and
+                # the gate serving a half-synced index (r13 ADVICE #3)
+                if not q.awaitTermination(600):
+                    q.stop()
+                    raise AssertionError("stream drain timed out")
 
         drain()
         # window 2: the true rows land as updates through the MERGE

@@ -4900,3 +4900,119 @@ def test_ivf_two_level_16384_no_literal_exact_at_full_probe(spark, sf_dir):
         by_q.setdefault(r.qid, []).append(r.rank)
     assert by_q and all(sorted(v) == list(range(1, len(v) + 1))
                         for v in by_q.values())
+
+
+def test_two_level_empty_cells_never_drop_vectors(spark):
+    """r13 ADVICE #1: the coarse matrix used to keep EMPTY cells at
+    their seed positions, so a vector (or query) whose probed coarse
+    cells were all empty inner-joined against nothing and silently
+    vanished. The coarse matrix must hold only non-empty cells
+    (ids remapped contiguously): every vector assigns, every query
+    probes, at any n_probe_cells."""
+    from datalake_toolkit_spark.llm.similarity import (
+        two_level_assign,
+        two_level_centroid_frames,
+        two_level_probe,
+    )
+
+    dim = 4
+    # 3 fine centroids, 8 requested coarse cells -> >= 5 empty cells
+    cents = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0, 0.0]),
+            (1, [0.0, 1.0, 0.0, 0.0]),
+            (2, [0.0, 0.0, 1.0, 0.0]),
+        ],
+        "list_id int, centroid array<double>",
+    )
+    frames = two_level_centroid_frames(cents, dim=dim, n_cells=8)
+    cmat = frames["coarse"].first()["cmat"]
+    n_nonempty = frames["cells"].count()
+    assert len(cmat) == n_nonempty  # no empty-cell rows in the matrix
+    assert n_nonempty <= 3
+    # cell ids are contiguous 0..m-1 (the index-as-id contract)
+    got_ids = sorted(
+        r["cell_id"] for r in frames["cells"].select("cell_id").collect()
+    )
+    assert got_ids == list(range(n_nonempty))
+
+    vecs = spark.createDataFrame(
+        [
+            (10, [0.9, 0.1, 0.0, 0.0]),
+            (11, [0.0, 0.8, 0.2, 0.0]),
+            (12, [0.1, 0.0, 0.9, 0.0]),
+            (13, [-1.0, -1.0, -1.0, 4.0]),  # far from every centroid
+        ],
+        "vid bigint, v array<double>",
+    )
+    for npc in (1, 2, 8):
+        assigned = two_level_assign(vecs, frames, n_probe_cells=npc)
+        rows = assigned.collect()
+        assert len(rows) == 4, f"dropped vectors at n_probe_cells={npc}"
+        assert all(r["list_id"] in (0, 1, 2) for r in rows)
+        probed = two_level_probe(
+            vecs.select(F.col("vid").alias("qid"), F.col("v").alias("qv")),
+            frames,
+            n_probe=2,
+            n_probe_cells=npc,
+        )
+        assert probed.count() == 4, f"dropped queries at n_probe_cells={npc}"
+
+
+def test_pruned_bm25_survives_fully_removed_term_at_b1(spark, tmp_path):
+    """r13 ADVICE #2: a fully-removed term's explicit zero stats row
+    (df=0, max_tf=0, min_dl=0) made w_ub's denominator exactly 0 at
+    b=1.0 — the pruned serve must short-circuit the bound to 0.0 and
+    still equal the exact plan."""
+    from datalake_toolkit_spark.llm import PostingsIndex
+
+    docs = spark.createDataFrame(
+        [(i, f"the w{i % 13} " + ("unique7" if i == 7 else "x"))
+         for i in range(100)],
+        "doc_id bigint, text string",
+    )
+    idx = PostingsIndex(spark, str(tmp_path / "p"), prefix_len=1)
+    idx.add(docs)
+    idx.remove([7])  # the only doc holding "unique7" -> zero stats row
+    assert idx._stats_fresh()
+    queries = spark.createDataFrame(
+        [(1, "unique7 the w3")], "query_id bigint, query_text string"
+    )
+    pruned = idx.search_bm25(queries, k=5, b=1.0, prune="auto")
+    exact = idx.search_bm25(queries, k=5, b=1.0, prune="off")
+    assert _bm25_rows(pruned) == _bm25_rows(exact)
+    assert pruned.count() == 5
+
+
+def test_snapshot_retries_when_postings_version_moves(spark, tmp_path):
+    """r13 ADVICE #4: snapshot() must capture all four versions from
+    ONE commit point — if the postings version moves mid-capture (a
+    racing writer), it retries and returns the stable capture."""
+    from datalake_toolkit_spark.llm import PostingsIndex
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha w{i % 5}") for i in range(30)],
+        "doc_id bigint, text string",
+    )
+    idx = PostingsIndex(spark, str(tmp_path / "p"), prefix_len=1)
+    idx.add(docs)
+    real = idx.postings_t.current_version()
+    calls = {"n": 0}
+    orig = type(idx.postings_t).current_version
+
+    def moving(self):
+        calls["n"] += 1
+        # first capture sees a phantom version that "moves" by the
+        # re-check; every later read sees the stable head
+        return (real - 1) if calls["n"] == 1 else orig(self)
+
+    idx.postings_t.current_version = moving.__get__(idx.postings_t)
+    try:
+        snap = idx.snapshot()
+    finally:
+        del idx.postings_t.current_version
+    assert snap["postings"] == real
+    assert snap["doc_stats"] == idx.doc_stats_t.current_version()
+    assert snap["corpus_stats"] == idx.corpus_stats_t.current_version()
+    assert snap["term_stats"] is not None  # fresh record pairs the head
+    assert calls["n"] >= 3  # first capture + failed re-check + retry
