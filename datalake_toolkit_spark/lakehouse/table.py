@@ -1261,8 +1261,14 @@ class LakeTable:
         ``__HIVE_DEFAULT_PARTITION__`` matches NULL/''. Needed to scope
         RESOLVED merge-on-read append rows to a partition-restricted
         read: appends resolve globally (a key may have moved partitions),
-        so directories alone can't scope them."""
-        disj = F.lit(False)
+        so directories alone can't scope them.
+
+        The disjunction folds BALANCED (pairwise), not left-deep: a
+        wide probe (hundreds of partitions — e.g. a near-full IVF
+        probe over a 16384-list index) would otherwise build an
+        O(n)-deep Or chain that overflows the JVM stack in Spark's
+        column-tree conversion; the balanced tree is O(log n) deep."""
+        terms = []
         for key in keys:
             conj = F.lit(True)
             for seg in key.split("/") if key else []:
@@ -1280,8 +1286,15 @@ class LakeTable:
                         else F.col(c).cast("string") == F.lit(txt)
                     )
                 conj = conj & cond
-            disj = disj | conj
-        return disj
+            terms.append(conj)
+        if not terms:
+            return F.lit(False)
+        while len(terms) > 1:
+            paired = [a | b for a, b in zip(terms[::2], terms[1::2])]
+            if len(terms) % 2:
+                paired.append(terms[-1])
+            terms = paired
+        return terms[0]
 
     def _read_owned(
         self,
@@ -1592,6 +1605,59 @@ class LakeTable:
                     except Exception:
                         return None
         return total
+
+    @staticmethod
+    def row_group_stats(
+        paths: "Sequence[str]", columns: "Sequence[str]"
+    ) -> "dict[str, list[dict]]":
+        """Per-ROW-GROUP footer stats for named data files —
+        driver-side, zero Spark jobs (the row-group-granularity
+        sibling of the manifest's per-file stats). Returns
+        ``{path: [{col: (min, max), "rows": n}, ...]}`` with one dict
+        per row group in file order; a column whose statistics are
+        absent for a group is omitted from that group's dict
+        (evidence-based callers must then keep the group).
+        Unreadable files are omitted entirely — same keep-on-no-
+        evidence contract."""
+        import pyarrow.parquet as pq
+
+        out: dict[str, list[dict]] = {}
+        for path in paths:
+            try:
+                md = pq.ParquetFile(path).metadata
+            except Exception:
+                continue
+            names = {
+                md.schema.column(i).name: i
+                for i in range(md.num_columns)
+            }
+            groups = []
+            for rg in range(md.num_row_groups):
+                g = md.row_group(rg)
+                entry: dict = {"rows": g.num_rows}
+                for c in columns:
+                    ci = names.get(c)
+                    if ci is None:
+                        continue
+                    st = g.column(ci).statistics
+                    if (
+                        st is None
+                        or not st.has_min_max
+                        or st.min is None
+                        or st.max is None
+                    ):
+                        continue
+                    mn, mx = st.min, st.max
+                    if isinstance(mn, bytes):
+                        try:
+                            mn = mn.decode("utf-8")
+                            mx = mx.decode("utf-8")
+                        except UnicodeDecodeError:
+                            continue
+                    entry[c] = (mn, mx)
+                groups.append(entry)
+            out[path] = groups
+        return out
 
     def read(
         self,

@@ -55,8 +55,12 @@ from datalake_toolkit_spark.llm.similarity import (
     ivf_assign_with_frame,
     ivf_assignments,
     ivf_assignments_frames,
+    ivf_assignments_two_level,
     ivf_probe_col,
     ivf_probe_with_frame,
+    two_level_assign,
+    two_level_cell_rows,
+    two_level_probe,
 )
 
 # Above this many lists, centroids stop riding in plans as literal
@@ -66,6 +70,19 @@ from datalake_toolkit_spark.llm.similarity import (
 # with Lloyd refinement staying fully distributed. Both paths share
 # the same expression trees, so results are bit-identical either way.
 _FRAME_CENTROIDS_FROM = 512
+
+# Above this many lists, even the one-row matrix broadcast stops
+# scaling (O(n_lists x dim) doubles shipped to every task on EVERY
+# serve/add — ~0.6 GB at 10^5 lists x 768 dims) and the index
+# persists a TWO-LEVEL layout: a coarse table of ~sqrt(k) cell
+# centroids (the only broadcast) plus a cells table partitioned by
+# cell_id holding each cell's fine-centroid block as data — a probe
+# LISTS only the probed cells' directories, so the probe cost is
+# O(sqrt(k)) coarse dots + O(n_probe_cells * sqrt(k)) fine dots.
+# Assignment probes EVERY cell (exact, bit-equal to the flat argmax
+# — the audit contract), distributed through the partitioned cell
+# join instead of one giant broadcast row.
+_TWO_LEVEL_FROM = 10_000
 
 
 class IVFIndex:
@@ -84,17 +101,30 @@ class IVFIndex:
         id_col: str = "vec_id",
         vec_col: str = "embedding",
         auto_compact_after: dict | None = None,
+        two_level_from: int = _TWO_LEVEL_FROM,
     ) -> None:
         self.spark = spark
         self.path = path
         self.id_col = id_col
         self.vec_col = vec_col
+        self.two_level_from = two_level_from
         self.centroids_t = LakeTable(spark, os.path.join(path, "centroids"))
         self.assignments_t = LakeTable(
             spark,
             os.path.join(path, "assignments"),
             partition_by=("list_id",),
             auto_compact_after=auto_compact_after,
+        )
+        # the persistent two-level layout (only written when a build
+        # crosses two_level_from lists): coarse cell centroids
+        # (snapshot-sized, ~sqrt(k) rows) + per-cell fine-centroid
+        # blocks partitioned by cell_id (probed-cell reads list only
+        # those directories)
+        self.coarse_t = LakeTable(spark, os.path.join(path, "coarse"))
+        self.cells_t = LakeTable(
+            spark,
+            os.path.join(path, "cells"),
+            partition_by=("cell_id",),
         )
         # list-count per centroids VERSION (versions are immutable, so
         # the cache can never serve a stale count) — the literal-vs-
@@ -218,6 +248,124 @@ class IVFIndex:
         ).select("list_id", "centroid")
         return "frame", centroid_matrix_frame(df)
 
+    # -- two-level layout ------------------------------------------------------
+
+    def _tl_sidecar_path(self) -> str:
+        return os.path.join(self.path, "cells", "_built_for.json")
+
+    def _tl_record(self, at: dict | None = None) -> dict | None:
+        """The two-level layout record PAIRED to the resolved
+        centroids version, or None when the layout doesn't exist for
+        it (flat-built index, rebuild below the threshold, crash
+        between the build's table writes and the sidecar — the serve
+        then falls back to the flat matrix path, always correct).
+        The sidecar maps centroids version -> {coarse, cells,
+        n_cells}, appended per two-level build, so PINNED serves of
+        older two-level states resolve their own cell structure
+        (subject to vacuum retention, like any pin)."""
+        import json as json_mod
+
+        v = (
+            self._pin(at, "centroids")
+            if at is not None
+            else self.centroids_t.current_version()
+        )
+        if v is None:
+            return None
+        try:
+            with open(self._tl_sidecar_path()) as f:
+                rec = json_mod.load(f)
+        except (OSError, ValueError):
+            return None
+        out = rec.get(str(v)) if isinstance(rec, dict) else None
+        return out if isinstance(out, dict) else None
+
+    def _tl_write_record(
+        self, centroids_version: int, coarse_v: int, cells_v: int,
+        n_cells: int,
+    ) -> None:
+        """Append/overwrite this centroids version's layout record —
+        written AFTER both table commits, so a crash in between
+        leaves the mode disengaged, never inconsistent."""
+        import json as json_mod
+
+        p = self._tl_sidecar_path()
+        try:
+            with open(p) as f:
+                rec = json_mod.load(f)
+            if not isinstance(rec, dict):
+                rec = {}
+        except (OSError, ValueError):
+            rec = {}
+        rec[str(centroids_version)] = {
+            "coarse": coarse_v,
+            "cells": cells_v,
+            "n_cells": n_cells,
+        }
+        tmp = p + ".tmp"
+        with open(tmp, "w") as f:
+            json_mod.dump(rec, f)
+        os.replace(tmp, p)
+
+    def _tl_frames(
+        self,
+        rec: dict,
+        cell_partitions: "list[str] | None" = None,
+    ) -> dict:
+        """The serve-side two-level frames from the PERSISTED layout:
+        coarse as the one-row O(sqrt(k) x dim) matrix frame, cells as
+        the partitioned table read — restricted to ``cell_partitions``
+        when the caller already knows which cells the batch probes
+        (structural pruning; the join on cell_id downstream makes the
+        restriction semantics-free)."""
+        coarse_rows = self.coarse_t.read(version=rec["coarse"]).select(
+            F.col("cell_id").alias("list_id"), "centroid"
+        )
+        cells = self.cells_t.read(
+            version=rec["cells"], partitions=cell_partitions
+        )
+        return {
+            "coarse": centroid_matrix_frame(coarse_rows),
+            "cells": cells,
+            "n_cells": int(rec["n_cells"]),
+        }
+
+    def _auto_probe_cells(
+        self, n_probe: int, n_lists: int, n_cells: int
+    ) -> int:
+        """Default cell-probe width: every cell when the list probe
+        is exact (n_probe >= n_lists must stay exact through the
+        two-level path too), else enough average-sized cells to hold
+        n_probe lists plus one for skew slack — the standard IMI
+        knob, overridable per call."""
+        import math
+
+        if n_probe >= n_lists:
+            return n_cells
+        per_cell = max(1, n_lists // max(1, n_cells))
+        return min(n_cells, math.ceil(n_probe / per_cell) + 1)
+
+    def _tl_probed_cells(
+        self, prep: DataFrame, frames_coarse: DataFrame, npc: int,
+        rec: dict, vec_col: str = "qv",
+    ) -> list[str]:
+        """Which cell partitions a query batch probes — one bounded
+        collect (<= n_cells ~ sqrt(k) keys), the cell-level analogue
+        of the probed-list collect."""
+        probed = {
+            f"cell_id={r['cell_id']}"
+            for r in ivf_probe_with_frame(
+                prep, frames_coarse, npc, vec_col, "cells"
+            )
+            .select(F.explode("cells").alias("cell_id"))
+            .distinct()
+            .collect()
+        }
+        existing = live_partition_keys(
+            self.cells_t._manifest(rec["cells"])
+        )
+        return sorted(probed & existing)
+
     # -- lifecycle -----------------------------------------------------------
 
     def build(
@@ -237,9 +385,27 @@ class IVFIndex:
         ``n_lists >= _FRAME_CENTROIDS_FROM`` trains and writes through
         the matrix-as-data path (centroids stay a DataFrame end to
         end, Lloyd means never collect) — bit-identical results,
-        no k x dim literal in any plan."""
+        no k x dim literal in any plan.
+
+        ``n_lists >= two_level_from`` additionally persists the
+        TWO-LEVEL layout (coarse + cells tables, see module header):
+        training assigns through a full-cell probe — bit-equal to the
+        flat argmax, so every downstream contract (deep audit,
+        incremental adds, the flat path's results) is unchanged —
+        and serves probe the coarse table first, never paying an
+        O(n_lists x dim) broadcast."""
         src = self._prep(corpus)
-        if n_lists >= _FRAME_CENTROIDS_FROM:
+        two_level = n_lists >= self.two_level_from
+        if two_level:
+            assigned, cents_df, _frames = ivf_assignments_two_level(
+                src, n_lists=n_lists, id_col="id", vec_col="vec",
+                dim=dim, lloyd_iters=lloyd_iters,
+            )
+            cents_rows = cents_df.select(
+                F.col("list_id").cast("int").alias("list_id"),
+                "centroid",
+            )
+        elif n_lists >= _FRAME_CENTROIDS_FROM:
             assigned, cents_df = ivf_assignments_frames(
                 src, n_lists=n_lists, id_col="id", vec_col="vec",
                 dim=dim, lloyd_iters=lloyd_iters,
@@ -266,8 +432,23 @@ class IVFIndex:
             )
         )
         self.assignments_t.write(rows, op="ivf_build")
-        self.centroids_t.write(cents_rows, op="ivf_build")
+        cv = self.centroids_t.write(cents_rows, op="ivf_build")
         self._nl_cache.clear()
+        if two_level:
+            # derive the persisted cell structure from the COMMITTED
+            # centroid rows (deterministic — identical to the frames
+            # training used) and pair it to this centroids version
+            # via the sidecar, written LAST so a crash between the
+            # commits just leaves the mode disengaged
+            coarse_rows, cells, n_cells = two_level_cell_rows(
+                self.centroids_t.read(version=cv).select(
+                    "list_id", "centroid"
+                ),
+                dim=dim,
+            )
+            co_v = self.coarse_t.write(coarse_rows, op="ivf_build")
+            ce_v = self.cells_t.write(cells, op="ivf_build")
+            self._tl_write_record(cv, co_v, ce_v, n_cells)
         return self
 
     def add(self, batch: DataFrame, mode: str = "mor") -> int:
@@ -277,19 +458,41 @@ class IVFIndex:
         id is an update whose row moves lists if its vector did.
         ``mode='mor'`` (default) makes the commit O(batch); the
         table's ``auto_compact_after`` policy (constructor) bounds the
-        accumulated read tax. Returns the committed version."""
-        mode_c, cents = self._cent_matrix()
+        accumulated read tax. Returns the committed version.
+
+        On a two-level index the assignment runs through the
+        persisted cells at a FULL cell probe — bit-equal to the flat
+        argmax (every fine centroid lives in exactly one cell), with
+        the fine matrices arriving as a partitioned join instead of
+        one O(n_lists x dim) broadcast row."""
+        rec = self._tl_record()
         prep = self._prep(batch).select(
             F.col("id").alias(self.id_col), "vec", "norm"
         )
-        if mode_c == "literal":
-            rows = prep.withColumn(
-                "list_id", ivf_assign_col(cents, "vec").cast("int")
+        if rec is not None:
+            frames = self._tl_frames(rec)
+            rows = two_level_assign(
+                prep.select(self.id_col, "vec"),
+                frames,
+                n_probe_cells=frames["n_cells"],
+                vec_col="vec",
+                id_col=self.id_col,
+            ).select(
+                self.id_col,
+                "vec",
+                _l2_norm(F.col("vec")).alias("norm"),
+                F.col("list_id").cast("int").alias("list_id"),
             )
         else:
-            rows = ivf_assign_with_frame(prep, cents, "vec").withColumn(
-                "list_id", F.col("list_id").cast("int")
-            )
+            mode_c, cents = self._cent_matrix()
+            if mode_c == "literal":
+                rows = prep.withColumn(
+                    "list_id", ivf_assign_col(cents, "vec").cast("int")
+                )
+            else:
+                rows = ivf_assign_with_frame(
+                    prep, cents, "vec"
+                ).withColumn("list_id", F.col("list_id").cast("int"))
         if self._has_codes():
             rows = self._with_codes(rows)
         return self.assignments_t.upsert(rows, keys=[self.id_col], mode=mode)
@@ -357,7 +560,11 @@ class IVFIndex:
     # -- serving -------------------------------------------------------------
 
     def _probe_frames(
-        self, queries: DataFrame, n_probe: int, at: dict | None = None
+        self,
+        queries: DataFrame,
+        n_probe: int,
+        at: dict | None = None,
+        n_probe_cells: int | None = None,
     ) -> tuple[DataFrame, DataFrame]:
         """The shared serve front half: (probe-exploded query frame
         ``(qid, qv, qn, list_id)``, assignments restricted to the
@@ -365,8 +572,15 @@ class IVFIndex:
         batch's distinct probed lists, itself <= n_lists) decides
         which directories the read lists. ``at`` pins BOTH tables to
         a :meth:`snapshot` — centroids and assignments from one
-        consistent commit point."""
-        mode_c, cents = self._cent_matrix(at)
+        consistent commit point.
+
+        On a two-level index the probe goes coarse-first: the only
+        broadcast is the O(sqrt(k) x dim) coarse matrix; the probed
+        cells' fine blocks are read from ONLY those cell directories
+        (one more bounded collect, <= n_cells keys), and
+        ``n_probe_cells`` (default: enough average cells to hold
+        n_probe lists, every cell when the probe is exact) is the
+        IMI recall knob stacked under n_probe."""
         v = self._pin(at, "assignments") if at is not None else None
         n_probe = min(n_probe, self._n_lists(at))
         prep = self._prep(queries).select(
@@ -374,16 +588,47 @@ class IVFIndex:
             F.col("vec").alias("qv"),
             F.col("norm").alias("qn"),
         )
-        if mode_c == "literal":
-            q = prep.withColumn(
-                "list_id", F.explode(ivf_probe_col(cents, n_probe, "qv"))
+        rec = self._tl_record(at)
+        if rec is not None:
+            npc = n_probe_cells or self._auto_probe_cells(
+                n_probe, self._n_lists(at), int(rec["n_cells"])
             )
-        else:
+            coarse_frames = self._tl_frames(rec)
+            probed_cells = self._tl_probed_cells(
+                prep.select("qid", "qv"), coarse_frames["coarse"],
+                npc, rec,
+            )
+            frames = {
+                "coarse": coarse_frames["coarse"],
+                "cells": self.cells_t.read(
+                    version=rec["cells"], partitions=probed_cells
+                ),
+                "n_cells": coarse_frames["n_cells"],
+            }
             q = (
-                ivf_probe_with_frame(prep, cents, n_probe, "qv")
+                prep.join(
+                    two_level_probe(
+                        prep.select("qid", "qv"), frames, n_probe, npc,
+                        vec_col="qv", id_col="qid",
+                    ),
+                    "qid",
+                )
                 .withColumn("list_id", F.explode("probe_lists"))
                 .drop("probe_lists")
             )
+        else:
+            mode_c, cents = self._cent_matrix(at)
+            if mode_c == "literal":
+                q = prep.withColumn(
+                    "list_id",
+                    F.explode(ivf_probe_col(cents, n_probe, "qv")),
+                )
+            else:
+                q = (
+                    ivf_probe_with_frame(prep, cents, n_probe, "qv")
+                    .withColumn("list_id", F.explode("probe_lists"))
+                    .drop("probe_lists")
+                )
         q = q.withColumn("list_id", F.col("list_id").cast("int"))
         probed = {
             f"list_id={r['list_id']}"
@@ -447,6 +692,7 @@ class IVFIndex:
         id_filter: DataFrame | None = None,
         pair_filter: DataFrame | None = None,
         at: dict | None = None,
+        n_probe_cells: int | None = None,
     ) -> DataFrame:
         """Approximate top-k for each query row: (qid, cid, cosine,
         rank). Each query probes its ``n_probe`` nearest centroids'
@@ -464,8 +710,11 @@ class IVFIndex:
         (both may combine; top-k is computed WITHIN the filtered
         set). ``at`` pins a :meth:`snapshot` — the serve reads that
         version of centroids AND assignments, undisturbed by later
-        adds/removes/rebuilds (index time travel)."""
-        q, cand = self._probe_frames(queries, n_probe, at)
+        adds/removes/rebuilds (index time travel). On a two-level
+        index ``n_probe_cells`` stacks the coarse-cell recall knob
+        under ``n_probe`` (default: auto — every cell when the probe
+        is exact)."""
+        q, cand = self._probe_frames(queries, n_probe, at, n_probe_cells)
         cand = self._apply_id_filter(cand, id_filter, self.id_col)
         joined = self._apply_pair_filter(
             cand.hint("shuffle_hash").join(F.broadcast(q), "list_id"),
@@ -503,6 +752,7 @@ class IVFIndex:
         id_filter: DataFrame | None = None,
         pair_filter: DataFrame | None = None,
         at: dict | None = None,
+        n_probe_cells: int | None = None,
     ) -> DataFrame:
         """Top-k with the int8 fast path: candidate selection scores
         the probed lists on the stored codes — the scan column-prunes
@@ -608,6 +858,7 @@ class IVFIndex:
         n_probe: int = 4,
         quantized: bool = False,
         at: dict | None = None,
+        n_probe_cells: int | None = None,
     ) -> dict:
         """What a search would OPEN, without scoring anything — the
         serving analogue of ``LakeTable.plan_scan``: list and file
@@ -622,21 +873,65 @@ class IVFIndex:
         against a pinned :meth:`snapshot` — what a version-pinned
         serve would open, not the live state."""
         v = self._pin(at, "assignments") if at is not None else None
-        mode_c, cents = self._cent_matrix(at)
         nl = self._n_lists(at)
         n_probe = min(n_probe, nl)
         prep = self._prep(queries)
-        if mode_c == "literal":
-            q = prep.select(
-                F.explode(
-                    ivf_probe_col(cents, n_probe, F.col("vec"))
-                ).alias("list_id")
+        rec = self._tl_record(at)
+        tl_extra = {}
+        if rec is not None:
+            npc = n_probe_cells or self._auto_probe_cells(
+                n_probe, nl, int(rec["n_cells"])
             )
-        else:
+            coarse_frames = self._tl_frames(rec)
+            probed_cells = self._tl_probed_cells(
+                prep.select(
+                    F.col("id").alias("qid"), F.col("vec").alias("qv")
+                ),
+                coarse_frames["coarse"],
+                npc,
+                rec,
+                vec_col="qv",
+            )
+            frames = {
+                "coarse": coarse_frames["coarse"],
+                "cells": self.cells_t.read(
+                    version=rec["cells"], partitions=probed_cells
+                ),
+                "n_cells": coarse_frames["n_cells"],
+            }
             q = (
-                ivf_probe_with_frame(prep, cents, n_probe, F.col("vec"))
+                two_level_probe(
+                    prep.select(
+                        F.col("id").alias("qid"), F.col("vec").alias("qv")
+                    ),
+                    frames, n_probe, npc, vec_col="qv", id_col="qid",
+                )
                 .select(F.explode("probe_lists").alias("list_id"))
             )
+            tl_extra = dict(
+                cells_total=len(
+                    live_partition_keys(
+                        self.cells_t._manifest(rec["cells"])
+                    )
+                ),
+                cells_probed=len(probed_cells),
+                n_probe_cells=npc,
+            )
+        else:
+            mode_c, cents = self._cent_matrix(at)
+            if mode_c == "literal":
+                q = prep.select(
+                    F.explode(
+                        ivf_probe_col(cents, n_probe, F.col("vec"))
+                    ).alias("list_id")
+                )
+            else:
+                q = (
+                    ivf_probe_with_frame(
+                        prep, cents, n_probe, F.col("vec")
+                    )
+                    .select(F.explode("probe_lists").alias("list_id"))
+                )
         probed = {
             f"list_id={r['list_id']}"
             for r in q.select(F.col("list_id").cast("int").alias("list_id"))
@@ -650,6 +945,7 @@ class IVFIndex:
             lists_total=nl,
             lists_probed=len(known),
             n_probe=n_probe,
+            **tl_extra,
         )
         if quantized:
             has_codes = self._has_codes(at)
@@ -725,6 +1021,14 @@ class IVFIndex:
             self.assignments_t.vacuum(keep_last=keep_last)
         if self.centroids_t.current_version() is not None:
             self.centroids_t.vacuum(keep_last=keep_last)
+        # two-level tables rewrite wholesale per two-level build; like
+        # centroids they only need retention (vacuum can age out the
+        # cell structure of OLD pinned two-level states — the standard
+        # pin-vs-retention trade)
+        if self.coarse_t.current_version() is not None:
+            self.coarse_t.vacuum(keep_last=keep_last)
+        if self.cells_t.current_version() is not None:
+            self.cells_t.vacuum(keep_last=keep_last)
 
     def list_sizes(self) -> DataFrame:
         """(list_id, n_vectors) — the imbalance monitor that decides
@@ -840,15 +1144,33 @@ class IVFIndex:
             .agg(F.count(F.lit(1)).alias("n"))
             .where(F.col("n") > 1)
         )
-        return union_reports(
-            [
-                predicate_counts(rows, preds),
-                row_count("duplicate_id", dups),
-                predicate_counts(cent_rows, cent_preds),
-                row_count("centroid_duplicate_id", cent_dups),
-                row_count("centroid_missing_id", cent_missing),
-            ]
-        )
+        reports = [
+            predicate_counts(rows, preds),
+            row_count("duplicate_id", dups),
+            predicate_counts(cent_rows, cent_preds),
+            row_count("centroid_duplicate_id", cent_dups),
+            row_count("centroid_missing_id", cent_missing),
+        ]
+        rec = self._tl_record(snap)
+        if rec is not None:
+            # the persisted cells must PARTITION the fine centroid
+            # set — a fine id in no cell would silently vanish from
+            # two-level assignment/probing; one in two cells would
+            # double its candidate rows (k exploded rows, tiny)
+            cell_fids = self.cells_t.read(version=rec["cells"]).select(
+                F.explode("fids").alias("list_id")
+            )
+            fid_missing = self.spark.range(nl).select(
+                F.col("id").cast("int").alias("list_id")
+            ).join(cell_fids, "list_id", "left_anti")
+            fid_dups = (
+                cell_fids.groupBy("list_id")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .where(F.col("n") > 1)
+            )
+            reports.append(row_count("cell_missing_fine_id", fid_missing))
+            reports.append(row_count("cell_duplicate_fine_id", fid_dups))
+        return union_reports(reports)
 
     def recall(
         self,
@@ -857,6 +1179,7 @@ class IVFIndex:
         n_probe: int = 4,
         exclude_self: bool = False,
         at: dict | None = None,
+        n_probe_cells: int | None = None,
     ) -> DataFrame:
         """Measured recall@k of the probed serve against the exact
         answer over the SAME index state: (qid, n_hits, n_exact,
@@ -871,6 +1194,7 @@ class IVFIndex:
         approx = self.search(
             queries, k=k, n_probe=n_probe,
             exclude_self=exclude_self, at=at,
+            n_probe_cells=n_probe_cells,
         ).select("qid", "cid")
         exact = self.search(
             queries, k=k, n_probe=n_lists,

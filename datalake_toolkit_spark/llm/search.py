@@ -1301,7 +1301,7 @@ class PostingsIndex:
                 sorted(live_partition_keys(self.doc_stats_t._manifest()))
             )
 
-    def audit(self) -> DataFrame:
+    def audit(self, verify_term_stats: bool = False) -> DataFrame:
         """Integrity audit: (check, n_violations) rows, all zeros on a
         healthy index — the post-rebucket / post-incident validation
         pass, read-only. Row-level checks share one scan per source
@@ -1309,16 +1309,31 @@ class PostingsIndex:
         NULLed prefix / dl / position element counts as the violation
         it is instead of vanishing. Checks: ``bucket_mismatch`` (a
         posting stored under a bucket that is not md5(term)'s prefix —
-        serving would never probe it), ``doc_bucket_mismatch`` (same
-        for doc_stats), ``bad_positions`` (tf != len(positions),
-        unsorted/NULLed positions, or a position outside [0, dl)),
-        ``dl_mismatch`` (postings dl disagrees with doc_stats dl for
-        the same doc), ``orphan_posting_doc`` (postings doc absent
-        from doc_stats), ``orphan_doc_stat`` (doc_stats doc with no
-        postings), ``corpus_stats_drift`` (cached (n_docs, total_dl)
-        differs from recomputing the bucket — a zero row for an
-        emptied bucket is healthy; a missing row for a live one is
-        not)."""
+        serving would never probe it; also catches a mis-used
+        ``partition_scoped`` upsert landing rows out of bucket),
+        ``doc_bucket_mismatch`` (same for doc_stats),
+        ``bad_positions`` (tf != len(positions), unsorted/NULLed
+        positions, or a position outside [0, dl)), ``dl_mismatch``
+        (postings dl disagrees with doc_stats dl for the same doc),
+        ``orphan_posting_doc`` (postings doc absent from doc_stats),
+        ``orphan_doc_stat`` (doc_stats doc with no postings),
+        ``corpus_stats_drift`` (cached (n_docs, total_dl) differs
+        from recomputing the bucket — a zero row for an emptied
+        bucket is healthy; a missing row for a live one is not).
+
+        ``verify_term_stats=True`` (the r13 verdict's #6 ask) adds
+        ``term_stats_drift``: the committed (df, max_tf, min_dl)
+        rows compared against a full scan-derived recompute — the
+        detector for every CALLER-OWNED maintenance hint
+        (``removed_docs`` / ``replaced_old`` before-images that
+        didn't match what the index actually held leave exactly this
+        drift behind, silently breaking the MAXSCORE bound). Zero
+        rows for terms with no live postings are healthy; any live
+        term whose committed triple disagrees with the recompute is
+        a violation. O(postings) — schedule it like the deep IVF
+        audit. Raises when the stats are not live-fresh (a truncated
+        / deferred-mode table is not trusted by the serve, so there
+        is nothing to verify — run ``refresh_term_stats()`` first)."""
         from datalake_toolkit_spark.llm.audit_util import (
             predicate_counts,
             row_count,
@@ -1385,27 +1400,64 @@ class PostingsIndex:
                 )
             )
         )
-        return union_reports(
-            [
-                predicate_counts(post, post_preds),
-                predicate_counts(stats, stats_preds),
-                row_count(
-                    "dl_mismatch",
-                    post.select("doc_id", F.col("dl").alias("pdl"))
-                    .distinct()
-                    .join(stats.select("doc_id", "dl"), "doc_id")
-                    .where(~F.col("pdl").eqNullSafe(F.col("dl"))),
-                ),
-                row_count(
-                    "orphan_posting_doc",
-                    pdoc.join(sdoc, "d", "left_anti"),
-                ),
-                row_count(
-                    "orphan_doc_stat", sdoc.join(pdoc, "d", "left_anti")
-                ),
-                row_count("corpus_stats_drift", drift),
-            ]
-        )
+        reports = [
+            predicate_counts(post, post_preds),
+            predicate_counts(stats, stats_preds),
+            row_count(
+                "dl_mismatch",
+                post.select("doc_id", F.col("dl").alias("pdl"))
+                .distinct()
+                .join(stats.select("doc_id", "dl"), "doc_id")
+                .where(~F.col("pdl").eqNullSafe(F.col("dl"))),
+            ),
+            row_count(
+                "orphan_posting_doc",
+                pdoc.join(sdoc, "d", "left_anti"),
+            ),
+            row_count(
+                "orphan_doc_stat", sdoc.join(pdoc, "d", "left_anti")
+            ),
+            row_count("corpus_stats_drift", drift),
+        ]
+        if verify_term_stats:
+            if (
+                self.term_stats_t.current_version() is None
+                or not self._stats_fresh()
+            ):
+                raise ValueError(
+                    "term stats are absent or not live-fresh — the "
+                    "serve does not trust them, so there is nothing "
+                    "to verify; run refresh_term_stats() first"
+                )
+            committed = self.term_stats_t.read().select(
+                "term",
+                F.col("df").alias("cdf"),
+                F.col("max_tf").alias("cmax"),
+                F.col("min_dl").alias("cmin"),
+            )
+            truth = post.groupBy("term").agg(
+                F.count(F.lit(1)).cast("long").alias("tdf"),
+                F.max("tf").cast("long").alias("tmax"),
+                F.min("dl").cast("long").alias("tmin"),
+            )
+            ts_drift = (
+                committed.join(truth, "term", "full_outer")
+                .where(
+                    (
+                        F.coalesce("cdf", F.lit(0))
+                        != F.coalesce("tdf", F.lit(0))
+                    )
+                    | (
+                        F.coalesce("tdf", F.lit(0)) > 0
+                    )
+                    & (
+                        ~F.col("cmax").eqNullSafe(F.col("tmax"))
+                        | ~F.col("cmin").eqNullSafe(F.col("tmin"))
+                    )
+                )
+            )
+            reports.append(row_count("term_stats_drift", ts_drift))
+        return union_reports(reports)
 
     def refresh_corpus_stats(self) -> None:
         """Rebuild ``corpus_stats`` from every doc_stats bucket — the
@@ -2073,7 +2125,7 @@ class PostingsIndex:
             for t in terms:
                 term_queries.setdefault(t, []).append(qid)
         if not term_queries or all(v <= 0.0 for v in slack.values()):
-            return set(), {}
+            return set(), {}, {}, {}
 
         v = self._pin(at, "postings") if at is not None else None
         man = self.postings_t._manifest(v)
@@ -2152,6 +2204,60 @@ class PostingsIndex:
             if ok:
                 exclude.add(full)
                 s.update(new_s)
+        # ---- row-group level (the r13 verdict's #4): kept files
+        # still decode every row group; raise individual terms' skip
+        # bound further with per-term IMPACT CUTOFFS chosen from the
+        # kept files' per-row-group footer stats. A cutoff c_t drops
+        # rows (term = t AND tf <= c_t) from the CANDIDATE scan as a
+        # scan-level predicate — on the impact-ordered layout those
+        # rows fill whole trailing row groups of t's run, which
+        # parquet's row-group pruning then never decodes. Soundness
+        # is the same water-fill invariant with the per-term bound
+        # now max(file-skip bound, w_ub(tf=c_t, dl=min_dl_t)): a doc
+        # absent from the candidates has EVERY essential posting in
+        # an excluded file or a cut range, so its score is provably
+        # under theta; the completion scan still reads everything,
+        # keeping surviving scores bit-identical.
+        kept = sorted(set(file_terms) - exclude)
+        rg = self.postings_t.row_group_stats(kept, ("term", "tf"))
+        cut_cands: list = []  # (bound, term, cutoff, rows)
+        for path in kept:
+            for g in rg.get(path, []):
+                trange, tfr = g.get("term"), g.get("tf")
+                if not trange or not tfr or trange[0] != trange[1]:
+                    continue  # multi-term or evidence-less group: keep
+                t = trange[0]
+                if t not in term_queries:
+                    continue
+                cut_cands.append(
+                    (
+                        w_ub_file(t, tfr[1], tstats[t][2]),
+                        t,
+                        int(tfr[1]),
+                        int(g["rows"]),
+                    )
+                )
+        cuts: dict = {}
+        rg_rows_cut: dict = {}
+        for wb, t, c, nrows in sorted(cut_cands):
+            if cuts.get(t, -1) >= c:
+                # a larger admitted cutoff already covers this group
+                rg_rows_cut[t] = rg_rows_cut.get(t, 0) + nrows
+                continue
+            new_t = max(s.get(t, 0.0), wb)
+            ok = True
+            for qid in term_queries[t]:
+                tot = sum(
+                    (new_t if u == t else s.get(u, 0.0))
+                    for u in ess_by_q[qid]
+                )
+                if not tot < slack[qid]:
+                    ok = False
+                    break
+            if ok:
+                cuts[t] = c
+                s[t] = new_t
+                rg_rows_cut[t] = rg_rows_cut.get(t, 0) + nrows
         per_query: dict = {}
         for qid, terms in ess_by_q.items():
             ts = set(terms)
@@ -2162,7 +2268,7 @@ class PostingsIndex:
                 len(fs),
                 sum(1 for p in fs if p not in exclude),
             )
-        return exclude, per_query
+        return exclude, per_query, cuts, rg_rows_cut
 
     def _bm25_pruned_frames(
         self,
@@ -2315,12 +2421,24 @@ class PostingsIndex:
         # completion below keeps the full unskipped probe, so
         # candidate scores stay bit-identical
         ess_terms = sorted({t for _, t in ess_pairs})
-        excl, bm_files = self._blockmax_excludes(
+        excl, bm_files, tf_cuts, rg_rows_cut = self._blockmax_excludes(
             ess_by_q, tstats, theta, ne_sum, n_docs, avgdl, k1, b, at
         )
         post_ess = self._probed_postings_for(
             ess_terms, at, exclude_files=excl or None
         )
+        if tf_cuts:
+            # the per-term impact cutoffs (row-group block-max): rows
+            # (term = t AND tf <= c_t) are provably below every
+            # query's threshold, so drop them from candidate
+            # discovery; pushed to the scan, parquet row-group stats
+            # prune whole trailing groups of the impact-ordered runs
+            pred = F.lit(True)
+            for t, c in sorted(tf_cuts.items()):
+                pred = pred & (
+                    (F.col("term") != F.lit(t)) | (F.col("tf") > F.lit(c))
+                )
+            post_ess = post_ess.where(pred)
         essf = self._select_pairs(qterms, ess_pairs)
         cand = _apply_pair_filter(
             post_ess.join(F.broadcast(essf), "term").select(
@@ -2372,6 +2490,10 @@ class PostingsIndex:
             "blockmax_files": bm_files,
             "blockmax_excluded": len(excl),
             "blockmax_paths": excl,
+            # row-group block-max: per-term impact cutoffs and the
+            # rows in provably-cut single-term row groups
+            "blockmax_tf_cuts": tf_cuts,
+            "blockmax_rg_rows_cut": rg_rows_cut,
             "ess_by_q": ess_by_q,
         }
 
@@ -2550,6 +2672,17 @@ class PostingsIndex:
                     int(sel["files_bloom_skipped"]),
                     int(sel["files_excluded"]),
                     pending,
+                    # row-group layer (r13 verdict #4): rows in KEPT
+                    # files' provably-cut row groups for this query's
+                    # essential terms — decoded by neither candidate
+                    # scan nor parquet (the impact-cutoff predicate
+                    # prunes those groups), driver-side from footers
+                    int(
+                        sum(
+                            fr["blockmax_rg_rows_cut"].get(t, 0)
+                            for t in ess
+                        )
+                    ),
                 )
             )
         qtype = dict(fr["qterms"].dtypes).get("query_id", "string")
@@ -2559,7 +2692,8 @@ class PostingsIndex:
             "buckets_total long, buckets_probed long, "
             "files_total long, files_kept long, "
             "files_minmax_skipped long, files_bloom_skipped long, "
-            "files_blockmax_excluded long, pending_appends long",
+            "files_blockmax_excluded long, pending_appends long, "
+            "rows_rg_cut long",
         )
 
 def phrase_search(

@@ -606,6 +606,21 @@ def ivf_assignments_frames(
     )
 
 
+def two_level_cell_rows(
+    cents: DataFrame, dim: int, n_cells: int | None = None,
+    lloyd_iters: int = 1,
+) -> tuple[DataFrame, DataFrame, int]:
+    """The PERSISTABLE half of :func:`two_level_centroid_frames`:
+    ``(coarse_rows (cell_id, centroid), cells (cell_id, fids, fmat),
+    n_cells_requested)`` — plain row frames an
+    :class:`~datalake_toolkit_spark.llm.ann_index.IVFIndex` commits
+    as LakeTables (coarse snapshot-written, cells partitioned by
+    cell_id so a probe LISTS only the probed cells' directories).
+    Deterministic in ``cents`` — recomputing from the same committed
+    fine centroids always yields the same cells."""
+    return _two_level_cell_rows_impl(cents, dim, n_cells, lloyd_iters)
+
+
 def two_level_centroid_frames(
     cents: DataFrame, dim: int, n_cells: int | None = None,
     lloyd_iters: int = 1,
@@ -633,6 +648,24 @@ def two_level_centroid_frames(
     loss, not a recall trade). Every fine centroid lands in some
     cell, so the non-empty cells partition the full fine matrix and
     full-cell probes stay bit-equal to the flat path."""
+    coarse_rows, cells, n_cells = _two_level_cell_rows_impl(
+        cents, dim, n_cells, lloyd_iters
+    )
+    return {
+        "coarse": centroid_matrix_frame(
+            coarse_rows.select(
+                F.col("cell_id").alias("list_id"), "centroid"
+            )
+        ),
+        "cells": cells,
+        "n_cells": n_cells,
+    }
+
+
+def _two_level_cell_rows_impl(
+    cents: DataFrame, dim: int, n_cells: int | None = None,
+    lloyd_iters: int = 1,
+) -> tuple[DataFrame, DataFrame, int]:
     import math
 
     from pyspark.sql import Window
@@ -657,9 +690,9 @@ def two_level_centroid_frames(
             F.row_number().over(Window.orderBy("old_cell")) - 1,
         )
     )
-    coarse = coarse.join(
+    coarse_rows = coarse.join(
         remap, coarse["list_id"] == remap["old_cell"]
-    ).select(F.col("cell_id").alias("list_id"), "centroid")
+    ).select("cell_id", "centroid")
     cells = (
         assigned.join(
             remap, assigned["list_id"] == remap["old_cell"]
@@ -686,11 +719,7 @@ def two_level_centroid_frames(
         )
         .localCheckpoint(eager=True)
     )
-    return {
-        "coarse": centroid_matrix_frame(coarse),
-        "cells": cells,
-        "n_cells": n_cells,
-    }
+    return coarse_rows, cells, n_cells
 
 
 def _cell_dots_expr(fmat: Column, fids: Column, v: Column) -> Column:
@@ -819,33 +848,31 @@ def two_level_probe(
     )
 
 
-def ivf_topk_two_level(
+def ivf_assignments_two_level(
     corpus: DataFrame,
-    queries: DataFrame,
-    k: int = 10,
     n_lists: int = 16384,
-    n_probe: int = 64,
-    n_probe_cells: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    query_id_col: str = "vec_id",
-    query_vec_col: str = "embedding",
     dim: int = 64,
     lloyd_iters: int = 1,
-) -> DataFrame:
-    """IVF cosine top-k at two-level scale (the r12 verdict's #6):
-    train the fine centroids with Lloyd passes whose ASSIGNMENT step
-    runs two-level (coarse structure rebuilt over the moving fine
-    centroids each pass), assign the corpus two-level, probe
-    queries two-level, score exact cosine inside the probed lists.
-    No plan node, literal, or broadcast scales with ``n_lists`` —
-    the coarse matrix broadcast is O(sqrt(n_lists) x dim) and the
-    fine matrices travel as a partitioned (cell_id, fmat) frame.
-    Recall contract: at ``n_probe_cells = n_cells`` and ``n_probe =
-    n_lists`` the serve is exact (bit-equal assignment to the flat
-    path plus a full probe — recall 1.0, pinned in tests); below
-    that, recall degrades with both knobs exactly like the flat
-    path's n_probe knob, the documented IVF trade."""
+    n_probe_cells: int | None = None,
+) -> tuple[DataFrame, DataFrame, dict]:
+    """Two-level IVF quantization: the ``ivf_assignments_frames``
+    contract at n_lists >= ~10^4, where even the matrix-as-data
+    path's one-row broadcast (O(n_lists x dim)) stops scaling. Each
+    Lloyd pass rebuilds the coarse structure over the moving fine
+    centroids and assigns through the probed cells;
+    ``n_probe_cells=None`` (the default) probes EVERY cell per pass,
+    making each assignment BIT-EQUAL to the flat argmax — same
+    fold/zip arithmetic, distributed through a partitioned cell join
+    instead of one giant broadcast row — so the persistent index's
+    audit contract (assignment == flat argmax) holds. A small
+    ``n_probe_cells`` is the IMI approximation trade, used by
+    :func:`ivf_topk_two_level` for one-shot analytics.
+
+    Returns (assigned (vid, v, list_id), cents (list_id, centroid),
+    frames — the FINAL :func:`two_level_centroid_frames` dict, so
+    callers probe without recomputing the cell structure)."""
     staged = ensure_min_partitions(
         corpus.select(
             F.col(id_col).alias("vid"), _as_double(vec_col).alias("v")
@@ -861,7 +888,8 @@ def ivf_topk_two_level(
     _MEAN_BUCKETS = 256
     for _ in range(lloyd_iters):
         frames = two_level_centroid_frames(cents, dim=dim)
-        assigned = two_level_assign(staged, frames, n_probe_cells)
+        npc = n_probe_cells or frames["n_cells"]
+        assigned = two_level_assign(staged, frames, npc)
         means = (
             assigned.select(
                 "list_id",
@@ -891,7 +919,43 @@ def ivf_topk_two_level(
         kept = cents.join(moved, "list_id", "left_anti")
         cents = moved.unionByName(kept).localCheckpoint(eager=True)
     frames = two_level_centroid_frames(cents, dim=dim)
-    assigned = two_level_assign(staged, frames, n_probe_cells)
+    assigned = two_level_assign(
+        staged, frames, n_probe_cells or frames["n_cells"]
+    )
+    return assigned, cents, frames
+
+
+def ivf_topk_two_level(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_lists: int = 16384,
+    n_probe: int = 64,
+    n_probe_cells: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "vec_id",
+    query_vec_col: str = "embedding",
+    dim: int = 64,
+    lloyd_iters: int = 1,
+) -> DataFrame:
+    """IVF cosine top-k at two-level scale (the r12 verdict's #6):
+    train the fine centroids with Lloyd passes whose ASSIGNMENT step
+    runs two-level (coarse structure rebuilt over the moving fine
+    centroids each pass), assign the corpus two-level, probe
+    queries two-level, score exact cosine inside the probed lists.
+    No plan node, literal, or broadcast scales with ``n_lists`` —
+    the coarse matrix broadcast is O(sqrt(n_lists) x dim) and the
+    fine matrices travel as a partitioned (cell_id, fmat) frame.
+    Recall contract: at ``n_probe_cells = n_cells`` and ``n_probe =
+    n_lists`` the serve is exact (bit-equal assignment to the flat
+    path plus a full probe — recall 1.0, pinned in tests); below
+    that, recall degrades with both knobs exactly like the flat
+    path's n_probe knob, the documented IVF trade."""
+    assigned, _cents, frames = ivf_assignments_two_level(
+        corpus, n_lists=n_lists, id_col=id_col, vec_col=vec_col,
+        dim=dim, lloyd_iters=lloyd_iters, n_probe_cells=n_probe_cells,
+    )
     q = queries.select(
         F.col(query_id_col).alias("qid"),
         _as_double(query_vec_col).alias("qv"),

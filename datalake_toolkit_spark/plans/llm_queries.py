@@ -4127,3 +4127,141 @@ def q_index_decontaminate_slop(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+def _two_level_oracle(k: int = 6, qlo: int = 22, qhi: int = 26) -> str:
+    """Brute-force mirror of the two-level gate's FULL-probe serves:
+    a full probe reads every list, so the result is exact cosine
+    top-k over the FINAL table state (odds inserted, %10 negated,
+    %9 deleted) — no centroid replay needed, which is exactly why
+    the gate serves at full probe: the hash check then pins the
+    whole persisted-two-level lifecycle (build, CDF sync, probe
+    merge, rank arithmetic) against plain relational truth. The
+    filtered path re-ranks within cid % 3 = 0."""
+
+    def cos(x: str, y: str) -> str:
+        return (
+            f"list_inner_product({x}, {y}) / "
+            f"(sqrt(list_inner_product({x}, {x})) * "
+            f"sqrt(list_inner_product({y}, {y})))"
+        )
+
+    return f"""
+    WITH c0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                FROM embeddings
+                WHERE embedding IS NOT NULL
+                  AND list_inner_product(CAST(embedding AS DOUBLE[]),
+                                         CAST(embedding AS DOUBLE[])) > 0),
+    cf AS (SELECT vec_id,
+                  CASE WHEN vec_id % 10 = 0
+                       THEN list_transform(v, x -> -x) ELSE v END AS v
+           FROM c0 WHERE vec_id % 9 <> 0),
+    q AS (SELECT vec_id AS qid, v AS qv FROM c0
+          WHERE vec_id >= {qlo} AND vec_id < {qhi}),
+    scored AS (SELECT q.qid, cf.vec_id AS cid, {cos('q.qv', 'cf.v')} AS cosine
+               FROM q CROSS JOIN cf WHERE q.qid <> cf.vec_id),
+    ranked AS (SELECT qid, cid, cosine,
+               CAST(row_number() OVER (PARTITION BY qid
+                 ORDER BY cosine DESC, cid) AS INTEGER) AS rank FROM scored),
+    rankedf AS (SELECT qid, cid, cosine,
+                CAST(row_number() OVER (PARTITION BY qid
+                  ORDER BY cosine DESC, cid) AS INTEGER) AS rank
+                FROM scored WHERE cid % 3 = 0)
+    SELECT qid, cid, cosine, rank, 'exact' AS path
+    FROM ranked WHERE rank <= {k}
+    UNION ALL
+    SELECT qid, cid, cosine, rank, 'filtered' AS path
+    FROM rankedf WHERE rank <= {k}
+    """
+
+
+@query("q_ivf_two_level", _two_level_oracle())
+def q_ivf_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persistent TWO-LEVEL IVF layout, end to end (the r13
+    verdict's #3 ask): build at n_lists=16384 — past the threshold
+    where the flat one-row centroid broadcast stops scaling — so the
+    index persists coarse + cells LakeTables and every assign/probe
+    goes coarse-first; drive it through a CDF sync window (odds
+    inserted, %10 vectors negated so their rows must MOVE lists, %9
+    deleted); then serve search / filtered / pinned. The query
+    ASSERTS the layout engaged, that no analyzed serve plan carries
+    an n_lists-sized literal (< 150 KB at 16384 lists), that a
+    PARTIAL (cells+lists) probe returns contiguously ranked rows,
+    and that a pinned serve is undisturbed by a later add; it emits
+    the FULL-probe exact + filtered serves, which the oracle replays
+    as brute-force cosine over the final table state."""
+    import os
+    import shutil
+    import tempfile
+
+    from datalake_toolkit_spark.lakehouse import LakeTable
+    from datalake_toolkit_spark.llm import IVFIndex, sync_ivf_from_table
+
+    emb = _t(spark, sf_dir, "embeddings")
+    work = tempfile.mkdtemp(prefix="dts_ivf2l_")
+    try:
+        t = LakeTable(spark, os.path.join(work, "vecs"))
+        t.write(
+            emb.where(F.col("vec_id") % 2 == 0).select("vec_id", "embedding")
+        )
+        idx = IVFIndex(spark, os.path.join(work, "idx"))
+        idx.build(t.read(), n_lists=16384, lloyd_iters=0)
+        assert idx._tl_record() is not None, (
+            "16384 lists must engage the persistent two-level layout"
+        )
+        v0 = t.current_version()
+        negated = emb.where(F.col("vec_id") % 10 == 0).select(
+            "vec_id",
+            F.transform(F.col("embedding"), lambda x: -x).alias("embedding"),
+        )
+        t.upsert(
+            emb.where(F.col("vec_id") % 2 == 1)
+            .select("vec_id", "embedding")
+            .unionByName(negated),
+            keys=["vec_id"],
+            mode="mor",
+        )
+        t.delete_where("vec_id % 9 = 0", mode="mor")
+        sync_ivf_from_table(idx, t, from_version=v0)
+
+        queries = emb.where((F.col("vec_id") >= 22) & (F.col("vec_id") < 26))
+        exact = idx.search(
+            queries, k=6, n_probe=16384, exclude_self=True
+        ).withColumn("path", F.lit("exact"))
+        allow = emb.where(F.col("vec_id") % 3 == 0).select("vec_id")
+        filtered = idx.search(
+            queries, k=6, n_probe=16384, exclude_self=True, id_filter=allow
+        ).withColumn("path", F.lit("filtered"))
+        # the partial two-level probe: no n_lists-sized literal in the
+        # plan, ranks contiguous per query
+        part = idx.search(queries, k=6, n_probe=64, n_probe_cells=2)
+        assert (
+            len(part._jdf.queryExecution().analyzed().toString()) < 150_000
+        ), "partial-probe plan carries an n_lists-sized node"
+        by_q: dict = {}
+        for r in part.collect():
+            by_q.setdefault(r.qid, []).append(r.rank)
+        assert all(
+            sorted(v) == list(range(1, len(v) + 1)) for v in by_q.values()
+        ), "partial probe returned non-contiguous ranks"
+        # materialize the emitted serves BEFORE the pinned-serve
+        # mutation below, so the returned rows are the synced state
+        out = exact.unionByName(filtered).localCheckpoint(eager=True)
+        # pinned serve: a later add can't disturb it
+        pin = idx.snapshot()
+        pre = {(r.qid, r.cid, r.rank) for r in exact.collect()}
+        junk = emb.where(F.col("vec_id") % 2 == 0).limit(20).select(
+            (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+        )
+        if junk.take(1):
+            idx.add(junk, mode="mor")
+        pinned = {
+            (r.qid, r.cid, r.rank)
+            for r in idx.search(
+                queries, k=6, n_probe=16384, exclude_self=True, at=pin
+            ).collect()
+        }
+        assert pinned == pre, "pinned serve drifted after a later add"
+        return out
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
