@@ -22,6 +22,17 @@ bounding the read tax exactly like the dedup ledgers. Key re-adds
 (a vector UPDATE) resolve globally, so a vector that moves lists
 never leaves a stale twin behind.
 
+Above ``two_level_from`` lists (default 10^4) a build additionally
+persists the TWO-LEVEL layout — ``<path>/coarse`` (one row per
+coarse cell, ~sqrt(k) rows) and ``<path>/cells`` (one row per cell
+holding its fine-centroid block, ``partition_by=("cell_id",)``) —
+paired to the centroids version through the ``cells/_built_for.json``
+sidecar. Serves then probe coarse-first: the only broadcast is
+O(sqrt(k) x dim) and a query batch LISTS only its probed cells'
+directories; assignment probes every cell (bit-equal to the flat
+argmax, distributed through the partitioned cell join instead of an
+O(k x dim) broadcast row).
+
 Everything stays in Catalyst expressions (literal centroid matrices,
 ``zip_with`` dot products, window top-k): no UDFs, no driver-side
 scoring, collects bounded by n_lists.
@@ -59,7 +70,6 @@ from datalake_toolkit_spark.llm.similarity import (
     ivf_probe_col,
     ivf_probe_with_frame,
     two_level_assign,
-    two_level_cell_rows,
     two_level_probe,
 )
 
@@ -431,24 +441,27 @@ class IVFIndex:
                 F.col("list_id").cast("int").alias("list_id"),
             )
         )
+        if two_level:
+            # the write pipeline evaluates its input several times
+            # (partition-key collect, data write, stats); the
+            # two-level assignment is the expensive lineage here —
+            # materialize it once (same trade as the Lloyd persist)
+            rows = rows.localCheckpoint(eager=True)
         self.assignments_t.write(rows, op="ivf_build")
         cv = self.centroids_t.write(cents_rows, op="ivf_build")
         self._nl_cache.clear()
         if two_level:
-            # derive the persisted cell structure from the COMMITTED
-            # centroid rows (deterministic — identical to the frames
-            # training used) and pair it to this centroids version
-            # via the sidecar, written LAST so a crash between the
-            # commits just leaves the mode disengaged
-            coarse_rows, cells, n_cells = two_level_cell_rows(
-                self.centroids_t.read(version=cv).select(
-                    "list_id", "centroid"
-                ),
-                dim=dim,
+            # persist the SAME cell structure training used (its
+            # localCheckpointed frames — identical to a deterministic
+            # recompute from the committed centroid rows, without
+            # paying that recompute) and pair it to this centroids
+            # version via the sidecar, written LAST so a crash
+            # between the commits just leaves the mode disengaged
+            co_v = self.coarse_t.write(
+                _frames["coarse_rows"], op="ivf_build"
             )
-            co_v = self.coarse_t.write(coarse_rows, op="ivf_build")
-            ce_v = self.cells_t.write(cells, op="ivf_build")
-            self._tl_write_record(cv, co_v, ce_v, n_cells)
+            ce_v = self.cells_t.write(_frames["cells"], op="ivf_build")
+            self._tl_write_record(cv, co_v, ce_v, _frames["n_cells"])
         return self
 
     def add(self, batch: DataFrame, mode: str = "mor") -> int:
@@ -482,7 +495,8 @@ class IVFIndex:
                 "vec",
                 _l2_norm(F.col("vec")).alias("norm"),
                 F.col("list_id").cast("int").alias("list_id"),
-            )
+            ).localCheckpoint(eager=True)  # batch-sized; the upsert
+            # pipeline would otherwise re-run the cell join per pass
         else:
             mode_c, cents = self._cent_matrix()
             if mode_c == "literal":
@@ -615,6 +629,10 @@ class IVFIndex:
                 )
                 .withColumn("list_id", F.explode("probe_lists"))
                 .drop("probe_lists")
+                # serving-bounded (queries x n_probe rows); the probed
+                # collect below and the serve join would otherwise
+                # each re-run the coarse+cell probe
+                .localCheckpoint(eager=True)
             )
         else:
             mode_c, cents = self._cent_matrix(at)
@@ -1010,6 +1028,60 @@ class IVFIndex:
                             out.get(name, 0) + col.total_compressed_size
                         )
         return out
+
+    def probe_report(
+        self,
+        queries: DataFrame,
+        n_probe: int = 4,
+        at: dict | None = None,
+        n_probe_cells: int | None = None,
+    ) -> DataFrame:
+        """Per-QUERY probe observability (the vector twin of
+        ``PostingsIndex.skip_report``, the r13 verdict's #7 ask): one
+        row per query — (qid, lists_total, lists_live, lists_probed,
+        vectors_probed, vectors_total, pending_appends). The
+        lists/vectors columns are LAYOUT-INDEPENDENT (pure functions
+        of the deterministic centroids, the indexed corpus and the
+        probe knobs — a relational oracle recomputes them);
+        pending_appends counts merge-on-read entries the scan must
+        resolve, the physical read tax ``maintain()`` drains. Runs
+        one probe pass plus one grouped size pass over the
+        assignments — a report, not a serve."""
+        v = self._pin(at, "assignments") if at is not None else None
+        q, _cand = self._probe_frames(queries, n_probe, at, n_probe_cells)
+        nl = self._n_lists(at)
+        pending = len(
+            self.assignments_t._manifest(v).get("merges") or []
+        )
+        sizes = (
+            self.assignments_t.read(version=v)
+            .groupBy("list_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        totals = sizes.agg(
+            F.count(F.lit(1)).alias("lists_live"),
+            F.coalesce(F.sum("n"), F.lit(0)).alias("vectors_total"),
+        )
+        return (
+            q.select("qid", "list_id")
+            .distinct()
+            .join(sizes, "list_id", "inner")  # probed-but-empty lists
+            .groupBy("qid")                   # hold no vectors: live only
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("lists_probed"),
+                F.sum("n").cast("long").alias("vectors_probed"),
+            )
+            .crossJoin(F.broadcast(totals))
+            .select(
+                "qid",
+                F.lit(nl).cast("long").alias("lists_total"),
+                F.col("lists_live").cast("long").alias("lists_live"),
+                "lists_probed",
+                "vectors_probed",
+                F.col("vectors_total").cast("long").alias("vectors_total"),
+                F.lit(pending).cast("long").alias("pending_appends"),
+            )
+        )
 
     def maintain(self, keep_last: int = 5) -> None:
         """Scheduled maintenance: drain pending merge-on-read adds

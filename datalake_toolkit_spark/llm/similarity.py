@@ -659,6 +659,9 @@ def two_level_centroid_frames(
         ),
         "cells": cells,
         "n_cells": n_cells,
+        # the persistable row form, so IVFIndex.build commits the
+        # SAME computed structure instead of re-deriving it
+        "coarse_rows": coarse_rows,
     }
 
 

@@ -77,19 +77,12 @@ DEMOTED: tuple[str, ...] = (
     # three r7 births (q_centered_cosine_near_dups, q_stream_near_dedup,
     # q_bpe_train). Seven multi-green shapes rotate out in exchange,
     # each with its plan shape still covered in-window:
-    "q_jdbc_roundtrip",  # 3x; JDBC scan/sink shape, green r4-r6
-    "q_salted_join",  # 3x; skew-salted join, green r4-r6
-    "q_partition_local_groups",  # 2x; A4 partition-local contract, green r5-r6
-    "q_lsh_cosine_near_dups",  # 4x; single-band LSH pairing ~ q_banded_cosine_near_dups + q_centered_cosine_near_dups (incoming)
-    "q_dup_clusters",  # 4x; connected components ~ q_semantic_dedup (incoming, same iteration)
-    "q_range_join",  # 4x; range predicates ~ q_interval_join / q_interval_join_left stay
     # r7 second wave: q_partition_evolution enters (the new
     # evolve_partitioning flagship, never driver-checked); q_time_travel
     # (4x green r4-r7 window) rotates out — its shape (multi-version
     # commits + an old-version read) is subsumed in-window by
     # q_partition_evolution (reads v0 under the PRE-evolution layout)
     # and q_snapshot_retention (history/vacuum machinery).
-    "q_time_travel",
     # r7 third wave: q_setsim_near_dups enters (prefix-filtered exact
     # set-similarity join, never driver-checked; same output contract
     # and oracle shape as the long-demoted q_jaccard_near_dups, so the
@@ -98,22 +91,18 @@ DEMOTED: tuple[str, ...] = (
     # in the window) rotates out — its streaming exactly-once shape is
     # covered by q_stream_near_dedup (incoming foreachBatch replay)
     # and the q_interval_join pair.
-    "q_stream_dedup",
     # q_dup_ngram_stats enters (span-level duplication stats, never
     # driver-checked); q12_priority_by_returnflag (4x green r3-r6)
     # rotates out — its agg-core shape stays covered by the in-window
     # TPC-H set (q1-family aggs via q9/q13/q16/q17/q18).
-    "q12_priority_by_returnflag",
     # q_file_skipping enters (manifest-stats data skipping, never
     # driver-checked); q_snapshot_retention (4x green r3-r6) rotates
     # out — lakehouse commit/read machinery stays covered in-window by
     # q_partition_evolution and q_file_skipping itself.
-    "q_snapshot_retention",
     # q_mor_delete enters (merge-on-read predicate deletes, never
     # driver-checked); q_interval_join (3x green r4-r6) rotates out —
     # q_interval_join_left stays, the same stream-stream interval
     # operator in its superset (outer) mode.
-    "q_interval_join",
     # q_mor_upsert enters (merge-on-read MERGE, never driver-checked);
     # q18_large_orders (4x green r3-r6) rotated out in r7 and RETURNED
     # in r8's staleness rotation (below).
@@ -121,12 +110,10 @@ DEMOTED: tuple[str, ...] = (
     # q_catalog_partition_docs (4x green r3-r6) rotates out — catalog
     # assembly machinery stays covered by q_catalog_walk and
     # q_catalog_search in-window.
-    "q_catalog_partition_docs",
     # q_bigram_familiarity enters (corpus-grounded fluency scoring,
     # never driver-checked); q_stratified_sample (3x green r4-r6)
     # rotates out — sampling machinery stays covered in-window by
     # q_token_shards and q_pack_windows.
-    "q_stratified_sample",
     # r8 rotation: every query has now been driver-checked at least
     # once (r7 verdict), so rotation shifts to STALENESS — the four
     # longest-unchecked high-value shapes RETURN to the window
@@ -135,16 +122,10 @@ DEMOTED: tuple[str, ...] = (
     # tuple above), and the new q_mor_upsert_partitioned (partitioned
     # merge-on-read, never driver-checked) enters. Five multi-green r07
     # shapes rotate out in exchange, each still covered in-window:
-    "q_lsh_ann_topk",  # 4x (r4-r7); bucketed ANN ~ q_ivf_ann_topk + q_banded/centered_cosine stay
-    "q_doc_chunks",  # 3x (r5-r7); overlap-window chunking ~ q_pack_windows + q_token_shards stay
-    "q_domain_mixture",  # 3x (r5-r7); md5-coin mixture sampling ~ q_curate_corpus_full composes it in-window
-    "q_catalog_search",  # 3x (r5-r7); catalog machinery ~ q_catalog_walk stays + q_catalog_table_docs returns
-    "q13_order_distribution",  # 2x (r6-r7); outer-join distribution ~ q_cohort_retention + q21 stay
     # r8 third wave: q_mor_delete_by_key enters (merge-on-read key
     # tombstones, never driver-checked); q17_small_qty_revenue (2x
     # green r6-r7) rotates out — its correlated-scalar-subquery shape
     # stays covered in-window by q20_excess_stock.
-    "q17_small_qty_revenue",
     # r9 staleness rotation: the five longest-unchecked demoted shapes
     # RETURN to the window (q_sanitize_headers last green r3,
     # q_skewed_list_parse + q_consecutive_part_ids r4,
@@ -336,6 +317,38 @@ DEMOTED: tuple[str, ...] = (
     # covered in-window by q_index_decontaminate_slop (the sloppy
     # superset of the same index-served probe).
     "q_index_decontaminate",
+    # r14 rotation (the r13 verdict's #1 ask): the full 19-query r6/r7
+    # staleness cohort RETURNS to the window (13 last green r6, 6 last
+    # green r7 — removed from this tuple above; the lakehouse layer
+    # under q_time_travel / q_snapshot_retention / q_jdbc_roundtrip
+    # changed again in r13), plus the two r14 births enter
+    # (q_ivf_two_level — the persistent two-level IVF lifecycle — and
+    # q_ivf_probe_report — the vector skip_report; never
+    # driver-checked). Twenty-one multi-green shapes rotate out in
+    # exchange, each freshly re-verified green in r13 and with its
+    # plan shape still covered in-window or pinned by local parity +
+    # dedicated tests:
+    "q_year_orders",  # 3x; year/cast scalars ~ q_time_functions stays
+    "q_user_event_map",  # 3x; A1 kv->map agg pinned by its property test + parity
+    "q_escape_props",  # 3x; F4 regex projection ~ q_uri_normalize stays
+    "q_big_spenders",  # 3x; P4 SQL-string filter rides the returning TPC-H set
+    "q_retained_customers",  # 3x; exists-semi agg ~ q12/q13 returning
+    "q2_cheapest_per_type",  # 3x; correlated-min subquery ~ q17_small_qty_revenue returning
+    "q14_promo_share",  # 3x; conditional-agg ratio ~ q12_priority_by_returnflag returning
+    "q_quality_filter_pipeline",  # 3x; composed by q_corpus_curation (stays)
+    "q_media_resize",  # 3x; binary Arrow plumbing ~ q_multimodal_features stays
+    "q_jaccard_near_dups",  # 4x; exact-Jaccard pairing ~ q_dup_clusters returning + q_minhash_near_dups stays
+    "q_cosine_near_dups",  # 4x; banded cosine pairing ~ q_lsh_cosine_near_dups returning
+    "q_ann_cosine_topk",  # 4x; brute-force topk IS q_ivf_two_level's oracle shape; q_jl_projection stays
+    "q_filtered_ann",  # 3x; covered by q_filtered_ann_per_query (per-query superset, stays)
+    "q_ivf_quantized",  # 3x; int8 candidate+rescore exercised by q_ann_sync + q_ivf_rebuild (stay)
+    "q_ivf_recall",  # 2x (r12,r13); probed-vs-live arithmetic ~ q_ivf_probe_report (incoming, hash-gated)
+    "q_windowed_event_counts",  # 3x; tumbling/sliding windows ~ q_sessionized_users stays + q_stream_dedup returning
+    "q_catalog_columns",  # 3x; catalog assembly ~ q_catalog_search returning + q_catalog_roundtrip_ids stays
+    "q_catalog_skewed_info",  # 3x; expression join ~ q_catalog_partition_docs returning
+    "q_show_tables",  # 3x; catalog SQL scan ~ q_catalog_search returning (same machinery)
+    "q_index_corpus_stats",  # 3x; multi-commit stats lifecycle ~ q_index_sync + q_index_rebucket stay
+    "q_index_decontaminate_slop",  # 2x (r12,r13); sloppy positional probe ~ q_index_phrase_slop stays
 )
 
 GATE_WINDOW = 50
@@ -364,6 +377,8 @@ STATEFUL: frozenset[str] = frozenset(
         "q_index_sync",  # table commits + CDF diff + index replace-add/remove
         "q_ann_sync",  # vector table commits + CDF diff + IVF merge/tombstone
         "q_ivf_recall",  # IVF lifecycle + probed AND full-probe serves
+        "q_ivf_two_level",  # two-level build + CDF sync + full/partial/pinned serves
+        "q_ivf_probe_report",  # build + probed-vs-live capacity report
         "q_postings_search",  # postings index: two add commits + bucket-pruned serve
         "q_index_corpus_stats",  # three add commits incl. re-add; cached-stats read
         "q_index_decontaminate",  # two add commits + phrase-probe decontamination
@@ -376,9 +391,6 @@ STATEFUL: frozenset[str] = frozenset(
         "q_stream_near_dedup",  # two AvailableNow micro-batches through foreachBatch
         "q_stateful_running_status",  # applyInPandasWithState stream replay
         "q_merge_upsert",  # MERGE commit cycle
-        "q_time_travel",  # multi-version commit history
-        "q_snapshot_retention",  # commit + vacuum cycle
-        "q_jdbc_roundtrip",  # Derby write + readback
         "q_file_skipping",  # LakeTable commit + stats collection + pruned read
         "q_partition_evolution",  # three commit cycles incl. evolve + MERGE
         "q_mor_delete",  # three commit cycles incl. merge-on-read delete

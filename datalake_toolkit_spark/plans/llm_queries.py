@@ -4149,7 +4149,8 @@ def _two_level_oracle(k: int = 6, qlo: int = 22, qhi: int = 26) -> str:
     return f"""
     WITH c0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
                 FROM embeddings
-                WHERE embedding IS NOT NULL
+                WHERE vec_id < 250
+                  AND embedding IS NOT NULL
                   AND list_inner_product(CAST(embedding AS DOUBLE[]),
                                          CAST(embedding AS DOUBLE[])) > 0),
     cf AS (SELECT vec_id,
@@ -4197,7 +4198,10 @@ def q_ivf_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datalake_toolkit_spark.lakehouse import LakeTable
     from datalake_toolkit_spark.llm import IVFIndex, sync_ivf_from_table
 
-    emb = _t(spark, sf_dir, "embeddings")
+    # fixed 250-id slice: the gate pins the LIFECYCLE at 16384 lists
+    # (the structure cost, invariant in sf); corpus-growth behavior
+    # is the flat IVF gates' and the pytest suite's job
+    emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 250)
     work = tempfile.mkdtemp(prefix="dts_ivf2l_")
     try:
         t = LakeTable(spark, os.path.join(work, "vecs"))
@@ -4247,9 +4251,10 @@ def q_ivf_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
         # materialize the emitted serves BEFORE the pinned-serve
         # mutation below, so the returned rows are the synced state
         out = exact.unionByName(filtered).localCheckpoint(eager=True)
-        # pinned serve: a later add can't disturb it
+        # pinned serve: a later add can't disturb it (checked on the
+        # cheap partial probe — pin stability is probe-independent)
         pin = idx.snapshot()
-        pre = {(r.qid, r.cid, r.rank) for r in exact.collect()}
+        pre = {(r.qid, r.cid, r.rank) for r in part.collect()}
         junk = emb.where(F.col("vec_id") % 2 == 0).limit(20).select(
             (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
         )
@@ -4258,10 +4263,99 @@ def q_ivf_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
         pinned = {
             (r.qid, r.cid, r.rank)
             for r in idx.search(
-                queries, k=6, n_probe=16384, exclude_self=True, at=pin
+                queries, k=6, n_probe=64, n_probe_cells=2, at=pin
             ).collect()
         }
         assert pinned == pre, "pinned serve drifted after a later add"
         return out
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def _probe_report_oracle(
+    n_lists: int = 8, n_probe: int = 2, dim: int = 64,
+    qlo: int = 30, qhi: int = 34,
+) -> str:
+    """DuckDB mirror of ``IVFIndex.probe_report``'s layout-independent
+    columns: replay the deterministic seed + one Lloyd pass, assign
+    the corpus, probe the queries, and count per query which LIVE
+    lists the probe opens and how many vectors they hold — the
+    n_probe/n_lists read-fraction contract as relational arithmetic.
+    pending_appends is 0 by construction (the gate builds once, a
+    snapshot write)."""
+    from datalake_toolkit_spark.llm.similarity import _plane_component
+
+    rows = ",".join(
+        "({}, [{}])".format(
+            p, ",".join(repr(_plane_component(p, d)) for d in range(dim))
+        )
+        for p in range(n_lists)
+    )
+    return f"""
+    WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings
+               WHERE embedding IS NOT NULL
+                 AND list_inner_product(CAST(embedding AS DOUBLE[]),
+                                        CAST(embedding AS DOUBLE[])) > 0),
+    cent0(list_id, cv) AS (VALUES {rows}),
+    {_lloyd_pass_sql('cent0', 'cent1', 0)},
+    xf AS (SELECT c.vec_id, kk.list_id,
+           row_number() OVER (PARTITION BY c.vec_id
+             ORDER BY list_inner_product(c.v, kk.cv) DESC, kk.list_id) AS rn
+           FROM c CROSS JOIN cent1 kk),
+    af AS (SELECT vec_id, list_id FROM xf WHERE rn = 1),
+    sizes AS (SELECT list_id, count(*) AS n FROM af GROUP BY 1),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS lists_live,
+                   CAST(sum(n) AS BIGINT) AS vectors_total FROM sizes),
+    q AS (SELECT vec_id AS qid, v AS qv FROM c
+          WHERE vec_id >= {qlo} AND vec_id < {qhi}),
+    probe AS (SELECT q.qid, kk.list_id,
+              row_number() OVER (PARTITION BY q.qid
+                ORDER BY list_inner_product(q.qv, kk.cv) DESC,
+                         kk.list_id DESC) AS prn
+              FROM q CROSS JOIN cent1 kk),
+    pq AS (SELECT DISTINCT qid, list_id FROM probe WHERE prn <= {n_probe}),
+    agg AS (SELECT pq.qid,
+                   CAST(count(*) AS BIGINT) AS lists_probed,
+                   CAST(sum(s.n) AS BIGINT) AS vectors_probed
+            FROM pq JOIN sizes s USING (list_id) GROUP BY 1)
+    SELECT agg.qid, CAST({n_lists} AS BIGINT) AS lists_total,
+           tot.lists_live, agg.lists_probed, agg.vectors_probed,
+           tot.vectors_total, CAST(0 AS BIGINT) AS pending_appends
+    FROM agg CROSS JOIN tot
+    """
+
+
+@query("q_ivf_probe_report", _probe_report_oracle())
+def q_ivf_probe_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF probe as an observable, hash-checked contract (the r13
+    verdict's #7 ask — the vector twin of ``q_skip_report``): build
+    the persistent index, run ``probe_report`` for a query batch, and
+    emit per query which live lists the probe opens and the vector
+    fraction they hold. Every emitted column is layout-independent
+    (deterministic centroids + corpus + knobs), recomputed
+    relationally by the oracle, md5 seed arithmetic included. The
+    query ASSERTS the capacity contract on top: probed lists never
+    exceed the live lists, probed vectors never exceed the total, and
+    a freshly built index carries no pending merge-on-read tax."""
+    import os
+    import shutil
+    import tempfile
+
+    from datalake_toolkit_spark.llm import IVFIndex
+
+    emb = _t(spark, sf_dir, "embeddings")
+    work = tempfile.mkdtemp(prefix="dts_ivfrep_")
+    try:
+        idx = IVFIndex(spark, os.path.join(work, "idx"))
+        idx.build(emb, n_lists=8, lloyd_iters=1)
+        queries = emb.where((F.col("vec_id") >= 30) & (F.col("vec_id") < 34))
+        rep = idx.probe_report(queries, n_probe=2)
+        rows = rep.collect()
+        for r in rows:
+            assert r["lists_probed"] <= r["lists_live"] <= r["lists_total"]
+            assert 0 < r["vectors_probed"] <= r["vectors_total"]
+            assert r["pending_appends"] == 0
+        return rep.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(work, ignore_errors=True)
