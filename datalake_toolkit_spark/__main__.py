@@ -216,12 +216,18 @@ def _build_parser() -> argparse.ArgumentParser:
                 help="hybrid: serve at the latest combined pin "
                      "plane-sync persisted (needs --table) instead of "
                      "live index state")
+    se.add_argument("--verify-term-stats", action="store_true",
+                help="index-audit: also compare the committed term "
+                     "stats against a full scan recompute — the "
+                     "detector for mis-used removed_docs / "
+                     "replaced_old before-image hints (O(postings))")
 
     an = sub.add_parser("ann", help="persistent IVF vector index")
     an.add_argument(
         "action",
-        choices=["build", "add", "search", "sizes", "probe", "maintain",
-                 "remove", "sync", "recall", "audit"],
+        choices=["build", "add", "search", "sizes", "probe",
+                 "probe-report", "maintain", "remove", "sync", "recall",
+                 "audit"],
     )
     an.add_argument("--path", required=True, help="IVFIndex root")
     an.add_argument("--input", default=None,
@@ -248,6 +254,13 @@ def _build_parser() -> argparse.ArgumentParser:
     an.add_argument("--from-version", type=int, default=None,
                 help="sync: override the persisted cursor "
                      "(omit: resume from cursor, bootstrap if none)")
+    an.add_argument("--n-probe-cells", type=int, default=None,
+                help="two-level indexes: coarse cells probed per "
+                     "query (default: auto — every cell when the "
+                     "list probe is exact)")
+    an.add_argument("--two-level-from", type=int, default=None,
+                help="build: persist the two-level layout at or above "
+                     "this many lists (default 10000)")
     an.add_argument("--deep", action="store_true",
                 help="audit: also re-argmax every assignment against "
                      "the stored centroids (O(index x n_lists) — "
@@ -671,7 +684,9 @@ def _cmd_search(args: argparse.Namespace) -> int:
     if args.action == "index-audit":
         if not args.index:
             raise SystemExit("index-audit needs --index")
-        for r in PostingsIndex(spark, args.index).audit().collect():
+        for r in PostingsIndex(spark, args.index).audit(
+            verify_term_stats=args.verify_term_stats
+        ).collect():
             print(json.dumps(r.asDict()))
         return 0
     if args.action == "index-sync":
@@ -777,7 +792,12 @@ def _cmd_ann(args: argparse.Namespace) -> int:
     from datalake_toolkit_spark.llm import IVFIndex
 
     spark = get_spark(app_name="dts-ann")
-    idx = IVFIndex(spark, args.path)
+    kw = (
+        {"two_level_from": args.two_level_from}
+        if args.two_level_from is not None
+        else {}
+    )
+    idx = IVFIndex(spark, args.path, **kw)
     if args.action == "build":
         if not args.input:
             raise SystemExit("build needs --input")
@@ -815,7 +835,20 @@ def _cmd_ann(args: argparse.Namespace) -> int:
             raise SystemExit("probe needs --input (query vectors parquet)")
         print(json.dumps(idx.plan_probe(
             spark.read.parquet(args.input), n_probe=args.n_probe,
-            quantized=args.quantized)))
+            quantized=args.quantized,
+            n_probe_cells=args.n_probe_cells)))
+        return 0
+    if args.action == "probe-report":
+        if not args.input:
+            raise SystemExit(
+                "probe-report needs --input (query vectors parquet)"
+            )
+        out = idx.probe_report(
+            spark.read.parquet(args.input), n_probe=args.n_probe,
+            n_probe_cells=args.n_probe_cells,
+        )
+        for r in out.orderBy("qid").collect():
+            print(json.dumps(r.asDict()))
         return 0
     if args.action == "audit":
         for r in idx.audit(deep=args.deep).collect():
@@ -850,10 +883,12 @@ def _cmd_ann(args: argparse.Namespace) -> int:
         out = idx.search_quantized(
             spark.read.parquet(args.input), k=args.k,
             n_probe=args.n_probe, rescore_factor=args.rescore_factor,
+            n_probe_cells=args.n_probe_cells,
         )
     else:
         out = idx.search(
-            spark.read.parquet(args.input), k=args.k, n_probe=args.n_probe
+            spark.read.parquet(args.input), k=args.k, n_probe=args.n_probe,
+            n_probe_cells=args.n_probe_cells,
         )
     for r in out.orderBy("qid", "rank").collect():
         print(json.dumps(r.asDict()))
