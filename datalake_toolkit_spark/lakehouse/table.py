@@ -918,6 +918,35 @@ class LakeTable:
         rows = df.select(*self.partition_by).distinct().collect()
         return [_fmt_key(self.partition_by, r) for r in rows]
 
+    def _written_keys(self, vdir: str) -> list[str]:
+        """The partition keys a finished ``partitionBy`` write produced,
+        read from the directory tree itself — the directories ARE the
+        owners-map keys (``_escape_partition_value`` mirrors Spark's
+        naming exactly), so listing them replaces the pre-write
+        ``_partition_keys`` job: one fewer full evaluation of the
+        input lineage per partitioned write, zero Spark jobs."""
+        depth = len(self.partition_by)
+        keys: list[str] = []
+        stack: list[tuple[str, int, str]] = [(vdir, 0, "")]
+        while stack:
+            d, lvl, rel = stack.pop()
+            try:
+                names = os.listdir(d)
+            except OSError:
+                continue
+            for name in names:
+                if name.startswith(("_", ".")) or "=" not in name:
+                    continue
+                p = os.path.join(d, name)
+                if not os.path.isdir(p):
+                    continue
+                r = f"{rel}/{name}" if rel else name
+                if lvl + 1 == depth:
+                    keys.append(r)
+                else:
+                    stack.append((p, lvl + 1, r))
+        return sorted(keys)
+
     def _zvalue(self, df: DataFrame, cols: Sequence[str], bits: int = 4):
         """Z-order curve value: per column an equi-depth bucket id in
         [0, 2^bits) from approxQuantile boundaries (driver payload =
@@ -1027,14 +1056,17 @@ class LakeTable:
             ]
             df = df.repartitionByRange(*cluster).sortWithinPartitions(*cluster)
         if self.partition_by:
-            keys = self._partition_keys(df)
             out = df if clustered else df.hint("rebalance", *self.partition_by)
             (
                 self._bloom_writer(out.write.mode("overwrite"))
                 .partitionBy(*self.partition_by)
                 .parquet(vdir)
             )
-            return keys
+            # keys from the written directory tree — one fewer job and
+            # one fewer evaluation of the input lineage than the
+            # pre-write distinct-collect (guide §2.4: don't compute
+            # things the write itself already materializes)
+            return self._written_keys(vdir)
         self._bloom_writer(df.write.mode("overwrite")).parquet(vdir)
         return [""]
 

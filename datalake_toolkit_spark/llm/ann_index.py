@@ -596,12 +596,37 @@ class IVFIndex:
         n_probe lists, every cell when the probe is exact) is the
         IMI recall knob stacked under n_probe."""
         v = self._pin(at, "assignments") if at is not None else None
-        n_probe = min(n_probe, self._n_lists(at))
+        n_lists = self._n_lists(at)
+        n_probe = min(n_probe, n_lists)
         prep = self._prep(queries).select(
             F.col("id").alias("qid"),
             F.col("vec").alias("qv"),
             F.col("norm").alias("qn"),
         )
+        if n_probe >= n_lists:
+            # EXACT serve: every list is probed, so computing per-query
+            # probe lists (n_lists dot products + a full sort per
+            # query, then an n_lists-per-query exploded broadcast) is
+            # pure overhead — the downstream equi-join on list_id
+            # keeps every candidate either way. Enumerate the lists
+            # that actually HOLD data from the manifest instead
+            # (driver-side, zero jobs; live_partition_keys includes
+            # pending MoR append partitions), and pair each query with
+            # exactly those. Every stored row's list_id comes from its
+            # partition directory, so the join result is identical to
+            # the probed path's — guide §2.4, remove work whose output
+            # is statically known.
+            existing = live_partition_keys(self.assignments_t._manifest(v))
+            lids: list[int] = []
+            for key in existing:
+                try:
+                    lids.append(int(key.split("=", 1)[1]))
+                except ValueError:
+                    continue  # non-int dirs can't match a probe either
+            lid_df = self.spark.createDataFrame(
+                [(i,) for i in sorted(lids)], "list_id int"
+            )
+            return prep.crossJoin(lid_df), self.assignments_t.read(version=v)
         rec = self._tl_record(at)
         if rec is not None:
             npc = n_probe_cells or self._auto_probe_cells(

@@ -25,6 +25,7 @@ import hashlib
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from datalake_toolkit_spark.operators import ensure_min_partitions
 
@@ -142,6 +143,35 @@ def _plane_component(p: int, d: int) -> float:
     expression, but evaluated once on the driver."""
     h = int(hashlib.md5(f"{p}:{d}".encode()).hexdigest()[:8], 16)
     return (h % 2001 - 1000) / 1000.0
+
+
+def seed_centroid_frame(spark, n_lists: int, dim: int) -> DataFrame:
+    """The deterministic seed directions as a ``(list_id, centroid)``
+    frame computed IN the JVM — bit-identical to the driver-side
+    ``_plane_component`` comprehension (same md5-prefix integer
+    arithmetic, one double division), without pickling n_lists x dim
+    Python floats through ``createDataFrame`` (~2 s per evaluation at
+    16384 x 64, paid once per lineage evaluation)."""
+    return spark.range(n_lists).select(
+        F.col("id").cast("int").alias("list_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda d: (
+                (
+                    F.conv(
+                        F.substring(
+                            F.md5(F.concat_ws(":", F.col("id"), d)), 1, 8
+                        ),
+                        16,
+                        10,
+                    ).cast("long")
+                    % 2001
+                    - 1000
+                )
+                / 1000.0
+            ),
+        ).alias("centroid"),
+    )
 
 
 def _matrix_lit(m: list[list[float]]) -> Column:
@@ -406,17 +436,64 @@ def ivf_assign_with_frame(
     out_col: str = "list_id",
 ) -> DataFrame:
     """Assign every row's vector to its nearest centroid with the
-    matrix-as-data path: cross-join the ONE-row broadcast matrix
-    frame (:func:`centroid_matrix_frame`) and evaluate the shared
-    argmax expression. Map-only — no shuffle, no k x dim literal —
-    and bit-identical to :func:`ivf_assign_col` (same expression
-    tree over the same doubles)."""
+    matrix-as-data path — no k x dim literal ever enters a plan, and
+    results are bit-identical to :func:`ivf_assign_col` (the same
+    IEEE doubles through the same op sequence). Since r14 the dots
+    run in a salt-cogrouped Arrow kernel (NumPy left-fold — see
+    :func:`_best_fine_arrow` for the bit-equality argument) instead
+    of the interpreted per-element expression: a deterministic salt
+    (``pmod(xxhash64(vec), P)``, guide §2.5) spreads rows over P
+    tasks and the matrix frame is replicated P ways, so the kernel
+    sees each (salt, batch) once and the matrix crosses the Python
+    boundary once per task, never per row."""
+    import numpy as np
+    import pandas as pd
+
     v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
-    return (
-        df.crossJoin(F.broadcast(cents_mat))
-        .withColumn(out_col, _ivf_assign_expr(F.col("cmat"), v))
-        .drop("cmat")
+    vname = vec_col if isinstance(vec_col, str) else "__ivf_vec"
+    src = df if isinstance(vec_col, str) else df.withColumn(vname, v)
+    n_salt = max(1, df.sparkSession.sparkContext.defaultParallelism)
+    left = src.withColumn(
+        "_slt", F.pmod(F.xxhash64(F.col(vname)), F.lit(n_salt)).cast("int")
     )
+    right = cents_mat.crossJoin(
+        cents_mat.sparkSession.range(n_salt).select(
+            F.col("id").cast("int").alias("_slt")
+        )
+    ).select("_slt", "cmat")
+    fields = [
+        T.StructField(f.name, f.dataType, f.nullable)
+        for f in src.schema.fields
+    ]
+    out_schema = T.StructType(
+        fields + [T.StructField(out_col, T.IntegerType(), False)]
+    )
+    cols = [f.name for f in src.schema.fields]
+
+    def assign(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
+        if l.empty or r.empty:
+            return pd.DataFrame(columns=cols + [out_col])
+        mat = np.stack(
+            [np.asarray(c, dtype=np.float64) for c in r["cmat"].iloc[0]]
+        )
+        vecs = np.stack(
+            [np.asarray(x, dtype=np.float64) for x in l[vname]]
+        )
+        acc = np.zeros((vecs.shape[0], mat.shape[0]), dtype=np.float64)
+        for d in range(vecs.shape[1]):
+            acc += vecs[:, d : d + 1] * mat[None, :, d]
+        out = l.drop(columns=["_slt"])
+        # first max == smallest list id on ties, matching array_max
+        # over (dot, -i) structs
+        out[out_col] = np.argmax(acc, axis=1).astype(np.int32)
+        return out
+
+    res = (
+        left.groupBy("_slt")
+        .cogroup(right.groupBy("_slt"))
+        .applyInPandas(assign, schema=out_schema)
+    )
+    return res if isinstance(vec_col, str) else res.drop(vname)
 
 
 def ivf_probe_with_frame(
@@ -562,13 +639,7 @@ def ivf_assignments_frames(
     )
     if lloyd_iters > 0:
         staged = staged.persist()
-    cents = spark.createDataFrame(
-        [
-            (p, [_plane_component(p, d) for d in range(dim)])
-            for p in range(n_lists)
-        ],
-        "list_id int, centroid array<double>",
-    )
+    cents = seed_centroid_frame(spark, n_lists, dim)
     _MEAN_BUCKETS = 256
     for _ in range(lloyd_iters):
         assigned = ivf_assign_with_frame(
@@ -707,22 +778,87 @@ def _two_level_cell_rows_impl(
         )
         .groupBy("cell_id")
         .agg(
-            F.transform(
-                F.array_sort(
-                    F.collect_list(F.struct(F.col("fid"), F.col("fc")))
-                ),
-                lambda s: s.getField("fid"),
-            ).alias("fids"),
-            F.transform(
-                F.array_sort(
-                    F.collect_list(F.struct(F.col("fid"), F.col("fc")))
-                ),
-                lambda s: s.getField("fc"),
-            ).alias("fmat"),
+            F.array_sort(
+                F.collect_list(F.struct(F.col("fid"), F.col("fc")))
+            ).alias("_s")
+        )
+        .select(
+            "cell_id",
+            F.transform(F.col("_s"), lambda s: s.getField("fid")).alias(
+                "fids"
+            ),
+            F.transform(F.col("_s"), lambda s: s.getField("fc")).alias(
+                "fmat"
+            ),
         )
         .localCheckpoint(eager=True)
     )
     return coarse_rows, cells, n_cells
+
+
+def _best_fine_arrow(
+    ex: DataFrame, cells: DataFrame, vec_col: str, id_col: str
+) -> DataFrame:
+    """Per (row, probed cell): the best ``(dot, neg_id)`` over the
+    cell's fine centroids — the Arrow-vectorized twin of
+    ``array_max(_cell_dots_expr(...))``. Catalyst higher-order
+    functions evaluate per element with no whole-stage codegen, so
+    an assignment pass pays ~µs per 64-dim dot; handing each
+    (cell, vector-batch) cogroup to NumPy computes the same floats
+    ~50x faster (optimization guide §4.2). BIT-IDENTICAL by
+    construction: products are the same elementwise IEEE doubles and
+    the reduction is a strict left fold in dimension order (one
+    vectorized ``+=`` per dimension — exactly the add sequence
+    ``_fold_sum`` evaluates), and ``np.argmax``'s first-hit tie rule
+    equals the struct max's greatest ``neg_id`` (smallest fid)
+    because fids are sorted ascending. Cogrouping (not a join)
+    moves each cell's fine matrix across the Python boundary ONCE
+    per task, not once per row; groups empty on either side return
+    nothing, matching the original inner join."""
+    import numpy as np
+    import pandas as pd
+
+    fields = [
+        T.StructField(f.name, f.dataType, f.nullable)
+        for f in ex.schema.fields
+    ]
+    out_schema = T.StructType(
+        fields
+        + [
+            T.StructField("dot", T.DoubleType(), False),
+            T.StructField("neg_id", T.IntegerType(), False),
+        ]
+    )
+    cols = [f.name for f in ex.schema.fields]
+
+    def best(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if left.empty or right.empty:
+            return pd.DataFrame(columns=cols + ["dot", "neg_id"])
+        fids = np.asarray(right["fids"].iloc[0], dtype=np.int64)
+        fmat = np.stack(
+            [np.asarray(r, dtype=np.float64) for r in right["fmat"].iloc[0]]
+        )
+        vecs = np.stack(
+            [np.asarray(r, dtype=np.float64) for r in left[vec_col]]
+        )
+        # strict left fold over dimensions: acc_d = acc_{d-1} + x_d*w_d,
+        # one IEEE add per step in index order == _fold_sum's sequence
+        acc = np.zeros((vecs.shape[0], fmat.shape[0]), dtype=np.float64)
+        for d in range(vecs.shape[1]):
+            acc += vecs[:, d : d + 1] * fmat[None, :, d]
+        pick = np.argmax(acc, axis=1)  # first max == smallest fid on ties
+        out = left.copy()
+        out["dot"] = acc[np.arange(len(pick)), pick]
+        out["neg_id"] = (-fids[pick]).astype(np.int32)
+        return out
+
+    return (
+        ex.groupBy("cell_id")
+        .cogroup(
+            cells.select("cell_id", "fids", "fmat").groupBy("cell_id")
+        )
+        .applyInPandas(best, schema=out_schema)
+    )
 
 
 def _cell_dots_expr(fmat: Column, fids: Column, v: Column) -> Column:
@@ -758,23 +894,46 @@ def two_level_assign(
     result is BIT-IDENTICAL to the flat path
     (test_two_level_full_probe_equals_flat). Returns (id_col,
     vec_col, list_id)."""
-    probed = ivf_probe_with_frame(
-        df.select(id_col, vec_col),
-        frames["coarse"],
-        n_probe_cells,
-        vec_col,
-        "cells",
-    )
-    ex = probed.select(
-        id_col, vec_col, F.explode("cells").alias("cell_id")
-    )
-    per_cell = ex.join(frames["cells"], "cell_id").select(
+    if n_probe_cells >= frames["n_cells"]:
+        # full-cell probe (every build/add/sync assignment): probing
+        # ALL cells makes the coarse dot-and-sort pass pure overhead —
+        # the downstream per-cell argmax + cross-cell max is order-
+        # independent, so pairing each vector with every cell id
+        # directly is bit-identical and skips O(rows x sqrt(k) x dim)
+        # interpreted work
+        # pair every vector with every LIVE cell id (aliased so the
+        # cogroup below doesn't see a self-join of the cells frame;
+        # live-only, because a cogroup group with rows on the left and
+        # an EMPTY right side segfaults this pyspark's arrow loader —
+        # and only live cells exist in the coarse matrix anyway)
+        live = frames["cells"].select(
+            F.col("cell_id").alias("__live_cell")
+        )
+        ex = (
+            df.select(id_col, vec_col)
+            .crossJoin(F.broadcast(live))
+            .withColumnRenamed("__live_cell", "cell_id")
+        )
+    else:
+        probed = ivf_probe_with_frame(
+            df.select(id_col, vec_col),
+            frames["coarse"],
+            n_probe_cells,
+            vec_col,
+            "cells",
+        )
+        ex = probed.select(
+            id_col, vec_col, F.explode("cells").alias("cell_id")
+        )
+    # Arrow-vectorized per-cell argmax (bit-identical to
+    # array_max(_cell_dots_expr(...)) over the inner join — see
+    # _best_fine_arrow): the fine dots are the dominant interpreted
+    # cost of every two-level assignment pass
+    per_cell = _best_fine_arrow(ex, frames["cells"], vec_col, id_col).select(
         id_col,
         vec_col,
-        F.array_max(
-            _cell_dots_expr(
-                F.col("fmat"), F.col("fids"), F.col(vec_col)
-            )
+        F.struct(
+            F.col("dot").alias("dot"), F.col("neg_id").alias("neg_id")
         ).alias("best"),
     )
     if n_probe_cells == 1:
@@ -876,21 +1035,21 @@ def ivf_assignments_two_level(
     Returns (assigned (vid, v, list_id), cents (list_id, centroid),
     frames — the FINAL :func:`two_level_centroid_frames` dict, so
     callers probe without recomputing the cell structure)."""
+    import math
+
     staged = ensure_min_partitions(
         corpus.select(
             F.col(id_col).alias("vid"), _as_double(vec_col).alias("v")
         )
     ).persist()
-    cents = corpus.sparkSession.createDataFrame(
-        [
-            (p, [_plane_component(p, d) for d in range(dim)])
-            for p in range(n_lists)
-        ],
-        "list_id int, centroid array<double>",
-    )
+    cents = seed_centroid_frame(corpus.sparkSession, n_lists, dim)
+    # the default cell count two_level_centroid_frames would derive
+    # from cents.count() — passed explicitly so the frames builder
+    # never has to evaluate the centroid lineage just to count it
+    k_cells = max(1, math.isqrt(max(1, n_lists - 1)) + 1)
     _MEAN_BUCKETS = 256
     for _ in range(lloyd_iters):
-        frames = two_level_centroid_frames(cents, dim=dim)
+        frames = two_level_centroid_frames(cents, dim=dim, n_cells=k_cells)
         npc = n_probe_cells or frames["n_cells"]
         assigned = two_level_assign(staged, frames, npc)
         means = (
@@ -921,7 +1080,7 @@ def ivf_assignments_two_level(
         )
         kept = cents.join(moved, "list_id", "left_anti")
         cents = moved.unionByName(kept).localCheckpoint(eager=True)
-    frames = two_level_centroid_frames(cents, dim=dim)
+    frames = two_level_centroid_frames(cents, dim=dim, n_cells=k_cells)
     assigned = two_level_assign(
         staged, frames, n_probe_cells or frames["n_cells"]
     )
