@@ -63,6 +63,7 @@ from datalake_toolkit_spark.llm.similarity import (
     centroid_matrix_frame,
     cosine_with_norms,
     ivf_assign_col,
+    ivf_assign_lit_kernel,
     ivf_assign_with_frame,
     ivf_assignments,
     ivf_assignments_frames,
@@ -500,9 +501,12 @@ class IVFIndex:
         else:
             mode_c, cents = self._cent_matrix()
             if mode_c == "literal":
-                rows = prep.withColumn(
-                    "list_id", ivf_assign_col(cents, "vec").cast("int")
-                )
+                # batch assignment: the Arrow kernel computes the same
+                # argmax bit-identically, vectorized (guide §4.2) —
+                # the literal expression stays for per-row audit use
+                rows = ivf_assign_lit_kernel(
+                    prep, cents, "vec"
+                ).withColumn("list_id", F.col("list_id").cast("int"))
             else:
                 rows = ivf_assign_with_frame(
                     prep, cents, "vec"

@@ -466,13 +466,19 @@ def ivf_assign_with_frame(
         for f in src.schema.fields
     ]
     out_schema = T.StructType(
-        fields + [T.StructField(out_col, T.IntegerType(), False)]
+        fields + [T.StructField(out_col, T.IntegerType(), True)]
     )
     cols = [f.name for f in src.schema.fields]
 
     def assign(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
         if l.empty or r.empty:
             return pd.DataFrame(columns=cols + [out_col])
+        if len(r["cmat"].iloc[0]) == 0:
+            # empty matrix: argmax over no dots — null list ids, the
+            # same rows the expression path would produce
+            out = l.drop(columns=["_slt"])
+            out[out_col] = None
+            return out
         mat = np.stack(
             [np.asarray(c, dtype=np.float64) for c in r["cmat"].iloc[0]]
         )
@@ -496,6 +502,64 @@ def ivf_assign_with_frame(
     return res if isinstance(vec_col, str) else res.drop(vname)
 
 
+def ivf_assign_lit_kernel(
+    df: DataFrame,
+    cents: list[list[float]],
+    vec_col: str = "v",
+    out_col: str = "list_id",
+) -> DataFrame:
+    """The LITERAL-centroids assignment as a MAP-ONLY Arrow kernel —
+    bit-identical to ``withColumn(out_col, ivf_assign_col(cents,
+    vec_col))`` (the same doubles through the same left-fold/argmax
+    sequence — see :func:`_best_fine_arrow`), but the dots run
+    vectorized in NumPy instead of per-element interpreted. The
+    centroids are already driver-side on this path, so they travel in
+    the function closure and are turned into one ndarray ONCE PER
+    TASK (guide §4.5) — no shuffle, no join, no extra frame; strictly
+    the old map-only plan shape with the compute moved to Arrow. For
+    the batch paths (builds, adds, Lloyd passes); the expression form
+    stays for per-row audit checks."""
+    import numpy as np
+    import pandas as pd
+
+    mat_rows = [[float(x) for x in c] for c in cents]
+    fields = [
+        T.StructField(f.name, f.dataType, f.nullable)
+        for f in df.schema.fields
+    ]
+    out_schema = T.StructType(
+        fields + [T.StructField(out_col, T.IntegerType(), True)]
+    )
+
+    def assign(batches):
+        mat = (
+            np.asarray(mat_rows, dtype=np.float64)
+            if mat_rows
+            else None
+        )  # once per task, reused across batches
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            out = pdf.copy()
+            if mat is None:
+                out[out_col] = None  # argmax over no dots, as before
+                yield out
+                continue
+            vecs = np.stack(
+                [np.asarray(x, dtype=np.float64) for x in pdf[vec_col]]
+            )
+            acc = np.zeros(
+                (vecs.shape[0], mat.shape[0]), dtype=np.float64
+            )
+            for d in range(vecs.shape[1]):
+                acc += vecs[:, d : d + 1] * mat[None, :, d]
+            # first max == smallest list id on ties (array_max rule)
+            out[out_col] = np.argmax(acc, axis=1).astype(np.int32)
+            yield out
+
+    return df.mapInPandas(assign, schema=out_schema)
+
+
 def ivf_probe_with_frame(
     df: DataFrame,
     cents_mat: DataFrame,
@@ -511,6 +575,72 @@ def ivf_probe_with_frame(
         df.crossJoin(F.broadcast(cents_mat))
         .withColumn(out_col, _ivf_probe_expr(F.col("cmat"), n_probe, v))
         .drop("cmat")
+    )
+
+
+def _lloyd_means_arrow(
+    assigned: DataFrame, dim: int, mean_buckets: int = 256
+) -> DataFrame:
+    """One Lloyd mean pass, Arrow-vectorized: ``(list_id, centroid)``
+    for every list that has members — bit-identical to the
+    posexplode + double-groupBy expression form (the deterministic
+    two-level value-sorted mean: per (list, d, vid % mean_buckets) a
+    0.0-seeded left fold over VALUE-SORTED elements, then a
+    value-sorted fold over the subtotals, divided by the member
+    count). ``np.add.reduceat`` applies the add sequentially within
+    each segment, and a 0.0 is inserted at every segment start so the
+    fold's 0.0 seed is reproduced exactly (the -0.0 edge); the outer
+    <= mean_buckets subtotal fold is an explicit loop. One shuffle of
+    whole vectors instead of two shuffles of n x dim exploded rows,
+    and NumPy instead of per-element interpreted lambdas (guide
+    §§2.3, 4.2)."""
+    import numpy as np
+    import pandas as pd
+
+    out_schema = T.StructType(
+        [
+            T.StructField("list_id", T.IntegerType(), False),
+            T.StructField(
+                "centroid", T.ArrayType(T.DoubleType()), False
+            ),
+        ]
+    )
+
+    def mean(pdf: pd.DataFrame) -> pd.DataFrame:
+        vecs = np.stack(
+            [np.asarray(r, dtype=np.float64) for r in pdf["v"]]
+        )
+        b = (pdf["vid"].to_numpy() % mean_buckets).astype(np.int64)
+        n = vecs.shape[0]
+        cent = np.empty(vecs.shape[1], dtype=np.float64)
+        for d in range(vecs.shape[1]):
+            x = vecs[:, d]
+            order = np.lexsort((x, b))  # by bucket, then by value
+            xs, bs = x[order], b[order]
+            starts = np.flatnonzero(
+                np.r_[True, bs[1:] != bs[:-1]]
+            )
+            # insert the fold's 0.0 seed at each segment start so the
+            # reduceat sequence is exactly 0.0 + x0 + x1 + ...
+            xz = np.insert(xs, starts, 0.0)
+            subs = np.add.reduceat(
+                xz, starts + np.arange(len(starts))
+            )
+            total = 0.0
+            for s in np.sort(subs):
+                total += s
+            cent[d] = total / n
+        return pd.DataFrame(
+            {
+                "list_id": [int(pdf["list_id"].iloc[0])],
+                "centroid": [cent.tolist()],
+            }
+        )
+
+    return (
+        assigned.select("vid", "v", "list_id")
+        .groupBy("list_id")
+        .applyInPandas(mean, schema=out_schema)
     )
 
 
@@ -551,9 +681,6 @@ def ivf_assignments(
         [_plane_component(p, d) for d in range(dim)] for p in range(n_lists)
     ]
 
-    def assign(cents: list[list[float]]) -> Column:
-        return ivf_assign_col(cents, "v")
-
     # Lloyd means MUST be bit-deterministic: a plain avg() sums floats
     # in shuffle-fetch order, and a ULP of run-to-run (or Spark-vs-
     # oracle) drift feeds a discrete argmax that can flip a list
@@ -563,37 +690,21 @@ def ivf_assignments(
     # sub-buckets (vid % _MEAN_BUCKETS, bounded arrays), then a sorted
     # fold over the <= _MEAN_BUCKETS subtotals. Both levels are one
     # IEEE sequence either engine reproduces exactly.
-    _MEAN_BUCKETS = 256
     for _ in range(lloyd_iters):
-        assigned = staged.select("vid", "v", assign(centroids).alias("list_id"))
-        means = (
-            assigned.select(
-                "list_id",
-                F.pmod("vid", F.lit(_MEAN_BUCKETS)).alias("b"),
-                F.posexplode("v").alias("d", "x"),
-            )
-            .groupBy("list_id", "d", "b")
-            .agg(
-                _fold_sum(F.array_sort(F.collect_list("x"))).alias("s"),
-                F.count(F.lit(1)).alias("n"),
-            )
-            .groupBy("list_id", "d")
-            .agg(
-                (
-                    _fold_sum(F.array_sort(F.collect_list("s"))) / F.sum("n")
-                ).alias("m")
-            )
-            .collect()
+        assigned = ivf_assign_lit_kernel(
+            staged.select("vid", "v"), centroids
         )
-        by_list: dict[int, dict[int, float]] = {}
-        for r in means:
-            by_list.setdefault(r.list_id, {})[r.d] = r.m
+        moved = {
+            r["list_id"]: list(r["centroid"])
+            for r in _lloyd_means_arrow(assigned, dim).collect()
+        }
+        # empty lists keep their previous centroid (the mean emits all
+        # dims for every assigned list — same merge rule as before)
         centroids = [
-            [by_list.get(i, {}).get(d, centroids[i][d]) for d in range(dim)]
-            for i in range(len(centroids))
+            moved.get(i, centroids[i]) for i in range(len(centroids))
         ]
     return (
-        staged.select("vid", "v", assign(centroids).alias("list_id")),
+        ivf_assign_lit_kernel(staged.select("vid", "v"), centroids),
         centroids,
     )
 
@@ -640,35 +751,11 @@ def ivf_assignments_frames(
     if lloyd_iters > 0:
         staged = staged.persist()
     cents = seed_centroid_frame(spark, n_lists, dim)
-    _MEAN_BUCKETS = 256
     for _ in range(lloyd_iters):
         assigned = ivf_assign_with_frame(
             staged, centroid_matrix_frame(cents), "v"
         )
-        means = (
-            assigned.select(
-                "list_id",
-                F.pmod("vid", F.lit(_MEAN_BUCKETS)).alias("b"),
-                F.posexplode("v").alias("d", "x"),
-            )
-            .groupBy("list_id", "d", "b")
-            .agg(
-                _fold_sum(F.array_sort(F.collect_list("x"))).alias("s"),
-                F.count(F.lit(1)).alias("n"),
-            )
-            .groupBy("list_id", "d")
-            .agg(
-                (
-                    _fold_sum(F.array_sort(F.collect_list("s"))) / F.sum("n")
-                ).alias("m")
-            )
-        )
-        moved = means.groupBy("list_id").agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct(F.col("d"), F.col("m")))),
-                lambda s: s.getField("m"),
-            ).alias("centroid")
-        )
+        moved = _lloyd_means_arrow(assigned, dim)
         kept = cents.join(moved, "list_id", "left_anti")
         cents = moved.unionByName(kept).localCheckpoint(eager=True)
     return (
@@ -1047,37 +1134,11 @@ def ivf_assignments_two_level(
     # from cents.count() — passed explicitly so the frames builder
     # never has to evaluate the centroid lineage just to count it
     k_cells = max(1, math.isqrt(max(1, n_lists - 1)) + 1)
-    _MEAN_BUCKETS = 256
     for _ in range(lloyd_iters):
         frames = two_level_centroid_frames(cents, dim=dim, n_cells=k_cells)
         npc = n_probe_cells or frames["n_cells"]
         assigned = two_level_assign(staged, frames, npc)
-        means = (
-            assigned.select(
-                "list_id",
-                F.pmod("vid", F.lit(_MEAN_BUCKETS)).alias("b"),
-                F.posexplode("v").alias("d", "x"),
-            )
-            .groupBy("list_id", "d", "b")
-            .agg(
-                _fold_sum(F.array_sort(F.collect_list("x"))).alias("s"),
-                F.count(F.lit(1)).alias("n"),
-            )
-            .groupBy("list_id", "d")
-            .agg(
-                (
-                    _fold_sum(F.array_sort(F.collect_list("s"))) / F.sum("n")
-                ).alias("m")
-            )
-        )
-        moved = means.groupBy("list_id").agg(
-            F.transform(
-                F.array_sort(
-                    F.collect_list(F.struct(F.col("d"), F.col("m")))
-                ),
-                lambda s: s.getField("m"),
-            ).alias("centroid")
-        )
+        moved = _lloyd_means_arrow(assigned, dim)
         kept = cents.join(moved, "list_id", "left_anti")
         cents = moved.unionByName(kept).localCheckpoint(eager=True)
     frames = two_level_centroid_frames(cents, dim=dim, n_cells=k_cells)
