@@ -442,12 +442,10 @@ class IVFIndex:
                 F.col("list_id").cast("int").alias("list_id"),
             )
         )
-        if two_level:
-            # the write pipeline evaluates its input several times
-            # (partition-key collect, data write, stats); the
-            # two-level assignment is the expensive lineage here —
-            # materialize it once (same trade as the Lloyd persist)
-            rows = rows.localCheckpoint(eager=True)
+        # (the write pipeline evaluates its input exactly once now —
+        # partition keys come from the written directories and stats
+        # from footers — so the pre-write localCheckpoint that guarded
+        # against re-evaluation became a pure extra materialization)
         self.assignments_t.write(rows, op="ivf_build")
         cv = self.centroids_t.write(cents_rows, op="ivf_build")
         self._nl_cache.clear()
@@ -496,8 +494,7 @@ class IVFIndex:
                 "vec",
                 _l2_norm(F.col("vec")).alias("norm"),
                 F.col("list_id").cast("int").alias("list_id"),
-            ).localCheckpoint(eager=True)  # batch-sized; the upsert
-            # pipeline would otherwise re-run the cell join per pass
+            )  # single-evaluation write pipeline — no checkpoint needed
         else:
             mode_c, cents = self._cent_matrix()
             if mode_c == "literal":

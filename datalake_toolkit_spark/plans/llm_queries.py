@@ -4242,8 +4242,11 @@ def q_ivf_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
         assert (
             len(part._jdf.queryExecution().analyzed().toString()) < 150_000
         ), "partial-probe plan carries an n_lists-sized node"
+        # one collect serves both asserts (rank contiguity now, pin
+        # stability below) — same pre-mutation state either way
+        part_rows = part.collect()
         by_q: dict = {}
-        for r in part.collect():
+        for r in part_rows:
             by_q.setdefault(r.qid, []).append(r.rank)
         assert all(
             sorted(v) == list(range(1, len(v) + 1)) for v in by_q.values()
@@ -4254,7 +4257,7 @@ def q_ivf_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
         # pinned serve: a later add can't disturb it (checked on the
         # cheap partial probe — pin stability is probe-independent)
         pin = idx.snapshot()
-        pre = {(r.qid, r.cid, r.rank) for r in part.collect()}
+        pre = {(r.qid, r.cid, r.rank) for r in part_rows}
         junk = emb.where(F.col("vec_id") % 2 == 0).limit(20).select(
             (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
         )
