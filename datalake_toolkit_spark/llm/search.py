@@ -556,6 +556,7 @@ class PostingsIndex:
         # silently drop true top-k docs. Stale-at-entry adds repair
         # with a FULL refresh instead (see below).
         fresh_before = self._stats_fresh()
+        corpus_fresh_before = self._corpus_fresh()
         removed_buckets: list[str] = []
         if replace and self.postings_t.current_version() is not None:
             ids = [
@@ -634,6 +635,7 @@ class PostingsIndex:
                     ),
                     op="corpus_stats",
                 )
+                self._mark_corpus_fresh()
                 if postings_first:
                     self.term_stats_t.write(
                         post.groupBy("term", "term_prefix").agg(
@@ -698,9 +700,17 @@ class PostingsIndex:
                     partition_scoped=True,
                     assume_key_unique=True,
                 )
-                self._refresh_corpus_stats(
-                    sorted(touched | set(removed_buckets))
-                )
+                if pure_insert and corpus_fresh_before:
+                    # no committed doc row can be replaced and the
+                    # baseline provably reflects the pre-commit state:
+                    # merge integer deltas — bit-equal to the
+                    # recompute, minus its doc_stats read-back
+                    self._merge_corpus_stats_pure_insert(stats)
+                else:
+                    self._refresh_corpus_stats(
+                        sorted(touched | set(removed_buckets)),
+                        entry_fresh=corpus_fresh_before,
+                    )
                 # bounded collect: <= 16^plen postings bucket keys
                 if self.stats_refresh == "add":
                     if fresh_before and pure_insert:
@@ -812,7 +822,87 @@ class PostingsIndex:
         )
         self._mark_stats_fresh()
 
-    def _refresh_corpus_stats(self, buckets: list[str]) -> None:
+    def _merge_corpus_stats_pure_insert(self, stats: DataFrame) -> None:
+        """O(batch) corpus-stats maintenance for a PURE-INSERT add:
+        no committed doc row can be replaced, so each touched
+        bucket's truth is exactly baseline + batch delta — and both
+        columns are INTEGER counts/sums of longs, so the delta equals
+        the recompute bit for bit. One tiny corpus_stats read plus a
+        batch aggregation; the doc_stats read-back the recompute pays
+        never happens. Only taken when the freshness marker proves
+        the baseline reflects the pre-commit doc_stats state (see
+        :meth:`_corpus_fresh`); any crash or out-of-band mutation
+        breaks the marker and the next write repairs via the
+        recompute path."""
+        delta = stats.groupBy("dhash_prefix").agg(
+            F.count(F.lit(1)).cast("long").alias("_dn"),
+            F.sum("dl").cast("long").alias("_ddl"),
+        )
+        cur = self.corpus_stats_t.read().select(
+            "dhash_prefix", "n_docs", "total_dl"
+        )
+        merged = delta.join(cur, "dhash_prefix", "left").select(
+            "dhash_prefix",
+            (F.coalesce(F.col("n_docs"), F.lit(0)) + F.col("_dn"))
+            .cast("long")
+            .alias("n_docs"),
+            (F.coalesce(F.col("total_dl"), F.lit(0)) + F.col("_ddl"))
+            .cast("long")
+            .alias("total_dl"),
+        )
+        self.corpus_stats_t.upsert(
+            merged, keys=["dhash_prefix"], assume_key_unique=True
+        )
+        self._mark_corpus_fresh()
+
+    def _corpus_fresh_path(self) -> str:
+        return os.path.join(self.path, "corpus_stats", "_fresh_at.json")
+
+    def _mark_corpus_fresh(self) -> None:
+        """Record which (doc_stats, corpus_stats) version pair the
+        committed corpus stats describe — crash-safe tmp+rename, the
+        same sidecar pattern as the term-stats marker. The pure-insert
+        delta path trusts its baseline only when this record matches
+        the live versions of BOTH tables at add() entry; anything
+        else (crash between the commits, out-of-band writes) degrades
+        to the self-healing recompute."""
+        import json as json_mod
+        import tempfile
+
+        p = self._corpus_fresh_path()
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        fd, tmp = tempfile.mkstemp(dir=os.path.dirname(p), suffix=".tmp")
+        with os.fdopen(fd, "w") as f:
+            json_mod.dump(
+                {
+                    "doc_stats_version":
+                        self.doc_stats_t.current_version(),
+                    "corpus_stats_version":
+                        self.corpus_stats_t.current_version(),
+                },
+                f,
+            )
+        os.replace(tmp, p)
+
+    def _corpus_fresh(self) -> bool:
+        import json as json_mod
+
+        try:
+            with open(self._corpus_fresh_path()) as f:
+                rec = json_mod.load(f)
+        except (OSError, ValueError):
+            return False
+        return (
+            isinstance(rec, dict)
+            and rec.get("doc_stats_version")
+            == self.doc_stats_t.current_version()
+            and rec.get("corpus_stats_version")
+            == self.corpus_stats_t.current_version()
+        )
+
+    def _refresh_corpus_stats(
+        self, buckets: list[str], entry_fresh: bool = False
+    ) -> None:
         """Recompute (n_docs, total_dl) for the given doc_stats
         buckets from their COMMITTED state and upsert the <= 256
         result rows into ``corpus_stats``. Pure recomputation (not a
@@ -821,7 +911,13 @@ class PostingsIndex:
         buckets), paid on the write path so serving never scans
         doc_stats. A touched bucket that came back EMPTY (every doc
         removed) upserts an explicit zero row — leaving the old row
-        would silently keep counting the removed docs."""
+        would silently keep counting the removed docs.
+
+        ``entry_fresh``: the caller certifies the corpus stats were
+        fresh BEFORE its doc_stats mutation (whose buckets are all in
+        ``buckets``) — then the refreshed table is globally
+        consistent and the marker re-arms; a refresh that covers
+        every live bucket re-arms unconditionally."""
         if not buckets:
             return
         if self.corpus_stats_t.current_version() is None:
@@ -850,9 +946,10 @@ class PostingsIndex:
             F.coalesce("n_docs", F.lit(0)).cast("long").alias("n_docs"),
             F.coalesce("total_dl", F.lit(0)).cast("long").alias("total_dl"),
         )
-        if self.corpus_stats_t.current_version() is None or set(
-            buckets
-        ) >= live_partition_keys(self.doc_stats_t._manifest()):
+        covered_all = set(buckets) >= live_partition_keys(
+            self.doc_stats_t._manifest()
+        )
+        if self.corpus_stats_t.current_version() is None or covered_all:
             # recomputing EVERY live bucket means `full` is the complete
             # stats table — snapshot-write it instead of paying the
             # upsert's read-merge of the previous version (common at
@@ -863,6 +960,8 @@ class PostingsIndex:
             self.corpus_stats_t.upsert(
                 full, keys=["dhash_prefix"], assume_key_unique=True
             )
+        if entry_fresh or covered_all:
+            self._mark_corpus_fresh()
 
     def _stats_fresh_path(self) -> str:
         return os.path.join(self.path, "term_stats", "_fresh_at.json")
@@ -1152,6 +1251,7 @@ class PostingsIndex:
         O(batch) — instead of scanning the postings for the ids'
         rows. CALLER-OWNED correctness (must match what the index
         holds; see :meth:`add`'s ``replaced_old``)."""
+        corpus_fresh_before = self._corpus_fresh()
         buckets = self._remove(
             doc_ids,
             maintain_stats=(
@@ -1163,7 +1263,9 @@ class PostingsIndex:
                 else None
             ),
         )
-        self._refresh_corpus_stats(buckets)
+        self._refresh_corpus_stats(
+            buckets, entry_fresh=corpus_fresh_before
+        )
 
     def _remove(
         self,

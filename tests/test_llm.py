@@ -4677,6 +4677,76 @@ def test_pure_insert_delta_equals_recompute(spark, tmp_path):
     ) == _bm25_rows(idx.search_bm25(queries, k=5, prune="off"))
 
 
+def test_corpus_stats_delta_equals_recompute(spark, tmp_path):
+    """The pure-insert corpus-stats delta (baseline + integer batch
+    delta, no doc_stats read-back) must equal the recompute exactly;
+    a broken freshness marker must fall back to the self-healing
+    recompute path; and a re-adding batch (not pure-insert) must
+    never take the delta."""
+    import os
+
+    from datalake_toolkit_spark.llm import PostingsIndex
+
+    def corpus(ix):
+        return {
+            r["dhash_prefix"]: (r["n_docs"], r["total_dl"])
+            for r in ix.corpus_stats_t.read().collect()
+        }
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha w{i % 7} tail pad") for i in range(80)],
+        "doc_id bigint, text string",
+    )
+    idx = PostingsIndex(spark, str(tmp_path / "p"), prefix_len=1)
+    idx.add(docs)
+    assert idx._corpus_fresh()
+
+    # pure-insert MoR batch: the delta path engages and must match a
+    # wholesale recompute bit for bit (integer counts/sums)
+    idx.add(
+        spark.createDataFrame(
+            [(200, "brand new words here"), (201, "alpha")],
+            "doc_id bigint, text string",
+        ),
+        mode="mor",
+    )
+    assert idx._corpus_fresh()
+    got = corpus(idx)
+    idx.refresh_corpus_stats()  # ground truth: full recompute
+    assert corpus(idx) == got
+
+    # broken marker (crash stand-in): the next add must repair via
+    # the recompute and still land on the truth
+    os.remove(idx._corpus_fresh_path())
+    assert not idx._corpus_fresh()
+    idx.add(
+        spark.createDataFrame(
+            [(300, "after the gap")], "doc_id bigint, text string"
+        ),
+        mode="mor",
+    )
+    got2 = corpus(idx)
+    idx.refresh_corpus_stats()
+    assert corpus(idx) == got2
+
+    # re-add of an existing id: a delta would double-count the doc —
+    # the recompute path must keep (n_docs, total_dl) exact
+    idx.add(
+        spark.createDataFrame(
+            [(200, "rewritten much longer text than before")],
+            "doc_id bigint, text string",
+        ),
+        mode="mor",
+    )
+    got3 = corpus(idx)
+    idx.refresh_corpus_stats()
+    assert corpus(idx) == got3
+    # one doc replaced: n_docs must NOT have grown
+    assert sum(n for n, _ in got3.values()) == sum(
+        n for n, _ in got2.values()
+    )
+
+
 def test_blockmax_skips_low_impact_files_exactly(spark, tmp_path):
     """Block-max candidate skipping (the r12 verdict's #4 ask): after
     an impact-ordered maintain() — postings compacted by (term, -tf),
