@@ -510,7 +510,19 @@ class IVFIndex:
                 ).withColumn("list_id", F.col("list_id").cast("int"))
         if self._has_codes():
             rows = self._with_codes(rows)
-        return self.assignments_t.upsert(rows, keys=[self.id_col], mode=mode)
+        # the two-level assignment's cross-cell merge (groupBy id, one
+        # max) structurally emits ONE row per id — the MoR uniqueness
+        # verification job would re-prove an invariant the plan
+        # already enforces, so skip it there (the flat paths keep it:
+        # their kernels pass duplicate input rows through)
+        return self.assignments_t.upsert(
+            rows,
+            keys=[self.id_col],
+            mode=mode,
+            assume_key_unique=(
+                rec is not None and int(frames["n_cells"]) > 1
+            ),
+        )
 
     def remove(self, ids) -> int | None:
         """Delete vectors from the index by id: a merge-on-read KEY
