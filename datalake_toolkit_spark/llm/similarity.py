@@ -482,16 +482,30 @@ def ivf_assign_with_frame(
         mat = np.stack(
             [np.asarray(c, dtype=np.float64) for c in r["cmat"].iloc[0]]
         )
-        vecs = np.stack(
-            [np.asarray(x, dtype=np.float64) for x in l[vname]]
-        )
-        acc = np.zeros((vecs.shape[0], mat.shape[0]), dtype=np.float64)
-        for d in range(vecs.shape[1]):
-            acc += vecs[:, d : d + 1] * mat[None, :, d]
         out = l.drop(columns=["_slt"])
-        # first max == smallest list id on ties, matching array_max
-        # over (dot, -i) structs
-        out[out_col] = np.argmax(acc, axis=1).astype(np.int32)
+        # NULL vectors -> list 0, the expression path's value (see
+        # ivf_assign_lit_kernel; same all-null-batch normalization)
+        ok = np.array(
+            [isinstance(x, (list, np.ndarray)) for x in l[vname]]
+        )
+        if out[vname].dtype != object:
+            out[vname] = pd.Series(
+                [None] * len(out), dtype=object, index=out.index
+            )
+        lid = np.zeros(len(l), dtype=np.int32)
+        if ok.any():
+            vecs = np.stack(
+                [np.asarray(x, dtype=np.float64) for x in l[vname][ok]]
+            )
+            acc = np.zeros(
+                (vecs.shape[0], mat.shape[0]), dtype=np.float64
+            )
+            for d in range(vecs.shape[1]):
+                acc += vecs[:, d : d + 1] * mat[None, :, d]
+            # first max == smallest list id on ties, matching
+            # array_max over (dot, -i) structs
+            lid[ok] = np.argmax(acc, axis=1).astype(np.int32)
+        out[out_col] = lid
         return out
 
     res = (
@@ -545,16 +559,35 @@ def ivf_assign_lit_kernel(
                 out[out_col] = None  # argmax over no dots, as before
                 yield out
                 continue
-            vecs = np.stack(
-                [np.asarray(x, dtype=np.float64) for x in pdf[vec_col]]
+            # NULL vectors: every dot is null, and the struct max then
+            # falls through to the greatest neg_id — list 0. Same
+            # value the expression path produced (verified), without
+            # crashing np.stack on a missing array. (An ALL-null batch
+            # arrives as a float64-NaN column, not object — normalize
+            # it back to None so Arrow can emit list<double> nulls.)
+            ok = np.array(
+                [isinstance(x, (list, np.ndarray)) for x in pdf[vec_col]]
             )
-            acc = np.zeros(
-                (vecs.shape[0], mat.shape[0]), dtype=np.float64
-            )
-            for d in range(vecs.shape[1]):
-                acc += vecs[:, d : d + 1] * mat[None, :, d]
-            # first max == smallest list id on ties (array_max rule)
-            out[out_col] = np.argmax(acc, axis=1).astype(np.int32)
+            if out[vec_col].dtype != object:
+                out[vec_col] = pd.Series(
+                    [None] * len(out), dtype=object, index=out.index
+                )
+            lid = np.zeros(len(pdf), dtype=np.int32)
+            if ok.any():
+                vecs = np.stack(
+                    [
+                        np.asarray(x, dtype=np.float64)
+                        for x in pdf[vec_col][ok]
+                    ]
+                )
+                acc = np.zeros(
+                    (vecs.shape[0], mat.shape[0]), dtype=np.float64
+                )
+                for d in range(vecs.shape[1]):
+                    acc += vecs[:, d : d + 1] * mat[None, :, d]
+                # first max == smallest list id on ties (array_max rule)
+                lid[ok] = np.argmax(acc, axis=1).astype(np.int32)
+            out[out_col] = lid
             yield out
 
     return df.mapInPandas(assign, schema=out_schema)
@@ -607,6 +640,18 @@ def _lloyd_means_arrow(
     )
 
     def mean(pdf: pd.DataFrame) -> pd.DataFrame:
+        # NULL vectors never entered the mean: posexplode(NULL) emits
+        # no rows — drop them here the same way (an all-null list
+        # emits no row and keeps its previous centroid)
+        pdf = pdf[
+            np.array(
+                [isinstance(r, (list, np.ndarray)) for r in pdf["v"]]
+            )
+        ]
+        if pdf.empty:
+            # object-dtyped empty columns: a bare {} literal would
+            # infer float64, which Arrow can't cast to list<double>
+            return pd.DataFrame(columns=["list_id", "centroid"])
         vecs = np.stack(
             [np.asarray(r, dtype=np.float64) for r in pdf["v"]]
         )
@@ -919,6 +964,17 @@ def _best_fine_arrow(
     cols = [f.name for f in ex.schema.fields]
 
     def best(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if not left.empty:
+            # NULL vectors can't be dotted; they carry no usable rank
+            # either way (null cosine downstream) — drop the rows
+            left = left[
+                np.array(
+                    [
+                        isinstance(x, (list, np.ndarray))
+                        for x in left[vec_col]
+                    ]
+                )
+            ]
         if left.empty or right.empty:
             return pd.DataFrame(columns=cols + ["dot", "neg_id"])
         fids = np.asarray(right["fids"].iloc[0], dtype=np.int64)
