@@ -2661,6 +2661,23 @@ class LakeTable:
         after = after.unionByName(empty, allowMissingColumns=True)
         cols = after.columns
         before = before.select(*cols)
+        # Pure merge-on-read window (owners unchanged, the from-side
+        # merge/delete entries carried verbatim, only NEW entries
+        # appended — the CDF-sync hot path): a row can differ between
+        # the snapshots ONLY if its key appears in a delta append
+        # token (insert/update/tombstone) or it matches a delta delete
+        # predicate; every other row resolves from the identical
+        # base + identical carried entries on both sides and nets to
+        # nothing in the diff. Restricting both sides to those
+        # candidates (broadcast semi-join on the mutation-sized key
+        # set) keeps the exceptAll shuffles O(mutation) instead of
+        # two full-snapshot shuffles of whole rows — guide §8: decide
+        # with small rows, never move the payload twice. Gated on the
+        # delta tokens being broadcast-small (driver-side file-size
+        # check); corpus-scale deltas keep the full diff.
+        before, after = self._scope_mor_delta(
+            m_from, m_to, merges_f, merges_t, before, after
+        )
         deletes = before.exceptAll(after).withColumn(
             "_change_type", F.lit("delete")
         )
@@ -2668,6 +2685,82 @@ class LakeTable:
             "_change_type", F.lit("insert")
         )
         return deletes.unionByName(inserts)
+
+    def _scope_mor_delta(
+        self,
+        m_from: dict,
+        m_to: dict,
+        merges_f: list,
+        merges_t: list,
+        before: DataFrame,
+        after: DataFrame,
+    ) -> tuple[DataFrame, DataFrame]:
+        """Restrict a pure-MoR change window's diff inputs to the
+        candidate rows the delta entries can touch (see changes()).
+        Returns the inputs unchanged whenever the window is not
+        provably pure-MoR or the delta is not broadcast-small."""
+        dels_f = m_from.get("deletes") or []
+        dels_t = m_to.get("deletes") or []
+        if not (
+            m_from["owners"] == m_to["owners"]
+            and merges_f == merges_t[: len(merges_f)]
+            and dels_f == dels_t[: len(dels_f)]
+        ):
+            return before, after
+        delta_m = merges_t[len(merges_f):]
+        delta_d = dels_t[len(dels_f):]
+        if not delta_m and not delta_d:
+            return before, after
+        key_sets = {tuple(e["keys"]) for e in delta_m}
+        if len(key_sets) > 1:
+            return before, after
+        mkeys = list(next(iter(key_sets))) if key_sets else []
+        if any(k not in after.columns for k in mkeys):
+            return before, after
+        # broadcast gate: total bytes of the delta append tokens (the
+        # key projection is strictly smaller than the files)
+        total = 0
+        for e in delta_m:
+            d = self._vdir(e["token"])
+            for root, _dirs, files in os.walk(d):
+                for f in files:
+                    if f.endswith(".parquet"):
+                        try:
+                            total += os.path.getsize(os.path.join(root, f))
+                        except OSError:
+                            return before, after
+        if total > 64 * 1024 * 1024:
+            return before, after
+        del_cond = None
+        for e in delta_d:
+            c = F.coalesce(F.expr(e["pred"]), F.lit(False))
+            del_cond = c if del_cond is None else (del_cond | c)
+
+        def restrict(df: DataFrame) -> DataFrame:
+            if not delta_m:
+                return df.where(del_cond)
+            ck = F.broadcast(
+                reduce(
+                    lambda a, b: a.unionByName(b),
+                    [
+                        self._token_frame(
+                            e["token"], m_to, columns=mkeys
+                        ).select(*mkeys)
+                        for e in delta_m
+                    ],
+                ).distinct()
+            )
+            keyed = df.join(ck, mkeys, "left_semi")
+            if del_cond is None:
+                return keyed
+            # exact row partition: keyed rows, plus non-keyed rows the
+            # delta predicates can delete — each source row lands in
+            # exactly one branch, so multiset semantics are preserved
+            return keyed.unionByName(
+                df.join(ck, mkeys, "left_anti").where(del_cond)
+            )
+
+        return restrict(before), restrict(after)
 
     def history(self) -> list[dict]:
         out = []

@@ -568,7 +568,22 @@ class PostingsIndex:
             # fresh-at-entry replace-adds maintain the removed ids'
             # term stats incrementally, so pruning survives the whole
             # replace cycle (the CDF-sync hot path); stale ones keep
-            # the lean truncate + deferred-restore contract
+            # the lean truncate + deferred-restore contract.
+            #
+            # The removal-side recompute SKIPS terms that also appear
+            # in the NEW batch: the insert side's scoped refresh below
+            # recomputes exactly the batch's vocabulary from the
+            # post-add committed postings, which is the final truth
+            # for every shared term — recomputing them here first
+            # (against the mid-replace deleted state) is pure waste
+            # that the result never observes. A dropped term's state
+            # is identical before and after the add commit (the
+            # appended rows hold batch terms only), so the reduced
+            # removal refresh commits the same final stats bit for
+            # bit. This is the lever that keeps equal-vocabulary
+            # replace-adds — the streaming CDF hot path — free of a
+            # full changed-vocabulary postings recompute (r14 verdict
+            # next-round #2).
             removed_buckets = self._remove(
                 ids,
                 maintain_stats=(
@@ -579,6 +594,9 @@ class PostingsIndex:
                     if replaced_old is not None
                     else None
                 ),
+                recompute_exclude=docs.select(
+                    F.explode(_tokens(self.text_col)).alias("term")
+                ).distinct(),
             )
         plen = self._prefix_len()
         toks = docs.select(
@@ -616,12 +634,13 @@ class PostingsIndex:
             # doc_stats keys hash at doc_stats' OWN committed width
             # (== plen except mid-rebucket-crash states, which this
             # keeps per-table consistent — see _doc_prefix_len)
+            dplen = self._doc_prefix_len()
             stats = post.select("doc_id", "dl").distinct().withColumn(
                 "dhash_prefix",
                 F.substring(
                     F.md5(F.col("doc_id").cast("string")),
                     1,
-                    self._doc_prefix_len(),
+                    dplen,
                 ),
             )
             if self.doc_stats_t.current_version() is None:
@@ -655,17 +674,29 @@ class PostingsIndex:
                     # buckets instead
                     self.refresh_term_stats()
             else:
-                # bounded collect: <= 16^plen bucket keys; a
-                # replace-add folds the removed ids' buckets in, so
-                # the recompute happens ONCE over the union. Computed
-                # BEFORE the doc_stats upsert so the pure-insert probe
-                # below can read the PRE-commit state.
-                touched = {
-                    f"dhash_prefix={r['p']}"
-                    for r in stats.select(
-                        F.col("dhash_prefix").alias("p")
-                    ).distinct().collect()
-                }
+                # bounded collect: <= 16^plen bucket keys per set.
+                # ONE job computes BOTH the doc-stats buckets (needed
+                # before the doc_stats upsert so the pure-insert probe
+                # reads the PRE-commit state) and the postings term
+                # buckets the stats refresh below needs — two
+                # cache-scan jobs merged into one (guide §1.2: fewer
+                # jobs beats faster jobs when each is metadata-sized).
+                # A replace-add folds the removed ids' buckets in, so
+                # the corpus recompute happens ONCE over the union.
+                bsets = post.agg(
+                    F.collect_set("term_prefix").alias("tp"),
+                    F.collect_set(
+                        F.substring(
+                            F.md5(F.col("doc_id").cast("string")),
+                            1,
+                            dplen,
+                        )
+                    ).alias("dp"),
+                ).collect()[0]
+                touched = {f"dhash_prefix={p}" for p in bsets["dp"]}
+                tbuckets = sorted(
+                    f"term_prefix={p}" for p in bsets["tp"]
+                )
                 # pure-insert detection against PRE-upsert doc_stats:
                 # a batch none of whose ids already exist can merge
                 # term-stat DELTAS (O(batch) — no postings scan at
@@ -711,14 +742,15 @@ class PostingsIndex:
                         sorted(touched | set(removed_buckets)),
                         entry_fresh=corpus_fresh_before,
                     )
-                # bounded collect: <= 16^plen postings bucket keys
                 if self.stats_refresh == "add":
                     if fresh_before and pure_insert:
                         # the production hot path: no batch pair can
                         # overwrite a committed one, so df adds and
                         # max_tf/min_dl merge — one term-stats read +
                         # one batch aggregation, never a postings scan
-                        self._merge_term_stats_pure_insert(post)
+                        self._merge_term_stats_pure_insert(
+                            post, tbuckets=tbuckets
+                        )
                     elif fresh_before:
                         # fresh at entry: the scoped recompute of the
                         # batch's terms certifies the table — on a
@@ -727,14 +759,6 @@ class PostingsIndex:
                         # incrementally (see _remove), so the only
                         # stats this commit can have changed are the
                         # batch's own
-                        tbuckets = sorted(
-                            {
-                                f"term_prefix={r['p']}"
-                                for r in post.select(
-                                    F.col("term_prefix").alias("p")
-                                ).distinct().collect()
-                            }
-                        )
                         self._refresh_term_stats(
                             tbuckets, batch_terms=post
                         )
@@ -757,7 +781,9 @@ class PostingsIndex:
             post.unpersist()
         return v
 
-    def _merge_term_stats_pure_insert(self, post: DataFrame) -> None:
+    def _merge_term_stats_pure_insert(
+        self, post: DataFrame, tbuckets: list[str] | None = None
+    ) -> None:
         """O(batch) term-stats maintenance for a PURE-INSERT add (the
         caller proved none of the batch's doc_ids pre-exist, and the
         stats were fresh at entry): since no committed (term, doc)
@@ -779,14 +805,15 @@ class PostingsIndex:
             F.max("tf").cast("long").alias("max_tf_b"),
             F.min("dl").cast("long").alias("min_dl_b"),
         )
-        tbuckets = sorted(
-            {
-                f"term_prefix={r['p']}"
-                for r in post.select(
-                    F.col("term_prefix").alias("p")
-                ).distinct().collect()
-            }
-        )
+        if tbuckets is None:  # add() passes its already-collected set
+            tbuckets = sorted(
+                {
+                    f"term_prefix={r['p']}"
+                    for r in post.select(
+                        F.col("term_prefix").alias("p")
+                    ).distinct().collect()
+                }
+            )
         if not tbuckets:
             self._mark_stats_fresh()  # empty batch on a fresh table
             return
@@ -1272,6 +1299,7 @@ class PostingsIndex:
         doc_ids,
         maintain_stats: bool = False,
         affected_terms: DataFrame | None = None,
+        recompute_exclude: DataFrame | None = None,
     ) -> list[str]:
         """:meth:`remove` minus the corpus-stats refresh — returns the
         removed ids' live doc_stats bucket keys so ``add(replace=
@@ -1291,7 +1319,14 @@ class PostingsIndex:
         :meth:`_terms_of`) — and incrementally recomputes just those
         terms' stats afterwards, keeping pruning live. With
         ``False`` the stats truncate wholesale (O(1)) and serving
-        degrades to the exact plan until a refresh."""
+        degrades to the exact plan until a refresh.
+
+        ``recompute_exclude`` (a ``term`` frame): terms whose stats
+        the CALLER recomputes after its own following commit — the
+        replace-add passes its new batch's vocabulary, because the
+        insert-side scoped refresh recomputes those terms from the
+        final state anyway. Only affects which terms the incremental
+        removal refresh touches, never the deletes themselves."""
         ids = list(doc_ids)
         if not ids or self.postings_t.current_version() is None:
             return []
@@ -1315,9 +1350,19 @@ class PostingsIndex:
             # the delete commits — afterwards the rows are gone
             affected = self.postings_t.read().where(
                 F.col("doc_id").isin(ids)
-            ).select("term", "term_prefix").distinct().localCheckpoint(
-                eager=True
+            ).select("term", "term_prefix").distinct()
+        if affected is not None and recompute_exclude is not None:
+            # drop the terms the caller's own post-commit refresh
+            # covers (see the docstring) — for an equal-vocabulary
+            # replace-add this empties the removal refresh outright
+            affected = affected.join(
+                recompute_exclude.select("term").distinct(),
+                "term",
+                "left_anti",
             )
+        if affected is not None and affected_terms is None:
+            # the postings capture must still pin PRE-delete state
+            affected = affected.localCheckpoint(eager=True)
         self.postings_t.delete_where(pred, mode="mor")
         if affected is not None:
             self._refresh_term_stats_for_terms(affected)

@@ -475,8 +475,15 @@ def ivf_assign_with_frame(
             return pd.DataFrame(columns=cols + [out_col])
         if len(r["cmat"].iloc[0]) == 0:
             # empty matrix: argmax over no dots — null list ids, the
-            # same rows the expression path would produce
+            # same rows the expression path would produce. The vec
+            # column still needs the all-null object-dtype
+            # normalization below (a float64-NaN column can't Arrow-
+            # cast to array<double>)
             out = l.drop(columns=["_slt"])
+            if out[vname].dtype != object:
+                out[vname] = pd.Series(
+                    [None] * len(out), dtype=object, index=out.index
+                )
             out[out_col] = None
             return out
         mat = np.stack(
@@ -620,13 +627,31 @@ def _lloyd_means_arrow(
     two-level value-sorted mean: per (list, d, vid % mean_buckets) a
     0.0-seeded left fold over VALUE-SORTED elements, then a
     value-sorted fold over the subtotals, divided by the member
-    count). ``np.add.reduceat`` applies the add sequentially within
-    each segment, and a 0.0 is inserted at every segment start so the
-    fold's 0.0 seed is reproduced exactly (the -0.0 edge); the outer
-    <= mean_buckets subtotal fold is an explicit loop. One shuffle of
-    whole vectors instead of two shuffles of n x dim exploded rows,
-    and NumPy instead of per-element interpreted lambdas (guide
-    §§2.3, 4.2)."""
+    count).
+
+    The per-segment fold is genuinely SEQUENTIAL: segments are laid
+    out as rows of a zero-padded rectangle and summed one element
+    position at a time (``subs += rect[:, j]``), which performs
+    exactly the fold's IEEE add sequence per segment.
+    ``np.add.reduceat`` / ``np.sum`` would NOT be — numpy reduces use
+    pairwise/unrolled summation past ~8 elements, which ULP-diverges
+    from the strict fold the DuckDB oracle and the expression path
+    compute (r14 ADVICE #1; regression-pinned by
+    test_lloyd_arrow_long_segments). The tail padding is exact: a
+    0.0-seeded fold can never produce -0.0 (IEEE: x + (-x) rounds to
+    +0.0), so appending +0.0 terms reproduces the unpadded result bit
+    for bit. The outer <= mean_buckets subtotal fold is an explicit
+    sequential loop. One shuffle of whole vectors instead of two
+    shuffles of n x dim exploded rows, and NumPy instead of
+    per-element interpreted lambdas (guide §§2.3, 4.2).
+
+    Memory bound: each list's member set is concentrated into ONE
+    applyInPandas group — O(members x dim x 8 B) plus the same again
+    for the padded rectangle in one Python worker (the r14 trade for
+    killing the exploded double-shuffle; ADVICE documents it). Lists
+    are ~N/n_lists ~ sqrt(N) rows by construction, so at 100 TB /
+    n_lists=16k a 64-dim list is ~tens of MB — well inside a worker.
+    For pathologically skewed lists, rebuild with more lists."""
     import numpy as np
     import pandas as pd
 
@@ -656,25 +681,37 @@ def _lloyd_means_arrow(
             [np.asarray(r, dtype=np.float64) for r in pdf["v"]]
         )
         b = (pdf["vid"].to_numpy() % mean_buckets).astype(np.int64)
-        n = vecs.shape[0]
-        cent = np.empty(vecs.shape[1], dtype=np.float64)
-        for d in range(vecs.shape[1]):
+        n, ndim = vecs.shape
+        # segment layout depends only on the BUCKET multiset (bucket
+        # is the primary sort key in every per-dim lexsort below), so
+        # compute it once and share it across dimensions
+        bs = np.sort(b)
+        starts = np.flatnonzero(np.r_[True, bs[1:] != bs[:-1]])
+        counts = np.diff(np.r_[starts, n])
+        nseg, maxlen = len(starts), int(counts.max())
+        seg_of = np.repeat(np.arange(nseg), counts)
+        pos_in = np.arange(n) - np.repeat(starts, counts)
+        # zero-padded rectangle: row = segment, columns = the
+        # segment's VALUE-SORTED elements then +0.0 padding
+        rect = np.zeros((nseg, maxlen, ndim), dtype=np.float64)
+        for d in range(ndim):
             x = vecs[:, d]
             order = np.lexsort((x, b))  # by bucket, then by value
-            xs, bs = x[order], b[order]
-            starts = np.flatnonzero(
-                np.r_[True, bs[1:] != bs[:-1]]
-            )
-            # insert the fold's 0.0 seed at each segment start so the
-            # reduceat sequence is exactly 0.0 + x0 + x1 + ...
-            xz = np.insert(xs, starts, 0.0)
-            subs = np.add.reduceat(
-                xz, starts + np.arange(len(starts))
-            )
-            total = 0.0
-            for s in np.sort(subs):
-                total += s
-            cent[d] = total / n
+            rect[seg_of, pos_in, d] = x[order]
+        # strict sequential left fold per segment: one IEEE add per
+        # element position, in order — 0.0 + x0 + x1 + ...; the
+        # padding terms are exact no-ops (a 0.0-seeded fold is never
+        # -0.0, and r + 0.0 == r for every other float)
+        subs = np.zeros((nseg, ndim), dtype=np.float64)
+        for j in range(maxlen):
+            subs += rect[:, j, :]
+        # value-sorted sequential fold over the <= mean_buckets
+        # subtotals (per dimension), then the mean
+        subs = np.sort(subs, axis=0)
+        total = np.zeros(ndim, dtype=np.float64)
+        for k in range(nseg):
+            total += subs[k, :]
+        cent = total / n
         return pd.DataFrame(
             {
                 "list_id": [int(pdf["list_id"].iloc[0])],
@@ -946,7 +983,15 @@ def _best_fine_arrow(
     because fids are sorted ascending. Cogrouping (not a join)
     moves each cell's fine matrix across the Python boundary ONCE
     per task, not once per row; groups empty on either side return
-    nothing, matching the original inner join."""
+    nothing, matching the original inner join.
+
+    NULL vectors emit ``(dot=-inf, neg_id=0)``: the cross-cell max
+    then lands them on list 0, exactly like the flat kernels
+    (``ivf_assign_lit_kernel`` / ``ivf_assign_with_frame``), so
+    ``two_level_assign`` keeps its row set — and its bit-equality to
+    the flat path — even for null-vec inputs (r14 ADVICE #2; in-repo
+    IVF callers filter nulls in ``_prep`` before ever reaching
+    here)."""
     import numpy as np
     import pandas as pd
 
@@ -964,35 +1009,41 @@ def _best_fine_arrow(
     cols = [f.name for f in ex.schema.fields]
 
     def best(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
-        if not left.empty:
-            # NULL vectors can't be dotted; they carry no usable rank
-            # either way (null cosine downstream) — drop the rows
-            left = left[
-                np.array(
-                    [
-                        isinstance(x, (list, np.ndarray))
-                        for x in left[vec_col]
-                    ]
-                )
-            ]
         if left.empty or right.empty:
             return pd.DataFrame(columns=cols + ["dot", "neg_id"])
         fids = np.asarray(right["fids"].iloc[0], dtype=np.int64)
         fmat = np.stack(
             [np.asarray(r, dtype=np.float64) for r in right["fmat"].iloc[0]]
         )
-        vecs = np.stack(
-            [np.asarray(r, dtype=np.float64) for r in left[vec_col]]
-        )
-        # strict left fold over dimensions: acc_d = acc_{d-1} + x_d*w_d,
-        # one IEEE add per step in index order == _fold_sum's sequence
-        acc = np.zeros((vecs.shape[0], fmat.shape[0]), dtype=np.float64)
-        for d in range(vecs.shape[1]):
-            acc += vecs[:, d : d + 1] * fmat[None, :, d]
-        pick = np.argmax(acc, axis=1)  # first max == smallest fid on ties
         out = left.copy()
-        out["dot"] = acc[np.arange(len(pick)), pick]
-        out["neg_id"] = (-fids[pick]).astype(np.int32)
+        # NULL vectors -> (-inf, 0): the cross-cell max lands them on
+        # list 0 like the flat kernels. (An ALL-null batch arrives as
+        # a float64-NaN column — normalize to object so Arrow can
+        # emit list<double> nulls, same as the assign kernels.)
+        ok = np.array(
+            [isinstance(x, (list, np.ndarray)) for x in left[vec_col]]
+        )
+        if out[vec_col].dtype != object:
+            out[vec_col] = pd.Series(
+                [None] * len(out), dtype=object, index=out.index
+            )
+        dot = np.full(len(left), -np.inf, dtype=np.float64)
+        neg = np.zeros(len(left), dtype=np.int32)
+        if ok.any():
+            vecs = np.stack(
+                [np.asarray(r, dtype=np.float64) for r in left[vec_col][ok]]
+            )
+            # strict left fold over dimensions: acc_d = acc_{d-1} +
+            # x_d*w_d, one IEEE add per step in index order ==
+            # _fold_sum's sequence
+            acc = np.zeros((vecs.shape[0], fmat.shape[0]), dtype=np.float64)
+            for d in range(vecs.shape[1]):
+                acc += vecs[:, d : d + 1] * fmat[None, :, d]
+            pick = np.argmax(acc, axis=1)  # first max == smallest fid on ties
+            dot[ok] = acc[np.arange(len(pick)), pick]
+            neg[ok] = (-fids[pick]).astype(np.int32)
+        out["dot"] = dot
+        out["neg_id"] = neg
         return out
 
     return (

@@ -57,6 +57,20 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # let AQE coalesce the plan feeding persist()/cache too
+        # (default false): the lifecycle paths persist batch-sized
+        # frames whose post-shuffle partition count would otherwise be
+        # pinned at spark.sql.shuffle.partitions — every downstream
+        # job over the cache then schedules that many near-empty
+        # tasks, which is pure per-task overhead that GROWS with the
+        # core count (the r14 32-core q_index_sync regression).
+        # Scale-adaptive, not local-tuned: AQE sizes the cached
+        # partitions from the data (advisoryPartitionSizeInBytes), so
+        # a 100 TB batch still caches wide.
+        .config(
+            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+            "true",
+        )
         .config("spark.sql.files.maxPartitionBytes", "536870912")
         .config("spark.sql.session.timeZone", "UTC")
         # naive parquet timestamps (isAdjustedToUTC=false) load as plain

@@ -5422,3 +5422,49 @@ def test_blockmax_row_group_cuts_exact_and_engaged(spark, tmp_path):
             hconf.unset("parquet.page.size")
         else:
             hconf.set("parquet.page.size", prev_page)
+
+
+def test_lloyd_arrow_long_segments(spark):
+    """r14 ADVICE #1 regression: the Arrow Lloyd mean must compute a
+    genuinely SEQUENTIAL per-segment fold. numpy reductions
+    (np.sum / np.add.reduceat) switch to pairwise/8-way-unrolled
+    summation past ~8 elements, which ULP-diverges from the strict
+    0.0-seeded left fold the DuckDB oracle and the expression path
+    compute — so any list with > 2048 members (sub-buckets of > 8
+    elements at mean_buckets=256) would break the Spark-vs-oracle
+    bit-determinism contract. 6000 members here puts ~23 elements in
+    every sub-bucket; the seed-42 corpus is verified to diverge under
+    a reduceat-based mean in every dimension."""
+    import numpy as np
+
+    from datalake_toolkit_spark.llm.similarity import _lloyd_means_arrow
+
+    n, dim, mb = 6000, 3, 256
+    rng = np.random.default_rng(42)
+    vecs = rng.standard_normal((n, dim)) * rng.uniform(1e-6, 1e6, (n, dim))
+
+    def fold(xs):
+        acc = 0.0
+        for v in xs:
+            acc = acc + v
+        return acc
+
+    want = []
+    for d in range(dim):
+        buckets: dict[int, list[float]] = {}
+        for vid in range(n):
+            buckets.setdefault(vid % mb, []).append(float(vecs[vid, d]))
+        subs = [fold(sorted(b)) for b in buckets.values()]
+        want.append(fold(sorted(subs)) / n)
+
+    assigned = spark.createDataFrame(
+        [(int(i), [float(x) for x in vecs[i]], 0) for i in range(n)],
+        "vid long, v array<double>, list_id int",
+    )
+    rows = _lloyd_means_arrow(assigned, dim, mean_buckets=mb).collect()
+    assert len(rows) == 1 and rows[0]["list_id"] == 0
+    got = list(rows[0]["centroid"])
+    # bit-equality, not approx: the whole point is the exact fold
+    assert got == want, [
+        (g, w) for g, w in zip(got, want) if g != w
+    ]
