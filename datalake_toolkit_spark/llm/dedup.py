@@ -814,8 +814,8 @@ def incremental_semantic_dedup(
         _fold_sum,
         _l2_norm,
         cosine_near_dup_pairs,
-        cosine_with_norms,
         hyperplane_bucket,
+        pair_cosine_arrow,
     )
 
     sq_norm = _fold_sum(F.transform(_as_double(vec_col), lambda x: x * x))
@@ -893,15 +893,23 @@ def incremental_semantic_dedup(
             F.col("vec").alias("_ov"),
             F.col("norm").alias("_on"),
         )
+        # pair scoring in the map-only Arrow kernel (bit-identical to
+        # cosine_with_norms — see pair_cosine_arrow); the pre-kernel
+        # select keeps only the four scoring columns plus the id so
+        # column pruning survives the opaque mapInArrow (guide §4)
         dup_ids = (
-            band_rows.hint("shuffle_hash")
-            .join(seen.hint("shuffle_hash"), "bkey")
-            .where(
-                cosine_with_norms(
-                    F.col("_v"), F.col("_ov"), F.col("_n"), F.col("_on")
+            pair_cosine_arrow(
+                band_rows.hint("shuffle_hash")
+                .join(seen.hint("shuffle_hash"), "bkey")
+                .select(
+                    F.col(id_col),
+                    F.col("_v").alias("va"),
+                    F.col("_ov").alias("vb"),
+                    F.col("_n").alias("na"),
+                    F.col("_on").alias("nb"),
                 )
-                >= threshold
             )
+            .where(F.col("cosine") >= threshold)
             .select(id_col)
             .distinct()
         )

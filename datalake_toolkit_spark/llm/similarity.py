@@ -68,6 +68,121 @@ def embedding_norms(df: DataFrame, id_col: str = "vec_id", vec_col: str = "embed
     )
 
 
+def pair_cosine_arrow(
+    paired: DataFrame,
+    a: str = "va",
+    b: str = "vb",
+    na: str = "na",
+    nb: str = "nb",
+    out: str = "cosine",
+) -> DataFrame:
+    """Candidate-pair cosine scoring as a map-only Arrow kernel —
+    BIT-IDENTICAL to ``cosine_with_norms(a, b, na, nb)`` (the same
+    IEEE doubles through the same op sequence: products in dimension
+    order, one strict-left-fold add per dimension — a vectorized
+    ``+=`` per dim is exactly ``_fold_sum``'s sequence — then
+    ``dot / (na * nb)``), with the interpreted per-element lambda cost
+    removed (guide §4.2). Drops the vector/norm columns and appends
+    ``out``; every other column passes through.
+
+    ``mapInArrow``, not a pandas UDF, deliberately: Spark's
+    pandas→Arrow conversion turns float NaN into NULL, which would
+    corrupt genuine NaN cosines (zero-norm vectors) — pyarrow arrays
+    built with an explicit validity mask keep NaN as NaN and NULL as
+    NULL, exactly like the expression. NULL semantics reproduced
+    per row: a NULL vector, a NULL element, or a length mismatch
+    (``zip_with`` pads with nulls, nullifying the fold) scores NULL;
+    such rows take a per-row fallback that replays the fold
+    (pinned by test_pair_cosine_arrow_bit_equality)."""
+    import numpy as np
+    import pyarrow as pa
+
+    carry = [c for c in paired.columns if c not in (a, b, na, nb)]
+    schema = T.StructType(
+        [f for f in paired.schema.fields if f.name in carry]
+        + [T.StructField(out, T.DoubleType(), True)]
+    )
+
+    def list_mat(arr):
+        """(n x d matrix, d) for a clean fixed-width list column, or
+        (None, None) when any row needs the exact fallback."""
+        if arr.null_count != 0:
+            return None, None
+        if isinstance(arr, pa.ChunkedArray):  # defensive; batches are flat
+            arr = arr.combine_chunks()
+        vals = arr.values
+        if vals.null_count != 0:
+            return None, None
+        offs = arr.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        widths = np.diff(offs)
+        if len(widths) == 0:
+            return np.empty((0, 0), dtype=np.float64), 0
+        d = int(widths[0])
+        if not (widths == d).all():
+            return None, None
+        flat = vals.to_numpy(zero_copy_only=False).astype(
+            np.float64, copy=False
+        )
+        return flat[offs[0]: offs[-1]].reshape(len(arr), d), d
+
+    def fold_cos(va_r, vb_r, na_r, nb_r):
+        # exact zip_with + 0.0-seeded fold replay (None nullifies)
+        if va_r is None or vb_r is None:
+            return None
+        m = max(len(va_r), len(vb_r))
+        acc = 0.0
+        for i in range(m):
+            x = va_r[i] if i < len(va_r) else None
+            y = vb_r[i] if i < len(vb_r) else None
+            if x is None or y is None:
+                return None
+            acc = acc + x * y
+        if na_r is None or nb_r is None:
+            return None
+        return acc / (na_r * nb_r)
+
+    def score(batches):
+        for batch in batches:
+            n = batch.num_rows
+            cols = {name: batch.column(name) for name in batch.schema.names}
+            va, vb = cols[a], cols[b]
+            nas, nbs = cols[na], cols[nb]
+            ma, d_a = list_mat(va)
+            mb, d_b = list_mat(vb)
+            if (
+                ma is not None
+                and mb is not None
+                and d_a == d_b
+                and nas.null_count == 0
+                and nbs.null_count == 0
+            ):
+                acc = np.zeros(n, dtype=np.float64)
+                for d in range(d_a):
+                    acc += ma[:, d] * mb[:, d]
+                res = acc / (
+                    nas.to_numpy(zero_copy_only=False)
+                    * nbs.to_numpy(zero_copy_only=False)
+                )
+                out_arr = pa.array(res, type=pa.float64())  # NaN stays NaN
+            else:
+                va_l, vb_l = va.to_pylist(), vb.to_pylist()
+                na_l, nb_l = nas.to_pylist(), nbs.to_pylist()
+                out_arr = pa.array(
+                    [
+                        fold_cos(va_l[i], vb_l[i], na_l[i], nb_l[i])
+                        for i in range(n)
+                    ],
+                    type=pa.float64(),
+                    from_pandas=False,
+                )
+            yield pa.RecordBatch.from_arrays(
+                [cols[c] for c in carry] + [out_arr],
+                names=carry + [out],
+            )
+
+    return paired.mapInArrow(score, schema=schema)
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -1545,16 +1660,12 @@ def cosine_near_dup_pairs(
             F.col("na").alias("nb"),
         )
         paired = c.join(other, F.col("id_a") < F.col("id_b"))
-    return (
-        paired.select(
-            "id_a",
-            "id_b",
-            cosine_with_norms(
-                F.col("va"), F.col("vb"), F.col("na"), F.col("nb")
-            ).alias("cosine"),
-        )
-        .where(F.col("cosine") >= threshold)
-    )
+    # pair scoring runs in the map-only Arrow kernel (bit-identical to
+    # cosine_with_norms — see pair_cosine_arrow); the explicit select
+    # keeps column pruning alive under the opaque mapInArrow (guide §4)
+    return pair_cosine_arrow(
+        paired.select("id_a", "id_b", "va", "vb", "na", "nb")
+    ).where(F.col("cosine") >= threshold)
 
 
 def lsh_bucketed_topk(

@@ -3292,3 +3292,60 @@ def test_written_keys_match_partition_keys_on_hostile_values(
             assert got[i] is None
         else:
             assert got[i] == v, (i, v, got[i])
+
+
+def test_changes_scoped_mor_equals_full_diff(spark, tmp_path):
+    """The pure-MoR CDF fast path (changes() restricting both diff
+    sides to mutation-keyed candidates) must return EXACTLY the rows
+    of the unrestricted two-snapshot diff — pinned on a hostile
+    window: updates, inserts, a predicate delete, a key tombstone,
+    duplicate base rows, and NULL merge keys (which never equi-join
+    but can still change hands under the per-key window resolution)."""
+    t = LakeTable(spark, str(tmp_path / "t"))
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (4, "d"), (4, "d"), (None, "n1"),
+         (9, "z")],
+        "k int, v string",
+    )
+    t.write(base)
+    v1 = t.current_version()
+    t.upsert(
+        spark.createDataFrame(
+            [(2, "B"), (5, "e"), (None, "N2")], "k int, v string"
+        ),
+        keys=["k"],
+        mode="mor",
+    )
+    t.upsert(
+        spark.createDataFrame([(3,)], "k int"),
+        keys=["k"],
+        when_matched="delete",
+        mode="mor",
+    )
+    t.delete_where("v = 'z'", mode="mor")
+    v2 = t.current_version()
+
+    def rows(df):
+        out = {}
+        for r in df.collect():
+            key = (r["k"], r["v"], r["_change_type"])
+            out[key] = out.get(key, 0) + 1
+        return out
+
+    got = rows(t.changes(v1, v2))
+    from datalake_toolkit_spark.lakehouse.table import LakeTable as LT
+
+    orig = LT._scope_mor_delta
+    LT._scope_mor_delta = lambda self, mf, mt, f_, t_, b, a: (b, a)
+    try:
+        want = rows(t.changes(v1, v2))
+    finally:
+        LT._scope_mor_delta = orig
+    assert got == want
+    # sanity: the window really did produce every change class
+    kinds = {(k, c) for (k, _v, c) in got}
+    assert (2, "delete") in kinds and (2, "insert") in kinds  # update
+    assert (5, "insert") in kinds  # insert
+    assert (3, "delete") in kinds  # tombstone
+    assert (9, "delete") in kinds  # predicate delete
+    assert (None, "insert") in kinds  # null-key update arrived

@@ -5468,3 +5468,109 @@ def test_lloyd_arrow_long_segments(spark):
     assert got == want, [
         (g, w) for g, w in zip(got, want) if g != w
     ]
+
+
+def test_pair_cosine_arrow_bit_equality(spark):
+    """The Arrow pair scorer must reproduce cosine_with_norms bit for
+    bit — including the awkward corners: NULL vectors, NULL elements,
+    ragged lengths (zip_with nullifies the fold), -0.0 components,
+    zero norms (genuine NaN, which a pandas UDF would silently turn
+    into NULL), infinities, and magnitude spreads that expose any
+    non-left-fold summation."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from datalake_toolkit_spark.llm.similarity import (
+        cosine_with_norms,
+        pair_cosine_arrow,
+    )
+
+    rows = [
+        (1, [1.0, 2.0, 3.0], [4.0, 5.0, 6.0]),
+        (2, None, [1.0, 2.0, 3.0]),               # null vector
+        (3, [1.0, None, 3.0], [1.0, 2.0, 3.0]),   # null element
+        (4, [1.0, 2.0], [1.0, 2.0, 3.0]),         # ragged
+        (6, [-0.0, 0.0, 3.0], [-0.0, 1.0, -2.0]),
+        (7, [1e300, 1e-300, -1e300], [1e300, 1e300, 1e300]),
+        (8, [float("inf"), 1.0, 2.0], [1.0, 1.0, 1.0]),
+        (9, [1e16, 1.0, -1e16, 3.0], [1.0, 1.0, 1.0, 1.0]),
+        (11, [0.1, 0.2, 0.7], [0.3, 0.3, 0.4]),
+    ]
+    # Zero-norm rows are OUTSIDE the comparison: under ANSI (the
+    # Spark 4 default) the expression path RAISES DIVIDE_BY_ZERO, so
+    # every engine call site prefilters them (semantic dedup's
+    # nonzero split, IVF _prep). The kernel instead yields IEEE
+    # NaN/±inf — strictly more permissive; pinned below.
+    # ragged dims force the kernel's exact per-row fallback; a second
+    # frame with uniform dims exercises the vectorized fast path
+    for name, data in (
+        ("mixed", rows),
+        ("uniform", [r for r in rows if r[1] is not None
+                     and r[2] is not None and len(r[1]) == 3
+                     and len(r[2]) == 3 and None not in r[1]]),
+    ):
+        df = spark.createDataFrame(
+            data, "id long, va array<double>, vb array<double>"
+        ).select(
+            "id", "va", "vb",
+            F.sqrt(
+                F.aggregate(
+                    F.transform("va", lambda x: x * x),
+                    F.lit(0.0),
+                    lambda a, x: a + x,
+                )
+            ).alias("na"),
+            F.sqrt(
+                F.aggregate(
+                    F.transform("vb", lambda x: x * x),
+                    F.lit(0.0),
+                    lambda a, x: a + x,
+                )
+            ).alias("nb"),
+        )
+        want = {
+            r["id"]: r["c"]
+            for r in df.select(
+                "id",
+                cosine_with_norms(
+                    F.col("va"), F.col("vb"), F.col("na"), F.col("nb")
+                ).alias("c"),
+            ).collect()
+        }
+        got = {
+            r["id"]: r["cosine"]
+            for r in pair_cosine_arrow(df).select("id", "cosine").collect()
+        }
+        assert set(got) == set(want), name
+        for k in want:
+            w, g = want[k], got[k]
+            if w is None or g is None:
+                assert w is None and g is None, (name, k, w, g)
+            elif math.isnan(w) or math.isnan(g):
+                assert math.isnan(w) and math.isnan(g), (name, k, w, g)
+            else:
+                assert w == g and math.copysign(1, w) == math.copysign(1, g), (
+                    name, k, w, g,
+                )
+
+    zdf = spark.createDataFrame(
+        [(5, [0.0, 0.0, 0.0], [1.0, 2.0, 3.0]), (10, [], []),
+         (12, [-0.0, 0.0, -0.0], [-0.0, 1.0, -2.0])],
+        "id long, va array<double>, vb array<double>",
+    ).select(
+        "id", "va", "vb",
+        F.lit(0.0).alias("na"),
+        F.sqrt(
+            F.aggregate(
+                F.transform("vb", lambda x: x * x),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+        ).alias("nb"),
+    )
+    zg = {
+        r["id"]: r["cosine"]
+        for r in pair_cosine_arrow(zdf).select("id", "cosine").collect()
+    }
+    assert all(v is not None and math.isnan(v) for v in zg.values()), zg
