@@ -133,11 +133,6 @@ DEMOTED: tuple[str, ...] = (
     # removed from this tuple above). Five multi-green r07+r08 shapes
     # rotate out in exchange, each with its plan shape still covered
     # in-window:
-    "q_profile_orders",  # 4x (r5-r8); profiling aggs ~ q1/q9/q16 TPC-H agg set
-    "q_decontaminate",  # 4x (r5-r8); composed in-window by q_curate_corpus_full
-    "q_pack_windows",  # 4x (r5-r8); packing ~ q_token_shards + q_curate_corpus_full
-    "q_boilerplate",  # 2x (r7-r8); text-stats expressions ~ q_word_rarity/q_repetition_stats
-    "q_hashed_embeddings",  # 2x (r7-r8); value-sorted embedding folds ~ q_embedding_pool
     # r9 second wave: q_incremental_semantic enters (incremental
     # semantic dedup vs the persistent band/vector ledger, the r9
     # flagship birth — never driver-checked, so it belongs in-window
@@ -145,19 +140,16 @@ DEMOTED: tuple[str, ...] = (
     # r5-r8) rotates out in exchange — its text-stats expression shape
     # stays covered in-window by q_word_rarity, the same coverage
     # argument that demoted q_boilerplate this round.
-    "q_repetition_stats",
     # r9 third wave: q_persistent_ivf enters (the persistent IVF index
     # lifecycle — build / incremental MoR add / partition-pruned
     # serve — never driver-checked). q_event_paths (3x green r6-r8)
     # rotates out in exchange — its sequence/window shape stays
     # covered in-window by q_funnel_conversion and q_cohort_retention.
-    "q_event_paths",
     # r9 fourth wave: q_keyword_search enters (lexical retrieval —
     # inverted match + coordination ranking, never driver-checked).
     # q_token_shards (4x green r5-r8) rotates out in exchange — its
     # sharding shape is composed in-window by q_curate_corpus_full,
     # the same argument that demoted q_pack_windows this round.
-    "q_token_shards",
     # r9 fifth wave: q_postings_search enters (the PERSISTENT inverted
     # index — two bucket-scoped MoR add commits + a term-bucket-pruned
     # serve — never driver-checked). q_banded_cosine_near_dups (3x
@@ -166,7 +158,6 @@ DEMOTED: tuple[str, ...] = (
     # runs cosine_near_dup_pairs with n_bands=3 inside each batch) and
     # covered by q_centered_cosine_near_dups (same operator, center
     # superset).
-    "q_banded_cosine_near_dups",
     # r9 sixth wave: q_phrase_search and q_hybrid_search enter (exact
     # adjacency matching and RRF fusion of the lexical + vector
     # rankings — never driver-checked). Two 3x-green (r6-r8) shapes
@@ -176,15 +167,12 @@ DEMOTED: tuple[str, ...] = (
     # in-window) and q11_important_stock (group-agg vs scalar
     # threshold — covered by q20_excess_stock's correlated scalar and
     # q22's scalar-avg subquery).
-    "q_funnel_conversion",
-    "q11_important_stock",
     # r9 seventh wave: q_index_phrase enters (phrase adjacency served
     # from the positional postings index — never driver-checked).
     # q16_supplier_count (3x green r6-r8) rotates out in exchange —
     # its NOT-IN anti-semantics and distinct-count aggregate stay
     # covered in-window by q21_waiting_suppliers (exists/not-exists
     # chains) and q22_sales_opportunity (scalar subquery + count agg).
-    "q16_supplier_count",
     # r10 rotation: five births enter (q_ivf_quantized, q_index_hybrid,
     # q_index_corpus_stats, q_grouping_sets_revenue,
     # q_multi_window_prices — never driver-checked), six r2/r3-stale
@@ -196,30 +184,17 @@ DEMOTED: tuple[str, ...] = (
     # q_mor_delete, q_file_skipping, q_partition_evolution) re-enter.
     # Eleven multi-green shapes rotate out in exchange, each with its
     # plan shape still covered in-window:
-    "q18_large_orders",  # 8x; semi-join/agg ~ q9/q15/q20/q21 stay
-    "q_ivf_ann_topk",  # 6x; IVF probe machinery ~ q_persistent_ivf + q_ivf_quantized (incoming)
-    "q_merge_upsert",  # 6x; MERGE commit ~ q_mor_upsert_partitioned + q_mor_upsert (returning)
-    "q_catalog_table_docs",  # 5x; catalog assembly ~ q_catalog_walk stays
-    "q_pii_redact",  # 5x; regex scalars ~ q_sanitize_headers stays, composed by q_curate_corpus_full
-    "q_latest_event_per_user",  # 5x; per-group rank dedup ~ q_multi_window_prices (incoming) + q_cohort_retention
-    "q_asof_forward_tolerance",  # 5x; range-predicate join ~ q_interval_join_left stays
-    "q8_market_share",  # 4x; multi-dim join tree ~ q7 + q9 stay
-    "q_embedding_pool",  # 4x; value-sorted folds ~ q_centered_cosine_near_dups + q_semantic_dedup stay
-    "q_simhash_near_dups",  # 4x; bit-banding ~ q_setsim_near_dups + q_centered_cosine_near_dups stay
-    "q_word_rarity",  # 4x; corpus-grounded text stats ~ q_bigram_familiarity + q_dup_ngram_stats stay
     # r10 second wave: q_index_decontaminate enters (benchmark
     # decontamination served from the positional index — never
     # driver-checked). q_cohort_retention (4x green r6-r9) rotates out
     # in exchange — its sequence-window shape stays covered in-window
     # by q_multi_window_prices (stacked lag/lead/running/rank) and
     # q_stateful_running_status.
-    "q_cohort_retention",
     # r10 third wave: q_filtered_ann enters (metadata-filtered
     # quantized vector search — never driver-checked).
     # q7_volume_shipping (4x green r6-r9) rotates out in exchange —
     # its multi-dim join-tree shape stays covered in-window by
     # q9_product_profit and q21_waiting_suppliers.
-    "q7_volume_shipping",
     # r11 rotation (see the header comment): nine multi-green shapes
     # out for the three births + six stale returns.
     "q3_shipping_priority",  # 3x (r1,r2,r10); join-agg-topk ~ q5/q10 returning
@@ -349,6 +324,53 @@ DEMOTED: tuple[str, ...] = (
     "q_show_tables",  # 3x; catalog SQL scan ~ q_catalog_search returning (same machinery)
     "q_index_corpus_stats",  # 3x; multi-commit stats lifecycle ~ q_index_sync + q_index_rebucket stay
     "q_index_decontaminate_slop",  # 2x (r12,r13); sloppy positional probe ~ q_index_phrase_slop stays
+    # r15 rotation (the r14 verdict's #6 ask, same staleness
+    # discipline): the full 25-query r8/r9-stale cohort RETURNS to the
+    # window — 12 queries last driver-green in r8
+    # (q11_important_stock, q16_supplier_count,
+    # q_banded_cosine_near_dups, q_boilerplate, q_decontaminate,
+    # q_event_paths, q_funnel_conversion, q_hashed_embeddings,
+    # q_pack_windows, q_profile_orders, q_repetition_stats,
+    # q_token_shards) and 13 in r9 (q18_large_orders,
+    # q7_volume_shipping, q8_market_share, q_asof_forward_tolerance,
+    # q_catalog_table_docs, q_cohort_retention, q_embedding_pool,
+    # q_ivf_ann_topk, q_latest_event_per_user, q_merge_upsert,
+    # q_pii_redact, q_simhash_near_dups, q_word_rarity — all removed
+    # from this tuple above). Twenty-five multi-green shapes rotate
+    # out in exchange, each freshly re-verified green in r14 and with
+    # its plan shape still covered in-window or by the returning
+    # cohort + dedicated tests. The r15-touched paths stay in-window
+    # deliberately: q_index_sync / q_index_rebucket /
+    # q_stream_plane_sync (the 32-core scaling work),
+    # q_lsh_cosine_near_dups / q_semantic_dedup-adjacent shapes via
+    # q_lsh_cosine_near_dups and q_ann_sync (the Arrow pair-cosine
+    # kernel), q_ivf_two_level / q_ivf_probe_report (the Lloyd fold
+    # fix's lifecycle).
+    "q_order_parts_sorted",  # 7x; sorted-collect arrays ~ q_profile_orders returning + A2 parity
+    "q_top_parts_by_revenue",  # 7x; join-agg-topk ~ q18_large_orders + q7_volume_shipping returning
+    "q_sessionized_users",  # 7x; session windows ~ q_event_paths + q_funnel_conversion returning
+    "q_stream_dedup",  # 7x; streaming dedup replay ~ q_stream_plane_sync stays + q_raw_file_docs stays
+    "q_text_stats",  # 7x; text scalar expressions ~ q_repetition_stats + q_word_rarity returning
+    "q_dedup_exact",  # 7x; exact-hash grouping ~ q_dup_clusters stays
+    "q_minhash_near_dups",  # 7x; banded signature pairing ~ q_simhash_near_dups returning + minhash pytest suite
+    "q_multimodal_features",  # 7x; Arrow binary plumbing pinned by the multimodal pytest suite; never perturbed
+    "q_corpus_curation",  # 7x; composed curation ~ q_boilerplate + q_decontaminate returning (its components)
+    "q_asof_join",  # 6x; asof ~ q_asof_forward_tolerance returning (tolerance superset)
+    "q_uri_normalize",  # 6x; regex projection ~ q_pii_redact returning
+    "q_time_functions",  # 6x; time scalars ~ q_cohort_retention + q_latest_event_per_user returning
+    "q12_priority_by_returnflag",  # 5x; conditional agg ~ q11/q16/q18 returning TPC-H aggregates
+    "q_approx_aggregates",  # 5x; sketch outputs pinned by local parity tests
+    "q_range_join",  # 5x; range predicate join ~ q_interval_join stays
+    "q_grouping_sets_revenue",  # 5x; multi-level agg ~ q16_supplier_count returning + rollup parity
+    "q_multi_window_prices",  # 5x; stacked windows ~ q_latest_event_per_user + q_cohort_retention returning
+    "q_lsh_ann_topk",  # 5x; LSH topk ~ q_ivf_ann_topk returning + q_lsh_cosine_near_dups stays
+    "q_catalog_roundtrip_ids",  # 5x; catalog roundtrip ~ q_catalog_table_docs returning + q_catalog_search stays
+    "q_catalog_partition_docs",  # 5x; catalog assembly ~ q_catalog_table_docs returning + q_catalog_search stays
+    "q_time_travel",  # 5x; version-pinned read ~ q_index_time_travel stays + q_merge_upsert returning
+    "q_snapshot_retention",  # 5x; retention/vacuum ~ lakehouse pytest suite + q_index_time_travel stays
+    "q_stratified_sample",  # 4x; sampling ~ q_domain_mixture stays
+    "q_doc_chunks",  # 4x; chunking ~ q_token_shards + q_pack_windows returning
+    "q_jl_projection",  # 4x; projection folds ~ q_embedding_pool + q_hashed_embeddings returning
 )
 
 GATE_WINDOW = 50
