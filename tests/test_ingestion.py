@@ -1016,6 +1016,7 @@ def test_cli_index_probe_and_maintain_actions(spark, tmp_path, capsys):
     capsys.readouterr()
 
 
+@pytest.mark.slow
 def test_cli_hybrid_and_quantized_actions(spark, tmp_path, capsys):
     """The round-10 serve paths are operable from the shell: RRF
     hybrid over both persistent indexes, the int8 quantized ANN

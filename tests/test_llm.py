@@ -581,6 +581,7 @@ def test_bm25_topk_matches_python_reference(spark, sf_dir):
             assert math.isclose(r.score, s, rel_tol=1e-9)
 
 
+@pytest.mark.slow
 def test_postings_index_incremental_equals_batch_rankers(
     spark, sf_dir, tmp_path
 ):
@@ -1307,6 +1308,7 @@ def test_incremental_semantic_dedup_across_batches(spark, tmp_path):
     assert {r.keep_id for r in ledger.read().collect()} == {1, 2, 11, 13}
 
 
+@pytest.mark.slow
 def test_stream_near_dedup_session_stays_bounded_after_maintenance(
     spark, tmp_path
 ):
@@ -2029,6 +2031,7 @@ def test_postings_index_phrase_serves_equal_to_batch(spark, sf_dir, tmp_path):
     assert [(r.doc_id, r.n_occurrences) for r in out] == [(990001, 2)]
 
 
+@pytest.mark.slow
 def test_index_plan_probe_and_maintain(spark, tmp_path):
     """plan_probe reports the serving cost without running a search
     (buckets/lists probed < total; pending MoR files visible), and
@@ -2163,6 +2166,7 @@ def test_postings_index_corpus_stats_cached_and_exact(spark, tmp_path):
     assert (mig.n, mig.t) == (truth.n, truth.t)
 
 
+@pytest.mark.slow
 def test_postings_index_random_batching_equals_one_shot(spark, sf_dir):
     """Model check: ANY batching of the same corpus (random splits,
     random cow/mor per batch, seeded) must serve identical rankings to
@@ -2211,6 +2215,7 @@ def test_postings_index_random_batching_equals_one_shot(spark, sf_dir):
         assert got_ph == want_ph, f"trial {trial}"
 
 
+@pytest.mark.slow
 def test_hybrid_search_indexed_equals_component_fusion(spark, tmp_path):
     """The one-call index-served hybrid must equal fusing its two
     index rankings by hand (same k_each/n_probe), for both lexical
@@ -2432,6 +2437,7 @@ def test_decontaminate_indexed_equals_batch(spark, sf_dir, tmp_path):
     assert only == {d: h for d, (h, c) in got.items() if c}
 
 
+@pytest.mark.slow
 def test_postings_index_replace_add_and_remove(spark, tmp_path):
     """The mutation contracts, pinned on the reviewer's repro: a
     plain re-add leaves postings for DROPPED terms serving (the
@@ -2652,6 +2658,7 @@ def test_ivf_per_query_pair_filter(spark, sf_dir, tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_lexical_and_hybrid_pair_filter(spark, tmp_path):
     """Per-query filtered lexical + hybrid retrieval: pair_filter
     restricts each query to its own allowed docs before the top-k cut
@@ -2750,6 +2757,7 @@ def test_lexical_and_hybrid_pair_filter(spark, tmp_path):
     assert all((r[0], r[1]) in allowed for r in got)
 
 
+@pytest.mark.slow
 def test_index_snapshot_serving(spark, tmp_path):
     """Version-pinned index serving: snapshot() pins a consistent
     per-table version set; searches with at=pin serve exactly the
@@ -2903,6 +2911,7 @@ def test_postings_remove_escaping_and_legacy_seed(spark, tmp_path):
     assert (cached.n, cached.t) == (truth.n, truth.t) == (59, truth.t)
 
 
+@pytest.mark.slow
 def test_postings_rebucket_governance(spark, tmp_path):
     """rebucket(): re-hash the index to a wider prefix — serve answers
     unchanged across the rebucket (keyword, bm25, phrase), probe cost
@@ -3144,6 +3153,7 @@ def test_ivf_remove_accepts_numpy_integral_ids(spark, tmp_path):
         idx.remove([True])
 
 
+@pytest.mark.slow
 def test_postings_corpus_stats_random_mutation_model(spark, tmp_path):
     """Model check: after ANY seeded sequence of add / mor-add /
     replace-add / remove (including re-adds with changed text and
@@ -3197,6 +3207,7 @@ def test_postings_corpus_stats_random_mutation_model(spark, tmp_path):
         )
 
 
+@pytest.mark.slow
 def test_sync_postings_from_table(spark, tmp_path):
     """CDF -> postings sync: bootstrap indexes the whole snapshot; an
     incremental sync applies net upserts as replace-adds (dropped
@@ -3412,6 +3423,7 @@ def test_project_embeddings_jl_contract(spark):
         shutil.rmtree(work, ignore_errors=True)
 
 
+@pytest.mark.slow
 def test_ivf_recall_contract(spark, tmp_path):
     """recall(): full probe is exactly 1.0 for every query, probed
     recall is within [0, 1] and weakly improves as n_probe widens,
@@ -3834,6 +3846,7 @@ def test_ivf_frame_path_equals_literal_path(spark, sf_dir, tmp_path, monkeypatch
     assert rep and all(v == 0 for v in rep.values())
 
 
+@pytest.mark.slow
 def test_ivf_large_nlists_no_literal_and_pruned(spark, sf_dir, tmp_path):
     """n_lists=4096 — the 100 TB shape (~sqrt(N) lists): build, add
     and search must run through the matrix-as-data path with NO
@@ -3945,6 +3958,7 @@ def test_project_embeddings_passthrough_columns(spark):
     assert (r.lang, r.grp) == ("en", 7) and len(r.embedding) == 16
 
 
+@pytest.mark.slow
 def test_sync_search_plane_combined_pin(spark, tmp_path):
     """The coordinated search-plane snapshot (r11 verdict #5): one
     call advances BOTH indexes to the same table version and returns
@@ -4107,6 +4121,7 @@ def test_decontaminate_indexed_slop_and_pin(spark, tmp_path):
     assert live == {1: 1, 2: 0, 3: 1}
 
 
+@pytest.mark.slow
 def test_stream_sync_search_plane_follows_table(spark, tmp_path):
     """End-to-end streaming search plane (r11 verdict stretch #8): a
     micro-batched stream MERGEs into a LakeTable and the CDF sync
@@ -4245,6 +4260,7 @@ def test_ivf_topk_large_nlists_exact_at_full_probe(spark, sf_dir):
     assert got == want
 
 
+@pytest.mark.slow
 def test_keyword_maxscore_prune_exact(spark, tmp_path):
     """The coordination layer's integer MAXSCORE split returns rows
     IDENTICAL to the exact plan — stopword-heavy, filtered, pinned,
@@ -4455,6 +4471,7 @@ def test_snapshot_pins_record_paired_stats_version(spark, tmp_path):
     assert [r[:2] for r in pinned] == [r[:2] for r in exact]
 
 
+@pytest.mark.slow
 def test_remove_and_sync_keep_pruning_live(spark, tmp_path):
     """The r12 verdict's #3 ask: on a default (stats_refresh='add')
     handle with fresh stats, remove() and a CDF sync window
@@ -5142,6 +5159,7 @@ def test_persistent_two_level_build_matches_flat(spark, sf_dir, tmp_path):
     assert a2 == b2
 
 
+@pytest.mark.slow
 def test_persistent_two_level_serve_filtered_pinned(spark, sf_dir, tmp_path):
     """Two-level serving contracts: full-probe search (exact mode)
     and quantized search equal the flat index's; partial cell probes

@@ -9,6 +9,8 @@ from __future__ import annotations
 import contextlib
 import io
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from datalake_toolkit_spark.operators import asof_join
@@ -126,6 +128,7 @@ _NESTED_LOOP_BY_DESIGN = {
 _SKIP_PLAN_SWEEP = {"q_stateful_running_status"}
 
 
+@pytest.mark.slow
 def test_no_unplanned_nested_loop_or_cartesian_anywhere(spark, sf_dir):
     """Scale guard across the ENTIRE query surface: no query may plan a
     CartesianProduct or BroadcastNestedLoopJoin unless its docstring
@@ -193,6 +196,7 @@ def _sweep_all_queries(spark, sf_dir, out_dir, transform):
     return failures
 
 
+@pytest.mark.slow
 def test_every_query_survives_empty_tables(spark, sf_dir, tmp_path):
     """At 100 TB, empty partitions / fresh tables are routine: every
     registered query must execute (0 rows is fine, a crash is not)
@@ -203,6 +207,7 @@ def test_every_query_survives_empty_tables(spark, sf_dir, tmp_path):
     assert not failures, f"queries crashing on empty inputs: {failures}"
 
 
+@pytest.mark.slow
 def test_every_query_survives_null_payloads(spark, sf_dir, tmp_path):
     """All-NULL payload columns (keys intact) must not crash any query:
     NULL text/content/props are routine in real corpora. Catches
