@@ -114,6 +114,28 @@ def filtered_ann(spark, emb) -> dict:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def signature_scan(spark, docs) -> dict:
+    """Compute-bound plan shape (no lifecycle constant): 64-hash
+    MinHash signatures + banding over the multiplied corpus, through
+    the noop sink. md5-per-shingle arithmetic is pure executor CPU,
+    so THIS is the shape that should show real core scaling at the
+    10x point (the lifecycle shapes above are commit-bound)."""
+    from datalake_toolkit_spark.llm.dedup import (
+        _doc_shingles,
+        minhash_signature,
+    )
+
+    t0 = time.monotonic()
+    (
+        _doc_shingles(docs, "doc_id", "text", 3)
+        .select("doc_id", minhash_signature("sh", 24).alias("sig"))
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
+    return {"scan_s": time.monotonic() - t0}
+
+
 def ingest_point(spark, sf_dir, mult) -> dict:
     # bench.py's own measurement is volume-normalized (it replicates
     # the CSV to $SPARK_GRAFT_INGEST_MB); the 10x point just raises
@@ -144,6 +166,7 @@ def main() -> None:
         ("postings_lifecycle", postings_lifecycle, docs),
         ("sync_window", sync_window, docs),
         ("filtered_ann", filtered_ann, emb),
+        ("signature_scan", signature_scan, docs),
     ):
         meds: list[dict] = []
         for _ in range(n):
